@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Local smoke runner mirroring the driver's t1 check: `entry` must return
+  * rows > 0 on sf0.001. Usage: graft.Smoke */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.entry(spark)
+    val n = df.count()
+    println(s"ENTRY_ROWS=$n")
+    df.show(5, truncate = false)
+    spark.stop()
+    if (n <= 0) sys.exit(1)
+  }
+}

@@ -1,13 +1,378 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Cdc, Scd2, Stats, Tables}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (★ inventory) and §7.
+  *
+  * Every query is paired with a DuckDB oracle over the same parquet tables.
+  * Determinism rules used throughout (SURVEY §7.4):
+  *  - every result carries a total ORDER BY on a unique key;
+  *  - SUM/AVG over doubles go through DECIMAL (order-independent) and cast
+  *    the final scalar back to DOUBLE;
+  *  - integer-ish outputs are BIGINT on both sides (Spark `cast("long")`,
+  *    DuckDB row_number/count are already BIGINT);
+  *  - equal event timestamps are tie-broken by `event_id`.
+  */
 object SparkEntry {
+
+  /** Fixed watermark/split point inside the events table's time range. */
+  private val WM = "2024-01-20 00:00:00"
+  /** Fixed as-of instant for point-in-time lookups. */
+  private val ASOF = "2024-01-15 00:00:00"
+
+  private val KEY = "user_id"; private val TS = "ts"; private val TIE = "event_id"
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+  private def dimOf(df: DataFrame): DataFrame = Scd2.rebuild(df, KEY, TS, TIE)
+
+  private val dimCols =
+    Seq("user_id", "event_id", "event_type", "value", "props",
+      "valid_from", "valid_to", "is_current", "version_no", "cdc_operation")
+
+  /** DuckDB CTE mirroring [[Scd2.rebuild]] over `src`. */
+  private def dimSql(src: String): String =
+    s"""dim AS (
+       |  SELECT event_id, user_id, event_type, value, props, ts,
+       |         ts AS valid_from,
+       |         lead(ts) OVER w AS valid_to,
+       |         (lead(ts) OVER w IS NULL) AS is_current,
+       |         row_number() OVER w AS version_no,
+       |         CASE WHEN row_number() OVER w = 1 THEN 'INSERT' ELSE 'UPDATE' END AS cdc_operation
+       |  FROM $src
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |)""".stripMargin
+
+  private val dimColsSql = dimCols.mkString(", ")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("scd2_rebuild")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── W2: full declarative SCD2 rebuild (the flagship) ──────────────
+    "scd2_rebuild" -> ((s, dir) =>
+      dimOf(ev(s, dir)).select(dimCols.map(col): _*)
+        .orderBy("user_id", "version_no")),
+
+    // ── P2: current-rows snapshot ─────────────────────────────────────
+    "scd2_current" -> ((s, dir) =>
+      Scd2.current(dimOf(ev(s, dir))).select(dimCols.map(col): _*)
+        .orderBy("user_id")),
+
+    // ── J5: point-in-time (as-of) interval lookup ─────────────────────
+    "scd2_asof" -> ((s, dir) =>
+      Scd2.asOf(dimOf(ev(s, dir)), expr(s"TIMESTAMP '$ASOF'"))
+        .select(dimCols.map(col): _*).orderBy("user_id")),
+
+    // ── W3/F6: version timeline with status label ─────────────────────
+    "scd2_timeline" -> ((s, dir) =>
+      dimOf(ev(s, dir)).select(
+        col("user_id"), col("version_no"), col("valid_from"),
+        when(col("is_current"), lit("Current"))
+          .otherwise(concat(lit("Expired: "),
+            date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss"))).as("status"))
+        .orderBy("user_id", "version_no")),
+
+    // ── S1/P1/P5: watermarked incremental scan + op classification ────
+    "cdc_watermark_scan" -> ((s, dir) =>
+      Cdc.watermarkScan(ev(s, dir), expr(s"TIMESTAMP '$WM'"), KEY, TS)
+        .orderBy("event_id")),
+
+    // ── W1/A3: last-write-wins dedup per key ──────────────────────────
+    "cdc_dedup_last" -> ((s, dir) =>
+      Cdc.dedupLastPerKey(ev(s, dir), KEY, TS, TIE).orderBy("user_id")),
+
+    // ── J1/J2/U3: incremental merge == rebuild over (hist ∪ batch) ────
+    "scd2_merge_incremental" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val hist = e.filter(col(TS) <= expr(s"TIMESTAMP '$WM'"))
+      val batch = e.filter(col(TS) > expr(s"TIMESTAMP '$WM'"))
+      Scd2.merge(dimOf(hist), batch, KEY, TS, TIE)
+        .select(dimCols.map(col): _*).orderBy("user_id", "version_no")
+    }),
+
+    // ── J2: upsert routing by current-row existence ───────────────────
+    "upsert_routing" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val cur = Scd2.current(dimOf(e.filter(col(TS) <= expr(s"TIMESTAMP '$WM'"))))
+        .select(col(KEY), lit(1).as("_exists"))
+      val b = Cdc.dedupLastPerKey(e.filter(col(TS) > expr(s"TIMESTAMP '$WM'")), KEY, TS, TIE)
+      b.join(cur, Seq(KEY), "left_outer")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(col("_exists").isNull, lit("INSERT")).otherwise(lit("UPDATE"))
+            .as("routed_op"))
+        .orderBy("user_id")
+    }),
+
+    // ── A1: dimension summary stats ───────────────────────────────────
+    "scd2_summary_stats" -> ((s, dir) =>
+      Stats.dimSummary(dimOf(ev(s, dir)), KEY)),
+
+    // ── A2: source table stats ────────────────────────────────────────
+    "source_stats" -> ((s, dir) => Stats.sourceStats(Tables.orders(s, dir))),
+
+    // ── A4: change-frequency per key ──────────────────────────────────
+    "change_frequency" -> ((s, dir) =>
+      Stats.changeFrequency(dimOf(ev(s, dir)), KEY)
+        .orderBy(desc("n_versions"), col("user_id"))),
+
+    // ── A5: duplicate-current invariant (empty == holds) ──────────────
+    "dup_current_invariant" -> ((s, dir) =>
+      Scd2.duplicateCurrentKeys(dimOf(ev(s, dir)), KEY).orderBy("user_id")),
+
+    // ── A8: content-hash batch id ─────────────────────────────────────
+    "batch_id_hash" -> ((s, dir) =>
+      Cdc.batchId(ev(s, dir).filter(col(TS) > expr(s"TIMESTAMP '$WM'")), TIE)),
+
+    // ── A6: trailing-window stats by type ─────────────────────────────
+    "event_type_stats" -> ((s, dir) =>
+      Stats.recentTypeStats(ev(s, dir), 7).orderBy("event_type")),
+
+    // ── U1: union of labeled counts ───────────────────────────────────
+    "union_counts" -> ((s, dir) => {
+      val d = dimOf(ev(s, dir))
+      val a = ev(s, dir).agg(count(lit(1)).as("n")).withColumn("label", lit("events"))
+      val b = Scd2.current(d).agg(count(lit(1)).as("n"))
+        .withColumn("label", lit("current_rows"))
+      val c = d.filter(!col("is_current")).agg(count(lit(1)).as("n"))
+        .withColumn("label", lit("historical_rows"))
+      a.unionByName(b).unionByName(c).select("label", "n").orderBy("label")
+    }),
+
+    // ── O3: top-k with deterministic tie-break ────────────────────────
+    "topk_orders" -> ((s, dir) =>
+      Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), col("o_orderkey")).limit(10)),
+
+    // ── F1-F13: scalar function tour ──────────────────────────────────
+    "scalar_funcs" -> ((s, dir) =>
+      ev(s, dir).select(
+        col("event_id"),
+        date_trunc("day", col("ts")).as("day_bucket"),
+        date_format(col("ts"), "yyyyMMdd_HHmmss").as("ts_fmt"),
+        md5(concat_ws("|", col("event_id").cast("string"), col("event_type")))
+          .as("row_hash"),
+        when(col("event_type") === "purchase", "completed")
+          .when(col("event_type") === "error", "failed")
+          .otherwise("active").as("status_label"),
+        concat(lit("Event: "), col("event_type")).as("label"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        get_json_object(col("props"), "$.k").as("k_str"))
+        .orderBy("event_id")),
+
+    // ── TPC-H-shaped scale queries (scan+agg, multi-join) ─────────────
+    "pricing_summary" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      // All money arithmetic in exact decimal: double→decimal(_,2) recovers
+      // the generator's 2-dp values, and decimal × decimal is exact, so sums
+      // are order-independent and bit-identical to the oracle.
+      val ext = col("l_extendedprice").cast("decimal(18,2)")
+      val oneMinusDisc = lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")
+      val onePlusTax = lit(1).cast("decimal(3,2)") + col("l_tax").cast("decimal(3,2)")
+      val discPrice = ext * oneMinusDisc
+      val charge = ext * oneMinusDisc * onePlusTax
+      li.groupBy("l_returnflag", "l_linestatus").agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "revenue_by_nation" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir); val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir); val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      // lineitem⋈orders is the big shuffle join (AQE may broadcast at small
+      // SF); dims are broadcast explicitly — at 100 TB customer moves to a
+      // shuffle join automatically once it exceeds the broadcast threshold.
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(r("r_name"), n("n_name"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+
+    "scd2_rebuild" ->
+      s"""WITH ${dimSql("events")}
+         |SELECT $dimColsSql FROM dim ORDER BY user_id, version_no""".stripMargin,
+
+    "scd2_current" ->
+      s"""WITH ${dimSql("events")}
+         |SELECT $dimColsSql FROM dim WHERE is_current ORDER BY user_id""".stripMargin,
+
+    "scd2_asof" ->
+      s"""WITH ${dimSql("events")}
+         |SELECT $dimColsSql FROM dim
+         |WHERE valid_from <= TIMESTAMP '$ASOF'
+         |  AND (valid_to > TIMESTAMP '$ASOF' OR valid_to IS NULL)
+         |ORDER BY user_id""".stripMargin,
+
+    "scd2_timeline" ->
+      s"""WITH ${dimSql("events")}
+         |SELECT user_id, version_no, valid_from,
+         |       CASE WHEN is_current THEN 'Current'
+         |            ELSE 'Expired: ' || strftime(valid_to, '%Y-%m-%d %H:%M:%S')
+         |       END AS status
+         |FROM dim ORDER BY user_id, version_no""".stripMargin,
+
+    "cdc_watermark_scan" ->
+      s"""SELECT event_id, ts, user_id, event_type, value, props,
+         |       CASE WHEN first_ts > TIMESTAMP '$WM' THEN 'INSERT'
+         |            ELSE 'UPDATE' END AS operation_type
+         |FROM (SELECT e.*, min(ts) OVER (PARTITION BY user_id) AS first_ts
+         |      FROM events e)
+         |WHERE ts > TIMESTAMP '$WM'
+         |ORDER BY event_id""".stripMargin,
+
+    "cdc_dedup_last" ->
+      s"""SELECT event_id, ts, user_id, event_type, value, props
+         |FROM (SELECT e.*, row_number() OVER
+         |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |      FROM events e)
+         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "scd2_merge_incremental" ->
+      s"""WITH hist AS (
+         |  SELECT event_id, ts, user_id, event_type, value, props
+         |  FROM events WHERE ts <= TIMESTAMP '$WM'),
+         |latest AS (
+         |  SELECT event_id, ts, user_id, event_type, value, props
+         |  FROM (SELECT e.*, row_number() OVER
+         |          (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |        FROM events e WHERE ts > TIMESTAMP '$WM')
+         |  WHERE rn = 1),
+         |allc AS (SELECT * FROM hist UNION ALL SELECT * FROM latest),
+         |${dimSql("allc")}
+         |SELECT $dimColsSql FROM dim ORDER BY user_id, version_no""".stripMargin,
+
+    "upsert_routing" ->
+      s"""WITH hist AS (SELECT * FROM events WHERE ts <= TIMESTAMP '$WM'),
+         |${dimSql("hist")},
+         |cur AS (SELECT user_id FROM dim WHERE is_current),
+         |batch AS (
+         |  SELECT event_id, ts, user_id
+         |  FROM (SELECT e.*, row_number() OVER
+         |          (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |        FROM events e WHERE ts > TIMESTAMP '$WM')
+         |  WHERE rn = 1)
+         |SELECT b.user_id, b.event_id, b.ts,
+         |       CASE WHEN c.user_id IS NULL THEN 'INSERT' ELSE 'UPDATE' END AS routed_op
+         |FROM batch b LEFT JOIN cur c ON b.user_id = c.user_id
+         |ORDER BY b.user_id""".stripMargin,
+
+    "scd2_summary_stats" ->
+      s"""WITH ${dimSql("events")}
+         |SELECT count(*) AS total_versions,
+         |       count(CASE WHEN is_current THEN 1 END) AS current_rows,
+         |       count(CASE WHEN NOT is_current THEN 1 END) AS historical_rows,
+         |       count(DISTINCT user_id) AS distinct_keys,
+         |       min(valid_from) AS earliest_valid_from,
+         |       max(valid_from) AS latest_valid_from
+         |FROM dim""".stripMargin,
+
+    "source_stats" ->
+      """SELECT count(*) AS total_orders,
+        |       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS open_orders,
+        |       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS finished_orders,
+        |       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS pending_orders,
+        |       max(o_orderdate) AS latest_order,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM orders""".stripMargin,
+
+    "change_frequency" ->
+      s"""WITH ${dimSql("events")}
+         |SELECT user_id, count(*) AS n_versions,
+         |       min(valid_from) AS first_seen,
+         |       max(CASE WHEN is_current THEN valid_from END) AS current_since
+         |FROM dim GROUP BY user_id ORDER BY n_versions DESC, user_id""".stripMargin,
+
+    "dup_current_invariant" ->
+      s"""WITH ${dimSql("events")}
+         |SELECT user_id, count(*) AS n_current FROM dim WHERE is_current
+         |GROUP BY user_id HAVING count(*) > 1 ORDER BY user_id""".stripMargin,
+
+    "batch_id_hash" ->
+      s"""SELECT md5('[' || string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) || ']') AS batch_id,
+         |       count(*) AS change_count
+         |FROM events WHERE ts > TIMESTAMP '$WM'""".stripMargin,
+
+    "event_type_stats" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
+        |       max(ts) AS latest_ts
+        |FROM events
+        |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "union_counts" ->
+      s"""WITH ${dimSql("events")}
+         |SELECT * FROM (
+         |  SELECT 'events' AS label, count(*) AS n FROM events
+         |  UNION ALL
+         |  SELECT 'current_rows', count(*) FROM dim WHERE is_current
+         |  UNION ALL
+         |  SELECT 'historical_rows', count(*) FROM dim WHERE NOT is_current)
+         |ORDER BY label""".stripMargin,
+
+    "topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "scalar_funcs" ->
+      """SELECT event_id,
+        |       date_trunc('day', ts) AS day_bucket,
+        |       strftime(ts, '%Y%m%d_%H%M%S') AS ts_fmt,
+        |       md5(CAST(event_id AS VARCHAR) || '|' || event_type) AS row_hash,
+        |       CASE WHEN event_type = 'purchase' THEN 'completed'
+        |            WHEN event_type = 'error' THEN 'failed'
+        |            ELSE 'active' END AS status_label,
+        |       'Event: ' || event_type AS label,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        |       CAST(round(value * 100, 0) AS BIGINT) AS value_cents,
+        |       json_extract_string(props, '$.k') AS k_str
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |       count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+  )
 }

@@ -1,0 +1,63 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Aggregation surface of the reference (SURVEY §2.4) — multi-aggregate
+  * summaries with conditional counts, re-expressed as single-pass hash
+  * aggregations (map-side partial agg + one shuffle each).
+  *
+  * Numeric policy for oracle parity at any scale: sums over doubles are
+  * order-dependent in float arithmetic, so every SUM/AVG first casts to
+  * DECIMAL (exact, commutative) and only the final scalar is cast back to
+  * double. Counts surface as BIGINT.
+  */
+object Stats {
+
+  /** A1: dimension summary (scd2_loader.py:665-674) — COUNT(*), conditional
+    * current/historical counts, COUNT(DISTINCT key), MIN/MAX(valid_from). */
+  def dimSummary(dim: DataFrame, key: String): DataFrame =
+    dim.agg(
+      count(lit(1)).as("total_versions"),
+      count(when(col("is_current"), lit(1))).as("current_rows"),
+      count(when(!col("is_current"), lit(1))).as("historical_rows"),
+      countDistinct(col(key)).as("distinct_keys"),
+      min(col("valid_from")).as("earliest_valid_from"),
+      max(col("valid_from")).as("latest_valid_from"))
+
+  /** A2: source table stats (db_mutator.py:192-201) — COUNT(*), per-status
+    * conditional counts, MAX(order_date), SUM(total) (decimal-exact). */
+  def sourceStats(orders: DataFrame): DataFrame =
+    orders.agg(
+      count(lit(1)).as("total_orders"),
+      count(when(col("o_orderstatus") === "O", lit(1))).as("open_orders"),
+      count(when(col("o_orderstatus") === "F", lit(1))).as("finished_orders"),
+      count(when(col("o_orderstatus") === "P", lit(1))).as("pending_orders"),
+      max(col("o_orderdate")).as("latest_order"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_value"))
+
+  /** A4: change-frequency analysis (README.md:442-451) — versions per key,
+    * first seen, current-version timestamp; hottest keys first. */
+  def changeFrequency(dim: DataFrame, key: String): DataFrame =
+    dim.groupBy(col(key)).agg(
+      count(lit(1)).as("n_versions"),
+      min(col("valid_from")).as("first_seen"),
+      max(when(col("is_current"), col("valid_from"))).as("current_since"))
+
+  /** A6-shaped windowed stats (pipeline_metadata.py:301-315): aggregates
+    * restricted to the trailing `days` of event time, grouped by type.
+    * The lookback bound is the data's own max ts (a broadcast one-row
+    * cross join, not a driver-side collect) so the query is deterministic
+    * and replayable (SURVEY §4 on wall-clock vs event time). */
+  def recentTypeStats(events: DataFrame, days: Int): DataFrame = {
+    val maxTs = events.agg(max(col("ts")).as("_max_ts"))
+    events.crossJoin(broadcast(maxTs))
+      .filter(col("ts") >= col("_max_ts") - expr(s"INTERVAL $days DAYS"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(col("value").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_value"),
+        max(col("ts")).as("latest_ts"))
+  }
+}
