@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{Cdc, Scd2, Stats, Tables}
+import graft.ops.{DedupOps, Multimodal, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (★ inventory) and §7.
   *
@@ -207,11 +208,215 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy("r_name", "n_name")
     }),
+
+    // ── North-star: text analysis over documents ──────────────────────
+    "text_tokens" -> ((s, dir) =>
+      TextOps.tokenStats(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    "text_quality" -> ((s, dir) =>
+      TextOps.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    "text_langid" -> ((s, dir) =>
+      TextOps.langId(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // ── North-star: deduplication family ──────────────────────────────
+    "dedup_exact" -> ((s, dir) =>
+      DedupOps.exactDupGroups(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      DedupOps.jaccardPairs(Tables.documents(s, dir), 5, 0.8)
+        .orderBy("doc_a", "doc_b")),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      DedupOps.minhashLshPairs(Tables.documents(s, dir), 5, 8, 4, 0.8)
+        .orderBy("doc_a", "doc_b")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      DedupOps.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // ── North-star: embedding similarity search ───────────────────────
+    "ann_cosine_topk" -> ((s, dir) =>
+      SimilarityOps.cosineTopK(Tables.embeddings(s, dir), 0L, 10)),
+
+    "embedding_near_dup" -> ((s, dir) =>
+      SimilarityOps.sampledNearDupPairs(Tables.embeddings(s, dir), 10, 0.4)
+        .orderBy("label", "vec_a", "vec_b")),
+
+    "ann_lsh_buckets" -> ((s, dir) =>
+      SimilarityOps.lshBuckets(Tables.embeddings(s, dir), 16)
+        .orderBy("signature")),
+
+    // ── North-star: multimodal binary columns ─────────────────────────
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.binaryMeta(Tables.documents(s, dir)).orderBy("doc_id")),
   )
+
+  // ── Shared DuckDB fragments for the north-star oracles ──────────────
+  /** Normalized word arrays — mirror of [[TextOps.normWords]]. */
+  private val wordsSql =
+    """words AS (
+      |  SELECT d.*, string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +') AS w
+      |  FROM documents d)""".stripMargin
+
+  /** Distinct 5-gram shingles — mirror of [[DedupOps.shingleSets]].
+    * n=5: with a small vocabulary, 3-grams collide across unrelated docs
+    * and the candidate self-join goes quadratic; 5-grams keep random
+    * collision odds negligible while near-dups still share most shingles. */
+  private val shSql =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+      |  FROM words, LATERAL unnest(range(1, len(w) - 3)) AS t(i)
+      |  WHERE len(w) >= 5)""".stripMargin
+
+  /** In-order list dot product — mirror of [[SimilarityOps.dotExpr]]. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (acc, el) -> acc + el)"
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  private val stopListSql = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
+
+  private val jaccardTailSql =
+    """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+      |SELECT doc_a, doc_b, i, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+      |FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+      |           JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS n_ws_tokens,
+        |       len(regexp_extract_all(lower(text), '[a-z]+')) AS n_alpha_tokens,
+        |       length(text) AS n_chars_calc
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""WITH $wordsSql
+         |SELECT doc_id, md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fingerprint
+         |FROM words ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH $wordsSql,
+         |base AS (
+         |  SELECT doc_id, len(w) AS n_tokens,
+         |         list_sum(list_transform(w, x -> length(x))) AS sum_len,
+         |         len(list_filter(w, x -> x IN $stopListSql)) AS n_stop
+         |  FROM words)
+         |SELECT doc_id, n_tokens,
+         |       CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len,
+         |       CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+         |       least(1.0, n_tokens / 50.0) * 0.5
+         |         + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+         |         + least(1.0, (CAST(sum_len AS DOUBLE) / n_tokens) / 8.0) * 0.2 AS quality_score
+         |FROM base ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH $wordsSql
+         |SELECT *,
+         |       CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |            WHEN s_es >= s_fr THEN 'es'
+         |            ELSE 'fr' END AS lang_guess
+         |FROM (
+         |  SELECT doc_id, lang,
+         |         len(list_filter(w, x -> x IN ('der', 'die', 'das', 'und'))) AS s_de,
+         |         len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and'))) AS s_en,
+         |         len(list_filter(w, x -> x IN ('el', 'los', 'las', 'y'))) AS s_es,
+         |         len(list_filter(w, x -> x IN ('le', 'la', 'les', 'et'))) AS s_fr
+         |  FROM words)
+         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      s"""WITH $wordsSql,
+         |fp AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fingerprint
+         |       FROM words)
+         |SELECT fingerprint, min(doc_id) AS doc_id, count(*) AS group_size
+         |FROM fp GROUP BY fingerprint ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $wordsSql,
+         |$shSql,
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |$jaccardTailSql""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH $wordsSql,
+         |$shSql,
+         |shl AS (SELECT doc_id, list(shingle) AS shs FROM sh GROUP BY doc_id),
+         |sig AS (
+         |  SELECT doc_id,
+         |         [list_min(list_transform(shs, sgl -> md5(CAST(i AS VARCHAR) || '|' || sgl))) for i in range(0, 8)] AS s
+         |  FROM shl),
+         |bands AS (
+         |  SELECT doc_id, b, md5(s[2*b + 1] || s[2*b + 2]) AS bh
+         |  FROM sig, LATERAL unnest(range(0, 4)) AS t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |$jaccardTailSql""".stripMargin,
+
+    "dedup_simhash" -> {
+      val bits = (1 to 16).map { d =>
+        s"CASE WHEN list_sum(list_transform(w, x -> CASE WHEN substr(md5(x), $d, 1) > '7' THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END"
+      }
+      s"""WITH $wordsSql
+         |SELECT doc_id, concat(${bits.mkString(", ")}) AS simhash
+         |FROM words ORDER BY doc_id""".stripMargin
+    },
+
+    "ann_cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT vec_id, round(${cosSql("v", "qv")}, 6) AS cosine
+         |FROM e, q WHERE vec_id <> 0
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "embedding_near_dup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id % 10 = 0)
+         |SELECT label, vec_a, vec_b, cosine FROM (
+         |  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         round(${cosSql("a.v", "b.v")}, 6) AS cosine
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.4
+         |ORDER BY label, vec_a, vec_b""".stripMargin,
+
+    "ann_lsh_buckets" -> {
+      val bits = (0 until 16).map { p =>
+        val signs = s"[CASE WHEN substr(md5('${p}_' || CAST(j AS VARCHAR)), 1, 1) > '7' THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END for j in range(0, 64)]"
+        s"CASE WHEN list_reduce(list_transform(list_zip(v, $signs), p2 -> p2[1] * p2[2]), (acc, el) -> acc + el) >= 0 THEN '1' ELSE '0' END"
+      }
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT vec_id, concat(${bits.mkString(", ")}) AS signature FROM e)
+         |SELECT signature, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+         |FROM s GROUP BY signature ORDER BY signature""".stripMargin
+    },
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |       octet_length(encode(text)) AS n_bytes,
+        |       md5(text) AS content_hash,
+        |       hex(encode(substr(text, 1, 8))) AS head_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "scd2_rebuild" ->
       s"""WITH ${dimSql("events")}

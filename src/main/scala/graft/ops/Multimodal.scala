@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata, processed by per-partition batch UDFs.
+  *
+  * The container has no image/audio codecs, so [[decodeStub]] is a
+  * clearly-marked deterministic fake; the Spark-side plumbing — binary
+  * schema, partition-batched processing, metadata struct output — is real
+  * and is what matters at 100 TB (decode cost dominates, so the operator
+  * must be a narrow per-partition map with no shuffle, which this is).
+  */
+object Multimodal {
+
+  /** Binary-column metadata via pure builtins (oracle-matchable): payload
+    * byte length, content hash, head-bytes hex. */
+  def binaryMeta(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text").cast("binary")).cast("long").as("n_bytes"),
+      md5(col("text").cast("binary")).as("content_hash"),
+      hex(substring(col("text"), 1, 8).cast("binary")).as("head_hex"))
+
+  /** Output schema of the decode stage: fixed metadata struct per blob. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("feature", ArrayType(DoubleType))))
+
+  /** STUB media decode: a real pipeline would decode image/audio bytes
+    * here (the codec libraries are not in this container). The stub
+    * derives deterministic pseudo-metadata from the bytes so the
+    * partition-batched plumbing is testable end-to-end. Runs as
+    * `mapPartitions` — one batch per partition, no shuffle, the shape a
+    * vectorized (Arrow/pandas-style) decode UDF takes on a cluster. */
+  def decodeStub(spark: SparkSession, withPayload: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(decodedSchema)
+    withPayload.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          // Deterministic fake "decode": dimensions from byte stats.
+          val w = 16 + (math.abs(bytes.headOption.getOrElse(0.toByte).toInt) % 64)
+          val h = 16 + (bytes.length % 64)
+          val frames = 1 + (bytes.length % 8)
+          val feature = bytes.take(8).map(b => (b & 0xff) / 255.0)
+          Row(id, w, h, frames, feature)
+        }
+      }(enc)
+  }
+
+  /** Full stub pipeline: text → fake binary payload → decode → metadata. */
+  def decodePipeline(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodeStub(spark,
+      docs.select(col("doc_id"), col("text").cast("binary").as("payload")))
+}

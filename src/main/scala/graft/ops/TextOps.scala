@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization stats, document fingerprinting, quality scoring, and
+  * n-gram-heuristic language ID. All are single-pass narrow projections
+  * (no shuffle) built from codegen'd builtins and higher-order functions,
+  * so they stream through a 100 TB corpus at scan speed.
+  *
+  * Numeric policy: ratios divide exact integer counts cast to double —
+  * deterministic, no float-sum ordering hazards.
+  */
+object TextOps {
+
+  /** Normalized word array: lowercase, strip non-alphanumerics, split on
+    * whitespace runs. Same semantics as DuckDB
+    * `string_split_regex(trim(regexp_replace(lower(t),'[^a-z0-9 ]',' ','g')),' +')`. */
+  def normWords(text: Column): Column =
+    split(trim(regexp_replace(lower(text), "[^a-z0-9 ]", " ")), " +")
+
+  /** Distinct word n-gram shingles of a word array (empty below n words). */
+  def shingles(words: Column, n: Int): Column =
+    when(size(words) >= n,
+      array_distinct(transform(sequence(lit(1), size(words) - (n - 1)),
+        i => concat_ws(" ", slice(words, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Token-counting: whitespace tokens, alphabetic regex tokens, chars. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+        .cast("long").as("n_alpha_tokens"),
+      length(col("text")).cast("long").as("n_chars_calc"))
+
+  /** Content fingerprint: md5 of the sorted distinct normalized vocabulary —
+    * word-order-insensitive dedup key (catches shuffled near-copies). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(normWords(col("text"))))))
+        .as("fingerprint"))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Quality scoring: token count, average token length, stopword ratio,
+    * and a bounded linear score — the heuristics CCNet-style pipelines
+    * gate training data on. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), normWords(col("text")).as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        expr("aggregate(transform(w, x -> length(x)), 0, (acc, x) -> acc + x)")
+          .as("_sum_len"),
+        expr(s"size(filter(w, x -> x IN ${inList(stopwords)}))").as("_n_stop"))
+    // Outputs stay unrounded doubles: every operand is an exact integer
+    // count, so the arithmetic is bit-identical across engines, whereas
+    // round() differs at half-way boundaries (Spark rounds the exact
+    // expansion, DuckDB rounds a pre-scaled float).
+    base.select(
+      col("doc_id"), col("n_tokens"),
+      (col("_sum_len").cast("double") / col("n_tokens")).as("avg_token_len"),
+      (col("_n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+      (least(lit(1.0), col("n_tokens") / lit(50.0)) * 0.5 +
+        (col("_n_stop").cast("double") / col("n_tokens")) * 0.3 +
+        least(lit(1.0), (col("_sum_len").cast("double") / col("n_tokens")) / 8.0) * 0.2)
+        .as("quality_score"))
+  }
+
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und"),
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "los", "las", "y"),
+    "fr" -> Seq("le", "la", "les", "et"))
+
+  /** Language ID by stopword-hit scoring with a deterministic argmax
+    * (alphabetical tie-break de > en > es > fr in CASE order). */
+  def langId(docs: DataFrame): DataFrame = {
+    val withW = docs.select(col("doc_id"), col("lang"), normWords(col("text")).as("w"))
+    val scored = withW.select(
+      (col("doc_id") +: col("lang") +:
+        langStops.map { case (l, ws) =>
+          expr(s"size(filter(w, x -> x IN ${inList(ws)}))").cast("long").as(s"s_$l")
+        }): _*
+    )
+    scored.withColumn("lang_guess",
+      when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") &&
+        col("s_de") >= col("s_fr"), "de")
+        .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+        .when(col("s_es") >= col("s_fr"), "es")
+        .otherwise("fr"))
+  }
+}
