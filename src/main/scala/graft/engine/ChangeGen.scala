@@ -1,0 +1,43 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S10: deterministic workload generator — the Spark shape of the
+  * reference's faker-driven mutator
+  * (/root/reference/src/simulators/db_mutator.py:231-269): a seeded
+  * 30% INSERT / 40% UPDATE / 20% DELETE / 10% no-op mix as pure column
+  * expressions over spark.range (distributed, reproducible, no driver
+  * loop). Used by tests and load experiments.
+  */
+object ChangeGen {
+
+  private val statuses =
+    Seq("pending", "confirmed", "shipped", "completed", "cancelled")
+
+  /** `n` change records over `nKeys` business keys starting at `startTs`,
+    * one change per second. Fully deterministic for a given seed. */
+  def changes(spark: SparkSession, n: Long, nKeys: Int, seed: Long,
+              startTs: String = "2024-03-01 00:00:00"): DataFrame = {
+    val statusExpr = statuses.zipWithIndex.foldLeft(lit(statuses.head)) {
+      case (acc, (s, i)) => when(floor(rand(seed + 2) * statuses.size) === i, s).otherwise(acc)
+    }
+    spark.range(n)
+      .withColumn("change_id", col("id"))
+      .withColumn("order_key", floor(rand(seed) * nKeys).cast("long"))
+      .withColumn("op_roll", rand(seed + 1))
+      .withColumn("operation_type",
+        when(col("op_roll") < 0.3, "INSERT")
+          .when(col("op_roll") < 0.7, "UPDATE")
+          .otherwise("DELETE"))
+      .withColumn("order_status", statusExpr)
+      .withColumn("quantity", (floor(rand(seed + 3) * 10) + 1).cast("int"))
+      .withColumn("unit_price",
+        round(rand(seed + 4) * 490 + 10, 2).cast("decimal(10,2)"))
+      .withColumn("total_amount",
+        (col("quantity") * col("unit_price")).cast("decimal(10,2)"))
+      .withColumn("cdc_timestamp",
+        timestamp_seconds(unix_timestamp(to_timestamp(lit(startTs))) + col("id")))
+      .drop("id", "op_roll")
+  }
+}

@@ -1,0 +1,37 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch-mode idempotency ledger: which (filename, batch_id) pairs have
+  * been applied — the reference's `.processed_files` text file
+  * (/root/reference/src/warehouse/scd2_loader.py:165-182,501-510) as an
+  * append-only parquet table, with discovery as set algebra instead of a
+  * Python loop:
+  *  - J3 (anti-join): unprocessed = candidate files ∖ ledger filenames;
+  *  - J4 (semi-join): duplicate replay check on (filename, batch_id).
+  * In streaming mode the Structured Streaming checkpoint subsumes this
+  * (SURVEY §2.9 T3); the ledger is for replayable batch orchestration.
+  */
+class Ledger(spark: SparkSession, path: String) {
+  import spark.implicits._
+
+  def read(): DataFrame =
+    try spark.read.parquet(path)
+    catch { case _: Throwable =>
+      Seq.empty[(String, String)].toDF("filename", "batch_id")
+    }
+
+  def append(filename: String, batchId: String): Unit =
+    Seq((filename, batchId)).toDF("filename", "batch_id")
+      .write.mode("append").parquet(path)
+
+  /** J3: candidate files not yet in the ledger (by filename). */
+  def unprocessed(candidates: DataFrame): DataFrame =
+    candidates.join(broadcast(read()), Seq("filename"), "left_anti")
+
+  /** J4: has this exact (filename, batch_id) content already been applied? */
+  def isProcessed(filename: String, batchId: String): Boolean =
+    read().filter($"filename" === filename && $"batch_id" === batchId)
+      .limit(1).count() > 0
+}

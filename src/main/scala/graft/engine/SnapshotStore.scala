@@ -1,0 +1,58 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned parquet snapshot store with atomic publish — the engine's
+  * replacement for the reference's transactional UPDATE+INSERT unit
+  * (/root/reference/src/warehouse/scd2_loader.py:523-538) in an
+  * immutable-file world (no table format jar in scope, so the commit
+  * protocol is ours: SURVEY §7.3).
+  *
+  * Layout: `root/v{N}/` parquet dirs plus a `root/_CURRENT` pointer file
+  * whose content is the published version number. Writers write the new
+  * version dir fully, then atomically move a temp pointer over `_CURRENT`;
+  * readers resolve the pointer first, so they never observe a
+  * half-written snapshot. Old versions remain for time travel until
+  * vacuumed. A crash between dir write and pointer publish leaves an
+  * orphan dir — harmless, the pointer still names the last good version
+  * (same replay-safety window the reference has between commit and ledger
+  * append, solved the same way: re-publishing version N+1 is idempotent).
+  */
+class SnapshotStore(spark: SparkSession, root: String) {
+  private val rootPath = Paths.get(root)
+  private val pointer = rootPath.resolve("_CURRENT")
+
+  def currentVersion(): Option[Long] =
+    if (Files.exists(pointer)) Some(Files.readString(pointer).trim.toLong) else None
+
+  def read(): Option[DataFrame] =
+    currentVersion().map(v => spark.read.parquet(s"$root/v$v"))
+
+  def readVersion(v: Long): DataFrame = spark.read.parquet(s"$root/v$v")
+
+  /** Write `df` as the next version and atomically publish it. */
+  def publish(df: DataFrame): Long = {
+    Files.createDirectories(rootPath)
+    val next = currentVersion().getOrElse(-1L) + 1L
+    df.write.mode("overwrite").parquet(s"$root/v$next")
+    val tmp = rootPath.resolve(s"_CURRENT.tmp$next")
+    Files.writeString(tmp, next.toString)
+    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** Versions currently on disk (published or orphaned), ascending. */
+  def versions(): Seq[Long] =
+    if (!Files.exists(rootPath)) Seq.empty
+    else {
+      val it = Files.list(rootPath).iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (it.hasNext) {
+        val name = it.next().getFileName.toString
+        if (name.startsWith("v")) buf += name.drop(1).toLong
+      }
+      buf.sorted.toSeq
+    }
+}

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.engine.{Scd2, SnapshotStore}
+
+/** Streaming CDC → SCD2: the reference's polling loop
+  * (/root/reference/src/cdc/log_extractor.py:229-270 + the loader) as a
+  * Structured Streaming pipeline (SURVEY §2.9):
+  *
+  *  - T1 watermark: `withWatermark` on event time replaces the `.watermark`
+  *    state file;
+  *  - T2 trigger: `Trigger.AvailableNow` (tests/batch drain) or
+  *    `ProcessingTime` replaces `while True: extract; sleep`;
+  *  - T3 exactly-once: the file-source checkpoint replaces the
+  *    `.processed_files` ledger — a re-delivered batch file is never
+  *    reprocessed; within a micro-batch [[Scd2.merge]]'s dedup + stale
+  *    guard make the merge idempotent at row level;
+  *  - T5 state: the dimension snapshot itself, swapped atomically via
+  *    [[SnapshotStore]] in `foreachBatch` (the deliberate formulation —
+  *    `flatMapGroupsWithState` would hold the whole dimension in stream
+  *    state for no benefit, SURVEY §7.4).
+  */
+object CdcStream {
+
+  /** Start a stream that merges JSON change-batch files from `inDir` into
+    * the SCD2 snapshot at `store`. One micro-batch ≙ one change batch. */
+  def start(spark: SparkSession, inDir: String, checkpointDir: String,
+            store: SnapshotStore, schema: StructType,
+            key: String, ts: String, tie: String,
+            availableNow: Boolean = true): StreamingQuery = {
+    val changes = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .json(inDir)
+      .withWatermark(ts, "1 minute")
+
+    val writer = changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val dim = store.read().getOrElse(Scd2.rebuild(batch.limit(0), key, ts, tie))
+          store.publish(Scd2.merge(dim, batch, key, ts, tie))
+        }
+        ()
+      }
+
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+}

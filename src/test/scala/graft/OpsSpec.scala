@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Tables
+import graft.ops.{DedupOps, Multimodal, SimilarityOps, TextOps}
+
+class OpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("fingerprint is word-order invariant") {
+    val d = Seq((1L, "alpha beta gamma delta"), (2L, "delta gamma beta alpha"),
+      (3L, "alpha beta gamma epsilon"))
+      .toDF("doc_id", "text")
+    val fp = TextOps.fingerprint(d).as[(Long, String)].collect().toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+
+  test("jaccard pairs find constructed near-dups and skip disjoint docs") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 30).map(i => if (i == 30) "CHANGED" else s"w$i").mkString(" ")
+    val disjoint = (31 to 60).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, base), (2L, nearDup), (3L, disjoint)).toDF("doc_id", "text")
+    val pairs = DedupOps.jaccardPairs(d, 5, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("minhash LSH finds the same high-jaccard pairs as the exact scan") {
+    val exact = DedupOps.jaccardPairs(docs, 5, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = DedupOps.minhashLshPairs(docs, 5, 8, 4, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    // at jaccard ≥ 0.8 with 4 bands × 2 rows, collision prob ≥ 1-(1-0.64)^4 ≈ 0.98
+    assert(lsh.size >= (exact.size * 0.9).toInt)
+  }
+
+  test("simhash: 16-bit sketch, equal for identical docs") {
+    val d = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val sh = DedupOps.simhash(d).as[(Long, String)].collect().toMap
+    assert(sh(1L) === sh(2L))
+    assert(sh.values.forall(s => s.length == 16 && s.forall(c => c == '0' || c == '1')))
+  }
+
+  test("cosine top-k ranks an exact duplicate vector first") {
+    val v0 = Array.tabulate(64)(i => (i % 7).toFloat / 7f)
+    val dup = v0.clone()
+    val ortho = Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)
+    val e = Seq((0L, v0, 0), (1L, dup, 0), (2L, ortho, 1))
+      .toDF("vec_id", "embedding", "label")
+    val top = SimilarityOps.cosineTopK(e, 0L, 2).as[(Long, Double)].collect()
+    assert(top.head._1 === 1L)
+    assert(top.head._2 === 1.0)
+    assert(!top.map(_._1).contains(0L)) // query excluded
+  }
+
+  test("LSH signatures are deterministic and identical for identical vectors") {
+    val e = Tables.embeddings(spark, sfDir).limit(50)
+    val s1 = SimilarityOps.lshBuckets(e, 16).orderBy("signature").collect().toSeq
+    val s2 = SimilarityOps.lshBuckets(e, 16).orderBy("signature").collect().toSeq
+    assert(s1 === s2)
+    assert(s1.map(_.getString(0)).forall(_.length == 16))
+  }
+
+  test("multimodal decode stub: schema, row preservation, determinism") {
+    val in = docs.limit(20)
+    val out1 = Multimodal.decodePipeline(spark, in)
+    assert(out1.schema === Multimodal.decodedSchema)
+    assert(out1.count() === 20)
+    val a = out1.orderBy("doc_id").collect().toSeq
+    val b = Multimodal.decodePipeline(spark, in).orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    assert(a.forall(r => r.getInt(1) >= 16 && r.getInt(2) >= 16))
+  }
+
+  test("language ID picks the language with most stopword hits") {
+    val d = Seq(
+      (1L, "le chat et la porte et les arbres", "fr"),
+      (2L, "the cat and the dog of a house", "en"),
+      (3L, "der hund und die katze und das haus", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextOps.langId(d).select("doc_id", "lang_guess")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "fr", 2L -> "en", 3L -> "de"))
+  }
+
+  test("quality score is bounded and token stats are exact") {
+    val d = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val q = TextOps.qualityScore(d).first()
+    assert(q.getAs[Long]("n_tokens") === 9L)
+    assert(q.getAs[Double]("quality_score") > 0.0 &&
+      q.getAs[Double]("quality_score") <= 1.0)
+    val t = TextOps.tokenStats(d).first()
+    assert(t.getAs[Long]("n_ws_tokens") === 9L)
+    assert(t.getAs[Long]("n_alpha_tokens") === 9L)
+  }
+}

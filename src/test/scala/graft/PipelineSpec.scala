@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{ChangeGen, Ledger, MetadataLog, SnapshotStore}
+
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("snapshot store publishes atomically and keeps versions for time travel") {
+    val root = tmp("snap")
+    val store = new SnapshotStore(spark, root)
+    assert(store.read().isEmpty)
+    val v0 = store.publish(Seq((1, "a")).toDF("k", "v"))
+    val v1 = store.publish(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    assert(v0 === 0L && v1 === 1L)
+    assert(store.currentVersion().contains(1L))
+    assert(store.read().get.count() === 2)
+    assert(store.readVersion(0).count() === 1) // time travel
+    assert(store.versions() === Seq(0L, 1L))
+  }
+
+  test("ledger: anti-join discovery and replay detection") {
+    val path = tmp("ledger") + "/ledger"
+    val ledger = new Ledger(spark, path)
+    assert(!ledger.isProcessed("f1.json", "abc"))
+    ledger.append("f1.json", "abc")
+    assert(ledger.isProcessed("f1.json", "abc"))
+    assert(!ledger.isProcessed("f1.json", "other")) // content changed → reprocess
+    val candidates = Seq("f1.json", "f2.json").toDF("filename")
+    val todo = ledger.unprocessed(candidates).as[String].collect()
+    assert(todo.toSeq === Seq("f2.json"))
+  }
+
+  test("metadata log: status events resolve last-write-wins, stats aggregate") {
+    val path = tmp("meta") + "/runs"
+    val log = new MetadataLog(spark, path)
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-03-01 00:05:00")
+    log.record("cdc_load", "run1", "running", 0, at = t0)
+    log.record("cdc_load", "run1", "completed", 500,
+      metricsJson = """{"batches":3}""", at = t1)
+    log.record("cdc_load", "run2", "failed", 10, errorMessage = "boom", at = t1)
+    val cur = log.currentRuns().select("run_id", "status")
+      .as[(String, String)].collect().toMap
+    assert(cur === Map("run1" -> "completed", "run2" -> "failed"))
+    val s = log.stats(7).first()
+    assert(s.getAs[Long]("n_runs") === 2L)
+    assert(s.getAs[Long]("n_completed") === 1L)
+    assert(s.getAs[Long]("n_failed") === 1L)
+  }
+
+  test("change generator is deterministic with the documented op mix") {
+    val a = ChangeGen.changes(spark, 2000, 100, seed = 7)
+    val b = ChangeGen.changes(spark, 2000, 100, seed = 7)
+    assert(a.orderBy("change_id").collect().toSeq ===
+      b.orderBy("change_id").collect().toSeq)
+    val mix = a.groupBy("operation_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(mix("INSERT") > 400 && mix("INSERT") < 800)   // ~30%
+    assert(mix("UPDATE") > 600 && mix("UPDATE") < 1000)  // ~40%
+    assert(mix("DELETE") > 400 && mix("DELETE") < 800)   // ~30% (incl. no-op band)
+    // generated column: total = quantity × price, exact decimal
+    assert(a.filter($"total_amount" =!=
+      ($"quantity" * $"unit_price").cast("decimal(10,2)")).count() === 0)
+  }
+}

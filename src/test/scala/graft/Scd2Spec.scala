@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{Cdc, Scd2, Tables}
+
+/** SCD2 invariants from the reference's validation harness
+  * (/root/reference/tests/verify_scd2.py:291-342) plus merge/rebuild
+  * equivalence and idempotence properties. */
+class Scd2Spec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def events = Tables.events(spark, sfDir)
+  private def dim = Scd2.rebuild(events, "user_id", "ts", "event_id")
+
+  private def assertInvariants(d: DataFrame): Unit = {
+    // exactly one current row per key
+    assert(Scd2.duplicateCurrentKeys(d, "user_id").count() === 0)
+    val keys = d.select("user_id").distinct().count()
+    assert(Scd2.current(d).count() === keys)
+    // current ⇔ valid_to IS NULL
+    assert(d.filter($"is_current" =!= $"valid_to".isNull).count() === 0)
+    // valid_to > valid_from on historical rows
+    assert(d.filter(!$"is_current" && $"valid_to" <= $"valid_from").count() === 0)
+    // exact chaining: valid_to(i) == valid_from(i+1) per key
+    val chain = d.withColumn("next_from",
+      lead($"valid_from", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("version_no")))
+    assert(chain.filter($"next_from".isNotNull && $"valid_to" =!= $"next_from")
+      .count() === 0)
+    // version numbering is 1..n contiguous
+    val vn = d.groupBy("user_id")
+      .agg(min("version_no").as("mn"), max("version_no").as("mx"),
+        count(lit(1)).as("c"))
+    assert(vn.filter($"mn" =!= 1 || $"mx" =!= $"c").count() === 0)
+  }
+
+  test("rebuild satisfies all SCD2 invariants") { assertInvariants(dim) }
+
+  test("incremental merge equals rebuild over history ∪ last-per-key batch") {
+    for (split <- Seq("2024-01-10 00:00:00", "2024-01-25 00:00:00")) {
+      val hist = events.filter($"ts" <= lit(split))
+      val batch = events.filter($"ts" > lit(split))
+      val merged = Scd2.merge(Scd2.rebuild(hist, "user_id", "ts", "event_id"),
+        batch, "user_id", "ts", "event_id")
+      val expected = Scd2.rebuild(
+        hist.unionByName(Cdc.dedupLastPerKey(batch, "user_id", "ts", "event_id")),
+        "user_id", "ts", "event_id")
+      val cols = expected.columns.sorted.map(col)
+      assert(merged.select(cols: _*).orderBy("user_id", "version_no")
+        .collect().toSeq ===
+        expected.select(cols: _*).orderBy("user_id", "version_no")
+          .collect().toSeq)
+      assertInvariants(merged)
+    }
+  }
+
+  test("re-merging the same batch is a no-op (stale guard)") {
+    val split = "2024-01-20 00:00:00"
+    val hist = events.filter($"ts" <= lit(split))
+    val batch = events.filter($"ts" > lit(split))
+    val once = Scd2.merge(Scd2.rebuild(hist, "user_id", "ts", "event_id"),
+      batch, "user_id", "ts", "event_id")
+    val twice = Scd2.merge(once, batch, "user_id", "ts", "event_id")
+    assert(twice.orderBy("user_id", "version_no").collect().toSeq ===
+      once.orderBy("user_id", "version_no").collect().toSeq)
+  }
+
+  test("merging an empty batch is a no-op") {
+    val merged = Scd2.merge(dim, events.limit(0), "user_id", "ts", "event_id")
+    assert(merged.count() === dim.count())
+    assertInvariants(merged)
+  }
+
+  test("rapid updates: 3 same-key changes in one batch collapse to latest") {
+    // reference semantics (scd2_loader.py:521-531): only the latest change
+    // per key in a batch is applied
+    val batch = Seq(
+      (9991L, "2024-02-01 10:00:00", 999L, "signup", 1.0, "{}"),
+      (9992L, "2024-02-01 10:05:00", 999L, "click", 2.0, "{}"),
+      (9993L, "2024-02-01 10:10:00", 999L, "purchase", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp($"ts"))
+    val emptyDim = Scd2.rebuild(batch.limit(0), "user_id", "ts", "event_id")
+    val merged = Scd2.merge(emptyDim, batch, "user_id", "ts", "event_id")
+    val rows = merged.collect()
+    assert(rows.length === 1)
+    val r = merged.first()
+    assert(r.getAs[Long]("event_id") === 9993L)
+    assert(r.getAs[Boolean]("is_current"))
+    assert(r.getAs[String]("cdc_operation") === "INSERT") // J2 routing: no current row
+  }
+
+  test("as-of returns exactly the version covering the instant") {
+    val at = "2024-01-15 00:00:00"
+    val got = Scd2.asOf(dim, lit(at).cast("timestamp"))
+    // one row per key that existed by `at`
+    val expectedKeys = events.filter($"ts" <= lit(at))
+      .select("user_id").distinct().count()
+    assert(got.count() === expectedKeys)
+    assert(got.filter($"valid_from" > lit(at)).count() === 0)
+    assert(got.filter($"valid_to".isNotNull && $"valid_to" <= lit(at)).count() === 0)
+  }
+}
