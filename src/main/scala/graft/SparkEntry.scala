@@ -209,6 +209,31 @@ object SparkEntry {
         .orderBy("r_name", "n_name")
     }),
 
+    // ── J5 generalized: per-row as-of JOIN (probes → valid version) ───
+    "asof_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val dim = dimOf(e.filter(col(TS) <= expr(s"TIMESTAMP '$WM'")))
+        .select(col(KEY), col("valid_from"), col("version_no"),
+          col("event_id").as("version_event_id"))
+      val probes = e.filter(col(TS) > expr(s"TIMESTAMP '$WM'"))
+        .select("event_id", "user_id", "ts")
+      graft.engine.AsOf.asOfJoin(probes, dim, KEY, TS,
+        Seq("version_no", "version_event_id"))
+        .orderBy("event_id")
+    }),
+
+    // ── Event-time tumbling window aggregation (streaming-shaped) ─────
+    "events_hourly" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(col("w.start").as("hour_start"), col("event_type"),
+          col("n"), col("total_value"), col("n_users"))
+        .orderBy("hour_start", "event_type")),
+
     // ── North-star: text analysis over documents ──────────────────────
     "text_tokens" -> ((s, dir) =>
       TextOps.tokenStats(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -242,7 +267,7 @@ object SparkEntry {
       SimilarityOps.cosineTopK(Tables.embeddings(s, dir), 0L, 10)),
 
     "embedding_near_dup" -> ((s, dir) =>
-      SimilarityOps.sampledNearDupPairs(Tables.embeddings(s, dir), 10, 0.4)
+      SimilarityOps.sampledNearDupPairs(Tables.embeddings(s, dir), 10, 0.25)
         .orderBy("label", "vec_a", "vec_b")),
 
     "ann_lsh_buckets" -> ((s, dir) =>
@@ -291,6 +316,23 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+
+    "asof_join" ->
+      s"""WITH hist AS (SELECT * FROM events WHERE ts <= TIMESTAMP '$WM'),
+         |${dimSql("hist")},
+         |d AS (SELECT user_id, valid_from, version_no, event_id AS version_event_id FROM dim),
+         |probes AS (SELECT event_id, user_id, ts FROM events WHERE ts > TIMESTAMP '$WM')
+         |SELECT p.event_id, p.user_id, p.ts, d.version_no, d.version_event_id
+         |FROM probes p ASOF LEFT JOIN d
+         |  ON p.user_id = d.user_id AND p.ts >= d.valid_from
+         |ORDER BY p.event_id""".stripMargin,
+
+    "events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,
@@ -397,7 +439,7 @@ object SparkEntry {
          |  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
          |         round(${cosSql("a.v", "b.v")}, 6) AS cosine
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-         |WHERE cosine >= 0.4
+         |WHERE cosine >= 0.25
          |ORDER BY label, vec_a, vec_b""".stripMargin,
 
     "ann_lsh_buckets" -> {

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions
 
 /** Embedding similarity search: brute-force cosine top-k (the exactness
   * baseline), label-blocked (IVF-style) near-dup pairing, and
@@ -22,16 +23,21 @@ object SimilarityOps {
   /** embedding float array → double array column "v". */
   def asDoubleVec(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** In-order dot product of two double-array columns (exact fold). */
+  /** In-order dot product of two double-array columns — the portable
+    * higher-order-function formulation (bit-identical to [[graft.functions.DotProduct]]). */
   def dotExpr(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
 
+  /** Native codegen'd dot product (requires [[VectorExpressions.register]]). */
+  private def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
+
   private def cosine(a: String, b: String): Column =
-    dotExpr(a, b) / (sqrt(dotExpr(a, a)) * sqrt(dotExpr(b, b)))
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Brute-force cosine top-k neighbors of `queryId` (rounded to 6 dp with
     * vec_id tie-break for a total order). */
   def cosineTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    VectorExpressions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
     e.crossJoin(broadcast(q))
@@ -47,6 +53,7 @@ object SimilarityOps {
     * swaps the sample filter for LSH-bucket blocking. */
   def sampledNearDupPairs(embeddings: DataFrame, modulus: Int,
                           threshold: Double): DataFrame = {
+    VectorExpressions.register(embeddings.sparkSession)
     val e = embeddings
       .filter(col("vec_id") % modulus === 0)
       .select(col("vec_id"), col("label"), asDoubleVec(col("embedding")).as("v"))
@@ -79,17 +86,18 @@ object SimilarityOps {
     * search. */
   def lshSignature(planes: Int): Column = {
     val bits = planeSigns(planes, 64).map { signs =>
-      when(aggregate(
-        zip_with(col("v"), typedlit(signs), (x, s) => x * s),
-        lit(0.0), (acc, x) => acc + x) >= 0, "1").otherwise("0")
+      val lit64 = signs.map(s => s"${s}D").mkString("array(", ", ", ")")
+      when(expr(s"graft_dot(v, $lit64)") >= 0, "1").otherwise("0")
     }
     concat(bits: _*)
   }
 
   /** LSH bucket statistics: signature → vector count + min id. */
-  def lshBuckets(embeddings: DataFrame, planes: Int): DataFrame =
+  def lshBuckets(embeddings: DataFrame, planes: Int): DataFrame = {
+    VectorExpressions.register(embeddings.sparkSession)
     embeddings.select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
       .select(col("vec_id"), lshSignature(planes).as("signature"))
       .groupBy("signature")
       .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
+  }
 }

@@ -80,6 +80,44 @@ class OpsSpec extends AnyFunSuite {
     assert(a.forall(r => r.getInt(1) >= 16 && r.getInt(2) >= 16))
   }
 
+  test("native graft_dot is bit-identical to the higher-order-function fold") {
+    graft.functions.VectorExpressions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", SimilarityOps.asDoubleVec($"embedding").as("v"))
+    val q = e.filter($"vec_id" === 0L).select($"v".as("qv"))
+    val both = e.crossJoin(q).select(
+      expr("graft_dot(v, qv)").as("native"),
+      SimilarityOps.dotExpr("v", "qv").as("hof"))
+    assert(both.filter($"native" =!= $"hof").count() === 0)
+  }
+
+  test("as-of join attaches the version valid at each probe instant") {
+    import graft.engine.{AsOf, Scd2}
+    val dim = Seq(
+      (1L, "2024-01-01 00:00:00", 101L),
+      (1L, "2024-01-10 00:00:00", 102L),
+      (2L, "2024-01-05 00:00:00", 201L))
+      .toDF("user_id", "ts", "event_id")
+      .withColumn("ts", to_timestamp($"ts"))
+    val d = Scd2.rebuild(dim, "user_id", "ts", "event_id")
+      .select($"user_id", $"valid_from", $"version_no",
+        $"event_id".as("version_event_id"))
+    val probes = Seq(
+      (9001L, 1L, "2024-01-09 23:59:59"), // before v2 → v1
+      (9002L, 1L, "2024-01-10 00:00:00"), // exactly at v2.valid_from → v2
+      (9003L, 2L, "2024-01-04 00:00:00"), // before any version → null
+      (9004L, 2L, "2024-01-06 00:00:00")) // after v1 → v1
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("ts", to_timestamp($"ts"))
+    val got = AsOf.asOfJoin(probes, d, "user_id", "ts",
+      Seq("version_no", "version_event_id"))
+      .select("event_id", "version_event_id")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(
+      9001L -> Some(101L), 9002L -> Some(102L),
+      9003L -> None, 9004L -> Some(201L)))
+  }
+
   test("language ID picks the language with most stopword hits") {
     val d = Seq(
       (1L, "le chat et la porte et les arbres", "fr"),
