@@ -92,7 +92,20 @@ object SparkEntry {
       val e = ev(s, dir)
       val hist = e.filter(col(TS) <= expr(s"TIMESTAMP '$WM'"))
       val batch = e.filter(col(TS) > expr(s"TIMESTAMP '$WM'"))
-      Scd2.merge(dimOf(hist), batch, KEY, TS, TIE)
+      // the rebuilt dim feeds four union branches; persist it the way a
+      // production merge reads a materialized snapshot rather than
+      // re-running the rebuild window per branch
+      Scd2.merge(dimOf(hist).persist(), batch, KEY, TS, TIE)
+        .select(dimCols.map(col): _*).orderBy("user_id", "version_no")
+    }),
+
+    // ── S9/J2: op-aware merge — DELETE expires without inserting ──────
+    "scd2_merge_deletes" -> ((s, dir) => {
+      val e = ev(s, dir).withColumn("operation_type",
+        when(col("event_type") === "error", "DELETE").otherwise("UPSERT"))
+      val hist = e.filter(col(TS) <= expr(s"TIMESTAMP '$WM'"))
+      val batch = e.filter(col(TS) > expr(s"TIMESTAMP '$WM'"))
+      Scd2.merge(dimOf(hist).persist(), batch, KEY, TS, TIE, Some("operation_type"))
         .select(dimCols.map(col): _*).orderBy("user_id", "version_no")
     }),
 
@@ -512,6 +525,51 @@ object SparkEntry {
          |allc AS (SELECT * FROM hist UNION ALL SELECT * FROM latest),
          |${dimSql("allc")}
          |SELECT $dimColsSql FROM dim ORDER BY user_id, version_no""".stripMargin,
+
+    "scd2_merge_deletes" ->
+      s"""WITH e AS (
+         |  SELECT event_id, ts, user_id, event_type, value, props,
+         |         CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPSERT' END AS operation_type
+         |  FROM events),
+         |hist AS (SELECT * FROM e WHERE ts <= TIMESTAMP '$WM'),
+         |${dimSql("hist")},
+         |batch AS (
+         |  SELECT * FROM (SELECT e2.*, row_number() OVER
+         |      (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM e e2 WHERE ts > TIMESTAMP '$WM')
+         |  WHERE rn = 1),
+         |keymeta AS (
+         |  SELECT user_id, max(valid_from) AS last_from, max(version_no) AS max_vn,
+         |         max(CASE WHEN is_current THEN 1 ELSE 0 END) AS has_cur
+         |  FROM dim GROUP BY user_id),
+         |routed AS (
+         |  SELECT b.*, k.last_from, k.max_vn, k.has_cur
+         |  FROM batch b LEFT JOIN keymeta k USING (user_id)
+         |  WHERE k.max_vn IS NULL OR b.ts > k.last_from),
+         |expired AS (
+         |  SELECT d.user_id, d.event_id, d.event_type, d.value, d.props,
+         |         d.valid_from, r.ts AS valid_to, false AS is_current,
+         |         d.version_no, d.cdc_operation
+         |  FROM dim d JOIN routed r USING (user_id) WHERE d.is_current),
+         |curunch AS (
+         |  SELECT user_id, event_id, event_type, value, props, valid_from,
+         |         valid_to, is_current, version_no, cdc_operation
+         |  FROM dim WHERE is_current AND user_id NOT IN (SELECT user_id FROM routed)),
+         |histrows AS (
+         |  SELECT user_id, event_id, event_type, value, props, valid_from,
+         |         valid_to, is_current, version_no, cdc_operation
+         |  FROM dim WHERE NOT is_current),
+         |newv AS (
+         |  SELECT user_id, event_id, event_type, value, props,
+         |         ts AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to,
+         |         true AS is_current,
+         |         coalesce(max_vn, 0) + 1 AS version_no,
+         |         CASE WHEN coalesce(has_cur, 0) = 1 THEN 'UPDATE' ELSE 'INSERT' END AS cdc_operation
+         |  FROM routed WHERE operation_type <> 'DELETE')
+         |SELECT $dimColsSql
+         |FROM (SELECT * FROM histrows UNION ALL SELECT * FROM curunch
+         |      UNION ALL SELECT * FROM expired UNION ALL SELECT * FROM newv)
+         |ORDER BY user_id, version_no""".stripMargin,
 
     "upsert_routing" ->
       s"""WITH hist AS (SELECT * FROM events WHERE ts <= TIMESTAMP '$WM'),

@@ -77,29 +77,55 @@ object Scd2 {
     * partitioned by key-hash buckets so the routing join is co-located.
     */
   def merge(dim: DataFrame, batch: DataFrame,
-            key: String, ts: String, tie: String): DataFrame = {
+            key: String, ts: String, tie: String): DataFrame =
+    merge(dim, batch, key, ts, tie, opCol = None)
+
+  /** Op-aware merge: when `opCol` is set, a change whose op is DELETE
+    * expires the key's current row and inserts nothing
+    * (scd2_loader.py:409-446; DELETE of an absent key is a no-op,
+    * :440-441). Routing stays existence-based (J2): the op column only
+    * distinguishes delete vs upsert, INSERT-vs-UPDATE is decided by
+    * whether a current row exists — including re-INSERT after a DELETE,
+    * which continues the key's version numbering from its last version. */
+  def merge(dim: DataFrame, batch: DataFrame,
+            key: String, ts: String, tie: String,
+            opCol: Option[String]): DataFrame = {
     val b = Cdc.dedupLastPerKey(batch, key, ts, tie)
     val cur = current(dim)
-    val curMeta = cur.select(col(key),
-      col("valid_from").as("_cur_from"), col("version_no").as("_cur_vn"))
+    // Per-key last-version metadata over ALL versions, not just current
+    // rows: after a DELETE a key has no current row but its version chain
+    // (and the stale-change guard) must continue from the last version.
+    val keyMeta = dim.groupBy(col(key)).agg(
+      max(col("valid_from")).as("_last_from"),
+      max(col("version_no")).as("_max_vn"),
+      max(when(col("is_current"), 1).otherwise(0)).as("_has_cur"))
 
-    // J1 keyed lookup + T4 stale guard.
-    val routed = b.join(curMeta, Seq(key), "left_outer")
-      .filter(col("_cur_vn").isNull || col(ts) > col("_cur_from"))
+    // J1 keyed lookup + T4 stale guard. The routed batch feeds three
+    // branches of the union rewrite (new versions, expiry keys, anti-join
+    // keys) — persist it so the dedup window + join run once, not per
+    // branch (the change batch is small; the dim side is NOT cached here —
+    // in production it is a stored snapshot whose re-scan is pruned I/O,
+    // not recompute).
+    val routed = b.join(keyMeta, Seq(key), "left_outer")
+      .filter(col("_max_vn").isNull || col(ts) > col("_last_from"))
+      .persist()
+
+    val isDelete = opCol.map(c => col(c) === "DELETE").getOrElse(lit(false))
 
     // J2 routing: current-row existence decides INSERT vs UPDATE.
     val newVersions = routed
+      .filter(!isDelete)
       .withColumn("valid_from", col(ts))
       .withColumn("valid_to", lit(null).cast(TimestampType))
       .withColumn("is_current", lit(true))
-      .withColumn("version_no", coalesce(col("_cur_vn"), lit(0L)) + 1L)
+      .withColumn("version_no", coalesce(col("_max_vn"), lit(0L)) + 1L)
       .withColumn("cdc_operation",
-        when(col("_cur_vn").isNull, lit("INSERT")).otherwise(lit("UPDATE")))
-      .drop("_cur_from", "_cur_vn")
+        when(col("_has_cur") === 1, lit("UPDATE")).otherwise(lit("INSERT")))
+      .drop("_last_from", "_max_vn", "_has_cur")
 
+    // W2 expire (every routed change, delete or upsert): current row's
+    // valid_to := incoming change's event time.
     val changedKeys = routed.select(col(key), col(ts).as("_new_ts"))
-
-    // W2 expire: current row's valid_to := incoming change's event time.
     val expired = cur.join(broadcast(changedKeys), Seq(key), "inner")
       .withColumn("valid_to", col("_new_ts"))
       .withColumn("is_current", lit(false))

@@ -94,6 +94,36 @@ class Scd2Spec extends AnyFunSuite {
     assert(r.getAs[String]("cdc_operation") === "INSERT") // J2 routing: no current row
   }
 
+  test("DELETE expires the current row, inserts nothing; missing key is a no-op") {
+    val hist = Seq((1L, "2024-02-01 10:00:00", 7L, "signup", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp($"ts"))
+      .withColumn("operation_type", lit("UPSERT"))
+    val d0 = Scd2.rebuild(hist, "user_id", "ts", "event_id")
+    val batch = Seq(
+      (2L, "2024-02-01 11:00:00", 7L, "close", 0.0, "{}", "DELETE"),
+      (3L, "2024-02-01 11:00:00", 8L, "close", 0.0, "{}", "DELETE")) // absent key
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props", "operation_type")
+      .withColumn("ts", to_timestamp($"ts"))
+    val d1 = Scd2.merge(d0, batch, "user_id", "ts", "event_id", Some("operation_type"))
+    val rows = d1.collect()
+    assert(rows.length === 1) // delete of key 8 was a no-op, key 7 expired
+    val r = d1.first()
+    assert(!r.getAs[Boolean]("is_current"))
+    assert(r.getAs[java.sql.Timestamp]("valid_to") ===
+      java.sql.Timestamp.valueOf("2024-02-01 11:00:00"))
+
+    // re-INSERT after DELETE continues the version chain
+    val batch2 = Seq((4L, "2024-02-01 12:00:00", 7L, "signup", 2.0, "{}", "UPSERT"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props", "operation_type")
+      .withColumn("ts", to_timestamp($"ts"))
+    val d2 = Scd2.merge(d1, batch2, "user_id", "ts", "event_id", Some("operation_type"))
+    val v2 = d2.filter($"is_current").first()
+    assert(v2.getAs[Long]("version_no") === 2L)
+    assert(v2.getAs[String]("cdc_operation") === "INSERT") // no current row existed
+    assert(d2.count() === 2)
+  }
+
   test("as-of returns exactly the version covering the instant") {
     val at = "2024-01-15 00:00:00"
     val got = Scd2.asOf(dim, lit(at).cast("timestamp"))
