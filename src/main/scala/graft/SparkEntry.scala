@@ -283,6 +283,9 @@ object SparkEntry {
       SimilarityOps.sampledNearDupPairs(Tables.embeddings(s, dir), 10, 0.25)
         .orderBy("label", "vec_a", "vec_b")),
 
+    "ann_ivf_topk" -> ((s, dir) =>
+      SimilarityOps.ivfTopK(Tables.embeddings(s, dir), 0L, 10)),
+
     "ann_lsh_buckets" -> ((s, dir) =>
       SimilarityOps.lshBuckets(Tables.embeddings(s, dir), 16)
         .orderBy("signature")),
@@ -410,12 +413,17 @@ object SparkEntry {
       s"""WITH $wordsSql,
          |$shSql,
          |shl AS (SELECT doc_id, list(shingle) AS shs FROM sh GROUP BY doc_id),
+         |hashed AS (
+         |  SELECT doc_id,
+         |         list_transform(shs, sgl -> CAST(('0x' || substr(md5(sgl), 1, 10)) AS BIGINT)) AS a1,
+         |         list_transform(shs, sgl -> CAST(('0x' || substr(md5(sgl), 11, 10)) AS BIGINT)) AS a2
+         |  FROM shl),
          |sig AS (
          |  SELECT doc_id,
-         |         [list_min(list_transform(shs, sgl -> md5(CAST(i AS VARCHAR) || '|' || sgl))) for i in range(0, 8)] AS s
-         |  FROM shl),
+         |         [list_min(list_transform(list_zip(a1, a2), p -> p[1] + i * p[2])) for i in range(0, 8)] AS s
+         |  FROM hashed),
          |bands AS (
-         |  SELECT doc_id, b, md5(s[2*b + 1] || s[2*b + 2]) AS bh
+         |  SELECT doc_id, b, md5(CAST(s[2*b + 1] AS VARCHAR) || '_' || CAST(s[2*b + 2] AS VARCHAR)) AS bh
          |  FROM sig, LATERAL unnest(range(0, 4)) AS t(b)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -454,6 +462,20 @@ object SparkEntry {
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          |WHERE cosine >= 0.25
          |ORDER BY label, vec_a, vec_b""".stripMargin,
+
+    "ann_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |cexp AS (
+         |  SELECT label, i AS idx, CAST(sum(CAST(v[i] AS DECIMAL(18,9))) AS DOUBLE) AS s
+         |  FROM e, LATERAL unnest(range(1, 65)) AS t(i) GROUP BY label, i),
+         |cent AS (SELECT label, list(s ORDER BY idx) AS c FROM cexp GROUP BY label),
+         |best AS (
+         |  SELECT label FROM cent, q
+         |  ORDER BY (${cosSql("c", "qv")}) DESC, label LIMIT 1)
+         |SELECT e.vec_id, e.label, round(${cosSql("v", "qv")}, 6) AS cosine
+         |FROM e JOIN best USING (label), q WHERE vec_id <> 0
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
 
     "ann_lsh_buckets" -> {
       val bits = (0 until 16).map { p =>

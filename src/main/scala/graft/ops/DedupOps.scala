@@ -66,20 +66,27 @@ object DedupOps {
       .select("doc_a", "doc_b", "i", "jaccard")
   }
 
-  /** MinHash signatures: for hash function i in [0,k), the minimum
-    * md5(i + "|" + shingle) over the doc's shingle set (string-min keeps
-    * the construction engine-portable and deterministic).
+  /** MinHash signatures via the two-hash construction: each shingle is
+    * md5'd ONCE, split into two 40-bit integers (h1, h2), and hash
+    * function i is the affine combination h1 + i·h2 (Kirsch–Mitzenmacher)
+    * — k minhashes for one digest per shingle instead of k. Fits in a
+    * long for k ≤ 8 (2^40 + 7·2^40 < 2^63), and DuckDB reproduces it
+    * bit-for-bit via `('0x' || substr(md5(s), …))::BIGINT`.
     *
     * Takes the (persisted) exploded shingle set and re-assembles per-doc
     * arrays with collect_list — the aggregation is a hard materialization
-    * barrier, so the k×|shingles| md5 fold runs over a stored array.
-    * (Deriving the array inline lets the optimizer collapse projections
-    * and re-tokenize the document inside the nested lambda — measured 3×
-    * slower. One shuffle by doc_id, k md5 folds per row, nothing else.) */
+    * barrier, so each derivation step runs once over stored arrays.
+    * (Deriving arrays inline lets the optimizer collapse projections and
+    * re-tokenize the document inside nested lambdas — measured 3× slower.) */
   def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
     sh.groupBy("doc_id").agg(collect_list(col("shingle")).as("shs"))
       .select(col("doc_id"),
-        expr(s"transform(sequence(0, ${k - 1}), i -> array_min(transform(shs, sgl -> md5(concat(cast(i as string), '|', sgl)))))")
+        expr("transform(shs, sgl -> md5(sgl))").as("hs"))
+      .select(col("doc_id"),
+        expr("transform(hs, h -> cast(conv(substr(h, 1, 10), 16, 10) as bigint))").as("a1"),
+        expr("transform(hs, h -> cast(conv(substr(h, 11, 10), 16, 10) as bigint))").as("a2"))
+      .select(col("doc_id"),
+        expr(s"transform(sequence(0, ${k - 1}), i -> array_min(zip_with(a1, a2, (x, y) -> x + i * y)))")
           .as("sig"))
 
   /** MinHash + LSH near-dup pairs: k minhashes banded `bands` ways; pairs
@@ -92,8 +99,8 @@ object DedupOps {
     val sh = shingleSets(docs, n).persist()
     val sig = minhashSignatures(sh, k)
     val bandExpr =
-      s"transform(sequence(0, ${bands - 1}), b -> md5(concat(" +
-        (0 until rows).map(r => s"sig[b * $rows + $r]").mkString(", ") + ")))"
+      s"transform(sequence(0, ${bands - 1}), b -> md5(concat_ws('_', " +
+        (0 until rows).map(r => s"cast(sig[b * $rows + $r] as string)").mkString(", ") + ")))"
     val banded = sig.select(col("doc_id"),
       posexplode(expr(bandExpr)).as(Seq("band", "bh")))
     val cand = banded.as("a")

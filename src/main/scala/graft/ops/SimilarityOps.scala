@@ -92,6 +92,35 @@ object SimilarityOps {
     concat(bits: _*)
   }
 
+  /** IVF-style ANN with given cell assignments (`label`): centroids are
+    * per-label elementwise sums (scale-invariant under cosine, and exact
+    * via decimal accumulation → engine-portable), the query probes its
+    * nearest centroid's cell only, then brute-forces top-k inside it.
+    * At 100 TB this is the standard two-stage ANN shape: the centroid
+    * table is tiny and broadcast, and only 1/|cells| of the corpus is
+    * scanned per query. */
+  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    VectorExpressions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), col("label"),
+      asDoubleVec(col("embedding")).as("v"))
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(sum(col("x").cast("decimal(18,9)")).cast("double").as("s"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, s))), p -> p.s)")
+        .as("c"))
+    val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val best = cent.crossJoin(broadcast(q))
+      .orderBy(cosine("c", "qv").desc, col("label"))
+      .select("label").limit(1)
+    e.join(broadcast(best), "label")
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"), round(cosine("v", "qv"), 6).as("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(k)
+  }
+
   /** LSH bucket statistics: signature → vector count + min id. */
   def lshBuckets(embeddings: DataFrame, planes: Int): DataFrame = {
     VectorExpressions.register(embeddings.sparkSession)

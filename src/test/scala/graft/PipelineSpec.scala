@@ -55,6 +55,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(s.getAs[Long]("n_failed") === 1L)
   }
 
+  test("salted join equals the plain join on skewed data") {
+    import graft.engine.Skew
+    // 90% of rows on one hot key
+    val large = spark.range(10000)
+      .select($"id".as("row_id"),
+        when($"id" % 10 === 0, $"id" % 7).otherwise(lit(42L)).as("k"))
+    val small = Seq((42L, "hot"), (0L, "a"), (1L, "b"), (2L, "c"),
+      (3L, "d"), (4L, "e"), (5L, "f"), (6L, "g")).toDF("k", "v")
+    val plain = large.join(small, "k").select("row_id", "v")
+    val salted = Skew.saltedJoin(large, small, "k", 8, "row_id")
+      .select("row_id", "v")
+    assert(salted.orderBy("row_id").collect().toSeq ===
+      plain.orderBy("row_id").collect().toSeq)
+  }
+
   test("change generator is deterministic with the documented op mix") {
     val a = ChangeGen.changes(spark, 2000, 100, seed = 7)
     val b = ChangeGen.changes(spark, 2000, 100, seed = 7)

@@ -13,6 +13,42 @@ class StreamingSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
+  test("streaming windowed aggregation with watermark matches the batch result") {
+    import graft.engine.Tables
+    // stream the events table (ns-timestamp workaround applies) through an
+    // event-time tumbling window with watermark, drain with AvailableNow
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the streaming file source needs a directory; stage the table file
+    val dir = Files.createTempDirectory("events_stream")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val stream = spark.readStream.schema(raw.schema)
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("hourly_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("hourly_out")
+      .select($"window.start".as("hour_start"), $"event_type", $"n")
+    val expected = Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("hour_start"), $"event_type", $"n")
+    // append mode emits only windows closed by the watermark; every
+    // emitted window must match the batch result, and most windows close
+    val exp = expected.collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val gotRows = got.collect()
+    assert(gotRows.nonEmpty)
+    gotRows.foreach { r =>
+      assert(exp((r.getTimestamp(0), r.getString(1))) === r.getLong(2))
+    }
+  }
+
   test("stream merges batches into a valid dimension, checkpoint is exactly-once") {
     val in = Files.createTempDirectory("cdc_in").toString
     val ckpt = Files.createTempDirectory("cdc_ckpt").toString
