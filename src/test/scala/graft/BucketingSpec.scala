@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Tables
+
+/** Bucketing = the 100 TB co-located join story: writing both join sides
+  * bucketed by the join key lets the sort-merge join run with ZERO
+  * exchanges — the shuffle is paid once at write time and amortized over
+  * every subsequent join (SURVEY §4 partition-pruning row; the dim table
+  * at scale is bucketed by key so the merge's routing join co-locates). */
+class BucketingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def countExchanges(plan: SparkPlan): Int = {
+    var n = 0
+    plan.foreach {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => n += 1
+      case _ => ()
+    }
+    n
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // external table paths → no dependence on the (static) warehouse dir
+    val wh = Files.createTempDirectory("warehouse").toString
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+
+    Tables.orders(s2, sfDir).write
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders_b").mode("overwrite").saveAsTable("orders_b")
+    Tables.lineitem(s2, sfDir).write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem_b").mode("overwrite").saveAsTable("lineitem_b")
+
+    val joined = s2.table("lineitem_b")
+      .join(s2.table("orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+
+    val exchangesInJoin = countExchanges(joined.queryExecution.executedPlan)
+    // one exchange remains for the final groupBy (different key);
+    // the join itself must be exchange-free thanks to bucketing
+    assert(exchangesInJoin <= 1,
+      s"expected at most the aggregation exchange, got $exchangesInJoin:\n" +
+        joined.queryExecution.executedPlan.toString)
+
+    // and the result matches the plain (shuffled) join
+    val plain = Tables.lineitem(s2, sfDir)
+      .join(Tables.orders(s2, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    assert(joined.orderBy("o_orderstatus").collect().toSeq ===
+      plain.orderBy("o_orderstatus").collect().toSeq)
+  }
+}
