@@ -260,6 +260,9 @@ object SparkEntry {
     "text_langid" -> ((s, dir) =>
       TextOps.langId(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    "text_winnow" -> ((s, dir) =>
+      TextOps.winnowFingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
+
     // ── North-star: deduplication family ──────────────────────────────
     "dedup_exact" -> ((s, dir) =>
       DedupOps.exactDupGroups(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -392,6 +395,20 @@ object SparkEntry {
          |         len(list_filter(w, x -> x IN ('le', 'la', 'les', 'et'))) AS s_fr
          |  FROM words)
          |ORDER BY doc_id""".stripMargin,
+
+    "text_winnow" ->
+      """SELECT doc_id, len(fps) AS n_fingerprints,
+        |       md5(array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ',')) AS winnow_sig
+        |FROM (
+        |  SELECT doc_id,
+        |         list_sort(list_distinct([list_min(hs[j:j+3]) for j in range(1, len(hs) - 2)])) AS fps
+        |  FROM (
+        |    SELECT doc_id,
+        |           [CAST(('0x' || substr(md5(substr(s, i, 8)), 1, 10)) AS BIGINT) for i in range(1, length(s) - 6)] AS hs
+        |    FROM (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+        |          FROM documents)
+        |    WHERE length(s) >= 11))
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       s"""WITH $wordsSql,

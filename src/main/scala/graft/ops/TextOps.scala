@@ -43,6 +43,33 @@ object TextOps {
       md5(concat_ws(" ", array_sort(array_distinct(normWords(col("text"))))))
         .as("fingerprint"))
 
+  /** Winnowing document fingerprints (rolling-hash selection, the
+    * MOSS/winnowing construction): char k-grams → 40-bit md5-prefix hash →
+    * minimum of each sliding window of `w` hashes → distinct sorted set,
+    * reported as a count + set signature. Guarantees any shared substring
+    * of length ≥ k+w−1 yields a shared fingerprint. Per-row fold only —
+    * no shuffle — and engine-portable (DuckDB reproduces the hash via
+    * `('0x' || substr(md5(g),1,10))::BIGINT`). Docs shorter than k+w−1
+    * chars (after normalization) are dropped on both sides. */
+  def winnowFingerprint(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_replace(lower(col("text")), "[^a-z0-9]", "").as("s"))
+      // single length guard: |hs| = |s|−k+1, so |s| ≥ k+w−1 ⟺ |hs| ≥ w.
+      // (Filtering on size(hs) instead gets pushed below the projections
+      // and re-computes the whole hash array inside the filter condition —
+      // measured 6× slower.)
+      .filter(length(col("s")) >= k + w - 1)
+      .select(col("doc_id"),
+        expr(s"transform(sequence(1, length(s) - ${k - 1}), i -> cast(conv(substr(md5(substring(s, i, $k)), 1, 10), 16, 10) as bigint))")
+          .as("hs"))
+      .select(col("doc_id"),
+        expr(s"array_sort(array_distinct(transform(sequence(1, size(hs) - ${w - 1}), j -> array_min(slice(hs, j, $w)))))")
+          .as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
+        md5(concat_ws(",",
+          expr("transform(fps, x -> cast(x as string))"))).as("winnow_sig"))
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
