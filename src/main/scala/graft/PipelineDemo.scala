@@ -26,25 +26,12 @@ object PipelineDemo {
 
     val K = "order_key"; val TS = "cdc_timestamp"; val TIE = "change_id"
 
-    // 1. simulate workload → three JSON change-batch files (S10 + S4)
+    // 1. simulate workload → three JSON change-batch files (S10 + S4).
+    // Batch (time) order is kept in the file names: applying batches out
+    // of order is legal — the T4 stale guard drops late-arriving older
+    // changes — but this demo asserts the happy path.
     val changes = ChangeGen.changes(spark, 900, 80, seed = 42)
-    val cols = changes.columns
-    for (b <- 0 until 3) {
-      val part = changes.filter($"change_id" >= b * 300 && $"change_id" < (b + 1) * 300)
-      part.coalesce(1).write.mode("overwrite").json(s"$work/stage/batch_$b")
-    }
-    // keep batch (time) order in the file names: applying batches out of
-    // order is legal — the T4 stale guard drops late-arriving older
-    // changes — but this demo asserts the happy path
-    var idx = 0
-    for (b <- 0 until 3) {
-      Files.list(java.nio.file.Paths.get(s"$work/stage/batch_$b")).forEach { p =>
-        if (p.getFileName.toString.endsWith(".json")) {
-          Files.move(p, java.nio.file.Paths.get(work, f"changes_$idx%03d.json"))
-          idx += 1
-        }
-      }
-    }
+    val idx = ChangeGen.writeBatchFiles(changes, "change_id", 3, 300, work)
     println(s"wrote $idx change batch files")
 
     // 2. batch load: ledger discovery → dedup → merge → snapshot publish
@@ -62,7 +49,7 @@ object PipelineDemo {
       val batchId = Cdc.batchId(batch, TIE).first().getString(0)
       if (!ledger.isProcessed(f, batchId)) {
         val dim = store.read().getOrElse(Scd2.rebuild(batch.limit(0), K, TS, TIE))
-        store.publish(Scd2.merge(dim, batch, K, TS, TIE))
+        store.publish(Scd2.merge(dim, batch, K, TS, TIE, Some("operation_type")))
         ledger.append(f, batchId)
         applied += batch.count()
       }
@@ -81,7 +68,7 @@ object PipelineDemo {
     // 3. streaming load of the same files into a second snapshot
     val store2 = new SnapshotStore(spark, s"$work/dim_stream")
     val q = CdcStream.start(spark, s"$work/changes_*.json", s"$work/ckpt",
-      store2, schema, K, TS, TIE)
+      store2, schema, K, TS, TIE, opCol = Some("operation_type"))
     q.awaitTermination()
     val dim2 = store2.read().get
     val a = Scd2.current(dim).select(K, TIE).orderBy(K)

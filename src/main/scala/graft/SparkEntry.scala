@@ -247,6 +247,11 @@ object SparkEntry {
           col("n"), col("total_value"), col("n_users"))
         .orderBy("hour_start", "event_type")),
 
+    // ── Gap-based session windows (batch twin of session_window) ─────
+    "sessionization" -> ((s, dir) =>
+      Stats.sessionize(ev(s, dir), KEY, TS, TIE, gapSeconds = 7200)
+        .orderBy("user_id", "session_no")),
+
     // ── North-star: text analysis over documents ──────────────────────
     "text_tokens" -> ((s, dir) =>
       TextOps.tokenStats(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -395,6 +400,27 @@ object SparkEntry {
          |         len(list_filter(w, x -> x IN ('le', 'la', 'les', 'et'))) AS s_fr
          |  FROM words)
          |ORDER BY doc_id""".stripMargin,
+
+    "sessionization" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CASE WHEN prev_epoch IS NULL
+        |                OR CAST(floor(epoch(ts)) AS BIGINT) - prev_epoch > 7200
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM (SELECT e.*,
+        |               lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS prev_epoch
+        |        FROM events e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+        |  FROM flagged)
+        |SELECT user_id, session_no,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM sess GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
 
     "text_winnow" ->
       """SELECT doc_id, len(fps) AS n_fingerprints,
@@ -578,13 +604,15 @@ object SparkEntry {
          |    FROM e e2 WHERE ts > TIMESTAMP '$WM')
          |  WHERE rn = 1),
          |keymeta AS (
-         |  SELECT user_id, max(valid_from) AS last_from, max(version_no) AS max_vn,
+         |  SELECT user_id,
+         |         greatest(max(valid_from), coalesce(max(valid_to), max(valid_from))) AS tl_end,
+         |         max(version_no) AS max_vn,
          |         max(CASE WHEN is_current THEN 1 ELSE 0 END) AS has_cur
          |  FROM dim GROUP BY user_id),
          |routed AS (
-         |  SELECT b.*, k.last_from, k.max_vn, k.has_cur
+         |  SELECT b.*, k.tl_end, k.max_vn, k.has_cur
          |  FROM batch b LEFT JOIN keymeta k USING (user_id)
-         |  WHERE k.max_vn IS NULL OR b.ts > k.last_from),
+         |  WHERE k.max_vn IS NULL OR b.ts > k.tl_end),
          |expired AS (
          |  SELECT d.user_id, d.event_id, d.event_type, d.value, d.props,
          |         d.valid_from, r.ts AS valid_to, false AS is_current,

@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 /** S10: deterministic workload generator — the Spark shape of the
   * reference's faker-driven mutator
   * (/root/reference/src/simulators/db_mutator.py:231-269): a seeded
-  * 30% INSERT / 40% UPDATE / 20% DELETE / 10% no-op mix as pure column
-  * expressions over spark.range (distributed, reproducible, no driver
-  * loop). Used by tests and load experiments.
+  * 30% INSERT / 40% UPDATE / 20% DELETE / 10% no-op mix (no-op ticks emit
+  * nothing, so ~90% of `n` rows materialize) as pure column expressions
+  * over spark.range (distributed, reproducible, no driver loop). Used by
+  * tests and load experiments.
   */
 object ChangeGen {
 
@@ -29,7 +30,9 @@ object ChangeGen {
       .withColumn("operation_type",
         when(col("op_roll") < 0.3, "INSERT")
           .when(col("op_roll") < 0.7, "UPDATE")
-          .otherwise("DELETE"))
+          .when(col("op_roll") < 0.9, "DELETE")
+          .otherwise("NOOP"))
+      .filter(col("operation_type") =!= "NOOP")
       .withColumn("order_status", statusExpr)
       .withColumn("quantity", (floor(rand(seed + 3) * 10) + 1).cast("int"))
       .withColumn("unit_price",
@@ -39,5 +42,30 @@ object ChangeGen {
       .withColumn("cdc_timestamp",
         timestamp_seconds(unix_timestamp(to_timestamp(lit(startTs))) + col("id")))
       .drop("id", "op_roll")
+  }
+
+  /** Write `df` as `nBatches` time-ordered JSON change-batch files named
+    * `changes_NNN.json` under `dir` — the staging step shared by the
+    * batch demo and the streaming tests (one file ≙ one micro-batch). */
+  def writeBatchFiles(df: DataFrame, idCol: String, nBatches: Int,
+                      rowsPerBatch: Long, dir: String): Int = {
+    import java.nio.file.{Files, Paths}
+    var idx = 0
+    for (b <- 0 until nBatches) {
+      val stage = s"$dir/_stage_$b"
+      df.filter(col(idCol) >= b * rowsPerBatch &&
+        col(idCol) < (b + 1) * rowsPerBatch)
+        .coalesce(1).write.mode("overwrite").json(stage)
+      val parts = Files.list(Paths.get(stage))
+      try {
+        parts.forEach { p =>
+          if (p.getFileName.toString.endsWith(".json")) {
+            Files.move(p, Paths.get(dir, f"changes_$idx%03d.json"))
+            idx += 1
+          }
+        }
+      } finally parts.close()
+    }
+    idx
   }
 }

@@ -16,10 +16,15 @@ import org.apache.spark.sql.functions._
 class Ledger(spark: SparkSession, path: String) {
   import spark.implicits._
 
+  /** Empty ledger when the path doesn't exist yet; any other failure
+    * (corrupt footer, IO error) propagates — silently treating an
+    * unreadable ledger as empty would re-apply every batch. */
   def read(): DataFrame =
     try spark.read.parquet(path)
-    catch { case _: Throwable =>
-      Seq.empty[(String, String)].toDF("filename", "batch_id")
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+        if e.getCondition == "PATH_NOT_FOUND" =>
+        Seq.empty[(String, String)].toDF("filename", "batch_id")
     }
 
   def append(filename: String, batchId: String): Unit =

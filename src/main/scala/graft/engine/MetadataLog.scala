@@ -14,15 +14,20 @@ import org.apache.spark.sql.functions._
 class MetadataLog(spark: SparkSession, path: String) {
   import spark.implicits._
 
+  /** Monotonic per-process sequence: tie-breaks status events recorded at
+    * the same timestamp in insertion order (a status string is NOT a valid
+    * tie-break — 'running' would lexicographically beat 'completed'). */
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** metrics is the reference's JSONB column as a JSON string. */
   def record(pipelineName: String, runId: String, status: String,
              recordsProcessed: Long, errorMessage: String = null,
              metricsJson: String = null, at: Timestamp = null): Unit = {
     val ts = Option(at).getOrElse(new Timestamp(System.currentTimeMillis()))
     Seq((pipelineName, runId, status, recordsProcessed,
-      Option(errorMessage), Option(metricsJson), ts))
+      Option(errorMessage), Option(metricsJson), ts, seq.incrementAndGet()))
       .toDF("pipeline_name", "run_id", "status", "records_processed",
-        "error_message", "performance_metrics", "event_time")
+        "error_message", "performance_metrics", "event_time", "seq")
       .write.mode("append").parquet(path)
   }
 
@@ -31,7 +36,7 @@ class MetadataLog(spark: SparkSession, path: String) {
   /** Latest state per run (pipeline_metadata.py:267-275 generalized from
     * LIMIT 1 to a per-run window). */
   def currentRuns(): DataFrame =
-    Cdc.dedupLastPerKey(read(), "run_id", "event_time", "status")
+    Cdc.dedupLastPerKey(read(), "run_id", "event_time", "seq")
 
   /** A6: run stats over a trailing window of days. */
   def stats(days: Int): DataFrame = {

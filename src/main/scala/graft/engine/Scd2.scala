@@ -95,8 +95,14 @@ object Scd2 {
     // Per-key last-version metadata over ALL versions, not just current
     // rows: after a DELETE a key has no current row but its version chain
     // (and the stale-change guard) must continue from the last version.
+    // The guard compares against the key's TIMELINE END — max(valid_to)
+    // can exceed max(valid_from) after a DELETE (the delete stamps
+    // valid_to without inserting a version), and admitting a change
+    // inside that closed interval would create overlapping versions.
     val keyMeta = dim.groupBy(col(key)).agg(
-      max(col("valid_from")).as("_last_from"),
+      greatest(max(col("valid_from")),
+        coalesce(max(col("valid_to")), max(col("valid_from"))))
+        .as("_tl_end"),
       max(col("version_no")).as("_max_vn"),
       max(when(col("is_current"), 1).otherwise(0)).as("_has_cur"))
 
@@ -107,7 +113,7 @@ object Scd2 {
     // in production it is a stored snapshot whose re-scan is pruned I/O,
     // not recompute).
     val routed = b.join(keyMeta, Seq(key), "left_outer")
-      .filter(col("_max_vn").isNull || col(ts) > col("_last_from"))
+      .filter(col("_max_vn").isNull || col(ts) > col("_tl_end"))
       .persist()
 
     val isDelete = opCol.map(c => col(c) === "DELETE").getOrElse(lit(false))
@@ -121,7 +127,7 @@ object Scd2 {
       .withColumn("version_no", coalesce(col("_max_vn"), lit(0L)) + 1L)
       .withColumn("cdc_operation",
         when(col("_has_cur") === 1, lit("UPDATE")).otherwise(lit("INSERT")))
-      .drop("_last_from", "_max_vn", "_has_cur")
+      .drop("_tl_end", "_max_vn", "_has_cur")
 
     // W2 expire (every routed change, delete or upsert): current row's
     // valid_to := incoming change's event time.

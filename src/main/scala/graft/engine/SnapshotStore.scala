@@ -47,12 +47,15 @@ class SnapshotStore(spark: SparkSession, root: String) {
   def versions(): Seq[Long] =
     if (!Files.exists(rootPath)) Seq.empty
     else {
-      val it = Files.list(rootPath).iterator()
-      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-      while (it.hasNext) {
-        val name = it.next().getFileName.toString
-        if (name.startsWith("v")) buf += name.drop(1).toLong
-      }
-      buf.sorted.toSeq
+      val stream = Files.list(rootPath)
+      try {
+        val it = stream.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (it.hasNext) {
+          val name = it.next().getFileName.toString
+          if (name.startsWith("v")) buf += name.drop(1).toLong
+        }
+        buf.sorted.toSeq
+      } finally stream.close()
     }
 }

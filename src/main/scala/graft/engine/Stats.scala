@@ -44,6 +44,33 @@ object Stats {
       min(col("valid_from")).as("first_seen"),
       max(when(col("is_current"), col("valid_from"))).as("current_since"))
 
+  /** Gap-based sessionization (the batch formulation of session windows):
+    * a new session starts when a key's inter-event gap exceeds
+    * `gapSeconds`. Classic gaps-and-islands — a lag + running sum over one
+    * key-partitioned window, then one aggregation: two shuffles total,
+    * linear at any scale. (Streaming uses `session_window()` natively;
+    * this formulation is the oracle-matchable batch twin.) */
+  def sessionize(events: DataFrame, key: String, ts: String, tie: String,
+                 gapSeconds: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(ts), col(tie))
+    val flagged = events.withColumn("_prev_epoch",
+      lag(unix_timestamp(col(ts)), 1).over(w))
+      .withColumn("_new_session",
+        when(col("_prev_epoch").isNull ||
+          unix_timestamp(col(ts)) - col("_prev_epoch") > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("session_no",
+        sum(col("_new_session")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    flagged.groupBy(col(key), col("session_no"))
+      .agg(
+        min(col(ts)).as("session_start"),
+        max(col(ts)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+  }
+
   /** A6-shaped windowed stats (pipeline_metadata.py:301-315): aggregates
     * restricted to the trailing `days` of event time, grouped by type.
     * The lookback bound is the data's own max ts (a broadcast one-row

@@ -17,12 +17,21 @@ object Tables {
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
     * ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos (legacy conf) and
     * truncate to a microsecond TimestampType — the same truncation DuckDB
-    * applies when casting ns→µs, so oracle comparisons line up. */
+    * applies when casting ns→µs, so oracle comparisons line up.
+    *
+    * Side effect (deliberate, session-wide): `nanosAsLong` makes ANY
+    * nanos-timestamp parquet read in this session come back as long. Other
+    * readers of such files (e.g. a readStream over events) must apply
+    * [[tsFromNanos]] themselves. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    tsFromNanos(table(spark, dir, "events"))
   }
+
+  /** Convert a nanos-as-long `ts` column (read under `nanosAsLong`) to the
+    * µs TimestampType the rest of the engine uses. */
+  def tsFromNanos(df: DataFrame): DataFrame =
+    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
   def customer(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "customer")

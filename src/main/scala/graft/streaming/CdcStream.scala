@@ -26,10 +26,19 @@ import graft.engine.{Scd2, SnapshotStore}
 object CdcStream {
 
   /** Start a stream that merges JSON change-batch files from `inDir` into
-    * the SCD2 snapshot at `store`. One micro-batch ≙ one change batch. */
+    * the SCD2 snapshot at `store`. One micro-batch ≙ one change batch.
+    * Pass `opCol` to honor DELETE change records (expire, insert nothing).
+    *
+    * Cache hygiene: [[Scd2.merge]] persists its routed batch for intra-job
+    * reuse; a long-running stream would accumulate one cached plan per
+    * micro-batch, so the session cache is cleared after each publish
+    * (callers should give the stream its own session if they hold other
+    * caches).
+    */
   def start(spark: SparkSession, inDir: String, checkpointDir: String,
             store: SnapshotStore, schema: StructType,
             key: String, ts: String, tie: String,
+            opCol: Option[String] = None,
             availableNow: Boolean = true): StreamingQuery = {
     val changes = spark.readStream
       .schema(schema)
@@ -42,7 +51,8 @@ object CdcStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val dim = store.read().getOrElse(Scd2.rebuild(batch.limit(0), key, ts, tie))
-          store.publish(Scd2.merge(dim, batch, key, ts, tie))
+          store.publish(Scd2.merge(dim, batch, key, ts, tie, opCol))
+          batch.sparkSession.catalog.clearCache()
         }
         ()
       }

@@ -77,9 +77,10 @@ class PipelineSpec extends AnyFunSuite {
       b.orderBy("change_id").collect().toSeq)
     val mix = a.groupBy("operation_type").count()
       .as[(String, Long)].collect().toMap
-    assert(mix("INSERT") > 400 && mix("INSERT") < 800)   // ~30%
+    assert(mix("INSERT") > 400 && mix("INSERT") < 800)   // ~30% of 2000
     assert(mix("UPDATE") > 600 && mix("UPDATE") < 1000)  // ~40%
-    assert(mix("DELETE") > 400 && mix("DELETE") < 800)   // ~30% (incl. no-op band)
+    assert(mix("DELETE") > 250 && mix("DELETE") < 550)   // ~20%
+    assert(!mix.contains("NOOP"))                        // ~10% no-op ticks emit nothing
     // generated column: total = quantity × price, exact decimal
     assert(a.filter($"total_amount" =!=
       ($"quantity" * $"unit_price").cast("decimal(10,2)")).count() === 0)

@@ -88,6 +88,13 @@ class Scd2PropertySpec extends AnyFunSuite {
       val deletedKeys = latestBatch.filter($"operation_type" === "DELETE")
         .select("user_id")
       assert(Scd2.current(merged).join(deletedKeys, "user_id").count() === 0)
+      // no overlapping versions: as-of at sampled instants is unique per key
+      for (off <- Seq(100L, 300L, 450L)) {
+        val at = timestamp_millis(lit(
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + off * 1000))
+        val atRows = Scd2.asOf(merged, at)
+        assert(atRows.count() === atRows.select("user_id").distinct().count())
+      }
     }
   }
 }

@@ -113,6 +113,17 @@ class Scd2Spec extends AnyFunSuite {
     assert(r.getAs[java.sql.Timestamp]("valid_to") ===
       java.sql.Timestamp.valueOf("2024-02-01 11:00:00"))
 
+    // a late change INSIDE the deleted interval must be dropped — the
+    // stale guard compares against the timeline END (the delete's
+    // valid_to), not max(valid_from); admitting it would create an
+    // overlapping version and break as-of uniqueness
+    val lateBatch = Seq((9L, "2024-02-01 10:30:00", 7L, "late", 9.0, "{}", "UPSERT"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props", "operation_type")
+      .withColumn("ts", to_timestamp($"ts"))
+    val dLate = Scd2.merge(d1, lateBatch, "user_id", "ts", "event_id", Some("operation_type"))
+    assert(dLate.orderBy("event_id").collect().toSeq ===
+      d1.orderBy("event_id").collect().toSeq)
+
     // re-INSERT after DELETE continues the version chain
     val batch2 = Seq((4L, "2024-02-01 12:00:00", 7L, "signup", 2.0, "{}", "UPSERT"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props", "operation_type")

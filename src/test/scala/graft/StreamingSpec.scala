@@ -23,9 +23,8 @@ class StreamingSpec extends AnyFunSuite {
     Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events.parquet"))
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val stream = spark.readStream.schema(raw.schema)
-      .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = Tables.tsFromNanos(
+      spark.readStream.schema(raw.schema).parquet(dir.toString))
       .withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n"))
@@ -58,26 +57,7 @@ class StreamingSpec extends AnyFunSuite {
     val changes = ChangeGen.changes(spark, 600, 60, seed = 11)
       .select("change_id", "cdc_timestamp", "order_key", "operation_type",
         "order_status", "quantity", "unit_price", "total_amount")
-    for (b <- 0 until 3) {
-      changes.filter($"change_id" >= b * 200 && $"change_id" < (b + 1) * 200)
-        .coalesce(1).write.mode("overwrite").json(s"$in/batch_$b")
-    }
-    // move the json part files up so the source sees 3 files
-    val dirStream = Files.list(java.nio.file.Paths.get(in)).iterator()
-    var idx = 0
-    while (dirStream.hasNext) {
-      val d = dirStream.next()
-      if (Files.isDirectory(d)) {
-        val parts = Files.list(d).iterator()
-        while (parts.hasNext) {
-          val p = parts.next()
-          if (p.getFileName.toString.endsWith(".json")) {
-            Files.move(p, java.nio.file.Paths.get(in, f"changes_$idx%03d.json"))
-            idx += 1
-          }
-        }
-      }
-    }
+    val idx = ChangeGen.writeBatchFiles(changes, "change_id", 3, 200, in)
     assert(idx === 3)
 
     val schema = changes.schema
