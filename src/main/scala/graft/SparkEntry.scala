@@ -247,6 +247,24 @@ object SparkEntry {
           col("n"), col("total_value"), col("n_users"))
         .orderBy("hour_start", "event_type")),
 
+    // ── Pivot: per-key op-type matrix (wide conditional counts) ───────
+    "user_event_pivot" -> ((s, dir) =>
+      ev(s, dir).groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")),
+
+    // ── Rollup: subtotal hierarchy over the pricing groups ────────────
+    "rollup_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price"),
+          count(lit(1)).as("n_items"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
     // ── Gap-based session windows (batch twin of session_window) ─────
     "sessionization" -> ((s, dir) =>
       Stats.sessionize(ev(s, dir), KEY, TS, TIE, gapSeconds = 7200)
@@ -400,6 +418,22 @@ object SparkEntry {
          |         len(list_filter(w, x -> x IN ('le', 'la', 'les', 'et'))) AS s_fr
          |  FROM words)
          |ORDER BY doc_id""".stripMargin,
+
+    "user_event_pivot" ->
+      """SELECT user_id,
+        |       count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |       count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |       count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |       count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "rollup_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |       count(*) AS n_items
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "sessionization" ->
       """WITH flagged AS (
