@@ -265,6 +265,23 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
+    // ── Exact percentiles (interpolated, oracle-matched) ──────────────
+    "value_percentiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // ── Approximate distinct (HLL sketch) — rows-only check: the sketch
+    //    estimate is engine-specific, so no DuckDB oracle is declared ────
+    "approx_distinct_users" -> ((s, dir) =>
+      ev(s, dir).groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
     // ── Gap-based session windows (batch twin of session_window) ─────
     "sessionization" -> ((s, dir) =>
       Stats.sessionize(ev(s, dir), KEY, TS, TIE, gapSeconds = 7200)
@@ -418,6 +435,13 @@ object SparkEntry {
          |         len(list_filter(w, x -> x IN ('le', 'la', 'les', 'et'))) AS s_fr
          |  FROM words)
          |ORDER BY doc_id""".stripMargin,
+
+    "value_percentiles" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |       quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "user_event_pivot" ->
       """SELECT user_id,
