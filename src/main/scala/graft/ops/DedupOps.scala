@@ -21,17 +21,27 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** (doc_id, shingle) pairs — distinct word n-gram shingles per doc.
+  /** (doc_id, shingle-array) rows — each doc's distinct word n-gram
+    * shingle set as one array (docs below n words drop out).
     *
     * The word array is materialized in its own projection first: Generate
-    * (explode) runs outside whole-stage codegen's subexpression
+    * (explode) and non-codegen lambdas don't get subexpression
     * elimination, so inlining `normWords` into the shingle lambda would
     * re-tokenize the document once per shingle index (~50× per doc —
     * measured 10× slower). CollapseProject keeps the split because the
     * array is referenced multiple times by a non-cheap expression. */
-  def shingleSets(docs: DataFrame, n: Int): DataFrame =
+  def shingleArrays(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), TextOps.normWords(col("text")).as("w"))
-      .select(col("doc_id"), explode(TextOps.shingles(col("w"), n)).as("shingle"))
+      // guard on the cheap input (|w| ≥ n ⟺ |shs| > 0): a size(shs) filter
+      // would be pushed below the projection and re-run the shingle
+      // transform inside the filter condition
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), TextOps.shingles(col("w"), n).as("shs"))
+
+  /** Exploded (doc_id, shingle) pairs — the join-key form used for
+    * candidate generation. */
+  def shingleSets(docs: DataFrame, n: Int): DataFrame =
+    shingleArrays(docs, n).select(col("doc_id"), explode(col("shs")).as("shingle"))
 
   /** Exact duplicate groups keyed on the normalized-vocabulary fingerprint:
     * survivor (min doc_id) + group size. */
@@ -40,28 +50,35 @@ object DedupOps {
       .groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("group_size"))
 
-  private def jaccardOf(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+  /** Score candidate (doc_a, doc_b) pairs with exact Jaccard from the
+    * per-doc shingle arrays: |A∩B| via array_intersect — two broadcast-able
+    * joins against the array table, no shuffle of an exploded shingle
+    * relation. `shl` must carry (doc_id, shs). */
+  private def jaccardOf(pairs: DataFrame, shl: DataFrame): DataFrame =
     pairs
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .join(shl.select(col("doc_id").as("doc_a"), col("shs").as("_sa")), "doc_a")
+      .join(shl.select(col("doc_id").as("doc_b"), col("shs").as("_sb")), "doc_b")
+      .withColumn("i", size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
       .withColumn("jaccard",
-        col("i").cast("double") / (col("na") + col("nb") - col("i")))
-  }
+        col("i").cast("double") /
+          (size(col("_sa")) + size(col("_sb")) - col("i")))
+      .drop("_sa", "_sb")
 
   /** All-pairs n-gram Jaccard near-dup detection: pairs sharing ≥1 shingle,
     * scored |A∩B| / |A∪B|, kept at `threshold`. */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    // The shingle set feeds both join sides and the size table — persist it
-    // instead of recomputing the tokenize+explode three times. At cluster
-    // scale this is the materialized shingle table every LSH pipeline keeps.
-    val sh = shingleSets(docs, n).persist()
-    val inter = sh.as("a")
+    // The shingle-array table feeds candidate generation (exploded) and
+    // scoring (arrays) — persist it instead of re-tokenizing per consumer.
+    // At cluster scale this is the materialized shingle table every LSH
+    // pipeline keeps.
+    val shl = shingleArrays(docs, n).persist()
+    val sh = shl.select(col("doc_id"), explode(col("shs")).as("shingle"))
+    val cand = sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
-    jaccardOf(inter, sh)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    jaccardOf(cand, shl)
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "i", "jaccard")
   }
@@ -73,13 +90,13 @@ object DedupOps {
     * long for k ≤ 8 (2^40 + 7·2^40 < 2^63), and DuckDB reproduces it
     * bit-for-bit via `('0x' || substr(md5(s), …))::BIGINT`.
     *
-    * Takes the (persisted) exploded shingle set and re-assembles per-doc
-    * arrays with collect_list — the aggregation is a hard materialization
-    * barrier, so each derivation step runs once over stored arrays.
-    * (Deriving arrays inline lets the optimizer collapse projections and
-    * re-tokenize the document inside nested lambdas — measured 3× slower.) */
-  def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
-    sh.groupBy("doc_id").agg(collect_list(col("shingle")).as("shs"))
+    * Takes the (persisted) shingle-array table — the cache is the
+    * materialization barrier, so each derivation step runs once over
+    * stored arrays. (Deriving arrays inline lets the optimizer collapse
+    * projections and re-tokenize the document inside nested lambdas —
+    * measured 3× slower.) */
+  def minhashSignatures(shl: DataFrame, k: Int): DataFrame =
+    shl
       .select(col("doc_id"),
         expr("transform(shs, sgl -> md5(sgl))").as("hs"))
       .select(col("doc_id"),
@@ -96,8 +113,13 @@ object DedupOps {
   def minhashLshPairs(docs: DataFrame, n: Int, k: Int, bands: Int,
                       threshold: Double): DataFrame = {
     val rows = k / bands
-    val sh = shingleSets(docs, n).persist()
-    val sig = minhashSignatures(sh, k)
+    val shl = shingleArrays(docs, n).persist()
+    // persist the (tiny) signature table: posexplode's Generate gets no
+    // subexpression elimination, so without a barrier the whole
+    // md5→conv→minhash chain is inlined into the band expression and
+    // re-derived per band element per join side (measured ~20× the
+    // signature cost)
+    val sig = minhashSignatures(shl, k).persist()
     val bandExpr =
       s"transform(sequence(0, ${bands - 1}), b -> md5(concat_ws('_', " +
         (0 until rows).map(r => s"cast(sig[b * $rows + $r] as string)").mkString(", ") + ")))"
@@ -109,11 +131,7 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-    jaccardOf(inter, sh)
+    jaccardOf(cand, shl)
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "i", "jaccard")
   }
