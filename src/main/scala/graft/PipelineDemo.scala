@@ -65,6 +65,12 @@ object PipelineDemo {
     val todo2 = ledger.unprocessed(files).count()
     println(s"replay discovery finds $todo2 files (expect 0); version stays $v0")
 
+    // T7 retention: bound the time-travel window, keep the published version
+    val vacuumed = store.vacuum(keepLast = 2)
+    println(s"vacuumed versions ${vacuumed.mkString(",")}; " +
+      s"remaining ${store.versions().mkString(",")}; " +
+      s"current still readable: ${store.read().get.count() > 0}")
+
     // 3. streaming load of the same files into a second snapshot
     val store2 = new SnapshotStore(spark, s"$work/dim_stream")
     val q = CdcStream.start(spark, s"$work/changes_*.json", s"$work/ckpt",

@@ -43,6 +43,27 @@ class SnapshotStore(spark: SparkSession, root: String) {
     next
   }
 
+  /** T7 retention: delete version dirs older than the `keepLast` most
+    * recent (never the published one). Returns the versions removed.
+    * Mirrors the reference's batch-file GC (log_extractor.py:212-227) at
+    * the snapshot level — the time-travel window is bounded, the current
+    * pointer is untouched, so readers are never broken. */
+  def vacuum(keepLast: Int): Seq[Long] = {
+    val all = versions()
+    val cur = currentVersion()
+    val keep = all.takeRight(math.max(keepLast, 1)).toSet ++ cur.toSet
+    val drop = all.filterNot(keep)
+    drop.foreach { v =>
+      val dir = rootPath.resolve(s"v$v")
+      val stream = Files.walk(dir)
+      try {
+        stream.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      } finally stream.close()
+    }
+    drop
+  }
+
   /** Versions currently on disk (published or orphaned), ascending. */
   def versions(): Seq[Long] =
     if (!Files.exists(rootPath)) Seq.empty

@@ -23,6 +23,20 @@ class BucketingSpec extends AnyFunSuite {
     n
   }
 
+  test("date-partitioned writes prune partitions at the scan") {
+    val out = Files.createTempDirectory("part").toString + "/events_by_day"
+    val e = Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    e.write.partitionBy("day").mode("overwrite").parquet(out)
+    val pruned = spark.read.parquet(out).filter(col("day") === "2024-01-05")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    // the day predicate must land in PartitionFilters, not a row filter
+    assert(scan.contains("PartitionFilters") && scan.contains("2024-01-05"),
+      s"expected partition pruning in:\n$scan")
+    val expected = e.filter(col("day") === "2024-01-05").count()
+    assert(pruned.count() === expected && expected > 0)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // external table paths → no dependence on the (static) warehouse dir
     val wh = Files.createTempDirectory("warehouse").toString

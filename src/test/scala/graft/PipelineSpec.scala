@@ -25,6 +25,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(store.versions() === Seq(0L, 1L))
   }
 
+  test("vacuum bounds time travel but never touches the published version") {
+    val root = tmp("vac")
+    val store = new SnapshotStore(spark, root)
+    (1 to 5).foreach(i => store.publish(Seq((i, "x")).toDF("k", "v")))
+    assert(store.versions() === Seq(0L, 1L, 2L, 3L, 4L))
+    val dropped = store.vacuum(keepLast = 2)
+    assert(dropped === Seq(0L, 1L, 2L))
+    assert(store.versions() === Seq(3L, 4L))
+    assert(store.currentVersion().contains(4L))
+    assert(store.read().get.count() === 1)
+    assert(store.readVersion(3).count() === 1) // retained history still readable
+  }
+
+  test("crash window between publish and ledger append is replay-safe") {
+    // the reference has the same window (scd2_loader.py:523-538): commit
+    // succeeded but the ledger append didn't — reprocessing the file must
+    // be a semantic no-op thanks to merge idempotence (stale guard)
+    import graft.engine.{Cdc, ChangeGen, Scd2}
+    val store = new SnapshotStore(spark, tmp("crash") + "/dim")
+    val batch = ChangeGen.changes(spark, 200, 30, seed = 5)
+    val empty = Scd2.rebuild(batch.limit(0), "order_key", "cdc_timestamp", "change_id")
+    store.publish(Scd2.merge(empty, batch, "order_key", "cdc_timestamp", "change_id"))
+    val v1 = store.currentVersion().get
+    val rows1 = store.read().get.orderBy("order_key", "version_no").collect().toSeq
+    // crash before ledger append → orchestrator re-applies the same file
+    store.publish(Scd2.merge(store.read().get, batch,
+      "order_key", "cdc_timestamp", "change_id"))
+    assert(store.currentVersion().get === v1 + 1) // a new version is written...
+    assert(store.read().get.orderBy("order_key", "version_no").collect().toSeq
+      === rows1) // ...but its content is identical
+  }
+
   test("ledger: anti-join discovery and replay detection") {
     val path = tmp("ledger") + "/ledger"
     val ledger = new Ledger(spark, path)
