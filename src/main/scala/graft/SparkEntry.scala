@@ -274,12 +274,20 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
-    // ── Approximate distinct (HLL sketch) — rows-only check: the sketch
-    //    estimate is engine-specific, so no DuckDB oracle is declared ────
+    // ── Approximate distinct (HLL sketch), oracled by tolerance: the raw
+    //    estimate is engine-specific, so the query emits the exact distinct
+    //    count (hash-matchable) plus a boolean attesting the engine's OWN
+    //    sketch is within 5% relative error of it — DuckDB asserts the
+    //    same bound on ITS sketch, and both sides hash-match on `true` ───
     "approx_distinct_users" -> ((s, dir) =>
       ev(s, dir).groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          count(lit(1)).as("n"))
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("n"),
+          (abs(approx_count_distinct(col("user_id")).cast("double") -
+            countDistinct(col("user_id")).cast("double")) /
+            countDistinct(col("user_id")).cast("double") <= 0.05)
+            .as("approx_within_tol"))
         .orderBy("event_type")),
 
     // ── Gap-based session windows (batch twin of session_window) ─────
@@ -746,6 +754,15 @@ object SparkEntry {
       s"""SELECT md5('[' || string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) || ']') AS batch_id,
          |       count(*) AS change_count
          |FROM events WHERE ts > TIMESTAMP '$WM'""".stripMargin,
+
+    "approx_distinct_users" ->
+      """SELECT event_type,
+        |       count(DISTINCT user_id) AS exact_users,
+        |       count(*) AS n,
+        |       abs(CAST(approx_count_distinct(user_id) AS DOUBLE)
+        |             - count(DISTINCT user_id))
+        |         / count(DISTINCT user_id) <= 0.05 AS approx_within_tol
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "event_type_stats" ->
       """SELECT event_type, count(*) AS n_events,

@@ -2,6 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types._
 
 /** Loaders for the driver-generated parquet test tables (see
   * /root/repo/TESTDATA.md). Schemas are fixed by the generator, so we rely
@@ -14,19 +15,25 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos (legacy conf) and
-    * truncate to a microsecond TimestampType — the same truncation DuckDB
-    * applies when casting ns→µs, so oracle comparisons line up.
-    *
-    * Side effect (deliberate, session-wide): `nanosAsLong` makes ANY
-    * nanos-timestamp parquet read in this session come back as long. Other
-    * readers of such files (e.g. a readStream over events) must apply
-    * [[tsFromNanos]] themselves. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tsFromNanos(table(spark, dir, "events"))
-  }
+  /** The events table's fixed generator schema, with `ts` requested as
+    * LongType: parquet TIMESTAMP(NANOS) is physically INT64, and an
+    * explicit user schema asking for long makes the reader hand back the
+    * raw nanos — scoped to this one read, with no session conf involved. */
+  val eventsNanosSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's schema inference
+    * rejects ([PARQUET_TYPE_ILLEGAL]). Read it under [[eventsNanosSchema]]
+    * (ts as raw nanos long — a per-read request, NOT the session-global
+    * `spark.sql.legacy.parquet.nanosAsLong` switch) and truncate to a
+    * microsecond TimestampType — the same truncation DuckDB applies when
+    * casting ns→µs, so oracle comparisons line up. Other nanos-parquet
+    * reads in the session are unaffected. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    tsFromNanos(spark.read.schema(eventsNanosSchema)
+      .parquet(s"$dir/events.parquet"))
 
   /** Convert a nanos-as-long `ts` column (read under `nanosAsLong`) to the
     * µs TimestampType the rest of the engine uses. */

@@ -54,8 +54,15 @@ case class DotProduct(left: Expression, right: Expression)
 
 object VectorExpressions {
   /** Register `graft_dot` in the session's function registry so it is
-    * usable from SQL text and `expr(...)`. Idempotent. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    * usable from SQL text and `expr(...)`. Prefer configuring
+    * [[GraftExtensions]] at session build; this is the fallback for
+    * sessions built without it. Check-first so repeated operator calls
+    * (and extension-configured sessions) don't churn the registry or log
+    * replace warnings. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")))
+      reg.createOrReplaceTempFunction(
+        "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  }
 }

@@ -17,14 +17,12 @@ class StreamingSpec extends AnyFunSuite {
     import graft.engine.Tables
     // stream the events table (ns-timestamp workaround applies) through an
     // event-time tumbling window with watermark, drain with AvailableNow
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the streaming file source needs a directory; stage the table file
     val dir = Files.createTempDirectory("events_stream")
     Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events.parquet"))
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val stream = Tables.tsFromNanos(
-      spark.readStream.schema(raw.schema).parquet(dir.toString))
+      spark.readStream.schema(Tables.eventsNanosSchema).parquet(dir.toString))
       .withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n"))
