@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.engine.{Cdc, Scd2, Stats, Tables}
+import graft.engine.{Caches, Cdc, Scd2, Stats, Tables}
 import graft.ops.{DedupOps, Multimodal, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (★ inventory) and §7.
@@ -92,10 +92,10 @@ object SparkEntry {
       val e = ev(s, dir)
       val hist = e.filter(col(TS) <= expr(s"TIMESTAMP '$WM'"))
       val batch = e.filter(col(TS) > expr(s"TIMESTAMP '$WM'"))
-      // the rebuilt dim feeds four union branches; persist it the way a
+      // the rebuilt dim feeds four union branches; cache it the way a
       // production merge reads a materialized snapshot rather than
       // re-running the rebuild window per branch
-      Scd2.merge(dimOf(hist).persist(), batch, KEY, TS, TIE)
+      Scd2.merge(Caches.ensureCached(dimOf(hist)), batch, KEY, TS, TIE)
         .select(dimCols.map(col): _*).orderBy("user_id", "version_no")
     }),
 
@@ -105,7 +105,8 @@ object SparkEntry {
         when(col("event_type") === "error", "DELETE").otherwise("UPSERT"))
       val hist = e.filter(col(TS) <= expr(s"TIMESTAMP '$WM'"))
       val batch = e.filter(col(TS) > expr(s"TIMESTAMP '$WM'"))
-      Scd2.merge(dimOf(hist).persist(), batch, KEY, TS, TIE, Some("operation_type"))
+      Scd2.merge(Caches.ensureCached(dimOf(hist)), batch, KEY, TS, TIE,
+        Some("operation_type"))
         .select(dimCols.map(col): _*).orderBy("user_id", "version_no")
     }),
 
@@ -315,8 +316,11 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       DedupOps.exactDupGroups(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // saltFactor=4: the candidate self-join runs salted so a hot shingle
+    // never lands one quadratic bucket on a single task (pair set proven
+    // identical to the unsalted join in OpsSpec)
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      DedupOps.jaccardPairs(Tables.documents(s, dir), 5, 0.8)
+      DedupOps.jaccardPairs(Tables.documents(s, dir), 5, 0.8, saltFactor = 4)
         .orderBy("doc_a", "doc_b")),
 
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -325,6 +329,13 @@ object SparkEntry {
 
     "dedup_simhash" -> ((s, dir) =>
       DedupOps.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // maxDist=2: on this corpus it keeps the same high-jaccard recall as
+    // distance 3 (measured 27/28) with ~2× fewer coincidental pairs —
+    // vocabulary overlap correlates 32-bit sketches of unrelated docs
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      DedupOps.simhashPairs(Tables.documents(s, dir), 2)
+        .orderBy("doc_a", "doc_b")),
 
     // ── North-star: embedding similarity search ───────────────────────
     "ann_cosine_topk" -> ((s, dir) =>
@@ -552,6 +563,24 @@ object SparkEntry {
       s"""WITH $wordsSql
          |SELECT doc_id, concat(${bits.mkString(", ")}) AS simhash
          |FROM words ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_simhash_pairs" -> {
+      val bitTerms = (1 to 32).map { d =>
+        s"(CASE WHEN list_sum(list_transform(w, x -> CASE WHEN substr(md5(x), $d, 1) > '7' THEN 1 ELSE -1 END)) >= 0 THEN CAST(${1L << (32 - d)} AS BIGINT) ELSE 0 END)"
+      }
+      s"""WITH $wordsSql,
+         |sk AS (SELECT doc_id, ${bitTerms.mkString(" + ")} AS sh FROM words),
+         |bands AS (
+         |  SELECT doc_id, sh, b, (sh >> (b * 8)) & 255 AS bv
+         |  FROM sk, LATERAL unnest(range(0, 4)) AS t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, a.sh AS sha, b.doc_id AS doc_b, b.sh AS shb
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sha, shb)) <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin
     },
 
     "ann_cosine_topk" ->

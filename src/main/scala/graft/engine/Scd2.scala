@@ -80,6 +80,26 @@ object Scd2 {
             key: String, ts: String, tie: String): DataFrame =
     merge(dim, batch, key, ts, tie, opCol = None)
 
+  /** An incremental-merge result: the rewritten dimension plus a cleanup
+    * releasing the cached routed batch. Call `cleanup()` after the result
+    * has been materialized (written/collected) — a long-running caller
+    * (one merge per streaming micro-batch) would otherwise accumulate one
+    * cache entry per batch. */
+  final case class MergeResult(dim: DataFrame, cleanup: () => Unit)
+
+  /** Broadcast-hint `df` only while the optimizer's size estimate is
+    * inside `autoBroadcastJoinThreshold`. A steady-state change batch is
+    * tiny and the hint keeps the dim side unshuffled; a backfill-sized
+    * batch must NOT be forced into a driver-side broadcast (OOM), so
+    * above the threshold the strategy is left to the planner/AQE, which
+    * picks sort-merge and can still convert at runtime if the actual
+    * size turns out small. */
+  private def maybeBroadcast(df: DataFrame): DataFrame = {
+    val threshold = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val estimate = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold > 0 && estimate <= threshold) broadcast(df) else df
+  }
+
   /** Op-aware merge: when `opCol` is set, a change whose op is DELETE
     * expires the key's current row and inserts nothing
     * (scd2_loader.py:409-446; DELETE of an absent key is a no-op,
@@ -89,7 +109,14 @@ object Scd2 {
     * which continues the key's version numbering from its last version. */
   def merge(dim: DataFrame, batch: DataFrame,
             key: String, ts: String, tie: String,
-            opCol: Option[String]): DataFrame = {
+            opCol: Option[String]): DataFrame =
+    mergeBatch(dim, batch, key, ts, tie, opCol).dim
+
+  /** [[merge]] returning a [[MergeResult]] whose `cleanup` unpersists the
+    * routed-batch cache once the merged dimension has been materialized. */
+  def mergeBatch(dim: DataFrame, batch: DataFrame,
+                 key: String, ts: String, tie: String,
+                 opCol: Option[String]): MergeResult = {
     val b = Cdc.dedupLastPerKey(batch, key, ts, tie)
     val cur = current(dim)
     // Per-key last-version metadata over ALL versions, not just current
@@ -112,9 +139,9 @@ object Scd2 {
     // branch (the change batch is small; the dim side is NOT cached here —
     // in production it is a stored snapshot whose re-scan is pruned I/O,
     // not recompute).
-    val routed = b.join(keyMeta, Seq(key), "left_outer")
-      .filter(col("_max_vn").isNull || col(ts) > col("_tl_end"))
-      .persist()
+    val routed = Caches.ensureCached(
+      b.join(keyMeta, Seq(key), "left_outer")
+        .filter(col("_max_vn").isNull || col(ts) > col("_tl_end")))
 
     val isDelete = opCol.map(c => col(c) === "DELETE").getOrElse(lit(false))
 
@@ -130,21 +157,23 @@ object Scd2 {
       .drop("_tl_end", "_max_vn", "_has_cur")
 
     // W2 expire (every routed change, delete or upsert): current row's
-    // valid_to := incoming change's event time.
+    // valid_to := incoming change's event time. The change-key side is
+    // broadcast only under the size guard — see [[maybeBroadcast]].
     val changedKeys = routed.select(col(key), col(ts).as("_new_ts"))
-    val expired = cur.join(broadcast(changedKeys), Seq(key), "inner")
+    val expired = cur.join(maybeBroadcast(changedKeys), Seq(key), "inner")
       .withColumn("valid_to", col("_new_ts"))
       .withColumn("is_current", lit(false))
       .drop("_new_ts")
 
     val curUnchanged =
-      cur.join(broadcast(changedKeys.select(col(key))), Seq(key), "left_anti")
+      cur.join(maybeBroadcast(changedKeys.select(col(key))), Seq(key), "left_anti")
 
     val cols = dim.columns.map(col)
-    dim.filter(!col("is_current"))
+    val result = dim.filter(!col("is_current"))
       .unionByName(curUnchanged)
       .unionByName(expired.select(cols: _*))
       .unionByName(newVersions.select(cols: _*))
+    MergeResult(result, () => { routed.unpersist(); () })
   }
 
   /** SCD2 invariant violations (verify_scd2.py:291-298): keys with more

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.engine.Caches
 
 /** Document deduplication for training-data pipelines: exact (hash
   * groups), n-gram Jaccard (shingle self-join), MinHash+LSH (banded
@@ -65,17 +66,31 @@ object DedupOps {
       .drop("_sa", "_sb")
 
   /** All-pairs n-gram Jaccard near-dup detection: pairs sharing ≥1 shingle,
-    * scored |A∩B| / |A∪B|, kept at `threshold`. */
-  def jaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    * scored |A∩B| / |A∪B|, kept at `threshold`.
+    *
+    * `saltFactor` > 1 salts the candidate self-join: side a gets one salt
+    * from its doc-id hash, side b is replicated once per salt, and the
+    * join key becomes (shingle, salt) — a hot shingle (stopword-only
+    * n-gram shared by millions of docs) is split across `saltFactor`
+    * partitions instead of landing one quadratic bucket on a single task.
+    * The pair set is identical to the unsalted join: each qualifying
+    * (a, b) pair matches exactly once, at b's replica of a's salt. */
+  def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                   saltFactor: Int = 1): DataFrame = {
     // The shingle-array table feeds candidate generation (exploded) and
     // scoring (arrays) — persist it instead of re-tokenizing per consumer.
     // At cluster scale this is the materialized shingle table every LSH
     // pipeline keeps.
-    val shl = shingleArrays(docs, n).persist()
+    val shl = Caches.ensureCached(shingleArrays(docs, n))
     val sh = shl.select(col("doc_id"), explode(col("shs")).as("shingle"))
-    val cand = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+    val a = sh.withColumn("_salt", pmod(hash(col("doc_id")), lit(saltFactor)))
+    val bRep = sh.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    val cand = a.as("a")
+      .join(bRep.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a._salt") === col("b._salt") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     jaccardOf(cand, shl)
@@ -113,13 +128,13 @@ object DedupOps {
   def minhashLshPairs(docs: DataFrame, n: Int, k: Int, bands: Int,
                       threshold: Double): DataFrame = {
     val rows = k / bands
-    val shl = shingleArrays(docs, n).persist()
+    val shl = Caches.ensureCached(shingleArrays(docs, n))
     // persist the (tiny) signature table: posexplode's Generate gets no
     // subexpression elimination, so without a barrier the whole
     // md5→conv→minhash chain is inlined into the band expression and
     // re-derived per band element per join side (measured ~20× the
     // signature cost)
-    val sig = minhashSignatures(shl, k).persist()
+    val sig = Caches.ensureCached(minhashSignatures(shl, k))
     val bandExpr =
       s"transform(sequence(0, ${bands - 1}), b -> md5(concat_ws('_', " +
         (0 until rows).map(r => s"cast(sig[b * $rows + $r] as string)").mkString(", ") + ")))"
@@ -147,5 +162,57 @@ object DedupOps {
     docs.select(col("doc_id"), TextOps.normWords(col("text")).as("w"))
       .select(col("doc_id"),
         expr(s"concat(${bitExprs.mkString(", ")})").as("simhash"))
+  }
+
+  /** 32-bit SimHash packed into a long — the pairing-grade sketch (16 bits
+    * collide too often to band). Dimension d (1..32) takes the high bit of
+    * hex digit d of each word's md5; bit d of the sketch is the sign of
+    * the ±1 sum, packed big-endian. Single-pass shape: one md5 per word
+    * (materialized in its own projection — the Generate/HOF subexpression
+    * trap), then ONE fold carrying a 32-wide count vector (32 separate
+    * sign-folds would re-iterate the word array 32× per row), then one
+    * pack projection. Exact integer arithmetic throughout, so the result
+    * is order-independent and bit-identical to the oracle's per-dimension
+    * sums. */
+  def simhashLong(docs: DataFrame): DataFrame = {
+    val countsExpr =
+      "aggregate(h, array_repeat(0, 32), (acc, x) -> " +
+        "zip_with(acc, sequence(1, 32), (a, d) -> " +
+        "a + (CASE WHEN substr(x, d, 1) > '7' THEN 1 ELSE -1 END)))"
+    val packTerms = (1 to 32).map { d =>
+      s"(CASE WHEN c[${d - 1}] >= 0 THEN ${1L << (32 - d)}L ELSE 0L END)"
+    }
+    docs.select(col("doc_id"), TextOps.normWords(col("text")).as("w"))
+      .select(col("doc_id"), expr("transform(w, x -> md5(x))").as("h"))
+      .select(col("doc_id"), expr(countsExpr).as("c"))
+      .select(col("doc_id"), expr(packTerms.mkString(" + ")).as("sh"))
+  }
+
+  /** SimHash near-duplicate pairs at Hamming distance ≤ `maxDist` (< 8):
+    * the 32-bit sketch is cut into 4 bands of 8 bits; by pigeonhole, any
+    * pair within distance ≤ 3 agrees exactly on at least one band, so the
+    * band equi-join generates every qualifying pair (plus a few
+    * extra-band collisions), then `bit_count(xor)` verifies the exact
+    * distance. This is the banded construction that makes simhash dedup
+    * O(docs × bands) at 100 TB — candidates come from hash-bucket joins,
+    * never an all-pairs comparison; the sketch rides along the join so
+    * verification needs no second lookup. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist < 8, "4 bands of 8 bits guarantee recall only for maxDist <= 7")
+    val sk = Caches.ensureCached(simhashLong(docs))
+    val banded = sk.select(col("doc_id"), col("sh"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> cast(shiftright(sh, b * 8) & 255 as int))"))
+        .as(Seq("band", "bv")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.sh").as("_sha"),
+        col("b.doc_id").as("doc_b"), col("b.sh").as("_shb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(bit_count(_sha ^ _shb) as bigint)").as("hamming"))
+      .filter(col("hamming") <= maxDist)
   }
 }

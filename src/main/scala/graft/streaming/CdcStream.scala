@@ -29,11 +29,10 @@ object CdcStream {
     * the SCD2 snapshot at `store`. One micro-batch ≙ one change batch.
     * Pass `opCol` to honor DELETE change records (expire, insert nothing).
     *
-    * Cache hygiene: [[Scd2.merge]] persists its routed batch for intra-job
-    * reuse; a long-running stream would accumulate one cached plan per
-    * micro-batch, so the session cache is cleared after each publish
-    * (callers should give the stream its own session if they hold other
-    * caches).
+    * Cache hygiene: [[Scd2.mergeBatch]] caches its routed batch for
+    * intra-job reuse and hands back the cleanup; it is invoked after each
+    * publish, so a long-running stream holds at most one routed-batch
+    * cache entry at a time and caller-held caches are untouched.
     */
   def start(spark: SparkSession, inDir: String, checkpointDir: String,
             store: SnapshotStore, schema: StructType,
@@ -51,8 +50,9 @@ object CdcStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val dim = store.read().getOrElse(Scd2.rebuild(batch.limit(0), key, ts, tie))
-          store.publish(Scd2.merge(dim, batch, key, ts, tie, opCol))
-          batch.sparkSession.catalog.clearCache()
+          val merged = Scd2.mergeBatch(dim, batch, key, ts, tie, opCol)
+          store.publish(merged.dim)
+          merged.cleanup()
         }
         ()
       }

@@ -69,6 +69,33 @@ class Scd2Spec extends AnyFunSuite {
       once.orderBy("user_id", "version_no").collect().toSeq)
   }
 
+  test("merge above the broadcast threshold falls back to sort-merge join") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // -1 disables broadcasting: every batch estimate is "above threshold",
+      // so the guard must leave the join strategy to the planner
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // unique split: other suites cache merge intermediates for the usual
+      // split points, and a cache hit would replay a plan whose INNER
+      // joins were planned under the default threshold (their embedded
+      // BroadcastHashJoin would trip the plan-string assertion below)
+      val split = "2024-01-18 12:00:00"
+      val hist = events.filter($"ts" <= lit(split))
+      val batch = events.filter($"ts" > lit(split))
+      val merged = Scd2.merge(Scd2.rebuild(hist, "user_id", "ts", "event_id"),
+        batch, "user_id", "ts", "event_id")
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"))
+      assert(plan.contains("SortMergeJoin"))
+      // same result as the broadcast path
+      val expected = Scd2.rebuild(
+        hist.unionByName(Cdc.dedupLastPerKey(batch, "user_id", "ts", "event_id")),
+        "user_id", "ts", "event_id")
+      assert(merged.orderBy("user_id", "version_no").collect().toSeq ===
+        expected.orderBy("user_id", "version_no").collect().toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("merging an empty batch is a no-op") {
     val merged = Scd2.merge(dim, events.limit(0), "user_id", "ts", "event_id")
     assert(merged.count() === dim.count())

@@ -60,9 +60,15 @@ class StreamingSpec extends AnyFunSuite {
 
     val schema = changes.schema
     val store = new SnapshotStore(spark, snap)
+    // a caller-held cache must survive the stream's per-batch cleanup
+    // (the old implementation cleared the WHOLE session cache per batch)
+    val callerCache = spark.range(100).toDF("n").persist()
+    callerCache.count()
     val q = CdcStream.start(spark, s"$in/changes_*.json", ckpt, store, schema,
       "order_key", "cdc_timestamp", "change_id")
     q.awaitTermination()
+    assert(callerCache.storageLevel !== org.apache.spark.storage.StorageLevel.NONE)
+    callerCache.unpersist()
 
     val dim = store.read().get
     // invariants
