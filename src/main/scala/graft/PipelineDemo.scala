@@ -60,6 +60,14 @@ object PipelineDemo {
       s"current=${Scd2.current(dim).count()} " +
       s"dupCurrentKeys=${Scd2.duplicateCurrentKeys(dim, K).count()}")
 
+    // per-key lineage observability (reference verify_scd2.py:344-495):
+    // report the most-versioned key's full timeline
+    val hotKey = Stats.changeFrequency(dim, K)
+      .orderBy(org.apache.spark.sql.functions.desc("n_versions"),
+        org.apache.spark.sql.functions.col(K))
+      .first().getAs[Long](K)
+    println(graft.engine.Lineage.report(dim, K, hotKey))
+
     // replay: nothing should change
     val v0 = store.currentVersion().get
     val todo2 = ledger.unprocessed(files).count()

@@ -348,6 +348,12 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) =>
       SimilarityOps.ivfTopK(Tables.embeddings(s, dir), 0L, 10)),
 
+    // IVF over TRAINED cells: deterministic Lloyd's k-means (k=8, 2
+    // iterations, lowest-id init), then probe the query's nearest cell —
+    // the oracle replays the identical training as an unrolled CTE chain
+    "ann_ivf_kmeans_topk" -> ((s, dir) =>
+      SimilarityOps.ivfKmeansTopK(Tables.embeddings(s, dir), 0L, 10)),
+
     "ann_lsh_buckets" -> ((s, dir) =>
       SimilarityOps.lshBuckets(Tables.embeddings(s, dir), 16)
         .orderBy("signature")),
@@ -614,6 +620,50 @@ object SparkEntry {
          |SELECT e.vec_id, e.label, round(${cosSql("v", "qv")}, 6) AS cosine
          |FROM e JOIN best USING (label), q WHERE vec_id <> 0
          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "ann_ivf_kmeans_topk" -> {
+      // Unrolled Lloyd's iterations mirroring [[SimilarityOps.kmeansCentroids]]:
+      // same init (8 lowest vec_ids), same left-fold squared-L2, same
+      // DECIMAL(30,9) mean accumulation, same lowest-cluster tie-break,
+      // same empty-cluster fallback (coalesce to the previous centroid).
+      val iters = 2
+      def dSql(a: String, b: String) =
+        s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, el) -> acc + el)"
+      def iterCte(t: Int): String =
+        s"""a$t AS (
+           |  SELECT vec_id, v, cl FROM (
+           |    SELECT e.vec_id, e.v, c.cl,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${dSql("e.v", "c.cv")}, c.cl) AS rn
+           |    FROM e, c${t - 1} c) WHERE rn = 1),
+           |s$t AS (
+           |  SELECT cl, i, CAST(sum(CAST(v[i] AS DECIMAL(30,9))) AS DOUBLE) / count(*) AS m
+           |  FROM a$t, LATERAL unnest(range(1, 65)) AS ts$t(i) GROUP BY cl, i),
+           |p$t AS (SELECT cl, i, cv[i] AS pv FROM c${t - 1}, LATERAL unnest(range(1, 65)) AS tp$t(i)),
+           |c$t AS (
+           |  SELECT cl, list(coalesce(m, pv) ORDER BY i) AS cv
+           |  FROM p$t LEFT JOIN s$t USING (cl, i) GROUP BY cl)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
+         |  FROM e ORDER BY vec_id LIMIT 8),
+         |${(1 to iters).map(iterCte).mkString(",\n")},
+         |fin AS (
+         |  SELECT vec_id, v, cl FROM (
+         |    SELECT e.vec_id, e.v, c.cl,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${dSql("e.v", "c.cv")}, c.cl) AS rn
+         |    FROM e, c$iters c) WHERE rn = 1),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |best AS (
+         |  SELECT cl FROM c$iters, q
+         |  ORDER BY ${dSql("cv", "qv")}, cl LIMIT 1)
+         |SELECT f.vec_id, CAST(f.cl AS BIGINT) AS cluster,
+         |       round(${cosSql("f.v", "qv")}, 6) AS cosine
+         |FROM fin f JOIN best USING (cl), q
+         |WHERE f.vec_id <> 0
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+    },
 
     "ann_lsh_buckets" -> {
       val bits = (0 until 16).map { p =>

@@ -71,6 +71,26 @@ object Stats {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
   }
 
+  /** Native `session_window` aggregation — the same declaration runs over
+    * batch AND streaming inputs (the streaming twin of [[sessionize]],
+    * SURVEY §2.9; the reference's polling loop is the use-case users port
+    * first). Observable columns match [[sessionize]] minus the per-key
+    * ordinal: session boundaries come from min/max event time rather than
+    * the window struct (whose end is last-event + gap), so the output
+    * compares exactly against the gaps-and-islands formulation. In
+    * streaming, group state holds only open sessions per key and the
+    * watermark (append mode) or the sink (complete mode) bounds it. */
+  def sessionWindowAgg(events: DataFrame, key: String, ts: String,
+                       gap: String): DataFrame =
+    events.groupBy(session_window(col(ts), gap), col(key))
+      .agg(
+        min(col(ts)).as("session_start"),
+        max(col(ts)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col(key), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+
   /** A6-shaped windowed stats (pipeline_metadata.py:301-315): aggregates
     * restricted to the trailing `days` of event time, grouped by type.
     * The lookback bound is the data's own max ts (a broadcast one-row

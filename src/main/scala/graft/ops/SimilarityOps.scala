@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.engine.Caches
 import graft.functions.VectorExpressions
 
 /** Embedding similarity search: brute-force cosine top-k (the exactness
@@ -119,6 +120,74 @@ object SimilarityOps {
       .select(col("vec_id"), col("label"), round(cosine("v", "qv"), 6).as("cosine"))
       .orderBy(desc("cosine"), col("vec_id"))
       .limit(k)
+  }
+
+  /** Squared-L2 distance between a vector column and a fixed centroid,
+    * as an in-order fold `((0 + d0²) + d1²) + …` — both engines fold left,
+    * so assignments are bit-reproducible. Centroids travel as typed
+    * literals (never through SQL text, which would round-trip doubles
+    * through strings). */
+  private def dist2(v: Column, centroid: Seq[Double]): Column =
+    aggregate(zip_with(v, typedlit(centroid), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Nearest-centroid id (0-based) for a vector column: first index
+    * achieving the minimal distance, so ties break to the lowest cluster
+    * — the same rule the oracle's `ORDER BY dist, cl LIMIT 1` applies. */
+  def assignCluster(v: Column, centroids: Seq[Seq[Double]]): Column = {
+    val dists = array(centroids.map(c => dist2(v, c)): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Deterministic Lloyd's k-means over (vec_id, v) rows: init = the `k`
+    * lowest vec_ids in id order (seeded, engine-portable — production
+    * would swap in k-means||), then `iters` fixed iterations of
+    * assign-by-L2 / per-dimension mean. Means accumulate in DECIMAL
+    * (order-independent) and divide as doubles (one IEEE op), so every
+    * iteration — and therefore the final assignment — is bit-identical to
+    * the oracle's unrolled CTE chain. An emptied cluster keeps its
+    * previous centroid. Per iteration: one distributed assignment pass +
+    * one (cluster, dim) shuffle; only the k×dims means are collected —
+    * the same driver-sized control flow MLlib's k-means uses. */
+  def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] = {
+    val e = Caches.ensureCached(vecs.select(col("vec_id"), col("v")))
+    val init: Seq[Seq[Double]] = e.orderBy("vec_id").limit(k)
+      .select("v").collect().toSeq.map(_.getSeq[Double](0).toIndexedSeq)
+    (1 to iters).foldLeft(init) { (cents, _) =>
+      val means = e.withColumn("cl", assignCluster(col("v"), cents))
+        .select(col("cl"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cl", "pos")
+        .agg((sum(col("x").cast("decimal(30,9)")).cast("double") /
+          count(lit(1))).as("m"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      cents.zipWithIndex.map { case (c, ci) =>
+        c.indices.map(p => means.getOrElse((ci, p), c(p)))
+      }
+    }
+  }
+
+  /** IVF ANN over TRAINED cells: k-means centroids (not given labels),
+    * corpus assigned to its nearest centroid, the query probes its own
+    * nearest cell only, brute-force cosine top-k inside it. Same
+    * two-stage scale shape as [[ivfTopK]] — tiny broadcast centroid
+    * table, 1/k of the corpus scanned per query — with the training step
+    * a real pipeline needs on an unlabeled corpus. */
+  def ivfKmeansTopK(embeddings: DataFrame, queryId: Long, topK: Int,
+                    k: Int = 8, iters: Int = 2): DataFrame = {
+    VectorExpressions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+    val cents = kmeansCentroids(e, k, iters)
+    val assigned = e.withColumn("cluster",
+      assignCluster(col("v"), cents).cast("long"))
+    val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val best = q.select(assignCluster(col("qv"), cents).cast("long").as("cluster"))
+    assigned.join(broadcast(best), "cluster")
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("cluster"), round(cosine("v", "qv"), 6).as("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(topK)
   }
 
   /** LSH bucket statistics: signature → vector count + min id. */

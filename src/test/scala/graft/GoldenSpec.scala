@@ -97,4 +97,55 @@ class GoldenSpec extends AnyFunSuite {
     assert(k3(0).getAs[Int]("quantity") === 3 && !k3(0).getAs[Boolean]("is_current"))
     assert(k3(1).getAs[Int]("quantity") === 4 && k3(1).getAs[Boolean]("is_current"))
   }
+
+  test("lineage report golden-compares for reference sample key 1") {
+    import graft.engine.Lineage
+    val empty = Scd2.rebuild(batch1.limit(0), K, TS, TIE)
+    val dim2 = Scd2.merge(Scd2.merge(empty, batch1, K, TS, TIE), batch2, K, TS, TIE)
+    val got = Lineage.report(
+      dim2.select("order_key", "order_status", "quantity", "total_amount",
+        "valid_from", "valid_to", "is_current", "version_no", "cdc_operation"),
+      K, 1L)
+    val expected =
+      """# SCD Type 2 Lineage Report
+        |
+        |**Key:** order_key = 1
+        |**Status:** PASSED
+        |
+        |## Validation
+        |
+        |- **Has Current Record:** PASS
+        |- **Single Current Record:** PASS
+        |- **Current Is Last Version:** PASS
+        |- **Contiguous Intervals:** PASS
+        |- **Version Numbering 1..n:** PASS
+        |
+        |## Lineage Timeline
+        |
+        |### Version 1 (historical)
+        |
+        |- **Valid From:** 2026-02-01 09:00:00.0
+        |- **Valid To:** 2026-02-01 10:05:00.0
+        |- **CDC Operation:** INSERT
+        |- **order_status:** pending
+        |- **quantity:** 2
+        |- **total_amount:** 59.98
+        |
+        |### Version 2 (current)
+        |
+        |- **Valid From:** 2026-02-01 10:05:00.0
+        |- **Valid To:** NULL (Current)
+        |- **CDC Operation:** UPDATE
+        |- **order_status:** confirmed
+        |- **quantity:** 2
+        |- **total_amount:** 59.98
+        |
+        |## Key Metrics
+        |
+        |- **Total Versions:** 2
+        |- **Current Records:** 1
+        |- **Historical Records:** 1
+        |""".stripMargin
+    assert(got === expected)
+  }
 }

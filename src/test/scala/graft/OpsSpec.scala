@@ -104,6 +104,28 @@ class OpsSpec extends AnyFunSuite {
     assert(!top.map(_._1).contains(0L)) // query excluded
   }
 
+  test("k-means IVF: deterministic training, recall overlaps brute force") {
+    val e = Tables.embeddings(spark, sfDir)
+    val r1 = SimilarityOps.ivfKmeansTopK(e, 0L, 10).collect().toSeq
+    val r2 = SimilarityOps.ivfKmeansTopK(e, 0L, 10).collect().toSeq
+    assert(r1 === r2) // bit-stable across runs (seeded init, exact arithmetic)
+    assert(r1.size === 10)
+    assert(r1.map(_.getLong(1)).distinct.size === 1) // all from ONE probed cell
+
+    // training moved the centroids: assignments differ from the naive
+    // lowest-id-init assignment after 0 iterations
+    val vecs = e.select($"vec_id", SimilarityOps.asDoubleVec($"embedding").as("v"))
+    val c0 = SimilarityOps.kmeansCentroids(vecs, 8, 0)
+    val c2 = SimilarityOps.kmeansCentroids(vecs, 8, 2)
+    assert(c0 !== c2)
+
+    // single-cell probe of a trained 8-cell index keeps useful recall@10
+    val bf = SimilarityOps.cosineTopK(e, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = r1.map(_.getLong(0)).toSet
+    assert(bf.intersect(ivf).size >= 3)
+  }
+
   test("LSH signatures are deterministic and identical for identical vectors") {
     val e = Tables.embeddings(spark, sfDir).limit(50)
     val s1 = SimilarityOps.lshBuckets(e, 16).orderBy("signature").collect().toSeq

@@ -46,6 +46,38 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("native session_window (streaming) matches batch gaps-and-islands sessionize") {
+    import graft.engine.{Stats, Tables}
+    // stage events as 3 JSON micro-batch files; ts travels as exact unix
+    // micros (a JSON timestamp string would round-trip at ms precision and
+    // shift session boundaries against the batch oracle)
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val staged = ev.withColumn("ts", expr("unix_micros(ts)"))
+    val n = staged.count()
+    val in = Files.createTempDirectory("sess_in").toString
+    val nFiles = ChangeGen.writeBatchFiles(staged, "event_id", 3, n / 3 + 1, in)
+    assert(nFiles === 3)
+
+    val stream = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1").json(s"$in/changes_*.json")
+      .withColumn("ts", expr("timestamp_micros(ts)"))
+    val q = Stats.sessionWindowAgg(stream, "user_id", "ts", "2 hours")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_native")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val cols = Seq("user_id", "session_start", "session_end", "n_events", "total_value")
+    val got = spark.table("sess_native").select(cols.map(col): _*)
+      .orderBy("user_id", "session_start").collect().toSeq
+    val expected = Stats.sessionize(ev, "user_id", "ts", "event_id", 7200)
+      .select(cols.map(col): _*)
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("stream merges batches into a valid dimension, checkpoint is exactly-once") {
     val in = Files.createTempDirectory("cdc_in").toString
     val ckpt = Files.createTempDirectory("cdc_ckpt").toString
