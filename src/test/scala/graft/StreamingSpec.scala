@@ -4,7 +4,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.engine.{Cdc, ChangeGen, Scd2, SnapshotStore}
-import graft.streaming.CdcStream
+import graft.streaming.{CdcStream, GracefulShutdown}
 
 /** End-to-end streaming CDC → SCD2: JSON change-batch files drained with
   * Trigger.AvailableNow through foreachBatch merge + atomic snapshot swap;
@@ -121,5 +121,51 @@ class StreamingSpec extends AnyFunSuite {
       "order_key", "cdc_timestamp", "change_id")
     q2.awaitTermination()
     assert(store.currentVersion().get === vBefore)
+  }
+
+  test("graceful shutdown drains at a batch boundary, runs cleanups, preserves state") {
+    val in = Files.createTempDirectory("gs_in").toString
+    val ckpt = Files.createTempDirectory("gs_ckpt").toString
+    val snap = Files.createTempDirectory("gs_snap").toString
+    val changes = ChangeGen.changes(spark, 300, 30, seed = 23)
+      .select("change_id", "cdc_timestamp", "order_key", "operation_type",
+        "order_status", "quantity", "unit_price", "total_amount")
+    ChangeGen.writeBatchFiles(changes, "change_id", 3, 100, in)
+    val store = new SnapshotStore(spark, snap)
+
+    // continuous trigger (NOT AvailableNow): the long-running-service shape
+    // the shutdown handler exists for
+    val q = CdcStream.start(spark, s"$in/changes_*.json", ckpt, store,
+      changes.schema, "order_key", "cdc_timestamp", "change_id",
+      availableNow = false)
+    // let the stream consume everything, as a steady-state service would be
+    // between batches when the signal lands
+    // snapshot versions are 0-based: 3 published batches → version 2
+    val deadline = System.currentTimeMillis + 120000
+    while (store.currentVersion().getOrElse(-1L) < 2L &&
+      System.currentTimeMillis < deadline) Thread.sleep(100)
+    assert(store.currentVersion().get === 2L)
+
+    val gs = new GracefulShutdown
+    var cleaned = Seq.empty[String]
+    gs.registerCleanup(() => cleaned :+= "ledger")
+    gs.registerCleanup(() => throw new RuntimeException("boom")) // tolerated
+    gs.registerCleanup(() => cleaned :+= "metrics")
+    assert(!gs.shutdownRequested)
+    val drained = gs.drainAndStop(q, timeoutMs = 30000)
+    assert(drained && !q.isActive)
+    assert(gs.shutdownRequested)
+    assert(cleaned === Seq("ledger", "metrics")) // order kept, failure tolerated
+    assert(gs.cleanupFailures.map(_.getMessage) === Seq("boom"))
+
+    // state is consistent at the stopped boundary: invariants hold and a
+    // restart from the same checkpoint reprocesses nothing
+    val dim = store.read().get
+    assert(Scd2.duplicateCurrentKeys(dim, "order_key").count() === 0)
+    assert(dim.filter($"is_current" =!= $"valid_to".isNull).count() === 0)
+    val q2 = CdcStream.start(spark, s"$in/changes_*.json", ckpt, store,
+      changes.schema, "order_key", "cdc_timestamp", "change_id")
+    q2.awaitTermination()
+    assert(store.currentVersion().get === 2L)
   }
 }
