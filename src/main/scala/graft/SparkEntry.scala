@@ -330,6 +330,14 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       DedupOps.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // Transitive closure of the LSH near-dup pairs: connected components
+    // by min-label propagation; every doc labeled with its group survivor
+    "dedup_groups" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.dupGroups(docs, DedupOps.minhashLshPairs(docs, 5, 8, 4, 0.8))
+        .orderBy("doc_id")
+    }),
+
     // maxDist=2: on this corpus it keeps the same high-jaccard recall as
     // distance 3 (measured 27/28) with ~2× fewer coincidental pairs —
     // vocabulary overlap correlates 32-bit sketches of unrelated docs
@@ -397,6 +405,33 @@ object SparkEntry {
       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The MinHash+LSH candidate chain (shl → … → inter) shared by the
+    * pair oracle and the dup-group oracle — mirror of
+    * [[DedupOps.minhashLshPairs]] up to candidate verification. */
+  private val minhashChainSql =
+    """shl AS (SELECT doc_id, list(shingle) AS shs FROM sh GROUP BY doc_id),
+      |hashed AS (
+      |  SELECT doc_id,
+      |         list_transform(shs, sgl -> CAST(('0x' || substr(md5(sgl), 1, 10)) AS BIGINT)) AS a1,
+      |         list_transform(shs, sgl -> CAST(('0x' || substr(md5(sgl), 11, 10)) AS BIGINT)) AS a2
+      |  FROM shl),
+      |sig AS (
+      |  SELECT doc_id,
+      |         [list_min(list_transform(list_zip(a1, a2), p -> p[1] + i * p[2])) for i in range(0, 8)] AS s
+      |  FROM hashed),
+      |bands AS (
+      |  SELECT doc_id, b, md5(CAST(s[2*b + 1] AS VARCHAR) || '_' || CAST(s[2*b + 2] AS VARCHAR)) AS bh
+      |  FROM sig, LATERAL unnest(range(0, 4)) AS t(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS i
+      |  FROM cand c
+      |  JOIN sh a ON a.doc_id = c.doc_a
+      |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      |  GROUP BY 1, 2)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -422,6 +457,7 @@ object SparkEntry {
       """SELECT doc_id,
         |       len(string_split(text, ' ')) AS n_ws_tokens,
         |       len(regexp_extract_all(lower(text), '[a-z]+')) AS n_alpha_tokens,
+        |       len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS n_bpeish_tokens,
         |       length(text) AS n_chars_calc
         |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -538,29 +574,30 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""WITH $wordsSql,
          |$shSql,
-         |shl AS (SELECT doc_id, list(shingle) AS shs FROM sh GROUP BY doc_id),
-         |hashed AS (
-         |  SELECT doc_id,
-         |         list_transform(shs, sgl -> CAST(('0x' || substr(md5(sgl), 1, 10)) AS BIGINT)) AS a1,
-         |         list_transform(shs, sgl -> CAST(('0x' || substr(md5(sgl), 11, 10)) AS BIGINT)) AS a2
-         |  FROM shl),
-         |sig AS (
-         |  SELECT doc_id,
-         |         [list_min(list_transform(list_zip(a1, a2), p -> p[1] + i * p[2])) for i in range(0, 8)] AS s
-         |  FROM hashed),
-         |bands AS (
-         |  SELECT doc_id, b, md5(CAST(s[2*b + 1] AS VARCHAR) || '_' || CAST(s[2*b + 2] AS VARCHAR)) AS bh
-         |  FROM sig, LATERAL unnest(range(0, 4)) AS t(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         |inter AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS i
-         |  FROM cand c
-         |  JOIN sh a ON a.doc_id = c.doc_a
-         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-         |  GROUP BY 1, 2),
-         |$jaccardTailSql""".stripMargin,
+         |$minhashChainSql,
+         |$jaccardTailSql""".stripMargin
+
+    ,
+
+    "dedup_groups" ->
+      s"""WITH RECURSIVE $wordsSql,
+         |$shSql,
+         |$minhashChainSql,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+         |             JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |walk(u, l) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.u, w.l FROM edges e JOIN walk w ON w.u = e.v)
+         |SELECT u AS doc_id, min(l) AS group_id
+         |FROM walk GROUP BY u ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" -> {
       val bits = (1 to 16).map { d =>

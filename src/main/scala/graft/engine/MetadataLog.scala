@@ -19,16 +19,69 @@ class MetadataLog(spark: SparkSession, path: String) {
     * tie-break — 'running' would lexicographically beat 'completed'). */
   private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** metrics is the reference's JSONB column as a JSON string. */
+  private type Event = (String, String, String, Long,
+    Option[String], Option[String], Timestamp, Long)
+  private val pending = scala.collection.mutable.Buffer.empty[Event]
+  private val cols = Seq("pipeline_name", "run_id", "status",
+    "records_processed", "error_message", "performance_metrics",
+    "event_time", "seq")
+
+  /** metrics is the reference's JSONB column as a JSON string.
+    * Writes immediately (one file per event) — fine for a demo/test
+    * cadence; at production event rates use [[recordBuffered]]+[[flush]]
+    * so a whole batch of status events lands as one file, and [[compact]]
+    * periodically to bound the file count. */
   def record(pipelineName: String, runId: String, status: String,
              recordsProcessed: Long, errorMessage: String = null,
              metricsJson: String = null, at: Timestamp = null): Unit = {
-    val ts = Option(at).getOrElse(new Timestamp(System.currentTimeMillis()))
-    Seq((pipelineName, runId, status, recordsProcessed,
-      Option(errorMessage), Option(metricsJson), ts, seq.incrementAndGet()))
-      .toDF("pipeline_name", "run_id", "status", "records_processed",
-        "error_message", "performance_metrics", "event_time", "seq")
-      .write.mode("append").parquet(path)
+    recordBuffered(pipelineName, runId, status, recordsProcessed,
+      errorMessage, metricsJson, at)
+    flush()
+  }
+
+  /** Queue a status event driver-side; nothing is written until
+    * [[flush]]. */
+  def recordBuffered(pipelineName: String, runId: String, status: String,
+                     recordsProcessed: Long, errorMessage: String = null,
+                     metricsJson: String = null, at: Timestamp = null): Unit =
+    synchronized {
+      val ts = Option(at).getOrElse(new Timestamp(System.currentTimeMillis()))
+      pending += ((pipelineName, runId, status, recordsProcessed,
+        Option(errorMessage), Option(metricsJson), ts, seq.incrementAndGet()))
+    }
+
+  /** Write all queued events as ONE parquet append (one file, not one
+    * per event). */
+  def flush(): Unit = synchronized {
+    if (pending.nonEmpty) {
+      pending.toSeq.toDF(cols: _*)
+        .coalesce(1).write.mode("append").parquet(path)
+      pending.clear()
+    }
+  }
+
+  /** Rewrite the accumulated log into `targetFiles` files — the
+    * compaction any small-event parquet log needs to stay listable.
+    * Local-FS swap (write aside, then replace); a production deployment
+    * would keep the log in a versioned/table format where compaction is
+    * native. Returns (files before, files after). */
+  def compact(targetFiles: Int = 1): (Int, Int) = {
+    import java.nio.file.{Files, Paths}
+    def partFiles() = {
+      val s = Files.list(Paths.get(path))
+      try s.filter(p => p.getFileName.toString.startsWith("part-")).count().toInt
+      finally s.close()
+    }
+    val before = partFiles()
+    val tmp = path + "_compacting"
+    read().coalesce(targetFiles).write.mode("overwrite").parquet(tmp)
+    val dir = Paths.get(path)
+    val del = Files.walk(dir)
+    try del.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.delete(p))
+    finally del.close()
+    Files.move(Paths.get(tmp), dir)
+    (before, partFiles())
   }
 
   def read(): DataFrame = spark.read.parquet(path)

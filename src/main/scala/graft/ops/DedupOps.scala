@@ -151,6 +151,49 @@ object DedupOps {
       .select("doc_a", "doc_b", "i", "jaccard")
   }
 
+  /** Transitive duplicate groups from a near-dup pair relation: connected
+    * components of the (doc_a, doc_b) graph, each doc labeled with the
+    * minimum doc_id of its component (the canonical survivor). Docs in no
+    * pair form singleton groups.
+    *
+    * Algorithm: distributed min-label propagation — every doc starts as
+    * its own label; each round a doc adopts the minimum label among
+    * itself and its neighbors (one join + one hash-agg per round); stop
+    * at the fixpoint (no label changed). Rounds ≤ graph diameter, and
+    * near-dup components are short-diameter cliques in practice. The
+    * driver only counts changes — labels never leave the cluster. At
+    * 100 TB diameters, swap the per-round step for the large-star /
+    * small-star contraction (same join primitives, O(log n) rounds). */
+  def dupGroups(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist()
+    edges.count() // materialize once; reused every round
+    // only docs appearing in ≥1 pair can ever change label — iterate over
+    // that (small) set and re-attach the singleton majority at the end.
+    // At 100 TB this is the difference between propagating labels across
+    // the whole corpus and across the near-dup subgraph only.
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("group_id", col("doc_id")).persist()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbors = edges
+        .join(labels.select(col("doc_id").as("v"), col("group_id")), "v")
+        .select(col("u").as("doc_id"), col("group_id"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy("doc_id").agg(min(col("group_id")).as("group_id"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("group_id", "_prev"), "doc_id")
+        .filter(col("group_id") =!= col("_prev")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    docs.select("doc_id").join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("group_id"))
+  }
+
   /** 16-bit SimHash sketch from md5 nibbles: dimension d takes the high
     * bit of hex digit d of each word's md5; the sketch bit is the sign of
     * the ±1 sum. Pure per-row fold — no shuffle, scan-speed at any scale.

@@ -168,21 +168,35 @@ object SimilarityOps {
   }
 
   /** IVF ANN over TRAINED cells: k-means centroids (not given labels),
-    * corpus assigned to its nearest centroid, the query probes its own
-    * nearest cell only, brute-force cosine top-k inside it. Same
+    * corpus assigned to its nearest centroid, the query probes its
+    * `nprobe` nearest cells, brute-force cosine top-k inside them. Same
     * two-stage scale shape as [[ivfTopK]] — tiny broadcast centroid
-    * table, 1/k of the corpus scanned per query — with the training step
-    * a real pipeline needs on an unlabeled corpus. */
+    * table, nprobe/k of the corpus scanned per query — with the training
+    * step a real pipeline needs on an unlabeled corpus. `nprobe` is the
+    * recall/latency dial: 1 = fastest, k = exhaustive (provably equal to
+    * brute force — asserted in OpsSpec). */
   def ivfKmeansTopK(embeddings: DataFrame, queryId: Long, topK: Int,
-                    k: Int = 8, iters: Int = 2): DataFrame = {
-    VectorExpressions.register(embeddings.sparkSession)
+                    k: Int = 8, iters: Int = 2, nprobe: Int = 1): DataFrame = {
+    val spark = embeddings.sparkSession
+    VectorExpressions.register(spark)
+    import spark.implicits._
     val e = embeddings.select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
     val cents = kmeansCentroids(e, k, iters)
     val assigned = e.withColumn("cluster",
       assignCluster(col("v"), cents).cast("long"))
     val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
-    val best = q.select(assignCluster(col("qv"), cents).cast("long").as("cluster"))
-    assigned.join(broadcast(best), "cluster")
+    // nprobe nearest cells by the same in-order L2 fold used for
+    // assignment (ties → lowest cluster), mirroring the oracle's
+    // ORDER BY dist, cl LIMIT nprobe
+    val centsDf = cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("cluster", "c")
+    val probed = centsDf.crossJoin(broadcast(q))
+      .orderBy(
+        aggregate(zip_with(col("c"), col("qv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x),
+        col("cluster"))
+      .select("cluster").limit(nprobe)
+    assigned.join(broadcast(probed), "cluster")
       .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("cluster"), round(cosine("v", "qv"), 6).as("cosine"))

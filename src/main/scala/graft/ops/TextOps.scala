@@ -28,12 +28,21 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
 
   /** Token-counting: whitespace tokens, alphabetic regex tokens, chars. */
+  /** BPE-style pre-tokenizer pattern (the GPT-2 shape, ASCII-reduced so
+    * Java regex and RE2 agree): an optional leading space glued to a
+    * letter run, digit run, or punctuation run — the segmentation BPE
+    * merges start from, so its match count approximates BPE token count
+    * without a vocabulary. */
+  val bpeishPattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
   def tokenStats(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
       size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
         .cast("long").as("n_alpha_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit(bpeishPattern), lit(0)))
+        .cast("long").as("n_bpeish_tokens"),
       length(col("text")).cast("long").as("n_chars_calc"))
 
   /** Content fingerprint: md5 of the sorted distinct normalized vocabulary —

@@ -59,4 +59,14 @@ object CdcStream {
 
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
+
+  /** Streaming exact dedup — A3's streaming twin: drop re-deliveries of
+    * the same `idCol` arriving within the watermark delay, turning an
+    * at-least-once file/log source into exactly-once rows before the
+    * merge. State holds one entry per id inside the watermark window and
+    * is evicted as event time advances — bounded, unlike a naive
+    * `dropDuplicates` whose state grows forever. */
+  def dedupStream(stream: DataFrame, idCol: String, ts: String,
+                  delay: String): DataFrame =
+    stream.withWatermark(ts, delay).dropDuplicatesWithinWatermark(idCol)
 }

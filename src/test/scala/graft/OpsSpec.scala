@@ -40,6 +40,28 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.size >= (exact.size * 0.9).toInt)
   }
 
+  test("dup groups: min-label propagation closes transitive chains") {
+    // component {1,2,3} is a CHAIN (1-2, 2-3, no 1-3 edge) — grouping it
+    // needs transitivity, not just pair membership; {4,5} is a pair;
+    // 6 is a singleton
+    val docs = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val got = DedupOps.dupGroups(docs, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+
+    // on the corpus: one group per doc, group ids are component minima,
+    // and every LSH pair lands in the same group
+    val d = this.docs
+    val lsh = DedupOps.minhashLshPairs(d, 5, 8, 4, 0.8)
+    val groups = DedupOps.dupGroups(d, lsh).as[(Long, Long)].collect().toMap
+    assert(groups.size === d.count())
+    assert(groups.forall { case (id, g) => g <= id })
+    lsh.select("doc_a", "doc_b").as[(Long, Long)].collect().foreach {
+      case (a, b) => assert(groups(a) === groups(b))
+    }
+  }
+
   test("simhash pairs: banded Hamming join finds dups, skips disjoint docs") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 40) "CHANGED" else s"w$i").mkString(" ")
@@ -121,9 +143,14 @@ class OpsSpec extends AnyFunSuite {
 
     // single-cell probe of a trained 8-cell index keeps useful recall@10
     val bf = SimilarityOps.cosineTopK(e, 0L, 10)
-      .select("vec_id").as[Long].collect().toSet
+      .select("vec_id").as[Long].collect().toSeq
     val ivf = r1.map(_.getLong(0)).toSet
-    assert(bf.intersect(ivf).size >= 3)
+    assert(bf.toSet.intersect(ivf).size >= 3)
+
+    // probing ALL cells is exhaustive: identical ranking to brute force
+    val all = SimilarityOps.ivfKmeansTopK(e, 0L, 10, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(all === bf)
   }
 
   test("LSH signatures are deterministic and identical for identical vectors") {
@@ -183,6 +210,16 @@ class OpsSpec extends AnyFunSuite {
       9003L -> None, 9004L -> Some(201L)))
   }
 
+  test("typed latestPerUser matches the untyped window dedup") {
+    import graft.engine.Cdc
+    val ev = Tables.events(spark, sfDir)
+    val typed = TypedApi.latestPerUser(TypedApi.events(spark, sfDir))
+      .collect().map(e => e.user_id -> e.event_id).toMap
+    val untyped = Cdc.dedupLastPerKey(ev, "user_id", "ts", "event_id")
+      .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+    assert(typed === untyped)
+  }
+
   test("language ID picks the language with most stopword hits") {
     val d = Seq(
       (1L, "le chat et la porte et les arbres", "fr"),
@@ -203,5 +240,12 @@ class OpsSpec extends AnyFunSuite {
     val t = TextOps.tokenStats(d).first()
     assert(t.getAs[Long]("n_ws_tokens") === 9L)
     assert(t.getAs[Long]("n_alpha_tokens") === 9L)
+    assert(t.getAs[Long]("n_bpeish_tokens") === 9L) // pure words: 1 segment each
+
+    // BPE-ish segmentation: leading space glues to the next run, and
+    // letter/digit/punct runs split — "don't stop v2!" → [don]['][t][ stop][ v][2][!]
+    val seg = TextOps.tokenStats(Seq((1L, "don't stop v2!")).toDF("doc_id", "text"))
+      .first().getAs[Long]("n_bpeish_tokens")
+    assert(seg === 7L)
   }
 }

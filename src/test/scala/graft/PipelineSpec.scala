@@ -87,6 +87,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(s.getAs[Long]("n_failed") === 1L)
   }
 
+  test("metadata log: buffered flush writes one file, compaction preserves events") {
+    import java.nio.file.{Files, Paths}
+    def partFiles(p: String): Int = {
+      val s = Files.list(Paths.get(p))
+      try s.filter(f => f.getFileName.toString.startsWith("part-")).count().toInt
+      finally s.close()
+    }
+    val path = tmp("meta_c") + "/runs"
+    val log = new MetadataLog(spark, path)
+    val t = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    // immediate mode: one file per event (the tiny-files failure mode)
+    (1 to 6).foreach(i => log.record("p", s"run$i", "completed", i.toLong, at = t))
+    assert(partFiles(path) === 6)
+
+    // compaction rewrites the log without losing or reordering state
+    val before = log.currentRuns().orderBy("run_id").collect().toSeq
+    val (was, now) = log.compact(targetFiles = 1)
+    assert(was === 6 && now === 1)
+    assert(log.currentRuns().orderBy("run_id").collect().toSeq === before)
+
+    // buffered mode: a whole batch of events lands as ONE appended file
+    (7 to 9).foreach(i => log.recordBuffered("p", s"run$i", "running", 0, at = t))
+    assert(partFiles(path) === 1) // nothing written yet
+    log.flush()
+    assert(partFiles(path) === 2)
+    assert(log.currentRuns().count() === 9)
+  }
+
   test("salted join equals the plain join on skewed data") {
     import graft.engine.Skew
     // 90% of rows on one hot key

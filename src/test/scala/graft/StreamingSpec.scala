@@ -123,6 +123,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.currentVersion().get === vBefore)
   }
 
+  test("streaming dedup drops cross-file re-deliveries within the watermark") {
+    import graft.engine.Tables
+    import java.nio.file.Paths
+    val in = Files.createTempDirectory("dedup_in").toString
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("unix_micros(ts)"))
+      .filter($"event_id" < 200)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val s = s"$in/_st_$name"
+      df.coalesce(1).write.mode("overwrite").json(s)
+      val parts = Files.list(Paths.get(s))
+      try parts.forEach { p =>
+        if (p.getFileName.toString.endsWith(".json"))
+          Files.move(p, Paths.get(in, s"$name.json"))
+      } finally parts.close()
+    }
+    // files overlap: ids 50-99 and 100-149 are each delivered twice
+    stage(ev.filter($"event_id" < 100), "f0")
+    stage(ev.filter($"event_id" >= 50 && $"event_id" < 150), "f1")
+    stage(ev.filter($"event_id" >= 100), "f2")
+
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").json(s"$in/*.json")
+      .withColumn("ts", expr("timestamp_micros(ts)"))
+    val q = CdcStream.dedupStream(stream, "event_id", "ts", "30 days")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("dedup_out").select("event_id").as[Long].collect()
+    assert(got.length === 200)            // 300 delivered rows → 200 unique
+    assert(got.toSet === (0L until 200L).toSet)
+  }
+
   test("graceful shutdown drains at a batch boundary, runs cleanups, preserves state") {
     val in = Files.createTempDirectory("gs_in").toString
     val ckpt = Files.createTempDirectory("gs_ckpt").toString
