@@ -13,9 +13,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * call and logged a replace warning each time).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[SquaredL2].getCanonicalName, "graft_l2sq"),
+      (exprs: Seq[Expression]) => SquaredL2(exprs(0), exprs(1))))
+  }
 }

@@ -52,6 +52,50 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd squared-L2 distance — the k-means assignment hot loop.
+  * Same left-to-right fold as the portable
+  * `aggregate(zip_with(a, b, (x, y) -> (x-y)*(x-y)), 0.0, +)` (and the
+  * oracle's `list_reduce`), so distances — and therefore cluster
+  * assignments and their tie-breaks — are bit-identical; only the
+  * execution shape changes (primitive loop in whole-stage codegen vs one
+  * zipped array allocation + lambda frames per row). */
+case class SquaredL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_l2sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i); acc += d * d; i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Register `graft_dot` in the session's function registry so it is
     * usable from SQL text and `expr(...)`. Prefer configuring
@@ -64,5 +108,8 @@ object VectorExpressions {
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")))
       reg.createOrReplaceTempFunction(
         "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_l2sq")))
+      reg.createOrReplaceTempFunction(
+        "graft_l2sq", exprs => SquaredL2(exprs(0), exprs(1)), "built-in")
   }
 }

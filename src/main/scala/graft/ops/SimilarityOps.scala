@@ -122,14 +122,14 @@ object SimilarityOps {
       .limit(k)
   }
 
-  /** Squared-L2 distance between a vector column and a fixed centroid,
-    * as an in-order fold `((0 + d0²) + d1²) + …` — both engines fold left,
-    * so assignments are bit-reproducible. Centroids travel as typed
-    * literals (never through SQL text, which would round-trip doubles
-    * through strings). */
+  /** Squared-L2 distance between a vector column and a fixed centroid:
+    * the codegen'd [[graft.functions.SquaredL2]], whose in-order fold
+    * `((0 + d0²) + d1²) + …` matches the portable HOF formulation and the
+    * oracle's left fold bit-for-bit — assignments are bit-reproducible.
+    * Centroids travel as typed literals through `call_function` (never
+    * SQL text, which would round-trip doubles through strings). */
   private def dist2(v: Column, centroid: Seq[Double]): Column =
-    aggregate(zip_with(v, typedlit(centroid), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("graft_l2sq", v, typedlit(centroid))
 
   /** Nearest-centroid id (0-based) for a vector column: first index
     * achieving the minimal distance, so ties break to the lowest cluster
@@ -150,6 +150,7 @@ object SimilarityOps {
     * one (cluster, dim) shuffle; only the k×dims means are collected —
     * the same driver-sized control flow MLlib's k-means uses. */
   def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] = {
+    VectorExpressions.register(vecs.sparkSession)
     val e = Caches.ensureCached(vecs.select(col("vec_id"), col("v")))
     val init: Seq[Seq[Double]] = e.orderBy("vec_id").limit(k)
       .select("v").collect().toSeq.map(_.getSeq[Double](0).toIndexedSeq)
@@ -191,10 +192,7 @@ object SimilarityOps {
     val centsDf = cents.zipWithIndex
       .map { case (c, i) => (i.toLong, c) }.toDF("cluster", "c")
     val probed = centsDf.crossJoin(broadcast(q))
-      .orderBy(
-        aggregate(zip_with(col("c"), col("qv"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x),
-        col("cluster"))
+      .orderBy(call_function("graft_l2sq", col("c"), col("qv")), col("cluster"))
       .select("cluster").limit(nprobe)
     assigned.join(broadcast(probed), "cluster")
       .crossJoin(broadcast(q))

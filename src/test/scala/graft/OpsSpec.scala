@@ -172,6 +172,18 @@ class OpsSpec extends AnyFunSuite {
     assert(a.forall(r => r.getInt(1) >= 16 && r.getInt(2) >= 16))
   }
 
+  test("native graft_l2sq is bit-identical to the higher-order-function fold") {
+    graft.functions.VectorExpressions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", SimilarityOps.asDoubleVec($"embedding").as("v"))
+    val q = e.filter($"vec_id" === 0L).select($"v".as("qv"))
+    val both = e.crossJoin(q).select(
+      expr("graft_l2sq(v, qv)").as("native"),
+      expr("aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, x) -> acc + x)")
+        .as("hof"))
+    assert(both.filter($"native" =!= $"hof").count() === 0)
+  }
+
   test("native graft_dot is bit-identical to the higher-order-function fold") {
     graft.functions.VectorExpressions.register(spark)
     val e = Tables.embeddings(spark, sfDir)
