@@ -22,5 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_l2sq"),
       new ExpressionInfo(classOf[SquaredL2].getCanonicalName, "graft_l2sq"),
       (exprs: Seq[Expression]) => SquaredL2(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_norm_words"),
+      new ExpressionInfo(classOf[NormWords].getCanonicalName, "graft_norm_words"),
+      (exprs: Seq[Expression]) => NormWords(exprs(0))))
   }
 }

@@ -111,5 +111,8 @@ object VectorExpressions {
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_l2sq")))
       reg.createOrReplaceTempFunction(
         "graft_l2sq", exprs => SquaredL2(exprs(0), exprs(1)), "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_norm_words")))
+      reg.createOrReplaceTempFunction(
+        "graft_norm_words", exprs => NormWords(exprs(0)), "built-in")
   }
 }

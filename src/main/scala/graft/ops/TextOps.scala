@@ -16,8 +16,18 @@ object TextOps {
 
   /** Normalized word array: lowercase, strip non-alphanumerics, split on
     * whitespace runs. Same semantics as DuckDB
-    * `string_split_regex(trim(regexp_replace(lower(t),'[^a-z0-9 ]',' ','g')),' +')`. */
+    * `string_split_regex(trim(regexp_replace(lower(t),'[^a-z0-9 ]',' ','g')),' +')`,
+    * executed by the codegen'd byte-scan kernel
+    * [[graft.functions.TextKernels]] (bit-identical to the regex
+    * pipeline [[normWordsRegex]] — asserted in OpsSpec — at a fraction
+    * of the scan cost). */
   def normWords(text: Column): Column =
+    call_function("graft_norm_words", text)
+
+  /** The regex formulation of [[normWords]] — the semantic reference the
+    * kernel is tested against (and the fallback for sessions without the
+    * graft function registrations). */
+  def normWordsRegex(text: Column): Column =
     split(trim(regexp_replace(lower(text), "[^a-z0-9 ]", " ")), " +")
 
   /** Distinct word n-gram shingles of a word array (empty below n words). */

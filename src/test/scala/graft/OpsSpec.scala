@@ -11,6 +11,29 @@ class OpsSpec extends AnyFunSuite {
 
   private def docs = Tables.documents(spark, sfDir)
 
+  test("tokenizer kernel is bit-identical to the regex pipeline on edge cases") {
+    val cases = Seq(
+      "Hello, World! 123",
+      "",                       // empty → [""]
+      "!!! ... ???",            // symbols only → [""]
+      "  leading and   trailing  ",
+      "MiXeD CaSe42x",
+      "tabs\tand\nnewlines",
+      "unicode: café naïve 日本語 x1", // multi-byte codepoints → delimiters
+      "a", "1", " ", "a!b", "don't")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val both = cases.select(
+      TextOps.normWords($"text").as("kernel"),
+      TextOps.normWordsRegex($"text").as("regex"))
+    assert(both.filter($"kernel" =!= $"regex").count() === 0)
+    // corpus-wide equivalence too
+    val corpus = docs.select(
+      TextOps.normWords($"text").as("kernel"),
+      TextOps.normWordsRegex($"text").as("regex"))
+    assert(corpus.filter($"kernel" =!= $"regex").count() === 0)
+  }
+
   test("fingerprint is word-order invariant") {
     val d = Seq((1L, "alpha beta gamma delta"), (2L, "delta gamma beta alpha"),
       (3L, "alpha beta gamma epsilon"))
