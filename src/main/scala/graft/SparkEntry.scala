@@ -296,6 +296,40 @@ object SparkEntry {
       Stats.sessionize(ev(s, dir), KEY, TS, TIE, gapSeconds = 7200)
         .orderBy("user_id", "session_no")),
 
+    // ── Binned interval (range) join: events → their session interval.
+    //    The bin equi-join replaces the nested-loop an inequality join
+    //    plans; every event lands in exactly one session ────────────────
+    "range_join_sessions" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val sessions = Stats.sessionize(e, KEY, TS, TIE, gapSeconds = 7200)
+        .select(col(KEY), col("session_no"),
+          col("session_start"), col("session_end"))
+      graft.engine.RangeJoin.binned(
+        e.select("event_id", "user_id", "ts"), TS,
+        sessions, "session_start", "session_end",
+        equiKeys = Seq(KEY), binSeconds = 86400)
+        .select("event_id", "user_id", "ts", "session_no")
+        .orderBy("event_id")
+    }),
+
+    // ── Top-k per group (window rank + filter) ────────────────────────
+    "user_topk_events" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(desc("value"), col("event_id"))
+      ev(s, dir).withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("user_id", "rnk", "event_id", "value")
+        .orderBy("user_id", "rnk")
+    }),
+
+    // ── Cube: full grouping-set lattice over type × day ───────────────
+    "events_cube" -> ((s, dir) =>
+      ev(s, dir).withColumn("day", date_trunc("day", col("ts")))
+        .cube("event_type", "day")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))),
+
     // ── North-star: text analysis over documents ──────────────────────
     "text_tokens" -> ((s, dir) =>
       TextOps.tokenStats(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -540,6 +574,44 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM sess GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""".stripMargin,
+
+    "range_join_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN prev_epoch IS NULL
+        |                OR CAST(floor(epoch(ts)) AS BIGINT) - prev_epoch > 7200
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM (SELECT e.*,
+        |               lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS prev_epoch
+        |        FROM events e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))),
+        |sess AS (
+        |  SELECT user_id, event_id, ts,
+        |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+        |  FROM flagged),
+        |sessions AS (
+        |  SELECT user_id, session_no, min(ts) AS session_start, max(ts) AS session_end
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts, s.session_no
+        |FROM events e JOIN sessions s
+        |  ON e.user_id = s.user_id
+        | AND e.ts >= s.session_start AND e.ts <= s.session_end
+        |ORDER BY e.event_id""".stripMargin,
+
+    "user_topk_events" ->
+      """SELECT user_id, rnk, event_id, value
+        |FROM (SELECT user_id, event_id, value,
+        |             row_number() OVER (PARTITION BY user_id
+        |               ORDER BY value DESC, event_id) AS rnk
+        |      FROM events)
+        |WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin,
+
+    "events_cube" ->
+      """SELECT event_type, date_trunc('day', ts) AS day,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY CUBE (event_type, date_trunc('day', ts))
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
 
     "text_winnow" ->
       """SELECT doc_id, len(fps) AS n_fingerprints,

@@ -218,6 +218,32 @@ class OpsSpec extends AnyFunSuite {
     assert(both.filter($"native" =!= $"hof").count() === 0)
   }
 
+  test("binned range join equals the naive inequality join") {
+    import graft.engine.RangeJoin
+    val probes = Seq(
+      (1L, 10L, "2024-01-01 00:00:30"),
+      (2L, 10L, "2024-01-01 02:30:00"), // inside no interval
+      (3L, 10L, "2024-01-01 05:00:00"), // exactly at an interval start
+      (4L, 20L, "2024-01-01 00:00:30"), // same ts, other key → other interval
+      (5L, 20L, "2024-01-03 23:59:59"))
+      .toDF("event_id", "k", "ts").withColumn("ts", to_timestamp($"ts"))
+    val ivals = Seq(
+      (10L, "2024-01-01 00:00:00", "2024-01-01 01:00:00", "a"),
+      (10L, "2024-01-01 05:00:00", "2024-01-01 06:00:00", "b"),
+      (20L, "2024-01-01 00:00:00", "2024-01-04 00:00:00", "c")) // spans bins
+      .toDF("k", "s", "e", "tag")
+      .withColumn("s", to_timestamp($"s")).withColumn("e", to_timestamp($"e"))
+
+    val binned = RangeJoin.binned(probes, "ts", ivals, "s", "e",
+      equiKeys = Seq("k"), binSeconds = 3600)
+      .select("event_id", "tag").as[(Long, String)].collect().toSet
+    val naive = probes.join(ivals, Seq("k"))
+      .filter($"ts" >= $"s" && $"ts" <= $"e")
+      .select("event_id", "tag").as[(Long, String)].collect().toSet
+    assert(binned === naive)
+    assert(binned === Set((1L, "a"), (3L, "b"), (4L, "c"), (5L, "c")))
+  }
+
   test("as-of join attaches the version valid at each probe instant") {
     import graft.engine.{AsOf, Scd2}
     val dim = Seq(
