@@ -400,6 +400,13 @@ object SparkEntry {
       SimilarityOps.lshBuckets(Tables.embeddings(s, dir), 16)
         .orderBy("signature")),
 
+    // Product quantization: 8 one-byte codes per vector, query scored by
+    // asymmetric distance (table lookups only) — the RAM-resident index
+    // construction for 100 TB ANN; oracle replays the same per-subspace
+    // training and table assembly
+    "ann_pq_topk" -> ((s, dir) =>
+      SimilarityOps.pqTopK(Tables.embeddings(s, dir), 0L, 10)),
+
     // ── North-star: multimodal binary columns ─────────────────────────
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.binaryMeta(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -772,6 +779,55 @@ object SparkEntry {
          |FROM fin f JOIN best USING (cl), q
          |WHERE f.vec_id <> 0
          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+    },
+
+    "ann_pq_topk" -> {
+      // Mirror of [[SimilarityOps.pqTopK]] (m=8 subspaces × 8 dims,
+      // ksub=16, one Lloyd iteration per codebook): per subspace the same
+      // training chain as the k-means oracle, then a query distance table
+      // and per-vector code; ADC = left-associated sum of 8 lookups.
+      val m = 8; val ksub = 16; val subDim = 8
+      def dSql(a: String, b: String) =
+        s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, el) -> acc + el)"
+      def sub(s: Int): String = {
+        val lo = s * subDim + 1; val hi = (s + 1) * subDim
+        s"""e$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+           |c0_$s AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
+           |  FROM e$s ORDER BY vec_id LIMIT $ksub),
+           |a1_$s AS (
+           |  SELECT vec_id, v, cl FROM (
+           |    SELECT e$s.vec_id, e$s.v, c.cl,
+           |           row_number() OVER (PARTITION BY e$s.vec_id
+           |             ORDER BY ${dSql(s"e$s.v", "c.cv")}, c.cl) AS rn
+           |    FROM e$s, c0_$s c) WHERE rn = 1),
+           |s1_$s AS (
+           |  SELECT cl, i, CAST(sum(CAST(v[i] AS DECIMAL(30,9))) AS DOUBLE) / count(*) AS mm
+           |  FROM a1_$s, LATERAL unnest(range(1, ${subDim + 1})) AS ts$s(i) GROUP BY cl, i),
+           |p1_$s AS (SELECT cl, i, cv[i] AS pv FROM c0_$s, LATERAL unnest(range(1, ${subDim + 1})) AS tp$s(i)),
+           |c1_$s AS (
+           |  SELECT cl, list(coalesce(mm, pv) ORDER BY i) AS cv
+           |  FROM p1_$s LEFT JOIN s1_$s USING (cl, i) GROUP BY cl),
+           |q_$s AS (SELECT v[$lo:$hi] AS qv FROM e WHERE vec_id = 0),
+           |tbl_$s AS (SELECT cl, ${dSql("cv", "qv")} AS d FROM c1_$s, q_$s),
+           |code_$s AS (
+           |  SELECT vec_id, cl AS c$s FROM (
+           |    SELECT e$s.vec_id, c.cl,
+           |           row_number() OVER (PARTITION BY e$s.vec_id
+           |             ORDER BY ${dSql(s"e$s.v", "c.cv")}, c.cl) AS rn
+           |    FROM e$s, c1_$s c) WHERE rn = 1)""".stripMargin
+      }
+      val joins = (0 until m)
+        .map(s => s"JOIN code_$s USING (vec_id) JOIN tbl_$s t$s ON c$s = t$s.cl")
+        .mkString("\n")
+      val adcSum = (0 until m).map(s => s"t$s.d").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${(0 until m).map(sub).mkString(",\n")}
+         |SELECT e.vec_id, $adcSum AS adc_dist
+         |FROM e
+         |$joins
+         |WHERE e.vec_id <> 0
+         |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
     },
 
     "ann_lsh_buckets" -> {

@@ -202,6 +202,62 @@ object SimilarityOps {
       .limit(topK)
   }
 
+  /** Product-quantization ANN (the memory-compression scale path: a
+    * 64-dim float vector becomes `m` one-byte codes, so a 100 TB corpus's
+    * index fits in RAM). The vector is split into `m` subspaces; each
+    * gets its own `ksub`-centroid codebook (deterministic
+    * [[kmeansCentroids]] per subspace); a vector's code is its nearest
+    * centroid per subspace. A query precomputes an m×ksub table of
+    * subspace distances once, and each candidate's asymmetric distance
+    * (ADC) is just m table lookups summed — no float vector is touched
+    * at scan time. Exact left-to-right summation order, so ADC scores
+    * hash-match the oracle's replay of the same training. */
+  def pqTopK(embeddings: DataFrame, queryId: Long, topK: Int,
+             m: Int = 8, ksub: Int = 16, iters: Int = 1): DataFrame = {
+    val spark = embeddings.sparkSession
+    VectorExpressions.register(spark)
+    val e = Caches.ensureCached(
+      embeddings.select(col("vec_id"), asDoubleVec(col("embedding")).as("v")))
+    val dims = 64
+    val subDim = dims / m
+    // per-subspace codebooks (driver-looped Lloyd's, tiny collect each)
+    val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      kmeansCentroids(
+        e.select(col("vec_id"),
+          expr(s"slice(v, ${s * subDim + 1}, $subDim)").as("v")),
+        ksub, iters)
+    }
+    // query subvectors → per-subspace distance tables (driver arithmetic
+    // is only transport: the distances are computed by the same codegen'd
+    // kernel inside one Spark job, then collected as exact doubles)
+    val qTables: Seq[Seq[Double]] = {
+      val q = e.filter(col("vec_id") === queryId)
+      val tableCols = (0 until m).flatMap { s =>
+        val qSub = expr(s"slice(v, ${s * subDim + 1}, $subDim)")
+        codebooks(s).zipWithIndex.map { case (c, j) =>
+          call_function("graft_l2sq", qSub, typedlit(c)).as(s"d_${s}_$j")
+        }
+      }
+      val row = q.select(tableCols: _*).head()
+      (0 until m).map(s => (0 until ksub).map(j => row.getDouble(s * ksub + j)))
+    }
+    // encode corpus + ADC score in one projection: code_s = nearest
+    // subspace centroid, adc = Σ_s table_s[code_s] (fixed fold order)
+    val codeCols = (0 until m).map { s =>
+      assignCluster(expr(s"slice(v, ${s * subDim + 1}, $subDim)"), codebooks(s))
+        .as(s"code_$s")
+    }
+    val encoded = e.select(col("vec_id") +: codeCols: _*)
+    val adc = (0 until m)
+      .map(s => element_at(typedlit(qTables(s)), col(s"code_$s") + 1))
+      .reduce(_ + _)
+    encoded
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), adc.as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(topK)
+  }
+
   /** LSH bucket statistics: signature → vector count + min id. */
   def lshBuckets(embeddings: DataFrame, planes: Int): DataFrame = {
     VectorExpressions.register(embeddings.sparkSession)

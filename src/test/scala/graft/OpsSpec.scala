@@ -176,6 +176,29 @@ class OpsSpec extends AnyFunSuite {
     assert(all === bf)
   }
 
+  test("PQ: deterministic codes, sane ADC ranking") {
+    val e = Tables.embeddings(spark, sfDir)
+    val r1 = SimilarityOps.pqTopK(e, 0L, 10).collect().toSeq
+    val r2 = SimilarityOps.pqTopK(e, 0L, 10).collect().toSeq
+    assert(r1 === r2) // training + encoding fully deterministic
+    assert(r1.size === 10)
+    val dists = r1.map(_.getDouble(1))
+    assert(dists.forall(_ >= 0.0))
+    assert(dists === dists.sorted) // ascending ADC
+    // lossy by construction (1 training iteration, no re-rank) but the
+    // quantized ranking must still surface genuinely-near vectors
+    import org.apache.spark.sql.functions._
+    val qv = e.filter($"vec_id" === 0L)
+      .select(SimilarityOps.asDoubleVec($"embedding").as("v")).head().getSeq[Double](0)
+    val exact = e.filter($"vec_id" =!= 0L)
+      .select($"vec_id", SimilarityOps.asDoubleVec($"embedding").as("v"))
+      .select($"vec_id",
+        call_function("graft_l2sq", $"v", typedlit(qv)).as("d"))
+      .orderBy("d", "vec_id").limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(r1.map(_.getLong(0)).toSet.intersect(exact).nonEmpty)
+  }
+
   test("LSH signatures are deterministic and identical for identical vectors") {
     val e = Tables.embeddings(spark, sfDir).limit(50)
     val s1 = SimilarityOps.lshBuckets(e, 16).orderBy("signature").collect().toSeq
