@@ -60,6 +60,25 @@ object CdcStream {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
+  /** Stream-stream interval join: each left event pairs with the right
+    * events of the same key whose event time lies within
+    * [left.ts - before, left.ts + after]. Both sides carry watermarks, so
+    * Spark bounds the join state on each side by the watermark + the
+    * interval — the canonical funnel/attribution join (click ⋈ purchase)
+    * at unbounded-stream scale. The same call works on batch frames
+    * (windowless inner join + the range predicate), which is how the
+    * parity test pins its semantics. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   before: String, after: String): DataFrame = {
+    val l = left.withWatermark(leftTs, "1 minute").as("l")
+    val r = right.withWatermark(rightTs, "1 minute").as("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $before") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $after"))
+  }
+
   /** Streaming exact dedup — A3's streaming twin: drop re-deliveries of
     * the same `idCol` arriving within the watermark delay, turning an
     * at-least-once file/log source into exactly-once rows before the

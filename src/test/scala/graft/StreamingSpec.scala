@@ -123,6 +123,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.currentVersion().get === vBefore)
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    import graft.engine.Tables
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val staged = ev.withColumn("ts", expr("unix_micros(ts)"))
+    val n = staged.count()
+    val in = Files.createTempDirectory("ssj_in").toString
+    assert(ChangeGen.writeBatchFiles(staged, "event_id", 3, n / 3 + 1, in) === 3)
+    def mkStream = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1").json(s"$in/changes_*.json")
+      .withColumn("ts", expr("timestamp_micros(ts)"))
+    def viewsOf(df: org.apache.spark.sql.DataFrame) =
+      df.filter($"event_type" === "view").select($"user_id", $"event_id", $"ts")
+    def purchasesOf(df: org.apache.spark.sql.DataFrame) =
+      df.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("p_event_id"), $"ts".as("p_ts"))
+
+    // attribution: purchases by the same user within 2h after a view
+    val q = CdcStream.intervalJoin(viewsOf(mkStream), purchasesOf(mkStream),
+      "user_id", "ts", "p_ts", before = "0 seconds", after = "2 hours")
+      .select(col("l.event_id").as("view_id"), col("r.p_event_id").as("purchase_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("ssj_out").as[(Long, Long)].collect().toSet
+    val evT = ev // batch twin: identical declaration over static frames
+    val expected = CdcStream.intervalJoin(viewsOf(evT), purchasesOf(evT),
+      "user_id", "ts", "p_ts", before = "0 seconds", after = "2 hours")
+      .select(col("l.event_id"), col("r.p_event_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("streaming dedup drops cross-file re-deliveries within the watermark") {
     import graft.engine.Tables
     import java.nio.file.Paths
