@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 import graft.engine.{Scd2, SnapshotStore}
 
@@ -77,6 +77,36 @@ object CdcStream {
       col(s"l.$key") === col(s"r.$key") &&
         col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $before") &&
         col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $after"))
+  }
+
+  /** Per-key running state for a stream of (key, epochSeconds, value)
+    * rows. */
+  final case class KeyState(key: Long, n_events: Long, max_epoch: Long,
+                            total_cents: Long)
+
+  /** Custom stateful operator via `flatMapGroupsWithState` — the right
+    * tool exactly when per-key state is small and hand-rolled (a few
+    * counters), unlike the SCD2 dimension (which stays in
+    * foreachBatch + snapshot, SURVEY §7.4). Emits each key's updated
+    * running (count, max event time, exact total-in-cents) every
+    * micro-batch; update output mode, no timeout, so state size is
+    * O(distinct keys). Value totals accumulate as integer cents —
+    * order-independent, so stream and batch agree bit-for-bit. */
+  def runningCounts(events: Dataset[(Long, Long, Long)]): Dataset[KeyState] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[KeyState, KeyState](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[KeyState]) =>
+          val prev = state.getOption.getOrElse(KeyState(key, 0L, Long.MinValue, 0L))
+          val next = rows.foldLeft(prev) { (s, r) =>
+            KeyState(key, s.n_events + 1L, math.max(s.max_epoch, r._2),
+              s.total_cents + r._3)
+          }
+          state.update(next)
+          Iterator.single(next)
+      }
   }
 
   /** Streaming exact dedup — A3's streaming twin: drop re-deliveries of

@@ -123,6 +123,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.currentVersion().get === vBefore)
   }
 
+  test("flatMapGroupsWithState running counts converge to the batch aggregate") {
+    import graft.engine.Tables
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", expr("unix_timestamp(ts)").as("epoch"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+    val staged = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "value")
+      .withColumn("ts", expr("unix_micros(ts)"))
+    val n = staged.count()
+    val in = Files.createTempDirectory("state_in").toString
+    assert(ChangeGen.writeBatchFiles(staged, "event_id", 3, n / 3 + 1, in) === 3)
+
+    val stream = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1").json(s"$in/changes_*.json")
+      .select($"user_id",
+        expr("unix_timestamp(timestamp_micros(ts))").as("epoch"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+      .as[(Long, Long, Long)]
+    val q = CdcStream.runningCounts(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("state_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // last update per key == the batch aggregate (exact integer cents)
+    val got = spark.table("state_out")
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("key")
+          .orderBy(desc("n_events"))))
+      .filter($"_rn" === 1)
+      .select("key", "n_events", "max_epoch", "total_cents")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    val expected = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), max($"epoch").as("mx"),
+        sum($"cents").as("tot"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(got === expected)
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     import graft.engine.Tables
     val ev = Tables.events(spark, sfDir)
