@@ -410,6 +410,10 @@ object SparkEntry {
     // ── North-star: multimodal binary columns ─────────────────────────
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.binaryMeta(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSample(Tables.documents(s, dir), 64, 128)
+        .orderBy("doc_id", "frame_no")),
   )
 
   // ── Shared DuckDB fragments for the north-star oracles ──────────────
@@ -840,6 +844,14 @@ object SparkEntry {
          |SELECT signature, count(*) AS n_vectors, min(vec_id) AS min_vec_id
          |FROM s GROUP BY signature ORDER BY signature""".stripMargin
     },
+
+    "multimodal_frames" ->
+      """SELECT doc_id, i AS frame_no,
+        |       md5(substr(text, CAST(i * 128 + 1 AS BIGINT), 64)) AS frame_hash
+        |FROM documents,
+        |     LATERAL unnest(range(0, CAST(floor((octet_length(encode(text)) - 64) / 128) AS BIGINT) + 1)) AS t(i)
+        |WHERE octet_length(encode(text)) >= 64
+        |ORDER BY doc_id, frame_no""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id,

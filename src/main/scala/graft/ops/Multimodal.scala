@@ -60,4 +60,20 @@ object Multimodal {
   def decodePipeline(spark: SparkSession, docs: DataFrame): DataFrame =
     decodeStub(spark,
       docs.select(col("doc_id"), col("text").cast("binary").as("payload")))
+
+  /** Frame sampling over an opaque binary payload: fixed-`width` byte
+    * windows at every `stride` offset, one row per sampled frame with a
+    * content hash (payloads shorter than one frame drop out). A real
+    * video pipeline decodes each window; the Spark-side concerns — offset
+    * layout, per-frame fan-out via Generate, no shuffle, scan-speed —
+    * are exactly these, independent of the codec. */
+  def frameSample(docs: DataFrame, width: Int, stride: Int): DataFrame =
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .filter(expr(s"octet_length(payload) >= $width"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast(floor((octet_length(payload) - $width) / $stride) as int)), " +
+          s"i -> md5(substring(payload, i * $stride + 1, $width)))"))
+        .as(Seq("frame_no", "frame_hash")))
+      .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+        col("frame_hash"))
 }

@@ -207,6 +207,17 @@ class OpsSpec extends AnyFunSuite {
     assert(s1.map(_.getString(0)).forall(_.length == 16))
   }
 
+  test("frame sampling: offset layout and short-payload dropout") {
+    val d = Seq(
+      (1L, "x" * 300), // frames at offsets 0, 128, 256? 256+64>300 → 2 frames
+      (2L, "y" * 63),  // shorter than one frame → dropped
+      (3L, "z" * 64))  // exactly one frame
+      .toDF("doc_id", "text")
+    val got = Multimodal.frameSample(d, 64, 128)
+      .select("doc_id", "frame_no").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 0L), (1L, 1L), (3L, 0L)))
+  }
+
   test("multimodal decode stub: schema, row preservation, determinism") {
     val in = docs.limit(20)
     val out1 = Multimodal.decodePipeline(spark, in)
