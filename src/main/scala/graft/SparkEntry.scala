@@ -400,6 +400,12 @@ object SparkEntry {
       SimilarityOps.lshBuckets(Tables.embeddings(s, dir), 16)
         .orderBy("signature")),
 
+    // Full-corpus near-dup: LSH-bucket blocking (8 planes) + exact
+    // cosine verification — the unsampled scale path of embedding_near_dup
+    "embedding_near_dup_lsh" -> ((s, dir) =>
+      SimilarityOps.lshNearDupPairs(Tables.embeddings(s, dir), 8, 0.3)
+        .orderBy("vec_a", "vec_b")),
+
     // Product quantization: 8 one-byte codes per vector, query scored by
     // asymmetric distance (table lookups only) — the RAM-resident index
     // construction for 100 TB ANN; oracle replays the same per-subspace
@@ -439,6 +445,14 @@ object SparkEntry {
 
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Per-plane sign-bit expressions of the hyperplane LSH — mirror of
+    * [[SimilarityOps.planeSigns]]/[[SimilarityOps.lshSignature]]. */
+  private def lshBitsSql(planes: Int): Seq[String] =
+    (0 until planes).map { p =>
+      val signs = s"[CASE WHEN substr(md5('${p}_' || CAST(j AS VARCHAR)), 1, 1) > '7' THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END for j in range(0, 64)]"
+      s"CASE WHEN list_reduce(list_transform(list_zip(v, $signs), p2 -> p2[1] * p2[2]), (acc, el) -> acc + el) >= 0 THEN '1' ELSE '0' END"
+    }
 
   private val stopListSql = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
 
@@ -834,16 +848,21 @@ object SparkEntry {
          |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
     },
 
-    "ann_lsh_buckets" -> {
-      val bits = (0 until 16).map { p =>
-        val signs = s"[CASE WHEN substr(md5('${p}_' || CAST(j AS VARCHAR)), 1, 1) > '7' THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END for j in range(0, 64)]"
-        s"CASE WHEN list_reduce(list_transform(list_zip(v, $signs), p2 -> p2[1] * p2[2]), (acc, el) -> acc + el) >= 0 THEN '1' ELSE '0' END"
-      }
+    "ann_lsh_buckets" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |s AS (SELECT vec_id, concat(${bits.mkString(", ")}) AS signature FROM e)
+         |s AS (SELECT vec_id, concat(${lshBitsSql(16).mkString(", ")}) AS signature FROM e)
          |SELECT signature, count(*) AS n_vectors, min(vec_id) AS min_vec_id
-         |FROM s GROUP BY signature ORDER BY signature""".stripMargin
-    },
+         |FROM s GROUP BY signature ORDER BY signature""".stripMargin,
+
+    "embedding_near_dup_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT vec_id, v, concat(${lshBitsSql(8).mkString(", ")}) AS sig FROM e)
+         |SELECT vec_a, vec_b, cosine FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         round(${cosSql("a.v", "b.v")}, 6) AS cosine
+         |  FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.3
+         |ORDER BY vec_a, vec_b""".stripMargin,
 
     "multimodal_frames" ->
       """SELECT doc_id, i AS frame_no,

@@ -266,4 +266,27 @@ object SimilarityOps {
       .groupBy("signature")
       .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
   }
+
+  /** Full-corpus embedding near-dup pairs — the scale path
+    * [[sampledNearDupPairs]]'s doc promises: LSH buckets replace the
+    * label/sample blocking, so candidates are only same-signature
+    * vectors (expected bucket size n/2^planes — pick `planes` so buckets
+    * stay small at the corpus size), then exact cosine verifies at
+    * `threshold`. Shuffle-free signatures; one equi-join on the bucket
+    * key; never an all-pairs comparison. Angle-close vectors can still
+    * straddle a hyperplane (an inherent LSH miss — multi-table OR-ing
+    * raises recall); every emitted pair is exact-cosine-verified. */
+  def lshNearDupPairs(embeddings: DataFrame, planes: Int,
+                      threshold: Double): DataFrame = {
+    VectorExpressions.register(embeddings.sparkSession)
+    val e = Caches.ensureCached(
+      embeddings.select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+        .withColumn("sig", lshSignature(planes)))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine("a.v", "b.v"), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 }
