@@ -70,4 +70,38 @@ class BucketingSpec extends AnyFunSuite {
     assert(joined.orderBy("o_orderstatus").collect().toSeq ===
       plain.orderBy("o_orderstatus").collect().toSeq)
   }
+
+  test("bucketed dimension: merge's per-key aggregate needs no dim shuffle") {
+    import graft.engine.{Cdc, Scd2}
+    val wh = Files.createTempDirectory("warehouse_dim").toString
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+
+    val split = "2024-01-20 00:00:00"
+    val events = Tables.events(s2, sfDir)
+    val dim = Scd2.rebuild(events.filter(col("ts") <= lit(split)),
+      "user_id", "ts", "event_id")
+    // the 100 TB layout: the stored dim snapshot is bucketed by key, so
+    // every keyed aggregate/join over it co-locates
+    dim.write.bucketBy(8, "user_id")
+      .option("path", s"$wh/dim_b").mode("overwrite").saveAsTable("dim_b")
+    val bdim = s2.table("dim_b")
+
+    // the merge's per-key timeline aggregate (its one dim-wide shuffle in
+    // the unbucketed layout) plans with ZERO exchanges over the bucketed dim
+    val keyMeta = bdim.groupBy(col("user_id"))
+      .agg(max(col("version_no")).as("mx"), max(col("valid_from")).as("mf"))
+    assert(countExchanges(keyMeta.queryExecution.executedPlan) === 0,
+      keyMeta.queryExecution.executedPlan.toString)
+
+    // and a full merge against the bucketed snapshot is result-identical
+    // to the merge against the in-memory dim
+    val batch = events.filter(col("ts") > lit(split))
+    val viaBucketed = Scd2.merge(bdim, batch, "user_id", "ts", "event_id")
+      .orderBy("user_id", "version_no").collect().toSeq
+    val viaPlain = Scd2.merge(dim, batch, "user_id", "ts", "event_id")
+      .orderBy("user_id", "version_no").collect().toSeq
+    assert(viaBucketed === viaPlain)
+    assert(Cdc.dedupLastPerKey(batch, "user_id", "ts", "event_id").count() > 0)
+  }
 }
