@@ -343,6 +343,18 @@ object SparkEntry {
     "text_langid" -> ((s, dir) =>
       TextOps.langId(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // Quality gating: keep docs at/above the corpus median score — the
+    // filter-by-corpus-aggregate pattern every data-curation pipeline
+    // runs (exact percentile broadcast as a one-row join, no collect)
+    "text_quality_gate" -> ((s, dir) => {
+      val q = TextOps.qualityScore(Tables.documents(s, dir))
+      val cut = q.agg(expr("percentile(quality_score, 0.5)").as("_cut"))
+      q.crossJoin(broadcast(cut))
+        .filter(col("quality_score") >= col("_cut"))
+        .select("doc_id", "n_tokens", "quality_score")
+        .orderBy("doc_id")
+    }),
+
     "text_winnow" -> ((s, dir) =>
       TextOps.winnowFingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
 
@@ -418,6 +430,11 @@ object SparkEntry {
     "ann_pq_topk" -> ((s, dir) =>
       SimilarityOps.pqTopK(Tables.embeddings(s, dir), 0L, 10)),
 
+    // PQ retrieve + exact re-rank: ADC shortlists 4×k, floats re-rank —
+    // the production two-stage ANN read path
+    "ann_pq_rerank_topk" -> ((s, dir) =>
+      SimilarityOps.pqRerankTopK(Tables.embeddings(s, dir), 0L, 10)),
+
     // ── North-star: multimodal binary columns ─────────────────────────
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.binaryMeta(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -450,6 +467,53 @@ object SparkEntry {
 
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** PQ oracle fragments — mirror of [[SimilarityOps.pqTopK]] (m=8
+    * subspaces × 8 dims, ksub=16, one Lloyd iteration per codebook): per
+    * subspace the same training chain as the k-means oracle, then a
+    * query distance table and per-vector code; ADC = left-associated sum
+    * of 8 lookups. Shared by the ADC and retrieve+re-rank oracles. */
+  private val (pqCtesSql, pqJoinsSql, pqAdcSumSql) = {
+    val m = 8; val ksub = 16; val subDim = 8
+    def dSql(a: String, b: String) =
+      s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, el) -> acc + el)"
+    def sub(s: Int): String = {
+      val lo = s * subDim + 1; val hi = (s + 1) * subDim
+      s"""e$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+         |c0_$s AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
+         |  FROM e$s ORDER BY vec_id LIMIT $ksub),
+         |a1_$s AS (
+         |  SELECT vec_id, v, cl FROM (
+         |    SELECT e$s.vec_id, e$s.v, c.cl,
+         |           row_number() OVER (PARTITION BY e$s.vec_id
+         |             ORDER BY ${dSql(s"e$s.v", "c.cv")}, c.cl) AS rn
+         |    FROM e$s, c0_$s c) WHERE rn = 1),
+         |s1_$s AS (
+         |  SELECT cl, i, CAST(sum(CAST(v[i] AS DECIMAL(30,9))) AS DOUBLE) / count(*) AS mm
+         |  FROM a1_$s, LATERAL unnest(range(1, ${subDim + 1})) AS ts$s(i) GROUP BY cl, i),
+         |p1_$s AS (SELECT cl, i, cv[i] AS pv FROM c0_$s, LATERAL unnest(range(1, ${subDim + 1})) AS tp$s(i)),
+         |c1_$s AS (
+         |  SELECT cl, list(coalesce(mm, pv) ORDER BY i) AS cv
+         |  FROM p1_$s LEFT JOIN s1_$s USING (cl, i) GROUP BY cl),
+         |q_$s AS (SELECT v[$lo:$hi] AS qv FROM e WHERE vec_id = 0),
+         |tbl_$s AS (SELECT cl, ${dSql("cv", "qv")} AS d FROM c1_$s, q_$s),
+         |code_$s AS (
+         |  SELECT vec_id, cl AS c$s FROM (
+         |    SELECT e$s.vec_id, c.cl,
+         |           row_number() OVER (PARTITION BY e$s.vec_id
+         |             ORDER BY ${dSql(s"e$s.v", "c.cv")}, c.cl) AS rn
+         |    FROM e$s, c1_$s c) WHERE rn = 1)""".stripMargin
+    }
+    val ctes =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${(0 until m).map(sub).mkString(",\n")}""".stripMargin
+    val joins = (0 until m)
+      .map(s => s"JOIN code_$s USING (vec_id) JOIN tbl_$s t$s ON c$s = t$s.cl")
+      .mkString("\n")
+    val adcSum = (0 until m).map(s => s"t$s.d").mkString(" + ")
+    (ctes, joins, adcSum)
+  }
 
   /** Winnowed fingerprint sets — mirror of [[TextOps.winnowFps]] (k=8, w=4). */
   private val winnowFpSql =
@@ -556,6 +620,24 @@ object SparkEntry {
          |         + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
          |         + least(1.0, (CAST(sum_len AS DOUBLE) / n_tokens) / 8.0) * 0.2 AS quality_score
          |FROM base ORDER BY doc_id""".stripMargin,
+
+    "text_quality_gate" ->
+      s"""WITH $wordsSql,
+         |base AS (
+         |  SELECT doc_id, len(w) AS n_tokens,
+         |         list_sum(list_transform(w, x -> length(x))) AS sum_len,
+         |         len(list_filter(w, x -> x IN $stopListSql)) AS n_stop
+         |  FROM words),
+         |scored AS (
+         |  SELECT doc_id, n_tokens,
+         |         least(1.0, n_tokens / 50.0) * 0.5
+         |           + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+         |           + least(1.0, (CAST(sum_len AS DOUBLE) / n_tokens) / 8.0) * 0.2 AS quality_score
+         |  FROM base),
+         |cut AS (SELECT quantile_cont(quality_score, 0.5) AS c FROM scored)
+         |SELECT doc_id, n_tokens, quality_score
+         |FROM scored, cut WHERE quality_score >= c
+         |ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->
       s"""WITH $wordsSql
@@ -825,54 +907,26 @@ object SparkEntry {
          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
     },
 
-    "ann_pq_topk" -> {
-      // Mirror of [[SimilarityOps.pqTopK]] (m=8 subspaces × 8 dims,
-      // ksub=16, one Lloyd iteration per codebook): per subspace the same
-      // training chain as the k-means oracle, then a query distance table
-      // and per-vector code; ADC = left-associated sum of 8 lookups.
-      val m = 8; val ksub = 16; val subDim = 8
-      def dSql(a: String, b: String) =
-        s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, el) -> acc + el)"
-      def sub(s: Int): String = {
-        val lo = s * subDim + 1; val hi = (s + 1) * subDim
-        s"""e$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
-           |c0_$s AS (
-           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
-           |  FROM e$s ORDER BY vec_id LIMIT $ksub),
-           |a1_$s AS (
-           |  SELECT vec_id, v, cl FROM (
-           |    SELECT e$s.vec_id, e$s.v, c.cl,
-           |           row_number() OVER (PARTITION BY e$s.vec_id
-           |             ORDER BY ${dSql(s"e$s.v", "c.cv")}, c.cl) AS rn
-           |    FROM e$s, c0_$s c) WHERE rn = 1),
-           |s1_$s AS (
-           |  SELECT cl, i, CAST(sum(CAST(v[i] AS DECIMAL(30,9))) AS DOUBLE) / count(*) AS mm
-           |  FROM a1_$s, LATERAL unnest(range(1, ${subDim + 1})) AS ts$s(i) GROUP BY cl, i),
-           |p1_$s AS (SELECT cl, i, cv[i] AS pv FROM c0_$s, LATERAL unnest(range(1, ${subDim + 1})) AS tp$s(i)),
-           |c1_$s AS (
-           |  SELECT cl, list(coalesce(mm, pv) ORDER BY i) AS cv
-           |  FROM p1_$s LEFT JOIN s1_$s USING (cl, i) GROUP BY cl),
-           |q_$s AS (SELECT v[$lo:$hi] AS qv FROM e WHERE vec_id = 0),
-           |tbl_$s AS (SELECT cl, ${dSql("cv", "qv")} AS d FROM c1_$s, q_$s),
-           |code_$s AS (
-           |  SELECT vec_id, cl AS c$s FROM (
-           |    SELECT e$s.vec_id, c.cl,
-           |           row_number() OVER (PARTITION BY e$s.vec_id
-           |             ORDER BY ${dSql(s"e$s.v", "c.cv")}, c.cl) AS rn
-           |    FROM e$s, c1_$s c) WHERE rn = 1)""".stripMargin
-      }
-      val joins = (0 until m)
-        .map(s => s"JOIN code_$s USING (vec_id) JOIN tbl_$s t$s ON c$s = t$s.cl")
-        .mkString("\n")
-      val adcSum = (0 until m).map(s => s"t$s.d").mkString(" + ")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |${(0 until m).map(sub).mkString(",\n")}
-         |SELECT e.vec_id, $adcSum AS adc_dist
+    "ann_pq_topk" ->
+      s"""$pqCtesSql
+         |SELECT e.vec_id, $pqAdcSumSql AS adc_dist
          |FROM e
-         |$joins
+         |$pqJoinsSql
          |WHERE e.vec_id <> 0
-         |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
-    },
+         |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
+
+    "ann_pq_rerank_topk" ->
+      s"""$pqCtesSql,
+         |shortlist AS (
+         |  SELECT e.vec_id
+         |  FROM e
+         |  $pqJoinsSql
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY $pqAdcSumSql, vec_id LIMIT 40),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, round(${cosSql("e.v", "qv")}, 6) AS cosine
+         |FROM e JOIN shortlist USING (vec_id), q
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
 
     "ann_lsh_buckets" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -258,6 +258,26 @@ object SimilarityOps {
       .limit(topK)
   }
 
+  /** PQ retrieve + exact re-rank — the production two-stage shape: the
+    * byte-code index shortlists `topK × rerankFactor` candidates by ADC
+    * (cheap, quantized), then ONLY those candidates touch their float
+    * vectors for an exact cosine ordering. Recall approaches brute force
+    * as the factor grows while the full-vector work stays
+    * O(topK × factor) instead of O(corpus). */
+  def pqRerankTopK(embeddings: DataFrame, queryId: Long, topK: Int,
+                   rerankFactor: Int = 4, m: Int = 8, ksub: Int = 16,
+                   iters: Int = 1): DataFrame = {
+    val shortlist = pqTopK(embeddings, queryId, topK * rerankFactor, m, ksub, iters)
+      .select("vec_id")
+    val e = embeddings.select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    e.join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine("v", "qv"), 6).as("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(topK)
+  }
+
   /** LSH bucket statistics: signature → vector count + min id. */
   def lshBuckets(embeddings: DataFrame, planes: Int): DataFrame = {
     VectorExpressions.register(embeddings.sparkSession)
