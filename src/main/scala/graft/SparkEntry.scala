@@ -312,6 +312,27 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ── EXCEPT cohort: active (user, day) pairs with no purchase ──────
+    "user_days_without_purchase" -> ((s, dir) => {
+      val e = ev(s, dir).withColumn("day", date_trunc("day", col("ts")))
+      e.select("user_id", "day")
+        .except(e.filter(col("event_type") === "purchase")
+          .select("user_id", "day"))
+        .orderBy("user_id", "day")
+    }),
+
+    // ── Above-own-average filter (windowed correlated-aggregate shape) ─
+    "events_above_user_avg" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      ev(s, dir)
+        .withColumn("user_avg",
+          (sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
+            count(lit(1)).over(w)))
+        .filter(col("value") > col("user_avg"))
+        .select("event_id", "user_id", "value", "user_avg")
+        .orderBy("event_id")
+    }),
+
     // ── Top-k per group (window rank + filter) ────────────────────────
     "user_topk_events" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -721,6 +742,21 @@ object SparkEntry {
         |  ON e.user_id = s.user_id
         | AND e.ts >= s.session_start AND e.ts <= s.session_end
         |ORDER BY e.event_id""".stripMargin,
+
+    "user_days_without_purchase" ->
+      """SELECT user_id, date_trunc('day', ts) AS day FROM events
+        |EXCEPT
+        |SELECT user_id, date_trunc('day', ts) FROM events
+        |WHERE event_type = 'purchase'
+        |ORDER BY user_id, day""".stripMargin,
+
+    "events_above_user_avg" ->
+      """SELECT event_id, user_id, value, user_avg
+        |FROM (SELECT event_id, user_id, value,
+        |             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |               / count(*) OVER w AS user_avg
+        |      FROM events WINDOW w AS (PARTITION BY user_id))
+        |WHERE value > user_avg ORDER BY event_id""".stripMargin,
 
     "user_topk_events" ->
       """SELECT user_id, rnk, event_id, value

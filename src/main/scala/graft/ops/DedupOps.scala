@@ -156,14 +156,13 @@ object DedupOps {
     * minimum doc_id of its component (the canonical survivor). Docs in no
     * pair form singleton groups.
     *
-    * Algorithm: distributed min-label propagation — every doc starts as
-    * its own label; each round a doc adopts the minimum label among
-    * itself and its neighbors (one join + one hash-agg per round); stop
-    * at the fixpoint (no label changed). Rounds ≤ graph diameter, and
-    * near-dup components are short-diameter cliques in practice. The
-    * driver only counts changes — labels never leave the cluster. At
-    * 100 TB diameters, swap the per-round step for the large-star /
-    * small-star contraction (same join primitives, O(log n) rounds). */
+    * Algorithm: distributed min-label propagation with pointer doubling —
+    * every doc starts as its own label; each round a doc adopts the
+    * minimum label among itself, its neighbors, AND its current label's
+    * label (the label-of-label join halves remaining chain lengths, so
+    * rounds are O(log diameter), not O(diameter)); stop at the fixpoint
+    * (no label changed). The driver only counts changes — labels never
+    * leave the cluster. */
   def dupGroups(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
@@ -180,7 +179,12 @@ object DedupOps {
       val viaNeighbors = edges
         .join(labels.select(col("doc_id").as("v"), col("group_id")), "v")
         .select(col("u").as("doc_id"), col("group_id"))
-      val next = labels.unionByName(viaNeighbors)
+      // pointer doubling: inherit the label of one's label
+      val viaParent = labels.as("x")
+        .join(labels.select(col("doc_id").as("group_id"),
+          col("group_id").as("_pg")), "group_id")
+        .select(col("doc_id"), col("_pg").as("group_id"))
+      val next = labels.unionByName(viaNeighbors).unionByName(viaParent)
         .groupBy("doc_id").agg(min(col("group_id")).as("group_id"))
         .persist()
       changed = next.join(labels.withColumnRenamed("group_id", "_prev"), "doc_id")

@@ -73,6 +73,12 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
 
+    // a long chain exercises the pointer-doubling shortcut across rounds
+    val chainDocs = (1L to 9L).toDF("doc_id")
+    val chain = (1L to 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cg = DedupOps.dupGroups(chainDocs, chain).as[(Long, Long)].collect().toMap
+    assert(cg === (1L to 9L).map(_ -> 1L).toMap)
+
     // on the corpus: one group per doc, group ids are component minima,
     // and every LSH pair lands in the same group
     val d = this.docs
