@@ -175,16 +175,22 @@ object DedupOps {
     var labels = edges.select(col("u").as("doc_id")).distinct()
       .withColumn("group_id", col("doc_id")).persist()
     var changed = 1L
+    var round = 0
     while (changed > 0) {
+      round += 1
       val viaNeighbors = edges
         .join(labels.select(col("doc_id").as("v"), col("group_id")), "v")
         .select(col("u").as("doc_id"), col("group_id"))
-      // pointer doubling: inherit the label of one's label
-      val viaParent = labels.as("x")
-        .join(labels.select(col("doc_id").as("group_id"),
-          col("group_id").as("_pg")), "group_id")
-        .select(col("doc_id"), col("_pg").as("group_id"))
-      val next = labels.unionByName(viaNeighbors).unionByName(viaParent)
+      // pointer doubling: inherit the label of one's label. A no-op in
+      // round 1 (labels are still the identity map), so skip it there.
+      val withParent =
+        if (round == 1) labels.unionByName(viaNeighbors)
+        else labels.unionByName(viaNeighbors).unionByName(
+          labels.as("x")
+            .join(labels.select(col("doc_id").as("group_id"),
+              col("group_id").as("_pg")), "group_id")
+            .select(col("doc_id"), col("_pg").as("group_id")))
+      val next = withParent
         .groupBy("doc_id").agg(min(col("group_id")).as("group_id"))
         .persist()
       changed = next.join(labels.withColumnRenamed("group_id", "_prev"), "doc_id")
