@@ -223,6 +223,25 @@ object SparkEntry {
         .orderBy("r_name", "n_name")
     }),
 
+    // ── 5-way star join over part/supplier (brand revenue by nation) ──
+    "brand_revenue_by_nation" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.join(broadcast(Tables.part(s, dir)),
+          li("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          li("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("p_brand"), col("n_name"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+            .cast("double").as("revenue"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand", "n_name")
+    }),
+
     // ── J5 generalized: per-row as-of JOIN (probes → valid version) ───
     "asof_join" -> ((s, dir) => {
       val e = ev(s, dir)
@@ -1201,6 +1220,17 @@ object SparkEntry {
         |       count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "brand_revenue_by_nation" ->
+      """SELECT p_brand, n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY p_brand, n_name ORDER BY p_brand, n_name""".stripMargin,
 
     "revenue_by_nation" ->
       """SELECT r_name, n_name,
