@@ -172,8 +172,16 @@ object DedupOps {
     // that (small) set and re-attach the singleton majority at the end.
     // At 100 TB this is the difference between propagating labels across
     // the whole corpus and across the near-dup subgraph only.
+    //
+    // Each round's labels are localCheckpoint'ed (eager), not persisted:
+    // a round references the previous labels three times, so without
+    // lineage TRUNCATION the logical plan grows ~4× per round and
+    // exponential plan trees OOM the driver long before the data does —
+    // the standard failure mode of driver-looped iterative algorithms
+    // (GraphX checkpoints for the same reason; a cluster deployment
+    // would use reliable checkpointing instead of local).
     var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("group_id", col("doc_id")).persist()
+      .withColumn("group_id", col("doc_id")).localCheckpoint()
     var changed = 1L
     var round = 0
     while (changed > 0) {
@@ -192,10 +200,9 @@ object DedupOps {
             .select(col("doc_id"), col("_pg").as("group_id")))
       val next = withParent
         .groupBy("doc_id").agg(min(col("group_id")).as("group_id"))
-        .persist()
+        .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("group_id", "_prev"), "doc_id")
         .filter(col("group_id") =!= col("_prev")).count()
-      labels.unpersist()
       labels = next
     }
     edges.unpersist()

@@ -268,6 +268,56 @@ class OpsSpec extends AnyFunSuite {
     assert(both.filter($"native" =!= $"hof").count() === 0)
   }
 
+  test("dup groups equal a reference union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(40)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+      // driver-side union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = DedupOps.dupGroups(
+        (0L until n.toLong).toDF("doc_id"),
+        edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      // union-find roots ARE component minima here because union always
+      // keeps the smaller root as parent
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
+  test("binned range join equals the naive join on random intervals") {
+    val rnd = new scala.util.Random(13)
+    val base = java.sql.Timestamp.valueOf("2024-05-01 00:00:00").getTime
+    val probes = (1 to 120).map { i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toLong,
+        new java.sql.Timestamp(base + rnd.nextInt(200000) * 1000L))
+    }.toDF("event_id", "k", "ts")
+    val ivals = (1 to 40).map { i =>
+      val s = base + rnd.nextInt(200000) * 1000L
+      (i.toLong, (rnd.nextInt(5) + 1).toLong,
+        new java.sql.Timestamp(s),
+        new java.sql.Timestamp(s + (rnd.nextInt(20000) + 1) * 1000L))
+    }.toDF("ival_id", "k", "s", "e")
+    for (bin <- Seq(60L, 3600L, 86400L)) {
+      val binned = graft.engine.RangeJoin
+        .binned(probes, "ts", ivals, "s", "e", Seq("k"), bin)
+        .select("event_id", "ival_id").as[(Long, Long)].collect().toSet
+      val naive = probes.join(ivals, Seq("k"))
+        .filter($"ts" >= $"s" && $"ts" <= $"e")
+        .select("event_id", "ival_id").as[(Long, Long)].collect().toSet
+      assert(binned === naive, s"binSeconds=$bin")
+      assert(naive.nonEmpty)
+    }
+  }
+
   test("binned range join equals the naive inequality join") {
     import graft.engine.RangeJoin
     val probes = Seq(
