@@ -457,10 +457,13 @@ object SparkEntry {
       SimilarityOps.lshBuckets(Tables.embeddings(s, dir), 16)
         .orderBy("signature")),
 
-    // Full-corpus near-dup: LSH-bucket blocking (8 planes) + exact
-    // cosine verification — the unsampled scale path of embedding_near_dup
+    // Full-corpus near-dup: LSH-bucket blocking (2 OR-ed tables of 8
+    // planes — a pair missed by one table is caught by the other) +
+    // exact cosine verification — the unsampled scale path of
+    // embedding_near_dup
     "embedding_near_dup_lsh" -> ((s, dir) =>
-      SimilarityOps.lshNearDupPairs(Tables.embeddings(s, dir), 8, 0.3)
+      SimilarityOps.lshNearDupPairs(Tables.embeddings(s, dir), 8, 0.3,
+        tables = 2)
         .orderBy("vec_a", "vec_b")),
 
     // Product quantization: 8 one-byte codes per vector, query scored by
@@ -569,8 +572,8 @@ object SparkEntry {
 
   /** Per-plane sign-bit expressions of the hyperplane LSH — mirror of
     * [[SimilarityOps.planeSigns]]/[[SimilarityOps.lshSignature]]. */
-  private def lshBitsSql(planes: Int): Seq[String] =
-    (0 until planes).map { p =>
+  private def lshBitsSql(planes: Int, offset: Int = 0): Seq[String] =
+    (offset until offset + planes).map { p =>
       val signs = s"[CASE WHEN substr(md5('${p}_' || CAST(j AS VARCHAR)), 1, 1) > '7' THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END for j in range(0, 64)]"
       s"CASE WHEN list_reduce(list_transform(list_zip(v, $signs), p2 -> p2[1] * p2[2]), (acc, el) -> acc + el) >= 0 THEN '1' ELSE '0' END"
     }
@@ -991,11 +994,15 @@ object SparkEntry {
 
     "embedding_near_dup_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |s AS (SELECT vec_id, v, concat(${lshBitsSql(8).mkString(", ")}) AS sig FROM e)
-         |SELECT vec_a, vec_b, cosine FROM (
+         |s AS (SELECT vec_id, v,
+         |             concat(${lshBitsSql(8).mkString(", ")}) AS sig0,
+         |             concat(${lshBitsSql(8, offset = 8).mkString(", ")}) AS sig1
+         |      FROM e)
+         |SELECT DISTINCT vec_a, vec_b, cosine FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |         round(${cosSql("a.v", "b.v")}, 6) AS cosine
-         |  FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+         |  FROM s a JOIN s b
+         |    ON (a.sig0 = b.sig0 OR a.sig1 = b.sig1) AND a.vec_id < b.vec_id)
          |WHERE cosine >= 0.3
          |ORDER BY vec_a, vec_b""".stripMargin,
 

@@ -82,11 +82,13 @@ object SimilarityOps {
       }
     }
 
-  /** Random-hyperplane LSH: `planes` sign bits per vector. Shuffle-free
+  /** Random-hyperplane LSH: `planes` sign bits per vector, using plane
+    * indices `offset until offset+planes` (disjoint offsets give
+    * independent signature tables for multi-table OR-ing). Shuffle-free
     * per-row computation; bucketing on the signature replaces all-pairs
     * search. */
-  def lshSignature(planes: Int): Column = {
-    val bits = planeSigns(planes, 64).map { signs =>
+  def lshSignature(planes: Int, offset: Int = 0): Column = {
+    val bits = planeSigns(offset + planes, 64).drop(offset).map { signs =>
       val lit64 = signs.map(s => s"${s}D").mkString("array(", ", ", ")")
       when(expr(s"graft_dot(v, $lit64)") >= 0, "1").otherwise("0")
     }
@@ -292,21 +294,30 @@ object SimilarityOps {
     * label/sample blocking, so candidates are only same-signature
     * vectors (expected bucket size n/2^planes — pick `planes` so buckets
     * stay small at the corpus size), then exact cosine verifies at
-    * `threshold`. Shuffle-free signatures; one equi-join on the bucket
-    * key; never an all-pairs comparison. Angle-close vectors can still
-    * straddle a hyperplane (an inherent LSH miss — multi-table OR-ing
-    * raises recall); every emitted pair is exact-cosine-verified. */
+    * `threshold`. Shuffle-free signatures; one equi-join per table on
+    * the bucket key; never an all-pairs comparison. Angle-close vectors
+    * can still straddle a hyperplane, so `tables` independent signature
+    * tables (disjoint plane sets) are OR-ed: a pair is a candidate if it
+    * collides in ANY table — each extra table multiplies the miss
+    * probability by the per-table miss rate. Every emitted pair is
+    * exact-cosine-verified, so extra tables only add recall. */
   def lshNearDupPairs(embeddings: DataFrame, planes: Int,
-                      threshold: Double): DataFrame = {
+                      threshold: Double, tables: Int = 1): DataFrame = {
     VectorExpressions.register(embeddings.sparkSession)
+    val sigCols = (0 until tables).map(t =>
+      lshSignature(planes, offset = t * planes).as(s"sig_$t"))
     val e = Caches.ensureCached(
       embeddings.select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
-        .withColumn("sig", lshSignature(planes)))
-    e.as("a")
-      .join(e.as("b"),
-        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(cosine("a.v", "b.v"), 6).as("cosine"))
+        .select(col("vec_id") +: col("v") +: sigCols: _*))
+    (0 until tables).map { t =>
+      e.as("a")
+        .join(e.as("b"),
+          col(s"a.sig_$t") === col(s"b.sig_$t") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(cosine("a.v", "b.v"), 6).as("cosine"))
+    }.reduce(_ unionByName _)
+      .distinct()
       .filter(col("cosine") >= threshold)
   }
 }

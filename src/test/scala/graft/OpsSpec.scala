@@ -215,6 +215,16 @@ class OpsSpec extends AnyFunSuite {
     assert(rr.intersect(bf).size > adcOnly.intersect(bf).size)
   }
 
+  test("multi-table LSH OR-ing only adds near-dup recall") {
+    val e = Tables.embeddings(spark, sfDir)
+    val one = SimilarityOps.lshNearDupPairs(e, 8, 0.3, tables = 1)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val two = SimilarityOps.lshNearDupPairs(e, 8, 0.3, tables = 2)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(one.subsetOf(two)) // table 0's candidates are always included
+    assert(two.size > one.size) // and the second table catches real misses
+  }
+
   test("LSH signatures are deterministic and identical for identical vectors") {
     val e = Tables.embeddings(spark, sfDir).limit(50)
     val s1 = SimilarityOps.lshBuckets(e, 16).orderBy("signature").collect().toSeq
