@@ -280,6 +280,52 @@ object SimilarityOps {
       .limit(topK)
   }
 
+  /** Build the IVF index as a stored artifact: trains k-means once and
+    * writes two parquet tables under `path` — `centroids` (cluster, c)
+    * and `assignments` (vec_id, cluster, v) partitioned BY cluster, so a
+    * probe reads only its cell's files (partition pruning does the
+    * 1/k-of-corpus scan at the storage layer). Build once, query many —
+    * the deployment shape of every ANN index. */
+  def buildIvfIndex(embeddings: DataFrame, path: String,
+                    k: Int = 8, iters: Int = 2): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings.select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+    val cents = kmeansCentroids(e, k, iters)
+    cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toDF("cluster", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    e.withColumn("cluster", assignCluster(col("v"), cents).cast("long"))
+      .write.partitionBy("cluster").mode("overwrite")
+      .parquet(s"$path/assignments")
+  }
+
+  /** Query a stored IVF index: pick the query's nearest `nprobe` cells
+    * from the (tiny) centroid table, scan ONLY those cells' partitions,
+    * cosine top-k inside. No training, no full-corpus scan. */
+  def queryIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queryVec: Seq[Double], topK: Int,
+                    nprobe: Int = 1): DataFrame = {
+    VectorExpressions.register(spark)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val probed = cents
+      .select(col("cluster"),
+        call_function("graft_l2sq", col("c"), typedlit(queryVec)).as("_d"))
+      .orderBy(col("_d"), col("cluster"))
+      .select("cluster").limit(nprobe)
+    val cells = probed.collect().map(_.getLong(0))
+    spark.read.parquet(s"$path/assignments")
+      .filter(col("cluster").isin(cells: _*)) // → PartitionFilters, pruned scan
+      .select(col("vec_id"), col("cluster"),
+        round(
+          call_function("graft_dot", col("v"), typedlit(queryVec)) /
+            (sqrt(call_function("graft_dot", col("v"), col("v"))) *
+              sqrt(call_function("graft_dot", typedlit(queryVec), typedlit(queryVec)))),
+          6).as("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(topK)
+  }
+
   /** LSH bucket statistics: signature → vector count + min id. */
   def lshBuckets(embeddings: DataFrame, planes: Int): DataFrame = {
     VectorExpressions.register(embeddings.sparkSession)

@@ -215,6 +215,27 @@ class OpsSpec extends AnyFunSuite {
     assert(rr.intersect(bf).size > adcOnly.intersect(bf).size)
   }
 
+  test("stored IVF index: build once, probe scans only its cell partition") {
+    val e = Tables.embeddings(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    SimilarityOps.buildIvfIndex(e, path)
+    val qv = e.filter($"vec_id" === 0L)
+      .select(SimilarityOps.asDoubleVec($"embedding")).head().getSeq[Double](0)
+    val res = SimilarityOps.queryIvfIndex(spark, path, qv, 11)
+    // the cell filter must prune at the partition level, not per row
+    val scan = res.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(scan.contains("PartitionFilters") &&
+      scan.toLowerCase.contains("cluster"))
+    // identical ranking to the inline-trained path (query vector itself
+    // tops its own cell; drop it to compare)
+    val got = res.collect().filter(_.getLong(0) != 0L).take(10)
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val expected = SimilarityOps.ivfKmeansTopK(e, 0L, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got === expected)
+  }
+
   test("multi-table LSH OR-ing only adds near-dup recall") {
     val e = Tables.embeddings(spark, sfDir)
     val one = SimilarityOps.lshNearDupPairs(e, 8, 0.3, tables = 1)
