@@ -96,6 +96,19 @@ class Scd2Spec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("mergeBatch cleanup releases the routed-batch cache") {
+    val split = "2024-01-22 06:00:00" // unique split → fresh plans, no cross-test cache hits
+    val hist = events.filter($"ts" <= lit(split))
+    val batch = events.filter($"ts" > lit(split))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val mr = Scd2.mergeBatch(Scd2.rebuild(hist, "user_id", "ts", "event_id"),
+      batch, "user_id", "ts", "event_id", opCol = None)
+    assert(mr.dim.count() > 0) // materialize (registers the routed cache)
+    assert(spark.sparkContext.getPersistentRDDs.size > before)
+    mr.cleanup()
+    assert(spark.sparkContext.getPersistentRDDs.size === before)
+  }
+
   test("merging an empty batch is a no-op") {
     val merged = Scd2.merge(dim, events.limit(0), "user_id", "ts", "event_id")
     assert(merged.count() === dim.count())
