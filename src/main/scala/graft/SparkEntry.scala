@@ -478,6 +478,27 @@ object SparkEntry {
     "ann_pq_rerank_topk" -> ((s, dir) =>
       SimilarityOps.pqRerankTopK(Tables.embeddings(s, dir), 0L, 10)),
 
+    // Stored-index read paths — build-once/query-many, the deployment
+    // shape of every production ANN index. The closure builds the index
+    // into a temp dir (training is session-memoized, so a session that
+    // also ran the inline variants trains nothing), then runs the pure
+    // read path: partition-pruned cell scan (IVF) / code-table ADC scan
+    // (PQ). Results are bit-identical to the inline-trained variants,
+    // so each shares its inline twin's oracle.
+    "ann_ivf_stored_topk" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      SimilarityOps.buildIvfIndex(Tables.embeddings(s, dir), path)
+      SimilarityOps.queryIvfIndex(s, path, queryEmbedding(s, dir, 0L), 10,
+        nprobe = 1, excludeIds = Seq(0L))
+    }),
+
+    "ann_pq_stored_topk" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+      SimilarityOps.buildPqIndex(Tables.embeddings(s, dir), path)
+      SimilarityOps.queryPqIndex(s, path, queryEmbedding(s, dir, 0L), 10,
+        excludeIds = Seq(0L))
+    }),
+
     // ── North-star: multimodal binary columns ─────────────────────────
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.binaryMeta(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -486,6 +507,14 @@ object SparkEntry {
       Multimodal.frameSample(Tables.documents(s, dir), 64, 128)
         .orderBy("doc_id", "frame_no")),
   )
+
+  /** The query vector for the stored-index read paths, as exact doubles
+    * (float→double widening is exact). */
+  private def queryEmbedding(s: org.apache.spark.sql.SparkSession, dir: String,
+                             id: Long): Seq[Double] =
+    Tables.embeddings(s, dir).filter(col("vec_id") === id)
+      .select(SimilarityOps.asDoubleVec(col("embedding")).as("v"))
+      .head().getSeq[Double](0).toIndexedSeq
 
   // ── Shared DuckDB fragments for the north-star oracles ──────────────
   /** Normalized word arrays — mirror of [[TextOps.normWords]]. */
@@ -617,7 +646,13 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    // the stored-index read paths replay their inline twins bit-for-bit
+    // (same training, same scoring folds), so they share oracles
+    "ann_ivf_stored_topk" -> oracleSqlBase("ann_ivf_kmeans_topk"),
+    "ann_pq_stored_topk" -> oracleSqlBase("ann_pq_topk"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
 
     "asof_join" ->
       s"""WITH hist AS (SELECT * FROM events WHERE ts <= TIMESTAMP '$WM'),

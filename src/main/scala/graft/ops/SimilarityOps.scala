@@ -328,10 +328,12 @@ object SimilarityOps {
 
   /** Query a stored IVF index: pick the query's nearest `nprobe` cells
     * from the (tiny) centroid table, scan ONLY those cells' partitions,
-    * cosine top-k inside. No training, no full-corpus scan. */
+    * cosine top-k inside. No training, no full-corpus scan. `excludeIds`
+    * drops known ids (e.g. the query vector itself when it is part of the
+    * indexed corpus) before the top-k cut. */
   def queryIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     queryVec: Seq[Double], topK: Int,
-                    nprobe: Int = 1): DataFrame = {
+                    nprobe: Int = 1, excludeIds: Seq[Long] = Nil): DataFrame = {
     VectorExpressions.register(spark)
     val cents = spark.read.parquet(s"$path/centroids")
     val probed = cents
@@ -340,15 +342,95 @@ object SimilarityOps {
       .orderBy(col("_d"), col("cluster"))
       .select("cluster").limit(nprobe)
     val cells = probed.collect().map(_.getLong(0))
-    spark.read.parquet(s"$path/assignments")
+    val scan = spark.read.parquet(s"$path/assignments")
       .filter(col("cluster").isin(cells: _*)) // → PartitionFilters, pruned scan
-      .select(col("vec_id"), col("cluster"),
+    val kept =
+      if (excludeIds.isEmpty) scan
+      else scan.filter(!col("vec_id").isin(excludeIds: _*))
+    kept
+      // partition-column values come back as the inferred directory type;
+      // pin bigint so the stored read path schema-matches the inline one
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
         round(
           call_function("graft_dot", col("v"), typedlit(queryVec)) /
             (sqrt(call_function("graft_dot", col("v"), col("v"))) *
               sqrt(call_function("graft_dot", typedlit(queryVec), typedlit(queryVec)))),
           6).as("cosine"))
       .orderBy(desc("cosine"), col("vec_id"))
+      .limit(topK)
+  }
+
+  /** Build the PQ index as a stored artifact — the missing half of
+    * [[pqTopK]]'s 100 TB story: the codebooks (m × ksub subspace
+    * centroids) are trained ONCE and persisted with every vector's m
+    * one-byte codes; queries never touch the float corpus or re-run
+    * training. Two parquet tables under `path`: `codebooks`
+    * (subspace, cl, cv) — tiny, collected at query time — and `codes`
+    * (vec_id, code_0..code_{m-1}) — the RAM-resident scan table (m bytes
+    * of signal per vector). Training reuses [[kmeansCentroids]] on the
+    * exact subspace plans the inline path derives, so a session that runs
+    * both trains once. */
+  def buildPqIndex(embeddings: DataFrame, path: String,
+                   m: Int = 8, ksub: Int = 16, iters: Int = 1): Unit = {
+    val spark = embeddings.sparkSession
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    val e = Caches.ensureCached(
+      embeddings.select(col("vec_id"), asDoubleVec(col("embedding")).as("v")))
+    val dims = 64
+    val subDim = dims / m
+    val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      kmeansCentroids(
+        e.select(col("vec_id"),
+          expr(s"slice(v, ${s * subDim + 1}, $subDim)").as("v")),
+        ksub, iters)
+    }
+    codebooks.zipWithIndex
+      .flatMap { case (cb, s) => cb.zipWithIndex.map { case (c, j) => (s, j, c) } }
+      .toDF("subspace", "cl", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    val codeCols = (0 until m).map { s =>
+      assignCluster(expr(s"slice(v, ${s * subDim + 1}, $subDim)"), codebooks(s))
+        .as(s"code_$s")
+    }
+    e.select(col("vec_id") +: codeCols: _*)
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Query a stored PQ index: read the (tiny) codebook table, build the
+    * query's m × ksub distance table with the same left-to-right
+    * squared-L2 fold as [[graft.functions.SquaredL2]] (driver doubles are
+    * the same IEEE ops, so scores are bit-identical to the inline path),
+    * then score the stored code table by ADC — m array lookups + a fixed
+    * left-associated sum per candidate, no float vectors, no training.
+    * This is the production read path: sub-second at any corpus size that
+    * fits its code table. */
+  def queryPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   queryVec: Seq[Double], topK: Int,
+                   excludeIds: Seq[Long] = Nil): DataFrame = {
+    val cb = spark.read.parquet(s"$path/codebooks")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toIndexedSeq))
+    val m = cb.map(_._1).max + 1
+    val ksub = cb.map(_._2).max + 1
+    val subDim = queryVec.length / m
+    val centroid = cb.map(r => (r._1, r._2) -> r._3).toMap
+    val qTables: Seq[Seq[Double]] = (0 until m).map { s =>
+      val qSub = queryVec.slice(s * subDim, (s + 1) * subDim)
+      (0 until ksub).map { j =>
+        val c = centroid((s, j))
+        qSub.zip(c).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+      }
+    }
+    val codes = spark.read.parquet(s"$path/codes")
+    val kept =
+      if (excludeIds.isEmpty) codes
+      else codes.filter(!col("vec_id").isin(excludeIds: _*))
+    val adc = (0 until m)
+      .map(s => element_at(typedlit(qTables(s)), col(s"code_$s") + 1))
+      .reduce(_ + _)
+    kept.select(col("vec_id"), adc.as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
       .limit(topK)
   }
 

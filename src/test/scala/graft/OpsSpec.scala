@@ -236,6 +236,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("stored PQ index: query path is pure ADC and matches inline scores") {
+    val e = Tables.embeddings(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    SimilarityOps.buildPqIndex(e, path)
+    val qv = e.filter($"vec_id" === 0L)
+      .select(SimilarityOps.asDoubleVec($"embedding")).head().getSeq[Double](0)
+    val res = SimilarityOps.queryPqIndex(spark, path, qv, 10,
+      excludeIds = Seq(0L))
+    // bit-identical (id, adc) ranking to the inline-trained path
+    val got = res.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val expected = SimilarityOps.pqTopK(e, 0L, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expected)
+    // the read path scans only the code table: no embedding column, no
+    // float vectors — its one file scan is over codes/
+    val leaves = res.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(leaves.contains("codes") && !leaves.contains("embedding"))
+  }
+
   test("multi-table LSH OR-ing only adds near-dup recall") {
     val e = Tables.embeddings(spark, sfDir)
     val one = SimilarityOps.lshNearDupPairs(e, 8, 0.3, tables = 1)
