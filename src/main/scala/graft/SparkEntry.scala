@@ -429,11 +429,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // maxDist=2: on this corpus it keeps the same high-jaccard recall as
-    // distance 3 (measured 27/28) with ~2× fewer coincidental pairs —
-    // vocabulary overlap correlates 32-bit sketches of unrelated docs
+    // maxDist=3, the 4-band pigeonhole recall bound; the 64-bit sketch
+    // (4×16-bit bands, 65 536 buckets/band) makes distance ≤ 3 a much
+    // stricter relative threshold than the old 32-bit layout, so
+    // coincidental vocabulary-overlap pairs drop out on their own
     "dedup_simhash_pairs" -> ((s, dir) =>
-      DedupOps.simhashPairs(Tables.documents(s, dir), 2)
+      DedupOps.simhashPairs(Tables.documents(s, dir), 3)
         .orderBy("doc_a", "doc_b")),
 
     // ── North-star: embedding similarity search ───────────────────────
@@ -907,20 +908,26 @@ object SparkEntry {
     },
 
     "dedup_simhash_pairs" -> {
-      val bitTerms = (1 to 32).map { d =>
-        s"(CASE WHEN list_sum(list_transform(w, x -> CASE WHEN substr(md5(x), $d, 1) > '7' THEN 1 ELSE -1 END)) >= 0 THEN CAST(${1L << (32 - d)} AS BIGINT) ELSE 0 END)"
+      // 64-dim sketch: dims 1-32 = high bit of md5 hex digit d, dims
+      // 33-64 = parity bit of digit d-32 — mirror of [[DedupOps.simhashLong]]
+      val bitTerms = (1 to 64).map { d =>
+        val bit = if (d <= 32) s"substr(md5(x), $d, 1) > '7'"
+                  else s"substr(md5(x), ${d - 32}, 1) IN ('1','3','5','7','9','b','d','f')"
+        val weight = if (d == 1) "(-9223372036854775807 - 1)"
+                     else s"CAST(${1L << (64 - d)} AS BIGINT)"
+        s"(CASE WHEN list_sum(list_transform(w, x -> CASE WHEN $bit THEN 1 ELSE -1 END)) >= 0 THEN $weight ELSE 0 END)"
       }
       s"""WITH $wordsSql,
          |sk AS (SELECT doc_id, ${bitTerms.mkString(" + ")} AS sh FROM words),
          |bands AS (
-         |  SELECT doc_id, sh, b, (sh >> (b * 8)) & 255 AS bv
+         |  SELECT doc_id, sh, b, (sh >> (b * 16)) & 65535 AS bv
          |  FROM sk, LATERAL unnest(range(0, 4)) AS t(b)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, a.sh AS sha, b.doc_id AS doc_b, b.sh AS shb
          |  FROM bands a JOIN bands b
          |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(xor(sha, shb)) <= 2
+         |FROM cand WHERE bit_count(xor(sha, shb)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 

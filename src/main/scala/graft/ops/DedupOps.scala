@@ -224,23 +224,33 @@ object DedupOps {
         expr(s"concat(${bitExprs.mkString(", ")})").as("simhash"))
   }
 
-  /** 32-bit SimHash packed into a long — the pairing-grade sketch (16 bits
-    * collide too often to band). Dimension d (1..32) takes the high bit of
-    * hex digit d of each word's md5; bit d of the sketch is the sign of
-    * the ±1 sum, packed big-endian. Single-pass shape: one md5 per word
-    * (materialized in its own projection — the Generate/HOF subexpression
-    * trap), then ONE fold carrying a 32-wide count vector (32 separate
-    * sign-folds would re-iterate the word array 32× per row), then one
-    * pack projection. Exact integer arithmetic throughout, so the result
-    * is order-independent and bit-identical to the oracle's per-dimension
+  /** 64-bit SimHash packed into a long — the pairing-grade sketch.
+    * Two bit sources per md5 hex digit give 64 dimensions from ONE digest
+    * per word: dimension d ≤ 32 takes the high bit of hex digit d
+    * (value > 7), dimension d > 32 takes the parity bit of hex digit
+    * d−32 (odd value) — independent bits of the same digit. Bit d of the
+    * sketch is the sign of the ±1 sum over words, packed big-endian
+    * (bit 1 is the long's sign bit — two's-complement on both engines).
+    * Single-pass shape: one md5 per word (materialized in its own
+    * projection — the Generate/HOF subexpression trap), then ONE fold
+    * carrying a 64-wide count vector (64 separate sign-folds would
+    * re-iterate the word array 64× per row), then one pack projection.
+    * Exact integer arithmetic throughout, so the result is
+    * order-independent and bit-identical to the oracle's per-dimension
     * sums. */
   def simhashLong(docs: DataFrame): DataFrame = {
     val countsExpr =
-      "aggregate(h, array_repeat(0, 32), (acc, x) -> " +
-        "zip_with(acc, sequence(1, 32), (a, d) -> " +
-        "a + (CASE WHEN substr(x, d, 1) > '7' THEN 1 ELSE -1 END)))"
-    val packTerms = (1 to 32).map { d =>
-      s"(CASE WHEN c[${d - 1}] >= 0 THEN ${1L << (32 - d)}L ELSE 0L END)"
+      "aggregate(h, array_repeat(0, 64), (acc, x) -> " +
+        "zip_with(acc, sequence(1, 64), (a, d) -> " +
+        "a + (CASE WHEN d <= 32 " +
+        "THEN (CASE WHEN substr(x, d, 1) > '7' THEN 1 ELSE -1 END) " +
+        "ELSE (CASE WHEN substr(x, d - 32, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) END)))"
+    val packTerms = (1 to 64).map { d =>
+      // d = 1 is the sign bit: 1L << 63 has no positive literal — write
+      // Long.MinValue as the overflow-free (-(2^63-1) - 1) on both engines
+      val weight = if (d == 1) "(-9223372036854775807L - 1L)"
+                   else s"${1L << (64 - d)}L"
+      s"(CASE WHEN c[${d - 1}] >= 0 THEN $weight ELSE 0L END)"
     }
     docs.select(col("doc_id"), TextOps.normWords(col("text")).as("w"))
       .select(col("doc_id"), expr("transform(w, x -> md5(x))").as("h"))
@@ -248,21 +258,30 @@ object DedupOps {
       .select(col("doc_id"), expr(packTerms.mkString(" + ")).as("sh"))
   }
 
-  /** SimHash near-duplicate pairs at Hamming distance ≤ `maxDist` (< 8):
-    * the 32-bit sketch is cut into 4 bands of 8 bits; by pigeonhole, any
-    * pair within distance ≤ 3 agrees exactly on at least one band, so the
-    * band equi-join generates every qualifying pair (plus a few
-    * extra-band collisions), then `bit_count(xor)` verifies the exact
-    * distance. This is the banded construction that makes simhash dedup
-    * O(docs × bands) at 100 TB — candidates come from hash-bucket joins,
-    * never an all-pairs comparison; the sketch rides along the join so
-    * verification needs no second lookup. */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    require(maxDist < 8, "4 bands of 8 bits guarantee recall only for maxDist <= 7")
+  /** SimHash near-duplicate pairs at Hamming distance ≤ `maxDist`: the
+    * 64-bit sketch is cut into `bands` bands of `bandBits` bits; by
+    * pigeonhole, any pair within distance ≤ bands−1 agrees exactly on at
+    * least one band, so the band equi-join generates every qualifying
+    * pair (plus a few extra-band collisions), then `bit_count(xor)`
+    * verifies the exact distance. This is the banded construction that
+    * makes simhash dedup O(docs × bands) at 100 TB — candidates come
+    * from hash-bucket joins, never an all-pairs comparison; the sketch
+    * rides along the join so verification needs no second lookup. The
+    * default 4×16-bit banding gives 65 536 buckets per band (the old
+    * 4×8-bit layout capped at 256 — bucket occupancy, and with it the
+    * candidate join, grew linearly with corpus size); at larger corpora
+    * widen further (e.g. 8 bands × 8 of 16 bits chosen per doc) to keep
+    * expected occupancy bounded. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+                   bands: Int = 4, bandBits: Int = 16): DataFrame = {
+    require(bands * bandBits == 64, "bands × bandBits must tile the 64-bit sketch")
+    require(maxDist < bands,
+      s"$bands bands guarantee recall only for maxDist <= ${bands - 1}")
+    val mask = (1L << bandBits) - 1
     val sk = Caches.ensureCached(simhashLong(docs))
     val banded = sk.select(col("doc_id"), col("sh"),
       posexplode(expr(
-        "transform(sequence(0, 3), b -> cast(shiftright(sh, b * 8) & 255 as int))"))
+        s"transform(sequence(0, ${bands - 1}), b -> shiftright(sh, b * $bandBits) & ${mask}L)"))
         .as(Seq("band", "bv")))
     banded.as("a")
       .join(banded.as("b"),

@@ -106,12 +106,14 @@ class OpsSpec extends AnyFunSuite {
     // a disjoint-vocabulary doc must never pair with the base family
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
 
-    // on the real corpus the banded join recovers nearly all pairs the
-    // exact Jaccard path finds (measured: 27/28 at sf0.001 — one planted
-    // near-dup flips 3+ sketch bits; an inherent simhash miss, not a
-    // banding miss). The corpus has no token-identical docs, so every hit
-    // is a genuine near-dup detection, not a trivial equality.
-    val realPairs = DedupOps.simhashPairs(docs, 2)
+    // on the real corpus the banded join recovers most pairs the exact
+    // Jaccard path finds (measured: 22/28 at sf0.001 with the 64-bit
+    // sketch at its pigeonhole bound maxDist=3 — the misses flip 4+ of
+    // 64 sketch bits; an inherent simhash miss, not a banding miss) and
+    // almost nothing else (24 total pairs — the 32-bit sketch's
+    // coincidental vocabulary-overlap pairs are gone). The corpus has no
+    // token-identical docs, so every hit is a genuine near-dup detection.
+    val realPairs = DedupOps.simhashPairs(docs, 3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     val jacc = DedupOps.jaccardPairs(docs, 5, 0.8)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
