@@ -588,17 +588,23 @@ object SparkEntry {
     (ctes, joins, adcSum)
   }
 
-  /** Winnowed fingerprint sets — mirror of [[TextOps.winnowFps]] (k=8, w=4). */
+  /** Winnowed fingerprint sets — mirror of [[TextOps.winnowFps]] (k=8,
+    * w=4): base-257 polynomial k-gram hash mod 2^40 (DuckDB
+    * `list_reduce` has no init, so its fold starts at the first char
+    * code — identical to the 0-seeded fold since (0·257 + c) = c),
+    * window-min of 4, sorted-distinct. */
   private val winnowFpSql =
     """fp AS (
       |  SELECT doc_id,
       |         list_sort(list_distinct([list_min(hs[j:j+3]) for j in range(1, len(hs) - 2)])) AS fps
       |  FROM (
       |    SELECT doc_id,
-      |           [CAST(('0x' || substr(md5(substr(s, i, 8)), 1, 10)) AS BIGINT) for i in range(1, length(s) - 6)] AS hs
-      |    FROM (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
-      |          FROM documents)
-      |    WHERE length(s) >= 11))""".stripMargin
+      |           [list_reduce(cs[i:i+7], (acc, c) -> ((acc * 257) + c) & 1099511627775) for i in range(1, len(cs) - 6)] AS hs
+      |    FROM (
+      |      SELECT doc_id, [CAST(ascii(substr(s, i, 1)) AS BIGINT) for i in range(1, length(s) + 1)] AS cs
+      |      FROM (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+      |            FROM documents)
+      |      WHERE length(s) >= 11)))""".stripMargin
 
   /** Per-plane sign-bit expressions of the hyperplane LSH — mirror of
     * [[SimilarityOps.planeSigns]]/[[SimilarityOps.lshSignature]]. */

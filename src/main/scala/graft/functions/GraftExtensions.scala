@@ -26,5 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_norm_words"),
       new ExpressionInfo(classOf[NormWords].getCanonicalName, "graft_norm_words"),
       (exprs: Seq[Expression]) => NormWords(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getCanonicalName, "graft_winnow_fps"),
+      (exprs: Seq[Expression]) => WinnowFps.fromArgs(exprs)))
   }
 }

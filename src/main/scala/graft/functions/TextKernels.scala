@@ -61,3 +61,81 @@ case class NormWords(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Codegen'd winnowing kernel — the fingerprint pass of the containment
+  * operators. Computes, in one primitive loop over an already-normalized
+  * `[a-z0-9]*` string: every k-gram's base-257 polynomial hash mod 2^40
+  * (`h = ((h·257) + byte) & (2^40−1)`, left-to-right), the minimum of
+  * each sliding window of `w` hashes, then the sorted-distinct set.
+  * Bit-identical to the portable HOF formulation
+  * ([[graft.ops.TextOps.winnowFpsHof]], asserted in OpsSpec) and to the
+  * DuckDB oracle's `list_reduce` replay — integer arithmetic is exact on
+  * both engines. Replaces the per-position md5 digest the round-2
+  * implementation paid (a full hash rig per character of corpus): ~8
+  * long multiply-adds per position instead, which at 100 TB is the
+  * difference between hashing at scan speed and hashing at digest
+  * speed. */
+object WinnowKernel {
+  def fps(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val mask = (1L << 40) - 1
+    val nh = n - k + 1
+    if (nh < w) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](nh)
+    var i = 0
+    while (i < nh) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = ((h * 257) + bytes(i + j)) & mask; j += 1 }
+      hs(i) = h
+      i += 1
+    }
+    val nm = nh - w + 1
+    val mins = new Array[Long](nm)
+    var p = 0
+    while (p < nm) {
+      var mn = hs(p)
+      var t = 1
+      while (t < w) { if (hs(p + t) < mn) mn = hs(p + t); t += 1 }
+      mins(p) = mn
+      p += 1
+    }
+    java.util.Arrays.sort(mins)
+    var distinct = 0
+    var q = 0
+    while (q < nm) {
+      if (q == 0 || mins(q) != mins(q - 1)) { mins(distinct) = mins(q); distinct += 1 }
+      q += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(mins, distinct))
+  }
+}
+
+/** `graft_winnow_fps(s, k, w)` — see [[WinnowKernel.fps]]; k and w must
+  * be literals. */
+case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def prettyName: String = "graft_winnow_fps"
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowKernel.fps(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowKernel.fps($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowFps {
+  /** Build from registry argument expressions: (string, k-literal,
+    * w-literal). */
+  def fromArgs(exprs: Seq[Expression]): WinnowFps =
+    WinnowFps(exprs(0),
+      exprs(1).eval().asInstanceOf[Number].intValue(),
+      exprs(2).eval().asInstanceOf[Number].intValue())
+}

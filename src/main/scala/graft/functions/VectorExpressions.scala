@@ -114,5 +114,8 @@ object VectorExpressions {
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_norm_words")))
       reg.createOrReplaceTempFunction(
         "graft_norm_words", exprs => NormWords(exprs(0)), "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_winnow_fps")))
+      reg.createOrReplaceTempFunction(
+        "graft_winnow_fps", exprs => WinnowFps.fromArgs(exprs), "built-in")
   }
 }

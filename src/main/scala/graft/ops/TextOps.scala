@@ -63,13 +63,16 @@ object TextOps {
         .as("fingerprint"))
 
   /** Winnowing document fingerprints (rolling-hash selection, the
-    * MOSS/winnowing construction): char k-grams → 40-bit md5-prefix hash →
+    * MOSS/winnowing construction): char k-grams → 40-bit base-257
+    * polynomial hash (`h = ((h·257) + char) & (2^40−1)`, left fold) →
     * minimum of each sliding window of `w` hashes → distinct sorted set,
     * reported as a count + set signature. Guarantees any shared substring
     * of length ≥ k+w−1 yields a shared fingerprint. Per-row fold only —
-    * no shuffle — and engine-portable (DuckDB reproduces the hash via
-    * `('0x' || substr(md5(g),1,10))::BIGINT`). Docs shorter than k+w−1
-    * chars (after normalization) are dropped on both sides. */
+    * no shuffle — and engine-portable: plain 64-bit integer arithmetic,
+    * which DuckDB replays exactly (the round-2 md5-prefix hash paid a
+    * full digest per corpus character — the dominant containment cost).
+    * Docs shorter than k+w−1 chars (after normalization) are dropped on
+    * both sides. */
   def winnowFingerprint(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
     winnowFps(docs, k, w)
       .select(col("doc_id"),
@@ -79,17 +82,35 @@ object TextOps {
 
   /** The winnowed fingerprint SET per doc (doc_id, fps sorted-distinct
     * long array) — the reusable core behind [[winnowFingerprint]] and
-    * [[containmentPairs]]. */
-  def winnowFps(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
+    * [[containmentPairs]]. Hash + window-min + distinct-sort run in the
+    * codegen'd [[graft.functions.WinnowKernel]] (one primitive loop per
+    * doc; bit-identical to [[winnowFpsHof]], asserted in OpsSpec). */
+  def winnowFps(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    graft.functions.VectorExpressions.register(docs.sparkSession)
     docs.select(col("doc_id"),
       regexp_replace(lower(col("text")), "[^a-z0-9]", "").as("s"))
-      // single length guard: |hs| = |s|−k+1, so |s| ≥ k+w−1 ⟺ |hs| ≥ w.
-      // (Filtering on size(hs) instead gets pushed below the projections
-      // and re-computes the whole hash array inside the filter condition —
-      // measured 6× slower.)
+      // length guard on the cheap normalized string (|s| ≥ k+w−1 ⟺ the
+      // kernel emits ≥1 fingerprint); a size(fps) filter would be pushed
+      // below the projection and re-run the kernel inside the condition
       .filter(length(col("s")) >= k + w - 1)
       .select(col("doc_id"),
-        expr(s"transform(sequence(1, length(s) - ${k - 1}), i -> cast(conv(substr(md5(substring(s, i, $k)), 1, 10), 16, 10) as bigint))")
+        call_function("graft_winnow_fps", col("s"), lit(k), lit(w)).as("fps"))
+  }
+
+  /** The portable higher-order-function formulation of [[winnowFps]] —
+    * the semantic reference the kernel is tested against (and the shape
+    * the DuckDB oracle mirrors). */
+  def winnowFpsHof(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_replace(lower(col("text")), "[^a-z0-9]", "").as("s"))
+      .filter(length(col("s")) >= k + w - 1)
+      // the ascii-code array is materialized in its own projection (the
+      // Generate/HOF subexpression-elimination trap — see shingleArrays)
+      .select(col("doc_id"),
+        expr("transform(sequence(1, length(s)), i -> cast(ascii(substring(s, i, 1)) as bigint))")
+          .as("cs"))
+      .select(col("doc_id"),
+        expr(s"transform(sequence(1, size(cs) - ${k - 1}), i -> aggregate(slice(cs, i, $k), 0L, (acc, c) -> ((acc * 257) + c) & ${(1L << 40) - 1}L))")
           .as("hs"))
       .select(col("doc_id"),
         expr(s"array_sort(array_distinct(transform(sequence(1, size(hs) - ${w - 1}), j -> array_min(slice(hs, j, $w)))))")

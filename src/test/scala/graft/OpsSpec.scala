@@ -34,6 +34,24 @@ class OpsSpec extends AnyFunSuite {
     assert(corpus.filter($"kernel" =!= $"regex").count() === 0)
   }
 
+  test("winnow kernel is bit-identical to the portable HOF formulation") {
+    // edge lengths around the k+w-1 = 11 drop threshold, repeats (distinct
+    // collapse), and the full corpus
+    val cases = Seq(
+      "exactlyelevenx", "0123456789a", "aaaaaaaaaaaa", // repeats → 1 fp
+      "the quick brown fox JUMPS over 42 lazy dogs",
+      "abcdefghijklmnopqrstuvwxyz0123456789")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (d <- Seq(cases, docs)) {
+      val kernel = TextOps.winnowFps(d).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      val hof = TextOps.winnowFpsHof(d).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      assert(kernel === hof)
+    }
+  }
+
   test("fingerprint is word-order invariant") {
     val d = Seq((1L, "alpha beta gamma delta"), (2L, "delta gamma beta alpha"),
       (3L, "alpha beta gamma epsilon"))
