@@ -17,8 +17,17 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().count()
     } catch { case _: Throwable => () }
+    // Labeled setup phase: build the cross-query shared caches (shingle/
+    // signature/sketch/winnow tables, merge dim snapshots, k-means memos)
+    // so their one-time cost is reported as `setup` instead of billing to
+    // whichever query alphabetically first touches each cache — per-query
+    // diffs across rounds then reflect plan changes only.
+    val s0 = System.nanoTime()
+    try SparkEntry.warmSharedCaches(spark, sfDir)
+    catch { case _: Throwable => () }
+    val setup = (System.nanoTime() - s0) / 1e9
     // fixed name order: per-query numbers stay comparable across rounds
-    // (Map order would shift shared-cache build costs between queries)
+    // (Map order would shift residual costs between queries)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -26,8 +35,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // total = honest wall time including the shared-cache build
+    val total = setup + (if (results.nonEmpty) results.map(_._2).sum else 0.0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","setup":$setup,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

