@@ -224,6 +224,75 @@ object DedupOps {
         expr(s"concat(${bitExprs.mkString(", ")})").as("simhash"))
   }
 
+  /** Transitive duplicate groups by alternating large-star / small-star
+    * contraction — the MapReduce connected-components construction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    * an alternative round step to [[dupGroups]]'s min-label propagation
+    * built from the same join primitives.
+    *
+    * Per round, with the symmetric neighbor relation:
+    *  - large-star: every node u links each LARGER neighbor to
+    *    m(u) = min(Γ(u) ∪ {u}) — long chains fold toward minima from
+    *    every node at once;
+    *  - small-star: on the now-downward-pointing edges, every node u
+    *    re-links its smaller-or-equal neighbors (and itself) to their
+    *    minimum — stars flatten.
+    *
+    * Converges to per-component stars centered at the component minimum
+    * in O(log n) rounds on ANY graph shape — min-label propagation with
+    * pointer doubling is O(log diameter) on the LABEL table but its
+    * per-round candidate set rides the raw edge relation, so an
+    * adversarial long-chain corpus (poisoned near-dup chains) degrades
+    * it; star contraction also SHRINKS the edge relation as components
+    * fold, so round cost decreases. Crossover guidance in PLANS.md.
+    * Same driver discipline as [[dupGroups]]: per-round eager
+    * `localCheckpoint` (lineage truncation), only counts collected. */
+  def dupGroupsStar(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    def canon(e: DataFrame): DataFrame =
+      e.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+    var edges = canon(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .localCheckpoint()
+    var converged = edges.isEmpty
+    while (!converged) {
+      val sym = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      // large-star: (v, m(u)) for v ∈ Γ(u), v > u
+      val minsL = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(minsL, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star over the downward edges: every (v, m(u)) for the
+      // smaller-or-equal neighborhood, plus the center's own link
+      val symS = ls.unionByName(ls.select(col("v").as("u"), col("u").as("v")))
+      val down = symS.filter(col("v") <= col("u"))
+      val minsS = down.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = down.join(minsS, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(minsS.filter(col("u") =!= col("m"))
+          .select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint()
+      // fixpoint: the canonical edge set stopped changing (stars map to
+      // themselves under both phases)
+      converged = ss.count() == edges.count() &&
+        ss.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = ss
+    }
+    docs.select("doc_id")
+      .join(edges.select(col("u").as("doc_id"), col("v").as("group_id")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("group_id"))
+  }
+
   /** 64-bit SimHash packed into a long — the pairing-grade sketch.
     * Two bit sources per md5 hex digit give 64 dimensions from ONE digest
     * per word: dimension d ≤ 32 takes the high bit of hex digit d

@@ -364,6 +364,35 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("star-contraction components equal min-label propagation") {
+    val rnd = new scala.util.Random(11)
+    // adversarial diameter (31-node chain), a ring (cycle), 3 random
+    // graphs — star contraction and label propagation must agree exactly
+    val cases = Seq(
+      (1L to 30L).map(i => (i, i + 1)),
+      (0L until 12L).map(i => (i, (i + 1) % 12))
+    ) ++ (1 to 3).map { _ =>
+      val n = 50
+      Seq.fill(35)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).distinct.toIndexedSeq
+    }
+    for ((es, i) <- cases.zipWithIndex) {
+      val nodes = es.flatMap(p => Seq(p._1, p._2)).max + 2 // +1 singleton
+      val docs = (0L until nodes).toDF("doc_id")
+      val pairs = es.toDF("doc_a", "doc_b")
+      val viaLabels = DedupOps.dupGroups(docs, pairs)
+        .as[(Long, Long)].collect().toMap
+      val viaStars = DedupOps.dupGroupsStar(docs, pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(viaStars === viaLabels, s"case $i")
+    }
+    // empty pair relation → all singletons
+    val lone = DedupOps.dupGroupsStar((0L until 5L).toDF("doc_id"),
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(lone === (0L until 5L).map(i => i -> i).toMap)
+  }
+
   test("binned range join equals the naive join on random intervals") {
     val rnd = new scala.util.Random(13)
     val base = java.sql.Timestamp.valueOf("2024-05-01 00:00:00").getTime
