@@ -2,20 +2,69 @@ package graft.engine
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.storage.StorageLevel
+import scala.collection.mutable.ArrayBuffer
 
 /** Cache-lifecycle hygiene. Operators that materialize a shared
   * intermediate (shingle tables, routed merge batches) must not leak one
   * cache entry per invocation, and re-deriving the same plan must not
   * re-register it (Spark's CacheManager logs "Asked to cache already
   * cached data" and keeps the first entry).
+  *
+  * Two usage modes:
+  *  - bench/notebook (default): entries persist for the session so
+  *    repeated queries share them;
+  *  - service: wrap each request in [[withCached]] so every entry an
+  *    operator registered during the request is released on exit —
+  *    a long-running process stays flat instead of accreting one
+  *    shingle/signature/winnow table per distinct corpus it touches.
   */
 object Caches {
+
+  private val scopes = new ThreadLocal[List[ArrayBuffer[DataFrame]]] {
+    override def initialValue(): List[ArrayBuffer[DataFrame]] = Nil
+  }
+
+  private val liveSet = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
 
   /** Persist `df` unless an equivalent plan is already cached — repeated
     * invocations of the same operator share the existing entry instead of
     * warning. (`Dataset.storageLevel` consults the session CacheManager
     * by canonicalized plan, so this sees caches registered by any prior
-    * DataFrame with the same plan.) */
-  def ensureCached(df: DataFrame): DataFrame =
-    if (df.storageLevel == StorageLevel.NONE) df.persist() else df
+    * DataFrame with the same plan.) Newly persisted entries are recorded
+    * in the innermost [[withCached]] scope, if one is active. */
+  def ensureCached(df: DataFrame): DataFrame = {
+    if (df.storageLevel == StorageLevel.NONE) {
+      df.persist()
+      liveSet.add(df)
+      scopes.get() match {
+        case head :: _ => head += df
+        case Nil       =>
+      }
+    }
+    df
+  }
+
+  /** Currently persisted entries registered through [[ensureCached]]. */
+  def liveCount: Int = liveSet.size
+
+  /** Run `body`, then unpersist every entry [[ensureCached]] registered
+    * during it (innermost scope on this thread; scopes nest). Execute the
+    * request's actions INSIDE the scope — a lazy DataFrame returned out
+    * of it stays correct but recomputes its released intermediates.
+    * Ownership is first-builder: an entry that was already cached before
+    * the scope opened (e.g. by a prior request for the same corpus) is
+    * not re-registered and therefore not released here. */
+  def withCached[T](body: => T): T = {
+    val scope = ArrayBuffer.empty[DataFrame]
+    scopes.set(scope :: scopes.get())
+    try body
+    finally {
+      scopes.set(scopes.get().tail)
+      scope.foreach { df =>
+        df.unpersist()
+        liveSet.remove(df)
+      }
+    }
+  }
 }

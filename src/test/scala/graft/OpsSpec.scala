@@ -364,6 +364,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("withCached releases every operator cache registered in scope") {
+    import graft.engine.Caches
+    import org.apache.spark.storage.StorageLevel
+    // a corpus slice no other test caches → plans are unique to this scope
+    val corpus = docs.limit(47)
+    val before = Caches.liveCount
+    Caches.withCached {
+      DedupOps.jaccardPairs(corpus, 5, 0.8).count()        // shingle cache
+      DedupOps.simhashPairs(corpus, 3).count()             // sketch cache
+      TextOps.containmentPairs(corpus).count()             // winnow caches
+      assert(Caches.liveCount > before)
+    }
+    // registry back to its pre-scope population and the shared plans
+    // really unpersisted (storageLevel consults the session CacheManager
+    // by canonicalized plan)
+    assert(Caches.liveCount === before)
+    assert(DedupOps.shingleArrays(corpus, 5).storageLevel === StorageLevel.NONE)
+    assert(DedupOps.simhashLong(corpus).storageLevel === StorageLevel.NONE)
+    assert(TextOps.winnowFps(corpus).storageLevel === StorageLevel.NONE)
+  }
+
   test("star-contraction components equal min-label propagation") {
     val rnd = new scala.util.Random(11)
     // adversarial diameter (31-node chain), a ring (cycle), 3 random
