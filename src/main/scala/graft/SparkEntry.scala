@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{Caches, Cdc, Scd2, Stats, Tables}
-import graft.ops.{DedupOps, Multimodal, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, Multimodal, SamplingOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (★ inventory) and §7.
   *
@@ -507,7 +507,39 @@ object SparkEntry {
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.frameSample(Tables.documents(s, dir), 64, 128)
         .orderBy("doc_id", "frame_no")),
+
+    // ── North-star: deterministic sampling / splitting / packing ──────
+    "sample_hash_split" -> ((s, dir) =>
+      SamplingOps.hashSplit(Tables.documents(s, dir), "doc_id")
+        .select("doc_id", "split").orderBy("doc_id")),
+
+    "sample_stratified" -> ((s, dir) =>
+      SamplingOps.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id", 20)
+        .select("doc_id", "lang").orderBy("lang", "doc_id")),
+
+    "token_buckets" -> ((s, dir) =>
+      SamplingOps.tokenBuckets(Tables.documents(s, dir), 10).orderBy("bucket")),
+
+    "pack_sequences" -> ((s, dir) =>
+      SamplingOps.packSequences(Tables.documents(s, dir), 512).orderBy("pack_id")),
+
+    "corpus_mix" -> ((s, dir) =>
+      SamplingOps.corpusMix(Tables.documents(s, dir), "lang", mixWeights)
+        .orderBy("lang")),
+
+    "text_repetition" -> ((s, dir) =>
+      TextOps.repetitionScore(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // contamination sweep: train docs sharing winnow fingerprints with
+    // the held-out hash split (top 10% of the doc_id hash space)
+    "decontaminate" -> ((s, dir) =>
+      TextOps.decontaminate(Tables.documents(s, dir)).orderBy("doc_id")),
   )
+
+  /** Target mixture weights for the corpus-mix report (one per corpus
+    * lang; must stay literal-identical to the oracle's CASE). */
+  private val mixWeights: Map[String, Double] = Map(
+    "de" -> 0.15, "en" -> 0.35, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.20)
 
   /** Build the cross-query shared caches and training memos so bench
     * per-query timings are attributable to plan changes rather than to
@@ -652,6 +684,10 @@ object SparkEntry {
       val signs = s"[CASE WHEN substr(md5('${p}_' || CAST(j AS VARCHAR)), 1, 1) > '7' THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END for j in range(0, 64)]"
       s"CASE WHEN list_reduce(list_transform(list_zip(v, $signs), p2 -> p2[1] * p2[2]), (acc, el) -> acc + el) >= 0 THEN '1' ELSE '0' END"
     }
+
+  /** 40-bit md5-prefix key hash — mirror of [[SamplingOps.keyHash]]. */
+  private def keyHashSql(c: String): String =
+    s"CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 10)) AS BIGINT)"
 
   private val stopListSql = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
 
@@ -1325,6 +1361,96 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY p_brand, n_name ORDER BY p_brand, n_name""".stripMargin,
+
+    "sample_hash_split" ->
+      s"""SELECT doc_id,
+         |       CASE WHEN ${keyHashSql("doc_id")} % 100 < 80 THEN 'train'
+         |            WHEN ${keyHashSql("doc_id")} % 100 < 90 THEN 'valid'
+         |            ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY ${keyHashSql("doc_id")}, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+
+    "token_buckets" ->
+      s"""WITH $wordsSql,
+         |toks AS (SELECT doc_id, len(w) AS n_tokens FROM words),
+         |b AS (SELECT doc_id, n_tokens,
+         |             CAST(ntile(10) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS bucket
+         |      FROM toks)
+         |SELECT bucket, count(*) AS n_docs,
+         |       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+         |       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+         |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "pack_sequences" ->
+      s"""WITH $wordsSql,
+         |toks AS (SELECT doc_id, len(w) AS n_tokens FROM words),
+         |off AS (SELECT doc_id, n_tokens,
+         |               CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+         |        FROM toks)
+         |SELECT CAST(o // 512 AS BIGINT) AS pack_id, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |       CAST(sum(CASE WHEN (o % 512) + n_tokens > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+         |FROM off GROUP BY 1 ORDER BY pack_id""".stripMargin,
+
+    "corpus_mix" ->
+      s"""WITH $wordsSql,
+         |toks AS (SELECT lang, len(w) AS n_tokens FROM words),
+         |per AS (SELECT lang, count(*) AS n_docs,
+         |               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |        FROM toks GROUP BY lang),
+         |tw AS (SELECT per.*,
+         |              CASE lang WHEN 'de' THEN CAST(0.15 AS DOUBLE)
+         |                        WHEN 'en' THEN CAST(0.35 AS DOUBLE)
+         |                        WHEN 'es' THEN CAST(0.15 AS DOUBLE)
+         |                        WHEN 'fr' THEN CAST(0.15 AS DOUBLE)
+         |                        WHEN 'zh' THEN CAST(0.20 AS DOUBLE)
+         |                        ELSE NULL END AS target_weight
+         |       FROM per),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per)
+         |SELECT lang, n_docs, n_tokens,
+         |       CAST(n_tokens AS DOUBLE) / t AS share,
+         |       target_weight,
+         |       target_weight / (CAST(n_tokens AS DOUBLE) / t) AS dup_factor
+         |FROM tw, tot ORDER BY lang""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH $wordsSql,
+         |r AS (
+         |  SELECT doc_id, len(w) - 2 AS n_ngrams,
+         |         len(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS n_distinct
+         |  FROM words WHERE len(w) >= 3)
+         |SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+         |       CAST(n_distinct AS BIGINT) AS n_distinct,
+         |       CAST(1 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_ngrams AS rep_ratio
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "decontaminate" ->
+      s"""WITH $winnowFpSql,
+         |ex AS (SELECT doc_id, t.fp AS fp, ${keyHashSql("doc_id")} % 100 AS h
+         |       FROM fp, LATERAL unnest(fps) AS t(fp)),
+         |keep AS (SELECT fp FROM ex GROUP BY fp HAVING count(*) <= 10),
+         |tr AS (SELECT doc_id, fp FROM ex JOIN keep USING (fp) WHERE h < 90),
+         |te AS (SELECT doc_id AS tdoc, fp FROM ex JOIN keep USING (fp) WHERE h >= 90),
+         |sizes AS (SELECT doc_id, count(*) AS n_fps FROM tr GROUP BY doc_id),
+         |hits AS (
+         |  SELECT tr.doc_id, count(DISTINCT tr.fp) AS n_shared_fps,
+         |         count(DISTINCT te.tdoc) AS n_test_docs
+         |  FROM tr JOIN te ON tr.fp = te.fp
+         |  GROUP BY tr.doc_id)
+         |SELECT doc_id, n_fps, n_shared_fps, n_test_docs,
+         |       CAST(n_shared_fps AS DOUBLE) / n_fps AS contamination
+         |FROM hits JOIN sizes USING (doc_id)
+         |WHERE CAST(n_shared_fps AS DOUBLE) / n_fps >= 0.2
+         |ORDER BY doc_id""".stripMargin,
 
     "revenue_by_nation" ->
       """SELECT r_name, n_name,

@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling, splitting, bucketing, and mixing operators for
+  * training-data pipelines. Every operator here must give the SAME answer
+  * on every run, on every engine, at any parallelism — so randomness is
+  * replaced by key hashing (md5-derived integers, the construction the
+  * dedup family already proves engine-portable) and every windowed
+  * assignment rides a total order with a unique tie-break.
+  *
+  * Scale notes: hash splits are narrow per-row projections (no shuffle);
+  * stratified sampling shuffles once on the stratum key; packing and
+  * bucketing use a single global-order window — at 100 TB those would be
+  * range-partitioned by the same order (Spark's window already sorts
+  * within partitions after a range exchange), which is the standard
+  * sort-based packing shape.
+  */
+object SamplingOps {
+
+  /** Portable 40-bit integer hash of a key column: the first 10 hex chars
+    * of md5(key as string) — deterministic, uniform, and reproduced
+    * bit-for-bit by DuckDB's `('0x' || substr(md5(k), 1, 10))::BIGINT`. */
+  def keyHash(key: String): Column =
+    expr(s"cast(conv(substr(md5(cast($key as string)), 1, 10), 16, 10) as bigint)")
+
+  /** Reproducible train/valid/test split by key hash percentile:
+    * hash(key) mod 100 < trainPct → train, < trainPct+validPct → valid,
+    * else test. Membership is a pure function of the key — stable under
+    * reshuffling, appends, and re-runs (the property row_number-based
+    * splits lose the moment the input order changes). */
+  def hashSplit(df: DataFrame, key: String,
+                trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    val h = pmod(keyHash(key), lit(100))
+    df.withColumn("split",
+      when(h < trainPct, "train")
+        .when(h < trainPct + validPct, "valid")
+        .otherwise("test"))
+  }
+
+  /** Deterministic stratified sample: the `perStratum` docs of each
+    * stratum with the lowest (hash, key) — every stratum contributes the
+    * same pseudo-random subset on every run. One shuffle on the stratum
+    * key; the window never sees more than a stratum per task. */
+  def stratifiedSample(df: DataFrame, stratum: String, key: String,
+                       perStratum: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratum))
+      .orderBy(keyHash(key), col(key))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= perStratum)
+      .drop("_rn")
+  }
+
+  /** Range-partitioned global-order scaffold: attaches `_rn` (1-based
+    * global row number under `order`) and `_cum` (exclusive global
+    * running sum of `sumCol`) WITHOUT a single-partition window — a bare
+    * `Window.orderBy(...)` funnels the whole corpus through one task,
+    * the classic 100 TB killer. Shape: range repartition on the order
+    * key, partition-local sort + window, and ONE tiny collected
+    * (count, sum) row per partition whose exclusive prefix ships back as
+    * a broadcast literal offset — the standard two-pass distributed
+    * prefix-sum. The cached ranged table pins partition ids so both
+    * passes see the same layout. Returns (df, total rows, total sum). */
+  private def globalOrder(df: DataFrame, order: Seq[Column],
+                          sumCol: Column): (DataFrame, Long, Long) = {
+    val ranged = graft.engine.Caches.ensureCached(
+      df.repartitionByRange(order: _*)
+        .sortWithinPartitions(order: _*)
+        .withColumn("_pid", spark_partition_id()))
+    val parts = ranged.groupBy("_pid")
+      .agg(count(lit(1)).as("_n"), coalesce(sum(sumCol), lit(0L)).as("_s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    if (parts.isEmpty)
+      return (ranged.withColumn("_rn", lit(0L)).withColumn("_cum", lit(0L)), 0L, 0L)
+    val size = parts.map(_._1).max + 1
+    val nArr = Array.fill(size)(0L); val sArr = Array.fill(size)(0L)
+    parts.foreach { case (p, n, s) => nArr(p) = n; sArr(p) = s }
+    val nOff = nArr.scanLeft(0L)(_ + _).dropRight(1).toSeq
+    val sOff = sArr.scanLeft(0L)(_ + _).dropRight(1).toSeq
+    val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val out = ranged
+      .withColumn("_rn",
+        element_at(typedlit(nOff), col("_pid") + 1) + row_number().over(w))
+      .withColumn("_cum",
+        element_at(typedlit(sOff), col("_pid") + 1) +
+          coalesce(sum(sumCol).over(wPrev), lit(0L)))
+    (out, nArr.sum, sArr.sum)
+  }
+
+  private def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(TextOps.normWords(col("text"))).cast("long").as("n_tokens"))
+
+  /** Length-bucketed batching prep: docs ntiled into `n` buckets by token
+    * count (total order with key tie-break), reported as per-bucket doc /
+    * token ranges. Equal-population buckets are what sequence-length
+    * batching wants (minimal padding within a bucket). The bucket id is
+    * computed from the [[globalOrder]] row number with SQL ntile's exact
+    * assignment rule (first N mod n buckets get the extra row), so
+    * results match the oracle's `ntile(n)` while the plan stays
+    * range-partitioned. */
+  def tokenBuckets(docs: DataFrame, n: Int): DataFrame = {
+    val (ordered, total, _) =
+      globalOrder(docTokens(docs), Seq(col("n_tokens"), col("doc_id")),
+        col("n_tokens"))
+    val base = total / n; val rem = total % n; val cut = (base + 1) * rem
+    ordered
+      .withColumn("bucket",
+        when(lit(rem) > 0 && col("_rn") <= cut,
+          expr(s"(_rn - 1) div ${base + 1} + 1"))
+          .otherwise(expr(s"$rem + (_rn - 1 - $cut) div ${math.max(base, 1L)} + 1"))
+          .cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+  }
+
+  /** Concat-and-chunk sequence packing (the GPT-style pretraining
+    * construction): documents are laid out in key order as one token
+    * stream and cut into fixed `budget`-token windows; a doc's pack is
+    * the window its first token lands in. Reports per-pack doc/token
+    * counts and how many docs straddle a window boundary (get split
+    * across packs). Exact integer arithmetic over the [[globalOrder]]
+    * prefix sum — range-partitioned, the same shape the tokenizer
+    * sharder runs. */
+  def packSequences(docs: DataFrame, budget: Int): DataFrame = {
+    val (ordered, _, _) =
+      globalOrder(docTokens(docs), Seq(col("doc_id")), col("n_tokens"))
+    ordered
+      // integer division: exact on both engines (budget need not be 2^k)
+      .withColumn("pack_id", expr(s"_cum div $budget"))
+      .withColumn("_straddle",
+        (pmod(col("_cum"), lit(budget.toLong)) + col("n_tokens") > budget)
+          .cast("long"))
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("_straddle")).as("n_straddlers"))
+  }
+
+  /** Corpus-mixing report: per-stratum token mass, its share of the
+    * corpus, and the duplication (epoch) factor needed to hit a target
+    * weight — the bookkeeping behind weighted data mixes. All shares and
+    * factors are single IEEE divisions of exact integer counts, so the
+    * doubles are bit-identical across engines. */
+  def corpusMix(docs: DataFrame, stratum: String,
+                targetWeights: Map[String, Double]): DataFrame = {
+    val toks = docs.select(col(stratum),
+      size(TextOps.normWords(col("text"))).cast("long").as("n_tokens"))
+    val per = toks.groupBy(stratum)
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val total = per.agg(sum(col("n_tokens")).as("_total"))
+    val target = targetWeights.foldLeft(lit(null).cast("double")) {
+      case (acc, (k, v)) => when(col(stratum) === k, lit(v)).otherwise(acc)
+    }
+    per.crossJoin(broadcast(total))
+      .withColumn("share", col("n_tokens").cast("double") / col("_total"))
+      .withColumn("target_weight", target)
+      .withColumn("dup_factor", col("target_weight") / col("share"))
+      .drop("_total")
+  }
+}

@@ -149,6 +149,61 @@ object TextOps {
       .select("doc_a", "doc_b", "n_shared", "containment")
   }
 
+  /** Intra-document repetition score — the MassiveText-style quality
+    * signal: the fraction of a doc's word n-grams that repeat an earlier
+    * one (1 − distinct/total). Highly repetitive docs (boilerplate,
+    * keyword stuffing, generation loops) score near 1. Exact integer
+    * counts + one IEEE division; single-pass, no shuffle. Docs below n
+    * words are dropped on both sides. */
+  def repetitionScore(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), normWords(col("text")).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        (size(col("w")) - (n - 1)).cast("long").as("n_ngrams"),
+        size(shingles(col("w"), n)).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"))
+
+  /** Train/test decontamination by winnowed-fingerprint overlap: the
+    * corpus is hash-split (held-out = top `testPct` of the doc_id hash
+    * space — same reproducible membership rule as
+    * [[SamplingOps.hashSplit]]), and every TRAIN doc sharing ≥ 1 winnow
+    * fingerprint with ANY held-out doc is reported with its overlap
+    * counts — the contamination sweep every eval suite needs before
+    * training. Fingerprints seen in more than `maxDf` docs are dropped
+    * first (corpus-common grams carry no contamination signal but make
+    * join buckets quadratic — the containment df-cap); a train doc is
+    * flagged only when ≥ `minRatio` of its (capped) fingerprints appear
+    * in held-out docs — single shared 8-grams are noise, a third of the
+    * doc is an eval leak. Cost: one fingerprint equi-join, linear in
+    * corpus size. */
+  def decontaminate(docs: DataFrame, k: Int = 8, w: Int = 4,
+                    testPct: Int = 10, maxDf: Int = 10,
+                    minRatio: Double = 0.2): DataFrame = {
+    val f = graft.engine.Caches.ensureCached(winnowFps(docs, k, w))
+    val ex = f.select(col("doc_id"), explode(col("fps")).as("fp"))
+      .withColumn("_h", pmod(SamplingOps.keyHash("doc_id"), lit(100)))
+    val keep = ex.groupBy("fp").agg(count(lit(1)).as("_d"))
+      .filter(col("_d") <= maxDf).select("fp")
+    val capped = ex.join(keep, "fp")
+    val train = capped.filter(col("_h") < 100 - testPct)
+      .select(col("doc_id"), col("fp"))
+    val test = capped.filter(col("_h") >= 100 - testPct)
+      .select(col("doc_id").as("_tdoc"), col("fp"))
+    // rows are unique per (doc, fp) — fps is a distinct set — so counts
+    // are exact fingerprint counts
+    val sizes = train.groupBy("doc_id").agg(count(lit(1)).as("n_fps"))
+    train.join(test, "fp")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("fp")).as("n_shared_fps"),
+        countDistinct(col("_tdoc")).as("n_test_docs"))
+      .join(sizes, "doc_id")
+      .withColumn("contamination",
+        col("n_shared_fps").cast("double") / col("n_fps"))
+      .filter(col("contamination") >= minRatio)
+      .select("doc_id", "n_fps", "n_shared_fps", "n_test_docs", "contamination")
+  }
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
 

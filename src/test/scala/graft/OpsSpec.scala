@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.engine.Tables
-import graft.ops.{DedupOps, Multimodal, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, Multimodal, SamplingOps, SimilarityOps, TextOps}
 
 class OpsSpec extends AnyFunSuite {
   import TestSpark._
@@ -362,6 +362,73 @@ class OpsSpec extends AnyFunSuite {
       // keeps the smaller root as parent
       assert(got === expected, s"trial $trial")
     }
+  }
+
+  test("hash split and stratified sample are pure functions of the key") {
+    val s1 = SamplingOps.hashSplit(docs, "doc_id").select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    // repartitioned/reordered input → identical membership
+    val s2 = SamplingOps.hashSplit(docs.repartition(7), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(s1 === s2)
+    assert(s1.values.toSet === Set("train", "valid", "test"))
+    assert(s1.values.count(_ == "train") > s1.size * 7 / 10)
+    // stratified: exactly k per stratum, stable under input reordering
+    val st = SamplingOps.stratifiedSample(docs, "lang", "doc_id", 20)
+    assert(st.groupBy("lang").count().as[(String, Long)].collect()
+      .forall(_._2 === 20L))
+    val st2 = SamplingOps.stratifiedSample(docs.orderBy(desc("doc_id")),
+      "lang", "doc_id", 20)
+    assert(st2.select("doc_id").as[Long].collect().toSet ===
+      st.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("global-order scaffold: no single-partition window, tokens conserved") {
+    val packs = SamplingOps.packSequences(docs, 512)
+    // the window must ride range partitioning, never one global partition
+    val plan = packs.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"))
+    assert(!plan.contains("SinglePartition"))
+    // packing conserves the token stream exactly
+    val total = docs
+      .select(sum(size(TextOps.normWords($"text")).cast("long")).as("t"))
+      .head().getLong(0)
+    val rows = packs.collect()
+    assert(rows.map(_.getLong(2)).sum === total)
+    assert(rows.forall(r => r.getLong(3) <= r.getLong(1))) // straddlers ≤ docs
+    // buckets partition the corpus with ntile population balance
+    val b = SamplingOps.tokenBuckets(docs, 10).collect()
+    val counts = b.map(_.getLong(1))
+    assert(counts.sum === docs.count())
+    assert(counts.max - counts.min <= 1)
+  }
+
+  test("repetition score separates repetitive from diverse docs") {
+    val d = Seq(
+      (1L, Seq.fill(30)("spam ham").mkString(" ")),          // 2 distinct 3-grams
+      (2L, (1 to 60).map(i => s"w$i").mkString(" ")))        // all distinct
+      .toDF("doc_id", "text")
+    val r = TextOps.repetitionScore(d).collect()
+      .map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(1L) > 0.9)
+    assert(r(2L) === 0.0)
+  }
+
+  test("decontaminate flags a planted train->test copy") {
+    // find one train id and one test id under the doc_id hash split
+    val probe = SamplingOps.hashSplit(spark.range(0, 200).toDF("doc_id"), "doc_id")
+      .as[(Long, String)].collect()
+    val trainId = probe.find(_._2 == "train").get._1
+    val testId = probe.find(_._2 == "test").get._1
+    val leaked = (1 to 40).map(i => s"leak$i").mkString(" ")
+    val filler = (1 to 40).map(i => s"fill$i").mkString(" ")
+    val d = Seq((trainId, leaked), (testId, leaked),
+      (probe.find(p => p._2 == "train" && p._1 != trainId).get._1, filler))
+      .toDF("doc_id", "text")
+    val hits = TextOps.decontaminate(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(hits.keySet === Set(trainId)) // the copy, not the filler doc
+    assert(hits(trainId) === 1.0)        // every fingerprint leaked
   }
 
   test("withCached releases every operator cache registered in scope") {
