@@ -33,11 +33,15 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision keeps the line short enough that a log-tail
+    // capture window retains the whole object; the headline total goes
+    // LAST so front-truncation can never cut it off
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     // total = honest wall time including the shared-cache build
     val total = setup + (if (results.nonEmpty) results.map(_._2).sum else 0.0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","setup":$setup,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","sf":"$sfDir","queries":$qs,"setup":${f(setup)},"unit":"sec","value":${f(total)}}""")
     spark.stop()
   }
 }

@@ -411,11 +411,11 @@ object SparkEntry {
     // never lands one quadratic bucket on a single task (pair set proven
     // identical to the unsalted join in OpsSpec)
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      DedupOps.jaccardPairs(Tables.documents(s, dir), 5, 0.8, saltFactor = 4)
+      DedupOps.jaccardPairs(Tables.documents(s, dir), P.ShingleN, P.JaccardT, saltFactor = 4)
         .orderBy("doc_a", "doc_b")),
 
     "dedup_minhash_lsh" -> ((s, dir) =>
-      DedupOps.minhashLshPairs(Tables.documents(s, dir), 5, 8, 4, 0.8)
+      DedupOps.minhashLshPairs(Tables.documents(s, dir), P.ShingleN, P.MinhashK, P.LshBands, P.JaccardT)
         .orderBy("doc_a", "doc_b")),
 
     "dedup_simhash" -> ((s, dir) =>
@@ -425,7 +425,7 @@ object SparkEntry {
     // by min-label propagation; every doc labeled with its group survivor
     "dedup_groups" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      DedupOps.dupGroups(docs, DedupOps.minhashLshPairs(docs, 5, 8, 4, 0.8))
+      DedupOps.dupGroups(docs, DedupOps.minhashLshPairs(docs, P.ShingleN, P.MinhashK, P.LshBands, P.JaccardT))
         .orderBy("doc_id")
     }),
 
@@ -452,7 +452,7 @@ object SparkEntry {
     // iterations, lowest-id init), then probe the query's nearest cell —
     // the oracle replays the identical training as an unrolled CTE chain
     "ann_ivf_kmeans_topk" -> ((s, dir) =>
-      SimilarityOps.ivfKmeansTopK(Tables.embeddings(s, dir), 0L, 10)),
+      SimilarityOps.ivfKmeansTopK(Tables.embeddings(s, dir), 0L, 10, P.KmK, P.KmIters)),
 
     "ann_lsh_buckets" -> ((s, dir) =>
       SimilarityOps.lshBuckets(Tables.embeddings(s, dir), 16)
@@ -463,8 +463,8 @@ object SparkEntry {
     // exact cosine verification — the unsampled scale path of
     // embedding_near_dup
     "embedding_near_dup_lsh" -> ((s, dir) =>
-      SimilarityOps.lshNearDupPairs(Tables.embeddings(s, dir), 8, 0.3,
-        tables = 2)
+      SimilarityOps.lshNearDupPairs(Tables.embeddings(s, dir), P.EmbPlanes,
+        P.EmbCosT, tables = P.EmbTables)
         .orderBy("vec_a", "vec_b")),
 
     // Product quantization: 8 one-byte codes per vector, query scored by
@@ -472,12 +472,13 @@ object SparkEntry {
     // construction for 100 TB ANN; oracle replays the same per-subspace
     // training and table assembly
     "ann_pq_topk" -> ((s, dir) =>
-      SimilarityOps.pqTopK(Tables.embeddings(s, dir), 0L, 10)),
+      SimilarityOps.pqTopK(Tables.embeddings(s, dir), 0L, 10, P.PqM, P.PqKsub, P.PqIters)),
 
     // PQ retrieve + exact re-rank: ADC shortlists 4×k, floats re-rank —
     // the production two-stage ANN read path
     "ann_pq_rerank_topk" -> ((s, dir) =>
-      SimilarityOps.pqRerankTopK(Tables.embeddings(s, dir), 0L, 10)),
+      SimilarityOps.pqRerankTopK(Tables.embeddings(s, dir), 0L, 10,
+        m = P.PqM, ksub = P.PqKsub, iters = P.PqIters)),
 
     // Stored-index read paths — build-once/query-many, the deployment
     // shape of every production ANN index. The closure builds the index
@@ -488,14 +489,14 @@ object SparkEntry {
     // so each shares its inline twin's oracle.
     "ann_ivf_stored_topk" -> ((s, dir) => {
       val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
-      SimilarityOps.buildIvfIndex(Tables.embeddings(s, dir), path)
+      SimilarityOps.buildIvfIndex(Tables.embeddings(s, dir), path, P.KmK, P.KmIters)
       SimilarityOps.queryIvfIndex(s, path, queryEmbedding(s, dir, 0L), 10,
         nprobe = 1, excludeIds = Seq(0L))
     }),
 
     "ann_pq_stored_topk" -> ((s, dir) => {
       val path = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
-      SimilarityOps.buildPqIndex(Tables.embeddings(s, dir), path)
+      SimilarityOps.buildPqIndex(Tables.embeddings(s, dir), path, P.PqM, P.PqKsub, P.PqIters)
       SimilarityOps.queryPqIndex(s, path, queryEmbedding(s, dir, 0L), 10,
         excludeIds = Seq(0L))
     }),
@@ -541,6 +542,28 @@ object SparkEntry {
   private val mixWeights: Map[String, Double] = Map(
     "de" -> 0.15, "en" -> 0.35, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.20)
 
+  /** Shared operator parameters — the single source for the query
+    * closures AND [[warmSharedCaches]]. The warm phase must build exactly
+    * the plans the queries hit; a drifted literal would silently warm
+    * dead caches and migrate the one-time build cost back into whichever
+    * query runs first (WarmCacheSpec asserts the warmed plans are
+    * cache-hits). The oracle SQL mirrors these values as literal text, so
+    * changing one here requires the matching oracle edit. */
+  private[graft] object P {
+    val ShingleN = 5      // word n-gram size for shingle dedup
+    val MinhashK = 8      // minhash signature length
+    val LshBands = 4      // minhash LSH bands (rows = MinhashK / LshBands)
+    val JaccardT = 0.8    // near-dup jaccard threshold
+    val EmbPlanes = 8     // hyperplanes per embedding LSH table
+    val EmbTables = 2     // OR-ed embedding LSH tables
+    val EmbCosT = 0.3     // embedding near-dup cosine threshold
+    val KmK = 8           // IVF k-means cells
+    val KmIters = 2       // IVF k-means Lloyd iterations
+    val PqM = 8           // PQ subspaces
+    val PqKsub = 16       // PQ centroids per subspace
+    val PqIters = 1       // PQ k-means iterations
+  }
+
   /** Build the cross-query shared caches and training memos so bench
     * per-query timings are attributable to plan changes rather than to
     * whichever query alphabetically first touches a shared intermediate:
@@ -553,9 +576,9 @@ object SparkEntry {
     * entries the queries hit. */
   def warmSharedCaches(s: SparkSession, dir: String): Unit = {
     val docs = Tables.documents(s, dir)
-    val shl = Caches.ensureCached(DedupOps.shingleArrays(docs, 5))
+    val shl = Caches.ensureCached(DedupOps.shingleArrays(docs, P.ShingleN))
     shl.count()
-    Caches.ensureCached(DedupOps.minhashSignatures(shl, 8)).count()
+    Caches.ensureCached(DedupOps.minhashSignatures(shl, P.MinhashK)).count()
     Caches.ensureCached(DedupOps.simhashLong(docs)).count()
     Caches.ensureCached(TextOps.winnowFps(docs)).count()
     // the two merge queries' cached dim snapshots
@@ -571,12 +594,21 @@ object SparkEntry {
     val ev64 = emb.select(col("vec_id"),
       SimilarityOps.asDoubleVec(col("embedding")).as("v"))
     Caches.ensureCached(ev64).count()
-    SimilarityOps.lshSigTable(emb, 8, 2).count()
-    SimilarityOps.kmeansCentroids(ev64, 8, 2)
-    (0 until 8).foreach { sub =>
-      SimilarityOps.kmeansCentroids(
-        ev64.select(col("vec_id"), expr(s"slice(v, ${sub * 8 + 1}, 8)").as("v")),
-        16, 1)
+    SimilarityOps.lshSigTable(emb, P.EmbPlanes, P.EmbTables).count()
+    SimilarityOps.kmeansCentroids(ev64, P.KmK, P.KmIters)
+    // PQ subspace training memos: derive dims from the corpus exactly as
+    // pqTopK/buildPqIndex do, so the sliced plans canonicalize to the
+    // same k-means memo keys
+    val dims = ev64.select(size(col("v"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    if (dims > 0 && dims % P.PqM == 0) {
+      val subDim = dims / P.PqM
+      (0 until P.PqM).foreach { sub =>
+        SimilarityOps.kmeansCentroids(
+          ev64.select(col("vec_id"),
+            expr(s"slice(v, ${sub * subDim + 1}, $subDim)").as("v")),
+          P.PqKsub, P.PqIters)
+      }
     }
   }
 

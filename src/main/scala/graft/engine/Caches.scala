@@ -48,6 +48,18 @@ object Caches {
   /** Currently persisted entries registered through [[ensureCached]]. */
   def liveCount: Int = liveSet.size
 
+  /** Release the block-manager storage behind an eager
+    * `localCheckpoint()` result. Iterative driver loops checkpoint every
+    * round to truncate lineage; without an explicit release the round-k
+    * blocks stay resident until the RDD is GC'd, so block-manager usage
+    * grows with round count on large inputs. The checkpointed RDD lives
+    * in the Dataset's `LogicalRDD` leaf — unpersist it directly (safe on
+    * the final round too if its result has been fully consumed). */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Run `body`, then unpersist every entry [[ensureCached]] registered
     * during it (innermost scope on this thread; scopes nest). Execute the
     * request's actions INSIDE the scope — a lazy DataFrame returned out

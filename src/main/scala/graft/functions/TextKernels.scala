@@ -133,9 +133,26 @@ case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression 
 
 object WinnowFps {
   /** Build from registry argument expressions: (string, k-literal,
-    * w-literal). */
-  def fromArgs(exprs: Seq[Expression]): WinnowFps =
-    WinnowFps(exprs(0),
-      exprs(1).eval().asInstanceOf[Number].intValue(),
-      exprs(2).eval().asInstanceOf[Number].intValue())
+    * w-literal). k and w must be foldable positive ints — a column
+    * argument or a non-positive value would otherwise surface as an
+    * opaque unbound-reference/index error deep in the kernel. */
+  def fromArgs(exprs: Seq[Expression]): WinnowFps = {
+    if (exprs.length != 3)
+      throw new org.apache.spark.sql.AnalysisException(
+        "_LEGACY_ERROR_TEMP_3100",
+        Map("message" -> s"graft_winnow_fps expects (str, k, w), got ${exprs.length} arguments"))
+    def foldInt(e: Expression, name: String): Int = {
+      if (!e.foldable)
+        throw new org.apache.spark.sql.AnalysisException(
+          "_LEGACY_ERROR_TEMP_3100",
+          Map("message" -> s"graft_winnow_fps: $name must be a literal, got ${e.sql}"))
+      val v = e.eval().asInstanceOf[Number].intValue()
+      if (v < 1)
+        throw new org.apache.spark.sql.AnalysisException(
+          "_LEGACY_ERROR_TEMP_3100",
+          Map("message" -> s"graft_winnow_fps: $name must be >= 1, got $v"))
+      v
+    }
+    WinnowFps(exprs(0), foldInt(exprs(1), "k"), foldInt(exprs(2), "w"))
+  }
 }

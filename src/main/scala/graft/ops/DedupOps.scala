@@ -203,6 +203,11 @@ object DedupOps {
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("group_id", "_prev"), "doc_id")
         .filter(col("group_id") =!= col("_prev")).count()
+      // the prior round's checkpoint blocks are dead once `changed` is
+      // computed — release them so block-manager usage stays O(1) in the
+      // round count (the final round's checkpoint backs the result and
+      // is kept)
+      Caches.releaseCheckpoint(labels)
       labels = next
     }
     edges.unpersist()
@@ -284,6 +289,9 @@ object DedupOps {
       // themselves under both phases)
       converged = ss.count() == edges.count() &&
         ss.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      // prior round's checkpoint is dead after the fixpoint check —
+      // release its blocks (the final round's backs the result)
+      Caches.releaseCheckpoint(edges)
       edges = ss
     }
     docs.select("doc_id")

@@ -24,6 +24,16 @@ object SimilarityOps {
   /** embedding float array → double array column "v". */
   def asDoubleVec(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Dimensionality of the `v` double-vector column, read from one row —
+    * a driver-side constant every PQ plan is sliced by (hardcoding it
+    * would silently train codebooks on truncated subspaces for any
+    * non-matching corpus). */
+  private def embeddingDims(e: DataFrame): Int = {
+    val first = e.select(size(col("v"))).limit(1).collect()
+    require(first.nonEmpty, "embedding corpus is empty")
+    first(0).getInt(0)
+  }
+
   /** In-order dot product of two double-array columns — the portable
     * higher-order-function formulation (bit-identical to [[graft.functions.DotProduct]]). */
   def dotExpr(a: String, b: String): Column =
@@ -246,7 +256,9 @@ object SimilarityOps {
     VectorExpressions.register(spark)
     val e = Caches.ensureCached(
       embeddings.select(col("vec_id"), asDoubleVec(col("embedding")).as("v")))
-    val dims = 64
+    val dims = embeddingDims(e)
+    require(dims % m == 0,
+      s"pqTopK: embedding dims ($dims) must be divisible by m ($m)")
     val subDim = dims / m
     // per-subspace codebooks (driver-looped Lloyd's, tiny collect each)
     val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
@@ -377,7 +389,9 @@ object SimilarityOps {
     import spark.implicits._
     val e = Caches.ensureCached(
       embeddings.select(col("vec_id"), asDoubleVec(col("embedding")).as("v")))
-    val dims = 64
+    val dims = embeddingDims(e)
+    require(dims % m == 0,
+      s"buildPqIndex: embedding dims ($dims) must be divisible by m ($m)")
     val subDim = dims / m
     val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
       kmeansCentroids(
@@ -413,8 +427,11 @@ object SimilarityOps {
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toIndexedSeq))
     val m = cb.map(_._1).max + 1
     val ksub = cb.map(_._2).max + 1
-    val subDim = queryVec.length / m
     val centroid = cb.map(r => (r._1, r._2) -> r._3).toMap
+    val subDim = centroid((0, 0)).length
+    require(queryVec.length == m * subDim,
+      s"queryPqIndex: query has ${queryVec.length} dims but the index was " +
+        s"built for ${m * subDim} (m=$m × subDim=$subDim)")
     val qTables: Seq[Seq[Double]] = (0 until m).map { s =>
       val qSub = queryVec.slice(s * subDim, (s + 1) * subDim)
       (0 until ksub).map { j =>

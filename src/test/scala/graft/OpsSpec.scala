@@ -52,6 +52,21 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow kernel rejects non-literal or non-positive k/w with a clear error") {
+    val d = Seq((1L, "abcdefghijklmnop")).toDF("doc_id", "text")
+    graft.functions.VectorExpressions.register(spark)
+    val nonLiteral = intercept[org.apache.spark.sql.AnalysisException] {
+      d.select(call_function("graft_winnow_fps", $"text", $"doc_id", lit(4)))
+        .collect()
+    }
+    assert(nonLiteral.getMessage.contains("graft_winnow_fps"))
+    val nonPositive = intercept[org.apache.spark.sql.AnalysisException] {
+      d.select(call_function("graft_winnow_fps", $"text", lit(0), lit(4)))
+        .collect()
+    }
+    assert(nonPositive.getMessage.contains(">= 1"))
+  }
+
   test("fingerprint is word-order invariant") {
     val d = Seq((1L, "alpha beta gamma delta"), (2L, "delta gamma beta alpha"),
       (3L, "alpha beta gamma epsilon"))
