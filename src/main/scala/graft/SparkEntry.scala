@@ -22,6 +22,11 @@ object SparkEntry {
   private val WM = "2024-01-20 00:00:00"
   /** Fixed as-of instant for point-in-time lookups. */
   private val ASOF = "2024-01-15 00:00:00"
+  // snapshot-diff endpoints: early enough that some keys' first event is
+  // still ahead (INSERT rows), far enough apart that most keys advanced
+  // versions (UPDATE rows)
+  private val DIFF_T1 = "2024-01-02 00:00:00"
+  private val DIFF_T2 = "2024-01-20 00:00:00"
 
   private val KEY = "user_id"; private val TS = "ts"; private val TIE = "event_id"
 
@@ -535,7 +540,46 @@ object SparkEntry {
     // the held-out hash split (top 10% of the doc_id hash space)
     "decontaminate" -> ((s, dir) =>
       TextOps.decontaminate(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // ── CDC snapshot-to-snapshot diff ─────────────────────────────────
+    // what changed between two reporting dates: single-pass membership
+    // tagging + one key aggregate (no self-join of the dim) classifying
+    // INSERT / UPDATE / DELETE per key
+    "snapshot_diff" -> ((s, dir) =>
+      Scd2.snapshotDiff(dimOf(ev(s, dir)), KEY,
+        expr(s"TIMESTAMP '$DIFF_T1'"), expr(s"TIMESTAMP '$DIFF_T2'"),
+        Seq("event_type", "value"))
+        .orderBy("user_id")),
+
+    // ── Chunk-level (paragraph) exact dedup ───────────────────────────
+    // fixed-width word chunks hashed and counted across the corpus —
+    // the linear full-corpus boilerplate pass before near-dup candidates
+    "dedup_chunks" -> ((s, dir) =>
+      DedupOps.chunkDupStats(Tables.documents(s, dir), P.ChunkWords)
+        .orderBy("doc_id")),
+
+    // ── Dedup survivor selection ──────────────────────────────────────
+    // transitive dup groups joined with quality scores; best-quality doc
+    // per group keeps, rest drop — the decision table a curation
+    // pipeline audits before filtering
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.keepBest(
+        DedupOps.dupGroups(docs,
+          DedupOps.minhashLshPairs(docs, P.ShingleN, P.MinhashK, P.LshBands,
+            P.JaccardT)),
+        TextOps.qualityScore(docs).select("doc_id", "quality_score"),
+        "quality_score")
+        .orderBy("doc_id")
+    }),
+
+    // ── BM25 keyword retrieval ────────────────────────────────────────
+    "text_bm25_topk" -> ((s, dir) =>
+      TextOps.bm25TopK(Tables.documents(s, dir), BmTerms, 10)),
   )
+
+  /** BM25 demo query terms (literal-identical in the oracle SQL). */
+  private val BmTerms = Seq("spark", "join", "window")
 
   /** Target mixture weights for the corpus-mix report (one per corpus
     * lang; must stay literal-identical to the oracle's CASE). */
@@ -562,6 +606,7 @@ object SparkEntry {
     val PqM = 8           // PQ subspaces
     val PqKsub = 16       // PQ centroids per subspace
     val PqIters = 1       // PQ k-means iterations
+    val ChunkWords = 20   // words per chunk for paragraph-level dedup
   }
 
   /** Build the cross-query shared caches and training memos so bench
@@ -1494,5 +1539,122 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    // mirror of [[Scd2.snapshotDiff]]: membership tagging + conditional
+    // aggregation (at most one version row per key per snapshot)
+    "snapshot_diff" ->
+      s"""WITH ${dimSql("events")},
+         |tagged AS (
+         |  SELECT user_id, version_no, event_type, value,
+         |         (valid_from <= TIMESTAMP '$DIFF_T1'
+         |            AND (valid_to > TIMESTAMP '$DIFF_T1' OR valid_to IS NULL)) AS in1,
+         |         (valid_from <= TIMESTAMP '$DIFF_T2'
+         |            AND (valid_to > TIMESTAMP '$DIFF_T2' OR valid_to IS NULL)) AS in2
+         |  FROM dim),
+         |agg AS (
+         |  SELECT user_id,
+         |         max(CASE WHEN in1 THEN version_no END) AS old_version_no,
+         |         max(CASE WHEN in2 THEN version_no END) AS new_version_no,
+         |         max(CASE WHEN in1 THEN event_type END) AS old_event_type,
+         |         max(CASE WHEN in2 THEN event_type END) AS new_event_type,
+         |         max(CASE WHEN in1 THEN value END) AS old_value,
+         |         max(CASE WHEN in2 THEN value END) AS new_value
+         |  FROM tagged WHERE in1 OR in2 GROUP BY user_id)
+         |SELECT user_id, old_version_no, new_version_no,
+         |       old_event_type, new_event_type, old_value, new_value,
+         |       CASE WHEN old_version_no IS NULL THEN 'INSERT'
+         |            WHEN new_version_no IS NULL THEN 'DELETE'
+         |            ELSE 'UPDATE' END AS change_type
+         |FROM agg
+         |WHERE old_version_no IS NULL OR new_version_no IS NULL
+         |   OR old_version_no <> new_version_no
+         |ORDER BY user_id""".stripMargin,
+
+    // mirror of [[DedupOps.chunkDupStats]] (20-word chunks)
+    "dedup_chunks" ->
+      s"""WITH $wordsSql,
+         |chunks AS (
+         |  SELECT doc_id,
+         |         md5(array_to_string(w[((i - 1) * 20 + 1):(i * 20)], ' ')) AS chunk_hash
+         |  FROM words,
+         |       LATERAL unnest(range(1, CAST(ceil(len(w) / 20.0) AS BIGINT) + 1)) AS t(i)),
+         |cdf AS (SELECT chunk_hash, count(DISTINCT doc_id) AS d
+         |        FROM chunks GROUP BY chunk_hash)
+         |SELECT c.doc_id, count(*) AS n_chunks,
+         |       CAST(sum(CASE WHEN cdf.d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         |       CAST(CAST(sum(CASE WHEN cdf.d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         |         / count(*) AS dup_chunk_ratio
+         |FROM chunks c JOIN cdf USING (chunk_hash)
+         |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+
+    // mirror of [[DedupOps.keepBest]] over the dedup_groups construction:
+    // the same recursive-CTE components walk, joined with the
+    // text_quality score, best-per-group by (score DESC, doc_id)
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $wordsSql,
+         |$shSql,
+         |$minhashChainSql,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+         |             JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |walk(u, l) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.u, w.l FROM edges e JOIN walk w ON w.u = e.v),
+         |groups AS (SELECT u AS doc_id, min(l) AS group_id FROM walk GROUP BY u),
+         |qb AS (
+         |  SELECT doc_id, len(w) AS n_tokens,
+         |         list_sum(list_transform(w, x -> length(x))) AS sum_len,
+         |         len(list_filter(w, x -> x IN $stopListSql)) AS n_stop
+         |  FROM words),
+         |q AS (
+         |  SELECT doc_id,
+         |         least(1.0, n_tokens / 50.0) * 0.5
+         |           + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+         |           + least(1.0, (CAST(sum_len AS DOUBLE) / n_tokens) / 8.0) * 0.2 AS quality_score
+         |  FROM qb)
+         |SELECT g.doc_id, g.group_id, q.quality_score,
+         |       (row_number() OVER (PARTITION BY g.group_id
+         |          ORDER BY q.quality_score DESC, g.doc_id) = 1) AS keep
+         |FROM groups g JOIN q USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // mirror of [[TextOps.bm25TopK]] (terms spark/join/window, k1=1.2,
+    // b=0.75 pre-folded as 2.2 / 0.25 / 0.75; rational idf — no log, so
+    // every op is an exact-rounded IEEE step in identical order)
+    "text_bm25_topk" ->
+      s"""WITH $wordsSql,
+         |tf AS (
+         |  SELECT doc_id, len(w) AS dl,
+         |         len(list_filter(w, x -> x = 'spark')) AS tf_0,
+         |         len(list_filter(w, x -> x = 'join')) AS tf_1,
+         |         len(list_filter(w, x -> x = 'window')) AS tf_2
+         |  FROM words),
+         |stats AS (
+         |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+         |         CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+         |         CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1,
+         |         CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_2
+         |  FROM tf)
+         |SELECT doc_id,
+         |       (CAST(n_docs AS DOUBLE) - CAST(df_0 AS DOUBLE) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5)
+         |         * ((CAST(tf_0 AS DOUBLE) * 2.2) / (CAST(tf_0 AS DOUBLE)
+         |              + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+         |       + (CAST(n_docs AS DOUBLE) - CAST(df_1 AS DOUBLE) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5)
+         |         * ((CAST(tf_1 AS DOUBLE) * 2.2) / (CAST(tf_1 AS DOUBLE)
+         |              + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+         |       + (CAST(n_docs AS DOUBLE) - CAST(df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5)
+         |         * ((CAST(tf_2 AS DOUBLE) * 2.2) / (CAST(tf_2 AS DOUBLE)
+         |              + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+         |       AS bm25
+         |FROM tf, stats
+         |WHERE tf_0 + tf_1 + tf_2 > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
   )
 }

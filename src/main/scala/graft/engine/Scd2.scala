@@ -181,4 +181,50 @@ object Scd2 {
   def duplicateCurrentKeys(dim: DataFrame, key: String): DataFrame =
     current(dim).groupBy(col(key)).agg(count(lit(1)).as("n_current"))
       .filter(col("n_current") > 1L)
+
+  /** Snapshot-to-snapshot CDC diff: the change set between the dimension
+    * as of `at1` and as of `at2` — the "what changed between these two
+    * reporting dates" question the reference answers by re-querying
+    * point-in-time views (README.md:427-439) and diffing client-side.
+    *
+    * Spark-first single-pass shape: instead of materializing the two
+    * snapshots and full-outer-joining them (two passes over the dim plus
+    * a join shuffle), each version row is tagged with membership in
+    * either snapshot (interval containment — at most ONE row per key per
+    * snapshot, since SCD2 intervals are disjoint) and a single hash
+    * aggregate by key pivots the two rows side-by-side with
+    * `max(when(...))`. Because the dim was just shuffled by `key` for the
+    * window rebuild, the aggregate reuses that partitioning — the diff
+    * costs zero additional exchanges on a freshly rebuilt dim, and one
+    * hash-agg shuffle over only snapshot-member rows on a stored one.
+    *
+    * Output per changed key: `old_/new_version_no`, `old_/new_<attr>`
+    * for each requested attribute, and `change_type` — INSERT (key absent
+    * at `at1`), DELETE (absent at `at2` — possible when the dim was built
+    * with delete capture, which closes `valid_to` without a successor),
+    * UPDATE (present in both at different versions). Keys with the same
+    * version in both snapshots are unchanged and dropped.
+    */
+  def snapshotDiff(dim: DataFrame, key: String, at1: Column, at2: Column,
+                   attrs: Seq[String]): DataFrame = {
+    def member(at: Column): Column =
+      col("valid_from") <= at && (col("valid_to") > at || col("valid_to").isNull)
+    val tagged = dim
+      .withColumn("_in1", member(at1))
+      .withColumn("_in2", member(at2))
+      .filter(col("_in1") || col("_in2"))
+    val aggs =
+      Seq(max(when(col("_in1"), col("version_no"))).as("old_version_no"),
+        max(when(col("_in2"), col("version_no"))).as("new_version_no")) ++
+        attrs.flatMap { a =>
+          Seq(max(when(col("_in1"), col(a))).as(s"old_$a"),
+            max(when(col("_in2"), col(a))).as(s"new_$a"))
+        }
+    tagged.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+      .withColumn("change_type",
+        when(col("old_version_no").isNull, lit("INSERT"))
+          .when(col("new_version_no").isNull, lit("DELETE"))
+          .when(col("old_version_no") =!= col("new_version_no"), lit("UPDATE")))
+      .filter(col("change_type").isNotNull)
+  }
 }

@@ -371,4 +371,56 @@ object DedupOps {
         expr("cast(bit_count(_sha ^ _shb) as bigint)").as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Chunk-level exact dedup — the paragraph-dedup pass (CCNet-style)
+    * adapted to a delimiter-free corpus: each doc is cut into
+    * non-overlapping `chunkWords`-word windows, each chunk hashed, and a
+    * chunk whose hash occurs in more than one document is
+    * corpus-duplicated boilerplate. Per doc: chunk count, duplicated
+    * chunk count, duplicated ratio.
+    *
+    * Scale shape: one explode (≤ |words|/chunkWords rows per doc — far
+    * below shingling's per-word fan-out), one hash aggregate by chunk
+    * hash for the document frequency, and the doc↔chunk-df join rides
+    * the same hash partitioning as the aggregate. Everything is linear
+    * in corpus size; no self-join exists to go quadratic, which is why
+    * paragraph dedup is the pass production pipelines can afford on the
+    * FULL corpus before any near-dup candidate generation. */
+  def chunkDupStats(docs: DataFrame, chunkWords: Int = 20): DataFrame = {
+    val cw = chunkWords
+    // words materialized before the chunk transform (same Generate /
+    // lambda recompute trap as shingleArrays)
+    val words = docs.select(col("doc_id"), TextOps.normWords(col("text")).as("w"))
+    val chunks = words.select(col("doc_id"),
+      explode(expr(
+        s"""transform(sequence(1, cast(ceil(size(w) / ${cw}.0) as int)),
+           |  i -> md5(concat_ws(' ', slice(w, (i - 1) * $cw + 1, $cw))))""".stripMargin))
+        .as("chunk_hash"))
+    val df = chunks.groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("_docs"))
+    chunks.join(df, "chunk_hash")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_docs") > 1L, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_chunk_ratio",
+        col("n_dup_chunks").cast("double") / col("n_chunks"))
+  }
+
+  /** Survivor selection over transitive duplicate groups: every doc keeps
+    * exactly one flag — `keep = true` for the group's best-quality member
+    * (ties broken by lowest doc_id), false for the rest. The downstream
+    * "apply" is a trivial `filter(keep)`; emitting the full decision
+    * table keeps the operator auditable (which doc won, at what score).
+    * One window pass partitioned by group — at 100 TB groups are tiny
+    * (near-dup clusters), so the partition-by-group shuffle is balanced
+    * by construction. */
+  def keepBest(groups: DataFrame, quality: DataFrame,
+               scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group_id"))
+      .orderBy(col(scoreCol).desc, col("doc_id"))
+    groups.join(quality, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("group_id"), col(scoreCol), col("keep"))
+  }
 }

@@ -255,4 +255,55 @@ object TextOps {
         .when(col("s_es") >= col("s_fr"), "es")
         .otherwise("fr"))
   }
+
+  /** BM25-scored retrieval: top-k documents for a bag of query terms —
+    * the keyword-search read path of a corpus curation UI ("show me the
+    * docs about X" before eyeballing a dedup decision).
+    *
+    * Two passes, both linear: per-doc term frequencies ride one narrow
+    * projection (a `filter(w, ...)` count per term — the query has a
+    * handful of terms, so no explode and no inverted-index shuffle);
+    * corpus stats (N, Σdl, per-term df) are ONE aggregate row broadcast
+    * back, and scoring + `TakeOrderedAndProject` finish without a full
+    * sort. At 100 TB the tf table is the thing a real deployment would
+    * persist as the inverted index; the scoring shape is unchanged.
+    *
+    * Uses the rational Robertson idf variant `(N - df + ½)/(df + ½)`
+    * WITHOUT the logarithm: ranking is order-equivalent for a fixed
+    * query (log is monotone on each factor and df is per-term constant),
+    * and staying inside +,*,/ keeps every operand an exact-rounded IEEE
+    * op — bit-identical across engines, which a transcendental would not
+    * guarantee. k1 = 1.2, b = 0.75 appear pre-folded as 2.2 (= k1+1),
+    * 0.25 (= 1−b), 0.75 literals so both engines evaluate the same
+    * constants. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], topK: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val words = docs.select(col("doc_id"), normWords(col("text")).as("w"))
+    val tf = graft.engine.Caches.ensureCached(words.select(
+      (Seq(col("doc_id"), size(col("w")).as("dl")) ++
+        terms.indices.map { i =>
+          expr(s"size(filter(w, x -> x = '${terms(i)}'))").as(s"tf_$i")
+        }): _*))
+    val statAggs =
+      Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+        terms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = tf.agg(statAggs.head, statAggs.tail: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    def contrib(i: Int): Column = {
+      val tfD = col(s"tf_$i").cast("double")
+      val idf =
+        (col("n_docs").cast("double") - col(s"df_$i").cast("double") + lit(0.5)) /
+          (col(s"df_$i").cast("double") + lit(0.5))
+      idf * ((tfD * lit(2.2)) /
+        (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))))
+    }
+    val score = terms.indices.map(contrib).reduceLeft(_ + _)
+    val anyTf = terms.indices.map(i => col(s"tf_$i")).reduceLeft(_ + _)
+    tf.crossJoin(broadcast(stats))
+      .filter(anyTf > 0)
+      .select(col("doc_id"), score.as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
 }
