@@ -506,6 +506,33 @@ object SparkEntry {
         excludeIds = Seq(0L))
     }),
 
+    // Incremental stored-IVF maintenance — the CDC×ANN composition this
+    // platform exists for: the index is BUILT (trained + indexed) on the
+    // initial corpus subset, then the remainder arrives as a change feed
+    // and is MERGED (assigned to the existing centroids, appended to its
+    // cells — no retrain, no rewrite of old cells). The read path is the
+    // same partition-pruned probe as ann_ivf_stored_topk; the oracle
+    // replays training on the subset and assignment over everything.
+    "ann_ivf_merged_topk" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_merge").toString
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.buildIvfIndex(emb.filter(expr(IvfMergeBuildPred)), path,
+        P.KmK, P.KmIters)
+      SimilarityOps.mergeIvfIndex(emb.filter(!expr(IvfMergeBuildPred)), path)
+      SimilarityOps.queryIvfIndex(s, path, queryEmbedding(s, dir, 0L), 10,
+        nprobe = 1, excludeIds = Seq(0L))
+    }),
+
+    // Stored BM25 inverted index — build-once/query-many keyword
+    // retrieval; scores are bit-identical to the inline text_bm25_topk
+    // (same integer tf/df/dl operands, same fold order), so it shares
+    // that oracle
+    "text_bm25_stored_topk" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+      TextOps.buildBm25Index(Tables.documents(s, dir), path)
+      TextOps.queryBm25Index(s, path, BmTerms, 10)
+    }),
+
     // ── North-star: multimodal binary columns ─────────────────────────
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.binaryMeta(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -581,6 +608,13 @@ object SparkEntry {
   /** BM25 demo query terms (literal-identical in the oracle SQL). */
   private val BmTerms = Seq("spark", "join", "window")
 
+  /** The initially-indexed subset for the incremental IVF build/merge
+    * scenario — one predicate string evaluated by Spark (`expr`) and
+    * replayed literally by the oracle's training CTE, so both sides train
+    * on exactly these vectors. Keeps vec_id 0 (the demo query vector) in
+    * the build set. */
+  private val IvfMergeBuildPred = "vec_id % 4 < 3"
+
   /** Target mixture weights for the corpus-mix report (one per corpus
     * lang; must stay literal-identical to the oracle's CASE). */
   private val mixWeights: Map[String, Double] = Map(
@@ -626,8 +660,19 @@ object SparkEntry {
     Caches.ensureCached(DedupOps.minhashSignatures(shl, P.MinhashK)).count()
     Caches.ensureCached(DedupOps.simhashLong(docs)).count()
     Caches.ensureCached(TextOps.winnowFps(docs)).count()
-    // the two merge queries' cached dim snapshots
+    // containment's df-capped exploded fingerprint table (feeds the
+    // candidate self-join AND the size denominator of text_containment)
+    TextOps.containmentExploded(docs).count()
+    // the transitive dup-group label table (memoized propagation loop) —
+    // consulted by dedup_groups AND dedup_keep_best
+    DedupOps.dupGroups(docs,
+      DedupOps.minhashLshPairs(docs, P.ShingleN, P.MinhashK, P.LshBands,
+        P.JaccardT)).count()
+    // the full-events rebuilt dim — the shared subplan of ~9 SCD2 queries
+    // (rebuild/current/asof/timeline/stats/frequency/invariant/union/diff)
     val e0 = ev(s, dir)
+    Caches.ensureCached(dimOf(e0)).count()
+    // the merge queries' cached dim snapshots
     Caches.ensureCached(
       dimOf(e0.filter(col(TS) <= expr(s"TIMESTAMP '$WM'")))).count()
     val eOp = e0.withColumn("operation_type",
@@ -754,6 +799,58 @@ object SparkEntry {
       |            FROM documents)
       |      WHERE length(s) >= 11)))""".stripMargin
 
+  /** Unrolled Lloyd's-iteration oracle mirroring
+    * [[SimilarityOps.kmeansCentroids]]: same init (8 lowest vec_ids of
+    * the TRAINING set), same left-fold squared-L2, same DECIMAL(30,9)
+    * mean accumulation, same lowest-cluster tie-break, same empty-cluster
+    * fallback (coalesce to the previous centroid). `trainPred` restricts
+    * the training corpus (the incremental build/merge scenario: centroids
+    * come from the initially indexed subset, assignments cover every
+    * vector); None trains on the full corpus. */
+  private def ivfKmeansOracleSql(trainPred: Option[String]): String = {
+    val iters = 2
+    val (src, trainCte) = trainPred match {
+      case None    => ("e", "")
+      case Some(p) => ("et", s",\net AS (SELECT * FROM e WHERE $p)")
+    }
+    def dSql(a: String, b: String) =
+      s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, el) -> acc + el)"
+    def iterCte(t: Int): String =
+      s"""a$t AS (
+         |  SELECT vec_id, v, cl FROM (
+         |    SELECT $src.vec_id, $src.v, c.cl,
+         |           row_number() OVER (PARTITION BY $src.vec_id
+         |             ORDER BY ${dSql(s"$src.v", "c.cv")}, c.cl) AS rn
+         |    FROM $src, c${t - 1} c) WHERE rn = 1),
+         |s$t AS (
+         |  SELECT cl, i, CAST(sum(CAST(v[i] AS DECIMAL(30,9))) AS DOUBLE) / count(*) AS m
+         |  FROM a$t, LATERAL unnest(range(1, 65)) AS ts$t(i) GROUP BY cl, i),
+         |p$t AS (SELECT cl, i, cv[i] AS pv FROM c${t - 1}, LATERAL unnest(range(1, 65)) AS tp$t(i)),
+         |c$t AS (
+         |  SELECT cl, list(coalesce(m, pv) ORDER BY i) AS cv
+         |  FROM p$t LEFT JOIN s$t USING (cl, i) GROUP BY cl)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)$trainCte,
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
+       |  FROM $src ORDER BY vec_id LIMIT 8),
+       |${(1 to iters).map(iterCte).mkString(",\n")},
+       |fin AS (
+       |  SELECT vec_id, v, cl FROM (
+       |    SELECT e.vec_id, e.v, c.cl,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${dSql("e.v", "c.cv")}, c.cl) AS rn
+       |    FROM e, c$iters c) WHERE rn = 1),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |best AS (
+       |  SELECT cl FROM c$iters, q
+       |  ORDER BY ${dSql("cv", "qv")}, cl LIMIT 1)
+       |SELECT f.vec_id, CAST(f.cl AS BIGINT) AS cluster,
+       |       round(${cosSql("f.v", "qv")}, 6) AS cosine
+       |FROM fin f JOIN best USING (cl), q
+       |WHERE f.vec_id <> 0
+       |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   /** Per-plane sign-bit expressions of the hyperplane LSH — mirror of
     * [[SimilarityOps.planeSigns]]/[[SimilarityOps.lshSignature]]. */
   private def lshBitsSql(planes: Int, offset: Int = 0): Seq[String] =
@@ -809,7 +906,8 @@ object SparkEntry {
     // the stored-index read paths replay their inline twins bit-for-bit
     // (same training, same scoring folds), so they share oracles
     "ann_ivf_stored_topk" -> oracleSqlBase("ann_ivf_kmeans_topk"),
-    "ann_pq_stored_topk" -> oracleSqlBase("ann_pq_topk"))
+    "ann_pq_stored_topk" -> oracleSqlBase("ann_pq_topk"),
+    "text_bm25_stored_topk" -> oracleSqlBase("text_bm25_topk"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
 
@@ -1121,49 +1219,12 @@ object SparkEntry {
          |FROM e JOIN best USING (label), q WHERE vec_id <> 0
          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
 
-    "ann_ivf_kmeans_topk" -> {
-      // Unrolled Lloyd's iterations mirroring [[SimilarityOps.kmeansCentroids]]:
-      // same init (8 lowest vec_ids), same left-fold squared-L2, same
-      // DECIMAL(30,9) mean accumulation, same lowest-cluster tie-break,
-      // same empty-cluster fallback (coalesce to the previous centroid).
-      val iters = 2
-      def dSql(a: String, b: String) =
-        s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, el) -> acc + el)"
-      def iterCte(t: Int): String =
-        s"""a$t AS (
-           |  SELECT vec_id, v, cl FROM (
-           |    SELECT e.vec_id, e.v, c.cl,
-           |           row_number() OVER (PARTITION BY e.vec_id
-           |             ORDER BY ${dSql("e.v", "c.cv")}, c.cl) AS rn
-           |    FROM e, c${t - 1} c) WHERE rn = 1),
-           |s$t AS (
-           |  SELECT cl, i, CAST(sum(CAST(v[i] AS DECIMAL(30,9))) AS DOUBLE) / count(*) AS m
-           |  FROM a$t, LATERAL unnest(range(1, 65)) AS ts$t(i) GROUP BY cl, i),
-           |p$t AS (SELECT cl, i, cv[i] AS pv FROM c${t - 1}, LATERAL unnest(range(1, 65)) AS tp$t(i)),
-           |c$t AS (
-           |  SELECT cl, list(coalesce(m, pv) ORDER BY i) AS cv
-           |  FROM p$t LEFT JOIN s$t USING (cl, i) GROUP BY cl)""".stripMargin
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |c0 AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
-         |  FROM e ORDER BY vec_id LIMIT 8),
-         |${(1 to iters).map(iterCte).mkString(",\n")},
-         |fin AS (
-         |  SELECT vec_id, v, cl FROM (
-         |    SELECT e.vec_id, e.v, c.cl,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${dSql("e.v", "c.cv")}, c.cl) AS rn
-         |    FROM e, c$iters c) WHERE rn = 1),
-         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-         |best AS (
-         |  SELECT cl FROM c$iters, q
-         |  ORDER BY ${dSql("cv", "qv")}, cl LIMIT 1)
-         |SELECT f.vec_id, CAST(f.cl AS BIGINT) AS cluster,
-         |       round(${cosSql("f.v", "qv")}, 6) AS cosine
-         |FROM fin f JOIN best USING (cl), q
-         |WHERE f.vec_id <> 0
-         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
-    },
+    "ann_ivf_kmeans_topk" -> ivfKmeansOracleSql(trainPred = None),
+
+    // same Lloyd's replay, but TRAINED on the build subset only — the
+    // assignment pass still covers every vector, exactly as the stored
+    // index does after build(subset) + merge(remainder)
+    "ann_ivf_merged_topk" -> ivfKmeansOracleSql(trainPred = Some(IvfMergeBuildPred)),
 
     "ann_pq_topk" ->
       s"""$pqCtesSql

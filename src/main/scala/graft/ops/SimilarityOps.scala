@@ -338,6 +338,28 @@ object SimilarityOps {
       .parquet(s"$path/assignments")
   }
 
+  /** Incremental stored-IVF maintenance — the CDC×ANN composition: new
+    * vectors arriving after the index build are assigned to the EXISTING
+    * centroids (read back from the index, a tiny control-plane collect)
+    * and appended to their cells' partition directories. No retraining,
+    * no rewrite of previously indexed cells — the merge touches only the
+    * files it adds, so concurrent readers keep a consistent (if slightly
+    * stale) view and the write cost is O(|new vectors|) regardless of
+    * index size. This is how production IVF indexes absorb a change feed
+    * between periodic retrains (centroid drift is a retrain decision, not
+    * a merge-time one). */
+  def mergeIvfIndex(newVecs: DataFrame, path: String): Unit = {
+    val spark = newVecs.sparkSession
+    VectorExpressions.register(spark)
+    val cents: Seq[Seq[Double]] = spark.read.parquet(s"$path/centroids")
+      .orderBy("cluster").collect().toSeq
+      .map(_.getSeq[Double](1).toIndexedSeq)
+    newVecs.select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+      .withColumn("cluster", assignCluster(col("v"), cents).cast("long"))
+      .write.partitionBy("cluster").mode("append")
+      .parquet(s"$path/assignments")
+  }
+
   /** Query a stored IVF index: pick the query's nearest `nprobe` cells
     * from the (tiny) centroid table, scan ONLY those cells' partitions,
     * cosine top-k inside. No training, no full-corpus scan. `excludeIds`

@@ -129,11 +129,7 @@ object TextOps {
     * join volume on the test corpus). */
   def containmentPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
                        minContainment: Double = 0.5, maxDf: Int = 10): DataFrame = {
-    val f = graft.engine.Caches.ensureCached(winnowFps(docs, k, w))
-    val ex0 = f.select(col("doc_id"), explode(col("fps")).as("fp"))
-    val dfCount = ex0.groupBy("fp").agg(count(lit(1)).as("_d"))
-    val ex = graft.engine.Caches.ensureCached(
-      ex0.join(dfCount.filter(col("_d") <= maxDf), "fp").drop("_d"))
+    val ex = containmentExploded(docs, k, w, maxDf)
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val cand = ex.as("a")
       .join(ex.as("b"),
@@ -147,6 +143,20 @@ object TextOps {
         col("n_shared").cast("double") / least(col("_na"), col("_nb")))
       .filter(col("containment") >= minContainment)
       .select("doc_a", "doc_b", "n_shared", "containment")
+  }
+
+  /** The df-capped exploded (doc_id, fp) fingerprint table behind
+    * [[containmentPairs]] — cached, because it feeds both the candidate
+    * self-join and the per-doc size denominator (and at bench time the
+    * cache build belongs in the shared setup phase, not in whichever
+    * query runs first). */
+  def containmentExploded(docs: DataFrame, k: Int = 8, w: Int = 4,
+                          maxDf: Int = 10): DataFrame = {
+    val f = graft.engine.Caches.ensureCached(winnowFps(docs, k, w))
+    val ex0 = f.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val dfCount = ex0.groupBy("fp").agg(count(lit(1)).as("_d"))
+    graft.engine.Caches.ensureCached(
+      ex0.join(dfCount.filter(col("_d") <= maxDf), "fp").drop("_d"))
   }
 
   /** Intra-document repetition score — the MassiveText-style quality
@@ -302,6 +312,73 @@ object TextOps {
     val anyTf = terms.indices.map(i => col(s"tf_$i")).reduceLeft(_ + _)
     tf.crossJoin(broadcast(stats))
       .filter(anyTf > 0)
+      .select(col("doc_id"), score.as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** Build the BM25 inverted index as a stored artifact — the
+    * build-once/query-many split [[bm25TopK]]'s doc promises (the same
+    * shape the stored IVF/PQ indexes give ANN). Three parquet tables
+    * under `path`:
+    *  - `postings` (term, doc_id, tf, dl): one row per (term, doc)
+    *    occurrence pair, repartitioned by term and sorted within
+    *    partitions so a query's term probe is a pushed-down min/max-pruned
+    *    scan. `dl` rides the posting (the per-posting norm every real
+    *    inverted index stores) so scoring never joins a doc-length table;
+    *  - `lexicon` (term, df): per-term document frequency — the
+    *    vocabulary table, tiny relative to postings;
+    *  - `stats`: ONE row (n_docs, sum_dl) of corpus constants.
+    * Build cost: one explode + one hash aggregate — linear in corpus
+    * size, the same two shuffles a word-count costs. */
+  def buildBm25Index(docs: DataFrame, path: String): Unit = {
+    val words = docs.select(col("doc_id"), normWords(col("text")).as("w"))
+    val postings = words
+      .select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).cast("int").as("tf"))
+    postings
+      .repartition(col("term")).sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(s"$path/postings")
+    val stored = docs.sparkSession.read.parquet(s"$path/postings")
+    stored.groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/lexicon")
+    words.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("w")).cast("long")).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Query a stored BM25 index: probe the postings for the query's terms
+    * (pushed-down term filter — the scan touches only matching row
+    * groups, never the corpus), pivot the ≤ |terms| posting rows per doc
+    * into tf columns, and score with the identical fold as [[bm25TopK]].
+    * Per-term df comes from the lexicon probe (a control-plane collect of
+    * ≤ |terms| rows), n_docs/sum_dl from the one-row stats table. Every
+    * operand is the same exact integer the inline path derives, and the
+    * scoring expression applies the same IEEE ops in the same order, so
+    * results are bit-identical to [[bm25TopK]] — the stored path shares
+    * its oracle. */
+  def queryBm25Index(spark: org.apache.spark.sql.SparkSession, path: String,
+                     terms: Seq[String], topK: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "queryBm25Index needs at least one query term")
+    val dfByTerm = spark.read.parquet(s"$path/lexicon")
+      .filter(col("term").isin(terms: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stats = spark.read.parquet(s"$path/stats")
+    val hits = spark.read.parquet(s"$path/postings")
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "dl").pivot("term", terms).agg(first(col("tf")))
+      .na.fill(0, terms)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    def contrib(i: Int): Column = {
+      val tfD = col(s"`${terms(i)}`").cast("double")
+      val dfD = lit(dfByTerm.getOrElse(terms(i), 0L).toDouble)
+      val idf = (col("n_docs").cast("double") - dfD + lit(0.5)) / (dfD + lit(0.5))
+      idf * ((tfD * lit(2.2)) /
+        (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))))
+    }
+    val score = terms.indices.map(contrib).reduceLeft(_ + _)
+    hits.crossJoin(broadcast(stats))
       .select(col("doc_id"), score.as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(topK)
