@@ -612,4 +612,66 @@ class OpsSpec extends AnyFunSuite {
       .first().getAs[Long]("n_bpeish_tokens")
     assert(seg === 7L)
   }
+
+  test("IVF merge appends new cells only and matches a direct full assignment") {
+    import java.nio.file.{Files, Paths}
+    val e = Tables.embeddings(spark, sfDir)
+    val path = Files.createTempDirectory("ivf_merge").toString
+    val buildSet = e.filter($"vec_id" % 4 < 3)
+    val mergeSet = e.filter(!($"vec_id" % 4 < 3))
+    SimilarityOps.buildIvfIndex(buildSet, path)
+    def dataFiles(): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.walk(Paths.get(s"$path/assignments"))
+      try s.iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).map(_.toString).toSet
+      finally s.close()
+    }
+    val before = dataFiles()
+    SimilarityOps.mergeIvfIndex(mergeSet, path)
+    val after = dataFiles()
+    // append-only: every pre-merge file survives untouched; only new
+    // files appear (old cells are never rewritten)
+    assert(before.subsetOf(after) && after.size > before.size)
+    // the merged assignment table = assigning every vector to the stored
+    // (build-subset-trained) centroids
+    val cents = spark.read.parquet(s"$path/centroids").orderBy("cluster")
+      .collect().toSeq.map(_.getSeq[Double](1).toIndexedSeq)
+    val expected = e
+      .select($"vec_id", SimilarityOps.asDoubleVec($"embedding").as("v"))
+      .withColumn("cluster", SimilarityOps.assignCluster($"v", cents).cast("long"))
+      .select($"vec_id", $"cluster").as[(Long, Long)].collect().toMap
+    val got = spark.read.parquet(s"$path/assignments")
+      .select($"vec_id", $"cluster".cast("long")).as[(Long, Long)]
+      .collect().toMap
+    assert(got === expected)
+  }
+
+  test("dupGroups memoizes the propagation loop per (docs, pairs) plan") {
+    val pairs = DedupOps.minhashLshPairs(docs, 5, 8, 4, 0.8)
+    val r1 = DedupOps.dupGroups(docs, pairs).collect()
+    val runsAfterFirst = DedupOps.labelRuns
+    val r2 = DedupOps.dupGroups(docs,
+      DedupOps.minhashLshPairs(docs, 5, 8, 4, 0.8)).collect()
+    assert(DedupOps.labelRuns === runsAfterFirst,
+      "second consult of the same group structure re-ran the label loop")
+    assert(r1.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      r2.map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("stored BM25 index scores bit-identically to the inline path") {
+    val path = java.nio.file.Files.createTempDirectory("bm25_idx").toString
+    val terms = Seq("spark", "join", "window")
+    TextOps.buildBm25Index(docs, path)
+    val got = TextOps.queryBm25Index(spark, path, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val expected = TextOps.bm25TopK(docs, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expected)
+    // the probe reads postings with the term filter pushed to the scan
+    val probe = TextOps.queryBm25Index(spark, path, terms, 10)
+    val leaves = probe.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(leaves.contains("postings") && leaves.contains("PushedFilters"))
+  }
 }
