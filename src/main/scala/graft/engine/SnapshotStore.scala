@@ -80,3 +80,25 @@ class SnapshotStore(spark: SparkSession, root: String) {
       } finally stream.close()
     }
 }
+
+object SnapshotStore {
+
+  /** Publish a dimension snapshot as a BUCKETED managed table — the
+    * layout the merge read path wants at scale: with the snapshot
+    * pre-hashed into `buckets` files by `key` (and sorted by it within
+    * each bucket), the merge's per-key aggregate and its routing join
+    * read the dim with ZERO Exchange on the dimension side — only the
+    * (small) change batch moves. This is the scale-correct form of the
+    * reference's per-key current-row lookup loop
+    * (/root/reference/src/warehouse/scd2_loader.py:189-207): the lookup
+    * locality it gets from the B-tree index, a Spark warehouse gets from
+    * bucketing. Bucketed tables go through the session catalog (the
+    * bucket spec lives there), hence a table name rather than a path;
+    * versioning composes by publishing `table_v{N}` names through the
+    * same pointer protocol as the path store. */
+  def publishBucketed(df: DataFrame, table: String, key: String,
+                      buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+}
