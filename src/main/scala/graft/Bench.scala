@@ -34,25 +34,35 @@ object Bench {
     // pressure produced >2x phantom round-over-round swings that could
     // not be attributed to any plan change — the median of 3 makes a
     // regression in this file mean a regression in the plan.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // clamped to ≥1 ('0' would make the median indexing throw with no
+    // output); a non-numeric value fails fast with a clear message
+    val runsRaw = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3")
+    val runs = math.max(1, runsRaw.toIntOption.getOrElse(
+      sys.error(s"SPARK_GRAFT_BENCH_RUNS must be an integer, got '$runsRaw'")))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // raw times kept in RUN ORDER: the emitted per-run list must
+      // distinguish "all runs slow" (a plan/context regression) from
+      // "first run slow" (a cold cache billed to this query)
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.size / 2)
+      }
+      (name, times.sorted.apply(times.size / 2), times)
     }
     // millisecond precision keeps the line short enough that a log-tail
     // capture window retains the whole object; the headline total goes
     // LAST so front-truncation can never cut it off
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
+    val raw = results
+      .map { case (k, _, ts) => s"\"" + k + "\":" + ts.map(f).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     // total = the comparable suite time: setup + sum of per-query medians
     // (the extra warm repetitions exist only to stabilize the medians)
     val total = setup + (if (results.nonEmpty) results.map(_._2).sum else 0.0)
-    println(s"""{"metric":"total","sf":"$sfDir","queries":$qs,"setup":${f(setup)},"runs":$runs,"unit":"sec","value":${f(total)}}""")
+    println(s"""{"metric":"total","sf":"$sfDir","queries":$qs,"raw":$raw,"setup":${f(setup)},"runs":$runs,"unit":"sec","value":${f(total)}}""")
     spark.stop()
   }
 }

@@ -94,11 +94,14 @@ object SnapshotStore {
     * locality it gets from the B-tree index, a Spark warehouse gets from
     * bucketing. Bucketed tables go through the session catalog (the
     * bucket spec lives there), hence a table name rather than a path;
-    * versioning composes by publishing `table_v{N}` names through the
-    * same pointer protocol as the path store. */
+    * `path` makes the table external (data at the given location instead
+    * of the session warehouse dir — e.g. a staging root with its own
+    * lifecycle). Versioning composes by publishing `table_v{N}` names
+    * through the same pointer protocol as the path store. */
   def publishBucketed(df: DataFrame, table: String, key: String,
-                      buckets: Int): Unit =
-    df.write.mode("overwrite").format("parquet")
+                      buckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

@@ -72,7 +72,7 @@ class BucketingSpec extends AnyFunSuite {
   }
 
   test("bucketed dimension: merge's per-key aggregate needs no dim shuffle") {
-    import graft.engine.{Cdc, Scd2}
+    import graft.engine.{Cdc, Scd2, SnapshotStore}
     val wh = Files.createTempDirectory("warehouse_dim").toString
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
@@ -82,9 +82,10 @@ class BucketingSpec extends AnyFunSuite {
     val dim = Scd2.rebuild(events.filter(col("ts") <= lit(split)),
       "user_id", "ts", "event_id")
     // the 100 TB layout: the stored dim snapshot is bucketed by key, so
-    // every keyed aggregate/join over it co-locates
-    dim.write.bucketBy(8, "user_id")
-      .option("path", s"$wh/dim_b").mode("overwrite").saveAsTable("dim_b")
+    // every keyed aggregate/join over it co-locates — published through
+    // the production helper the merge queries use
+    SnapshotStore.publishBucketed(dim, "dim_b", "user_id", buckets = 8,
+      path = Some(s"$wh/dim_b"))
     val bdim = s2.table("dim_b")
 
     // the merge's per-key timeline aggregate (its one dim-wide shuffle in
