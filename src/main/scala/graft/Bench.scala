@@ -42,27 +42,56 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // raw times kept in RUN ORDER: the emitted per-run list must
       // distinguish "all runs slow" (a plan/context regression) from
-      // "first run slow" (a cold cache billed to this query)
-      val times = (1 to runs).map { _ =>
+      // "first run slow" (a cold cache billed to this query).
+      // A failed run records None (emitted as null) plus its error — a
+      // fast failure must never masquerade as a speedup.
+      var firstErr: Option[String] = None
+      val times: Seq[Option[Double]] = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            if (firstErr.isEmpty)
+              firstErr = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+            None
+        }
       }
-      (name, times.sorted.apply(times.size / 2), times)
+      val ok = times.flatten
+      val median = if (ok.isEmpty) None else Some(ok.sorted.apply(ok.size / 2))
+      (name, median, times, firstErr)
     }
-    // millisecond precision keeps the line short enough that a log-tail
-    // capture window retains the whole object; the headline total goes
-    // LAST so front-truncation can never cut it off
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      } + "\""
+    // Per-run detail goes on its OWN line, printed FIRST: the driver's
+    // log-tail capture window keeps the END of the output, so the short
+    // headline object (the line the driver parses) must be the LAST line
+    // — round 7's single merged line was front-truncated mid-object and
+    // the medians were lost.
     val raw = results
-      .map { case (k, _, ts) => s"\"" + k + "\":" + ts.map(f).mkString("[", ",", "]") }
+      .map { case (k, _, ts, _) =>
+        jstr(k) + ":" + ts.map(_.map(f).getOrElse("null")).mkString("[", ",", "]")
+      }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"raw","raw":$raw,"errors":$errs}""")
+    // headline line: medians only (failed-every-run queries are omitted
+    // here and visible in the raw line's errors object)
+    val qs = results.collect { case (k, Some(v), _, _) => jstr(k) + ":" + f(v) }
       .mkString("{", ",", "}")
     // total = the comparable suite time: setup + sum of per-query medians
     // (the extra warm repetitions exist only to stabilize the medians)
-    val total = setup + (if (results.nonEmpty) results.map(_._2).sum else 0.0)
-    println(s"""{"metric":"total","sf":"$sfDir","queries":$qs,"raw":$raw,"setup":${f(setup)},"runs":$runs,"unit":"sec","value":${f(total)}}""")
+    val total = setup + results.flatMap(_._2).sum
+    val nFailed = results.count(_._4.isDefined)
+    println(s"""{"metric":"total","sf":"$sfDir","queries":$qs,"setup":${f(setup)},"runs":$runs,"failed":$nFailed,"unit":"sec","value":${f(total)}}""")
     spark.stop()
   }
 }

@@ -524,6 +524,16 @@ object SparkEntry {
     "text_bm25_stored_topk" -> ((s, dir) =>
       TextOps.queryBm25Index(s, storedBm25Path(s, dir), BmTerms, 10)),
 
+    // Incremental stored-BM25 maintenance — the CDC×retrieval
+    // composition for keywords, mirroring ann_ivf_merged_topk: the index
+    // is BUILT on the initial corpus subset, the remainder arrives as a
+    // change feed and is MERGED (postings appended, lexicon/stats
+    // re-summed from O(|new|+|vocab|) inputs — stored postings never
+    // rescanned). Scoring operands equal the full-corpus integers, so it
+    // shares the inline oracle.
+    "text_bm25_merged_topk" -> ((s, dir) =>
+      TextOps.queryBm25Index(s, mergedBm25Path(s, dir), BmTerms, 10)),
+
     // ── North-star: multimodal binary columns ─────────────────────────
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.binaryMeta(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -605,6 +615,13 @@ object SparkEntry {
     * on exactly these vectors. Keeps vec_id 0 (the demo query vector) in
     * the build set. */
   private val IvfMergeBuildPred = "vec_id % 4 < 3"
+
+  /** Initial-corpus predicate for the merged BM25 index: the first ¾ of
+    * documents are indexed at build time, the rest arrive as the change
+    * feed and are merged. BM25 operands (tf/df/dl/n_docs/sum_dl) are
+    * corpus-total integers either way, so the merged index shares the
+    * inline oracle. */
+  private val Bm25MergeBuildPred = "doc_id % 4 < 3"
 
   /** Target mixture weights for the corpus-mix report (one per corpus
     * lang; must stay literal-identical to the oracle's CASE). */
@@ -700,7 +717,7 @@ object SparkEntry {
     // deployment amortizes over many queries, so it belongs in setup —
     // the stored read-path closures then time what a user's query costs
     storedIvfPath(s, dir); storedPqPath(s, dir)
-    mergedIvfPath(s, dir); storedBm25Path(s, dir)
+    mergedIvfPath(s, dir); storedBm25Path(s, dir); mergedBm25Path(s, dir)
   }
 
   /** The merge queries' dimension side: the rebuilt historical dim,
@@ -713,11 +730,15 @@ object SparkEntry {
     * StoredIndexes staging root, removed on JVM exit. */
   private def bucketedHistDim(s: SparkSession, dir: String, variant: String,
                               hist: => DataFrame): DataFrame = {
-    val table =
-      s"graft_dim_${variant}_" + java.lang.Integer.toHexString(dir.hashCode)
-    if (!s.catalog.tableExists(table))
-      SnapshotStore.publishBucketed(dimOf(hist), table, KEY, buckets = 8,
-        path = Some(engine.StoredIndexes.pathFor(s"dim_$variant", dir)))
+    val table = s"graft_dim_${variant}_" + engine.StoredIndexes.sha16(dir)
+    // check-then-publish is atomic under the shared StoredIndexes lock,
+    // so concurrent callers (a parallel runner) cannot double-publish or
+    // read a half-written table
+    engine.StoredIndexes.locked {
+      if (!s.catalog.tableExists(table))
+        SnapshotStore.publishBucketed(dimOf(hist), table, KEY, buckets = 8,
+          path = Some(engine.StoredIndexes.pathFor(s"dim_$variant", dir)))
+    }
     s.table(table)
   }
 
@@ -746,6 +767,13 @@ object SparkEntry {
   private def storedBm25Path(s: SparkSession, dir: String): String =
     engine.StoredIndexes.ensure("bm25_idx", dir)(p =>
       TextOps.buildBm25Index(Tables.documents(s, dir), p))
+
+  private def mergedBm25Path(s: SparkSession, dir: String): String =
+    engine.StoredIndexes.ensure("bm25_merge", dir) { p =>
+      val docs = Tables.documents(s, dir)
+      TextOps.buildBm25Index(docs.filter(expr(Bm25MergeBuildPred)), p)
+      TextOps.mergeBm25Index(docs.filter(!expr(Bm25MergeBuildPred)), p)
+    }
 
   /** The query vector for the stored-index read paths, as exact doubles
     * (float→double widening is exact). */
@@ -952,7 +980,8 @@ object SparkEntry {
     // (same training, same scoring folds), so they share oracles
     "ann_ivf_stored_topk" -> oracleSqlBase("ann_ivf_kmeans_topk"),
     "ann_pq_stored_topk" -> oracleSqlBase("ann_pq_topk"),
-    "text_bm25_stored_topk" -> oracleSqlBase("text_bm25_topk"))
+    "text_bm25_stored_topk" -> oracleSqlBase("text_bm25_topk"),
+    "text_bm25_merged_topk" -> oracleSqlBase("text_bm25_topk"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
 

@@ -37,10 +37,25 @@ private[graft] object StoredIndexes {
   private val lock = new Object
 
   /** The staging path for artifact `kind` over corpus `sfDir` — stable
-    * within the process, under the auto-removed root. Does NOT build. */
+    * within the process, under the auto-removed root. Does NOT build.
+    * The corpus-dir component is a SHA-256 prefix (64 bits), not
+    * String.hashCode: with the 32-bit hash, two corpus dirs colliding in
+    * one process would silently serve one corpus's index to the other's
+    * queries. */
   def pathFor(kind: String, sfDir: String): String =
-    root.resolve(
-      s"${kind}_${java.lang.Integer.toHexString(sfDir.hashCode)}").toString
+    root.resolve(s"${kind}_${sha16(sfDir)}").toString
+
+  /** First 16 hex chars of SHA-256 — the collision-resistant dir/table
+    * disambiguator shared by index paths and catalog table names. */
+  def sha16(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+
+  /** Run `body` under the build lock — for artifacts that live outside
+    * the path memo (e.g. catalog-registered bucketed tables) but need the
+    * same check-then-build atomicity as [[ensure]]. Reentrant. */
+  def locked[T](body: => T): T = lock.synchronized(body)
 
   /** Build-once artifact path: the first caller for (kind, sfDir) runs
     * `build` against [[pathFor]]'s path; everyone after (including

@@ -348,6 +348,48 @@ object TextOps {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Incremental stored-BM25 maintenance — the same append-only
+    * discipline as [[graft.ops.SimilarityOps.mergeIvfIndex]], completing
+    * the build/merge/query lifecycle for keyword retrieval: documents
+    * arriving after the index build are tokenized and their postings
+    * APPENDED as new files (previously written posting files are never
+    * rewritten, so concurrent readers keep a consistent view), while the
+    * two small side tables are rewritten from O(|new| + |vocabulary|)
+    * inputs — the old lexicon joined with the new docs' per-term df, and
+    * the one-row stats summed with the new docs' counts. Nothing rescans
+    * stored postings, so merge cost is O(|new docs|) regardless of index
+    * size.
+    *
+    * Assumes `newDocs` is disjoint from the indexed corpus by `doc_id`
+    * (the CDC contract: an update arrives as delete + insert, not a
+    * silent re-add). */
+  def mergeBm25Index(newDocs: DataFrame, path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val words = newDocs.select(col("doc_id"), normWords(col("text")).as("w"))
+    val postings = words
+      .select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).cast("int").as("tf"))
+    postings
+      .repartition(col("term")).sortWithinPartitions("term", "doc_id")
+      .write.mode("append").parquet(s"$path/postings")
+    val newDf = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val mergedLex = spark.read.parquet(s"$path/lexicon")
+      .unionByName(newDf)
+      .groupBy("term").agg(sum("df").as("df"))
+      // materialize before overwriting the lexicon path the plan reads
+      .localCheckpoint(true)
+    mergedLex.write.mode("overwrite").parquet(s"$path/lexicon")
+    val old = spark.read.parquet(s"$path/stats").head()
+    val add = words
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("w")).cast("long")).as("sum_dl"))
+      .head()
+    import spark.implicits._
+    Seq((old.getLong(0) + add.getLong(0), old.getLong(1) + add.getLong(1)))
+      .toDF("n_docs", "sum_dl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
   /** Query a stored BM25 index: probe the postings for the query's terms
     * (pushed-down term filter — the scan touches only matching row
     * groups, never the corpus), pivot the ≤ |terms| posting rows per doc

@@ -674,4 +674,40 @@ class OpsSpec extends AnyFunSuite {
       .map(_.toString).mkString
     assert(leaves.contains("postings") && leaves.contains("PushedFilters"))
   }
+
+  test("BM25 merge appends postings only and matches a full-corpus build") {
+    import java.nio.file.{Files, Paths}
+    val path = Files.createTempDirectory("bm25_merge").toString
+    val terms = Seq("spark", "join", "window")
+    val buildSet = docs.filter($"doc_id" % 4 < 3)
+    val mergeSet = docs.filter(!($"doc_id" % 4 < 3))
+    TextOps.buildBm25Index(buildSet, path)
+    def postingFiles(): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.walk(Paths.get(s"$path/postings"))
+      try s.iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).map(_.toString).toSet
+      finally s.close()
+    }
+    val before = postingFiles()
+    TextOps.mergeBm25Index(mergeSet, path)
+    val after = postingFiles()
+    // append-only: every pre-merge posting file survives untouched; the
+    // merge only adds files (concurrent readers keep a consistent view)
+    assert(before.subsetOf(after) && after.size > before.size)
+    // merged index state = the state a full-corpus build would produce:
+    // same per-term df, same corpus stats, bit-identical scores
+    val full = Files.createTempDirectory("bm25_full").toString
+    TextOps.buildBm25Index(docs, full)
+    def lex(p: String) = spark.read.parquet(s"$p/lexicon")
+      .as[(String, Long)].collect().toMap
+    assert(lex(path) === lex(full))
+    assert(spark.read.parquet(s"$path/stats").as[(Long, Long)].head() ===
+      spark.read.parquet(s"$full/stats").as[(Long, Long)].head())
+    val got = TextOps.queryBm25Index(spark, path, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val expected = TextOps.bm25TopK(docs, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expected)
+  }
 }
