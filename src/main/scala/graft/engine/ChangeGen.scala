@@ -68,4 +68,39 @@ object ChangeGen {
     }
     idx
   }
+
+  /** T7 retention for the change-file directory — the reference's batch
+    * log GC (/root/reference/src/cdc/log_extractor.py:212-227): delete
+    * `changes_*.json` files whose mtime is older than `retention`
+    * relative to `nowMillis` (injectable so tests don't depend on the
+    * wall clock). Only the generated batch-file pattern is eligible —
+    * ledgers, running logs and snapshots under the same root are never
+    * touched. Returns the deleted file names. Pair with the ledger: a
+    * file already applied is safe to drop at any age; the default
+    * 24-hour window (the reference's) also bounds replay for files that
+    * never got processed, which is the operator's retention/redelivery
+    * trade-off to set. */
+  def vacuumBatchFiles(dir: String, retention: java.time.Duration,
+                       nowMillis: Long = System.currentTimeMillis()): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) return Seq.empty
+    val cutoff = nowMillis - retention.toMillis
+    val stream = Files.list(root)
+    try {
+      val it = stream.iterator()
+      val dropped = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val p = it.next()
+        val name = p.getFileName.toString
+        if (name.startsWith("changes_") && name.endsWith(".json") &&
+          Files.isRegularFile(p) &&
+          Files.getLastModifiedTime(p).toMillis < cutoff) {
+          Files.delete(p)
+          dropped += name
+        }
+      }
+      dropped.sorted.toSeq
+    } finally stream.close()
+  }
 }

@@ -153,6 +153,12 @@ object SimilarityOps {
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
+  /** Squared-L2 distance to the NEAREST centroid — the per-vector
+    * quantization error whose corpus mean is the index-quality metric
+    * behind [[shouldRetrain]]. */
+  private def assignedDist2(v: Column, centroids: Seq[Seq[Double]]): Column =
+    array_min(array(centroids.map(c => dist2(v, c)): _*))
+
   /** Deterministic Lloyd's k-means over (vec_id, v) rows: init = the `k`
     * lowest vec_ids in id order (seeded, engine-portable — production
     * would swap in k-means||), then `iters` fixed iterations of
@@ -336,6 +342,12 @@ object SimilarityOps {
     e.withColumn("cluster", assignCluster(col("v"), cents).cast("long"))
       .write.partitionBy("cluster").mode("overwrite")
       .parquet(s"$path/assignments")
+    // one-row quality meta: the build corpus's mean quantization error —
+    // the yardstick every later merge's drift is measured against
+    val m = e.agg(count(lit(1)).as("n"),
+      avg(assignedDist2(col("v"), cents)).as("mean_d2")).head()
+    Seq((m.getLong(0), m.getDouble(1))).toDF("n", "mean_d2")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Incremental stored-IVF maintenance — the CDC×ANN composition: new
@@ -350,14 +362,46 @@ object SimilarityOps {
     * a merge-time one). */
   def mergeIvfIndex(newVecs: DataFrame, path: String): Unit = {
     val spark = newVecs.sparkSession
+    import spark.implicits._
     VectorExpressions.register(spark)
     val cents: Seq[Seq[Double]] = spark.read.parquet(s"$path/centroids")
       .orderBy("cluster").collect().toSeq
       .map(_.getSeq[Double](1).toIndexedSeq)
-    newVecs.select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
-      .withColumn("cluster", assignCluster(col("v"), cents).cast("long"))
+    val nv = newVecs.select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+    nv.withColumn("cluster", assignCluster(col("v"), cents).cast("long"))
       .write.partitionBy("cluster").mode("append")
       .parquet(s"$path/assignments")
+    // drift bookkeeping: one appended row per merge — the new batch's
+    // mean quantization error against the FROZEN build-time centroids.
+    // O(1) storage per merge; [[shouldRetrain]] turns the accumulated
+    // log into the retrain decision the merge itself deliberately
+    // doesn't make.
+    val m = nv.agg(count(lit(1)).as("n"),
+      avg(assignedDist2(col("v"), cents)).as("mean_d2")).head()
+    if (m.getLong(0) > 0L)
+      Seq((m.getLong(0), m.getDouble(1))).toDF("n", "mean_d2")
+        .coalesce(1).write.mode("append").parquet(s"$path/merge_log")
+  }
+
+  /** The retrain decision [[mergeIvfIndex]]'s doc defers: compare the
+    * merged batches' weighted-mean quantization error against the build
+    * corpus's (both stored with the index — this reads two tiny tables,
+    * never the corpus). A feed drawn from the indexed distribution keeps
+    * the ratio near 1; a drifted feed lands far from every frozen
+    * centroid and pushes it up. Returns true when the ratio exceeds
+    * `threshold` — i.e. recall has degraded enough that the periodic
+    * re-train (a fresh [[buildIvfIndex]]) is due. False when nothing has
+    * been merged yet. */
+  def shouldRetrain(spark: org.apache.spark.sql.SparkSession, path: String,
+                    threshold: Double = 2.0): Boolean = {
+    if (!new java.io.File(s"$path/merge_log").exists()) return false
+    val merged = spark.read.parquet(s"$path/merge_log")
+      .agg(sum("n").cast("long").as("n"),
+        sum(col("mean_d2") * col("n").cast("double")).as("w")).head()
+    if (merged.isNullAt(0) || merged.getLong(0) == 0L) return false
+    val mergeMean = merged.getDouble(1) / merged.getLong(0).toDouble
+    val buildMean = spark.read.parquet(s"$path/meta").head().getDouble(1)
+    if (buildMean <= 0.0) mergeMean > 0.0 else mergeMean / buildMean > threshold
   }
 
   /** Query a stored IVF index: pick the query's nearest `nprobe` cells

@@ -647,6 +647,27 @@ class OpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("shouldRetrain trips on a drifted merge feed and not on a compatible one") {
+    import java.nio.file.Files
+    val e = Tables.embeddings(spark, sfDir)
+    // compatible feed: held-out vectors from the SAME distribution
+    val pathA = Files.createTempDirectory("ivf_drift_a").toString
+    SimilarityOps.buildIvfIndex(e.filter($"vec_id" % 4 < 3), pathA)
+    assert(!SimilarityOps.shouldRetrain(spark, pathA), "no merges yet → no retrain")
+    SimilarityOps.mergeIvfIndex(e.filter(!($"vec_id" % 4 < 3)), pathA)
+    assert(!SimilarityOps.shouldRetrain(spark, pathA),
+      "a feed from the indexed distribution must not trip the retrain predicate")
+    // drifted feed: the same vectors translated far from every centroid
+    val pathB = Files.createTempDirectory("ivf_drift_b").toString
+    SimilarityOps.buildIvfIndex(e.filter($"vec_id" % 4 < 3), pathB)
+    val drifted = e.filter(!($"vec_id" % 4 < 3))
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        transform($"embedding", x => x + lit(10.0f)).as("embedding"))
+    SimilarityOps.mergeIvfIndex(drifted, pathB)
+    assert(SimilarityOps.shouldRetrain(spark, pathB),
+      "a translated feed far from every frozen centroid must trip the predicate")
+  }
+
   test("dupGroups memoizes the propagation loop per (docs, pairs) plan") {
     val pairs = DedupOps.minhashLshPairs(docs, 5, 8, 4, 0.8)
     val r1 = DedupOps.dupGroups(docs, pairs).collect()

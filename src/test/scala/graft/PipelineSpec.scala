@@ -38,6 +38,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(store.readVersion(3).count() === 1) // retained history still readable
   }
 
+  test("batch-file vacuum drops only aged change files, never other artifacts") {
+    val dir = tmp("gc")
+    val changes = ChangeGen.changes(spark, 40, 10, seed = 7)
+    ChangeGen.writeBatchFiles(changes, "change_id", 4, 10, dir)
+    // non-batch artifacts under the same root must survive any age
+    Files.writeString(java.nio.file.Paths.get(dir, "running_changes.jsonl"), "{}\n")
+    Files.writeString(java.nio.file.Paths.get(dir, "notes.txt"), "keep me")
+    val old = java.nio.file.attribute.FileTime.fromMillis(1000L)
+    // age two of the four batch files (and the decoys) far past retention
+    Seq("changes_000.json", "changes_001.json", "running_changes.jsonl", "notes.txt")
+      .foreach(n => Files.setLastModifiedTime(java.nio.file.Paths.get(dir, n), old))
+    val now = System.currentTimeMillis()
+    val dropped =
+      ChangeGen.vacuumBatchFiles(dir, java.time.Duration.ofHours(24), now)
+    assert(dropped === Seq("changes_000.json", "changes_001.json"))
+    val left = Files.list(java.nio.file.Paths.get(dir))
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      left.iterator().asScala.map(_.getFileName.toString)
+        .filterNot(_.startsWith("_stage_")).toSet
+    } finally left.close()
+    assert(names === Set("changes_002.json", "changes_003.json",
+      "running_changes.jsonl", "notes.txt"))
+    // idempotent: nothing else is old enough
+    assert(ChangeGen.vacuumBatchFiles(dir, java.time.Duration.ofHours(24), now).isEmpty)
+  }
+
   test("crash window between publish and ledger append is replay-safe") {
     // the reference has the same window (scd2_loader.py:523-538): commit
     // succeeded but the ledger append didn't — reprocessing the file must
