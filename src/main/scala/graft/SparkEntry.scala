@@ -417,11 +417,14 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       DedupOps.exactDupGroups(Tables.documents(s, dir)).orderBy("doc_id")),
 
-    // saltFactor=4: the candidate self-join runs salted so a hot shingle
-    // never lands one quadratic bucket on a single task (pair set proven
-    // identical to the unsalted join in OpsSpec)
+    // adaptive salt: the candidate self-join runs salted so a hot shingle
+    // never lands one quadratic bucket on a single task, with the factor
+    // derived from the corpus's own shingle-df max (ceil(maxDf/target))
+    // instead of a constant that goes stale at 100× scale. The pair set
+    // is proven identical to the unsalted join in OpsSpec, so the oracle
+    // is salt-blind.
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      DedupOps.jaccardPairs(Tables.documents(s, dir), P.ShingleN, P.JaccardT, saltFactor = 4)
+      DedupOps.jaccardPairsAdaptive(Tables.documents(s, dir), P.ShingleN, P.JaccardT)
         .orderBy("doc_a", "doc_b")),
 
     "dedup_minhash_lsh" -> ((s, dir) =>

@@ -75,6 +75,34 @@ object DedupOps {
     * partitions instead of landing one quadratic bucket on a single task.
     * The pair set is identical to the unsalted join: each qualifying
     * (a, b) pair matches exactly once, at b's replica of a's salt. */
+  /** Data-derived salt factor for the candidate self-join: the hottest
+    * shingle's document frequency over the per-bucket size a single task
+    * should see. A fixed constant is a tuning hazard — right for one
+    * corpus, 100× off after a 100× scale-up — while `ceil(maxDf/target)`
+    * tracks the skew that actually arrived. One exact (deterministic)
+    * max over the shingle df histogram, reusing the cached shingle
+    * table; clamped to [1, cap] so a pathological corpus can't explode
+    * the replication side of the salted join. Salting never changes the
+    * pair set (OpsSpec property), so the derived value needs no oracle
+    * twin. */
+  def adaptiveSaltFactor(docs: DataFrame, n: Int, targetBucket: Long = 1000L,
+                         cap: Int = 64): Int = {
+    val shl = Caches.ensureCached(shingleArrays(docs, n))
+    val m = shl.select(explode(col("shs")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("_d"))
+      .agg(max(col("_d")).as("m")).head()
+    if (m.isNullAt(0)) 1
+    else math.min(cap.toLong,
+      math.max(1L, (m.getLong(0) + targetBucket - 1) / targetBucket)).toInt
+  }
+
+  /** [[jaccardPairs]] with the salt factor derived from the corpus's own
+    * shingle-df histogram instead of a hand-picked constant. */
+  def jaccardPairsAdaptive(docs: DataFrame, n: Int, threshold: Double,
+                           targetBucket: Long = 1000L): DataFrame =
+    jaccardPairs(docs, n, threshold,
+      saltFactor = adaptiveSaltFactor(docs, n, targetBucket))
+
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                    saltFactor: Int = 1): DataFrame = {
     // The shingle-array table feeds candidate generation (exploded) and

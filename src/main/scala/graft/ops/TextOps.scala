@@ -145,6 +145,25 @@ object TextOps {
       .select("doc_a", "doc_b", "n_shared", "containment")
   }
 
+  /** Data-derived df cap for the fingerprint join: the `quantile` point
+    * (exact percentile — deterministic, unlike the sketch-based approx)
+    * of the winnowed-fingerprint df histogram, floored at `minCap`. The
+    * head of the distribution (shared boilerplate fingerprints, the
+    * quadratic-bucket hazard AND the source of false near-dup pairs) sits
+    * above p99.9 by construction, so capping there drops exactly the
+    * pathological keys while genuine overlap survives. One aggregate over
+    * the per-fingerprint df counts (fps are per-doc distinct, so the
+    * count IS document frequency) — linear, corpus-derived, no hand
+    * tuning to go stale at 100×. */
+  def adaptiveMaxDf(docs: DataFrame, k: Int = 8, w: Int = 4,
+                    quantile: Double = 0.999, minCap: Int = 4): Int = {
+    val dfs = winnowFps(docs, k, w)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("_d"))
+    val q = dfs.agg(expr(s"percentile(_d, $quantile)").as("q")).head()
+    if (q.isNullAt(0)) minCap else math.max(minCap, q.getDouble(0).toInt)
+  }
+
   /** The df-capped exploded (doc_id, fp) fingerprint table behind
     * [[containmentPairs]] — cached, because it feeds both the candidate
     * self-join and the per-doc size denominator (and at bench time the

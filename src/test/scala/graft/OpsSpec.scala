@@ -167,6 +167,36 @@ class OpsSpec extends AnyFunSuite {
     assert(unsalted.size === 190) // all C(20,2) pairs share the hot shingle
     // the candidate join's shuffle runs on (shingle, salt)
     assert(salted.queryExecution.executedPlan.toString.contains("_salt"))
+    // adaptive: the factor comes from the hot shingle's df (20 docs /
+    // 8-per-bucket target → ceil = 3), and the pair set stays identical
+    assert(DedupOps.adaptiveSaltFactor(d, 5, targetBucket = 8L) === 3)
+    val adaptive = DedupOps.jaccardPairsAdaptive(d, 5, 0.0, targetBucket = 8L)
+    assert(adaptive.orderBy("doc_a", "doc_b").collect().toSeq === unsalted)
+    // an unskewed corpus derives no salt at the production bucket target
+    assert(DedupOps.adaptiveSaltFactor(docs, 5) === 1)
+  }
+
+  test("adaptive df cap drops boilerplate fingerprints, keeps true dups") {
+    // 30 docs share ONLY a boilerplate opening (hot fingerprints in every
+    // doc); docs 100/101 are genuine near-dups of each other
+    val boiler = (1 to 30).map(i => s"boiler$i").mkString(" ")
+    val body = (1 to 40).map(j => s"t$j").mkString(" ")
+    val d = ((1 to 30).map(i =>
+        (i.toLong, s"$boiler " + (1 to 20).map(j => s"u${i}v$j").mkString(" "))) ++
+      Seq((100L, s"$body extra one"), (101L, s"$body extra two")))
+      .toDF("doc_id", "text")
+    val cap = TextOps.adaptiveMaxDf(d, quantile = 0.9)
+    // the boilerplate fingerprints (df=30) sit above the derived cap
+    assert(cap >= 4 && cap < 30)
+    val capped = TextOps.containmentPairs(d, maxDf = cap)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // boilerplate-only pairs are gone; the genuine near-dup pair survives
+    assert(capped.contains((100L, 101L)))
+    assert(capped.forall { case (a, b) => a >= 100L && b >= 100L })
+    // without the cap the hot fingerprints fabricate boilerplate pairs
+    val uncapped = TextOps.containmentPairs(d, maxDf = 1000)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.exists { case (a, b) => a < 100L && b < 100L })
   }
 
   test("simhash: 16-bit sketch, equal for identical docs") {
