@@ -56,6 +56,14 @@ object Profile {
       time("candidates_2")(cand.count())
       spark.stop(); return
     }
+    if (name == "adaptive_caps") {
+      // print the data-derived skew constants for this corpus (PLANS.md
+      // records them per round)
+      val docs = graft.engine.Tables.documents(spark, sfDir)
+      println("ADAPTIVE_SALT=" + graft.ops.DedupOps.adaptiveSaltFactor(docs, 5))
+      println("ADAPTIVE_MAXDF=" + graft.ops.TextOps.adaptiveMaxDf(docs))
+      spark.stop(); return
+    }
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (args.length > 2 && args(2) == "explain") df.explain("formatted")
     // warm + timed runs

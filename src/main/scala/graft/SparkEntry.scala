@@ -668,6 +668,10 @@ object SparkEntry {
     val docs = Tables.documents(s, dir)
     val shl = Caches.ensureCached(DedupOps.shingleArrays(docs, P.ShingleN))
     shl.count()
+    // derived-skew-cap memos: one histogram pass each, a per-corpus
+    // constant afterwards — setup cost, not query cost
+    DedupOps.adaptiveSaltFactor(docs, P.ShingleN)
+    TextOps.adaptiveMaxDf(docs)
     Caches.ensureCached(DedupOps.minhashSignatures(shl, P.MinhashK)).count()
     Caches.ensureCached(DedupOps.simhashLong(docs)).count()
     Caches.ensureCached(TextOps.winnowFps(docs)).count()

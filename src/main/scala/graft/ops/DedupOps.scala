@@ -87,14 +87,23 @@ object DedupOps {
     * twin. */
   def adaptiveSaltFactor(docs: DataFrame, n: Int, targetBucket: Long = 1000L,
                          cap: Int = 64): Int = {
-    val shl = Caches.ensureCached(shingleArrays(docs, n))
-    val m = shl.select(explode(col("shs")).as("shingle"))
-      .groupBy("shingle").agg(count(lit(1)).as("_d"))
-      .agg(max(col("_d")).as("m")).head()
-    if (m.isNullAt(0)) 1
-    else math.min(cap.toLong,
-      math.max(1L, (m.getLong(0) + targetBucket - 1) / targetBucket)).toInt
+    // session-scoped memo (same contract as the k-means memo: input files
+    // stable within a session) — the derived factor is a per-corpus
+    // constant, so the histogram pass runs once, not once per query run
+    val key = (docs.sparkSession, docs.semanticHash(), n, targetBucket, cap)
+    saltMemo.getOrElseUpdate(key, {
+      val shl = Caches.ensureCached(shingleArrays(docs, n))
+      val m = shl.select(explode(col("shs")).as("shingle"))
+        .groupBy("shingle").agg(count(lit(1)).as("_d"))
+        .agg(max(col("_d")).as("m")).head()
+      if (m.isNullAt(0)) 1
+      else math.min(cap.toLong,
+        math.max(1L, (m.getLong(0) + targetBucket - 1) / targetBucket)).toInt
+    })
   }
+
+  private val saltMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int, Long, Int), Int]
 
   /** [[jaccardPairs]] with the salt factor derived from the corpus's own
     * shingle-df histogram instead of a hand-picked constant. */

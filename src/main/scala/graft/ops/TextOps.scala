@@ -157,12 +157,20 @@ object TextOps {
     * tuning to go stale at 100×. */
   def adaptiveMaxDf(docs: DataFrame, k: Int = 8, w: Int = 4,
                     quantile: Double = 0.999, minCap: Int = 4): Int = {
-    val dfs = winnowFps(docs, k, w)
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
-      .groupBy("fp").agg(count(lit(1)).as("_d"))
-    val q = dfs.agg(expr(s"percentile(_d, $quantile)").as("q")).head()
-    if (q.isNullAt(0)) minCap else math.max(minCap, q.getDouble(0).toInt)
+    // session-scoped memo, same contract as the salt-factor memo: the
+    // derived cap is a per-corpus constant
+    val key = (docs.sparkSession, docs.semanticHash(), k, w, quantile, minCap)
+    maxDfMemo.getOrElseUpdate(key, {
+      val dfs = winnowFps(docs, k, w)
+        .select(col("doc_id"), explode(col("fps")).as("fp"))
+        .groupBy("fp").agg(count(lit(1)).as("_d"))
+      val q = dfs.agg(expr(s"percentile(_d, $quantile)").as("q")).head()
+      if (q.isNullAt(0)) minCap else math.max(minCap, q.getDouble(0).toInt)
+    })
   }
+
+  private val maxDfMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int, Int, Double, Int), Int]
 
   /** The df-capped exploded (doc_id, fp) fingerprint table behind
     * [[containmentPairs]] — cached, because it feeds both the candidate

@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** JDBC CDC ingress/egress — the reference's actual transport: the
+  * extractor polls PostgreSQL with a watermark query
+  * (/root/reference/src/cdc/log_extractor.py:125-144) and the loader
+  * writes the dimension back row-at-a-time over psycopg2
+  * (/root/reference/src/warehouse/scd2_loader.py:254-276).
+  *
+  * The Spark-first shape of both halves:
+  *  - ingress is `spark.read.format("jdbc")` with the watermark filter
+  *    pushed INTO the database as a dbtable subquery (only new changes
+  *    cross the wire) and `partitionColumn/lowerBound/upperBound` so the
+  *    scan arrives as N parallel range queries instead of one cursor;
+  *  - egress is set-based: stage the batch with Spark's parallel JDBC
+  *    writer, then ONE `INSERT ... ON CONFLICT` / expire statement over
+  *    the staging table — the reference's per-row
+  *    lookup/expire/insert loop collapsed to two statements, which is
+  *    the only per-batch shape that survives a 100 TB change feed.
+  *
+  * This container ships no JDBC driver jar and no database (documented
+  * environment gap, SURVEY §1.1), so `read`/`stage` are thin compositions
+  * over `spark.read`/`df.write` that need only a driver on the classpath
+  * to go live. Everything decision-bearing — option maps, pushdown
+  * subqueries, partition-bound math, upsert/expire SQL — is a pure
+  * function, unit-tested in JdbcSpec.
+  */
+object JdbcCdc {
+
+  /** Connection descriptor. `driver` is the JDBC class name (e.g.
+    * PostgreSQL's "org.postgresql.Driver") — resolved only at `load()`
+    * time, so plans can be built and tested without the jar. */
+  final case class Conn(url: String, user: String, password: String,
+                       driver: String)
+
+  private val tsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  private def tsLit(ts: java.time.Instant): String =
+    tsFmt.format(java.time.LocalDateTime.ofInstant(ts, java.time.ZoneOffset.UTC))
+
+  /** The watermark-pushdown subquery used as `dbtable`: the reference's
+    * extractor query (log_extractor.py:125-144) — rows touched since the
+    * watermark, labeled UPSERT — with the WHERE evaluated inside the
+    * database. Identifier safety: `table`/`tsCols` must be trusted
+    * catalog names (they come from engine config, never user input);
+    * the timestamp is rendered as an ANSI literal, not interpolated
+    * user text. */
+  def watermarkSubquery(table: String, tsCols: Seq[String],
+                        watermark: java.time.Instant): String = {
+    require(tsCols.nonEmpty, "watermarkSubquery needs at least one ts column")
+    val wm = tsLit(watermark)
+    val preds = tsCols.map(c => s"$c > TIMESTAMP '$wm'").mkString(" OR ")
+    s"(SELECT *, 'UPSERT' AS operation_type FROM $table WHERE $preds) AS graft_src"
+  }
+
+  /** Option map for a parallel partitioned JDBC read: Spark issues
+    * `numPartitions` range queries over `partitionCol` between the
+    * bounds — the distributed form of the reference's single cursor.
+    * `fetchSize` keeps the per-task cursor streaming instead of
+    * buffering the partition. */
+  def readOptions(conn: Conn, dbtable: String, partitionCol: String,
+                  lower: Long, upper: Long, numPartitions: Int,
+                  fetchSize: Int = 10000): Map[String, String] = Map(
+    "url" -> conn.url,
+    "user" -> conn.user,
+    "password" -> conn.password,
+    "driver" -> conn.driver,
+    "dbtable" -> dbtable,
+    "partitionColumn" -> partitionCol,
+    "lowerBound" -> lower.toString,
+    "upperBound" -> upper.toString,
+    "numPartitions" -> math.max(1, numPartitions).toString,
+    "fetchsize" -> fetchSize.toString)
+
+  /** One-row bounds probe for [[readOptions]] — runs as its own tiny
+    * JDBC query (`SELECT min, max`) so the range partitioning adapts to
+    * the key space actually present, the same way the stored-index
+    * probes collect only control-plane rows. */
+  def boundsSubquery(table: String, partitionCol: String): String =
+    s"(SELECT min($partitionCol) AS lo, max($partitionCol) AS hi FROM $table) AS graft_bounds"
+
+  /** Watermarked parallel read — composition of the pieces above.
+    * Requires a JDBC driver jar on the classpath at `load()` time. */
+  def read(spark: SparkSession, conn: Conn, table: String,
+           tsCols: Seq[String], watermark: java.time.Instant,
+           partitionCol: String, lower: Long, upper: Long,
+           numPartitions: Int): DataFrame =
+    spark.read.format("jdbc")
+      .options(readOptions(conn, watermarkSubquery(table, tsCols, watermark),
+        partitionCol, lower, upper, numPartitions))
+      .load()
+
+  /** Stage a change batch into a scratch table with Spark's parallel
+    * JDBC writer (overwrite: staging is per-batch scratch). The merge
+    * then runs as the two set-based statements from
+    * [[expireSql]]/[[upsertSql]] over this table. */
+  def stage(df: DataFrame, conn: Conn, stagingTable: String,
+            batchPartitions: Int = 8): Unit =
+    df.repartition(batchPartitions).write.format("jdbc")
+      .option("url", conn.url).option("user", conn.user)
+      .option("password", conn.password).option("driver", conn.driver)
+      .option("dbtable", stagingTable)
+      .mode("overwrite").save()
+
+  /** The set-based form of the reference's per-key expire loop
+    * (scd2_loader.py:276-301): ONE statement closes every current row
+    * whose key appears in the staged batch with a strictly newer
+    * change. The stale guard (`<`) is the same late-data rule
+    * `Scd2.merge` applies. */
+  def expireSql(dimTable: String, stagingTable: String, key: String,
+                tsCol: String): String =
+    s"""UPDATE $dimTable d
+       |SET valid_to = s.$tsCol, is_current = FALSE
+       |FROM (SELECT $key, max($tsCol) AS $tsCol FROM $stagingTable GROUP BY $key) s
+       |WHERE d.$key = s.$key AND d.is_current = TRUE AND d.valid_from < s.$tsCol""".stripMargin
+
+  /** The set-based form of the reference's per-row INSERT loop
+    * (scd2_loader.py:254-276): one statement inserts the latest change
+    * per key as the new current row. `cols` are the payload columns to
+    * carry over (trusted catalog names). */
+  def upsertSql(dimTable: String, stagingTable: String, key: String,
+                tsCol: String, cols: Seq[String]): String = {
+    val colList = (Seq(key) ++ cols ++ Seq("valid_from", "is_current")).mkString(", ")
+    val selList = (Seq(s"s.$key") ++ cols.map(c => s"s.$c") ++
+      Seq(s"s.$tsCol", "TRUE")).mkString(", ")
+    s"""INSERT INTO $dimTable ($colList)
+       |SELECT $selList
+       |FROM $stagingTable s
+       |WHERE s.$tsCol = (SELECT max($tsCol) FROM $stagingTable
+       |                  WHERE $key = s.$key)
+       |  AND s.operation_type <> 'DELETE'""".stripMargin
+  }
+}
