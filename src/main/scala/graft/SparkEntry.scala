@@ -537,6 +537,17 @@ object SparkEntry {
     "text_bm25_merged_topk" -> ((s, dir) =>
       TextOps.queryBm25Index(s, mergedBm25Path(s, dir), BmTerms, 10)),
 
+    // Incremental dedup — the CDC×dedup composition: the change feed is
+    // screened for near-duplication against the stored corpus
+    // fingerprint index (built once on the initial subset; postings
+    // probed via broadcast hash join, the index never shuffles). The
+    // oracle replays the same df-capped winnow-containment math over
+    // the two subsets.
+    "dedup_incremental" -> ((s, dir) =>
+      DedupOps.queryFingerprintIndex(s, dedupIdxPath(s, dir),
+        Tables.documents(s, dir).filter(!expr(Bm25MergeBuildPred)))
+        .orderBy("doc_new", "doc_old")),
+
     // ── North-star: multimodal binary columns ─────────────────────────
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.binaryMeta(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -725,6 +736,7 @@ object SparkEntry {
     // the stored read-path closures then time what a user's query costs
     storedIvfPath(s, dir); storedPqPath(s, dir)
     mergedIvfPath(s, dir); storedBm25Path(s, dir); mergedBm25Path(s, dir)
+    dedupIdxPath(s, dir)
   }
 
   /** The merge queries' dimension side: the rebuilt historical dim,
@@ -781,6 +793,11 @@ object SparkEntry {
       TextOps.buildBm25Index(docs.filter(expr(Bm25MergeBuildPred)), p)
       TextOps.mergeBm25Index(docs.filter(!expr(Bm25MergeBuildPred)), p)
     }
+
+  private def dedupIdxPath(s: SparkSession, dir: String): String =
+    engine.StoredIndexes.ensure("dedup_idx", dir)(p =>
+      DedupOps.buildFingerprintIndex(
+        Tables.documents(s, dir).filter(expr(Bm25MergeBuildPred)), p))
 
   /** The query vector for the stored-index read paths, as exact doubles
     * (float→double widening is exact). */
@@ -1173,6 +1190,31 @@ object SparkEntry {
          |SELECT doc_id, len(fps) AS n_fingerprints,
          |       md5(array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ',')) AS winnow_sig
          |FROM fp ORDER BY doc_id""".stripMargin,
+
+    // mirror of DedupOps.queryFingerprintIndex over the build/feed split:
+    // df cap derived from (and frozen to) the INDEXED subset, containment
+    // between cross pairs only
+    "dedup_incremental" ->
+      s"""WITH $winnowFpSql,
+         |ex0 AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+         |idx AS (SELECT * FROM ex0 WHERE doc_id % 4 < 3),
+         |feed AS (SELECT * FROM ex0 WHERE NOT (doc_id % 4 < 3)),
+         |hot AS (SELECT f FROM (SELECT f, count(*) AS d FROM idx GROUP BY f)
+         |        WHERE d > 10),
+         |idx_k AS (SELECT doc_id, f FROM idx WHERE f NOT IN (SELECT f FROM hot)),
+         |feed_k AS (SELECT doc_id, f FROM feed WHERE f NOT IN (SELECT f FROM hot)),
+         |so AS (SELECT doc_id, count(*) AS n FROM idx_k GROUP BY doc_id),
+         |sn AS (SELECT doc_id, count(*) AS nn FROM feed_k GROUP BY doc_id),
+         |cand AS (
+         |  SELECT fe.doc_id AS doc_new, ix.doc_id AS doc_old, count(*) AS n_shared
+         |  FROM feed_k fe JOIN idx_k ix ON fe.f = ix.f
+         |  GROUP BY 1, 2)
+         |SELECT doc_new, doc_old, n_shared,
+         |       CAST(n_shared AS DOUBLE) / least(sn.nn, so.n) AS containment
+         |FROM cand JOIN sn ON doc_new = sn.doc_id
+         |          JOIN so ON doc_old = so.doc_id
+         |WHERE CAST(n_shared AS DOUBLE) / least(sn.nn, so.n) >= 0.5
+         |ORDER BY doc_new, doc_old""".stripMargin,
 
     "text_containment" ->
       s"""WITH $winnowFpSql,

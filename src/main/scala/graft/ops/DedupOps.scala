@@ -496,4 +496,99 @@ object DedupOps {
       .withColumn("keep", row_number().over(w) === 1)
       .select(col("doc_id"), col("group_id"), col(scoreCol), col("keep"))
   }
+
+  // ── Incremental dedup: stored fingerprint index (build/merge/query) ──
+  // The CDC×dedup composition: an arriving change batch is screened for
+  // near-duplication against the CORPUS without rescanning it — the
+  // third stored-index lifecycle alongside IVF (vectors) and BM25
+  // (keywords). Four parquet tables under `path`:
+  //   postings (fp, doc_id)  df-capped, repartitioned by fp;
+  //   sizes    (doc_id, n)   per-doc kept-fingerprint count (the
+  //                          containment denominator, stored so queries
+  //                          never re-aggregate the index);
+  //   dfs      (fp, df)      per-fingerprint document frequency;
+  //   hot      (fp)          fingerprints with df > maxDf at BUILD time.
+  // The hot list is FROZEN between rebuilds (same discipline as IVF's
+  // frozen centroids): merges drop frozen-hot fingerprints from new
+  // postings and update dfs, but never re-derive the cap — a fingerprint
+  // that turns hot through merges is a rebuild decision, not a
+  // merge-time one.
+
+  private def winnowExploded(docs: DataFrame, k: Int, w: Int): DataFrame =
+    TextOps.winnowFps(docs, k, w)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+
+  /** Build the stored fingerprint index over `docs`. One explode + two
+    * hash aggregates — the cost of a word count, linear in corpus size. */
+  def buildFingerprintIndex(docs: DataFrame, path: String, k: Int = 8,
+                            w: Int = 4, maxDf: Int = 10): Unit = {
+    val spark = docs.sparkSession
+    val ex = winnowExploded(docs, k, w)
+    ex.groupBy("fp").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/dfs")
+    spark.read.parquet(s"$path/dfs").filter(col("df") > maxDf).select("fp")
+      .write.mode("overwrite").parquet(s"$path/hot")
+    val kept = ex.join(spark.read.parquet(s"$path/hot"), Seq("fp"), "left_anti")
+    kept.repartition(col("fp")).sortWithinPartitions("fp", "doc_id")
+      .write.mode("overwrite").parquet(s"$path/postings")
+    spark.read.parquet(s"$path/postings")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$path/sizes")
+  }
+
+  /** Append a new batch to the index: postings/sizes are APPENDED (old
+    * files never rewritten — concurrent readers stay consistent), dfs is
+    * re-summed from O(|new|+|vocab|) inputs, the hot list stays frozen.
+    * Merge cost is O(|new docs|) regardless of index size. Assumes
+    * `newDocs` is doc_id-disjoint from the indexed corpus (the CDC
+    * contract: updates arrive as delete + insert). */
+  def mergeFingerprintIndex(newDocs: DataFrame, path: String, k: Int = 8,
+                            w: Int = 4): Unit = {
+    val spark = newDocs.sparkSession
+    val ex = winnowExploded(newDocs, k, w)
+    val kept = Caches.ensureCached(
+      ex.join(spark.read.parquet(s"$path/hot"), Seq("fp"), "left_anti"))
+    kept.repartition(col("fp")).sortWithinPartitions("fp", "doc_id")
+      .write.mode("append").parquet(s"$path/postings")
+    kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .write.mode("append").parquet(s"$path/sizes")
+    val mergedDfs = spark.read.parquet(s"$path/dfs")
+      .unionByName(ex.groupBy("fp").agg(count(lit(1)).as("df")))
+      .groupBy("fp").agg(sum("df").as("df"))
+      .localCheckpoint(true) // materialize before overwriting the read path
+    mergedDfs.write.mode("overwrite").parquet(s"$path/dfs")
+  }
+
+  /** Screen an incoming batch against the stored index: the batch's
+    * kept fingerprints (frozen-hot-list filtered, same rule the index
+    * applies) probe the postings via a broadcast hash join — the index
+    * is scanned columnar but NEVER shuffled, and only the (tiny)
+    * candidate aggregate moves afterwards. Emits the audit table a
+    * curation pipeline acts on: (doc_new, doc_old, n_shared,
+    * containment ≥ `minContainment`), containment = shared / smaller
+    * kept-set — the same MOSS ratio as [[TextOps.containmentPairs]]. */
+  def queryFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String, newDocs: DataFrame, k: Int = 8,
+                            w: Int = 4,
+                            minContainment: Double = 0.5): DataFrame = {
+    val feed = Caches.ensureCached(
+      winnowExploded(newDocs, k, w)
+        .join(spark.read.parquet(s"$path/hot"), Seq("fp"), "left_anti"))
+    val feedSizes = feed.groupBy("doc_id").agg(count(lit(1)).as("nn"))
+    val cand = spark.read.parquet(s"$path/postings").as("i")
+      .join(broadcast(feed.as("f")), col("i.fp") === col("f.fp"))
+      .groupBy(col("f.doc_id").as("doc_new"), col("i.doc_id").as("doc_old"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(feedSizes.withColumnRenamed("doc_id", "doc_new")),
+        "doc_new")
+    // candidates are batch-sized: broadcast them against the stored
+    // sizes table so the index side never shuffles here either
+    spark.read.parquet(s"$path/sizes")
+      .withColumnRenamed("doc_id", "doc_old")
+      .join(broadcast(cand), "doc_old")
+      .withColumn("containment",
+        col("n_shared").cast("double") / least(col("nn"), col("n")))
+      .filter(col("containment") >= minContainment)
+      .select("doc_new", "doc_old", "n_shared", "containment")
+  }
 }

@@ -726,6 +726,53 @@ class OpsSpec extends AnyFunSuite {
     assert(leaves.contains("postings") && leaves.contains("PushedFilters"))
   }
 
+  test("fingerprint-index merge: append-only, frozen hot list, feed screening") {
+    import java.nio.file.{Files, Paths}
+    val path = Files.createTempDirectory("dedup_idx").toString
+    val body = (1 to 40).map(j => s"base$j").mkString(" ")
+    // 12 indexed docs share a boilerplate body (hot at maxDf=10);
+    // doc 50 is unique; the feed brings a near-dup of doc 50 (61), a
+    // fresh boilerplate doc (62), and an unrelated doc (63)
+    val boiler = (1 to 30).map(i => s"bp$i").mkString(" ")
+    val idxDocs = ((1 to 12).map(i =>
+        (i.toLong, s"$boiler " + (1 to 20).map(j => s"o${i}q$j").mkString(" "))) :+
+      (50L, s"$body tail one")).toDF("doc_id", "text")
+    DedupOps.buildFingerprintIndex(idxDocs, path)
+    def postingFiles(): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.walk(Paths.get(s"$path/postings"))
+      try s.iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).map(_.toString).toSet
+      finally s.close()
+    }
+    // the boilerplate fingerprints are hot → excluded from postings
+    val hotN = spark.read.parquet(s"$path/hot").count()
+    assert(hotN > 0)
+    val before = postingFiles()
+    val feed = Seq(
+      (61L, s"$body tail two"),
+      (62L, s"$boiler " + (1 to 20).map(j => s"n62q$j").mkString(" ")),
+      (63L, (1 to 60).map(j => s"z63y$j").mkString(" "))).toDF("doc_id", "text")
+    // screening BEFORE merge: only the genuine near-dup fires; the
+    // boilerplate doc does NOT (its shared fps are frozen-hot)
+    val hits = DedupOps.queryFingerprintIndex(spark, path, feed)
+      .select("doc_new", "doc_old").as[(Long, Long)].collect().toSet
+    assert(hits === Set((61L, 50L)))
+    // merge appends only; frozen hot fps never enter the new postings
+    DedupOps.mergeFingerprintIndex(feed, path)
+    val after = postingFiles()
+    assert(before.subsetOf(after) && after.size > before.size)
+    val hot = spark.read.parquet(s"$path/hot").as[Long].collect().toSet
+    val merged = spark.read.parquet(s"$path/postings")
+      .filter($"doc_id" >= 61L).select("fp").as[Long].collect()
+    assert(merged.nonEmpty && merged.forall(fp => !hot.contains(fp)))
+    // after the merge, a later batch near-dupping doc 61 is caught
+    val feed2 = Seq((70L, s"$body tail three")).toDF("doc_id", "text")
+    val hits2 = DedupOps.queryFingerprintIndex(spark, path, feed2)
+      .select("doc_new", "doc_old").as[(Long, Long)].collect().toSet
+    assert(hits2 === Set((70L, 50L), (70L, 61L)))
+  }
+
   test("BM25 merge appends postings only and matches a full-corpus build") {
     import java.nio.file.{Files, Paths}
     val path = Files.createTempDirectory("bm25_merge").toString
