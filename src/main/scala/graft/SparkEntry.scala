@@ -571,6 +571,14 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) =>
       SamplingOps.packSequences(Tables.documents(s, dir), 512).orderBy("pack_id")),
 
+    // temperature-flattened mixing (α = ½): big langs downsampled toward
+    // the smallest, rate = sqrt(min_tokens/tokens) — all single-rounded
+    // IEEE ops, so membership is bit-stable across engines
+    "sample_temperature" -> ((s, dir) =>
+      SamplingOps.temperatureSample(Tables.documents(s, dir), "lang", "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
     "corpus_mix" -> ((s, dir) =>
       SamplingOps.corpusMix(Tables.documents(s, dir), "lang", mixWeights)
         .orderBy("lang")),
@@ -1661,6 +1669,19 @@ object SparkEntry {
          |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |       CAST(sum(CASE WHEN (o % 512) + n_tokens > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
          |FROM off GROUP BY 1 ORDER BY pack_id""".stripMargin,
+
+    "sample_temperature" ->
+      s"""WITH $wordsSql,
+         |per AS (SELECT lang, CAST(sum(len(w)) AS BIGINT) AS nt
+         |        FROM words GROUP BY lang),
+         |r AS (SELECT lang,
+         |             sqrt(CAST((SELECT min(nt) FROM per) AS DOUBLE) /
+         |                  CAST(nt AS DOUBLE)) AS rate
+         |      FROM per)
+         |SELECT doc_id, lang FROM documents JOIN r USING (lang)
+         |WHERE ${keyHashSql("doc_id")} % 1000000 <
+         |      CAST(floor(rate * 1000000) AS BIGINT)
+         |ORDER BY doc_id""".stripMargin,
 
     "corpus_mix" ->
       s"""WITH $wordsSql,

@@ -53,6 +53,34 @@ object SamplingOps {
       .drop("_rn")
   }
 
+  /** Temperature-flattened corpus mixing — the multilingual-LLM sampling
+    * rule (weight ∝ share^α, α = ½): big strata are downsampled toward
+    * the small ones so low-resource strata aren't drowned. The keep rate
+    * works out to `rate_s = sqrt(min_tokens / tokens_s)` — the α = ½
+    * flattening normalized so the smallest stratum keeps everything,
+    * with the normalizing Σ share^α CANCELLED algebraically. That makes
+    * every operand a single correctly-rounded IEEE op (one long→double
+    * division, one sqrt — no pow, no order-dependent float summation),
+    * so the rate — and therefore every membership decision — is
+    * bit-identical across engines and runs. Membership itself is the
+    * usual hash threshold: keyHash mod 10⁶ < floor(rate·10⁶) — a pure
+    * function of the key, stable under reshuffling and appends.
+    * One tiny per-stratum aggregate broadcast back over the corpus; the
+    * sampling pass is a narrow per-row projection — no corpus shuffle. */
+  def temperatureSample(docs: DataFrame, stratum: String,
+                        key: String): DataFrame = {
+    val per = docs
+      .groupBy(col(stratum))
+      .agg(sum(size(TextOps.normWords(col("text"))).cast("long")).as("_nt"))
+    val rates = per.crossJoin(broadcast(per.agg(min(col("_nt")).as("_mn"))))
+      .select(col(stratum),
+        sqrt(col("_mn").cast("double") / col("_nt").cast("double")).as("_rate"))
+    docs.join(broadcast(rates), stratum)
+      .filter(pmod(keyHash(key), lit(1000000L)) <
+        floor(col("_rate") * lit(1000000.0)).cast("long"))
+      .drop("_rate")
+  }
+
   /** Range-partitioned global-order scaffold: attaches `_rn` (1-based
     * global row number under `order`) and `_cum` (exclusive global
     * running sum of `sumCol`) WITHOUT a single-partition window — a bare

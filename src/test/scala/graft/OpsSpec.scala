@@ -726,6 +726,25 @@ class OpsSpec extends AnyFunSuite {
     assert(leaves.contains("postings") && leaves.contains("PushedFilters"))
   }
 
+  test("temperature sampling keeps the smallest stratum whole, downsamples big ones") {
+    // lang a: 10 docs × 40 tokens; lang b: 200 docs × 40 tokens
+    val d = ((1 to 10).map(i => (i.toLong, (1 to 40).map(j => s"a${i}w$j").mkString(" "), "a")) ++
+      (11 to 210).map(i => (i.toLong, (1 to 40).map(j => s"b${i}w$j").mkString(" "), "b")))
+      .toDF("doc_id", "text", "lang")
+    val kept = SamplingOps.temperatureSample(d, "lang", "doc_id")
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // rate_a = sqrt(min/min) = 1 → every doc of the smallest stratum kept
+    assert(byLang.getOrElse("a", 0) === 10)
+    // rate_b = sqrt(10/200) ≈ 0.224 → kept count concentrates near 200×rate
+    val b = byLang.getOrElse("b", 0)
+    assert(b > 20 && b < 70, s"lang b kept $b of 200")
+    // membership is a pure function of the key: a rerun is identical
+    val again = SamplingOps.temperatureSample(d, "lang", "doc_id")
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    assert(kept.toSet === again.toSet)
+  }
+
   test("fingerprint-index merge: append-only, frozen hot list, feed screening") {
     import java.nio.file.{Files, Paths}
     val path = Files.createTempDirectory("dedup_idx").toString
