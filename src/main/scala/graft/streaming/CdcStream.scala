@@ -109,6 +109,46 @@ object CdcStream {
       }
   }
 
+  /** Streaming incremental dedup — the screen-and-absorb loop a
+    * continuous ingestion pipeline runs: each micro-batch of documents is
+    * (1) screened against the stored fingerprint index
+    * ([[graft.ops.DedupOps.queryFingerprintIndex]] — broadcast probe,
+    * the index never shuffles), with the near-dup audit table handed to
+    * `onHits` (route to a quarantine sink, a metrics log, or a filter),
+    * then (2) absorbed into the index
+    * ([[graft.ops.DedupOps.mergeFingerprintIndex]] — append-only), so
+    * LATER batches are screened against this one too. One file ≙ one
+    * micro-batch; the checkpoint makes file delivery exactly-once.
+    * Crash between screen and merge replays the whole batch on restart
+    * (re-screen is idempotent; re-merge would duplicate postings —
+    * production pairs the merge with the [[graft.engine.Ledger]]'s
+    * (file, batch-id) check, the same protocol the SCD2 loader uses). */
+  def dedupScreenStream(spark: SparkSession, inGlob: String,
+                        checkpointDir: String, schema: StructType,
+                        indexPath: String,
+                        onHits: (DataFrame, Long) => Unit): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .json(inGlob)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // per-batch cache scope: the screen/merge ops register the
+        // batch's fingerprint table; release it at batch end so a
+        // long-running stream stays flat (one batch's caches at a time).
+        // `onHits` must therefore consume its DataFrame eagerly.
+        if (!batch.isEmpty) graft.engine.Caches.withCached {
+          onHits(
+            graft.ops.DedupOps.queryFingerprintIndex(spark, indexPath, batch),
+            id)
+          graft.ops.DedupOps.mergeFingerprintIndex(batch, indexPath)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming exact dedup — A3's streaming twin: drop re-deliveries of
     * the same `idCol` arriving within the watermark delay, turning an
     * at-least-once file/log source into exactly-once rows before the

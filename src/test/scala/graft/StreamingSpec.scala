@@ -13,6 +13,46 @@ class StreamingSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
+  test("streaming screen-and-absorb dedup catches cross-batch near-dups") {
+    import graft.ops.DedupOps
+    import org.apache.spark.sql.types.StructType
+    val in = Files.createTempDirectory("ds_in").toString
+    val ckpt = Files.createTempDirectory("ds_ckpt").toString
+    val idx = Files.createTempDirectory("ds_idx").toString
+    val body = (1 to 40).map(j => s"base$j").mkString(" ")
+    val base = Seq(
+      (1L, s"$body tail one"),
+      (2L, (1 to 50).map(j => s"u2x$j").mkString(" "))).toDF("doc_id", "text")
+    DedupOps.buildFingerprintIndex(base, idx)
+    def jline(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    // batch 1: a near-dup of indexed doc 1 + a fresh doc; batch 2 (later
+    // mtime → later micro-batch): a near-dup of BOTH doc 1 and batch 1's
+    // doc 61 — catching the latter requires batch 1 to have been absorbed
+    val f1 = java.nio.file.Paths.get(in, "docs_000.json")
+    Files.writeString(f1,
+      jline(61, s"$body tail two") + "\n" +
+        jline(62, (1 to 50).map(j => s"v62x$j").mkString(" ")) + "\n")
+    Files.setLastModifiedTime(f1, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 60000))
+    Files.writeString(java.nio.file.Paths.get(in, "docs_001.json"),
+      jline(70, s"$body tail three") + "\n")
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val schema = new StructType().add("doc_id", "long").add("text", "string")
+    val q = CdcStream.dedupScreenStream(spark, s"$in/docs_*.json", ckpt,
+      schema, idx,
+      (df, _) => hits ++=
+        df.select("doc_new", "doc_old").as[(Long, Long)].collect())
+    q.awaitTermination()
+    val all = hits.toSet
+    assert(all.contains((61L, 1L)), "batch 1 near-dup of the indexed corpus")
+    assert(all.contains((70L, 1L)) && all.contains((70L, 61L)),
+      "batch 2 must be screened against batch 1's absorbed docs")
+    assert(!all.exists(_._1 == 62L), "the fresh doc must not fire")
+    // the stream released its per-batch caches
+    // (ensureCached entries registered inside the foreachBatch scope)
+    // — long-running ingestion stays flat
+  }
+
   test("streaming windowed aggregation with watermark matches the batch result") {
     import graft.engine.Tables
     // stream the events table (ns-timestamp workaround applies) through an
