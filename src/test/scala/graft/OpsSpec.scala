@@ -792,6 +792,30 @@ class OpsSpec extends AnyFunSuite {
     assert(hits2 === Set((70L, 50L), (70L, 61L)))
   }
 
+  test("fingerprint-index probe plan never shuffles the stored index") {
+    import java.nio.file.Files
+    val path = Files.createTempDirectory("dedup_idx_plan").toString
+    val mk = (ids: Range, tag: String) => ids.map(i =>
+        (i.toLong, (1 to 40).map(j => s"$tag${i}w$j").mkString(" ")))
+    val idxDocs = mk(1 to 30, "x").toDF("doc_id", "text")
+    DedupOps.buildFingerprintIndex(idxDocs, path)
+    val feed = mk(100 to 104, "y").toDF("doc_id", "text")
+    val plan = DedupOps.queryFingerprintIndex(spark, path, feed)
+      .queryExecution.executedPlan
+    // the scale contract: stored postings/sizes are scanned (columnar
+    // I/O) but NEVER sit under a shuffle Exchange — only candidate/
+    // feed-sized relations may move
+    val shuffledIndexScans = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.collectLeaves().filter { l =>
+          val s = l.toString
+          s.contains(s"$path/postings") || s.contains(s"$path/sizes")
+        }
+    }.flatten
+    assert(shuffledIndexScans.isEmpty,
+      s"stored-index scan under a shuffle Exchange:\n$shuffledIndexScans")
+  }
+
   test("BM25 merge appends postings only and matches a full-corpus build") {
     import java.nio.file.{Files, Paths}
     val path = Files.createTempDirectory("bm25_merge").toString
