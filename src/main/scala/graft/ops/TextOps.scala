@@ -393,6 +393,12 @@ object TextOps {
   def mergeBm25Index(newDocs: DataFrame, path: String): Unit = {
     val spark = newDocs.sparkSession
     val words = newDocs.select(col("doc_id"), normWords(col("text")).as("w"))
+    val add = words
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("w")).cast("long")).as("sum_dl"))
+      .head()
+    // empty change batch: nothing to index, and the stats sum would be
+    // null — leave every artifact untouched
+    if (add.getLong(0) == 0L) return
     val postings = words
       .select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("term"))
       .groupBy("term", "doc_id", "dl")
@@ -408,9 +414,6 @@ object TextOps {
       .localCheckpoint(true)
     mergedLex.write.mode("overwrite").parquet(s"$path/lexicon")
     val old = spark.read.parquet(s"$path/stats").head()
-    val add = words
-      .agg(count(lit(1)).as("n_docs"), sum(size(col("w")).cast("long")).as("sum_dl"))
-      .head()
     import spark.implicits._
     Seq((old.getLong(0) + add.getLong(0), old.getLong(1) + add.getLong(1)))
       .toDF("n_docs", "sum_dl")

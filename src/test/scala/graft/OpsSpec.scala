@@ -850,5 +850,9 @@ class OpsSpec extends AnyFunSuite {
     val expected = TextOps.bm25TopK(docs, terms, 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got === expected)
+    // an empty change batch is a no-op, not an NPE on the null stats sum
+    TextOps.mergeBm25Index(docs.limit(0), path)
+    assert(TextOps.queryBm25Index(spark, path, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === expected)
   }
 }
