@@ -546,6 +546,9 @@ object DedupOps {
                             w: Int = 4): Unit = {
     val spark = newDocs.sparkSession
     val ex = winnowExploded(newDocs, k, w)
+    // empty change batch (or all docs below the winnow length floor):
+    // leave every artifact untouched instead of rewriting dfs in place
+    if (ex.isEmpty) return
     val kept = Caches.ensureCached(
       ex.join(spark.read.parquet(s"$path/hot"), Seq("fp"), "left_anti"))
     kept.repartition(col("fp")).sortWithinPartitions("fp", "doc_id")
