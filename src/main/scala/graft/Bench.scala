@@ -23,8 +23,9 @@ object Bench {
     // whichever query alphabetically first touches each cache — per-query
     // diffs across rounds then reflect plan changes only.
     val s0 = System.nanoTime()
-    try SparkEntry.warmSharedCaches(spark, sfDir)
-    catch { case _: Throwable => () }
+    val setupStages =
+      try SparkEntry.warmSharedCaches(spark, sfDir)
+      catch { case _: Throwable => Seq.empty[(String, Double)] }
     val setup = (System.nanoTime() - s0) / 1e9
     // fixed name order: per-query numbers stay comparable across rounds
     // (Map order would shift residual costs between queries)
@@ -82,7 +83,9 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"raw","raw":$raw,"errors":$errs}""")
+    val stagesJson = setupStages.map { case (k, v) => jstr(k) + ":" + f(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"raw","raw":$raw,"errors":$errs,"setup_stages":$stagesJson}""")
     // headline line: medians only (failed-every-run queries are omitted
     // here and visible in the raw line's errors object)
     val qs = results.collect { case (k, Some(v), _, _) => jstr(k) + ":" + f(v) }

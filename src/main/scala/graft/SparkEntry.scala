@@ -683,68 +683,96 @@ object SparkEntry {
     * the queries use, so `Caches.ensureCached`'s canonicalized-plan
     * lookup (and the k-means `semanticHash` memo) resolve to the same
     * entries the queries hit. */
-  def warmSharedCaches(s: SparkSession, dir: String): Unit = {
+  def warmSharedCaches(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    // each warm stage is timed and returned so the bench can emit a
+    // setup breakdown — a setup regression is then attributable to a
+    // stage, the same property the per-run query times give the medians
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def stage(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      stages += name -> (System.nanoTime() - t0) / 1e9
+    }
     val docs = Tables.documents(s, dir)
-    val shl = Caches.ensureCached(DedupOps.shingleArrays(docs, P.ShingleN))
-    shl.count()
+    stage("text_caches") {
+      val shl = Caches.ensureCached(DedupOps.shingleArrays(docs, P.ShingleN))
+      shl.count()
+      Caches.ensureCached(DedupOps.minhashSignatures(shl, P.MinhashK)).count()
+      Caches.ensureCached(DedupOps.simhashLong(docs)).count()
+      Caches.ensureCached(TextOps.winnowFps(docs)).count()
+      // containment's df-capped exploded fingerprint table (feeds the
+      // candidate self-join AND the size denominator of text_containment)
+      TextOps.containmentExploded(docs).count()
+      ()
+    }
     // derived-skew-cap memos: one histogram pass each, a per-corpus
     // constant afterwards — setup cost, not query cost
-    DedupOps.adaptiveSaltFactor(docs, P.ShingleN)
-    TextOps.adaptiveMaxDf(docs)
-    Caches.ensureCached(DedupOps.minhashSignatures(shl, P.MinhashK)).count()
-    Caches.ensureCached(DedupOps.simhashLong(docs)).count()
-    Caches.ensureCached(TextOps.winnowFps(docs)).count()
-    // containment's df-capped exploded fingerprint table (feeds the
-    // candidate self-join AND the size denominator of text_containment)
-    TextOps.containmentExploded(docs).count()
+    stage("adaptive_caps") {
+      DedupOps.adaptiveSaltFactor(docs, P.ShingleN)
+      TextOps.adaptiveMaxDf(docs)
+      ()
+    }
     // the transitive dup-group label table (memoized propagation loop) —
     // consulted by dedup_groups AND dedup_keep_best
-    DedupOps.dupGroups(docs,
-      DedupOps.minhashLshPairs(docs, P.ShingleN, P.MinhashK, P.LshBands,
-        P.JaccardT)).count()
-    // the full-events rebuilt dim — the shared subplan of ~9 SCD2 queries
-    // (rebuild/current/asof/timeline/stats/frequency/invariant/union/diff)
-    val e0 = ev(s, dir)
-    Caches.ensureCached(dimOf(e0)).count()
-    // the WM-filtered dim cache (upsert_routing's current-rows source)
-    Caches.ensureCached(
-      dimOf(e0.filter(col(TS) <= expr(s"TIMESTAMP '$WM'")))).count()
-    // the merge queries' BUCKETED dim snapshots — published once here so
-    // the timed merge closures only read the already-bucketed table
-    val eOp = e0.withColumn("operation_type",
-      when(col("event_type") === "error", "DELETE").otherwise("UPSERT"))
-    bucketedHistDim(s, dir, "hist",
-      e0.filter(col(TS) <= expr(s"TIMESTAMP '$WM'")))
-    bucketedHistDim(s, dir, "histop",
-      eOp.filter(col(TS) <= expr(s"TIMESTAMP '$WM'")))
-    // embedding vector table, LSH signature table, k-means memos
-    val emb = Tables.embeddings(s, dir)
-    val ev64 = emb.select(col("vec_id"),
-      SimilarityOps.asDoubleVec(col("embedding")).as("v"))
-    Caches.ensureCached(ev64).count()
-    SimilarityOps.lshSigTable(emb, P.EmbPlanes, P.EmbTables).count()
-    SimilarityOps.kmeansCentroids(ev64, P.KmK, P.KmIters)
-    // PQ subspace training memos: derive dims from the corpus exactly as
-    // pqTopK/buildPqIndex do, so the sliced plans canonicalize to the
-    // same k-means memo keys
-    val dims = ev64.select(size(col("v"))).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
-    if (dims > 0 && dims % P.PqM == 0) {
-      val subDim = dims / P.PqM
-      (0 until P.PqM).foreach { sub =>
-        SimilarityOps.kmeansCentroids(
-          ev64.select(col("vec_id"),
-            expr(s"slice(v, ${sub * subDim + 1}, $subDim)").as("v")),
-          P.PqKsub, P.PqIters)
+    stage("dup_groups") {
+      DedupOps.dupGroups(docs,
+        DedupOps.minhashLshPairs(docs, P.ShingleN, P.MinhashK, P.LshBands,
+          P.JaccardT)).count()
+      ()
+    }
+    stage("scd2_dims") {
+      // the full-events rebuilt dim — the shared subplan of ~9 SCD2
+      // queries (rebuild/current/asof/timeline/stats/frequency/
+      // invariant/union/diff)
+      val e0 = ev(s, dir)
+      Caches.ensureCached(dimOf(e0)).count()
+      // the WM-filtered dim cache (upsert_routing's current-rows source)
+      Caches.ensureCached(
+        dimOf(e0.filter(col(TS) <= expr(s"TIMESTAMP '$WM'")))).count()
+      // the merge queries' BUCKETED dim snapshots — published once here
+      // so the timed merge closures only read the already-bucketed table
+      val eOp = e0.withColumn("operation_type",
+        when(col("event_type") === "error", "DELETE").otherwise("UPSERT"))
+      bucketedHistDim(s, dir, "hist",
+        e0.filter(col(TS) <= expr(s"TIMESTAMP '$WM'")))
+      bucketedHistDim(s, dir, "histop",
+        eOp.filter(col(TS) <= expr(s"TIMESTAMP '$WM'")))
+      ()
+    }
+    stage("embedding_caches") {
+      // embedding vector table, LSH signature table, k-means memos
+      val emb = Tables.embeddings(s, dir)
+      val ev64 = emb.select(col("vec_id"),
+        SimilarityOps.asDoubleVec(col("embedding")).as("v"))
+      Caches.ensureCached(ev64).count()
+      SimilarityOps.lshSigTable(emb, P.EmbPlanes, P.EmbTables).count()
+      SimilarityOps.kmeansCentroids(ev64, P.KmK, P.KmIters)
+      // PQ subspace training memos: derive dims from the corpus exactly
+      // as pqTopK/buildPqIndex do, so the sliced plans canonicalize to
+      // the same k-means memo keys
+      val dims = ev64.select(size(col("v"))).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(0)
+      if (dims > 0 && dims % P.PqM == 0) {
+        val subDim = dims / P.PqM
+        (0 until P.PqM).foreach { sub =>
+          SimilarityOps.kmeansCentroids(
+            ev64.select(col("vec_id"),
+              expr(s"slice(v, ${sub * subDim + 1}, $subDim)").as("v")),
+            P.PqKsub, P.PqIters)
+        }
       }
     }
     // stored-index builds (one per process, under the auto-removed
     // StoredIndexes root): index CONSTRUCTION is a pipeline stage a
     // deployment amortizes over many queries, so it belongs in setup —
     // the stored read-path closures then time what a user's query costs
-    storedIvfPath(s, dir); storedPqPath(s, dir)
-    mergedIvfPath(s, dir); storedBm25Path(s, dir); mergedBm25Path(s, dir)
-    dedupIdxPath(s, dir)
+    stage("stored_indexes") {
+      storedIvfPath(s, dir); storedPqPath(s, dir)
+      mergedIvfPath(s, dir); storedBm25Path(s, dir); mergedBm25Path(s, dir)
+      dedupIdxPath(s, dir)
+      ()
+    }
+    stages.toSeq
   }
 
   /** The merge queries' dimension side: the rebuilt historical dim,
