@@ -94,11 +94,7 @@ object Scd2 {
     * above the threshold the strategy is left to the planner/AQE, which
     * picks sort-merge and can still convert at runtime if the actual
     * size turns out small. */
-  private def maybeBroadcast(df: DataFrame): DataFrame = {
-    val threshold = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-    val estimate = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (threshold > 0 && estimate <= threshold) broadcast(df) else df
-  }
+  private def maybeBroadcast(df: DataFrame): DataFrame = Skew.maybeBroadcast(df)
 
   /** Op-aware merge: when `opCol` is set, a change whose op is DELETE
     * expires the key's current row and inserts nothing

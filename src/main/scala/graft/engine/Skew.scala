@@ -24,4 +24,17 @@ object Skew {
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Broadcast-hint `df` only while the optimizer's size estimate fits
+    * `autoBroadcastJoinThreshold`. The pattern every "small side" join
+    * in this engine applies to batch-sized inputs: a steady-state change
+    * batch is megabytes and must broadcast, but nothing stops a caller
+    * replaying a month of history in one call — an oversized batch must
+    * NOT be forced into a driver-side broadcast (OOM); it falls back to
+    * planner/AQE strategy instead. */
+  def maybeBroadcast(df: DataFrame): DataFrame = {
+    val threshold = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val estimate = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold > 0 && estimate <= threshold) broadcast(df) else df
+  }
 }

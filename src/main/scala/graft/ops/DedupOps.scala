@@ -566,29 +566,34 @@ object DedupOps {
     * kept fingerprints (frozen-hot-list filtered, same rule the index
     * applies) probe the postings via a broadcast hash join — the index
     * is scanned columnar but NEVER shuffled, and only the (tiny)
-    * candidate aggregate moves afterwards. Emits the audit table a
-    * curation pipeline acts on: (doc_new, doc_old, n_shared,
+    * candidate aggregate moves afterwards. Broadcasts are size-guarded
+    * ([[graft.engine.Skew.maybeBroadcast]]): a steady-state change
+    * batch rides the no-index-shuffle fast path, while a backfill-sized
+    * batch falls back to planner strategy instead of a forced
+    * driver-side broadcast OOM. Emits the audit table a curation
+    * pipeline acts on: (doc_new, doc_old, n_shared,
     * containment ≥ `minContainment`), containment = shared / smaller
     * kept-set — the same MOSS ratio as [[TextOps.containmentPairs]]. */
   def queryFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
                             path: String, newDocs: DataFrame, k: Int = 8,
                             w: Int = 4,
                             minContainment: Double = 0.5): DataFrame = {
+    import graft.engine.Skew.maybeBroadcast
     val feed = Caches.ensureCached(
       winnowExploded(newDocs, k, w)
         .join(spark.read.parquet(s"$path/hot"), Seq("fp"), "left_anti"))
     val feedSizes = feed.groupBy("doc_id").agg(count(lit(1)).as("nn"))
     val cand = spark.read.parquet(s"$path/postings").as("i")
-      .join(broadcast(feed.as("f")), col("i.fp") === col("f.fp"))
+      .join(maybeBroadcast(feed.as("f")), col("i.fp") === col("f.fp"))
       .groupBy(col("f.doc_id").as("doc_new"), col("i.doc_id").as("doc_old"))
       .agg(count(lit(1)).as("n_shared"))
-      .join(broadcast(feedSizes.withColumnRenamed("doc_id", "doc_new")),
+      .join(maybeBroadcast(feedSizes.withColumnRenamed("doc_id", "doc_new")),
         "doc_new")
     // candidates are batch-sized: broadcast them against the stored
     // sizes table so the index side never shuffles here either
     spark.read.parquet(s"$path/sizes")
       .withColumnRenamed("doc_id", "doc_old")
-      .join(broadcast(cand), "doc_old")
+      .join(maybeBroadcast(cand), "doc_old")
       .withColumn("containment",
         col("n_shared").cast("double") / least(col("nn"), col("n")))
       .filter(col("containment") >= minContainment)
