@@ -31,9 +31,12 @@ class Ledger(spark: SparkSession, path: String) {
     Seq((filename, batchId)).toDF("filename", "batch_id")
       .write.mode("append").parquet(path)
 
-  /** J3: candidate files not yet in the ledger (by filename). */
+  /** J3: candidate files not yet in the ledger (by filename). The
+    * ledger grows one row per applied batch forever, so the broadcast is
+    * size-guarded — a years-old deployment's ledger falls back to a
+    * shuffled anti-join instead of an oversized driver broadcast. */
   def unprocessed(candidates: DataFrame): DataFrame =
-    candidates.join(broadcast(read()), Seq("filename"), "left_anti")
+    candidates.join(Skew.maybeBroadcast(read()), Seq("filename"), "left_anti")
 
   /** J4: has this exact (filename, batch_id) content already been applied? */
   def isProcessed(filename: String, batchId: String): Boolean =
