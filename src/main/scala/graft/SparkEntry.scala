@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{Caches, Cdc, Scd2, SnapshotStore, Stats, Tables}
-import graft.ops.{DedupOps, Multimodal, SamplingOps, SimilarityOps, TextOps}
+import graft.ops.{Curation, DedupOps, Multimodal, SamplingOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (★ inventory) and §7.
   *
@@ -578,6 +578,13 @@ object SparkEntry {
       SamplingOps.temperatureSample(Tables.documents(s, dir), "lang", "doc_id")
         .select("doc_id", "lang")
         .orderBy("doc_id")),
+
+    // the full curation pipeline as ONE auditable per-doc decision
+    // table: exact-dedup survivor ∧ quality median gate ∧ decontamination
+    // ∧ temperature mixing ∧ split — every verdict individually oracled
+    // elsewhere, composed and re-oracled end-to-end here
+    "curation_report" -> ((s, dir) =>
+      Curation.curationReport(Tables.documents(s, dir)).orderBy("doc_id")),
 
     "corpus_mix" -> ((s, dir) =>
       SamplingOps.corpusMix(Tables.documents(s, dir), "lang", mixWeights)
@@ -1697,6 +1704,72 @@ object SparkEntry {
          |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |       CAST(sum(CASE WHEN (o % 512) + n_tokens > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
          |FROM off GROUP BY 1 ORDER BY pack_id""".stripMargin,
+
+    // end-to-end mirror of Curation.curationReport: each stage's SQL is
+    // the same fragment its standalone oracle uses
+    "curation_report" ->
+      s"""WITH $wordsSql,
+         |fpm AS (SELECT doc_id,
+         |               md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fpr
+         |        FROM words),
+         |canon AS (SELECT doc_id,
+         |                 doc_id = min(doc_id) OVER (PARTITION BY fpr) AS is_canonical
+         |          FROM fpm),
+         |qbase AS (
+         |  SELECT doc_id, len(w) AS n_tokens,
+         |         list_sum(list_transform(w, x -> length(x))) AS sum_len,
+         |         len(list_filter(w, x -> x IN $stopListSql)) AS n_stop
+         |  FROM words),
+         |scored AS (
+         |  SELECT doc_id,
+         |         least(1.0, n_tokens / 50.0) * 0.5
+         |           + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+         |           + least(1.0, (CAST(sum_len AS DOUBLE) / n_tokens) / 8.0) * 0.2 AS quality_score
+         |  FROM qbase),
+         |qcut AS (SELECT quantile_cont(quality_score, 0.5) AS c FROM scored),
+         |$winnowFpSql,
+         |wex AS (SELECT doc_id, t.fp AS fp, ${keyHashSql("doc_id")} % 100 AS h
+         |        FROM fp, LATERAL unnest(fps) AS t(fp)),
+         |wkeep AS (SELECT fp FROM wex GROUP BY fp HAVING count(*) <= 10),
+         |wtr AS (SELECT doc_id, fp FROM wex JOIN wkeep USING (fp) WHERE h < 90),
+         |wte AS (SELECT doc_id AS tdoc, fp FROM wex JOIN wkeep USING (fp) WHERE h >= 90),
+         |wsizes AS (SELECT doc_id, count(*) AS n_fps FROM wtr GROUP BY doc_id),
+         |whits AS (
+         |  SELECT wtr.doc_id, count(DISTINCT wtr.fp) AS n_shared_fps
+         |  FROM wtr JOIN wte ON wtr.fp = wte.fp
+         |  GROUP BY wtr.doc_id),
+         |contam AS (
+         |  SELECT doc_id, TRUE AS contaminated
+         |  FROM whits JOIN wsizes USING (doc_id)
+         |  WHERE CAST(n_shared_fps AS DOUBLE) / n_fps >= 0.2),
+         |tper AS (SELECT lang, CAST(sum(len(w)) AS BIGINT) AS nt
+         |         FROM words GROUP BY lang),
+         |tr8 AS (SELECT lang,
+         |               sqrt(CAST((SELECT min(nt) FROM tper) AS DOUBLE) /
+         |                    CAST(nt AS DOUBLE)) AS rate
+         |        FROM tper)
+         |SELECT d.doc_id, d.lang,
+         |       CASE WHEN ${keyHashSql("d.doc_id")} % 100 < 80 THEN 'train'
+         |            WHEN ${keyHashSql("d.doc_id")} % 100 < 90 THEN 'valid'
+         |            ELSE 'test' END AS split,
+         |       canon.is_canonical,
+         |       coalesce(scored.quality_score >= qcut.c, FALSE) AS quality_ok,
+         |       coalesce(contam.contaminated, FALSE) AS contaminated,
+         |       ${keyHashSql("d.doc_id")} % 1000000 <
+         |         CAST(floor(tr8.rate * 1000000) AS BIGINT) AS temp_keep,
+         |       canon.is_canonical
+         |         AND coalesce(scored.quality_score >= qcut.c, FALSE)
+         |         AND NOT coalesce(contam.contaminated, FALSE)
+         |         AND ${keyHashSql("d.doc_id")} % 1000000 <
+         |               CAST(floor(tr8.rate * 1000000) AS BIGINT)
+         |         AND ${keyHashSql("d.doc_id")} % 100 < 80 AS keep
+         |FROM documents d
+         |JOIN canon ON d.doc_id = canon.doc_id
+         |JOIN scored ON d.doc_id = scored.doc_id
+         |LEFT JOIN contam ON d.doc_id = contam.doc_id
+         |JOIN tr8 ON d.lang = tr8.lang
+         |CROSS JOIN qcut
+         |ORDER BY d.doc_id""".stripMargin,
 
     "sample_temperature" ->
       s"""WITH $wordsSql,

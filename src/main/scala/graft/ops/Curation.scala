@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the standard LLM training-data pipeline
+  * composed from this engine's individually-oracled primitives, emitted
+  * as ONE per-document decision table — the auditable artifact a
+  * curation run reviews before filtering (which doc was dropped, by
+  * which stage, under what verdict):
+  *
+  *  - `is_canonical` — exact-dedup survivor (lowest doc_id of its
+  *    vocabulary-fingerprint group, [[TextOps.fingerprint]]);
+  *  - `quality_ok`   — [[TextOps.qualityScore]] at or above the corpus
+  *    median (exact percentile as a broadcast one-row cut);
+  *  - `contaminated` — train/valid doc sharing ≥ 20 % of its winnow
+  *    fingerprints with the held-out split ([[TextOps.decontaminate]];
+  *    the held-out split is the SAME hash band as `split = 'test'`, so
+  *    the two columns cohere);
+  *  - `split`        — reproducible 80/10/10 hash split
+  *    ([[SamplingOps.hashSplit]]);
+  *  - `temp_keep`    — temperature-flattened mixing membership
+  *    ([[SamplingOps.temperatureSample]]'s α = ½ rule);
+  *  - `keep`         — the conjunction: canonical ∧ quality ∧ clean ∧
+  *    mixed-in ∧ train-split — the final training-set membership.
+  *
+  * Every verdict is a pure function of the corpus (hash membership,
+  * exact counts, single-rounded IEEE ops), so the whole report is
+  * bit-reproducible and SQL-oracle-checkable end to end. Plan shape:
+  * per-stage narrow aggregates joined back on doc_id; the only
+  * corpus-sized shuffles are the per-stage key joins — each stage's
+  * internals keep their own audited shapes. */
+object Curation {
+
+  def curationReport(docs: DataFrame): DataFrame = {
+    val fp = TextOps.fingerprint(docs)
+    val canon = fp
+      .join(fp.groupBy("fingerprint").agg(min("doc_id").as("_c")), "fingerprint")
+      .select(col("doc_id"), (col("doc_id") === col("_c")).as("is_canonical"))
+    val q = TextOps.qualityScore(docs).select("doc_id", "quality_score")
+    val cut = q.agg(expr("percentile(quality_score, 0.5)").as("_cut"))
+    val qual = q.crossJoin(broadcast(cut))
+      .select(col("doc_id"),
+        coalesce(col("quality_score") >= col("_cut"), lit(false)).as("quality_ok"))
+    val cont = TextOps.decontaminate(docs)
+      .select(col("doc_id"), lit(true).as("_cont"))
+    val rates = SamplingOps.temperatureRates(docs, "lang")
+    SamplingOps.hashSplit(docs.select("doc_id", "lang"), "doc_id")
+      .join(canon, "doc_id")
+      .join(qual, "doc_id")
+      .join(cont, Seq("doc_id"), "left")
+      .join(broadcast(rates), "lang")
+      .select(col("doc_id"), col("lang"), col("split"),
+        col("is_canonical"), col("quality_ok"),
+        coalesce(col("_cont"), lit(false)).as("contaminated"),
+        SamplingOps.temperatureKeep("doc_id").as("temp_keep"))
+      .withColumn("keep",
+        col("is_canonical") && col("quality_ok") && !col("contaminated") &&
+          col("temp_keep") && col("split") === "train")
+  }
+}

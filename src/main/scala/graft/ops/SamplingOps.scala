@@ -68,18 +68,27 @@ object SamplingOps {
     * One tiny per-stratum aggregate broadcast back over the corpus; the
     * sampling pass is a narrow per-row projection — no corpus shuffle. */
   def temperatureSample(docs: DataFrame, stratum: String,
-                        key: String): DataFrame = {
+                        key: String): DataFrame =
+    docs.join(broadcast(temperatureRates(docs, stratum)), stratum)
+      .filter(temperatureKeep(key))
+      .drop("_rate")
+
+  /** The per-stratum keep-rate table behind [[temperatureSample]] —
+    * exposed so report operators ([[Curation]]) can attach the
+    * membership BOOLEAN instead of filtering. */
+  def temperatureRates(docs: DataFrame, stratum: String): DataFrame = {
     val per = docs
       .groupBy(col(stratum))
       .agg(sum(size(TextOps.normWords(col("text"))).cast("long")).as("_nt"))
-    val rates = per.crossJoin(broadcast(per.agg(min(col("_nt")).as("_mn"))))
+    per.crossJoin(broadcast(per.agg(min(col("_nt")).as("_mn"))))
       .select(col(stratum),
         sqrt(col("_mn").cast("double") / col("_nt").cast("double")).as("_rate"))
-    docs.join(broadcast(rates), stratum)
-      .filter(pmod(keyHash(key), lit(1000000L)) <
-        floor(col("_rate") * lit(1000000.0)).cast("long"))
-      .drop("_rate")
   }
+
+  /** Membership predicate over a joined `_rate` column. */
+  def temperatureKeep(key: String): Column =
+    pmod(keyHash(key), lit(1000000L)) <
+      floor(col("_rate") * lit(1000000.0)).cast("long")
 
   /** Range-partitioned global-order scaffold: attaches `_rn` (1-based
     * global row number under `order`) and `_cum` (exclusive global
