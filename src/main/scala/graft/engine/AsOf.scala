@@ -46,7 +46,7 @@ object AsOf {
     val vAligned = probeCols.filterNot(_ == key).foldLeft(vSide0) { (df, c) =>
       df.withColumn(c, lit(null).cast(probes.schema(c).dataType))
     }
-    val unioned = pAligned.unionByName(vAligned.select(pAligned.columns.map(col): _*))
+    val unioned = pAligned.unionByName(vAligned.select(pAligned.columns.toIndexedSeq.map(col): _*))
 
     val w = Window.partitionBy(col(key))
       .orderBy(col("_t"), col("_is_probe"), col("_vn_order"))

@@ -164,7 +164,7 @@ object Scd2 {
     val curUnchanged =
       cur.join(maybeBroadcast(changedKeys.select(col(key))), Seq(key), "left_anti")
 
-    val cols = dim.columns.map(col)
+    val cols = dim.columns.toIndexedSeq.map(col)
     val result = dim.filter(!col("is_current"))
       .unionByName(curUnchanged)
       .unionByName(expired.select(cols: _*))

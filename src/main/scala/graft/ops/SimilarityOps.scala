@@ -419,7 +419,7 @@ object SimilarityOps {
         call_function("graft_l2sq", col("c"), typedlit(queryVec)).as("_d"))
       .orderBy(col("_d"), col("cluster"))
       .select("cluster").limit(nprobe)
-    val cells = probed.collect().map(_.getLong(0))
+    val cells = probed.collect().toIndexedSeq.map(_.getLong(0))
     val scan = spark.read.parquet(s"$path/assignments")
       .filter(col("cluster").isin(cells: _*)) // → PartitionFilters, pruned scan
     val kept =
