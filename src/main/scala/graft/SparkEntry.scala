@@ -1005,6 +1005,23 @@ object SparkEntry {
 
   private val stopListSql = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
 
+  /** The quality-score CTE pair (token stats + composite score), shared
+    * by every oracle that scores document quality; `b`/`s` name the two
+    * CTEs so each query keeps its local naming. Consumers project the
+    * columns they need — extra CTE columns are pruned. */
+  private def qualityScoredSql(b: String, s: String): String =
+    s"""$b AS (
+       |  SELECT doc_id, len(w) AS n_tokens,
+       |         list_sum(list_transform(w, x -> length(x))) AS sum_len,
+       |         len(list_filter(w, x -> x IN $stopListSql)) AS n_stop
+       |  FROM words),
+       |$s AS (
+       |  SELECT doc_id, n_tokens, sum_len, n_stop,
+       |         least(1.0, n_tokens / 50.0) * 0.5
+       |           + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+       |           + least(1.0, (CAST(sum_len AS DOUBLE) / n_tokens) / 8.0) * 0.2 AS quality_score
+       |  FROM $b)""".stripMargin
+
   private val jaccardTailSql =
     """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
       |SELECT doc_a, doc_b, i, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
@@ -1084,32 +1101,16 @@ object SparkEntry {
 
     "text_quality" ->
       s"""WITH $wordsSql,
-         |base AS (
-         |  SELECT doc_id, len(w) AS n_tokens,
-         |         list_sum(list_transform(w, x -> length(x))) AS sum_len,
-         |         len(list_filter(w, x -> x IN $stopListSql)) AS n_stop
-         |  FROM words)
+         |${qualityScoredSql("base", "scored")}
          |SELECT doc_id, n_tokens,
          |       CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len,
          |       CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
-         |       least(1.0, n_tokens / 50.0) * 0.5
-         |         + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
-         |         + least(1.0, (CAST(sum_len AS DOUBLE) / n_tokens) / 8.0) * 0.2 AS quality_score
-         |FROM base ORDER BY doc_id""".stripMargin,
+         |       quality_score
+         |FROM scored ORDER BY doc_id""".stripMargin,
 
     "text_quality_gate" ->
       s"""WITH $wordsSql,
-         |base AS (
-         |  SELECT doc_id, len(w) AS n_tokens,
-         |         list_sum(list_transform(w, x -> length(x))) AS sum_len,
-         |         len(list_filter(w, x -> x IN $stopListSql)) AS n_stop
-         |  FROM words),
-         |scored AS (
-         |  SELECT doc_id, n_tokens,
-         |         least(1.0, n_tokens / 50.0) * 0.5
-         |           + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
-         |           + least(1.0, (CAST(sum_len AS DOUBLE) / n_tokens) / 8.0) * 0.2 AS quality_score
-         |  FROM base),
+         |${qualityScoredSql("base", "scored")},
          |cut AS (SELECT quantile_cont(quality_score, 0.5) AS c FROM scored)
          |SELECT doc_id, n_tokens, quality_score
          |FROM scored, cut WHERE quality_score >= c
@@ -1715,17 +1716,7 @@ object SparkEntry {
          |canon AS (SELECT doc_id,
          |                 doc_id = min(doc_id) OVER (PARTITION BY fpr) AS is_canonical
          |          FROM fpm),
-         |qbase AS (
-         |  SELECT doc_id, len(w) AS n_tokens,
-         |         list_sum(list_transform(w, x -> length(x))) AS sum_len,
-         |         len(list_filter(w, x -> x IN $stopListSql)) AS n_stop
-         |  FROM words),
-         |scored AS (
-         |  SELECT doc_id,
-         |         least(1.0, n_tokens / 50.0) * 0.5
-         |           + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
-         |           + least(1.0, (CAST(sum_len AS DOUBLE) / n_tokens) / 8.0) * 0.2 AS quality_score
-         |  FROM qbase),
+         |${qualityScoredSql("qbase", "scored")},
          |qcut AS (SELECT quantile_cont(quality_score, 0.5) AS c FROM scored),
          |$winnowFpSql,
          |wex AS (SELECT doc_id, t.fp AS fp, ${keyHashSql("doc_id")} % 100 AS h
@@ -1914,17 +1905,7 @@ object SparkEntry {
          |  UNION
          |  SELECT e.u, w.l FROM edges e JOIN walk w ON w.u = e.v),
          |groups AS (SELECT u AS doc_id, min(l) AS group_id FROM walk GROUP BY u),
-         |qb AS (
-         |  SELECT doc_id, len(w) AS n_tokens,
-         |         list_sum(list_transform(w, x -> length(x))) AS sum_len,
-         |         len(list_filter(w, x -> x IN $stopListSql)) AS n_stop
-         |  FROM words),
-         |q AS (
-         |  SELECT doc_id,
-         |         least(1.0, n_tokens / 50.0) * 0.5
-         |           + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
-         |           + least(1.0, (CAST(sum_len AS DOUBLE) / n_tokens) / 8.0) * 0.2 AS quality_score
-         |  FROM qb)
+         |${qualityScoredSql("qb", "q")}
          |SELECT g.doc_id, g.group_id, q.quality_score,
          |       (row_number() OVER (PARTITION BY g.group_id
          |          ORDER BY q.quality_score DESC, g.doc_id) = 1) AS keep
