@@ -31,11 +31,19 @@ class SnapshotStore(spark: SparkSession, root: String) {
 
   def readVersion(v: Long): DataFrame = spark.read.parquet(s"$root/v$v")
 
-  /** Write `df` as the next version and atomically publish it. */
-  def publish(df: DataFrame): Long = {
+  /** Write `df` as the next version and atomically publish it.
+    * `partitionBy` columns become hive-style partition directories inside
+    * the version dir — the 100 TB layout for time-keyed tables (a
+    * date-bucketed change table or dim snapshot), where a reader's time
+    * predicate then prunes at the directory level (PartitionFilters)
+    * instead of scanning every file. The publish protocol is unchanged:
+    * the version dir is written fully before the pointer moves. */
+  def publish(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
     Files.createDirectories(rootPath)
     val next = currentVersion().getOrElse(-1L) + 1L
-    df.write.mode("overwrite").parquet(s"$root/v$next")
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(s"$root/v$next")
     val tmp = rootPath.resolve(s"_CURRENT.tmp$next")
     Files.writeString(tmp, next.toString)
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,

@@ -25,6 +25,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(store.versions() === Seq(0L, 1L))
   }
 
+  test("partitioned publish prunes reads at the partition level") {
+    val root = tmp("snapp")
+    val store = new SnapshotStore(spark, root)
+    val df = (1 to 100).map(i => (i.toLong, s"2024-01-${"%02d".format(i % 5 + 1)}", s"v$i"))
+      .toDF("k", "day", "v")
+    val ver = store.publish(df, partitionBy = Seq("day"))
+    val pruned = store.readVersion(ver).filter(col("day") === "2024-01-03")
+    // the day predicate lands in PartitionFilters — directory-level
+    // pruning, the 100 TB time-keyed layout
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("2024-01-03"),
+      s"expected partition pruning in:\n$scan")
+    assert(pruned.count() === df.filter(col("day") === "2024-01-03").count())
+    // the pointer protocol is unchanged: current version readable in full
+    assert(store.read().get.count() === 100)
+  }
+
   test("vacuum bounds time travel but never touches the published version") {
     val root = tmp("vac")
     val store = new SnapshotStore(spark, root)
