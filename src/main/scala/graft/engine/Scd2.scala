@@ -172,6 +172,26 @@ object Scd2 {
     MergeResult(result, () => { routed.unpersist(); () })
   }
 
+  /** Schema evolution for the merge path — the ALTER TABLE case a live
+    * CDC pipeline meets: a change batch arrives carrying columns the
+    * dimension has never seen (the reference's fixed-DDL loader simply
+    * breaks; psycopg2 raises on the first unknown key). The additive
+    * rule every table format applies: each batch-only column is appended
+    * to the dimension with its batch type, null for all pre-existing
+    * versions — history is reinterpreted, never rewritten. Call before
+    * [[merge]]: `Scd2.merge(Scd2.evolveSchema(dim, batch), batch, …)`.
+    * The batch must still carry every dim payload column (the CDC
+    * contract — extractors send full rows); a batch MISSING a payload
+    * column, like dropping or retyping one, is a rebuild decision (the
+    * same posture as the frozen index hot lists), not a merge-time one. */
+  def evolveSchema(dim: DataFrame, batch: DataFrame): DataFrame = {
+    val have = dim.columns.toSet
+    batch.schema.fields.filterNot(f => have.contains(f.name))
+      .foldLeft(dim) { (d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+  }
+
   /** SCD2 invariant violations (verify_scd2.py:291-298): keys with more
     * than one current row. Empty result = invariant holds (SURVEY §2.4 A5). */
   def duplicateCurrentKeys(dim: DataFrame, key: String): DataFrame =

@@ -58,6 +58,27 @@ class Scd2Spec extends AnyFunSuite {
     }
   }
 
+  test("schema evolution: a batch with a new column merges, history null-fills") {
+    val split = "2024-01-20 00:00:00"
+    val hist = events.filter($"ts" <= lit(split))
+    // the source grew a column (ALTER TABLE upstream): every batch row
+    // carries it, no historical row can
+    val batch = events.filter($"ts" > lit(split))
+      .withColumn("region", concat(lit("r"), $"user_id" % 3))
+    val dim0 = Scd2.rebuild(hist, "user_id", "ts", "event_id")
+    val merged = Scd2.merge(Scd2.evolveSchema(dim0, batch), batch,
+      "user_id", "ts", "event_id")
+    assertInvariants(merged)
+    assert(merged.columns.contains("region"))
+    // pre-evolution versions read null; merged-batch versions carry values
+    val batchIds = batch.select("event_id").distinct()
+    assert(merged.join(batchIds, "event_id").filter($"region".isNull).count() === 0)
+    assert(merged.join(batchIds, Seq("event_id"), "left_anti")
+      .filter($"region".isNotNull).count() === 0)
+    // evolution is idempotent and a no-op for an already-known column
+    assert(Scd2.evolveSchema(merged, batch).columns.toSeq === merged.columns.toSeq)
+  }
+
   test("re-merging the same batch is a no-op (stale guard)") {
     val split = "2024-01-20 00:00:00"
     val hist = events.filter($"ts" <= lit(split))
