@@ -105,4 +105,31 @@ class BucketingSpec extends AnyFunSuite {
     assert(viaBucketed === viaPlain)
     assert(Cdc.dedupLastPerKey(batch, "user_id", "ts", "event_id").count() > 0)
   }
+
+  test("AQE splits a skewed sort-merge join at runtime") {
+    // the runtime half of the skew story (Skew.saltedJoin is the
+    // deterministic pre-planned half): one key dominates the left side,
+    // thresholds scaled down so the tiny fixture triggers the same
+    // OptimizeSkewedJoin path a 100 TB hot key would
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1KB")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    import s2.implicits._
+    val left = s2.range(200000).select(lit(0L).as("k"), $"id".as("v"))
+      .union(s2.range(800).select(($"id" % 7 + 1).as("k"), $"id".as("v")))
+    val right = s2.range(8).select($"id".as("k"), ($"id" * 10).as("w"))
+    val j = left.join(right, "k")
+    // materialize THIS Dataset's own query execution (count() would spin
+    // up a separate one and leave j's adaptive plan un-finalized)
+    assert(j.collect().length === 200800)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"expected AQE to mark the skewed join (skew=true) in:\n$plan")
+  }
 }
