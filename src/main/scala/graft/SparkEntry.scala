@@ -509,6 +509,15 @@ object SparkEntry {
       SimilarityOps.queryPqIndex(s, storedPqPath(s, dir),
         queryEmbedding(s, dir, 0L), 10, excludeIds = Seq(0L))),
 
+    // Incremental stored-PQ maintenance — codebooks trained on the
+    // initial subset, the remainder ENCODED against those frozen
+    // codebooks and appended; the read path is the same stored ADC scan.
+    // Completes the build/merge/query lifecycle for all three retrieval
+    // families (IVF, PQ, BM25).
+    "ann_pq_merged_topk" -> ((s, dir) =>
+      SimilarityOps.queryPqIndex(s, mergedPqPath(s, dir),
+        queryEmbedding(s, dir, 0L), 10, excludeIds = Seq(0L))),
+
     // Incremental stored-IVF maintenance — the CDC×ANN composition this
     // platform exists for: the index is BUILT (trained + indexed) on the
     // initial corpus subset, then the remainder arrives as a change feed
@@ -775,7 +784,8 @@ object SparkEntry {
     // the stored read-path closures then time what a user's query costs
     stage("stored_indexes") {
       storedIvfPath(s, dir); storedPqPath(s, dir)
-      mergedIvfPath(s, dir); storedBm25Path(s, dir); mergedBm25Path(s, dir)
+      mergedIvfPath(s, dir); mergedPqPath(s, dir)
+      storedBm25Path(s, dir); mergedBm25Path(s, dir)
       dedupIdxPath(s, dir)
       ()
     }
@@ -837,6 +847,14 @@ object SparkEntry {
       TextOps.mergeBm25Index(docs.filter(!expr(Bm25MergeBuildPred)), p)
     }
 
+  private def mergedPqPath(s: SparkSession, dir: String): String =
+    engine.StoredIndexes.ensure("pq_merge", dir) { p =>
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.buildPqIndex(emb.filter(expr(IvfMergeBuildPred)), p,
+        P.PqM, P.PqKsub, P.PqIters)
+      SimilarityOps.mergePqIndex(emb.filter(!expr(IvfMergeBuildPred)), p)
+    }
+
   private def dedupIdxPath(s: SparkSession, dir: String): String =
     engine.StoredIndexes.ensure("dedup_idx", dir)(p =>
       DedupOps.buildFingerprintIndex(
@@ -878,23 +896,30 @@ object SparkEntry {
     * subspaces × 8 dims, ksub=16, one Lloyd iteration per codebook): per
     * subspace the same training chain as the k-means oracle, then a
     * query distance table and per-vector code; ADC = left-associated sum
-    * of 8 lookups. Shared by the ADC and retrieve+re-rank oracles. */
-  private val (pqCtesSql, pqJoinsSql, pqAdcSumSql) = {
+    * of 8 lookups. Shared by the ADC and retrieve+re-rank oracles.
+    * `trainPred` restricts the CODEBOOK training corpus (the incremental
+    * build/merge scenario: codebooks come from the initially indexed
+    * subset, codes cover every vector); None trains on everything. */
+  private def pqOracleFragments(trainPred: Option[String]) = {
     val m = 8; val ksub = 16; val subDim = 8
     def dSql(a: String, b: String) =
       s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, el) -> acc + el)"
     def sub(s: Int): String = {
       val lo = s * subDim + 1; val hi = (s + 1) * subDim
-      s"""e$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+      val (trainSrc, trainCte) = trainPred match {
+        case None    => (s"e$s", "")
+        case Some(p) => (s"et$s", s",\net$s AS (SELECT * FROM e$s WHERE $p)")
+      }
+      s"""e$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM e)$trainCte,
          |c0_$s AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
-         |  FROM e$s ORDER BY vec_id LIMIT $ksub),
+         |  FROM $trainSrc ORDER BY vec_id LIMIT $ksub),
          |a1_$s AS (
          |  SELECT vec_id, v, cl FROM (
-         |    SELECT e$s.vec_id, e$s.v, c.cl,
-         |           row_number() OVER (PARTITION BY e$s.vec_id
-         |             ORDER BY ${dSql(s"e$s.v", "c.cv")}, c.cl) AS rn
-         |    FROM e$s, c0_$s c) WHERE rn = 1),
+         |    SELECT $trainSrc.vec_id, $trainSrc.v, c.cl,
+         |           row_number() OVER (PARTITION BY $trainSrc.vec_id
+         |             ORDER BY ${dSql(s"$trainSrc.v", "c.cv")}, c.cl) AS rn
+         |    FROM $trainSrc, c0_$s c) WHERE rn = 1),
          |s1_$s AS (
          |  SELECT cl, i, CAST(sum(CAST(v[i] AS DECIMAL(30,9))) AS DOUBLE) / count(*) AS mm
          |  FROM a1_$s, LATERAL unnest(range(1, ${subDim + 1})) AS ts$s(i) GROUP BY cl, i),
@@ -920,6 +945,8 @@ object SparkEntry {
     val adcSum = (0 until m).map(s => s"t$s.d").mkString(" + ")
     (ctes, joins, adcSum)
   }
+
+  private val (pqCtesSql, pqJoinsSql, pqAdcSumSql) = pqOracleFragments(None)
 
   /** Winnowed fingerprint sets — mirror of [[TextOps.winnowFps]] (k=8,
     * w=4): base-257 polynomial k-gram hash mod 2^40 (DuckDB
@@ -1065,7 +1092,17 @@ object SparkEntry {
     "ann_ivf_stored_topk" -> oracleSqlBase("ann_ivf_kmeans_topk"),
     "ann_pq_stored_topk" -> oracleSqlBase("ann_pq_topk"),
     "text_bm25_stored_topk" -> oracleSqlBase("text_bm25_topk"),
-    "text_bm25_merged_topk" -> oracleSqlBase("text_bm25_topk"))
+    "text_bm25_merged_topk" -> oracleSqlBase("text_bm25_topk"),
+    // merged PQ: codebooks trained on the build subset, codes over all
+    "ann_pq_merged_topk" -> {
+      val (ctes, joins, adcSum) = pqOracleFragments(Some(IvfMergeBuildPred))
+      s"""$ctes
+         |SELECT e.vec_id, $adcSum AS adc_dist
+         |FROM e
+         |$joins
+         |WHERE e.vec_id <> 0
+         |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
+    })
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
 

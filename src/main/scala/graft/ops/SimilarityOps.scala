@@ -477,6 +477,36 @@ object SimilarityOps {
       .write.mode("overwrite").parquet(s"$path/codes")
   }
 
+  /** Incremental stored-PQ maintenance — completing the lifecycle
+    * symmetry with [[mergeIvfIndex]]/[[graft.ops.TextOps.mergeBm25Index]]:
+    * new vectors are ENCODED against the frozen stored codebooks (a tiny
+    * control-plane collect) and their m one-byte codes appended to the
+    * codes table — O(|new|) write, no retraining, previously written
+    * code files untouched. Codebook drift under a shifting feed is a
+    * rebuild decision (the same posture as IVF's [[shouldRetrain]] —
+    * compose with it via the IVF index over the same corpus, or rebuild
+    * on schedule). */
+  def mergePqIndex(newVecs: DataFrame, path: String): Unit = {
+    val spark = newVecs.sparkSession
+    VectorExpressions.register(spark)
+    val cb = spark.read.parquet(s"$path/codebooks")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toIndexedSeq))
+    val m = cb.map(_._1).max + 1
+    val centroid = cb.map(r => (r._1, r._2) -> r._3).toMap
+    val ksub = cb.map(_._2).max + 1
+    val subDim = centroid((0, 0)).length
+    val codebooks: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(s => (0 until ksub).map(j => centroid((s, j))))
+    val e = newVecs.select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+    val codeCols = (0 until m).map { s =>
+      assignCluster(expr(s"slice(v, ${s * subDim + 1}, $subDim)"), codebooks(s))
+        .as(s"code_$s")
+    }
+    e.select(col("vec_id") +: codeCols: _*)
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
   /** Query a stored PQ index: read the (tiny) codebook table, build the
     * query's m × ksub distance table with the same left-to-right
     * squared-L2 fold as [[graft.functions.SquaredL2]] (driver doubles are

@@ -677,6 +677,46 @@ class OpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("PQ merge appends codes only and matches a direct full encoding") {
+    import java.nio.file.{Files, Paths}
+    val e = Tables.embeddings(spark, sfDir)
+    val path = Files.createTempDirectory("pq_merge").toString
+    val buildSet = e.filter($"vec_id" % 4 < 3)
+    val mergeSet = e.filter(!($"vec_id" % 4 < 3))
+    SimilarityOps.buildPqIndex(buildSet, path)
+    def codeFiles(): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.walk(Paths.get(s"$path/codes"))
+      try s.iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).map(_.toString).toSet
+      finally s.close()
+    }
+    val before = codeFiles()
+    SimilarityOps.mergePqIndex(mergeSet, path)
+    val after = codeFiles()
+    // append-only: pre-merge code files survive untouched
+    assert(before.subsetOf(after) && after.size > before.size)
+    // merged code table = encoding EVERY vector against the FROZEN
+    // stored codebooks (the merge must not retrain)
+    val cb = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toIndexedSeq)
+      .toMap
+    val m = cb.keys.map(_._1).max + 1
+    val ksub = cb.keys.map(_._2).max + 1
+    val subDim = cb((0, 0)).length
+    val expected = e
+      .select($"vec_id", SimilarityOps.asDoubleVec($"embedding").as("v"))
+      .select($"vec_id" +: (0 until m).map { s =>
+        SimilarityOps.assignCluster(
+          expr(s"slice(v, ${s * subDim + 1}, $subDim)"),
+          (0 until ksub).map(j => cb((s, j)))).as(s"code_$s")
+      }: _*)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val got = spark.read.parquet(s"$path/codes")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(got === expected)
+  }
+
   test("shouldRetrain trips on a drifted merge feed and not on a compatible one") {
     import java.nio.file.Files
     val e = Tables.embeddings(spark, sfDir)
