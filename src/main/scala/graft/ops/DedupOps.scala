@@ -562,6 +562,20 @@ object DedupOps {
     mergedDfs.write.mode("overwrite").parquet(s"$path/dfs")
   }
 
+  /** The rebuild signal for the frozen hot list — the dedup analogue of
+    * [[graft.ops.SimilarityOps.shouldRetrain]]: merges keep the df table
+    * current but never re-derive the cap, so a fingerprint can grow past
+    * `maxDf` while still being screened (its candidate bucket quietly
+    * re-approaches quadratic). Returns the count of such
+    * over-cap-but-not-hot fingerprints from the two tiny meta tables —
+    * zero means the frozen list still matches the data; a growing count
+    * is the cue to rebuild. Never touches postings. */
+  def hotListDrift(spark: org.apache.spark.sql.SparkSession, path: String,
+                   maxDf: Int = 10): Long =
+    spark.read.parquet(s"$path/dfs").filter(col("df") > maxDf)
+      .join(spark.read.parquet(s"$path/hot"), Seq("fp"), "left_anti")
+      .count()
+
   /** Screen an incoming batch against the stored index: the batch's
     * kept fingerprints (frozen-hot-list filtered, same rule the index
     * applies) probe the postings via a broadcast hash join — the index

@@ -830,6 +830,15 @@ class OpsSpec extends AnyFunSuite {
     val hits2 = DedupOps.queryFingerprintIndex(spark, path, feed2)
       .select("doc_new", "doc_old").as[(Long, Long)].collect().toSet
     assert(hits2 === Set((70L, 50L), (70L, 61L)))
+    // rebuild signal: the body fingerprints started at df=1 (only doc
+    // 50); after enough merged near-copies their CURRENT df crosses the
+    // cap while the frozen hot list still screens them
+    assert(DedupOps.hotListDrift(spark, path) === 0L)
+    val flood = (200 to 215).map(i => (i.toLong, s"$body tail v$i"))
+      .toDF("doc_id", "text")
+    DedupOps.mergeFingerprintIndex(flood, path)
+    assert(DedupOps.hotListDrift(spark, path) > 0L,
+      "fingerprints grown past the cap must surface as hot-list drift")
   }
 
   test("fingerprint-index probe plan never shuffles the stored index") {
