@@ -86,15 +86,34 @@ object Bench {
     val stagesJson = setupStages.map { case (k, v) => jstr(k) + ":" + f(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"raw","raw":$raw,"errors":$errs,"setup_stages":$stagesJson}""")
-    // headline line: medians only (failed-every-run queries are omitted
-    // here and visible in the raw line's errors object)
+    // medians on their OWN line (was inside the headline through round 9:
+    // at 76 queries that line was 1,987 bytes and sbt's trailing
+    // "[success]" lines pushed its FRONT past the driver's ~2 KB log-tail
+    // capture — three straight rounds of `"parsed": null`)
     val qs = results.collect { case (k, Some(v), _, _) => jstr(k) + ":" + f(v) }
       .mkString("{", ",", "}")
+    println(s"""{"metric":"medians","queries":$qs}""")
     // total = the comparable suite time: setup + sum of per-query medians
     // (the extra warm repetitions exist only to stabilize the medians)
     val total = setup + results.flatMap(_._2).sum
     val nFailed = results.count(_._4.isDefined)
-    println(s"""{"metric":"total","sf":"$sfDir","queries":$qs,"setup":${f(setup)},"runs":$runs,"failed":$nFailed,"unit":"sec","value":${f(total)}}""")
+    // Full detail (per-run raw times, errors, setup stages, medians) also
+    // goes to a committed file so regressions stay attributable even when
+    // the log-tail window moves.
+    val detail =
+      s"""{"sf":${jstr(sfDir)},"runs":$runs,"setup":${f(setup)},"setup_stages":$stagesJson,
+         |"raw":$raw,
+         |"errors":$errs,
+         |"medians":$qs,
+         |"failed":$nFailed,"total":${f(total)}}""".stripMargin
+    try {
+      val dir = java.nio.file.Paths.get("bench")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("BENCH_DETAIL.json"),
+        detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // detail file is best-effort; never fail the bench
+    // headline LAST and tiny (~100 bytes): survives any tail window
+    println(s"""{"metric":"total","sf":"$sfDir","setup":${f(setup)},"runs":$runs,"failed":$nFailed,"unit":"sec","value":${f(total)}}""")
     spark.stop()
   }
 }

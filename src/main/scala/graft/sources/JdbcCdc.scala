@@ -119,17 +119,33 @@ object JdbcCdc {
   /** The set-based form of the reference's per-row INSERT loop
     * (scd2_loader.py:254-276): one statement inserts the latest change
     * per key as the new current row. `cols` are the payload columns to
-    * carry over (trusted catalog names). */
+    * carry over (trusted catalog names).
+    *
+    * Two guards keep this in lockstep with `Scd2.merge`'s routing
+    * (engine/Scd2.scala:113-160) so the SQL path preserves the
+    * single-current invariant the reference verifies
+    * (verify_scd2.py:291-298):
+    *  - row_number over `($tsCol DESC, $tie DESC)` — the exact order
+    *    `Cdc.dedupLastPerKey` uses — so two staged rows tied on a key's
+    *    max timestamp yield exactly ONE insert, deterministically;
+    *  - `NOT EXISTS` stale guard: [[expireSql]] deliberately skips
+    *    current rows with `valid_from >= s.$tsCol` (the late-data rule),
+    *    so a stale batch must also skip the INSERT — without this, a
+    *    late batch inserted a second current row per key. */
   def upsertSql(dimTable: String, stagingTable: String, key: String,
-                tsCol: String, cols: Seq[String]): String = {
+                tsCol: String, tie: String, cols: Seq[String]): String = {
     val colList = (Seq(key) ++ cols ++ Seq("valid_from", "is_current")).mkString(", ")
     val selList = (Seq(s"s.$key") ++ cols.map(c => s"s.$c") ++
       Seq(s"s.$tsCol", "TRUE")).mkString(", ")
     s"""INSERT INTO $dimTable ($colList)
        |SELECT $selList
-       |FROM $stagingTable s
-       |WHERE s.$tsCol = (SELECT max($tsCol) FROM $stagingTable
-       |                  WHERE $key = s.$key)
-       |  AND s.operation_type <> 'DELETE'""".stripMargin
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY $key ORDER BY $tsCol DESC, $tie DESC) AS graft_rn
+       |      FROM $stagingTable) s
+       |WHERE s.graft_rn = 1
+       |  AND s.operation_type <> 'DELETE'
+       |  AND NOT EXISTS (SELECT 1 FROM $dimTable d
+       |                  WHERE d.$key = s.$key AND d.is_current = TRUE
+       |                    AND d.valid_from >= s.$tsCol)""".stripMargin
   }
 }

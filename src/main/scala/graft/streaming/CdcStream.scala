@@ -119,10 +119,12 @@ object CdcStream {
     * ([[graft.ops.DedupOps.mergeFingerprintIndex]] — append-only), so
     * LATER batches are screened against this one too. One file ≙ one
     * micro-batch; the checkpoint makes file delivery exactly-once.
-    * Crash between screen and merge replays the whole batch on restart
-    * (re-screen is idempotent; re-merge would duplicate postings —
-    * production pairs the merge with the [[graft.engine.Ledger]]'s
-    * (file, batch-id) check, the same protocol the SCD2 loader uses). */
+    * Crash between screen and absorb replays the whole batch on restart:
+    * re-screen is idempotent, and the re-merge is guarded by the
+    * [[graft.engine.Ledger]]'s (stream, batch-id) check — the same
+    * protocol the SCD2 loader uses
+    * (/root/reference/src/warehouse/scd2_loader.py:501-538) — so a
+    * replayed batch never duplicates postings (see [[screenAndAbsorb]]). */
   def dedupScreenStream(spark: SparkSession, inGlob: String,
                         checkpointDir: String, schema: StructType,
                         indexPath: String,
@@ -134,20 +136,46 @@ object CdcStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        // per-batch cache scope: the screen/merge ops register the
-        // batch's fingerprint table; release it at batch end so a
-        // long-running stream stays flat (one batch's caches at a time).
-        // `onHits` must therefore consume its DataFrame eagerly.
-        if (!batch.isEmpty) graft.engine.Caches.withCached {
-          onHits(
-            graft.ops.DedupOps.queryFingerprintIndex(spark, indexPath, batch),
-            id)
-          graft.ops.DedupOps.mergeFingerprintIndex(batch, indexPath)
-        }
-        ()
+        screenAndAbsorb(spark, batch, id, indexPath, checkpointDir, onHits)
       }
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** One screen-and-absorb micro-batch — the foreachBatch body of
+    * [[dedupScreenStream]], public so the replay protocol is directly
+    * testable. `streamId` scopes the idempotency ledger rows (two
+    * streams feeding one index must not collide on micro-batch ids);
+    * [[dedupScreenStream]] passes its checkpoint dir.
+    *
+    * Replay safety: foreachBatch re-delivers a batch with the SAME id
+    * after a crash before checkpoint commit. The screen is read-only
+    * (always re-run — `onHits` sinks must themselves be idempotent or
+    * keyed by batch id, the standard foreachBatch contract), but the
+    * merge appends postings, so it is applied once per (streamId, id):
+    * ledger check before, ledger append after. The residual window —
+    * crash between merge and ledger append — is the same one the
+    * reference has between its DB commit and `.processed_files` append
+    * (scd2_loader.py:523-538); both recover manually, and the window is
+    * one driver instruction wide, not a whole batch. */
+  def screenAndAbsorb(spark: SparkSession, batch: DataFrame, id: Long,
+                      indexPath: String, streamId: String,
+                      onHits: (DataFrame, Long) => Unit): Unit = {
+    // per-batch cache scope: the screen/merge ops register the
+    // batch's fingerprint table; release it at batch end so a
+    // long-running stream stays flat (one batch's caches at a time).
+    // `onHits` must therefore consume its DataFrame eagerly.
+    if (!batch.isEmpty) graft.engine.Caches.withCached {
+      onHits(
+        graft.ops.DedupOps.queryFingerprintIndex(spark, indexPath, batch),
+        id)
+      val ledger = new graft.engine.Ledger(spark, s"$indexPath/_ledger")
+      if (!ledger.isProcessed(streamId, id.toString)) {
+        graft.ops.DedupOps.mergeFingerprintIndex(batch, indexPath)
+        ledger.append(streamId, id.toString)
+      }
+    }
+    ()
+  }
 
   /** Streaming exact dedup — A3's streaming twin: drop re-deliveries of
     * the same `idCol` arriving within the watermark delay, turning an

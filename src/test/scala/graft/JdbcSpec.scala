@@ -59,13 +59,86 @@ class JdbcSpec extends AnyFunSuite {
 
   test("upsert SQL inserts only each key's latest non-DELETE change") {
     val sql = JdbcCdc.upsertSql("dim_orders_history", "stg_batch",
-      "order_key", "cdc_timestamp", Seq("order_status", "total_amount"))
+      "order_key", "cdc_timestamp", "change_seq", Seq("order_status", "total_amount"))
     assert(sql.contains(
       "INSERT INTO dim_orders_history (order_key, order_status, " +
         "total_amount, valid_from, is_current)"))
-    // last-write-wins inside the batch (the reference sorts and applies
-    // sequentially; set-based takes the max per key)
-    assert(sql.contains("s.cdc_timestamp = (SELECT max(cdc_timestamp)"))
+    // last-write-wins inside the batch with a deterministic tie-breaker —
+    // the same (ts DESC, tie DESC) order as Cdc.dedupLastPerKey
+    assert(sql.contains(
+      "PARTITION BY order_key ORDER BY cdc_timestamp DESC, change_seq DESC"))
+    assert(sql.contains("s.graft_rn = 1"))
     assert(sql.contains("s.operation_type <> 'DELETE'"))
+    // stale guard: expireSql leaves current rows with valid_from >= the
+    // batch ts untouched, so the insert must skip those keys too —
+    // otherwise a late batch creates a second current row per key
+    assert(sql.contains("NOT EXISTS"))
+    assert(sql.contains("d.valid_from >= s.cdc_timestamp"))
+  }
+
+  // ---- executable semantics: the generated SELECT body is ANSI enough
+  // to run under Spark SQL over temp views, so the single-current
+  // invariant is provable without a driver jar or database. ----
+
+  /** The SELECT body of [[JdbcCdc.upsertSql]] (INSERT header stripped). */
+  private def upsertSelect(): String =
+    JdbcCdc.upsertSql("dim_t", "stg_t", "k", "ts", "seq", Seq("payload"))
+      .linesIterator.drop(1).mkString("\n")
+
+  test("upsert semantics: stale batch inserts zero new current rows") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // dim's current row is NEWER than everything in the batch — the
+    // expire statement (valid_from < s.ts) would touch nothing, and the
+    // insert must also select nothing or the key ends with two current rows
+    Seq(("k1", "2024-03-05 00:00:00", "old", true))
+      .toDF("k", "valid_from_s", "payload", "is_current")
+      .withColumn("valid_from", $"valid_from_s".cast("timestamp"))
+      .createOrReplaceTempView("dim_t")
+    Seq(("k1", "2024-03-01 00:00:00", 1L, "late", "UPDATE"))
+      .toDF("k", "ts_s", "seq", "payload", "operation_type")
+      .withColumn("ts", $"ts_s".cast("timestamp"))
+      .createOrReplaceTempView("stg_t")
+    assert(spark.sql(upsertSelect()).count() === 0L)
+  }
+
+  test("upsert semantics: tied max timestamps insert exactly one row") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    spark.emptyDataset[(String, java.sql.Timestamp, String, Boolean)]
+      .toDF("k", "valid_from", "payload", "is_current")
+      .createOrReplaceTempView("dim_t")
+    // two staged rows tie on the key's max ts; seq breaks the tie
+    Seq(
+      ("k1", "2024-03-01 00:00:00", 1L, "a", "UPDATE"),
+      ("k1", "2024-03-01 00:00:00", 2L, "b", "UPDATE"),
+      ("k1", "2024-02-01 00:00:00", 3L, "c", "UPDATE"))
+      .toDF("k", "ts_s", "seq", "payload", "operation_type")
+      .withColumn("ts", $"ts_s".cast("timestamp"))
+      .createOrReplaceTempView("stg_t")
+    val rows = spark.sql(upsertSelect()).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("payload") === "b") // highest tie wins
+  }
+
+  test("upsert semantics: fresh batch inserts the latest change per key") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    Seq(("k1", "2024-01-01 00:00:00", "old", true))
+      .toDF("k", "valid_from_s", "payload", "is_current")
+      .withColumn("valid_from", $"valid_from_s".cast("timestamp"))
+      .createOrReplaceTempView("dim_t")
+    Seq(
+      ("k1", "2024-03-01 00:00:00", 1L, "newer", "UPDATE"),
+      ("k2", "2024-03-02 00:00:00", 2L, "born", "UPDATE"),
+      ("k3", "2024-03-02 00:00:00", 3L, "gone", "DELETE"))
+      .toDF("k", "ts_s", "seq", "payload", "operation_type")
+      .withColumn("ts", $"ts_s".cast("timestamp"))
+      .createOrReplaceTempView("stg_t")
+    val got = spark.sql(upsertSelect()).collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[String]("payload"))).toSet
+    // k1 updates past the stale guard, k2 is a fresh insert, k3's DELETE
+    // inserts nothing (delete capture only expires)
+    assert(got === Set(("k1", "newer"), ("k2", "born")))
   }
 }

@@ -53,6 +53,57 @@ class StreamingSpec extends AnyFunSuite {
     // — long-running ingestion stays flat
   }
 
+  test("screen-and-absorb crash replay absorbs each batch exactly once") {
+    import graft.ops.DedupOps
+    import org.apache.spark.sql.types.StructType
+    val in = Files.createTempDirectory("dsr_in").toString
+    val ckpt = Files.createTempDirectory("dsr_ckpt").toString
+    val idx = Files.createTempDirectory("dsr_idx").toString
+    val base = Seq((1L, (1 to 50).map(j => s"rb$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    DedupOps.buildFingerprintIndex(base, idx)
+    val postings0 = spark.read.parquet(s"$idx/postings").count()
+    Files.writeString(java.nio.file.Paths.get(in, "docs_000.json"),
+      s"""{"doc_id":5,"text":"${(1 to 50).map(j => s"rc$j").mkString(" ")}"}\n""")
+    val schema = new StructType().add("doc_id", "long").add("text", "string")
+
+    // crash between screen and absorb: onHits throws on its first call,
+    // killing the micro-batch BEFORE the merge and before checkpoint
+    // commit — the classic replay trigger
+    var crashed = false
+    def onHits(df: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      df.count() // consume eagerly (the foreachBatch contract)
+      if (!crashed) { crashed = true; sys.error("injected crash after screen") }
+    }
+    val q1 = CdcStream.dedupScreenStream(spark, s"$in/docs_*.json", ckpt,
+      schema, idx, onHits)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      q1.awaitTermination())
+    assert(spark.read.parquet(s"$idx/postings").count() === postings0,
+      "crashed batch must not have been absorbed")
+
+    // restart: the checkpoint replays the same file; the batch is
+    // screened again and absorbed exactly once
+    val q2 = CdcStream.dedupScreenStream(spark, s"$in/docs_*.json", ckpt,
+      schema, idx, onHits)
+    q2.awaitTermination()
+    val afterRestart = spark.read.parquet(s"$idx/postings").count()
+    assert(afterRestart > postings0, "replayed batch must be absorbed")
+    assert(spark.read.parquet(s"$idx/sizes")
+      .groupBy("doc_id").count().filter(col("count") > 1).count() === 0L,
+      "no doc may carry duplicate size rows")
+
+    // the other half of the window — crash AFTER the merge but before
+    // checkpoint commit: foreachBatch re-delivers the same batch id; the
+    // ledger check must make the re-merge a no-op
+    val replayed = spark.read.json(s"$in/docs_000.json")
+    CdcStream.screenAndAbsorb(spark, replayed, 0L, idx, ckpt, (df, _) => { df.count(); () })
+    assert(spark.read.parquet(s"$idx/postings").count() === afterRestart,
+      "replaying an absorbed batch id must not duplicate postings")
+    val ledgerRows = spark.read.parquet(s"$idx/_ledger").count()
+    assert(ledgerRows === 1L, "exactly one ledger row per absorbed batch")
+  }
+
   test("streaming windowed aggregation with watermark matches the batch result") {
     import graft.engine.Tables
     // stream the events table (ns-timestamp workaround applies) through an
