@@ -48,6 +48,17 @@ object Caches {
   /** Currently persisted entries registered through [[ensureCached]]. */
   def liveCount: Int = liveSet.size
 
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]())
+
+  /** A stable id for `s`, for memo keys that must be session-scoped
+    * (derived per-corpus constants go stale when a new session may see
+    * new input files). Weakly keyed: a memo map holding this string does
+    * not pin the closed session's state in a long-lived JVM, which a
+    * `SparkSession`-keyed map would. */
+  def sessionId(s: org.apache.spark.sql.SparkSession): String =
+    sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
+
   /** Release the block-manager storage behind an eager
     * `localCheckpoint()` result. Iterative driver loops checkpoint every
     * round to truncate lineage; without an explicit release the round-k

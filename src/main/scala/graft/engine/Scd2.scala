@@ -185,8 +185,15 @@ object Scd2 {
     * column, like dropping or retyping one, is a rebuild decision (the
     * same posture as the frozen index hot lists), not a merge-time one. */
   def evolveSchema(dim: DataFrame, batch: DataFrame): DataFrame = {
-    val have = dim.columns.toSet
-    batch.schema.fields.filterNot(f => have.contains(f.name))
+    // "is this column new?" must use the resolver's equality: Spark
+    // resolves names case-insensitively by default, so treating a
+    // case-variant batch column (STATUS vs status) as new would append
+    // a duplicate that every later reference finds ambiguous
+    val caseSensitive = dim.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
+    def canon(n: String) = if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    val have = dim.columns.map(canon).toSet
+    batch.schema.fields.filterNot(f => have.contains(canon(f.name)))
       .foldLeft(dim) { (d, f) =>
         d.withColumn(f.name, lit(null).cast(f.dataType))
       }

@@ -37,12 +37,14 @@ object Curation {
     val canon = fp
       .join(fp.groupBy("fingerprint").agg(min("doc_id").as("_c")), "fingerprint")
       .select(col("doc_id"), (col("doc_id") === col("_c")).as("is_canonical"))
-    val q = TextOps.qualityScore(docs).select("doc_id", "quality_score")
+    val q = graft.engine.Caches.ensureCached(TextOps.qualityScore(docs))
+      .select("doc_id", "quality_score")
     val cut = q.agg(expr("percentile(quality_score, 0.5)").as("_cut"))
     val qual = q.crossJoin(broadcast(cut))
       .select(col("doc_id"),
         coalesce(col("quality_score") >= col("_cut"), lit(false)).as("quality_ok"))
-    val cont = TextOps.decontaminate(docs)
+    val cont = TextOps.decontaminate(docs,
+      maxDf = TextOps.adaptiveMaxDf(docs))
       .select(col("doc_id"), lit(true).as("_cont"))
     val rates = SamplingOps.temperatureRates(docs, "lang")
     SamplingOps.hashSplit(docs.select("doc_id", "lang"), "doc_id")

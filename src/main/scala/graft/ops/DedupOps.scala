@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.engine.Caches
+import graft.engine.{Caches, Compaction}
 
 /** Document deduplication for training-data pipelines: exact (hash
   * groups), n-gram Jaccard (shingle self-join), MinHash+LSH (banded
@@ -89,8 +89,12 @@ object DedupOps {
                          cap: Int = 64): Int = {
     // session-scoped memo (same contract as the k-means memo: input files
     // stable within a session) — the derived factor is a per-corpus
-    // constant, so the histogram pass runs once, not once per query run
-    val key = (docs.sparkSession, docs.semanticHash(), n, targetBucket, cap)
+    // constant, so the histogram pass runs once, not once per query run.
+    // Keyed on a weak session id, not the session object: holding the
+    // session in a global map would pin every closed session's state in
+    // a long-lived JVM (a service spawning per-job sessions leaks them all).
+    val key = (Caches.sessionId(docs.sparkSession), docs.semanticHash(), n,
+      targetBucket, cap)
     saltMemo.getOrElseUpdate(key, {
       val shl = Caches.ensureCached(shingleArrays(docs, n))
       val m = shl.select(explode(col("shs")).as("shingle"))
@@ -103,7 +107,7 @@ object DedupOps {
   }
 
   private val saltMemo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, Int, Int, Long, Int), Int]
+    .empty[(String, Int, Int, Long, Int), Int]
 
   /** [[jaccardPairs]] with the salt factor derived from the corpus's own
     * shingle-df histogram instead of a hand-picked constant. */
@@ -209,18 +213,27 @@ object DedupOps {
     * pattern (same static-input assumption as the k-means memo and
     * Spark's own relation cache). */
   def dupGroups(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val key = (docs.sparkSession, docs.semanticHash(), pairs.semanticHash())
-    val labels = groupsMemo.getOrElseUpdate(key, {
-      labelRuns += 1
-      propagateLabels(pairs)
-    })
+    val labels = groupsMemo(docs.sparkSession)
+      .getOrElseUpdate((docs.semanticHash(), pairs.semanticHash()), {
+        labelRuns += 1
+        propagateLabels(pairs)
+      })
     docs.select("doc_id").join(labels, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("group_id"), col("doc_id")).as("group_id"))
   }
 
-  private val groupsMemo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, Int, Int), DataFrame]
+  // weakly keyed BY SESSION: the memo values are DataFrames (they hold
+  // the session), so a flat global map would pin every closed session's
+  // state; with the weak outer key the whole per-session memo — values
+  // included — is collectable once the session is unreachable
+  private val groupsMemos = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[(Int, Int), DataFrame]]())
+
+  private def groupsMemo(s: org.apache.spark.sql.SparkSession) =
+    groupsMemos.computeIfAbsent(s,
+      _ => scala.collection.concurrent.TrieMap.empty[(Int, Int), DataFrame])
 
   /** Times the propagation loop actually ran (test hook for the memo). */
   private[graft] var labelRuns = 0
@@ -552,9 +565,11 @@ object DedupOps {
     val kept = Caches.ensureCached(
       ex.join(spark.read.parquet(s"$path/hot"), Seq("fp"), "left_anti"))
     kept.repartition(col("fp")).sortWithinPartitions("fp", "doc_id")
-      .write.mode("append").parquet(s"$path/postings")
+      .write.mode("append")
+      .parquet(Compaction.resolve(s"$path/postings"))
     kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      .write.mode("append").parquet(s"$path/sizes")
+      .write.mode("append")
+      .parquet(Compaction.resolve(s"$path/sizes"))
     val mergedDfs = spark.read.parquet(s"$path/dfs")
       .unionByName(ex.groupBy("fp").agg(count(lit(1)).as("df")))
       .groupBy("fp").agg(sum("df").as("df"))
@@ -597,7 +612,7 @@ object DedupOps {
       winnowExploded(newDocs, k, w)
         .join(spark.read.parquet(s"$path/hot"), Seq("fp"), "left_anti"))
     val feedSizes = feed.groupBy("doc_id").agg(count(lit(1)).as("nn"))
-    val cand = spark.read.parquet(s"$path/postings").as("i")
+    val cand = spark.read.parquet(Compaction.resolve(s"$path/postings")).as("i")
       .join(maybeBroadcast(feed.as("f")), col("i.fp") === col("f.fp"))
       .groupBy(col("f.doc_id").as("doc_new"), col("i.doc_id").as("doc_old"))
       .agg(count(lit(1)).as("n_shared"))
@@ -605,7 +620,7 @@ object DedupOps {
         "doc_new")
     // candidates are batch-sized: broadcast them against the stored
     // sizes table so the index side never shuffles here either
-    spark.read.parquet(s"$path/sizes")
+    spark.read.parquet(Compaction.resolve(s"$path/sizes"))
       .withColumnRenamed("doc_id", "doc_old")
       .join(maybeBroadcast(cand), "doc_old")
       .withColumn("containment",

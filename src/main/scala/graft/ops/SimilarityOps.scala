@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.engine.Caches
+import graft.engine.{Caches, Compaction}
 import graft.functions.VectorExpressions
 
 /** Embedding similarity search: brute-force cosine top-k (the exactness
@@ -177,12 +177,14 @@ object SimilarityOps {
     // engine's one repeated-full-corpus-pass pattern. Input files are
     // assumed stable within a session (the same assumption Spark's own
     // relation cache makes).
-    val key = (vecs.sparkSession, vecs.semanticHash(), k, iters)
+    // weak session id: the memo must not pin closed sessions (values
+    // are plain doubles, so the id is the only session reference)
+    val key = (Caches.sessionId(vecs.sparkSession), vecs.semanticHash(), k, iters)
     kmeansMemo.getOrElseUpdate(key, kmeansCentroidsUncached(vecs, k, iters))
   }
 
   private val kmeansMemo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, Int, Int, Int), Seq[Seq[Double]]]
+    .empty[(String, Int, Int, Int), Seq[Seq[Double]]]
 
   private def kmeansCentroidsUncached(vecs: DataFrame, k: Int,
                                       iters: Int): Seq[Seq[Double]] = {
@@ -370,7 +372,7 @@ object SimilarityOps {
     val nv = newVecs.select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
     nv.withColumn("cluster", assignCluster(col("v"), cents).cast("long"))
       .write.partitionBy("cluster").mode("append")
-      .parquet(s"$path/assignments")
+      .parquet(Compaction.resolve(s"$path/assignments"))
     // drift bookkeeping: one appended row per merge — the new batch's
     // mean quantization error against the FROZEN build-time centroids.
     // O(1) storage per merge; [[shouldRetrain]] turns the accumulated
@@ -420,7 +422,7 @@ object SimilarityOps {
       .orderBy(col("_d"), col("cluster"))
       .select("cluster").limit(nprobe)
     val cells = probed.collect().toIndexedSeq.map(_.getLong(0))
-    val scan = spark.read.parquet(s"$path/assignments")
+    val scan = spark.read.parquet(Compaction.resolve(s"$path/assignments"))
       .filter(col("cluster").isin(cells: _*)) // → PartitionFilters, pruned scan
     val kept =
       if (excludeIds.isEmpty) scan
@@ -475,7 +477,25 @@ object SimilarityOps {
     }
     e.select(col("vec_id") +: codeCols: _*)
       .write.mode("overwrite").parquet(s"$path/codes")
+    // one-row quality meta, mirroring buildIvfIndex: the build corpus's
+    // mean quantization distortion (squared L2 between each vector and
+    // its code reconstruction, summed over subspaces) — the yardstick
+    // [[shouldRetrainPq]] measures every merge against
+    val md = e.agg(count(lit(1)).as("n"),
+      avg(pqDistortion(subDim, codebooks)).as("mean_d2")).head()
+    Seq((md.getLong(0), md.getDouble(1))).toDF("n", "mean_d2")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
+
+  /** Per-vector PQ quantization distortion: Σ_s min_j ‖v_s − c_{s,j}‖² —
+    * the squared L2 between a vector and its nearest-code reconstruction,
+    * the standard PQ quality metric (each subspace quantizes
+    * independently, so the per-subspace minima sum to the full residual). */
+  private def pqDistortion(subDim: Int,
+                           codebooks: Seq[Seq[Seq[Double]]]): Column =
+    codebooks.zipWithIndex.map { case (cb, s) =>
+      assignedDist2(expr(s"slice(v, ${s * subDim + 1}, $subDim)"), cb)
+    }.reduce(_ + _)
 
   /** Incremental stored-PQ maintenance — completing the lifecycle
     * symmetry with [[mergeIvfIndex]]/[[graft.ops.TextOps.mergeBm25Index]]:
@@ -504,8 +524,33 @@ object SimilarityOps {
         .as(s"code_$s")
     }
     e.select(col("vec_id") +: codeCols: _*)
-      .write.mode("append").parquet(s"$path/codes")
+      .write.mode("append")
+      .parquet(Compaction.resolve(s"$path/codes"))
+    // drift bookkeeping, mirroring mergeIvfIndex: one appended row per
+    // merge — the batch's mean quantization distortion against the
+    // FROZEN codebooks. O(1) storage per merge; [[shouldRetrainPq]]
+    // turns the log into the rebuild decision the merge itself
+    // deliberately doesn't make.
+    val md = e.agg(count(lit(1)).as("n"),
+      avg(pqDistortion(subDim, codebooks)).as("mean_d2")).head()
+    if (md.getLong(0) > 0L) {
+      import spark.implicits._
+      Seq((md.getLong(0), md.getDouble(1))).toDF("n", "mean_d2")
+        .coalesce(1).write.mode("append").parquet(s"$path/merge_log")
+    }
   }
+
+  /** The PQ rebuild signal — completing the lifecycle symmetry with
+    * IVF's [[shouldRetrain]] and the fingerprint index's
+    * `hotListDrift`: merges encode against frozen codebooks, so a
+    * shifting feed quantizes ever worse (its vectors land far from every
+    * subspace centroid) and ADC rankings degrade silently. Compares the
+    * merged batches' weighted-mean distortion against the build corpus's
+    * — two tiny meta tables, never the codes — and trips when the ratio
+    * exceeds `threshold`. False when nothing has been merged yet. */
+  def shouldRetrainPq(spark: org.apache.spark.sql.SparkSession, path: String,
+                      threshold: Double = 2.0): Boolean =
+    shouldRetrain(spark, path, threshold)
 
   /** Query a stored PQ index: read the (tiny) codebook table, build the
     * query's m × ksub distance table with the same left-to-right
@@ -535,7 +580,7 @@ object SimilarityOps {
         qSub.zip(c).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
       }
     }
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = spark.read.parquet(Compaction.resolve(s"$path/codes"))
     val kept =
       if (excludeIds.isEmpty) codes
       else codes.filter(!col("vec_id").isin(excludeIds: _*))

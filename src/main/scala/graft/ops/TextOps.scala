@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.engine.Compaction
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization stats, document fingerprinting, quality scoring, and
@@ -147,30 +148,45 @@ object TextOps {
 
   /** Data-derived df cap for the fingerprint join: the `quantile` point
     * (exact percentile — deterministic, unlike the sketch-based approx)
-    * of the winnowed-fingerprint df histogram, floored at `minCap`. The
-    * head of the distribution (shared boilerplate fingerprints, the
-    * quadratic-bucket hazard AND the source of false near-dup pairs) sits
-    * above p99.9 by construction, so capping there drops exactly the
-    * pathological keys while genuine overlap survives. One aggregate over
-    * the per-fingerprint df counts (fps are per-doc distinct, so the
-    * count IS document frequency) — linear, corpus-derived, no hand
-    * tuning to go stale at 100×. */
+    * of the winnowed-fingerprint df histogram, clamped to
+    * [`minCap`, `maxCap`]. The head of the distribution (shared
+    * boilerplate fingerprints, the quadratic-bucket hazard AND the
+    * source of false near-dup pairs) sits above p99.9 by construction,
+    * so capping there drops exactly the pathological keys while genuine
+    * overlap survives. One aggregate over the per-fingerprint df counts
+    * (fps are per-doc distinct, so the count IS document frequency).
+    *
+    * `maxCap` is the scale guard, and it is NOT optional reassurance:
+    * boilerplate df grows linearly with corpus size, so the raw
+    * quantile does too (42 at sf0.01 → 315 at sf0.1 on the test
+    * corpus), and candidate-join work per admitted fingerprint is df² —
+    * an unclamped corpus-proportional cap makes the self-join
+    * quadratic in corpus size (measured: 0.3 s → 14 s for one decade
+    * of sf). The ceiling pins per-fingerprint work at ≤ maxCap² pairs
+    * (1024 at the default — the same order as the salted join's
+    * per-bucket target), so total candidate volume stays linear in
+    * corpus size; the quantile's job is to adapt DOWN below the
+    * ceiling on clean corpora. */
   def adaptiveMaxDf(docs: DataFrame, k: Int = 8, w: Int = 4,
-                    quantile: Double = 0.999, minCap: Int = 4): Int = {
+                    quantile: Double = 0.999, minCap: Int = 4,
+                    maxCap: Int = 32): Int = {
     // session-scoped memo, same contract as the salt-factor memo: the
-    // derived cap is a per-corpus constant
-    val key = (docs.sparkSession, docs.semanticHash(), k, w, quantile, minCap)
+    // derived cap is a per-corpus constant. Keyed on a weak session id,
+    // not the session object, so closed sessions aren't pinned by the map.
+    val key = (graft.engine.Caches.sessionId(docs.sparkSession),
+      docs.semanticHash(), k, w, quantile, minCap, maxCap)
     maxDfMemo.getOrElseUpdate(key, {
       val dfs = winnowFps(docs, k, w)
         .select(col("doc_id"), explode(col("fps")).as("fp"))
         .groupBy("fp").agg(count(lit(1)).as("_d"))
       val q = dfs.agg(expr(s"percentile(_d, $quantile)").as("q")).head()
-      if (q.isNullAt(0)) minCap else math.max(minCap, q.getDouble(0).toInt)
+      if (q.isNullAt(0)) minCap
+      else math.min(maxCap, math.max(minCap, q.getDouble(0).toInt))
     })
   }
 
   private val maxDfMemo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, Int, Int, Int, Double, Int), Int]
+    .empty[(String, Int, Int, Int, Double, Int, Int), Int]
 
   /** The df-capped exploded (doc_id, fp) fingerprint table behind
     * [[containmentPairs]] — cached, because it feeds both the candidate
@@ -405,7 +421,8 @@ object TextOps {
       .agg(count(lit(1)).cast("int").as("tf"))
     postings
       .repartition(col("term")).sortWithinPartitions("term", "doc_id")
-      .write.mode("append").parquet(s"$path/postings")
+      .write.mode("append")
+      .parquet(Compaction.resolve(s"$path/postings"))
     val newDf = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val mergedLex = spark.read.parquet(s"$path/lexicon")
       .unionByName(newDf)
@@ -437,7 +454,7 @@ object TextOps {
       .filter(col("term").isin(terms: _*))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val stats = spark.read.parquet(s"$path/stats")
-    val hits = spark.read.parquet(s"$path/postings")
+    val hits = spark.read.parquet(Compaction.resolve(s"$path/postings"))
       .filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "dl").pivot("term", terms).agg(first(col("tf")))
       .na.fill(0, terms)

@@ -738,6 +738,29 @@ class OpsSpec extends AnyFunSuite {
       "a translated feed far from every frozen centroid must trip the predicate")
   }
 
+  test("shouldRetrainPq trips on a drifted merge feed and not on a compatible one") {
+    import java.nio.file.Files
+    val e = Tables.embeddings(spark, sfDir)
+    // compatible feed: held-out vectors from the SAME distribution
+    val pathA = Files.createTempDirectory("pq_drift_a").toString
+    SimilarityOps.buildPqIndex(e.filter($"vec_id" % 4 < 3), pathA)
+    assert(!SimilarityOps.shouldRetrainPq(spark, pathA), "no merges yet → no retrain")
+    SimilarityOps.mergePqIndex(e.filter(!($"vec_id" % 4 < 3)), pathA)
+    assert(!SimilarityOps.shouldRetrainPq(spark, pathA),
+      "a feed from the indexed distribution must not trip the rebuild predicate")
+    // drifted feed: the same vectors translated far from every subspace
+    // codebook — encodes fine (codes are argmins), but quantization
+    // distortion explodes, which is exactly what the signal watches
+    val pathB = Files.createTempDirectory("pq_drift_b").toString
+    SimilarityOps.buildPqIndex(e.filter($"vec_id" % 4 < 3), pathB)
+    val drifted = e.filter(!($"vec_id" % 4 < 3))
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        transform($"embedding", x => x + lit(10.0f)).as("embedding"))
+    SimilarityOps.mergePqIndex(drifted, pathB)
+    assert(SimilarityOps.shouldRetrainPq(spark, pathB),
+      "a translated feed far from every frozen codebook must trip the predicate")
+  }
+
   test("dupGroups memoizes the propagation loop per (docs, pairs) plan") {
     val pairs = DedupOps.minhashLshPairs(docs, 5, 8, 4, 0.8)
     val r1 = DedupOps.dupGroups(docs, pairs).collect()

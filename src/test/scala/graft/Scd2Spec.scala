@@ -79,6 +79,23 @@ class Scd2Spec extends AnyFunSuite {
     assert(Scd2.evolveSchema(merged, batch).columns.toSeq === merged.columns.toSeq)
   }
 
+  test("evolveSchema treats case-variant batch columns as known columns") {
+    // Spark resolves column names case-insensitively by default; a batch
+    // carrying REGION where the dim has region must NOT append a second
+    // column — the duplicate would make every later reference ambiguous
+    val dim = Seq((1L, "us")).toDF("user_id", "region")
+    val batch = Seq((1L, "eu")).toDF("user_id", "REGION")
+    val evolved = Scd2.evolveSchema(dim, batch)
+    assert(evolved.columns.toSeq === dim.columns.toSeq,
+      "case-variant column must not be appended under case-insensitive resolution")
+    // under case-sensitive resolution the variant IS a new column
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try {
+      val evolvedCs = Scd2.evolveSchema(dim, batch)
+      assert(evolvedCs.columns.toSeq === Seq("user_id", "region", "REGION"))
+    } finally spark.conf.set("spark.sql.caseSensitive", "false")
+  }
+
   test("re-merging the same batch is a no-op (stale guard)") {
     val split = "2024-01-20 00:00:00"
     val hist = events.filter($"ts" <= lit(split))

@@ -1,11 +1,139 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.engine.StoredIndexes
+import graft.engine.{Compaction, StoredIndexes, Tables}
+import graft.ops.{DedupOps, SimilarityOps, TextOps}
 
-/** The build-once staging root's concurrency and keying contracts —
-  * the two properties a parallel runner would lean on. */
+/** The build-once staging root's concurrency and keying contracts, plus
+  * the small-file compaction lifecycle for the four stored-index
+  * families: N append-only merges accumulate files, compaction rewrites
+  * them behind the atomic version pointer, and every query result stays
+  * bit-identical across the swap. */
 class StoredIndexesSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def parquetFiles(dir: String): Int = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(p)) return 0
+    val s = java.nio.file.Files.walk(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+    } finally s.close()
+  }
+
+  test("fingerprint index: merges accumulate files, compact collapses them, " +
+    "queries bit-identical, post-compact merges still absorb") {
+    val path = java.nio.file.Files.createTempDirectory("cmp_fp").toString
+    def doc(id: Long, tag: String) =
+      (id, (1 to 50).map(j => s"$tag$j").mkString(" "))
+    DedupOps.buildFingerprintIndex(
+      Seq(doc(1, "aa"), doc(2, "bb")).toDF("doc_id", "text"), path)
+    (3 to 8).foreach { i =>
+      DedupOps.mergeFingerprintIndex(
+        Seq(doc(i.toLong, s"m$i")).toDF("doc_id", "text"), path)
+    }
+    // probe: a near-dup of merged doc 5's text
+    val probe = Seq(doc(99, "m5")).toDF("doc_id", "text")
+    def screen() = DedupOps.queryFingerprintIndex(spark, path, probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val before = screen()
+    assert(before.exists(_._2 == 5L), "probe must hit merged doc 5")
+    val filesBefore = parquetFiles(Compaction.resolve(s"$path/postings"))
+    assert(filesBefore > 4, s"merges must accumulate files (got $filesBefore)")
+
+    assert(Compaction.compactIndex(spark, path, "fingerprint",
+      maxFilesPerPartition = 2))
+    assert(Compaction.resolve(s"$path/postings") === s"$path/postings/v0",
+      "compaction must publish a versioned dir behind the pointer")
+    val filesAfter = parquetFiles(Compaction.resolve(s"$path/postings"))
+    assert(filesAfter < filesBefore,
+      s"compaction must collapse files ($filesBefore -> $filesAfter)")
+    assert(screen() === before, "screen results must be bit-identical")
+
+    // the lifecycle continues: merges append into the live version and
+    // a second compaction publishes v1
+    (10 to 16).foreach { i =>
+      DedupOps.mergeFingerprintIndex(
+        Seq(doc(i.toLong, s"m$i")).toDF("doc_id", "text"), path)
+    }
+    val probe2 = Seq(doc(98, "m12")).toDF("doc_id", "text")
+    assert(DedupOps.queryFingerprintIndex(spark, path, probe2)
+      .collect().exists(_.getLong(1) == 12L),
+      "post-compact merges must be screen-visible")
+    assert(Compaction.compactIndex(spark, path, "fingerprint",
+      maxFilesPerPartition = 2))
+    assert(Compaction.resolve(s"$path/postings") === s"$path/postings/v1")
+    assert(DedupOps.queryFingerprintIndex(spark, path, probe2)
+      .collect().exists(_.getLong(1) == 12L))
+  }
+
+  test("bm25 index: compact is a below-threshold no-op, then collapses " +
+    "merge debt with bit-identical scores") {
+    val path = java.nio.file.Files.createTempDirectory("cmp_bm").toString
+    TextOps.buildBm25Index(
+      Seq((1L, "spark shuffles data"), (2L, "ducks like water"))
+        .toDF("doc_id", "text"), path)
+    // a fresh build has no append debt: nothing to compact
+    assert(!Compaction.compactIndex(spark, path, "bm25",
+      maxFilesPerPartition = 8))
+    (3 to 9).foreach { i =>
+      TextOps.mergeBm25Index(
+        Seq((i.toLong, s"spark query number$i water")).toDF("doc_id", "text"),
+        path)
+    }
+    def topk() = TextOps.queryBm25Index(spark, path, Seq("spark", "water"), 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = topk()
+    val filesBefore = parquetFiles(Compaction.resolve(s"$path/postings"))
+    assert(Compaction.compactIndex(spark, path, "bm25",
+      maxFilesPerPartition = 2))
+    assert(parquetFiles(Compaction.resolve(s"$path/postings")) < filesBefore)
+    assert(topk() === before, "BM25 scores must be bit-identical")
+  }
+
+  test("ivf index: compaction collapses every cell dir to one file and " +
+    "keeps the pruned probe bit-identical") {
+    val e = Tables.embeddings(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("cmp_ivf").toString
+    SimilarityOps.buildIvfIndex(e.filter($"vec_id" % 4 === 0L), path)
+    (1L to 3L).foreach { r =>
+      SimilarityOps.mergeIvfIndex(e.filter($"vec_id" % 4 === r), path)
+    }
+    val qv = e.filter($"vec_id" === 0L)
+      .select(SimilarityOps.asDoubleVec($"embedding")).head().getSeq[Double](0)
+    def probe() = SimilarityOps.queryIvfIndex(spark, path, qv, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val before = probe()
+    assert(Compaction.compactIndex(spark, path, "ivf",
+      maxFilesPerPartition = 1))
+    val perCell = Compaction.filesPerPartition(s"$path/assignments")
+    assert(perCell.nonEmpty && perCell.valuesIterator.max === 1,
+      s"each cell dir must hold one file after compaction (got $perCell)")
+    assert(probe() === before, "IVF probe must be bit-identical")
+  }
+
+  test("pq index: compaction collapses the code table with bit-identical ADC") {
+    val e = Tables.embeddings(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("cmp_pq").toString
+    SimilarityOps.buildPqIndex(e.filter($"vec_id" % 4 === 0L), path)
+    (1L to 3L).foreach { r =>
+      SimilarityOps.mergePqIndex(e.filter($"vec_id" % 4 === r), path)
+    }
+    val qv = e.filter($"vec_id" === 0L)
+      .select(SimilarityOps.asDoubleVec($"embedding")).head().getSeq[Double](0)
+    def probe() = SimilarityOps.queryPqIndex(spark, path, qv, 10,
+      excludeIds = Seq(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = probe()
+    val filesBefore = parquetFiles(Compaction.resolve(s"$path/codes"))
+    assert(Compaction.compactIndex(spark, path, "pq",
+      maxFilesPerPartition = 2))
+    assert(parquetFiles(Compaction.resolve(s"$path/codes")) < filesBefore)
+    assert(probe() === before, "PQ ADC ranking must be bit-identical")
+  }
 
   test("colliding String.hashCode corpus dirs get distinct artifact paths") {
     // "Aa" and "BB" famously share a Java hashCode; with the old
