@@ -20,7 +20,7 @@ class Ledger(spark: SparkSession, path: String) {
     * (corrupt footer, IO error) propagates — silently treating an
     * unreadable ledger as empty would re-apply every batch. */
   def read(): DataFrame =
-    try spark.read.parquet(path)
+    try spark.read.parquet(Compaction.resolve(path))
     catch {
       case e: org.apache.spark.sql.AnalysisException
         if e.getCondition == "PATH_NOT_FOUND" =>
@@ -29,7 +29,16 @@ class Ledger(spark: SparkSession, path: String) {
 
   def append(filename: String, batchId: String): Unit =
     Seq((filename, batchId)).toDF("filename", "batch_id")
-      .write.mode("append").parquet(path)
+      .write.mode("append").parquet(Compaction.resolve(path))
+
+  /** The ledger appends ONE tiny parquet file per applied batch forever
+    * — the same small-file debt as the stored-index merges, just
+    * slower-growing. Scheduled maintenance rewrites it to one file
+    * behind the atomic pointer swap; a no-op below the threshold. */
+  def compact(maxFiles: Int = 64): Boolean =
+    Compaction.compactTable(spark, path,
+      df => df.repartition(1).sortWithinPartitions("filename", "batch_id"),
+      maxFilesPerPartition = maxFiles)
 
   /** J3: candidate files not yet in the ledger (by filename). The
     * ledger grows one row per applied batch forever, so the broadcast is

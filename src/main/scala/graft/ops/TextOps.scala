@@ -176,7 +176,11 @@ object TextOps {
     val key = (graft.engine.Caches.sessionId(docs.sparkSession),
       docs.semanticHash(), k, w, quantile, minCap, maxCap)
     maxDfMemo.getOrElseUpdate(key, {
-      val dfs = winnowFps(docs, k, w)
+      // register/reuse the shared winnow cache (same canonical plan as
+      // the containment path's entry): the adaptive_caps warm stage runs
+      // FIRST, so this pass both derives the cap and builds the cache
+      // every later fingerprint consumer hits
+      val dfs = graft.engine.Caches.ensureCached(winnowFps(docs, k, w))
         .select(col("doc_id"), explode(col("fps")).as("fp"))
         .groupBy("fp").agg(count(lit(1)).as("_d"))
       val q = dfs.agg(expr(s"percentile(_d, $quantile)").as("q")).head()

@@ -124,7 +124,13 @@ object CdcStream {
     * [[graft.engine.Ledger]]'s (stream, batch-id) check — the same
     * protocol the SCD2 loader uses
     * (/root/reference/src/warehouse/scd2_loader.py:501-538) — so a
-    * replayed batch never duplicates postings (see [[screenAndAbsorb]]). */
+    * replayed batch never duplicates postings (see [[screenAndAbsorb]]).
+    * Long-running streams accumulate append debt in the index (one
+    * postings file per batch per partition) — pair with SCHEDULED
+    * [[graft.engine.Compaction.compactIndex]] maintenance, deliberately
+    * not inlined per batch: compaction rewrites the whole table, so
+    * running it inside the trigger loop would make total write work
+    * quadratic in stream lifetime. */
   def dedupScreenStream(spark: SparkSession, inGlob: String,
                         checkpointDir: String, schema: StructType,
                         indexPath: String,

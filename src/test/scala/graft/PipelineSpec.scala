@@ -113,6 +113,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(todo.toSeq === Seq("f2.json"))
   }
 
+  test("ledger compaction collapses per-append files, appends keep working") {
+    import graft.engine.Compaction
+    val path = tmp("ledger_c") + "/ledger"
+    val ledger = new Ledger(spark, path)
+    (1 to 10).foreach(i => ledger.append(s"f$i.json", s"h$i"))
+    def files(): Int = {
+      val p = java.nio.file.Paths.get(Compaction.resolve(path))
+      val s = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      } finally s.close()
+    }
+    assert(files() === 10, "one file per append before compaction")
+    assert(!ledger.compact(maxFiles = 64), "below threshold → no-op")
+    assert(ledger.compact(maxFiles = 4))
+    assert(files() === 1, "compaction rewrites the ledger to one file")
+    assert(ledger.read().count() === 10L, "no row lost across the swap")
+    assert(ledger.isProcessed("f7.json", "h7"))
+    // the lifecycle continues behind the pointer
+    ledger.append("f11.json", "h11")
+    assert(ledger.isProcessed("f11.json", "h11"))
+    assert(ledger.read().count() === 11L)
+  }
+
   test("metadata log: status events resolve last-write-wins, stats aggregate") {
     val path = tmp("meta") + "/runs"
     val log = new MetadataLog(spark, path)
