@@ -26,8 +26,9 @@ import org.apache.spark.sql.functions._
   * rewritten next version dir, then atomically moves the pointer —
   * readers never observe a half-compacted table, and a crash mid-write
   * leaves an orphan dir while the pointer still names the last good
-  * version. Old data is removed only after the pointer lands
-  * (best-effort; stale files are unreachable, not harmful).
+  * version. Superseded data stays on disk until [[vacuum]] (in-flight
+  * readers planned against it must finish their scans), mirroring the
+  * snapshot store's publish/vacuum split.
   *
   * Builds need no changes: `mode("overwrite")` on the plain path
   * deletes the whole table dir (pointer and version dirs included), so
@@ -75,7 +76,14 @@ object Compaction {
     * repartition + sort) into the next version dir and publish it with
     * the atomic pointer swap. Returns false (no-op) while every
     * partition holds ≤ `maxFilesPerPartition` data files — callers loop
-    * it after merges and it fires only when the append debt is real. */
+    * it after merges and it fires only when the append debt is real.
+    *
+    * The superseded version is left ON DISK — same retention posture as
+    * [[SnapshotStore.publish]]/[[SnapshotStore.vacuum]]: an in-flight
+    * reader planned against the old version finishes its scan (deleting
+    * under it would fail the query mid-flight — on a 1000-executor
+    * cluster some scan is always in flight). Reclaim space with
+    * [[vacuum]] once the old readers' window has passed. */
   def compactTable(spark: SparkSession, table: String,
                    layout: DataFrame => DataFrame,
                    partitionBy: Seq[String] = Nil,
@@ -93,17 +101,33 @@ object Compaction {
     Files.writeString(tmp, next.toString)
     Files.move(tmp, pointer(table), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    // old data is unreachable once the pointer lands; removal is
-    // best-effort cleanup, not part of the commit
-    if (live != table) deleteRec(Paths.get(live))
-    else {
-      val stream = Files.list(Paths.get(table))
-      try stream.iterator().forEachRemaining { p =>
-        val n = p.getFileName.toString
-        if (n != s"v$next" && n != "_CURRENT") deleteRec(p)
-      } finally stream.close()
-    }
     true
+  }
+
+  /** Remove superseded data: version dirs older than the published one
+    * (and, after the first compaction, the original plain-layout files
+    * at the table root). Call on the maintenance schedule, one reader
+    * window after [[compactTable]] — never inline with it. Returns the
+    * paths removed. No-op on a never-compacted (plain) table. */
+  def vacuum(table: String): Seq[String] = currentVersion(table) match {
+    case None => Seq.empty
+    case Some(cur) =>
+      val root = Paths.get(table)
+      val victims = {
+        val stream = Files.list(root)
+        try {
+          val it = stream.iterator()
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+          while (it.hasNext) {
+            val p = it.next()
+            val n = p.getFileName.toString
+            if (n != s"v$cur" && n != "_CURRENT") buf += p
+          }
+          buf.toSeq
+        } finally stream.close()
+      }
+      victims.foreach(deleteRec)
+      victims.map(_.toString)
   }
 
   private def deleteRec(p: Path): Unit = {
@@ -154,4 +178,18 @@ object Compaction {
         s"compactIndex: unknown index kind '$other' " +
           "(expected ivf | pq | bm25 | fingerprint)")
   }
+
+  /** [[vacuum]] over every table [[compactIndex]] maintains for `kind` —
+    * the second half of the maintenance schedule, run one reader window
+    * after the compaction that superseded the data. */
+  def vacuumIndex(path: String, kind: String): Seq[String] = (kind match {
+    case "ivf"         => Seq(s"$path/assignments")
+    case "pq"          => Seq(s"$path/codes")
+    case "bm25"        => Seq(s"$path/postings")
+    case "fingerprint" => Seq(s"$path/postings", s"$path/sizes")
+    case other =>
+      throw new IllegalArgumentException(
+        s"vacuumIndex: unknown index kind '$other' " +
+          "(expected ivf | pq | bm25 | fingerprint)")
+  }).flatMap(vacuum)
 }

@@ -68,6 +68,20 @@ class StoredIndexesSpec extends AnyFunSuite {
     assert(Compaction.resolve(s"$path/postings") === s"$path/postings/v1")
     assert(DedupOps.queryFingerprintIndex(spark, path, probe2)
       .collect().exists(_.getLong(1) == 12L))
+
+    // retention: superseded versions (and the original plain files) stay
+    // on disk for in-flight readers until vacuum — then only the live
+    // version remains, and queries are untouched
+    assert(parquetFiles(s"$path/postings") >
+      parquetFiles(s"$path/postings/v1"),
+      "pre-vacuum the table dir still holds superseded data")
+    val removed = Compaction.vacuumIndex(path, "fingerprint")
+    assert(removed.nonEmpty)
+    assert(parquetFiles(s"$path/postings") ===
+      parquetFiles(s"$path/postings/v1"),
+      "vacuum must leave exactly the live version's files")
+    assert(DedupOps.queryFingerprintIndex(spark, path, probe2)
+      .collect().exists(_.getLong(1) == 12L))
   }
 
   test("bm25 index: compact is a below-threshold no-op, then collapses " +
