@@ -716,14 +716,30 @@ object SparkEntry {
   def warmSharedCaches(s: SparkSession, dir: String): Seq[(String, Double)] = {
     // each warm stage is timed and returned so the bench can emit a
     // setup breakdown — a setup regression is then attributable to a
-    // stage, the same property the per-run query times give the medians
+    // stage, the same property the per-run query times give the medians.
+    //
+    // Stages run as FOUR CONCURRENT CHAINS (sequential within a chain,
+    // chains submitted from separate threads — the standard Spark
+    // multi-job pattern): text caches → dup groups; SCD2 dims; embedding
+    // caches → ANN index builds; text index builds. The chains touch
+    // disjoint caches/memos/artifacts, so the only shared state is the
+    // thread-safe registries they already use (Caches' CacheManager
+    // lookup, the per-key StoredIndexes build locks, TrieMap memos).
+    // Per-stage times stay attributable — each is measured on its own
+    // chain — but chains OVERLAP, so the sum of stage times exceeds the
+    // headline `setup` wall time. Warm work is dominated by small jobs
+    // and driver-side planning that a single chain can't keep 32 cores
+    // busy with; overlapping chains reclaims that idle width.
     val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     def stage(name: String)(body: => Unit): Unit = {
       val t0 = System.nanoTime()
       body
-      stages += name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      stages.synchronized { stages += name -> dt }
     }
     val docs = Tables.documents(s, dir)
+    val chains = Seq[(String, () => Unit)](
+      ("text", () => {
     // derived-skew-cap memos FIRST: one histogram pass each, a
     // per-corpus constant afterwards — setup cost, not query cost. The
     // df cap must exist before text_caches warms the containment table,
@@ -760,6 +776,8 @@ object SparkEntry {
           P.JaccardT)).count()
       ()
     }
+      }),
+      ("scd2", () => {
     stage("scd2_dims") {
       // the full-events rebuilt dim — the shared subplan of ~9 SCD2
       // queries (rebuild/current/asof/timeline/stats/frequency/
@@ -779,6 +797,8 @@ object SparkEntry {
         eOp.filter(col(TS) <= expr(s"TIMESTAMP '$WM'")))
       ()
     }
+      }),
+      ("ann", () => {
     stage("embedding_caches") {
       // embedding vector table, LSH signature table, k-means memos
       val emb = Tables.embeddings(s, dir)
@@ -805,14 +825,35 @@ object SparkEntry {
     // stored-index builds (one per process, under the auto-removed
     // StoredIndexes root): index CONSTRUCTION is a pipeline stage a
     // deployment amortizes over many queries, so it belongs in setup —
-    // the stored read-path closures then time what a user's query costs
-    stage("stored_indexes") {
+    // the stored read-path closures then time what a user's query costs.
+    // The ANN builds follow the embedding caches on THIS chain (they
+    // consume the k-means memos warmed above); the keyword/fingerprint
+    // builds need only the documents table and run on their own chain.
+    stage("ann_indexes") {
       storedIvfPath(s, dir); storedPqPath(s, dir)
       mergedIvfPath(s, dir); mergedPqPath(s, dir)
+      ()
+    }
+      }),
+      ("textidx", () => {
+    stage("text_indexes") {
       storedBm25Path(s, dir); mergedBm25Path(s, dir)
       dedupIdxPath(s, dir)
       ()
     }
+      }))
+    // plain threads, not the global ExecutionContext: the chains block
+    // on Spark actions and must not starve a shared pool
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = chains.map { case (name, body) =>
+      val t = new Thread(() => {
+        try body()
+        catch { case e: Throwable => errs.add(e); () }
+      }, s"graft-warm-$name")
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
     stages.toSeq
   }
 

@@ -52,25 +52,35 @@ private[graft] object StoredIndexes {
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(8).map(b => f"$b%02x").mkString
 
-  /** Run `body` under the build lock — for artifacts that live outside
+  /** Run `body` under the global lock — for artifacts that live outside
     * the path memo (e.g. catalog-registered bucketed tables) but need the
     * same check-then-build atomicity as [[ensure]]. Reentrant. */
   def locked[T](body: => T): T = lock.synchronized(body)
 
+  // One lock per artifact key: concurrent first builders of the SAME
+  // artifact still serialize (build runs exactly once), but builders of
+  // DIFFERENT artifacts proceed in parallel — the parallel warm chains
+  // build the ANN and keyword indexes concurrently, and a global build
+  // lock would quietly re-serialize them.
+  private val keyLocks =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Object]
+
   /** Build-once artifact path: the first caller for (kind, sfDir) runs
     * `build` against [[pathFor]]'s path; everyone after (including
-    * concurrent callers — the build is run inside the lock, never twice)
-    * reuses the finished artifact. A failed build is not memoized, so the
-    * next caller retries. */
-  def ensure(kind: String, sfDir: String)(build: String => Unit): String =
-    built.getOrElse((kind, sfDir), lock.synchronized {
-      built.get((kind, sfDir)) match {
+    * concurrent callers — the build runs inside the key's lock, never
+    * twice) reuses the finished artifact. A failed build is not
+    * memoized, so the next caller retries. */
+  def ensure(kind: String, sfDir: String)(build: String => Unit): String = {
+    val key = (kind, sfDir)
+    built.getOrElse(key, keyLocks.getOrElseUpdate(key, new Object).synchronized {
+      built.get(key) match {
         case Some(p) => p
         case None =>
           val p = pathFor(kind, sfDir)
           build(p)
-          built.put((kind, sfDir), p)
+          built.put(key, p)
           p
       }
     })
+  }
 }
