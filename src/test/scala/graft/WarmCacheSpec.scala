@@ -34,6 +34,15 @@ class WarmCacheSpec extends AnyFunSuite {
         "simhash sketch table not warmed")
       assert(TextOps.winnowFps(docs).storageLevel != StorageLevel.NONE,
         "winnow fingerprint table not warmed")
+      assert(TextOps.qualityScore(docs).storageLevel != StorageLevel.NONE,
+        "quality-score table not warmed (feeds 4 query closures)")
+      // the df-capped containment table must be warmed at the SAME
+      // corpus-derived cap the queries pass — a cap drift between warm
+      // and query would silently warm a dead plan
+      assert(TextOps.containmentExploded(docs,
+        maxDf = TextOps.adaptiveMaxDf(docs))
+        .storageLevel != StorageLevel.NONE,
+        "containment table not warmed at the adaptive df cap")
       val emb = Tables.embeddings(spark, dir)
       val ev64 = emb.select(col("vec_id"),
         SimilarityOps.asDoubleVec(col("embedding")).as("v"))
