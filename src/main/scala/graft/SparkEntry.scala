@@ -575,6 +575,12 @@ object SparkEntry {
       Multimodal.frameSample(Tables.documents(s, dir), 64, 128)
         .orderBy("doc_id", "frame_no")),
 
+    // nearest-neighbor resample of the 32x32 stub pixel grid to 8x8 —
+    // one narrow projection, exact integer index math (oracle replays it)
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.resizeNearest(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
     // ── North-star: deterministic sampling / splitting / packing ──────
     "sample_hash_split" -> ((s, dir) =>
       SamplingOps.hashSplit(Tables.documents(s, dir), "doc_id")
@@ -1556,6 +1562,18 @@ object SparkEntry {
         |       md5(text) AS content_hash,
         |       hex(encode(substr(text, 1, 8))) AS head_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same ⌊y·h/th⌋·w + ⌊x·w/tw⌋ integer index math as
+    // Multimodal.resizeNearest (32x32 → 8x8): exact on both engines
+    "multimodal_resize" ->
+      """SELECT doc_id, r AS resized, md5(r) AS resized_hash
+        |FROM (
+        |  SELECT doc_id,
+        |         array_to_string([substr(img, ((i // 8) * 32) // 8 * 32 +
+        |                                      ((i % 8) * 32) // 8 + 1, 1)
+        |                          for i in range(0, 64)], '') AS r
+        |  FROM (SELECT doc_id, rpad(text, 1024, ' ') AS img FROM documents))
+        |ORDER BY doc_id""".stripMargin,
 
     "scd2_rebuild" ->
       s"""WITH ${dimSql("events")}

@@ -61,6 +61,33 @@ object Multimodal {
     decodeStub(spark,
       docs.select(col("doc_id"), col("text").cast("binary").as("payload")))
 
+  /** Nearest-neighbor resize — the remaining multimodal verb beside
+    * decode / feature-extract / frame-sample. The "image" is the stub
+    * pixel source consistent with [[decodeStub]]'s posture: the payload
+    * padded/truncated to a `w`×`h` character grid (a real pipeline
+    * substitutes decoded pixel bytes; the codec is the only fake part).
+    * What IS real — and what matters at 100 TB — is the access pattern:
+    * target pixel (x, y) reads source index
+    * `⌊y·h/th⌋·w + ⌊x·w/tw⌋` (exact integer math, engine-portable),
+    * the whole resample is ONE narrow codegen'd projection per row —
+    * no shuffle, no UDF, scan speed — and the output carries the
+    * resized payload plus its content hash for downstream dedup. */
+  def resizeNearest(docs: DataFrame, w: Int = 32, h: Int = 32,
+                    tw: Int = 8, th: Int = 8): DataFrame = {
+    require(w > 0 && h > 0 && tw > 0 && th > 0 && tw <= w && th <= h,
+      s"resizeNearest: target ${tw}x$th must fit the ${w}x$h source")
+    docs
+      .select(col("doc_id"), rpad(col("text"), w * h, " ").as("img"))
+      .select(col("doc_id"),
+        expr(s"""concat_ws('', transform(sequence(0, ${th * tw - 1}),
+                 i -> substring(img,
+                        CAST(((i DIV $tw) * $h) DIV $th AS INT) * $w +
+                        CAST(((i % $tw) * $w) DIV $tw AS INT) + 1, 1)))""")
+          .as("resized"))
+      .select(col("doc_id"), col("resized"),
+        md5(col("resized")).as("resized_hash"))
+  }
+
   /** Frame sampling over an opaque binary payload: fixed-`width` byte
     * windows at every `stride` offset, one row per sampled frame with a
     * content hash (payloads shorter than one frame drop out). A real

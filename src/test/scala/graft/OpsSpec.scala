@@ -350,6 +350,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Set((1L, 0L), (1L, 1L), (3L, 0L)))
   }
 
+  test("nearest-neighbor resize picks the exact source indices") {
+    // 4x4 grid "ABCD/EFGH/IJKL/MNOP" → 2x2: scale 2, so target (x,y)
+    // reads source (2x, 2y): A C / I K
+    val d = Seq((1L, "ABCDEFGHIJKLMNOP")).toDF("doc_id", "text")
+    val r = Multimodal.resizeNearest(d, w = 4, h = 4, tw = 2, th = 2)
+      .select("resized").as[String].head()
+    assert(r === "ACIK")
+    // short payloads pad with spaces instead of dropping out
+    val short = Seq((2L, "AB")).toDF("doc_id", "text")
+    assert(Multimodal.resizeNearest(short, 4, 4, 2, 2)
+      .select("resized").as[String].head() === "A   ")
+    // a target that doesn't divide the source still floors correctly:
+    // 4x4 → 3x3 reads source columns/rows floor(i*4/3) = 0,1,2
+    assert(Multimodal.resizeNearest(d, 4, 4, 3, 3)
+      .select("resized").as[String].head() === "ABCEFGIJK")
+    assertThrows[IllegalArgumentException](
+      Multimodal.resizeNearest(d, 4, 4, 8, 8))
+  }
+
   test("multimodal decode stub: schema, row preservation, determinism") {
     val in = docs.limit(20)
     val out1 = Multimodal.decodePipeline(spark, in)
