@@ -50,7 +50,13 @@ object CdcStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val dim = store.read().getOrElse(Scd2.rebuild(batch.limit(0), key, ts, tie))
-          val merged = Scd2.mergeBatch(dim, batch, key, ts, tie, opCol)
+          // schema evolution before the merge: a stream restarted with a
+          // WIDER batch schema (the live ALTER TABLE case) meets a
+          // snapshot that has never seen the new columns — evolveSchema
+          // appends them (null for pre-existing versions) instead of
+          // failing the merge's unionByName
+          val merged = Scd2.mergeBatch(Scd2.evolveSchema(dim, batch),
+            batch, key, ts, tie, opCol)
           store.publish(merged.dim)
           merged.cleanup()
         }

@@ -214,6 +214,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.currentVersion().get === vBefore)
   }
 
+  test("stream restarted with a wider batch schema evolves the dimension") {
+    import org.apache.spark.sql.types.StructType
+    val in = Files.createTempDirectory("ev_in").toString
+    val ckpt = Files.createTempDirectory("ev_ckpt").toString
+    val snap = Files.createTempDirectory("ev_snap").toString
+    val store = new SnapshotStore(spark, snap)
+    def jl(id: Long, key: Long, ts: String, extra: Option[String]) =
+      s"""{"change_id":$id,"order_key":$key,"cdc_timestamp":"$ts","status":"s$id"""" +
+        extra.map(r => s""","region":"$r"""").getOrElse("") + "}"
+
+    // phase 1: the original schema
+    val s1 = new StructType().add("change_id", "long").add("order_key", "long")
+      .add("cdc_timestamp", "timestamp").add("status", "string")
+    Files.writeString(java.nio.file.Paths.get(in, "changes_000.json"),
+      jl(1, 10, "2024-01-01 00:00:00", None) + "\n" +
+        jl(2, 20, "2024-01-01 00:00:00", None) + "\n")
+    CdcStream.start(spark, s"$in/changes_*.json", ckpt, store, s1,
+      "order_key", "cdc_timestamp", "change_id").awaitTermination()
+    assert(!store.read().get.columns.contains("region"))
+
+    // phase 2: restart with the ALTER-TABLE'd wider schema — the live
+    // case a long-running CDC pipeline meets; the snapshot has never
+    // seen `region`
+    val s2 = s1.add("region", "string")
+    Files.writeString(java.nio.file.Paths.get(in, "changes_001.json"),
+      jl(3, 10, "2024-02-01 00:00:00", Some("eu")) + "\n" +
+        jl(4, 30, "2024-02-01 00:00:00", Some("us")) + "\n")
+    CdcStream.start(spark, s"$in/changes_*.json", ckpt, store, s2,
+      "order_key", "cdc_timestamp", "change_id").awaitTermination()
+
+    val dim = store.read().get
+    assert(dim.columns.contains("region"))
+    // pre-evolution versions read null; merged rows carry their values
+    val byChange = dim.select($"change_id", $"region", $"is_current")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(byChange(1L).isEmpty && byChange(2L).isEmpty)
+    assert(byChange(3L).contains("eu") && byChange(4L).contains("us"))
+    // key 10 evolved AND merged: two versions, the new one current
+    assert(dim.filter($"order_key" === 10L).count() === 2)
+    assert(Scd2.current(dim).filter($"order_key" === 10L)
+      .select($"change_id").head().getLong(0) === 3L)
+    assert(Scd2.duplicateCurrentKeys(dim, "order_key").count() === 0)
+  }
+
   test("flatMapGroupsWithState running counts converge to the batch aggregate") {
     import graft.engine.Tables
     val ev = Tables.events(spark, sfDir)
