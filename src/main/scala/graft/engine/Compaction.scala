@@ -30,6 +30,13 @@ import org.apache.spark.sql.functions._
   * readers planned against it must finish their scans), mirroring the
   * snapshot store's publish/vacuum split.
   *
+  * Single-writer discipline (same as [[StoredIndexes]] and the
+  * reference's loader): compaction must not run concurrently with
+  * merges on the same index — a merge that resolved the live dir just
+  * before the pointer swap would append into the superseded version
+  * and its rows would become unreachable. Readers need no coordination;
+  * writers (merge, compact, vacuum) are scheduled, not concurrent.
+  *
   * Builds need no changes: `mode("overwrite")` on the plain path
   * deletes the whole table dir (pointer and version dirs included), so
   * a rebuild always restarts in plain layout.
