@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.JdbcCdc
 
@@ -119,6 +120,55 @@ class JdbcSpec extends AnyFunSuite {
     val rows = spark.sql(upsertSelect()).collect()
     assert(rows.length === 1)
     assert(rows.head.getAs[String]("payload") === "b") // highest tie wins
+  }
+
+  test("upsert SQL is row-equivalent to the engine's routing on random batches") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // randomized staged batch: 40 keys, a COARSE ts domain (forces ties),
+    // random DELETEs; randomized dim: some keys current-newer (stale
+    // case), some current-older, some absent
+    val staged = (1 to 200).map { i =>
+      (s"k${rnd.nextInt(40)}",
+        java.sql.Timestamp.valueOf(s"2024-03-0${1 + rnd.nextInt(5)} 00:00:00"),
+        i.toLong,
+        s"p$i",
+        if (rnd.nextInt(10) == 0) "DELETE" else "UPDATE")
+    }
+    val dim = (0 until 40).flatMap { k =>
+      rnd.nextInt(3) match {
+        case 0 => Some((s"k$k", // newer than any staged change → stale guard
+          java.sql.Timestamp.valueOf("2024-03-09 00:00:00"), s"cur$k", true))
+        case 1 => Some((s"k$k", // older → replaceable
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), s"cur$k", true))
+        case _ => None          // absent → fresh insert
+      }
+    }
+    staged.toDF("k", "ts", "seq", "payload", "operation_type")
+      .createOrReplaceTempView("stg_t")
+    dim.toDF("k", "valid_from", "payload", "is_current")
+      .createOrReplaceTempView("dim_t")
+
+    val got = spark.sql(upsertSelect())
+      .select("k", "payload").as[(String, String)].collect().toSet
+
+    // the engine's own routing semantics, computed with DataFrame ops:
+    // last-write-wins per key by (ts DESC, seq DESC), drop DELETEs,
+    // drop keys whose current row is not strictly older than the change
+    val s = staged.toDF("k", "ts", "seq", "payload", "operation_type")
+    val last = graft.engine.Cdc.dedupLastPerKey(s, "k", "ts", "seq")
+      .filter(col("operation_type") =!= "DELETE")
+    val curNewer = dim.toDF("k", "valid_from", "payload", "is_current")
+      .filter(col("is_current"))
+      .select(col("k"), col("valid_from"))
+    val expected = last.join(curNewer, Seq("k"), "left_outer")
+      .filter(col("valid_from").isNull || col("valid_from") < col("ts"))
+      .select("k", "payload").as[(String, String)].collect().toSet
+
+    assert(got === expected)
+    assert(got.groupBy(_._1).forall(_._2.size == 1),
+      "at most one insert per key")
   }
 
   test("upsert semantics: fresh batch inserts the latest change per key") {
