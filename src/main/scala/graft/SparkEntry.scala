@@ -811,6 +811,8 @@ object SparkEntry {
       val ev64 = emb.select(col("vec_id"),
         SimilarityOps.asDoubleVec(col("embedding")).as("v"))
       Caches.ensureCached(ev64).count()
+      // ann_ivf_topk's labeled table + its corpus-wide centroid aggregate
+      SimilarityOps.givenCellCentroids(emb).count()
       SimilarityOps.lshSigTable(emb, P.EmbPlanes, P.EmbTables).count()
       SimilarityOps.kmeansCentroids(ev64, P.KmK, P.KmIters)
       // PQ subspace training memos: derive dims from the corpus exactly
