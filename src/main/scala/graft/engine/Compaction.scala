@@ -20,13 +20,14 @@ import org.apache.spark.sql.functions._
   * Commit protocol — the same pointer swap as [[SnapshotStore]]
   * (SnapshotStore.scala:41), applied per table dir:
   * a table path `t` is either PLAIN (parquet files directly under `t`,
-  * how builds write it) or VERSIONED (`t/v{N}` dirs plus a `t/_CURRENT`
+  * how builds write it) or VERSIONED (`t/_v{N}` dirs plus a `t/_CURRENT`
   * pointer naming the live one). [[resolve]] picks the live data dir;
   * every merge/query path goes through it. Compaction writes the fully
   * rewritten next version dir, then atomically moves the pointer —
   * readers never observe a half-compacted table, and a crash mid-write
-  * leaves an orphan dir while the pointer still names the last good
-  * version. Superseded data stays on disk until [[vacuum]] (in-flight
+  * leaves only an orphan `_v{N}` dir — invisible to readers in BOTH
+  * layouts (`_`-prefixed children are skipped by Spark's listing, and
+  * the pointer, when present, still names the last good version). Superseded data stays on disk until [[vacuum]] (in-flight
   * readers planned against it must finish their scans), mirroring the
   * snapshot store's publish/vacuum split.
   *
@@ -45,16 +46,41 @@ object Compaction {
 
   private def pointer(table: String): Path = Paths.get(table, "_CURRENT")
 
-  private def currentVersion(table: String): Option[Long] = {
+  // pointer content: "version\nbase=N" — line 1 the published version,
+  // line 2 the per-partition file count AT publish (the debt baseline).
+  // Parsed line-wise so either line can grow fields without breaking
+  // old readers.
+  private def pointerLines(table: String): Option[Array[String]] = {
     val p = pointer(table)
-    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
+    if (Files.exists(p)) Some(Files.readString(p).split('\n')) else None
   }
 
-  /** The live data dir for `table`: `table/v{N}` once compacted, the
+  private def currentVersion(table: String): Option[Long] =
+    pointerLines(table).map(_.head.trim.toLong)
+
+  /** Per-partition file count the live version was PUBLISHED with — the
+    * baseline [[compactTable]]'s trigger measures append debt against.
+    * 0 for a never-compacted (plain) table. */
+  private def publishedBase(table: String): Int =
+    pointerLines(table)
+      .flatMap(_.find(_.startsWith("base=")))
+      .flatMap(_.stripPrefix("base=").trim.toIntOption)
+      .getOrElse(0)
+
+  /** The live data dir for `table`: `table/_v{N}` once compacted, the
     * plain dir before. All merge appends and query scans resolve
-    * through here. */
+    * through here.
+    *
+    * Version dirs are `_`-prefixed ON PURPOSE: Spark's file listing
+    * skips `_`/`.`-prefixed children, so a crash that leaves a
+    * half-written `_v{N}` inside a still-plain table is INVISIBLE to
+    * readers of the plain dir (no pointer yet → resolve returns the
+    * root, whose listing ignores the orphan). With `v{N}` names the
+    * same crash would poison every subsequent read with conflicting
+    * directory structures. Reading `table/_v{N}` directly is fine —
+    * the filter applies to children during listing, not the root. */
   def resolve(table: String): String =
-    currentVersion(table).map(v => s"$table/v$v").getOrElse(table)
+    currentVersion(table).map(v => s"$table/_v$v").getOrElse(table)
 
   /** Parquet data files per leaf directory of the live version —
     * hive-partitioned tables (IVF's `cluster=N/`) count per partition
@@ -82,8 +108,13 @@ object Compaction {
   /** Rewrite `table`'s live contents under `layout` (the family's
     * repartition + sort) into the next version dir and publish it with
     * the atomic pointer swap. Returns false (no-op) while every
-    * partition holds ≤ `maxFilesPerPartition` data files — callers loop
-    * it after merges and it fires only when the append debt is real.
+    * partition's APPEND DEBT — files beyond the count the live version
+    * was published with — stays ≤ `maxFilesPerPartition`. Debt, not an
+    * absolute count: a 100 GB flat table legitimately compacts to
+    * hundreds of files, and an absolute threshold would then rewrite
+    * the whole table on every scheduled run forever; measuring against
+    * the published baseline fires only when merges have actually
+    * accumulated new small files.
     *
     * The superseded version is left ON DISK — same retention posture as
     * [[SnapshotStore.publish]]/[[SnapshotStore.vacuum]]: an in-flight
@@ -96,16 +127,32 @@ object Compaction {
                    partitionBy: Seq[String] = Nil,
                    maxFilesPerPartition: Int = 8): Boolean = {
     val counts = filesPerPartition(table)
-    if (counts.isEmpty || counts.valuesIterator.max <= maxFilesPerPartition)
+    if (counts.isEmpty ||
+      counts.valuesIterator.max - publishedBase(table) <= maxFilesPerPartition)
       return false
     val live = resolve(table)
     val next = currentVersion(table).getOrElse(-1L) + 1L
-    val nextDir = s"$table/v$next"
+    val nextDir = s"$table/_v$next"
     val w = layout(spark.read.parquet(live)).write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(nextDir)
+    // measure the fresh layout's per-partition max BEFORE publishing:
+    // it becomes the next trigger's debt baseline
+    val base = {
+      val stream = Files.walk(Paths.get(nextDir))
+      try {
+        val it = stream.iterator()
+        val counts = scala.collection.mutable.Map.empty[Path, Int]
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet") && Files.isRegularFile(p))
+            counts(p.getParent) = counts.getOrElse(p.getParent, 0) + 1
+        }
+        if (counts.isEmpty) 0 else counts.valuesIterator.max
+      } finally stream.close()
+    }
     val tmp = Paths.get(table, s"_CURRENT.tmp$next")
-    Files.writeString(tmp, next.toString)
+    Files.writeString(tmp, s"$next\nbase=$base")
     Files.move(tmp, pointer(table), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     true
@@ -128,7 +175,7 @@ object Compaction {
           while (it.hasNext) {
             val p = it.next()
             val n = p.getFileName.toString
-            if (n != s"v$cur" && n != "_CURRENT") buf += p
+            if (n != s"_v$cur" && n != "_CURRENT") buf += p
           }
           buf.toSeq
         } finally stream.close()

@@ -223,17 +223,31 @@ object DedupOps {
         coalesce(col("group_id"), col("doc_id")).as("group_id"))
   }
 
-  // weakly keyed BY SESSION: the memo values are DataFrames (they hold
-  // the session), so a flat global map would pin every closed session's
-  // state; with the weak outer key the whole per-session memo — values
-  // included — is collectable once the session is unreachable
+  // Weakly keyed BY SESSION, value held via SoftReference. The memo
+  // values are DataFrames, which strongly reference their session — a
+  // strongly-held value would therefore reference its own weak key, the
+  // exact pattern the WeakHashMap javadoc warns prevents key discard
+  // (the entry, and the closed session behind it, would be pinned
+  // forever). Through the soft indirection the value chain no longer
+  // strongly reaches the key: under memory pressure the GC clears the
+  // reference, the session becomes collectable, and the memo — a pure
+  // cache over `propagateLabels` — is simply recomputed on next use.
   private val groupsMemos = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.concurrent.TrieMap[(Int, Int), DataFrame]]())
+      java.lang.ref.SoftReference[
+        scala.collection.concurrent.TrieMap[(Int, Int), DataFrame]]]())
 
-  private def groupsMemo(s: org.apache.spark.sql.SparkSession) =
-    groupsMemos.computeIfAbsent(s,
-      _ => scala.collection.concurrent.TrieMap.empty[(Int, Int), DataFrame])
+  private def groupsMemo(s: org.apache.spark.sql.SparkSession)
+      : scala.collection.concurrent.TrieMap[(Int, Int), DataFrame] =
+    groupsMemos.synchronized {
+      Option(groupsMemos.get(s)).flatMap(r => Option(r.get())) match {
+        case Some(m) => m
+        case None =>
+          val m = scala.collection.concurrent.TrieMap.empty[(Int, Int), DataFrame]
+          groupsMemos.put(s, new java.lang.ref.SoftReference(m))
+          m
+      }
+    }
 
   /** Times the propagation loop actually ran (test hook for the memo). */
   private[graft] var labelRuns = 0
@@ -532,10 +546,18 @@ object DedupOps {
       .select(col("doc_id"), explode(col("fps")).as("fp"))
 
   /** Build the stored fingerprint index over `docs`. One explode + two
-    * hash aggregates — the cost of a word count, linear in corpus size. */
+    * hash aggregates — the cost of a word count, linear in corpus size.
+    * The build parameters (k, w, maxDf) are persisted in a one-row
+    * `meta` table: the hot-list cap is frozen INTO `hot`, so any later
+    * drift measurement must use the same cap — with the cap now
+    * corpus-derived (adaptiveMaxDf) rather than a constant, a caller
+    * cannot re-guess it. */
   def buildFingerprintIndex(docs: DataFrame, path: String, k: Int = 8,
                             w: Int = 4, maxDf: Int = 10): Unit = {
     val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((k, w, maxDf)).toDF("k", "w", "max_df")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     val ex = winnowExploded(docs, k, w)
     ex.groupBy("fp").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$path/dfs")
@@ -580,16 +602,25 @@ object DedupOps {
   /** The rebuild signal for the frozen hot list — the dedup analogue of
     * [[graft.ops.SimilarityOps.shouldRetrain]]: merges keep the df table
     * current but never re-derive the cap, so a fingerprint can grow past
-    * `maxDf` while still being screened (its candidate bucket quietly
+    * the cap while still being screened (its candidate bucket quietly
     * re-approaches quadratic). Returns the count of such
     * over-cap-but-not-hot fingerprints from the two tiny meta tables —
     * zero means the frozen list still matches the data; a growing count
-    * is the cue to rebuild. Never touches postings. */
+    * is the cue to rebuild. Never touches postings.
+    *
+    * The cap comes from the index's own stored `meta` (the value the
+    * hot list was actually frozen with) — pass `maxDf` only to probe a
+    * hypothetical cap. Guessing a default here would mis-measure any
+    * adaptively-built index: every fingerprint between the guess and
+    * the true build cap would read as drift on a fresh index. */
   def hotListDrift(spark: org.apache.spark.sql.SparkSession, path: String,
-                   maxDf: Int = 10): Long =
-    spark.read.parquet(s"$path/dfs").filter(col("df") > maxDf)
+                   maxDf: Option[Int] = None): Long = {
+    val cap = maxDf.getOrElse(
+      spark.read.parquet(s"$path/meta").head().getAs[Int]("max_df"))
+    spark.read.parquet(s"$path/dfs").filter(col("df") > cap)
       .join(spark.read.parquet(s"$path/hot"), Seq("fp"), "left_anti")
       .count()
+  }
 
   /** Screen an incoming batch against the stored index: the batch's
     * kept fingerprints (frozen-hot-list filtered, same rule the index

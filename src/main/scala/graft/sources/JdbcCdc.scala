@@ -94,8 +94,8 @@ object JdbcCdc {
 
   /** Stage a change batch into a scratch table with Spark's parallel
     * JDBC writer (overwrite: staging is per-batch scratch). The merge
-    * then runs as the two set-based statements from
-    * [[expireSql]]/[[upsertSql]] over this table. */
+    * then runs as ONE transaction over this table: [[upsertSql]] first,
+    * [[expireSql]] second (see [[expireSql]] for why that order). */
   def stage(df: DataFrame, conn: Conn, stagingTable: String,
             batchPartitions: Int = 8): Unit =
     df.repartition(batchPartitions).write.format("jdbc")
@@ -108,7 +108,16 @@ object JdbcCdc {
     * (scd2_loader.py:276-301): ONE statement closes every current row
     * whose key appears in the staged batch with a strictly newer
     * change. The stale guard (`<`) is the same late-data rule
-    * `Scd2.merge` applies. */
+    * `Scd2.merge` applies.
+    *
+    * Statement ORDER within the merge transaction: [[upsertSql]] FIRST,
+    * then this — the upsert's timeline-end guard must read the
+    * PRE-batch dimension (exactly like `Scd2.mergeBatch` computes
+    * `keyMeta` before routing); run after the expire, the just-stamped
+    * `valid_to = s.ts` would equal the incoming ts and block its own
+    * key's insert. The expire is safe second: the freshly inserted
+    * current row has `valid_from = s.ts`, which fails this statement's
+    * `< s.ts` predicate, so only the superseded row closes. */
   def expireSql(dimTable: String, stagingTable: String, key: String,
                 tsCol: String): String =
     s"""UPDATE $dimTable d
@@ -128,10 +137,16 @@ object JdbcCdc {
     *  - row_number over `($tsCol DESC, $tie DESC)` — the exact order
     *    `Cdc.dedupLastPerKey` uses — so two staged rows tied on a key's
     *    max timestamp yield exactly ONE insert, deterministically;
-    *  - `NOT EXISTS` stale guard: [[expireSql]] deliberately skips
-    *    current rows with `valid_from >= s.$tsCol` (the late-data rule),
-    *    so a stale batch must also skip the INSERT — without this, a
-    *    late batch inserted a second current row per key. */
+    *  - `NOT EXISTS` timeline-end guard: the change is admitted only
+    *    when it is strictly newer than the key's TIMELINE END over ALL
+    *    versions — `COALESCE(valid_to, valid_from)`, the same
+    *    `_tl_end` rule as `Scd2.mergeBatch` (Scd2.scala:119-125).
+    *    Checking only current rows would miss two cases: a stale batch
+    *    against a newer current row (second current row per key), and
+    *    a late change for a DELETEd key — the delete stamps `valid_to`
+    *    and leaves NO current row, so a current-only guard would
+    *    resurrect the key with pre-delete data inside its closed
+    *    interval. */
   def upsertSql(dimTable: String, stagingTable: String, key: String,
                 tsCol: String, tie: String, cols: Seq[String]): String = {
     val colList = (Seq(key) ++ cols ++ Seq("valid_from", "is_current")).mkString(", ")
@@ -145,7 +160,7 @@ object JdbcCdc {
        |WHERE s.graft_rn = 1
        |  AND s.operation_type <> 'DELETE'
        |  AND NOT EXISTS (SELECT 1 FROM $dimTable d
-       |                  WHERE d.$key = s.$key AND d.is_current = TRUE
-       |                    AND d.valid_from >= s.$tsCol)""".stripMargin
+       |                  WHERE d.$key = s.$key
+       |                    AND COALESCE(d.valid_to, d.valid_from) >= s.$tsCol)""".stripMargin
   }
 }

@@ -130,7 +130,8 @@ object CdcStream {
     * [[graft.engine.Ledger]]'s (stream, batch-id) check — the same
     * protocol the SCD2 loader uses
     * (/root/reference/src/warehouse/scd2_loader.py:501-538) — so a
-    * replayed batch never duplicates postings (see [[screenAndAbsorb]]).
+    * replayed batch is re-absorbed only in the one-instruction residual
+    * window the reference shares (see [[screenAndAbsorb]]).
     * Long-running streams accumulate append debt in the index (one
     * postings file per batch per partition) — pair with SCHEDULED
     * [[graft.engine.Compaction.compactIndex]] maintenance, deliberately
@@ -168,7 +169,14 @@ object CdcStream {
     * crash between merge and ledger append — is the same one the
     * reference has between its DB commit and `.processed_files` append
     * (scd2_loader.py:523-538); both recover manually, and the window is
-    * one driver instruction wide, not a whole batch. */
+    * one driver instruction wide, not a whole batch.
+    *
+    * The ledger is CONSULTED (a Spark job over the whole ledger table)
+    * only on this process's first batch per (index, stream) — micro-
+    * batch ids are monotonic per checkpoint, so after seeding the memo
+    * with the ledger's high-water id, replay detection is an in-memory
+    * compare. Without the memo, the hot path paid a full ledger scan
+    * per trigger, growing with stream lifetime. */
   def screenAndAbsorb(spark: SparkSession, batch: DataFrame, id: Long,
                       indexPath: String, streamId: String,
                       onHits: (DataFrame, Long) => Unit): Unit = {
@@ -180,14 +188,30 @@ object CdcStream {
       onHits(
         graft.ops.DedupOps.queryFingerprintIndex(spark, indexPath, batch),
         id)
-      val ledger = new graft.engine.Ledger(spark, s"$indexPath/_ledger")
-      if (!ledger.isProcessed(streamId, id.toString)) {
+      val memoKey = (indexPath, streamId)
+      val highWater = absorbedHighWater.getOrElseUpdate(memoKey, {
+        // one ledger scan per (index, stream) per process: the max
+        // batch id this stream has ever absorbed (-1 = none)
+        import org.apache.spark.sql.functions.{col, max}
+        val ledger = new graft.engine.Ledger(spark, s"$indexPath/_ledger")
+        Option(ledger.read().filter(col("filename") === streamId)
+          .agg(max(col("batch_id").cast("long"))).head().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(-1L)
+      })
+      if (id > highWater) {
         graft.ops.DedupOps.mergeFingerprintIndex(batch, indexPath)
-        ledger.append(streamId, id.toString)
+        new graft.engine.Ledger(spark, s"$indexPath/_ledger")
+          .append(streamId, id.toString)
+        absorbedHighWater.update(memoKey, id)
       }
     }
     ()
   }
+
+  // per-process high-water mark of absorbed micro-batch ids, keyed by
+  // (index path, stream id) — see [[screenAndAbsorb]]
+  private val absorbedHighWater =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
 
   /** Streaming exact dedup — A3's streaming twin: drop re-deliveries of
     * the same `idCol` arriving within the watermark delay, turning an

@@ -70,11 +70,13 @@ class JdbcSpec extends AnyFunSuite {
       "PARTITION BY order_key ORDER BY cdc_timestamp DESC, change_seq DESC"))
     assert(sql.contains("s.graft_rn = 1"))
     assert(sql.contains("s.operation_type <> 'DELETE'"))
-    // stale guard: expireSql leaves current rows with valid_from >= the
-    // batch ts untouched, so the insert must skip those keys too —
-    // otherwise a late batch creates a second current row per key
+    // timeline-end guard: the change must be strictly newer than the
+    // key's max COALESCE(valid_to, valid_from) over ALL versions — a
+    // current-only check would both double-insert on a stale batch and
+    // resurrect a DELETEd key inside its closed interval
     assert(sql.contains("NOT EXISTS"))
-    assert(sql.contains("d.valid_from >= s.cdc_timestamp"))
+    assert(sql.contains(
+      "COALESCE(d.valid_to, d.valid_from) >= s.cdc_timestamp"))
   }
 
   // ---- executable semantics: the generated SELECT body is ANSI enough
@@ -86,16 +88,25 @@ class JdbcSpec extends AnyFunSuite {
     JdbcCdc.upsertSql("dim_t", "stg_t", "k", "ts", "seq", Seq("payload"))
       .linesIterator.drop(1).mkString("\n")
 
+  /** Register dim_t with the full SCD2 shape: (k, valid_from, valid_to,
+    * payload, is_current); valid_to None = open (current) interval. */
+  private def dimView(rows: Seq[(String, String, Option[String], String, Boolean)]): Unit = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    rows.toDF("k", "vf_s", "vt_s", "payload", "is_current")
+      .withColumn("valid_from", $"vf_s".cast("timestamp"))
+      .withColumn("valid_to", $"vt_s".cast("timestamp"))
+      .select("k", "valid_from", "valid_to", "payload", "is_current")
+      .createOrReplaceTempView("dim_t")
+  }
+
   test("upsert semantics: stale batch inserts zero new current rows") {
     val spark = TestSpark.spark
     import spark.implicits._
     // dim's current row is NEWER than everything in the batch — the
     // expire statement (valid_from < s.ts) would touch nothing, and the
     // insert must also select nothing or the key ends with two current rows
-    Seq(("k1", "2024-03-05 00:00:00", "old", true))
-      .toDF("k", "valid_from_s", "payload", "is_current")
-      .withColumn("valid_from", $"valid_from_s".cast("timestamp"))
-      .createOrReplaceTempView("dim_t")
+    dimView(Seq(("k1", "2024-03-05 00:00:00", None, "old", true)))
     Seq(("k1", "2024-03-01 00:00:00", 1L, "late", "UPDATE"))
       .toDF("k", "ts_s", "seq", "payload", "operation_type")
       .withColumn("ts", $"ts_s".cast("timestamp"))
@@ -106,9 +117,7 @@ class JdbcSpec extends AnyFunSuite {
   test("upsert semantics: tied max timestamps insert exactly one row") {
     val spark = TestSpark.spark
     import spark.implicits._
-    spark.emptyDataset[(String, java.sql.Timestamp, String, Boolean)]
-      .toDF("k", "valid_from", "payload", "is_current")
-      .createOrReplaceTempView("dim_t")
+    dimView(Seq.empty)
     // two staged rows tie on the key's max ts; seq breaks the tie
     Seq(
       ("k1", "2024-03-01 00:00:00", 1L, "a", "UPDATE"),
@@ -122,48 +131,81 @@ class JdbcSpec extends AnyFunSuite {
     assert(rows.head.getAs[String]("payload") === "b") // highest tie wins
   }
 
+  test("upsert semantics: a late change never resurrects a DELETEd key") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // key k1 lived [01-01, 03-04) and was DELETEd at 03-04: no current
+    // row. A current-only guard would re-insert the late 03-01 change
+    // INSIDE the closed interval; the timeline-end guard must block it,
+    // while a genuinely newer change re-INSERTs the key (the engine's
+    // existence-based routing allows re-birth after delete)
+    dimView(Seq(
+      ("k1", "2024-01-01 00:00:00", Some("2024-03-04 00:00:00"), "dead", false)))
+    Seq(("k1", "2024-03-01 00:00:00", 1L, "ghost", "UPDATE"))
+      .toDF("k", "ts_s", "seq", "payload", "operation_type")
+      .withColumn("ts", $"ts_s".cast("timestamp"))
+      .createOrReplaceTempView("stg_t")
+    assert(spark.sql(upsertSelect()).count() === 0L,
+      "pre-delete change must not resurrect the key")
+    Seq(("k1", "2024-03-08 00:00:00", 2L, "reborn", "UPDATE"))
+      .toDF("k", "ts_s", "seq", "payload", "operation_type")
+      .withColumn("ts", $"ts_s".cast("timestamp"))
+      .createOrReplaceTempView("stg_t")
+    assert(spark.sql(upsertSelect())
+      .select("payload").as[String].collect().toSeq === Seq("reborn"))
+  }
+
   test("upsert SQL is row-equivalent to the engine's routing on random batches") {
     val spark = TestSpark.spark
     import spark.implicits._
     val rnd = new scala.util.Random(42)
     // randomized staged batch: 40 keys, a COARSE ts domain (forces ties),
-    // random DELETEs; randomized dim: some keys current-newer (stale
-    // case), some current-older, some absent
+    // random DELETEs; randomized dim: stale-current keys, replaceable
+    // keys, DELETEd keys (closed interval, no current row), absent keys
     val staged = (1 to 200).map { i =>
       (s"k${rnd.nextInt(40)}",
-        java.sql.Timestamp.valueOf(s"2024-03-0${1 + rnd.nextInt(5)} 00:00:00"),
+        s"2024-03-0${1 + rnd.nextInt(5)} 00:00:00",
         i.toLong,
         s"p$i",
         if (rnd.nextInt(10) == 0) "DELETE" else "UPDATE")
     }
-    val dim = (0 until 40).flatMap { k =>
-      rnd.nextInt(3) match {
-        case 0 => Some((s"k$k", // newer than any staged change → stale guard
-          java.sql.Timestamp.valueOf("2024-03-09 00:00:00"), s"cur$k", true))
-        case 1 => Some((s"k$k", // older → replaceable
-          java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), s"cur$k", true))
-        case _ => None          // absent → fresh insert
+    val dim: Seq[(String, String, Option[String], String, Boolean)] =
+      (0 until 40).flatMap { k =>
+        rnd.nextInt(4) match {
+          case 0 => Some((s"k$k", // newer than any staged change → stale guard
+            "2024-03-09 00:00:00", None, s"cur$k", true))
+          case 1 => Some((s"k$k", // older → replaceable
+            "2024-01-01 00:00:00", None, s"cur$k", true))
+          case 2 => Some((s"k$k", // DELETEd mid-batch-window: timeline end
+            "2024-01-01 00:00:00", // 03-03 blocks staged ts ≤ 03-03,
+            Some("2024-03-03 00:00:00"), s"dead$k", false)) // admits later
+          case _ => None          // absent → fresh insert
+        }
       }
-    }
-    staged.toDF("k", "ts", "seq", "payload", "operation_type")
+    staged.toDF("k", "ts_s", "seq", "payload", "operation_type")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+      .select("k", "ts", "seq", "payload", "operation_type")
       .createOrReplaceTempView("stg_t")
-    dim.toDF("k", "valid_from", "payload", "is_current")
-      .createOrReplaceTempView("dim_t")
+    dimView(dim)
 
     val got = spark.sql(upsertSelect())
       .select("k", "payload").as[(String, String)].collect().toSet
 
     // the engine's own routing semantics, computed with DataFrame ops:
     // last-write-wins per key by (ts DESC, seq DESC), drop DELETEs,
-    // drop keys whose current row is not strictly older than the change
-    val s = staged.toDF("k", "ts", "seq", "payload", "operation_type")
+    // admit only changes strictly newer than the key's TIMELINE END over
+    // ALL versions — Scd2.mergeBatch's _tl_end rule (Scd2.scala:119-125)
+    val s = staged.toDF("k", "ts_s", "seq", "payload", "operation_type")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
     val last = graft.engine.Cdc.dedupLastPerKey(s, "k", "ts", "seq")
       .filter(col("operation_type") =!= "DELETE")
-    val curNewer = dim.toDF("k", "valid_from", "payload", "is_current")
-      .filter(col("is_current"))
-      .select(col("k"), col("valid_from"))
-    val expected = last.join(curNewer, Seq("k"), "left_outer")
-      .filter(col("valid_from").isNull || col("valid_from") < col("ts"))
+    val tlEnd = spark.table("dim_t")
+      .groupBy("k")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.coalesce(
+          col("valid_to"), col("valid_from"))).as("_tl_end"))
+    val expected = last.join(tlEnd, Seq("k"), "left_outer")
+      .filter(col("_tl_end").isNull || col("ts") > col("_tl_end"))
       .select("k", "payload").as[(String, String)].collect().toSet
 
     assert(got === expected)
@@ -174,10 +216,7 @@ class JdbcSpec extends AnyFunSuite {
   test("upsert semantics: fresh batch inserts the latest change per key") {
     val spark = TestSpark.spark
     import spark.implicits._
-    Seq(("k1", "2024-01-01 00:00:00", "old", true))
-      .toDF("k", "valid_from_s", "payload", "is_current")
-      .withColumn("valid_from", $"valid_from_s".cast("timestamp"))
-      .createOrReplaceTempView("dim_t")
+    dimView(Seq(("k1", "2024-01-01 00:00:00", None, "old", true)))
     Seq(
       ("k1", "2024-03-01 00:00:00", 1L, "newer", "UPDATE"),
       ("k2", "2024-03-02 00:00:00", 2L, "born", "UPDATE"),

@@ -46,7 +46,7 @@ class StoredIndexesSpec extends AnyFunSuite {
 
     assert(Compaction.compactIndex(spark, path, "fingerprint",
       maxFilesPerPartition = 2))
-    assert(Compaction.resolve(s"$path/postings") === s"$path/postings/v0",
+    assert(Compaction.resolve(s"$path/postings") === s"$path/postings/_v0",
       "compaction must publish a versioned dir behind the pointer")
     val filesAfter = parquetFiles(Compaction.resolve(s"$path/postings"))
     assert(filesAfter < filesBefore,
@@ -65,7 +65,7 @@ class StoredIndexesSpec extends AnyFunSuite {
       "post-compact merges must be screen-visible")
     assert(Compaction.compactIndex(spark, path, "fingerprint",
       maxFilesPerPartition = 2))
-    assert(Compaction.resolve(s"$path/postings") === s"$path/postings/v1")
+    assert(Compaction.resolve(s"$path/postings") === s"$path/postings/_v1")
     assert(DedupOps.queryFingerprintIndex(spark, path, probe2)
       .collect().exists(_.getLong(1) == 12L))
 
@@ -73,12 +73,12 @@ class StoredIndexesSpec extends AnyFunSuite {
     // on disk for in-flight readers until vacuum — then only the live
     // version remains, and queries are untouched
     assert(parquetFiles(s"$path/postings") >
-      parquetFiles(s"$path/postings/v1"),
+      parquetFiles(s"$path/postings/_v1"),
       "pre-vacuum the table dir still holds superseded data")
     val removed = Compaction.vacuumIndex(path, "fingerprint")
     assert(removed.nonEmpty)
     assert(parquetFiles(s"$path/postings") ===
-      parquetFiles(s"$path/postings/v1"),
+      parquetFiles(s"$path/postings/_v1"),
       "vacuum must leave exactly the live version's files")
     assert(DedupOps.queryFingerprintIndex(spark, path, probe2)
       .collect().exists(_.getLong(1) == 12L))
