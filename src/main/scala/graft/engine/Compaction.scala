@@ -46,26 +46,12 @@ object Compaction {
 
   private def pointer(table: String): Path = Paths.get(table, "_CURRENT")
 
-  // pointer content: "version\nbase=N" — line 1 the published version,
-  // line 2 the per-partition file count AT publish (the debt baseline).
-  // Parsed line-wise so either line can grow fields without breaking
-  // old readers.
-  private def pointerLines(table: String): Option[Array[String]] = {
+  private def currentVersion(table: String): Option[Long] = {
     val p = pointer(table)
-    if (Files.exists(p)) Some(Files.readString(p).split('\n')) else None
+    // first line only: the format may grow trailing metadata lines
+    if (Files.exists(p)) Some(Files.readString(p).split('\n').head.trim.toLong)
+    else None
   }
-
-  private def currentVersion(table: String): Option[Long] =
-    pointerLines(table).map(_.head.trim.toLong)
-
-  /** Per-partition file count the live version was PUBLISHED with — the
-    * baseline [[compactTable]]'s trigger measures append debt against.
-    * 0 for a never-compacted (plain) table. */
-  private def publishedBase(table: String): Int =
-    pointerLines(table)
-      .flatMap(_.find(_.startsWith("base=")))
-      .flatMap(_.stripPrefix("base=").trim.toIntOption)
-      .getOrElse(0)
 
   /** The live data dir for `table`: `table/_v{N}` once compacted, the
     * plain dir before. All merge appends and query scans resolve
@@ -78,16 +64,24 @@ object Compaction {
     * root, whose listing ignores the orphan). With `v{N}` names the
     * same crash would poison every subsequent read with conflicting
     * directory structures. Reading `table/_v{N}` directly is fine —
-    * the filter applies to children during listing, not the root. */
+    * the filter applies to children during listing, not the root.
+    * (A `v{N}` dir named by the pointer is still honored — legacy
+    * layout tolerance — but new versions are always `_v{N}`.) */
   def resolve(table: String): String =
-    currentVersion(table).map(v => s"$table/_v$v").getOrElse(table)
+    currentVersion(table).map { v =>
+      val hidden = s"$table/_v$v"
+      if (!Files.exists(Paths.get(hidden)) &&
+        Files.exists(Paths.get(s"$table/v$v"))) s"$table/v$v"
+      else hidden
+    }.getOrElse(table)
 
-  /** Parquet data files per leaf directory of the live version —
-    * hive-partitioned tables (IVF's `cluster=N/`) count per partition
-    * dir, flat tables count as one partition. The compaction trigger
-    * reads THIS, never the data. */
-  def filesPerPartition(table: String): Map[String, Int] = {
-    val root = Paths.get(resolve(table))
+  /** Parquet data files per leaf directory under `root`, mirroring
+    * Spark's listing rule: any path with a `_`/`.`-prefixed component
+    * BELOW the root is skipped (crash-orphaned `_v{N}` dirs and sidecar
+    * files are invisible to readers, so they must be invisible to the
+    * compaction trigger too — counting them would fire a rewrite of a
+    * table with no real debt). */
+  private def countParquet(root: Path): Map[String, Int] = {
     if (!Files.exists(root)) return Map.empty
     val stream = Files.walk(root)
     try {
@@ -97,12 +91,46 @@ object Compaction {
         val p = it.next()
         val name = p.getFileName.toString
         if (name.endsWith(".parquet") && Files.isRegularFile(p)) {
-          val part = root.relativize(p.getParent).toString
-          counts(part) = counts.getOrElse(part, 0) + 1
+          val rel = root.relativize(p)
+          val hidden = (0 until rel.getNameCount).exists { i =>
+            val c = rel.getName(i).toString
+            c.startsWith("_") || c.startsWith(".")
+          }
+          if (!hidden) {
+            val part = root.relativize(p.getParent).toString
+            counts(part) = counts.getOrElse(part, 0) + 1
+          }
         }
       }
       counts.toMap
     } finally stream.close()
+  }
+
+  /** Parquet data files per leaf directory of the live version —
+    * hive-partitioned tables (IVF's `cluster=N/`) count per partition
+    * dir, flat tables count as one partition. The compaction trigger
+    * reads THIS, never the data. */
+  def filesPerPartition(table: String): Map[String, Int] =
+    countParquet(Paths.get(resolve(table)))
+
+  // Per-partition file counts AT publish — the debt baseline — stored
+  // as a `_BASE` sidecar INSIDE the version dir (one "count\tpartition"
+  // line per partition): crash-safe (the pointer lands only after the
+  // dir, sidecar included, is complete), invisible to Spark's listing,
+  // and sized by partition count rather than squeezing a map into the
+  // pointer file. Empty for plain (never-compacted) tables.
+  private def writeBase(dir: String, counts: Map[String, Int]): Unit =
+    Files.writeString(Paths.get(dir, "_BASE"),
+      counts.toSeq.sorted.map { case (p, n) => s"$n\t$p" }.mkString("\n"))
+
+  private def publishedBase(table: String): Map[String, Int] = {
+    val p = Paths.get(resolve(table), "_BASE")
+    if (!Files.exists(p)) Map.empty
+    else Files.readString(p).split('\n').filter(_.nonEmpty).map { line =>
+      // limit -1: the flat-table partition name is the empty string
+      val Array(n, part) = line.split("\t", -1)
+      part -> n.trim.toInt
+    }.toMap
   }
 
   /** Rewrite `table`'s live contents under `layout` (the family's
@@ -127,32 +155,25 @@ object Compaction {
                    partitionBy: Seq[String] = Nil,
                    maxFilesPerPartition: Int = 8): Boolean = {
     val counts = filesPerPartition(table)
-    if (counts.isEmpty ||
-      counts.valuesIterator.max - publishedBase(table) <= maxFilesPerPartition)
-      return false
+    val base = publishedBase(table)
+    // debt is PER PARTITION against that partition's published count
+    // (new partitions debit from 0): a single large partition must not
+    // grant slack to small ones under a global max
+    val inDebt = counts.exists { case (part, n) =>
+      n - base.getOrElse(part, 0) > maxFilesPerPartition
+    }
+    if (!inDebt) return false
     val live = resolve(table)
     val next = currentVersion(table).getOrElse(-1L) + 1L
     val nextDir = s"$table/_v$next"
     val w = layout(spark.read.parquet(live)).write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(nextDir)
-    // measure the fresh layout's per-partition max BEFORE publishing:
-    // it becomes the next trigger's debt baseline
-    val base = {
-      val stream = Files.walk(Paths.get(nextDir))
-      try {
-        val it = stream.iterator()
-        val counts = scala.collection.mutable.Map.empty[Path, Int]
-        while (it.hasNext) {
-          val p = it.next()
-          if (p.getFileName.toString.endsWith(".parquet") && Files.isRegularFile(p))
-            counts(p.getParent) = counts.getOrElse(p.getParent, 0) + 1
-        }
-        if (counts.isEmpty) 0 else counts.valuesIterator.max
-      } finally stream.close()
-    }
+    // record the fresh layout's per-partition counts BEFORE publishing:
+    // they become the next trigger's debt baseline
+    writeBase(nextDir, countParquet(Paths.get(nextDir)))
     val tmp = Paths.get(table, s"_CURRENT.tmp$next")
-    Files.writeString(tmp, s"$next\nbase=$base")
+    Files.writeString(tmp, next.toString)
     Files.move(tmp, pointer(table), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     true
@@ -175,7 +196,8 @@ object Compaction {
           while (it.hasNext) {
             val p = it.next()
             val n = p.getFileName.toString
-            if (n != s"_v$cur" && n != "_CURRENT") buf += p
+            // `v$cur` kept too: legacy-layout live dir (see resolve)
+            if (n != s"_v$cur" && n != s"v$cur" && n != "_CURRENT") buf += p
           }
           buf.toSeq
         } finally stream.close()

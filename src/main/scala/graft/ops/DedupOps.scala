@@ -616,7 +616,13 @@ object DedupOps {
   def hotListDrift(spark: org.apache.spark.sql.SparkSession, path: String,
                    maxDf: Option[Int] = None): Long = {
     val cap = maxDf.getOrElse(
-      spark.read.parquet(s"$path/meta").head().getAs[Int]("max_df"))
+      // indexes persisted before the meta table existed fall back to
+      // the old build default rather than failing the health check
+      try spark.read.parquet(s"$path/meta").head().getAs[Int]("max_df")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" => 10
+      })
     spark.read.parquet(s"$path/dfs").filter(col("df") > cap)
       .join(spark.read.parquet(s"$path/hot"), Seq("fp"), "left_anti")
       .count()

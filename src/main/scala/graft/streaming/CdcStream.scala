@@ -141,7 +141,12 @@ object CdcStream {
   def dedupScreenStream(spark: SparkSession, inGlob: String,
                         checkpointDir: String, schema: StructType,
                         indexPath: String,
-                        onHits: (DataFrame, Long) => Unit): StreamingQuery =
+                        onHits: (DataFrame, Long) => Unit): StreamingQuery = {
+    // re-seed the replay memo from the ledger at stream start: a prior
+    // stream in this JVM may have run against an index since rebuilt at
+    // the same path (ledger wiped, batch ids restarted) — a stale
+    // high-water would silently skip absorbing the new batches
+    absorbedHighWater.remove((indexPath, checkpointDir))
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
@@ -153,6 +158,7 @@ object CdcStream {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** One screen-and-absorb micro-batch — the foreachBatch body of
     * [[dedupScreenStream]], public so the replay protocol is directly
