@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST line of the (tail-truncated) sbt log as
+// the headline JSON. sbt's own "[success] Total time: ..." trailer printed
+// after the forked program's output has masked it for four rounds — turn it
+// off globally so the program's final println is also the log's final line.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — exclude it
+// from the unused-setting lint so the bench log stays warning-free.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

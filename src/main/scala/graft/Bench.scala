@@ -25,7 +25,7 @@ object Bench {
     val s0 = System.nanoTime()
     val setupStages =
       try SparkEntry.warmSharedCaches(spark, sfDir)
-      catch { case _: Throwable => Seq.empty[(String, Double)] }
+      catch { case _: Throwable => Seq.empty[(String, String, Double)] }
     val setup = (System.nanoTime() - s0) / 1e9
     // fixed name order: per-query numbers stay comparable across rounds
     // (Map order would shift residual costs between queries)
@@ -83,8 +83,12 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
-    val stagesJson = setupStages.map { case (k, v) => jstr(k) + ":" + f(v) }
-      .mkString("{", ",", "}")
+    // stage values are objects carrying the chain that ran them: chains
+    // overlap, so a stage-time regression is only diagnosable with the
+    // chain identity next to it (slow stage vs slow chain-neighbor)
+    val stagesJson = setupStages.map { case (k, chain, v) =>
+      jstr(k) + ":" + s"""{"chain":${jstr(chain)},"secs":${f(v)}}"""
+    }.mkString("{", ",", "}")
     println(s"""{"metric":"raw","raw":$raw,"errors":$errs,"setup_stages":$stagesJson}""")
     // medians on their OWN line (was inside the headline through round 9:
     // at 76 queries that line was 1,987 bytes and sbt's trailing
@@ -112,8 +116,10 @@ object Bench {
       java.nio.file.Files.write(dir.resolve("BENCH_DETAIL.json"),
         detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () } // detail file is best-effort; never fail the bench
+    // Stop Spark BEFORE the headline: session shutdown can emit WARN lines,
+    // and nothing may trail the headline in the driver's log tail.
+    try spark.stop() catch { case _: Throwable => () }
     // headline LAST and tiny (~100 bytes): survives any tail window
     println(s"""{"metric":"total","sf":"$sfDir","setup":${f(setup)},"runs":$runs,"failed":$nFailed,"unit":"sec","value":${f(total)}}""")
-    spark.stop()
   }
 }

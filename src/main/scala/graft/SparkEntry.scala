@@ -719,7 +719,7 @@ object SparkEntry {
     * the queries use, so `Caches.ensureCached`'s canonicalized-plan
     * lookup (and the k-means `semanticHash` memo) resolve to the same
     * entries the queries hit. */
-  def warmSharedCaches(s: SparkSession, dir: String): Seq[(String, Double)] = {
+  def warmSharedCaches(s: SparkSession, dir: String): Seq[(String, String, Double)] = {
     // each warm stage is timed and returned so the bench can emit a
     // setup breakdown — a setup regression is then attributable to a
     // stage, the same property the per-run query times give the medians.
@@ -736,12 +736,21 @@ object SparkEntry {
     // headline `setup` wall time. Warm work is dominated by small jobs
     // and driver-side planning that a single chain can't keep 32 cores
     // busy with; overlapping chains reclaims that idle width.
-    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    // (stage, chain, secs): chains overlap, so a stage regression must be
+    // attributable to its chain — "its chain got a slower neighbor" is a
+    // different diagnosis than "the stage itself regressed". The chain is
+    // read from the warm thread's name (set below), so call sites stay
+    // chain-agnostic.
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
     def stage(name: String)(body: => Unit): Unit = {
+      val chain = Thread.currentThread.getName match {
+        case n if n.startsWith("graft-warm-") => n.stripPrefix("graft-warm-")
+        case _ => "caller" // direct (non-chained) invocation, e.g. a test
+      }
       val t0 = System.nanoTime()
       body
       val dt = (System.nanoTime() - t0) / 1e9
-      stages.synchronized { stages += name -> dt }
+      stages.synchronized { stages += ((name, chain, dt)) }
     }
     val docs = Tables.documents(s, dir)
     val chains = Seq[(String, () => Unit)](

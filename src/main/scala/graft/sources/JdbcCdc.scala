@@ -34,6 +34,21 @@ object JdbcCdc {
   final case class Conn(url: String, user: String, password: String,
                        driver: String)
 
+  /** The two SQL renderings this layer needs to vary by target database.
+    * `Pg` is the deployment dialect (ANSI timestamp literals, windowed
+    * row_number, UPDATE..FROM); `Ansi` is the lowest-common-denominator
+    * rendering proven live against embedded Derby (JdbcSpec): the
+    * `TIMESTAMP('...')` literal function, and merge statements built
+    * from correlated subqueries only (Derby accepts no PARTITION BY in
+    * a window and no FROM clause on UPDATE). */
+  sealed trait Dialect { def tsLiteral(ts: String): String }
+  case object Pg extends Dialect {
+    def tsLiteral(ts: String): String = s"TIMESTAMP '$ts'"
+  }
+  case object Ansi extends Dialect {
+    def tsLiteral(ts: String): String = s"TIMESTAMP('$ts')"
+  }
+
   private val tsFmt = java.time.format.DateTimeFormatter
     .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
 
@@ -48,11 +63,15 @@ object JdbcCdc {
     * the timestamp is rendered as an ANSI literal, not interpolated
     * user text. */
   def watermarkSubquery(table: String, tsCols: Seq[String],
-                        watermark: java.time.Instant): String = {
+                        watermark: java.time.Instant,
+                        dialect: Dialect = Pg): String = {
     require(tsCols.nonEmpty, "watermarkSubquery needs at least one ts column")
-    val wm = tsLit(watermark)
-    val preds = tsCols.map(c => s"$c > TIMESTAMP '$wm'").mkString(" OR ")
-    s"(SELECT *, 'UPSERT' AS operation_type FROM $table WHERE $preds) AS graft_src"
+    val wm = dialect.tsLiteral(tsLit(watermark))
+    val preds = tsCols.map(c => s"$c > $wm").mkString(" OR ")
+    // qualified star: ANSI targets (Derby live-tested) reject a bare
+    // `SELECT *, expr` select list; `alias.*, expr` parses everywhere
+    s"(SELECT graft_t.*, 'UPSERT' AS operation_type FROM $table graft_t" +
+      s" WHERE $preds) AS graft_src"
   }
 
   /** Option map for a parallel partitioned JDBC read: Spark issues
@@ -86,23 +105,32 @@ object JdbcCdc {
   def read(spark: SparkSession, conn: Conn, table: String,
            tsCols: Seq[String], watermark: java.time.Instant,
            partitionCol: String, lower: Long, upper: Long,
-           numPartitions: Int): DataFrame =
+           numPartitions: Int, dialect: Dialect = Pg): DataFrame =
     spark.read.format("jdbc")
-      .options(readOptions(conn, watermarkSubquery(table, tsCols, watermark),
+      .options(readOptions(conn,
+        watermarkSubquery(table, tsCols, watermark, dialect),
         partitionCol, lower, upper, numPartitions))
       .load()
 
   /** Stage a change batch into a scratch table with Spark's parallel
     * JDBC writer (overwrite: staging is per-batch scratch). The merge
     * then runs as ONE transaction over this table: [[upsertSql]] first,
-    * [[expireSql]] second (see [[expireSql]] for why that order). */
+    * [[expireSql]] second (see [[expireSql]] for why that order).
+    * `columnTypes` overrides the dialect's default DDL type per column
+    * (Spark's createTableColumnTypes) — e.g. VARCHAR instead of a
+    * default TEXT/CLOB whose values the merge SQL could not compare. */
   def stage(df: DataFrame, conn: Conn, stagingTable: String,
-            batchPartitions: Int = 8): Unit =
-    df.repartition(batchPartitions).write.format("jdbc")
+            batchPartitions: Int = 8,
+            columnTypes: Map[String, String] = Map.empty): Unit = {
+    val w = df.repartition(batchPartitions).write.format("jdbc")
       .option("url", conn.url).option("user", conn.user)
       .option("password", conn.password).option("driver", conn.driver)
       .option("dbtable", stagingTable)
+    (if (columnTypes.isEmpty) w
+     else w.option("createTableColumnTypes",
+       columnTypes.map { case (c, t) => s"$c $t" }.mkString(", ")))
       .mode("overwrite").save()
+  }
 
   /** The set-based form of the reference's per-key expire loop
     * (scd2_loader.py:276-301): ONE statement closes every current row
@@ -159,6 +187,55 @@ object JdbcCdc {
        |      FROM $stagingTable) s
        |WHERE s.graft_rn = 1
        |  AND s.operation_type <> 'DELETE'
+       |  AND NOT EXISTS (SELECT 1 FROM $dimTable d
+       |                  WHERE d.$key = s.$key
+       |                    AND COALESCE(d.valid_to, d.valid_from) >= s.$tsCol)""".stripMargin
+  }
+
+  /** [[expireSql]] rendered in the [[Ansi]] dialect: Derby (and other
+    * targets without PostgreSQL's `UPDATE .. FROM`) get the same
+    * set-based expire as two correlated subqueries against the staging
+    * table — the per-key max is computed twice, but the planner shares
+    * it and the staging table is batch-sized either way. Keys absent
+    * from the batch compare against NULL and are untouched; run AFTER
+    * [[upsertSqlAnsi]] in the same transaction (the freshly inserted
+    * current row has `valid_from` = the key's max staged ts, which
+    * fails the strict `<`, so only the superseded row closes — the same
+    * order argument as [[expireSql]]). */
+  def expireSqlAnsi(dimTable: String, stagingTable: String, key: String,
+                    tsCol: String): String =
+    s"""UPDATE $dimTable d
+       |SET valid_to = (SELECT max(s.$tsCol) FROM $stagingTable s
+       |                WHERE s.$key = d.$key),
+       |    is_current = FALSE
+       |WHERE d.is_current = TRUE
+       |  AND d.valid_from < (SELECT max(s.$tsCol) FROM $stagingTable s
+       |                      WHERE s.$key = d.$key)""".stripMargin
+
+  /** [[upsertSql]] rendered in the [[Ansi]] dialect: the in-batch
+    * last-write-wins dedup is a NOT EXISTS over the staging table on the
+    * same strict (ts DESC, tie DESC) order instead of a windowed
+    * row_number (which Derby cannot parse). Semantically identical to
+    * [[upsertSql]] PROVIDED (key, ts, tie) has no exact duplicates in
+    * the staging batch — row_number would arbitrarily keep one of two
+    * fully tied rows where the NOT EXISTS keeps both; the engine's
+    * staging feed satisfies this (the tie column is a unique change
+    * sequence, the same uniqueness `Cdc.dedupLastPerKey`'s determinism
+    * already relies on). The timeline-end guard is byte-identical to
+    * [[upsertSql]]'s. */
+  def upsertSqlAnsi(dimTable: String, stagingTable: String, key: String,
+                    tsCol: String, tie: String, cols: Seq[String]): String = {
+    val colList = (Seq(key) ++ cols ++ Seq("valid_from", "is_current")).mkString(", ")
+    val selList = (Seq(s"s.$key") ++ cols.map(c => s"s.$c") ++
+      Seq(s"s.$tsCol", "TRUE")).mkString(", ")
+    s"""INSERT INTO $dimTable ($colList)
+       |SELECT $selList
+       |FROM $stagingTable s
+       |WHERE s.operation_type <> 'DELETE'
+       |  AND NOT EXISTS (SELECT 1 FROM $stagingTable s2
+       |                  WHERE s2.$key = s.$key
+       |                    AND (s2.$tsCol > s.$tsCol
+       |                         OR (s2.$tsCol = s.$tsCol AND s2.$tie > s.$tie)))
        |  AND NOT EXISTS (SELECT 1 FROM $dimTable d
        |                  WHERE d.$key = s.$key
        |                    AND COALESCE(d.valid_to, d.valid_from) >= s.$tsCol)""".stripMargin
