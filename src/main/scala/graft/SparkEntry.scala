@@ -539,6 +539,17 @@ object SparkEntry {
       SimilarityOps.queryIvfIndex(s, mergedIvfPath(s, dir),
         queryEmbedding(s, dir, 0L), 10, nprobe = 1, excludeIds = Seq(0L))),
 
+    // Batch ANN probe — the shape a dedup sweep actually runs: every
+    // 97th vector queries the stored index AT ONCE; cells rank against
+    // the broadcast centroid table, then ONE dynamically-pruned
+    // assignments scan serves the whole batch (vs |batch| scans of the
+    // per-query path), windowed top-5 per query.
+    "ann_ivf_batch_topk" -> ((s, dir) =>
+      SimilarityOps.queryIvfIndexBatch(s, storedIvfPath(s, dir),
+        Tables.embeddings(s, dir).filter(col("vec_id") % 97 === 0),
+        topK = 5, nprobe = 1)
+        .orderBy(col("q_id"), desc("cosine"), col("vec_id"))),
+
     // Stored BM25 inverted index — build-once/query-many keyword
     // retrieval; scores are bit-identical to the inline text_bm25_topk
     // (same integer tf/df/dl operands, same fold order), so it shares
@@ -1060,14 +1071,21 @@ object SparkEntry {
     * the training corpus (the incremental build/merge scenario: centroids
     * come from the initially indexed subset, assignments cover every
     * vector); None trains on the full corpus. */
-  private def ivfKmeansOracleSql(trainPred: Option[String]): String = {
-    val iters = 2
+  /** DuckDB squared-L2 — mirror of the `graft_l2sq` fold. */
+  private def dSql(a: String, b: String) =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, el) -> acc + el)"
+
+  /** The k-means training + final-assignment CTE chain shared by every
+    * IVF oracle: replays [[SimilarityOps.kmeansCentroids]] exactly
+    * (first-8 seed, `iters` Lloyd rounds, DECIMAL mean accumulation) and
+    * ends with `fin` (vec_id, v, cl) plus the final centroid table
+    * `c$iters`. `trainPred` limits TRAINING to a subset (the merged-
+    * index scenario) while `fin` still assigns every vector. */
+  private def ivfFinCtes(trainPred: Option[String], iters: Int = 2): String = {
     val (src, trainCte) = trainPred match {
       case None    => ("e", "")
       case Some(p) => ("et", s",\net AS (SELECT * FROM e WHERE $p)")
     }
-    def dSql(a: String, b: String) =
-      s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, el) -> acc + el)"
     def iterCte(t: Int): String =
       s"""a$t AS (
          |  SELECT vec_id, v, cl FROM (
@@ -1092,7 +1110,12 @@ object SparkEntry {
        |    SELECT e.vec_id, e.v, c.cl,
        |           row_number() OVER (PARTITION BY e.vec_id
        |             ORDER BY ${dSql("e.v", "c.cv")}, c.cl) AS rn
-       |    FROM e, c$iters c) WHERE rn = 1),
+       |    FROM e, c$iters c) WHERE rn = 1)""".stripMargin
+  }
+
+  private def ivfKmeansOracleSql(trainPred: Option[String]): String = {
+    val iters = 2
+    s"""${ivfFinCtes(trainPred, iters)},
        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
        |best AS (
        |  SELECT cl FROM c$iters, q
@@ -1102,6 +1125,33 @@ object SparkEntry {
        |FROM fin f JOIN best USING (cl), q
        |WHERE f.vec_id <> 0
        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** Oracle for the batch probe: each query (`vec_id % 97 = 0`) ranks
+    * the final centroids for its nearest cell (nprobe=1), joins the
+    * full assignment to its cell, cosine top-5 per query — the same
+    * math as [[SimilarityOps.queryIvfIndexBatch]] over the stored
+    * index built on the full corpus. */
+  private def ivfBatchOracleSql: String = {
+    val iters = 2
+    s"""${ivfFinCtes(None, iters)},
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 97 = 0),
+       |best AS (
+       |  SELECT q_id, qv, cl FROM (
+       |    SELECT q.q_id, q.qv, c.cl,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY ${dSql("c.cv", "q.qv")}, c.cl) AS rn
+       |    FROM q, c$iters c) WHERE rn = 1),
+       |scored AS (
+       |  SELECT b.q_id, f.vec_id, CAST(f.cl AS BIGINT) AS cluster,
+       |         round(${cosSql("f.v", "b.qv")}, 6) AS cosine
+       |  FROM fin f JOIN best b USING (cl)
+       |  WHERE f.vec_id <> b.q_id)
+       |SELECT q_id, vec_id, cluster, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |            ORDER BY cosine DESC, vec_id) AS rn
+       |  FROM scored) WHERE rn <= 5
+       |ORDER BY q_id, cosine DESC, vec_id""".stripMargin
   }
 
   /** Per-plane sign-bit expressions of the hyperplane LSH — mirror of
@@ -1517,6 +1567,9 @@ object SparkEntry {
     // assignment pass still covers every vector, exactly as the stored
     // index does after build(subset) + merge(remainder)
     "ann_ivf_merged_topk" -> ivfKmeansOracleSql(trainPred = Some(IvfMergeBuildPred)),
+
+    // batch probe: same training replay, every 97th vector as a query
+    "ann_ivf_batch_topk" -> ivfBatchOracleSql,
 
     "ann_pq_topk" ->
       s"""$pqCtesSql

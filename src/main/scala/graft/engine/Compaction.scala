@@ -75,6 +75,32 @@ object Compaction {
       else hidden
     }.getOrElse(table)
 
+  /** Run an append (`body`, handed the resolved live data dir) and then
+    * verify the `_CURRENT` pointer did not move while it ran. The
+    * documented discipline is single-writer — merge, compact, and
+    * vacuum are SCHEDULED, never concurrent — but a scheduling bug that
+    * lets a compactor swap the pointer mid-append would otherwise be
+    * SILENT data loss: the rows land in the superseded version dir and
+    * the next vacuum deletes them. This guard turns that race into a
+    * loud failure AFTER the write but BEFORE the caller records the
+    * batch as applied (ledger append / checkpoint commit), so the
+    * batch replays against the new live version on restart — the same
+    * recovery path as a crash mid-merge. Replayed appends can leave
+    * duplicate rows behind (the compactor may have caught part of the
+    * lost write); read paths that aggregate per-posting tolerate this
+    * via candidate-level dedup (DedupOps.queryFingerprintIndex). */
+  def guardedAppend[T](table: String)(body: String => T): T = {
+    val live = resolve(table)
+    val out = body(live)
+    val after = resolve(table)
+    if (after != live)
+      throw new java.util.ConcurrentModificationException(
+        s"append to $table raced a compaction (live dir moved " +
+          s"$live -> $after): single-writer discipline violated; " +
+          "the batch was NOT recorded as applied and must be replayed")
+    out
+  }
+
   /** Parquet data files per leaf directory under `root`, mirroring
     * Spark's listing rule: any path with a `_`/`.`-prefixed component
     * BELOW the root is skipped (crash-orphaned `_v{N}` dirs and sidecar
@@ -123,6 +149,15 @@ object Compaction {
     Files.writeString(Paths.get(dir, "_BASE"),
       counts.toSeq.sorted.map { case (p, n) => s"$n\t$p" }.mkString("\n"))
 
+  /** Record `table`'s CURRENT per-partition file counts as its debt
+    * baseline. Builds call this right after writing a plain-layout
+    * table: a legitimately large fresh build (layout repartitions can
+    * emit hundreds of files) must read as zero debt, not as an instant
+    * trigger — without a baseline the first scheduled [[compactTable]]
+    * would pointlessly rewrite a table no merge has touched. */
+  def seedBase(table: String): Unit =
+    writeBase(resolve(table), filesPerPartition(table))
+
   private def publishedBase(table: String): Map[String, Int] = {
     val p = Paths.get(resolve(table), "_BASE")
     if (!Files.exists(p)) Map.empty
@@ -155,10 +190,14 @@ object Compaction {
                    partitionBy: Seq[String] = Nil,
                    maxFilesPerPartition: Int = 8): Boolean = {
     val counts = filesPerPartition(table)
-    val base = publishedBase(table)
     // debt is PER PARTITION against that partition's published count
     // (new partitions debit from 0): a single large partition must not
-    // grant slack to small ones under a global max
+    // grant slack to small ones under a global max. A plain table with
+    // no `_BASE` measures against 0 — correct for pure-append tables
+    // like the Ledger (every file IS debt), while build paths seed
+    // their baseline explicitly ([[seedBase]]) so a large fresh build
+    // does not read as instant debt.
+    val base = publishedBase(table)
     val inDebt = counts.exists { case (part, n) =>
       n - base.getOrElse(part, 0) > maxFilesPerPartition
     }

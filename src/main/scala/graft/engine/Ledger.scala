@@ -28,8 +28,13 @@ class Ledger(spark: SparkSession, path: String) {
     }
 
   def append(filename: String, batchId: String): Unit =
-    Seq((filename, batchId)).toDF("filename", "batch_id")
-      .write.mode("append").parquet(Compaction.resolve(path))
+    // guardedAppend: a ledger row that lands in a superseded version
+    // dir would be vacuumed away and the batch re-applied forever —
+    // fail loudly instead (single-writer discipline, see Compaction)
+    Compaction.guardedAppend(path) { live =>
+      Seq((filename, batchId)).toDF("filename", "batch_id")
+        .write.mode("append").parquet(live)
+    }
 
   /** The ledger appends ONE tiny parquet file per applied batch forever
     * — the same small-file debt as the stored-index merges, just

@@ -569,6 +569,10 @@ object DedupOps {
     spark.read.parquet(s"$path/postings")
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$path/sizes")
+    // freeze the fresh layout's file counts as the compaction trigger's
+    // debt baseline: a large build is not debt (Compaction.seedBase)
+    Compaction.seedBase(s"$path/postings")
+    Compaction.seedBase(s"$path/sizes")
   }
 
   /** Append a new batch to the index: postings/sizes are APPENDED (old
@@ -576,7 +580,21 @@ object DedupOps {
     * re-summed from O(|new|+|vocab|) inputs, the hot list stays frozen.
     * Merge cost is O(|new docs|) regardless of index size. Assumes
     * `newDocs` is doc_id-disjoint from the indexed corpus (the CDC
-    * contract: updates arrive as delete + insert). */
+    * contract: updates arrive as delete + insert).
+    *
+    * NOT batch-atomic: this is THREE writes (postings append, sizes
+    * append, dfs overwrite), so a crash anywhere inside leaves a
+    * partially applied batch with no ledger row, and the ledger
+    * protocol ([[graft.streaming.CdcStream.screenAndAbsorb]]) replays
+    * the WHOLE merge on restart. The replay's effects are contained:
+    * duplicated postings/sizes rows are exact duplicates that
+    * [[queryFingerprintIndex]] drops at candidate level, so screening
+    * results are unaffected; dfs can double-count the batch's
+    * fingerprints IF the crash hit after the dfs overwrite, which can
+    * only overstate [[hotListDrift]]'s advisory rebuild signal, never a
+    * screening answer. True multi-table atomicity would need a
+    * manifest/commit-log layer (Delta-style) this engine deliberately
+    * doesn't carry. */
   def mergeFingerprintIndex(newDocs: DataFrame, path: String, k: Int = 8,
                             w: Int = 4): Unit = {
     val spark = newDocs.sparkSession
@@ -586,12 +604,17 @@ object DedupOps {
     if (ex.isEmpty) return
     val kept = Caches.ensureCached(
       ex.join(spark.read.parquet(s"$path/hot"), Seq("fp"), "left_anti"))
-    kept.repartition(col("fp")).sortWithinPartitions("fp", "doc_id")
-      .write.mode("append")
-      .parquet(Compaction.resolve(s"$path/postings"))
-    kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      .write.mode("append")
-      .parquet(Compaction.resolve(s"$path/sizes"))
+    // guardedAppend: fail loudly (BEFORE the caller's ledger append, so
+    // the batch replays) if a compactor swapped the pointer mid-append —
+    // rows written into a superseded version would be vacuumed away
+    Compaction.guardedAppend(s"$path/postings") { live =>
+      kept.repartition(col("fp")).sortWithinPartitions("fp", "doc_id")
+        .write.mode("append").parquet(live)
+    }
+    Compaction.guardedAppend(s"$path/sizes") { live =>
+      kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .write.mode("append").parquet(live)
+    }
     val mergedDfs = spark.read.parquet(s"$path/dfs")
       .unionByName(ex.groupBy("fp").agg(count(lit(1)).as("df")))
       .groupBy("fp").agg(sum("df").as("df"))
@@ -651,7 +674,18 @@ object DedupOps {
     val feedSizes = feed.groupBy("doc_id").agg(count(lit(1)).as("nn"))
     val cand = spark.read.parquet(Compaction.resolve(s"$path/postings")).as("i")
       .join(maybeBroadcast(feed.as("f")), col("i.fp") === col("f.fp"))
-      .groupBy(col("f.doc_id").as("doc_new"), col("i.doc_id").as("doc_old"))
+      // candidate-level dedup: (doc, fp) is unique per doc by
+      // construction (winnowFps emits a distinct set), so this is a
+      // no-op on a healthy index — but a crash mid-merge replayed by
+      // the ledger protocol can leave the same posting twice
+      // (mergeFingerprintIndex is multi-write, see its doc), and
+      // without this the duplicate would inflate n_shared/containment
+      // for those docs forever. Runs on the batch-sized join output,
+      // never on the index.
+      .select(col("f.doc_id").as("doc_new"), col("i.doc_id").as("doc_old"),
+        col("i.fp").as("fp"))
+      .dropDuplicates("doc_new", "doc_old", "fp")
+      .groupBy(col("doc_new"), col("doc_old"))
       .agg(count(lit(1)).as("n_shared"))
       .join(maybeBroadcast(feedSizes.withColumnRenamed("doc_id", "doc_new")),
         "doc_new")
@@ -664,5 +698,10 @@ object DedupOps {
         col("n_shared").cast("double") / least(col("nn"), col("n")))
       .filter(col("containment") >= minContainment)
       .select("doc_new", "doc_old", "n_shared", "containment")
+      // same replay tolerance for the sizes side: a replayed merge
+      // appends a doc's (identical) size row twice, which would emit
+      // each of its audit rows twice; candidates are batch-sized, so
+      // the dedup is cheap and a no-op on a healthy index
+      .dropDuplicates("doc_new", "doc_old")
   }
 }

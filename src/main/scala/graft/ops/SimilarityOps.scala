@@ -354,12 +354,18 @@ object SimilarityOps {
     e.withColumn("cluster", assignCluster(col("v"), cents).cast("long"))
       .write.partitionBy("cluster").mode("overwrite")
       .parquet(s"$path/assignments")
+    // freeze the fresh layout's file counts as the compaction trigger's
+    // debt baseline: a large build is not debt (Compaction.seedBase)
+    Compaction.seedBase(s"$path/assignments")
     // one-row quality meta: the build corpus's mean quantization error —
     // the yardstick every later merge's drift is measured against
     val m = e.agg(count(lit(1)).as("n"),
       avg(assignedDist2(col("v"), cents)).as("mean_d2")).head()
     Seq((m.getLong(0), m.getDouble(1))).toDF("n", "mean_d2")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // a rebuild replaces the centroids — drop the read paths' memo
+    storedCentroidMemo.remove(s"$path/centroids")
+    ()
   }
 
   /** Incremental stored-IVF maintenance — the CDC×ANN composition: new
@@ -376,13 +382,16 @@ object SimilarityOps {
     val spark = newVecs.sparkSession
     import spark.implicits._
     VectorExpressions.register(spark)
-    val cents: Seq[Seq[Double]] = spark.read.parquet(s"$path/centroids")
-      .orderBy("cluster").collect().toSeq
-      .map(_.getSeq[Double](1).toIndexedSeq)
+    // frozen build-time centroids via the same memo the query path uses
+    // (one collect per process, not one per merged batch)
+    val cents: Seq[Seq[Double]] = storedCentroids(spark, path).map(_._2)
     val nv = newVecs.select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
-    nv.withColumn("cluster", assignCluster(col("v"), cents).cast("long"))
-      .write.partitionBy("cluster").mode("append")
-      .parquet(Compaction.resolve(s"$path/assignments"))
+    // guardedAppend: loud failure (so the caller replays the batch) if
+    // a compactor swapped the pointer mid-append — see Compaction
+    Compaction.guardedAppend(s"$path/assignments") { live =>
+      nv.withColumn("cluster", assignCluster(col("v"), cents).cast("long"))
+        .write.partitionBy("cluster").mode("append").parquet(live)
+    }
     // drift bookkeeping: one appended row per merge — the new batch's
     // mean quantization error against the FROZEN build-time centroids.
     // O(1) storage per merge; [[shouldRetrain]] turns the accumulated
@@ -416,22 +425,48 @@ object SimilarityOps {
     if (buildMean <= 0.0) mergeMean > 0.0 else mergeMean / buildMean > threshold
   }
 
+  // Per-process memo of stored-index centroid tables, keyed by the
+  // centroids dir: k tiny control-plane rows that the read paths would
+  // otherwise re-read (parquet listing + footer + one-job collect) on
+  // EVERY query/merge — at deployment QPS the cell probe must be warm
+  // driver arithmetic, the same treatment the inline variant's
+  // givenCellCentroids cache got. [[buildIvfIndex]] (the only writer of
+  // centroids) invalidates.
+  private val storedCentroidMemo = scala.collection.concurrent.TrieMap
+    .empty[String, IndexedSeq[(Long, IndexedSeq[Double])]]
+
+  private def storedCentroids(spark: org.apache.spark.sql.SparkSession,
+                              path: String): IndexedSeq[(Long, IndexedSeq[Double])] =
+    storedCentroidMemo.getOrElseUpdate(s"$path/centroids",
+      spark.read.parquet(s"$path/centroids").orderBy("cluster")
+        .collect().toIndexedSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq)))
+
+  /** Driver-side squared L2 — the same left-to-right fold as the
+    * codegen'd `graft_l2sq` kernel (and the oracle's `list_reduce`), so
+    * a probe decided here picks bit-identically the same cell. */
+  private def l2sqLocal(a: Seq[Double], b: Seq[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0; var i = 0
+    while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
+  }
+
   /** Query a stored IVF index: pick the query's nearest `nprobe` cells
-    * from the (tiny) centroid table, scan ONLY those cells' partitions,
-    * cosine top-k inside. No training, no full-corpus scan. `excludeIds`
-    * drops known ids (e.g. the query vector itself when it is part of the
+    * from the (tiny, memoized) centroid table — pure driver arithmetic,
+    * no Spark job — then scan ONLY those cells' partitions, cosine
+    * top-k inside. No training, no full-corpus scan. `excludeIds` drops
+    * known ids (e.g. the query vector itself when it is part of the
     * indexed corpus) before the top-k cut. */
   def queryIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     queryVec: Seq[Double], topK: Int,
                     nprobe: Int = 1, excludeIds: Seq[Long] = Nil): DataFrame = {
     VectorExpressions.register(spark)
-    val cents = spark.read.parquet(s"$path/centroids")
-    val probed = cents
-      .select(col("cluster"),
-        call_function("graft_l2sq", col("c"), typedlit(queryVec)).as("_d"))
-      .orderBy(col("_d"), col("cluster"))
-      .select("cluster").limit(nprobe)
-    val cells = probed.collect().toIndexedSeq.map(_.getLong(0))
+    // (distance, cluster) ascending — the same (_d, cluster) tie-break
+    // order the previous Spark-job formulation sorted by
+    val cells = storedCentroids(spark, path)
+      .map { case (cl, c) => (l2sqLocal(c, queryVec), cl) }
+      .sorted.take(nprobe).map(_._2)
     val scan = spark.read.parquet(Compaction.resolve(s"$path/assignments"))
       .filter(col("cluster").isin(cells: _*)) // → PartitionFilters, pruned scan
     val kept =
@@ -448,6 +483,62 @@ object SimilarityOps {
           6).as("cosine"))
       .orderBy(desc("cosine"), col("vec_id"))
       .limit(topK)
+  }
+
+  /** Batch probe over a stored IVF index — the shape a training-data
+    * pipeline actually runs (a dedup sweep queries with every new doc's
+    * embedding, thousands per batch), where per-query [[queryIvfIndex]]
+    * calls would issue one pruned scan EACH:
+    *
+    *  1. every query row ranks the (tiny, broadcast) centroid table and
+    *     keeps its `nprobe` nearest cells — one narrow shuffle-free
+    *     pass over the batch;
+    *  2. ONE scan of the assignments table joined (broadcast, on the
+    *     partition column) to the probed (query, cell) pairs — Spark's
+    *     dynamic partition pruning limits the scan to the UNION of
+    *     probed cells, so the whole batch costs one pruned scan instead
+    *     of |batch| of them;
+    *  3. cosine per (query, candidate), windowed top-k per query — the
+    *     only shuffle, keyed by query id over candidate-sized data.
+    *
+    * `queries` needs (vec_id, embedding); self-matches (same vec_id on
+    * both sides) are excluded, matching the single-query paths'
+    * `excludeIds = Seq(id)` convention. Returns
+    * (q_id, vec_id, cluster, cosine), top-k rows per q_id. */
+  def queryIvfIndexBatch(spark: org.apache.spark.sql.SparkSession,
+                         path: String, queries: DataFrame, topK: Int,
+                         nprobe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    VectorExpressions.register(spark)
+    val spk = spark
+    import spk.implicits._
+    val q = queries.select(col("vec_id").as("q_id"),
+      asDoubleVec(col("embedding")).as("qv"))
+    val cents = storedCentroids(spark, path)
+      .map { case (cl, c) => (cl, c: Seq[Double]) }.toDF("cluster", "c")
+    val probed = q.crossJoin(broadcast(cents))
+      .withColumn("_d", call_function("graft_l2sq", col("qv"), col("c")))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("_d"), col("cluster"))))
+      .filter(col("_rn") <= nprobe)
+      // the query's norm is a per-query constant — compute it once here
+      // (nprobe rows per query) instead of per candidate row
+      .select(col("q_id"), col("qv"),
+        sqrt(call_function("graft_dot", col("qv"), col("qv"))).as("qn"),
+        col("cluster"))
+    val scan = spark.read.parquet(Compaction.resolve(s"$path/assignments"))
+    scan.join(broadcast(probed), "cluster") // partition-column join → DPP
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        col("cluster").cast("long").as("cluster"),
+        round(
+          call_function("graft_dot", col("v"), col("qv")) /
+            (sqrt(call_function("graft_dot", col("v"), col("v"))) * col("qn")),
+          6).as("cosine"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cosine"), col("vec_id"))))
+      .filter(col("_rn") <= topK)
+      .drop("_rn")
   }
 
   /** Build the PQ index as a stored artifact — the missing half of
@@ -487,6 +578,9 @@ object SimilarityOps {
     }
     e.select(col("vec_id") +: codeCols: _*)
       .write.mode("overwrite").parquet(s"$path/codes")
+    // freeze the fresh layout's file counts as the compaction trigger's
+    // debt baseline: a large build is not debt (Compaction.seedBase)
+    Compaction.seedBase(s"$path/codes")
     // one-row quality meta, mirroring buildIvfIndex: the build corpus's
     // mean quantization distortion (squared L2 between each vector and
     // its code reconstruction, summed over subspaces) — the yardstick
@@ -533,9 +627,12 @@ object SimilarityOps {
       assignCluster(expr(s"slice(v, ${s * subDim + 1}, $subDim)"), codebooks(s))
         .as(s"code_$s")
     }
-    e.select(col("vec_id") +: codeCols: _*)
-      .write.mode("append")
-      .parquet(Compaction.resolve(s"$path/codes"))
+    // guardedAppend: loud failure (so the caller replays the batch) if
+    // a compactor swapped the pointer mid-append — see Compaction
+    Compaction.guardedAppend(s"$path/codes") { live =>
+      e.select(col("vec_id") +: codeCols: _*)
+        .write.mode("append").parquet(live)
+    }
     // drift bookkeeping, mirroring mergeIvfIndex: one appended row per
     // merge — the batch's mean quantization distortion against the
     // FROZEN codebooks. O(1) storage per merge; [[shouldRetrainPq]]

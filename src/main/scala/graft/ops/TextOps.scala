@@ -387,6 +387,9 @@ object TextOps {
     postings
       .repartition(col("term")).sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(s"$path/postings")
+    // freeze the fresh layout's file counts as the compaction trigger's
+    // debt baseline: a large build is not debt (Compaction.seedBase)
+    Compaction.seedBase(s"$path/postings")
     val stored = docs.sparkSession.read.parquet(s"$path/postings")
     stored.groupBy("term").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$path/lexicon")
@@ -423,10 +426,13 @@ object TextOps {
       .select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("term"))
       .groupBy("term", "doc_id", "dl")
       .agg(count(lit(1)).cast("int").as("tf"))
-    postings
-      .repartition(col("term")).sortWithinPartitions("term", "doc_id")
-      .write.mode("append")
-      .parquet(Compaction.resolve(s"$path/postings"))
+    // guardedAppend: loud failure (so the caller replays the batch) if
+    // a compactor swapped the pointer mid-append — see Compaction
+    Compaction.guardedAppend(s"$path/postings") { live =>
+      postings
+        .repartition(col("term")).sortWithinPartitions("term", "doc_id")
+        .write.mode("append").parquet(live)
+    }
     val newDf = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val mergedLex = spark.read.parquet(s"$path/lexicon")
       .unionByName(newDf)

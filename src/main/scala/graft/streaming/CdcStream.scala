@@ -130,18 +130,31 @@ object CdcStream {
     * [[graft.engine.Ledger]]'s (stream, batch-id) check — the same
     * protocol the SCD2 loader uses
     * (/root/reference/src/warehouse/scd2_loader.py:501-538) — so a
-    * replayed batch is re-absorbed only in the one-instruction residual
-    * window the reference shares (see [[screenAndAbsorb]]).
+    * replayed batch is re-absorbed only in the residual window between
+    * merge start and ledger append (see [[screenAndAbsorb]] for its
+    * width and why replays inside it are tolerated).
+    *
     * Long-running streams accumulate append debt in the index (one
-    * postings file per batch per partition) — pair with SCHEDULED
-    * [[graft.engine.Compaction.compactIndex]] maintenance, deliberately
-    * not inlined per batch: compaction rewrites the whole table, so
-    * running it inside the trigger loop would make total write work
-    * quadratic in stream lifetime. */
+    * postings file per batch per partition). `maintainEvery` = N > 0
+    * runs [[maintainFingerprintIndex]] every N batches INSIDE the
+    * trigger loop — between batches, never concurrent with a merge,
+    * which is the single-writer discipline Compaction requires (merge /
+    * compact / vacuum are scheduled, never concurrent; an external
+    * compactor racing this stream's merges would lose appended rows to
+    * the next vacuum, which the merge-side pointer guard turns into a
+    * loud replayable failure rather than silent loss). Periodic, not
+    * per batch: compaction rewrites the whole table, so inlining it
+    * every batch would make total write work quadratic in stream
+    * lifetime; every N batches it amortizes to linear. 0 disables the
+    * tick — then schedule [[maintainFingerprintIndex]] yourself at
+    * moments the stream is quiesced (stopped, or drained between
+    * AvailableNow runs). */
   def dedupScreenStream(spark: SparkSession, inGlob: String,
                         checkpointDir: String, schema: StructType,
                         indexPath: String,
-                        onHits: (DataFrame, Long) => Unit): StreamingQuery = {
+                        onHits: (DataFrame, Long) => Unit,
+                        maintainEvery: Int = 0,
+                        maintainMaxFiles: Int = 8): StreamingQuery = {
     // re-seed the replay memo from the ledger at stream start: a prior
     // stream in this JVM may have run against an index since rebuilt at
     // the same path (ledger wiped, batch ids restarted) — a stale
@@ -155,9 +168,46 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         screenAndAbsorb(spark, batch, id, indexPath, checkpointDir, onHits)
+        // the maintenance tick runs AFTER the batch is fully applied
+        // and ledgered, so a crash inside maintenance re-runs only
+        // maintenance (idempotent: triggers re-evaluate debt), never
+        // the merge
+        if (maintainEvery > 0 && id > 0 && id % maintainEvery == 0)
+          maintainFingerprintIndex(spark, indexPath, maintainMaxFiles)
       }
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** One scheduled-maintenance tick for a streamed-into fingerprint
+    * index — the glue the lifecycle verbs need to actually run beside a
+    * live stream (the reference runs its GC inline on a cadence the
+    * same way, /root/reference/src/cdc/log_extractor.py:212-227,266-267):
+    *
+    *  1. vacuum — reclaims versions superseded by the PREVIOUS tick's
+    *     compaction, i.e. at least one full maintenance window old, so
+    *     any reader planned against them has long finished its scan
+    *     (the compact-now / vacuum-next-tick split is the same
+    *     publish/vacuum posture as SnapshotStore);
+    *  2. compact — rewrites tables whose per-partition append debt
+    *     exceeds the threshold, behind the atomic pointer swap (no-op
+    *     below it — calling this tick too often costs two file listings,
+    *     not a rewrite);
+    *  3. the idempotency ledger gets the same treatment (it appends one
+    *     tiny file per batch forever).
+    *
+    * MUST run while no merge is in flight on `indexPath` — from the
+    * stream's own foreachBatch (between batches, as `maintainEvery`
+    * wires it), or with the stream stopped/drained. */
+  def maintainFingerprintIndex(spark: SparkSession, indexPath: String,
+                               maxFilesPerPartition: Int = 8): Unit = {
+    import graft.engine.{Compaction, Ledger}
+    Compaction.vacuumIndex(indexPath, "fingerprint")
+    Compaction.vacuum(s"$indexPath/_ledger")
+    Compaction.compactIndex(spark, indexPath, "fingerprint",
+      maxFilesPerPartition)
+    new Ledger(spark, s"$indexPath/_ledger").compact(maxFilesPerPartition)
+    ()
   }
 
   /** One screen-and-absorb micro-batch — the foreachBatch body of
@@ -172,10 +222,15 @@ object CdcStream {
     * keyed by batch id, the standard foreachBatch contract), but the
     * merge appends postings, so it is applied once per (streamId, id):
     * ledger check before, ledger append after. The residual window —
-    * crash between merge and ledger append — is the same one the
-    * reference has between its DB commit and `.processed_files` append
-    * (scd2_loader.py:523-538); both recover manually, and the window is
-    * one driver instruction wide, not a whole batch.
+    * crash after the merge STARTS but before the ledger append — spans
+    * the whole multi-write merge (mergeFingerprintIndex is three
+    * separate writes, see its doc), analogous to the reference's window
+    * between DB commit and `.processed_files` append
+    * (scd2_loader.py:523-538). A crash inside it replays the full merge
+    * on restart; the duplicates that can leave behind are exact-row
+    * duplicates that queryFingerprintIndex drops at candidate level, so
+    * screening answers survive the replay unchanged (only the advisory
+    * hotListDrift signal can overstate).
     *
     * The ledger is CONSULTED (a Spark job over the whole ledger table)
     * only on this process's first batch per (index, stream) — micro-
