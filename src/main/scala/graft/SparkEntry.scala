@@ -546,9 +546,18 @@ object SparkEntry {
     // per-query path), windowed top-5 per query.
     "ann_ivf_batch_topk" -> ((s, dir) =>
       SimilarityOps.queryIvfIndexBatch(s, storedIvfPath(s, dir),
-        Tables.embeddings(s, dir).filter(col("vec_id") % 97 === 0),
+        Tables.embeddings(s, dir).filter(expr(BatchQueryPred)),
         topK = 5, nprobe = 1)
         .orderBy(col("q_id"), desc("cosine"), col("vec_id"))),
+
+    // ADC sibling of the batch probe: no pruning exists for PQ (ADC is
+    // a full code-table scan by construction) — batching instead buys
+    // ONE scan for all queries, per-query distance tables broadcast as
+    // array columns.
+    "ann_pq_batch_topk" -> ((s, dir) =>
+      SimilarityOps.queryPqIndexBatch(s, storedPqPath(s, dir),
+        Tables.embeddings(s, dir).filter(expr(BatchQueryPred)), topK = 5)
+        .orderBy(col("q_id"), col("adc_dist"), col("vec_id"))),
 
     // Stored BM25 inverted index — build-once/query-many keyword
     // retrieval; scores are bit-identical to the inline text_bm25_topk
@@ -684,6 +693,11 @@ object SparkEntry {
     * on exactly these vectors. Keeps vec_id 0 (the demo query vector) in
     * the build set. */
   private val IvfMergeBuildPred = "vec_id % 4 < 3"
+
+  /** The batch-probe query set (every 97th vector — 6 queries at
+    * sf0.01, 21 at sf0.1), shared literally by the Spark closures and
+    * the oracle SQL of `ann_ivf_batch_topk`/`ann_pq_batch_topk`. */
+  private val BatchQueryPred = "vec_id % 97 = 0"
 
   /** Initial-corpus predicate for the merged BM25 index: the first ¾ of
     * documents are indexed at build time, the rest arrive as the change
@@ -997,7 +1011,11 @@ object SparkEntry {
     * `trainPred` restricts the CODEBOOK training corpus (the incremental
     * build/merge scenario: codebooks come from the initially indexed
     * subset, codes cover every vector); None trains on everything. */
-  private def pqOracleFragments(trainPred: Option[String]) = {
+  /** `batchPred` switches the query side from the single vec_id=0 vector
+    * to a per-query distance table keyed by `q_id` (the batch-probe
+    * oracle); the training/code CTEs are identical either way. */
+  private def pqOracleFragments(trainPred: Option[String],
+                                batchPred: Option[String] = None) = {
     val m = 8; val ksub = 16; val subDim = 8
     def dSql(a: String, b: String) =
       s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, el) -> acc + el)"
@@ -1006,6 +1024,36 @@ object SparkEntry {
       val (trainSrc, trainCte) = trainPred match {
         case None    => (s"e$s", "")
         case Some(p) => (s"et$s", s",\net$s AS (SELECT * FROM e$s WHERE $p)")
+      }
+      // batch mode materializes one CONTRIBUTION table per subspace —
+      // (vec_id, q_id, d), |codes|×|queries| rows — instead of joining
+      // eight per-query distance tables late: the tbl_$s tables are all
+      // joinable on q_id alone, so a planner that pairs them before the
+      // code tables constrain cl would build a ksub^8 intermediate
+      // (observed: DuckDB ground >60 s on it); ctb joins can never
+      // exceed |codes|×|queries| regardless of order.
+      val (qCte, tblCte) = batchPred match {
+        case None =>
+          (s"q_$s AS (SELECT v[$lo:$hi] AS qv FROM e WHERE vec_id = 0)",
+            s"tbl_$s AS (SELECT cl, ${dSql("cv", "qv")} AS d FROM c1_$s, q_$s)")
+        case Some(p) =>
+          (s"q_$s AS (SELECT vec_id AS q_id, v[$lo:$hi] AS qv FROM e WHERE $p)",
+            s"tbl_$s AS (SELECT q_id, cl, ${dSql("cv", "qv")} AS d FROM c1_$s, q_$s)")
+      }
+      // batch mode appends one CONTRIBUTION table per subspace —
+      // (vec_id, q_id, d), |codes|×|queries| rows — so the final ADC
+      // never joins the eight per-query distance tables directly: the
+      // tbl_$s tables are all joinable on q_id alone, and a planner
+      // that pairs them before the code tables constrain cl builds a
+      // ksub^8 intermediate (observed: DuckDB ground >60 s on it); ctb
+      // joins can never exceed |codes|×|queries| regardless of order.
+      val ctbCte = batchPred match {
+        case None => ""
+        case Some(_) =>
+          s""",
+             |ctb_$s AS (
+             |  SELECT c.vec_id, t.q_id, t.d FROM code_$s c
+             |  JOIN tbl_$s t ON t.cl = c.c$s)""".stripMargin
       }
       s"""e$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM e)$trainCte,
          |c0_$s AS (
@@ -1024,21 +1072,25 @@ object SparkEntry {
          |c1_$s AS (
          |  SELECT cl, list(coalesce(mm, pv) ORDER BY i) AS cv
          |  FROM p1_$s LEFT JOIN s1_$s USING (cl, i) GROUP BY cl),
-         |q_$s AS (SELECT v[$lo:$hi] AS qv FROM e WHERE vec_id = 0),
-         |tbl_$s AS (SELECT cl, ${dSql("cv", "qv")} AS d FROM c1_$s, q_$s),
+         |$qCte,
+         |$tblCte,
          |code_$s AS (
          |  SELECT vec_id, cl AS c$s FROM (
          |    SELECT e$s.vec_id, c.cl,
          |           row_number() OVER (PARTITION BY e$s.vec_id
          |             ORDER BY ${dSql(s"e$s.v", "c.cv")}, c.cl) AS rn
-         |    FROM e$s, c1_$s c) WHERE rn = 1)""".stripMargin
+         |    FROM e$s, c1_$s c) WHERE rn = 1)$ctbCte""".stripMargin
     }
     val ctes =
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |${(0 until m).map(sub).mkString(",\n")}""".stripMargin
-    val joins = (0 until m)
-      .map(s => s"JOIN code_$s USING (vec_id) JOIN tbl_$s t$s ON c$s = t$s.cl")
-      .mkString("\n")
+    // batch mode drives FROM ctb_0 (aliased t0), so its joins start at 1
+    val joins = (batchPred match {
+      case None => (0 until m)
+        .map(s => s"JOIN code_$s USING (vec_id) JOIN tbl_$s t$s ON c$s = t$s.cl")
+      case Some(_) => (1 until m)
+        .map(s => s"JOIN ctb_$s t$s ON t$s.vec_id = t0.vec_id AND t$s.q_id = t0.q_id")
+    }).mkString("\n")
     val adcSum = (0 until m).map(s => s"t$s.d").mkString(" + ")
     (ctes, joins, adcSum)
   }
@@ -1135,7 +1187,7 @@ object SparkEntry {
   private def ivfBatchOracleSql: String = {
     val iters = 2
     s"""${ivfFinCtes(None, iters)},
-       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 97 = 0),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $BatchQueryPred),
        |best AS (
        |  SELECT q_id, qv, cl FROM (
        |    SELECT q.q_id, q.qv, c.cl,
@@ -1568,8 +1620,21 @@ object SparkEntry {
     // index does after build(subset) + merge(remainder)
     "ann_ivf_merged_topk" -> ivfKmeansOracleSql(trainPred = Some(IvfMergeBuildPred)),
 
-    // batch probe: same training replay, every 97th vector as a query
+    // batch probes: same training replays, every 97th vector as a query
     "ann_ivf_batch_topk" -> ivfBatchOracleSql,
+    "ann_pq_batch_topk" -> {
+      val (ctes, joins, adcSum) =
+        pqOracleFragments(None, batchPred = Some(BatchQueryPred))
+      s"""$ctes
+         |SELECT q_id, vec_id, adc_dist FROM (
+         |  SELECT t0.q_id, t0.vec_id, $adcSum AS adc_dist,
+         |         row_number() OVER (PARTITION BY t0.q_id
+         |           ORDER BY $adcSum, t0.vec_id) AS rn
+         |  FROM ctb_0 t0
+         |  $joins
+         |  WHERE t0.vec_id <> t0.q_id) WHERE rn <= 5
+         |ORDER BY q_id, adc_dist, vec_id""".stripMargin
+    },
 
     "ann_pq_topk" ->
       s"""$pqCtesSql

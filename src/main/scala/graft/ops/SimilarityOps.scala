@@ -589,6 +589,9 @@ object SimilarityOps {
       avg(pqDistortion(subDim, codebooks)).as("mean_d2")).head()
     Seq((md.getLong(0), md.getDouble(1))).toDF("n", "mean_d2")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // a rebuild replaces the codebooks — drop the read paths' memo
+    storedCodebookMemo.remove(s"$path/codebooks")
+    ()
   }
 
   /** Per-vector PQ quantization distortion: Σ_s min_j ‖v_s − c_{s,j}‖² —
@@ -667,12 +670,23 @@ object SimilarityOps {
     * left-associated sum per candidate, no float vectors, no training.
     * This is the production read path: sub-second at any corpus size that
     * fits its code table. */
+  // Same per-process control-plane memo treatment as [[storedCentroids]]
+  // for the PQ codebook table (m × ksub tiny rows); [[buildPqIndex]]
+  // invalidates.
+  private val storedCodebookMemo = scala.collection.concurrent.TrieMap
+    .empty[String, Array[(Int, Int, IndexedSeq[Double])]]
+
+  private def storedCodebooks(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Array[(Int, Int, IndexedSeq[Double])] =
+    storedCodebookMemo.getOrElseUpdate(s"$path/codebooks",
+      spark.read.parquet(s"$path/codebooks")
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toIndexedSeq)))
+
   def queryPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                    queryVec: Seq[Double], topK: Int,
                    excludeIds: Seq[Long] = Nil): DataFrame = {
-    val cb = spark.read.parquet(s"$path/codebooks")
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toIndexedSeq))
+    val cb = storedCodebooks(spark, path)
     val m = cb.map(_._1).max + 1
     val ksub = cb.map(_._2).max + 1
     val centroid = cb.map(r => (r._1, r._2) -> r._3).toMap
@@ -697,6 +711,51 @@ object SimilarityOps {
     kept.select(col("vec_id"), adc.as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(topK)
+  }
+
+  /** Batch probe over a stored PQ index — [[queryIvfIndexBatch]]'s ADC
+    * sibling. PQ has no partition pruning (ADC is by construction a
+    * full code-table scan), so what batching buys is ONE scan for the
+    * whole query batch instead of |batch| scans: each query's m × ksub
+    * distance table is computed as array columns over the (broadcast)
+    * query batch, the code table cross-joins it once, and ADC becomes m
+    * array lookups per (query, candidate) with a per-query top-k
+    * window. Distance tables use the same `graft_l2sq` fold as the
+    * single-query path's driver arithmetic, so scores are
+    * bit-identical. Self-matches are excluded, per the batch-probe
+    * convention. Returns (q_id, vec_id, adc_dist), top-k per q_id. */
+  def queryPqIndexBatch(spark: org.apache.spark.sql.SparkSession,
+                        path: String, queries: DataFrame,
+                        topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    VectorExpressions.register(spark)
+    val cb = storedCodebooks(spark, path)
+    val m = cb.map(_._1).max + 1
+    val ksub = cb.map(_._2).max + 1
+    val centroid = cb.map(r => (r._1, r._2) -> r._3).toMap
+    val subDim = centroid((0, 0)).length
+    val q = queries.select(col("vec_id").as("q_id"),
+      asDoubleVec(col("embedding")).as("qv"))
+    // per-query ADC tables: dt_s[j] = l2sq(query subvector s, centroid
+    // (s, j)) — ksub entries per subspace, computed once per query
+    val dtCols = (0 until m).map { s =>
+      array((0 until ksub).map(j =>
+        call_function("graft_l2sq",
+          expr(s"slice(qv, ${s * subDim + 1}, $subDim)"),
+          typedlit(centroid((s, j)): Seq[Double]))): _*).as(s"dt_$s")
+    }
+    val qt = q.select(col("q_id") +: dtCols: _*)
+    val codes = spark.read.parquet(Compaction.resolve(s"$path/codes"))
+    val adc = (0 until m)
+      .map(s => element_at(col(s"dt_$s"), col(s"code_$s") + 1))
+      .reduce(_ + _)
+    codes.crossJoin(broadcast(qt))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), adc.as("adc_dist"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc_dist"), col("vec_id"))))
+      .filter(col("_rn") <= topK)
+      .drop("_rn")
   }
 
   /** LSH bucket statistics: signature → vector count + min id. */
