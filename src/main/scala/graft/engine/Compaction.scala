@@ -294,6 +294,21 @@ object Compaction {
           "(expected ivf | pq | bm25 | fingerprint)")
   }
 
+  /** One scheduled-maintenance tick for any stored-index family:
+    * vacuum first (reclaims versions superseded by the PREVIOUS tick —
+    * at least one full maintenance window old, so readers planned
+    * against them have finished), then a debt-triggered compact.
+    * MUST run under the single-writer discipline (no merge in flight on
+    * `path`) — from a stream's own foreachBatch between batches (see
+    * CdcStream.maintainFingerprintIndex, which adds the idempotency
+    * ledger to this verb) or with writers quiesced. Returns true if the
+    * compact rewrote anything. */
+  def maintainIndex(spark: SparkSession, path: String, kind: String,
+                    maxFilesPerPartition: Int = 8): Boolean = {
+    vacuumIndex(path, kind)
+    compactIndex(spark, path, kind, maxFilesPerPartition)
+  }
+
   /** [[vacuum]] over every table [[compactIndex]] maintains for `kind` —
     * the second half of the maintenance schedule, run one reader window
     * after the compaction that superseded the data. */

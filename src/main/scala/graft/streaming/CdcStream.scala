@@ -202,10 +202,9 @@ object CdcStream {
   def maintainFingerprintIndex(spark: SparkSession, indexPath: String,
                                maxFilesPerPartition: Int = 8): Unit = {
     import graft.engine.{Compaction, Ledger}
-    Compaction.vacuumIndex(indexPath, "fingerprint")
-    Compaction.vacuum(s"$indexPath/_ledger")
-    Compaction.compactIndex(spark, indexPath, "fingerprint",
+    Compaction.maintainIndex(spark, indexPath, "fingerprint",
       maxFilesPerPartition)
+    Compaction.vacuum(s"$indexPath/_ledger")
     new Ledger(spark, s"$indexPath/_ledger").compact(maxFilesPerPartition)
     ()
   }
