@@ -1017,21 +1017,12 @@ object SparkEntry {
   private def pqOracleFragments(trainPred: Option[String],
                                 batchPred: Option[String] = None) = {
     val m = 8; val ksub = 16; val subDim = 8
-    def dSql(a: String, b: String) =
-      s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, el) -> acc + el)"
     def sub(s: Int): String = {
       val lo = s * subDim + 1; val hi = (s + 1) * subDim
       val (trainSrc, trainCte) = trainPred match {
         case None    => (s"e$s", "")
         case Some(p) => (s"et$s", s",\net$s AS (SELECT * FROM e$s WHERE $p)")
       }
-      // batch mode materializes one CONTRIBUTION table per subspace —
-      // (vec_id, q_id, d), |codes|×|queries| rows — instead of joining
-      // eight per-query distance tables late: the tbl_$s tables are all
-      // joinable on q_id alone, so a planner that pairs them before the
-      // code tables constrain cl would build a ksub^8 intermediate
-      // (observed: DuckDB ground >60 s on it); ctb joins can never
-      // exceed |codes|×|queries| regardless of order.
       val (qCte, tblCte) = batchPred match {
         case None =>
           (s"q_$s AS (SELECT v[$lo:$hi] AS qv FROM e WHERE vec_id = 0)",

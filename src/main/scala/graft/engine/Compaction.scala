@@ -87,8 +87,10 @@ object Compaction {
     * batch replays against the new live version on restart — the same
     * recovery path as a crash mid-merge. Replayed appends can leave
     * duplicate rows behind (the compactor may have caught part of the
-    * lost write); read paths that aggregate per-posting tolerate this
-    * via candidate-level dedup (DedupOps.queryFingerprintIndex). */
+    * lost write): the fingerprint read path tolerates them inline
+    * (candidate-level dedup, DedupOps.queryFingerprintIndex), and every
+    * family's [[compactIndex]] layout dedups on the natural key, so the
+    * next scheduled compaction removes them permanently. */
   def guardedAppend[T](table: String)(body: String => T): T = {
     val live = resolve(table)
     val out = body(live)
@@ -264,28 +266,43 @@ object Compaction {
     *                   (term, doc_id) — term-pushdown row groups again;
     *  - "fingerprint": postings by fp sorted (fp, doc_id), sizes by
     *                   doc_id.
+    *
+    * Every layout also DEDUPS on the table's natural key. On a healthy
+    * index that is a no-op (merges are key-disjoint by contract), but a
+    * crash- or guard-replayed merge can append the same batch twice
+    * (exact-duplicate rows — see [[guardedAppend]] and
+    * DedupOps.mergeFingerprintIndex's atomicity note), and for the
+    * IVF/PQ/BM25 read paths, which have no inline replay tolerance, a
+    * duplicated vec would otherwise occupy two top-k slots forever.
+    * Compaction is the scheduled verb that heals it: duplicates are
+    * identical rows, so keeping any one of them is deterministic.
     * Returns true if any table was rewritten. */
   def compactIndex(spark: SparkSession, path: String, kind: String,
                    maxFilesPerPartition: Int = 8): Boolean = kind match {
     case "ivf" =>
       compactTable(spark, s"$path/assignments",
-        df => df.repartition(col("cluster")).sortWithinPartitions("vec_id"),
+        df => df.dropDuplicates("vec_id")
+          .repartition(col("cluster")).sortWithinPartitions("vec_id"),
         partitionBy = Seq("cluster"),
         maxFilesPerPartition = maxFilesPerPartition)
     case "pq" =>
       compactTable(spark, s"$path/codes",
-        df => df.repartition(col("vec_id")).sortWithinPartitions("vec_id"),
+        df => df.dropDuplicates("vec_id")
+          .repartition(col("vec_id")).sortWithinPartitions("vec_id"),
         maxFilesPerPartition = maxFilesPerPartition)
     case "bm25" =>
       compactTable(spark, s"$path/postings",
-        df => df.repartition(col("term")).sortWithinPartitions("term", "doc_id"),
+        df => df.dropDuplicates("term", "doc_id")
+          .repartition(col("term")).sortWithinPartitions("term", "doc_id"),
         maxFilesPerPartition = maxFilesPerPartition)
     case "fingerprint" =>
       val p = compactTable(spark, s"$path/postings",
-        df => df.repartition(col("fp")).sortWithinPartitions("fp", "doc_id"),
+        df => df.dropDuplicates("fp", "doc_id")
+          .repartition(col("fp")).sortWithinPartitions("fp", "doc_id"),
         maxFilesPerPartition = maxFilesPerPartition)
       val s = compactTable(spark, s"$path/sizes",
-        df => df.repartition(col("doc_id")).sortWithinPartitions("doc_id"),
+        df => df.dropDuplicates("doc_id")
+          .repartition(col("doc_id")).sortWithinPartitions("doc_id"),
         maxFilesPerPartition = maxFilesPerPartition)
       p || s
     case other =>

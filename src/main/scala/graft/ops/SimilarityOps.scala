@@ -351,6 +351,10 @@ object SimilarityOps {
     cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
       .toDF("cluster", "c")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // invalidate IMMEDIATELY after the overwrite, not at build end: a
+    // build that fails later must not leave this JVM's memo pointing at
+    // the pre-rebuild centroids while the new table sits on disk
+    storedCentroidMemo.remove(s"$path/centroids")
     e.withColumn("cluster", assignCluster(col("v"), cents).cast("long"))
       .write.partitionBy("cluster").mode("overwrite")
       .parquet(s"$path/assignments")
@@ -363,9 +367,6 @@ object SimilarityOps {
       avg(assignedDist2(col("v"), cents)).as("mean_d2")).head()
     Seq((m.getLong(0), m.getDouble(1))).toDF("n", "mean_d2")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    // a rebuild replaces the centroids — drop the read paths' memo
-    storedCentroidMemo.remove(s"$path/centroids")
-    ()
   }
 
   /** Incremental stored-IVF maintenance — the CDC×ANN composition: new
@@ -425,22 +426,43 @@ object SimilarityOps {
     if (buildMean <= 0.0) mergeMean > 0.0 else mergeMean / buildMean > threshold
   }
 
-  // Per-process memo of stored-index centroid tables, keyed by the
-  // centroids dir: k tiny control-plane rows that the read paths would
+  // Per-process memo of stored-index control-plane tables (IVF
+  // centroids, PQ codebooks), keyed by table dir and VALIDATED against
+  // the dir's mtime on every access: tiny rows the read paths would
   // otherwise re-read (parquet listing + footer + one-job collect) on
   // EVERY query/merge — at deployment QPS the cell probe must be warm
   // driver arithmetic, the same treatment the inline variant's
-  // givenCellCentroids cache got. [[buildIvfIndex]] (the only writer of
-  // centroids) invalidates.
+  // givenCellCentroids cache got. The mtime check (one stat call) is
+  // what makes the memo safe across PROCESSES: a rebuild by another
+  // JVM replaces the table dir (mode("overwrite") recreates it), the
+  // stat sees a new mtime, and the memo self-heals instead of serving
+  // stale centroids forever. Same-JVM rebuilds also invalidate
+  // explicitly, immediately after the overwrite.
+  private def memoizedControlPlane[T](dir: String, memo:
+      scala.collection.concurrent.TrieMap[String, (Long, T)])(load: => T): T = {
+    val mtime =
+      try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(dir)).toMillis
+      catch { case _: java.io.IOException => -1L }
+    memo.get(dir) match {
+      case Some((m, v)) if m == mtime => v
+      case _ =>
+        val v = load
+        memo.put(dir, (mtime, v))
+        v
+    }
+  }
+
   private val storedCentroidMemo = scala.collection.concurrent.TrieMap
-    .empty[String, IndexedSeq[(Long, IndexedSeq[Double])]]
+    .empty[String, (Long, IndexedSeq[(Long, IndexedSeq[Double])])]
 
   private def storedCentroids(spark: org.apache.spark.sql.SparkSession,
                               path: String): IndexedSeq[(Long, IndexedSeq[Double])] =
-    storedCentroidMemo.getOrElseUpdate(s"$path/centroids",
+    memoizedControlPlane(s"$path/centroids", storedCentroidMemo) {
       spark.read.parquet(s"$path/centroids").orderBy("cluster")
         .collect().toIndexedSeq
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq)))
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+    }
 
   /** Driver-side squared L2 — the same left-to-right fold as the
     * codegen'd `graft_l2sq` kernel (and the oracle's `list_reduce`), so
@@ -572,6 +594,10 @@ object SimilarityOps {
       .flatMap { case (cb, s) => cb.zipWithIndex.map { case (c, j) => (s, j, c) } }
       .toDF("subspace", "cl", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    // invalidate IMMEDIATELY after the overwrite, not at build end: a
+    // build that fails later must not leave this JVM's memo pointing at
+    // the pre-rebuild codebooks while the new table sits on disk
+    storedCodebookMemo.remove(s"$path/codebooks")
     val codeCols = (0 until m).map { s =>
       assignCluster(expr(s"slice(v, ${s * subDim + 1}, $subDim)"), codebooks(s))
         .as(s"code_$s")
@@ -589,9 +615,6 @@ object SimilarityOps {
       avg(pqDistortion(subDim, codebooks)).as("mean_d2")).head()
     Seq((md.getLong(0), md.getDouble(1))).toDF("n", "mean_d2")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    // a rebuild replaces the codebooks — drop the read paths' memo
-    storedCodebookMemo.remove(s"$path/codebooks")
-    ()
   }
 
   /** Per-vector PQ quantization distortion: Σ_s min_j ‖v_s − c_{s,j}‖² —
@@ -616,9 +639,9 @@ object SimilarityOps {
   def mergePqIndex(newVecs: DataFrame, path: String): Unit = {
     val spark = newVecs.sparkSession
     VectorExpressions.register(spark)
-    val cb = spark.read.parquet(s"$path/codebooks")
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toIndexedSeq))
+    // frozen codebooks via the same memo the query paths use (one
+    // collect per process, not one per merged batch)
+    val cb = storedCodebooks(spark, path)
     val m = cb.map(_._1).max + 1
     val centroid = cb.map(r => (r._1, r._2) -> r._3).toMap
     val ksub = cb.map(_._2).max + 1
@@ -670,18 +693,18 @@ object SimilarityOps {
     * left-associated sum per candidate, no float vectors, no training.
     * This is the production read path: sub-second at any corpus size that
     * fits its code table. */
-  // Same per-process control-plane memo treatment as [[storedCentroids]]
-  // for the PQ codebook table (m × ksub tiny rows); [[buildPqIndex]]
-  // invalidates.
+  // Same mtime-validated control-plane memo as [[storedCentroids]] for
+  // the PQ codebook table (m × ksub tiny rows).
   private val storedCodebookMemo = scala.collection.concurrent.TrieMap
-    .empty[String, Array[(Int, Int, IndexedSeq[Double])]]
+    .empty[String, (Long, Array[(Int, Int, IndexedSeq[Double])])]
 
   private def storedCodebooks(spark: org.apache.spark.sql.SparkSession,
                               path: String): Array[(Int, Int, IndexedSeq[Double])] =
-    storedCodebookMemo.getOrElseUpdate(s"$path/codebooks",
+    memoizedControlPlane(s"$path/codebooks", storedCodebookMemo) {
       spark.read.parquet(s"$path/codebooks")
         .collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toIndexedSeq)))
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toIndexedSeq))
+    }
 
   def queryPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                    queryVec: Seq[Double], topK: Int,
