@@ -248,30 +248,120 @@ object CdcStream {
       onHits(
         graft.ops.DedupOps.queryFingerprintIndex(spark, indexPath, batch),
         id)
-      val memoKey = (indexPath, streamId)
-      val highWater = absorbedHighWater.getOrElseUpdate(memoKey, {
-        // one ledger scan per (index, stream) per process: the max
-        // batch id this stream has ever absorbed (-1 = none)
-        import org.apache.spark.sql.functions.{col, max}
-        val ledger = new graft.engine.Ledger(spark, s"$indexPath/_ledger")
-        Option(ledger.read().filter(col("filename") === streamId)
-          .agg(max(col("batch_id").cast("long"))).head().get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(-1L)
-      })
-      if (id > highWater) {
+      absorbOnce(spark, indexPath, streamId, id) {
         graft.ops.DedupOps.mergeFingerprintIndex(batch, indexPath)
-        new graft.engine.Ledger(spark, s"$indexPath/_ledger")
-          .append(streamId, id.toString)
-        absorbedHighWater.update(memoKey, id)
       }
     }
     ()
   }
 
+  /** Apply `merge` exactly once per (index, stream, micro-batch id) —
+    * the ledger replay protocol [[screenAndAbsorb]] established,
+    * factored out so every screen-and-absorb stream family (fingerprint
+    * text dedup, ANN embedding dedup) shares one implementation: check
+    * the per-process high-water memo (seeded from one ledger scan per
+    * (index, stream) per process — micro-batch ids are monotonic per
+    * checkpoint, so after seeding, replay detection is an in-memory
+    * compare), run the merge, append the ledger row, advance the memo.
+    * A merge that throws (e.g. the Compaction pointer guard) leaves no
+    * ledger row, so the batch replays on restart. */
+  private def absorbOnce(spark: SparkSession, indexPath: String,
+                         streamId: String, id: Long)(merge: => Unit): Unit = {
+    val memoKey = (indexPath, streamId)
+    val highWater = absorbedHighWater.getOrElseUpdate(memoKey, {
+      // one ledger scan per (index, stream) per process: the max
+      // batch id this stream has ever absorbed (-1 = none)
+      import org.apache.spark.sql.functions.{col, max}
+      val ledger = new graft.engine.Ledger(spark, s"$indexPath/_ledger")
+      Option(ledger.read().filter(col("filename") === streamId)
+        .agg(max(col("batch_id").cast("long"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(-1L)
+    })
+    if (id > highWater) {
+      merge
+      new graft.engine.Ledger(spark, s"$indexPath/_ledger")
+        .append(streamId, id.toString)
+      absorbedHighWater.update(memoKey, id)
+    }
+  }
+
   // per-process high-water mark of absorbed micro-batch ids, keyed by
-  // (index path, stream id) — see [[screenAndAbsorb]]
+  // (index path, stream id) — see [[absorbOnce]]
   private val absorbedHighWater =
     scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+
+  /** Streaming embedding dedup — [[dedupScreenStream]]'s ANN twin and
+    * the CDC×ANN composition this platform exists for: each micro-batch
+    * of (vec_id, embedding) rows is
+    *  1. SCREENED against the stored IVF index with the BATCH probe
+    *     ([[graft.ops.SimilarityOps.queryIvfIndexBatch]] — the whole
+    *     batch shares ONE dynamically-partition-pruned cell scan, not
+    *     one scan per vector); rows pairing with an indexed vector at
+    *     `cosine ≥ minCosine` go to `onHits` (quarantine sink, metrics,
+    *     filter);
+    *  2. ABSORBED via [[graft.ops.SimilarityOps.mergeIvfIndex]] (frozen
+    *     centroids, append-only cells) under the same (stream,
+    *     batch-id) ledger protocol as the text path ([[absorbOnce]]),
+    *     so later batches screen against this one and replays are
+    *     exactly-once.
+    * `maintainEvery` = N > 0 runs the IVF maintenance tick
+    * ([[graft.engine.Compaction.maintainIndex]] + ledger compaction)
+    * every N batches inside the trigger loop — single-writer by
+    * construction, like the fingerprint stream's tick. Centroid drift
+    * stays a scheduled-rebuild decision
+    * ([[graft.ops.SimilarityOps.shouldRetrain]]); this stream never
+    * retrains. */
+  def annScreenStream(spark: SparkSession, inGlob: String,
+                      checkpointDir: String, schema: StructType,
+                      indexPath: String, topK: Int, minCosine: Double,
+                      onHits: (DataFrame, Long) => Unit,
+                      nprobe: Int = 1,
+                      maintainEvery: Int = 0,
+                      maintainMaxFiles: Int = 8): StreamingQuery = {
+    // re-seed the replay memo at stream start (same reason as
+    // dedupScreenStream: the index may have been rebuilt at this path)
+    absorbedHighWater.remove((indexPath, checkpointDir))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .json(inGlob)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        annScreenAndAbsorb(spark, batch, id, indexPath, checkpointDir,
+          topK, minCosine, nprobe, onHits)
+        if (maintainEvery > 0 && id > 0 && id % maintainEvery == 0) {
+          graft.engine.Compaction.maintainIndex(spark, indexPath, "ivf",
+            maintainMaxFiles)
+          graft.engine.Compaction.vacuum(s"$indexPath/_ledger")
+          new graft.engine.Ledger(spark, s"$indexPath/_ledger")
+            .compact(maintainMaxFiles)
+          ()
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** One ANN screen-and-absorb micro-batch — public for direct replay
+    * testing, like [[screenAndAbsorb]]. The screen is read-only and
+    * always re-run; the merge is applied once per (streamId, id). */
+  def annScreenAndAbsorb(spark: SparkSession, batch: DataFrame, id: Long,
+                         indexPath: String, streamId: String,
+                         topK: Int, minCosine: Double, nprobe: Int,
+                         onHits: (DataFrame, Long) => Unit): Unit = {
+    if (!batch.isEmpty) graft.engine.Caches.withCached {
+      onHits(
+        graft.ops.SimilarityOps.queryIvfIndexBatch(spark, indexPath,
+          batch, topK, nprobe)
+          .filter(org.apache.spark.sql.functions.col("cosine") >= minCosine),
+        id)
+      absorbOnce(spark, indexPath, streamId, id) {
+        graft.ops.SimilarityOps.mergeIvfIndex(batch, indexPath)
+      }
+    }
+    ()
+  }
 
   /** Streaming exact dedup — A3's streaming twin: drop re-deliveries of
     * the same `idCol` arriving within the watermark delay, turning an

@@ -104,6 +104,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(ledgerRows === 1L, "exactly one ledger row per absorbed batch")
   }
 
+  test("ANN screen-and-absorb stream catches cross-batch near-dup vectors") {
+    import graft.ops.SimilarityOps
+    import graft.engine.Compaction
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StructType}
+    val in = Files.createTempDirectory("as_in").toString
+    val ckpt = Files.createTempDirectory("as_ckpt").toString
+    val idx = Files.createTempDirectory("as_idx").toString
+    // 10 base vectors in 4 near-one-hot directions; exact copies give
+    // cosine 1.0, cross-direction pairs stay far below the threshold
+    def baseVec(i: Int): Seq[Double] =
+      Seq.tabulate(4)(j => if (j == i % 4) 1.0 + i else 0.01 * (j + 1))
+    val base = (0 until 10).map(i => (i.toLong, baseVec(i)))
+      .toDF("vec_id", "embedding")
+    SimilarityOps.buildIvfIndex(base, idx)
+    def jline(id: Long, v: Seq[Double]) =
+      s"""{"vec_id":$id,"embedding":[${v.mkString(",")}]}"""
+    val fresh = Seq(0.5, 0.5, 0.5, 0.5)
+    // batch 0: an exact copy of base vec 2 + a genuinely new direction;
+    // batch 1: an exact copy of batch 0's NEW vector — catching it
+    // requires batch 0 to have been absorbed into the index
+    val f0 = java.nio.file.Paths.get(in, "vecs_000.json")
+    Files.writeString(f0,
+      jline(100, baseVec(2)) + "\n" + jline(101, fresh) + "\n")
+    Files.setLastModifiedTime(f0, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 60000))
+    Files.writeString(java.nio.file.Paths.get(in, "vecs_001.json"),
+      jline(200, fresh) + "\n")
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val schema = new StructType().add("vec_id", "long")
+      .add("embedding", ArrayType(DoubleType))
+    val q = CdcStream.annScreenStream(spark, s"$in/vecs_*.json", ckpt,
+      schema, idx, topK = 3, minCosine = 0.999,
+      (df, _) => hits ++= df.select("q_id", "vec_id").as[(Long, Long)].collect(),
+      maintainEvery = 1, maintainMaxFiles = 1) // tick between batches too
+    q.awaitTermination()
+    val all = hits.toSet
+    assert(all.contains((100L, 2L)), "batch-0 copy of an indexed vector")
+    assert(all.contains((200L, 101L)),
+      "batch 1 must be screened against batch 0's absorbed vectors")
+    assert(!all.exists(_._1 == 101L), "the fresh direction must not fire")
+    // absorbed exactly once each, through the maintenance ticks
+    val assigned = spark.read
+      .parquet(Compaction.resolve(s"$idx/assignments"))
+    assert(assigned.select("vec_id").distinct().count() === 13L)
+    assert(assigned.count() === 13L, "no duplicate assignment rows")
+    assert(spark.read.parquet(Compaction.resolve(s"$idx/_ledger"))
+      .count() === 2L, "one ledger row per absorbed batch")
+    // re-delivery of an already-absorbed batch id is a no-op merge
+    val replayed = spark.read.schema(schema).json(s"$in/vecs_001.json")
+    CdcStream.annScreenAndAbsorb(spark, replayed, 1L, idx, ckpt,
+      3, 0.999, 1, (df, _) => { df.count(); () })
+    assert(spark.read.parquet(Compaction.resolve(s"$idx/assignments"))
+      .count() === 13L, "replaying an absorbed batch must not duplicate")
+  }
+
   test("maintenance tick beside the stream: files collapse, answers unchanged") {
     import graft.ops.DedupOps
     import graft.engine.Compaction
