@@ -490,6 +490,22 @@ object SparkEntry {
         P.EmbCosT, tables = P.EmbTables)
         .orderBy("vec_a", "vec_b")),
 
+    // Transitive near-dup GROUPS over embeddings — the vector twin of
+    // dedup_groups: the LSH near-dup pairs feed the same
+    // pointer-doubling label propagation, and every vector reports its
+    // min reachable id (singletons label themselves). The survivor-
+    // selection step of an embedding-level dedup sweep runs off this
+    // table exactly as dedup_keep_best runs off the text one.
+    "embedding_dup_groups" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pairs = SimilarityOps.lshNearDupPairs(emb, P.EmbPlanes,
+        P.EmbCosT, tables = P.EmbTables)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      DedupOps.dupGroups(emb.select(col("vec_id").as("doc_id")), pairs)
+        .select(col("doc_id").as("vec_id"), col("group_id"))
+        .orderBy("vec_id")
+    }),
+
     // Product quantization: 8 one-byte codes per vector, query scored by
     // asymmetric distance (table lookups only) — the RAM-resident index
     // construction for 100 TB ANN; oracle replays the same per-subspace
@@ -1667,6 +1683,31 @@ object SparkEntry {
          |    ON (a.sig0 = b.sig0 OR a.sig1 = b.sig1) AND a.vec_id < b.vec_id)
          |WHERE cosine >= 0.3
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // same pair derivation + the recursive min-label walk dedup_groups
+    // uses (reachability closure, min id per component)
+    "embedding_dup_groups" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT vec_id, v,
+         |             concat(${lshBitsSql(8).mkString(", ")}) AS sig0,
+         |             concat(${lshBitsSql(8, offset = 8).mkString(", ")}) AS sig1
+         |      FROM e),
+         |pairs AS (
+         |  SELECT DISTINCT vec_a, vec_b FROM (
+         |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |           round(${cosSql("a.v", "b.v")}, 6) AS cosine
+         |    FROM s a JOIN s b
+         |      ON (a.sig0 = b.sig0 OR a.sig1 = b.sig1) AND a.vec_id < b.vec_id)
+         |  WHERE cosine >= 0.3),
+         |edges AS (
+         |  SELECT vec_a AS u, vec_b AS v FROM pairs
+         |  UNION ALL SELECT vec_b, vec_a FROM pairs),
+         |walk(u, l) AS (
+         |  SELECT vec_id, vec_id FROM e
+         |  UNION
+         |  SELECT ed.u, w.l FROM edges ed JOIN walk w ON w.u = ed.v)
+         |SELECT u AS vec_id, min(l) AS group_id
+         |FROM walk GROUP BY u ORDER BY vec_id""".stripMargin,
 
     "multimodal_frames" ->
       """SELECT doc_id, i AS frame_no,

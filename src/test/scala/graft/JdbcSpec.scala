@@ -221,6 +221,13 @@ class JdbcSpec extends AnyFunSuite {
         r.getAs[String]("OPERATION_TYPE"))).toSet
     assert(rows === Set((2L, "new", "UPSERT"), (3L, "new2", "UPSERT")))
     assert(got.rdd.getNumPartitions === 2) // ranged parallel scan, not a cursor
+    // the bounds probe runs live too: one control-plane row
+    val bounds = spark.read.format("jdbc")
+      .option("url", derby.url).option("user", derby.user)
+      .option("password", derby.password).option("driver", derby.driver)
+      .option("dbtable", JdbcCdc.boundsSubquery("src_orders", "id"))
+      .load().head()
+    assert(bounds.getAs[Long]("LO") === 1L && bounds.getAs[Long]("HI") === 3L)
   }
 
   test("live Derby: stage→upsert→expire keeps the single-current invariant") {
