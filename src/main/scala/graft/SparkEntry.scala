@@ -592,6 +592,28 @@ object SparkEntry {
     "text_bm25_merged_topk" -> ((s, dir) =>
       TextOps.queryBm25Index(s, mergedBm25Path(s, dir), BmTerms, 10)),
 
+    // Batched stored-BM25 probe — the keyword sibling of
+    // ann_ivf_batch_topk: every 97th document queries the index AT ONCE
+    // with its own top-3 distinctive tokens (length ≥ 5, count-desc /
+    // term-asc tie-break — a deterministic, data-derived workload), and
+    // ONE postings scan serves the whole batch via a broadcast term
+    // join, vs |batch| term-pruned scans of the per-query path. Scores
+    // fold term-ascending and round to 6 dp (the batch-ANN determinism
+    // treatment); top-5 per query by window.
+    "text_bm25_batch_topk" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(desc("cnt"), col("term"))
+      val qterms = Tables.documents(s, dir).filter(expr(BmBatchPred))
+        .select(col("doc_id").as("q_id"),
+          explode(TextOps.normWords(col("text"))).as("term"))
+        .filter(length(col("term")) >= 5)
+        .groupBy("q_id", "term").agg(count(lit(1)).as("cnt"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= 3).select("q_id", "term")
+      TextOps.queryBm25IndexBatch(s, storedBm25Path(s, dir), qterms, 5)
+        .orderBy(col("q_id"), desc("bm25"), col("doc_id"))
+    }),
+
     // Incremental dedup — the CDC×dedup composition: the change feed is
     // screened for near-duplication against the stored corpus
     // fingerprint index (built once on the initial subset; postings
@@ -714,6 +736,11 @@ object SparkEntry {
     * sf0.01, 21 at sf0.1), shared literally by the Spark closures and
     * the oracle SQL of `ann_ivf_batch_topk`/`ann_pq_batch_topk`. */
   private val BatchQueryPred = "vec_id % 97 = 0"
+
+  /** The BM25 batch-probe query documents (every 97th doc — 6 queries
+    * at sf0.01, 52 at sf0.1); each queries the stored index with its
+    * own top-3 distinctive tokens. Shared literally with the oracle. */
+  private val BmBatchPred = "doc_id % 97 = 0"
 
   /** Initial-corpus predicate for the merged BM25 index: the first ¾ of
     * documents are indexed at build time, the rest arrive as the change
@@ -1288,6 +1315,49 @@ object SparkEntry {
     "ann_pq_stored_topk" -> oracleSqlBase("ann_pq_topk"),
     "text_bm25_stored_topk" -> oracleSqlBase("text_bm25_topk"),
     "text_bm25_merged_topk" -> oracleSqlBase("text_bm25_topk"),
+
+    // batch probe: replay the index operands (tf/df/dl/stats) from the
+    // corpus, derive each query doc's top-3 length≥5 tokens, score every
+    // (query, matching doc) pair with the same per-term expression
+    // summed in term order, round to 6 dp, window top-5 per query
+    "text_bm25_batch_topk" ->
+      s"""WITH $wordsSql,
+         |tok AS (SELECT doc_id, unnest(w) AS term FROM words),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, len(w) AS dl FROM words),
+         |stats AS (SELECT count(*) AS n_docs,
+         |                 CAST(sum(len(w)) AS BIGINT) AS sum_dl FROM words),
+         |lex AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |qcnt AS (
+         |  SELECT doc_id AS q_id, term, count(*) AS cnt
+         |  FROM tok WHERE doc_id % 97 = 0 AND len(term) >= 5
+         |  GROUP BY 1, 2),
+         |q AS (
+         |  SELECT q_id, term FROM (
+         |    SELECT q_id, term,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY cnt DESC, term) AS rn
+         |    FROM qcnt)
+         |  WHERE rn <= 3),
+         |scored AS (
+         |  SELECT q.q_id, p.doc_id,
+         |         round(list_sum(list(
+         |           (CAST(s.n_docs AS DOUBLE) - CAST(l.df AS DOUBLE) + 0.5) / (CAST(l.df AS DOUBLE) + 0.5)
+         |             * ((CAST(p.tf AS DOUBLE) * 2.2) / (CAST(p.tf AS DOUBLE)
+         |                  + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))
+         |           ORDER BY q.term)), 6) AS bm25
+         |  FROM q
+         |  JOIN tf p ON p.term = q.term
+         |  JOIN dl ON dl.doc_id = p.doc_id
+         |  JOIN lex l ON l.term = q.term
+         |  CROSS JOIN stats s
+         |  GROUP BY q.q_id, p.doc_id)
+         |SELECT q_id, doc_id, bm25 FROM (
+         |  SELECT scored.*, row_number() OVER (PARTITION BY q_id
+         |           ORDER BY bm25 DESC, doc_id) AS rn
+         |  FROM scored)
+         |WHERE rn <= 5
+         |ORDER BY q_id, bm25 DESC, doc_id""".stripMargin,
     // merged PQ: codebooks trained on the build subset, codes over all
     "ann_pq_merged_topk" -> {
       val (ctes, joins, adcSum) = pqOracleFragments(Some(IvfMergeBuildPred))

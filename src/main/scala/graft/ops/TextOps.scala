@@ -482,4 +482,62 @@ object TextOps {
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** Batched stored-BM25 probe — the shape a retrieval sweep actually
+    * runs (thousands of queries per change batch): `queries` is the
+    * exploded (q_id, term) relation, and ONE postings scan serves the
+    * whole batch via a broadcast hash join on `term` (vs |batch|
+    * term-pruned scans of [[queryBm25Index]] — the fixed scan/plan cost
+    * amortizes across the batch exactly as the IVF/PQ batch probes'
+    * does). Per-term df comes from one lexicon probe joined to the
+    * batch's term set (both broadcast-sized); n_docs/sum_dl ride the
+    * one-row stats broadcast. The only shuffle is candidate-sized: the
+    * per-(query, doc) score aggregate plus the per-query top-k window.
+    *
+    * Scoring applies the identical per-term expression as [[bm25TopK]],
+    * folded in TERM-ASCENDING order via a sorted-struct `aggregate` —
+    * deterministic across runs and partitionings regardless of each
+    * query's term-list order — then rounded to 6 dp (same determinism
+    * treatment as the batch ANN probes' cosine; a term-count-bounded
+    * double sum is exact to ~1e-15, so 6 dp is invariant to fold
+    * order). A single-query batch therefore matches [[queryBm25Index]]
+    * with its terms pre-sorted, up to that rounding.
+    *
+    * Terms absent from a document contribute exactly 0 (tf = 0 zeroes
+    * the numerator), so unmatched (query, term) pairs need no rows; a
+    * term absent from the whole index simply matches no postings. */
+  def queryBm25IndexBatch(spark: org.apache.spark.sql.SparkSession,
+                          path: String, queries: DataFrame,
+                          topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qt = queries.select(col("q_id"), col("term")).distinct()
+    // per-(query, term) df: one probe of the tiny lexicon by the batch's
+    // term set; a term the index has never seen keeps df = 0 so the same
+    // relation stays usable for diagnostics, though it contributes no
+    // candidate rows below
+    val qdf = qt.join(spark.read.parquet(s"$path/lexicon"), Seq("term"), "left")
+      .na.fill(0L, Seq("df"))
+    val stats = spark.read.parquet(s"$path/stats")
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val contrib = {
+      val tfD = col("tf").cast("double")
+      val dfD = col("df").cast("double")
+      val idf = (col("n_docs").cast("double") - dfD + lit(0.5)) / (dfD + lit(0.5))
+      idf * ((tfD * lit(2.2)) /
+        (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))))
+    }
+    spark.read.parquet(Compaction.resolve(s"$path/postings"))
+      .join(broadcast(qdf), "term") // ONE scan serves every query
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"),
+        struct(col("term"), contrib.as("c")).as("tc"))
+      .groupBy("q_id", "doc_id")
+      .agg(aggregate(sort_array(collect_list(col("tc"))), lit(0.0d),
+        (acc, x) => acc + x.getField("c")).as("raw"))
+      .select(col("q_id"), col("doc_id"), round(col("raw"), 6).as("bm25"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("bm25").desc, col("doc_id"))))
+      .filter(col("_rn") <= topK)
+      .select("q_id", "doc_id", "bm25")
+  }
 }

@@ -152,6 +152,41 @@ class StoredIndexesSpec extends AnyFunSuite {
     }
   }
 
+  test("batch BM25 probe equals the per-query probe for every query") {
+    val docs = Tables.documents(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("cmp_bmb").toString
+    TextOps.buildBm25Index(docs, path)
+    // two queries with different term lists, given UNSORTED to prove the
+    // batch fold is order-insensitive (it folds term-ascending)
+    val qs = Seq((1L, "window"), (1L, "spark"), (1L, "join"),
+      (2L, "water"), (2L, "spark")).toDF("q_id", "term")
+    val batch = TextOps.queryBm25IndexBatch(spark, path, qs, topK = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(r => (-r.getDouble(2), r.getLong(1)))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq)
+      .toMap
+    // the single probe folds in the GIVEN term order, so hand it the
+    // sorted list the batch path uses; rounding to 6 dp mirrors the
+    // batch path's determinism treatment
+    val singles = Map(
+      1L -> Seq("join", "spark", "window"), 2L -> Seq("spark", "water"))
+    singles.foreach { case (id, terms) =>
+      val single = TextOps.queryBm25Index(spark, path, terms, 5)
+        .collect()
+        .map(r => (r.getLong(0),
+          BigDecimal(r.getDouble(1)).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)).toSeq
+      assert(batch(id) === single,
+        s"batch BM25 for q_id=$id must match the single probe to 6 dp")
+    }
+    // the whole batch must ride ONE postings scan
+    val plan = TextOps.queryBm25IndexBatch(spark, path, qs, topK = 5)
+      .queryExecution.executedPlan.toString
+    assert("postings".r.findAllIn(plan).length === 1,
+      "batch probe must scan postings exactly once")
+  }
+
   test("batch PQ probe equals the per-query probe for every query") {
     val e = Tables.embeddings(spark, sfDir)
     val path = java.nio.file.Files.createTempDirectory("cmp_pqb").toString
