@@ -506,6 +506,34 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Survivor selection over the embedding near-dup graph — the vector
+    // twin of dedup_keep_best, reusing DedupOps.keepBest verbatim: each
+    // member's "quality" is its graph centrality (DECIMAL-exact sum of
+    // incident near-dup edges' 6-dp-rounded cosines — the hub of a
+    // near-dup cluster is its canonical representative), and the
+    // strongest member per transitive group is kept (vec_id tie-break;
+    // singletons keep themselves with strength 0).
+    "embedding_keep_best" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pairs = SimilarityOps.lshNearDupPairs(emb, P.EmbPlanes,
+        P.EmbCosT, tables = P.EmbTables)
+      val groups = DedupOps.dupGroups(
+        emb.select(col("vec_id").as("doc_id")),
+        pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      val strength = emb.select(col("vec_id").as("doc_id"))
+        .join(pairs.select(col("vec_a").as("doc_id"), col("cosine"))
+            .unionByName(pairs.select(col("vec_b").as("doc_id"), col("cosine")))
+            .groupBy("doc_id")
+            .agg(sum(col("cosine").cast("decimal(20,6)"))
+              .cast("double").as("strength")),
+          Seq("doc_id"), "left")
+        .na.fill(0.0, Seq("strength"))
+      DedupOps.keepBest(groups, strength, "strength")
+        .select(col("doc_id").as("vec_id"), col("group_id"),
+          col("strength"), col("keep"))
+        .orderBy("vec_id")
+    }),
+
     // Product quantization: 8 one-byte codes per vector, query scored by
     // asymmetric distance (table lookups only) — the RAM-resident index
     // construction for 100 TB ANN; oracle replays the same per-subspace
@@ -1248,6 +1276,39 @@ object SparkEntry {
       s"CASE WHEN list_reduce(list_transform(list_zip(v, $signs), p2 -> p2[1] * p2[2]), (acc, el) -> acc + el) >= 0 THEN '1' ELSE '0' END"
     }
 
+  /** Shared LSH near-dup pair derivation over embeddings (CTEs `e`,
+    * `s`, `pairs` — pairs carries the verified 6-dp-rounded cosine):
+    * 2 OR-ed 8-plane signature tables, exact-cosine verify at ≥ 0.3.
+    * Mirror of [[SimilarityOps.lshNearDupPairs]] with the `P.Emb*`
+    * constants inlined; shared by the three embedding-dedup oracles. */
+  private def embPairsSql: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (SELECT vec_id, v,
+       |             concat(${lshBitsSql(8).mkString(", ")}) AS sig0,
+       |             concat(${lshBitsSql(8, offset = 8).mkString(", ")}) AS sig1
+       |      FROM e),
+       |pairs AS (
+       |  SELECT DISTINCT vec_a, vec_b, cosine FROM (
+       |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |           round(${cosSql("a.v", "b.v")}, 6) AS cosine
+       |    FROM s a JOIN s b
+       |      ON (a.sig0 = b.sig0 OR a.sig1 = b.sig1) AND a.vec_id < b.vec_id)
+       |  WHERE cosine >= 0.3)""".stripMargin
+
+  /** The undirected-reachability min-label walk over `pairs` (CTEs
+    * `edges`, `walk`) — the oracle's replay of
+    * [[DedupOps.dupGroups]]'s pointer-doubling label propagation.
+    * Requires a `WITH RECURSIVE` prologue and the [[embPairsSql]] (or an
+    * equivalent `pairs`/`e`) chain before it. */
+  private val dupWalkSql =
+    """edges AS (
+      |  SELECT vec_a AS u, vec_b AS v FROM pairs
+      |  UNION ALL SELECT vec_b, vec_a FROM pairs),
+      |walk(u, l) AS (
+      |  SELECT vec_id, vec_id FROM e
+      |  UNION
+      |  SELECT ed.u, w.l FROM edges ed JOIN walk w ON w.u = ed.v)""".stripMargin
+
   /** 40-bit md5-prefix key hash — mirror of [[SamplingOps.keyHash]]. */
   private def keyHashSql(c: String): String =
     s"CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 10)) AS BIGINT)"
@@ -1330,7 +1391,7 @@ object SparkEntry {
          |lex AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
          |qcnt AS (
          |  SELECT doc_id AS q_id, term, count(*) AS cnt
-         |  FROM tok WHERE doc_id % 97 = 0 AND len(term) >= 5
+         |  FROM tok WHERE $BmBatchPred AND len(term) >= 5
          |  GROUP BY 1, 2),
          |q AS (
          |  SELECT q_id, term FROM (
@@ -1741,43 +1802,39 @@ object SparkEntry {
          |FROM s GROUP BY signature ORDER BY signature""".stripMargin,
 
     "embedding_near_dup_lsh" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |s AS (SELECT vec_id, v,
-         |             concat(${lshBitsSql(8).mkString(", ")}) AS sig0,
-         |             concat(${lshBitsSql(8, offset = 8).mkString(", ")}) AS sig1
-         |      FROM e)
-         |SELECT DISTINCT vec_a, vec_b, cosine FROM (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |         round(${cosSql("a.v", "b.v")}, 6) AS cosine
-         |  FROM s a JOIN s b
-         |    ON (a.sig0 = b.sig0 OR a.sig1 = b.sig1) AND a.vec_id < b.vec_id)
-         |WHERE cosine >= 0.3
+      s"""WITH $embPairsSql
+         |SELECT vec_a, vec_b, cosine FROM pairs
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     // same pair derivation + the recursive min-label walk dedup_groups
     // uses (reachability closure, min id per component)
     "embedding_dup_groups" ->
-      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |s AS (SELECT vec_id, v,
-         |             concat(${lshBitsSql(8).mkString(", ")}) AS sig0,
-         |             concat(${lshBitsSql(8, offset = 8).mkString(", ")}) AS sig1
-         |      FROM e),
-         |pairs AS (
-         |  SELECT DISTINCT vec_a, vec_b FROM (
-         |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |           round(${cosSql("a.v", "b.v")}, 6) AS cosine
-         |    FROM s a JOIN s b
-         |      ON (a.sig0 = b.sig0 OR a.sig1 = b.sig1) AND a.vec_id < b.vec_id)
-         |  WHERE cosine >= 0.3),
-         |edges AS (
-         |  SELECT vec_a AS u, vec_b AS v FROM pairs
-         |  UNION ALL SELECT vec_b, vec_a FROM pairs),
-         |walk(u, l) AS (
-         |  SELECT vec_id, vec_id FROM e
-         |  UNION
-         |  SELECT ed.u, w.l FROM edges ed JOIN walk w ON w.u = ed.v)
+      s"""WITH RECURSIVE $embPairsSql,
+         |$dupWalkSql
          |SELECT u AS vec_id, min(l) AS group_id
          |FROM walk GROUP BY u ORDER BY vec_id""".stripMargin,
+
+    // pair derivation + min-label walk + graph-centrality survivor:
+    // each member's strength is the DECIMAL-exact sum of its incident
+    // near-dup edges' (already 6-dp-rounded) cosines — order-independent
+    // on both sides — and the group's strongest member (vec_id
+    // tie-break) is kept, singletons trivially keeping themselves
+    "embedding_keep_best" ->
+      s"""WITH RECURSIVE $embPairsSql,
+         |$dupWalkSql,
+         |groups AS (SELECT u AS vec_id, min(l) AS group_id
+         |           FROM walk GROUP BY u),
+         |inc AS (SELECT vec_a AS vec_id, cosine FROM pairs
+         |        UNION ALL SELECT vec_b, cosine FROM pairs),
+         |strength AS (
+         |  SELECT e.vec_id,
+         |         CAST(coalesce(sum(CAST(i.cosine AS DECIMAL(20, 6))), 0) AS DOUBLE) AS strength
+         |  FROM e LEFT JOIN inc i USING (vec_id) GROUP BY e.vec_id)
+         |SELECT g.vec_id, g.group_id, st.strength,
+         |       (row_number() OVER (PARTITION BY g.group_id
+         |          ORDER BY st.strength DESC, g.vec_id) = 1) AS keep
+         |FROM groups g JOIN strength st USING (vec_id)
+         |ORDER BY vec_id""".stripMargin,
 
     "multimodal_frames" ->
       """SELECT doc_id, i AS frame_no,

@@ -323,7 +323,32 @@ object Compaction {
   def maintainIndex(spark: SparkSession, path: String, kind: String,
                     maxFilesPerPartition: Int = 8): Boolean = {
     vacuumIndex(path, kind)
-    compactIndex(spark, path, kind, maxFilesPerPartition)
+    val logCollapsed = kind match {
+      // IVF/PQ merges append one tiny drift row (file) per absorbed
+      // batch; without this the streamed absorb re-accumulates exactly
+      // the unbounded small-file debt the tick exists to bound
+      case "ivf" | "pq" =>
+        collapseSidecar(spark, s"$path/merge_log", maxFilesPerPartition)
+      case _ => false
+    }
+    compactIndex(spark, path, kind, maxFilesPerPartition) || logCollapsed
+  }
+
+  /** Collapse a tiny append-per-merge sidecar (the IVF/PQ `merge_log`:
+    * one ~1-row file per absorbed batch) back to a single file once it
+    * holds more than `maxFiles` data files. The sidecar is UNVERSIONED
+    * (advisory drift rows, overwritten in place — the same posture as
+    * the fingerprint family's dfs table), so this must only run under
+    * the tick's single-writer discipline; rows are materialized via
+    * localCheckpoint before the overwrite so the rewrite never reads
+    * the path it is replacing. */
+  private def collapseSidecar(spark: SparkSession, dir: String,
+                              maxFiles: Int): Boolean = {
+    if (!Files.exists(Paths.get(dir))) return false
+    if (filesPerPartition(dir).values.sum <= maxFiles) return false
+    spark.read.parquet(dir).localCheckpoint(true)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    true
   }
 
   /** [[vacuum]] over every table [[compactIndex]] maintains for `kind` —

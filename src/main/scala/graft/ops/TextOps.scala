@@ -512,11 +512,9 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val qt = queries.select(col("q_id"), col("term")).distinct()
     // per-(query, term) df: one probe of the tiny lexicon by the batch's
-    // term set; a term the index has never seen keeps df = 0 so the same
-    // relation stays usable for diagnostics, though it contributes no
-    // candidate rows below
-    val qdf = qt.join(spark.read.parquet(s"$path/lexicon"), Seq("term"), "left")
-      .na.fill(0L, Seq("df"))
+    // term set (inner join — a term the index has never seen matches no
+    // postings either, so it can't contribute a candidate row)
+    val qdf = qt.join(spark.read.parquet(s"$path/lexicon"), Seq("term"))
     val stats = spark.read.parquet(s"$path/stats")
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val contrib = {
@@ -531,8 +529,14 @@ object TextOps {
       .crossJoin(broadcast(stats))
       .select(col("q_id"), col("doc_id"),
         struct(col("term"), contrib.as("c")).as("tc"))
+      // collect_SET: a crash-replayed merge can leave a posting row
+      // duplicated verbatim ([[mergeBm25Index]]'s replay containment);
+      // the single-query probe collapses those via its pivot's first(tf),
+      // and set semantics give this path the same tolerance — exact
+      // duplicate (term, contribution) structs fold once — at zero extra
+      // shuffle
       .groupBy("q_id", "doc_id")
-      .agg(aggregate(sort_array(collect_list(col("tc"))), lit(0.0d),
+      .agg(aggregate(sort_array(collect_set(col("tc"))), lit(0.0d),
         (acc, x) => acc + x.getField("c")).as("raw"))
       .select(col("q_id"), col("doc_id"), round(col("raw"), 6).as("bm25"))
       .withColumn("_rn", row_number().over(

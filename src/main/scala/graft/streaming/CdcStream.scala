@@ -200,10 +200,22 @@ object CdcStream {
     * stream's own foreachBatch (between batches, as `maintainEvery`
     * wires it), or with the stream stopped/drained. */
   def maintainFingerprintIndex(spark: SparkSession, indexPath: String,
-                               maxFilesPerPartition: Int = 8): Unit = {
-    import graft.engine.{Compaction, Ledger}
-    Compaction.maintainIndex(spark, indexPath, "fingerprint",
+                               maxFilesPerPartition: Int = 8): Unit =
+    maintainStreamedIndex(spark, indexPath, "fingerprint",
       maxFilesPerPartition)
+
+  /** The kind-generic form of [[maintainFingerprintIndex]] — one
+    * maintenance tick for ANY streamed index family: the Compaction
+    * verb (vacuum → sidecar collapse → debt-triggered compact) plus the
+    * stream's own idempotency-ledger vacuum + compact. Both screening
+    * streams' `maintainEvery` wiring lands here, so a fix to the tick's
+    * ordering or error handling reaches every family at once. Same
+    * single-writer requirement as the Compaction verbs. */
+  def maintainStreamedIndex(spark: SparkSession, indexPath: String,
+                            kind: String,
+                            maxFilesPerPartition: Int = 8): Unit = {
+    import graft.engine.{Compaction, Ledger}
+    Compaction.maintainIndex(spark, indexPath, kind, maxFilesPerPartition)
     Compaction.vacuum(s"$indexPath/_ledger")
     new Ledger(spark, s"$indexPath/_ledger").compact(maxFilesPerPartition)
     ()
@@ -330,14 +342,8 @@ object CdcStream {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         annScreenAndAbsorb(spark, batch, id, indexPath, checkpointDir,
           topK, minCosine, nprobe, onHits)
-        if (maintainEvery > 0 && id > 0 && id % maintainEvery == 0) {
-          graft.engine.Compaction.maintainIndex(spark, indexPath, "ivf",
-            maintainMaxFiles)
-          graft.engine.Compaction.vacuum(s"$indexPath/_ledger")
-          new graft.engine.Ledger(spark, s"$indexPath/_ledger")
-            .compact(maintainMaxFiles)
-          ()
-        }
+        if (maintainEvery > 0 && id > 0 && id % maintainEvery == 0)
+          maintainStreamedIndex(spark, indexPath, "ivf", maintainMaxFiles)
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -129,6 +129,31 @@ class StoredIndexesSpec extends AnyFunSuite {
     assert(probe() === before, "IVF probe must be bit-identical")
   }
 
+  test("maintenance tick collapses the per-merge drift sidecar without " +
+    "changing the retrain signal") {
+    val e = Tables.embeddings(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("cmp_mlog").toString
+    SimilarityOps.buildIvfIndex(e.filter($"vec_id" % 8 === 0L), path)
+    (1L to 6L).foreach { r =>
+      SimilarityOps.mergeIvfIndex(e.filter($"vec_id" % 8 === r), path)
+    }
+    assert(parquetFiles(s"$path/merge_log") === 6,
+      "each merge must have appended one drift file")
+    val rowsBefore = spark.read.parquet(s"$path/merge_log")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val retrainBefore = SimilarityOps.shouldRetrain(spark, path)
+    Compaction.maintainIndex(spark, path, "ivf", maxFilesPerPartition = 4)
+    assert(parquetFiles(s"$path/merge_log") === 1,
+      "the tick must collapse the drift log to one file")
+    assert(spark.read.parquet(s"$path/merge_log")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+      === rowsBefore, "collapse must preserve every drift row")
+    assert(SimilarityOps.shouldRetrain(spark, path) === retrainBefore)
+    // below the threshold the next tick leaves it alone
+    Compaction.maintainIndex(spark, path, "ivf", maxFilesPerPartition = 4)
+    assert(parquetFiles(s"$path/merge_log") === 1)
+  }
+
   test("batch IVF probe equals the per-query probe for every query") {
     val e = Tables.embeddings(spark, sfDir)
     val path = java.nio.file.Files.createTempDirectory("cmp_ivfb").toString
