@@ -83,6 +83,18 @@ object SparkEntry {
             date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss"))).as("status"))
         .orderBy("user_id", "version_no")),
 
+    // ── §7.3(c): dense surrogate keys without the one-task sort ───────
+    // The reference's surrogate_key BIGSERIAL (scd2_loader.py:104) made
+    // deterministic: 1-based sequence under the total order
+    // (user_id, version_no), assigned by the two-pass range-partitioned
+    // prefix sum (GlobalOrder) — numbering identical to a global
+    // row_number window, work bounded per task.
+    "scd2_surrogate_keys" -> ((s, dir) =>
+      Scd2.withSurrogateKey(dimOf(ev(s, dir)),
+          Seq(col("user_id"), col("version_no")))
+        .select("surrogate_key", "user_id", "version_no", "is_current")
+        .orderBy("surrogate_key")),
+
     // ── S1/P1/P5: watermarked incremental scan + op classification ────
     "cdc_watermark_scan" -> ((s, dir) =>
       Cdc.watermarkScan(ev(s, dir), expr(s"TIMESTAMP '$WM'"), KEY, TS)
@@ -1870,6 +1882,14 @@ object SparkEntry {
     "scd2_current" ->
       s"""WITH ${dimSql("events")}
          |SELECT $dimColsSql FROM dim WHERE is_current ORDER BY user_id""".stripMargin,
+
+    // deterministic surrogate sequence = a global row_number under the
+    // same total order the engine range-partitions on
+    "scd2_surrogate_keys" ->
+      s"""WITH ${dimSql("events")}
+         |SELECT row_number() OVER (ORDER BY user_id, version_no) AS surrogate_key,
+         |       user_id, version_no, is_current
+         |FROM dim ORDER BY surrogate_key""".stripMargin,
 
     "scd2_asof" ->
       s"""WITH ${dimSql("events")}

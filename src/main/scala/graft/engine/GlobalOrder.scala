@@ -1,0 +1,54 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Range-partitioned global ordering without a single-partition window.
+  *
+  * A bare `row_number().over(Window.orderBy(...))` funnels the whole
+  * corpus through ONE task — the classic 100 TB killer (SURVEY §7.3(c)
+  * flags it for surrogate keys; the sampling family hit it first for
+  * packing/bucketing). This is the standard two-pass distributed
+  * prefix-sum instead: range repartition on the order key, partition-
+  * local sort + window, and ONE tiny collected (count, sum) row per
+  * partition whose exclusive prefix ships back as a broadcast literal
+  * offset. Work per task stays bounded by the range partition size, so
+  * the numbering scales linearly with executors while remaining
+  * bit-identical to the single-window formulation.
+  */
+object GlobalOrder {
+
+  /** Attach `_rn` (1-based global row number under `order`) and `_cum`
+    * (exclusive global running sum of `sumCol`) to `df`. The cached
+    * ranged table pins partition ids so both passes see the same
+    * layout. Returns (df, total rows, total sum). `order` must be a
+    * total order (include a unique tie-break column) for the numbering
+    * to be deterministic. */
+  def attach(df: DataFrame, order: Seq[Column],
+             sumCol: Column): (DataFrame, Long, Long) = {
+    val ranged = Caches.ensureCached(
+      df.repartitionByRange(order: _*)
+        .sortWithinPartitions(order: _*)
+        .withColumn("_pid", spark_partition_id()))
+    val parts = ranged.groupBy("_pid")
+      .agg(count(lit(1)).as("_n"), coalesce(sum(sumCol), lit(0L)).as("_s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    if (parts.isEmpty)
+      return (ranged.withColumn("_rn", lit(0L)).withColumn("_cum", lit(0L)), 0L, 0L)
+    val size = parts.map(_._1).max + 1
+    val nArr = Array.fill(size)(0L); val sArr = Array.fill(size)(0L)
+    parts.foreach { case (p, n, s) => nArr(p) = n; sArr(p) = s }
+    val nOff = nArr.scanLeft(0L)(_ + _).dropRight(1).toSeq
+    val sOff = sArr.scanLeft(0L)(_ + _).dropRight(1).toSeq
+    val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val out = ranged
+      .withColumn("_rn",
+        element_at(typedlit(nOff), col("_pid") + 1) + row_number().over(w))
+      .withColumn("_cum",
+        element_at(typedlit(sOff), col("_pid") + 1) +
+          coalesce(sum(sumCol).over(wPrev), lit(0L)))
+    (out, nArr.sum, sArr.sum)
+  }
+}

@@ -43,6 +43,22 @@ object Scd2 {
         when(col("version_no") === 1L, lit("INSERT")).otherwise(lit("UPDATE")))
   }
 
+  /** Dense, deterministic surrogate keys for a dimension snapshot — the
+    * Spark twin of the reference dim table's `surrogate_key BIGSERIAL`
+    * (scd2_loader.py:104, insertion-order sequence), made reproducible
+    * by deriving the 1-based sequence from a total `order` (e.g.
+    * `(key, version_no)`) instead of load order.
+    *
+    * The naive formulation — `row_number().over(Window.orderBy(...))` —
+    * sorts the entire dimension through ONE task (the §7.3(c) scale
+    * pain). This rides [[GlobalOrder]]'s two-pass range-partitioned
+    * prefix sum instead: identical numbering, work bounded per task. */
+  def withSurrogateKey(dim: DataFrame, order: Seq[Column],
+                       name: String = "surrogate_key"): DataFrame = {
+    val (out, _, _) = GlobalOrder.attach(dim, order, lit(0L))
+    out.withColumn(name, col("_rn")).drop("_rn", "_cum", "_pid")
+  }
+
   /** Current-rows filter (scd2_loader.py:193-200; the FOR UPDATE row lock is
     * moot over immutable snapshots). */
   def current(dim: DataFrame): DataFrame = dim.filter(col("is_current"))

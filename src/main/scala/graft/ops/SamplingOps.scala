@@ -90,42 +90,12 @@ object SamplingOps {
     pmod(keyHash(key), lit(1000000L)) <
       floor(col("_rate") * lit(1000000.0)).cast("long")
 
-  /** Range-partitioned global-order scaffold: attaches `_rn` (1-based
-    * global row number under `order`) and `_cum` (exclusive global
-    * running sum of `sumCol`) WITHOUT a single-partition window — a bare
-    * `Window.orderBy(...)` funnels the whole corpus through one task,
-    * the classic 100 TB killer. Shape: range repartition on the order
-    * key, partition-local sort + window, and ONE tiny collected
-    * (count, sum) row per partition whose exclusive prefix ships back as
-    * a broadcast literal offset — the standard two-pass distributed
-    * prefix-sum. The cached ranged table pins partition ids so both
-    * passes see the same layout. Returns (df, total rows, total sum). */
+  /** Range-partitioned global-order scaffold — see
+    * [[graft.engine.GlobalOrder.attach]] (factored to the engine so the
+    * SCD2 surrogate-key path shares the identical two-pass prefix sum). */
   private def globalOrder(df: DataFrame, order: Seq[Column],
-                          sumCol: Column): (DataFrame, Long, Long) = {
-    val ranged = graft.engine.Caches.ensureCached(
-      df.repartitionByRange(order: _*)
-        .sortWithinPartitions(order: _*)
-        .withColumn("_pid", spark_partition_id()))
-    val parts = ranged.groupBy("_pid")
-      .agg(count(lit(1)).as("_n"), coalesce(sum(sumCol), lit(0L)).as("_s"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-    if (parts.isEmpty)
-      return (ranged.withColumn("_rn", lit(0L)).withColumn("_cum", lit(0L)), 0L, 0L)
-    val size = parts.map(_._1).max + 1
-    val nArr = Array.fill(size)(0L); val sArr = Array.fill(size)(0L)
-    parts.foreach { case (p, n, s) => nArr(p) = n; sArr(p) = s }
-    val nOff = nArr.scanLeft(0L)(_ + _).dropRight(1).toSeq
-    val sOff = sArr.scanLeft(0L)(_ + _).dropRight(1).toSeq
-    val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
-    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
-    val out = ranged
-      .withColumn("_rn",
-        element_at(typedlit(nOff), col("_pid") + 1) + row_number().over(w))
-      .withColumn("_cum",
-        element_at(typedlit(sOff), col("_pid") + 1) +
-          coalesce(sum(sumCol).over(wPrev), lit(0L)))
-    (out, nArr.sum, sArr.sum)
-  }
+                          sumCol: Column): (DataFrame, Long, Long) =
+    graft.engine.GlobalOrder.attach(df, order, sumCol)
 
   private def docTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),

@@ -213,6 +213,37 @@ class Scd2Spec extends AnyFunSuite {
     assert(d2.count() === 2)
   }
 
+  test("surrogate keys: dense 1..N, equal to the one-task window, " +
+    "assigned across multiple range partitions") {
+    // pin AQE coalescing off so the tiny test input keeps a genuinely
+    // multi-partition range layout — otherwise the offsets-and-window
+    // two-pass would be exercised on a single partition only
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      val parts = dim.repartitionByRange(col("user_id"), col("version_no"))
+        .rdd.getNumPartitions
+      assert(parts > 1, s"expected a multi-partition range layout, got $parts")
+      val keyed = Scd2.withSurrogateKey(dim,
+        Seq(col("user_id"), col("version_no")))
+      val n = dim.count()
+      // dense 1..N with no gaps or duplicates
+      val sk = keyed.agg(min("surrogate_key"), max("surrogate_key"),
+        countDistinct("surrogate_key"), count(lit(1))).first()
+      assert(sk.getLong(0) === 1L)
+      assert(sk.getLong(1) === n)
+      assert(sk.getLong(2) === n)
+      assert(sk.getLong(3) === n)
+      // numbering identical to the naive single-partition window
+      val naive = dim.withColumn("expected", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy("user_id", "version_no")).cast("long"))
+      assert(keyed.join(naive, Seq("user_id", "version_no"))
+        .filter($"surrogate_key" =!= $"expected").count() === 0)
+    } finally spark.conf.set(coalesceKey, prev)
+  }
+
   test("as-of returns exactly the version covering the instant") {
     val at = "2024-01-15 00:00:00"
     val got = Scd2.asOf(dim, lit(at).cast("timestamp"))
