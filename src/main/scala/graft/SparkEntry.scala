@@ -95,6 +95,27 @@ object SparkEntry {
         .select("surrogate_key", "user_id", "version_no", "is_current")
         .orderBy("surrogate_key")),
 
+    // The BIGSERIAL stability property under incremental load: history
+    // keyed before the watermark keeps its surrogate keys through the
+    // merge (expire is an update-in-place in the reference, the row's
+    // key survives — scd2_loader.py:361-402); only the merge's new
+    // versions draw keys max+1.. — so fact-table foreign keys never
+    // dangle across loads.
+    "scd2_surrogate_extend" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val hist = bucketedHistDim(s, dir, "hist",
+        e.filter(col(TS) <= expr(s"TIMESTAMP '$WM'")))
+      val keyed = Scd2.withSurrogateKey(hist,
+        Seq(col("user_id"), col("version_no")))
+      val merged = Scd2.merge(hist,
+        e.filter(col(TS) > expr(s"TIMESTAMP '$WM'")), KEY, TS, TIE)
+      Scd2.extendSurrogateKey(keyed, merged,
+          Seq("user_id", "version_no"),
+          Seq(col("user_id"), col("version_no")))
+        .select("surrogate_key", "user_id", "version_no", "is_current")
+        .orderBy("surrogate_key")
+    }),
+
     // ── S1/P1/P5: watermarked incremental scan + op classification ────
     "cdc_watermark_scan" -> ((s, dir) =>
       Cdc.watermarkScan(ev(s, dir), expr(s"TIMESTAMP '$WM'"), KEY, TS)
@@ -1890,6 +1911,38 @@ object SparkEntry {
          |SELECT row_number() OVER (ORDER BY user_id, version_no) AS surrogate_key,
          |       user_id, version_no, is_current
          |FROM dim ORDER BY surrogate_key""".stripMargin,
+
+    // Key stability through the merge: a merged-dim version predates the
+    // watermark iff valid_from <= WM (hist events all sort before the
+    // batch, so version identities are preserved by the rebuild); those
+    // keep the hist numbering, the rest extend it from count(hist)+1
+    // under the same (user_id, version_no) order the engine uses.
+    "scd2_surrogate_extend" ->
+      s"""WITH hist AS (
+         |  SELECT event_id, ts, user_id, event_type, value, props
+         |  FROM events WHERE ts <= TIMESTAMP '$WM'),
+         |latest AS (
+         |  SELECT event_id, ts, user_id, event_type, value, props
+         |  FROM (SELECT e.*, row_number() OVER
+         |          (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |        FROM events e WHERE ts > TIMESTAMP '$WM')
+         |  WHERE rn = 1),
+         |allc AS (SELECT * FROM hist UNION ALL SELECT * FROM latest),
+         |${dimSql("allc")},
+         |old AS (
+         |  SELECT user_id, version_no,
+         |         row_number() OVER (ORDER BY user_id, version_no) AS surrogate_key
+         |  FROM dim WHERE valid_from <= TIMESTAMP '$WM'),
+         |fresh AS (
+         |  SELECT user_id, version_no,
+         |         (SELECT count(*) FROM old)
+         |           + row_number() OVER (ORDER BY user_id, version_no) AS surrogate_key
+         |  FROM dim WHERE valid_from > TIMESTAMP '$WM')
+         |SELECT k.surrogate_key, d.user_id, d.version_no, d.is_current
+         |FROM dim d
+         |JOIN (SELECT * FROM old UNION ALL SELECT * FROM fresh) k
+         |  USING (user_id, version_no)
+         |ORDER BY surrogate_key""".stripMargin,
 
     "scd2_asof" ->
       s"""WITH ${dimSql("events")}

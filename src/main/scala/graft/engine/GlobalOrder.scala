@@ -19,14 +19,28 @@ import org.apache.spark.sql.functions._
   */
 object GlobalOrder {
 
-  /** Attach `_rn` (1-based global row number under `order`) and `_cum`
-    * (exclusive global running sum of `sumCol`) to `df`. The cached
-    * ranged table pins partition ids so both passes see the same
-    * layout. Returns (df, total rows, total sum). `order` must be a
-    * total order (include a unique tie-break column) for the numbering
-    * to be deterministic. */
-  def attach(df: DataFrame, order: Seq[Column],
-             sumCol: Column): (DataFrame, Long, Long) = {
+  /** Attach `_rn` (1-based global row number under `order`) and — when
+    * `needCum` — `_cum` (exclusive global running sum of `sumCol`) to
+    * `df`. The cached ranged table pins partition ids so both passes
+    * see the same layout. Returns (df, total rows, total sum). `order`
+    * must be a total order (include a unique tie-break column) for the
+    * numbering to be deterministic.
+    *
+    * The running sum genuinely needs a per-partition sequential window,
+    * and `Window.partitionBy("_pid")` makes Catalyst insert one more
+    * full Exchange (the cached table's RangePartitioning does not
+    * satisfy the window's ClusteredDistribution on `_pid`, even though
+    * each partition holds exactly one `_pid`). Consumers that only need
+    * the row NUMBER (`needCum = false`: surrogate keys, bucketing)
+    * skip that whole shuffle: within the pinned layout the partition-
+    * local index is `monotonically_increasing_id()` minus the partition
+    * base (`_pid * 2^33` — the documented id construction), which is
+    * deterministic HERE because the cache fixes both the partition
+    * layout and (via the range sort) the row order inside each
+    * partition — exactly the preconditions SURVEY §7.3(c) notes are
+    * missing when the raw id is used as a key on its own. */
+  def attach(df: DataFrame, order: Seq[Column], sumCol: Column,
+             needCum: Boolean = true): (DataFrame, Long, Long) = {
     val ranged = Caches.ensureCached(
       df.repartitionByRange(order: _*)
         .sortWithinPartitions(order: _*)
@@ -40,12 +54,18 @@ object GlobalOrder {
     val nArr = Array.fill(size)(0L); val sArr = Array.fill(size)(0L)
     parts.foreach { case (p, n, s) => nArr(p) = n; sArr(p) = s }
     val nOff = nArr.scanLeft(0L)(_ + _).dropRight(1).toSeq
+    val baseRn = element_at(typedlit(nOff), col("_pid") + 1)
+    if (!needCum) {
+      val localIdx = monotonically_increasing_id() -
+        (col("_pid").cast("long") * lit(1L << 33))
+      return (ranged.withColumn("_rn", baseRn + localIdx + lit(1L)),
+        nArr.sum, sArr.sum)
+    }
     val sOff = sArr.scanLeft(0L)(_ + _).dropRight(1).toSeq
     val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
     val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
     val out = ranged
-      .withColumn("_rn",
-        element_at(typedlit(nOff), col("_pid") + 1) + row_number().over(w))
+      .withColumn("_rn", baseRn + row_number().over(w))
       .withColumn("_cum",
         element_at(typedlit(sOff), col("_pid") + 1) +
           coalesce(sum(sumCol).over(wPrev), lit(0L)))

@@ -55,8 +55,32 @@ object Scd2 {
     * prefix sum instead: identical numbering, work bounded per task. */
   def withSurrogateKey(dim: DataFrame, order: Seq[Column],
                        name: String = "surrogate_key"): DataFrame = {
-    val (out, _, _) = GlobalOrder.attach(dim, order, lit(0L))
+    val (out, _, _) = GlobalOrder.attach(dim, order, lit(0L), needCum = false)
     out.withColumn(name, col("_rn")).drop("_rn", "_cum", "_pid")
+  }
+
+  /** Extend a keyed dimension's surrogate sequence over a merged
+    * snapshot — the BIGSERIAL stability property under incremental load
+    * (scd2_loader.py:361-402: expire is an UPDATE in place, so an
+    * expired version KEEPS its surrogate key; only inserts draw new
+    * ones). Rows of `merged` that share a version identity
+    * (`identity`, e.g. `(key, version_no)`) with `keyed` inherit its
+    * key; the rest are numbered `max(existing)+1 ..` under `order` via
+    * the same [[GlobalOrder]] prefix sum. One co-partitioned join on
+    * the version identity plus one tiny max — history is never
+    * renumbered, so downstream fact tables keep their foreign keys. */
+  def extendSurrogateKey(keyed: DataFrame, merged: DataFrame,
+                         identity: Seq[String], order: Seq[Column],
+                         name: String = "surrogate_key"): DataFrame = {
+    val existing = keyed.select(identity.map(col) :+ col(name): _*)
+    val joined = merged.join(existing, identity, "left")
+    val offset = keyed.agg(coalesce(max(col(name)), lit(0L))).first().getLong(0)
+    val fresh = joined.filter(col(name).isNull).drop(name)
+    val (numbered, _, _) = GlobalOrder.attach(fresh, order, lit(0L),
+      needCum = false)
+    joined.filter(col(name).isNotNull)
+      .unionByName(numbered.withColumn(name, col("_rn") + offset)
+        .drop("_rn", "_cum", "_pid"))
   }
 
   /** Current-rows filter (scd2_loader.py:193-200; the FOR UPDATE row lock is

@@ -93,9 +93,9 @@ object SamplingOps {
   /** Range-partitioned global-order scaffold — see
     * [[graft.engine.GlobalOrder.attach]] (factored to the engine so the
     * SCD2 surrogate-key path shares the identical two-pass prefix sum). */
-  private def globalOrder(df: DataFrame, order: Seq[Column],
-                          sumCol: Column): (DataFrame, Long, Long) =
-    graft.engine.GlobalOrder.attach(df, order, sumCol)
+  private def globalOrder(df: DataFrame, order: Seq[Column], sumCol: Column,
+                          needCum: Boolean = true): (DataFrame, Long, Long) =
+    graft.engine.GlobalOrder.attach(df, order, sumCol, needCum)
 
   private def docTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
@@ -112,7 +112,7 @@ object SamplingOps {
   def tokenBuckets(docs: DataFrame, n: Int): DataFrame = {
     val (ordered, total, _) =
       globalOrder(docTokens(docs), Seq(col("n_tokens"), col("doc_id")),
-        col("n_tokens"))
+        col("n_tokens"), needCum = false)
     val base = total / n; val rem = total % n; val cut = (base + 1) * rem
     ordered
       .withColumn("bucket",

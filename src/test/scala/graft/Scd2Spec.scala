@@ -244,6 +244,43 @@ class Scd2Spec extends AnyFunSuite {
     } finally spark.conf.set(coalesceKey, prev)
   }
 
+  test("extendSurrogateKey: history keeps its keys, new versions draw " +
+    "max+1.. — dense overall") {
+    val wm = lit("2024-01-20 00:00:00").cast("timestamp")
+    val hist = Scd2.rebuild(events.filter($"ts" <= wm),
+      "user_id", "ts", "event_id")
+    val keyed = Scd2.withSurrogateKey(hist,
+      Seq(col("user_id"), col("version_no")))
+    val nHist = hist.count()
+    val merged = Scd2.merge(hist, events.filter($"ts" > wm),
+      "user_id", "ts", "event_id")
+    val extended = Scd2.extendSurrogateKey(keyed, merged,
+      Seq("user_id", "version_no"), Seq(col("user_id"), col("version_no")))
+    val n = merged.count()
+    assert(extended.count() === n)
+    // dense 1..N overall, no duplicates
+    val sk = extended.agg(min("surrogate_key"), max("surrogate_key"),
+      countDistinct("surrogate_key")).first()
+    assert(sk.getLong(0) === 1L)
+    assert(sk.getLong(1) === n)
+    assert(sk.getLong(2) === n)
+    // every hist version identity kept its exact key (the BIGSERIAL
+    // stability property: expire updates in place, never renumbers)
+    assert(extended.join(keyed.select($"user_id", $"version_no",
+        $"surrogate_key".as("orig")), Seq("user_id", "version_no"))
+      .filter($"surrogate_key" =!= $"orig").count() === 0)
+    // and new versions all landed strictly beyond the hist range
+    assert(extended.join(keyed.select("user_id", "version_no"),
+        Seq("user_id", "version_no"), "left_anti")
+      .filter($"surrogate_key" <= nHist).count() === 0)
+    // re-extending with an empty batch is a no-op on the numbering
+    val again = Scd2.extendSurrogateKey(extended, merged,
+      Seq("user_id", "version_no"), Seq(col("user_id"), col("version_no")))
+    assert(again.join(extended.select($"user_id", $"version_no",
+        $"surrogate_key".as("orig")), Seq("user_id", "version_no"))
+      .filter($"surrogate_key" =!= $"orig").count() === 0)
+  }
+
   test("as-of returns exactly the version covering the instant") {
     val at = "2024-01-15 00:00:00"
     val got = Scd2.asOf(dim, lit(at).cast("timestamp"))
