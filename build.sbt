@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked program's stdout normally flows through sbt's logger, which
+// prefixes every line with "[info] " — that prefix is why the driver's
+// last-line JSON parse failed even after showSuccess was turned off
+// (BENCH_r11 tail: `[info] {"metric":"total",...}`). StdoutOutput pipes
+// the child's stdout/stderr straight through, byte-identical, so the
+// bench headline really is the last line AND starts with '{'.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // The bench driver parses the LAST line of the (tail-truncated) sbt log as
 // the headline JSON. sbt's own "[success] Total time: ..." trailer printed
 // after the forked program's output has masked it for four rounds — turn it
