@@ -81,9 +81,16 @@ object Compaction {
     * vacuum are SCHEDULED, never concurrent — but a scheduling bug that
     * lets a compactor swap the pointer mid-append would otherwise be
     * SILENT data loss: the rows land in the superseded version dir and
-    * the next vacuum deletes them. This guard turns that race into a
-    * loud failure AFTER the write but BEFORE the caller records the
-    * batch as applied (ledger append / checkpoint commit), so the
+    * the next vacuum deletes them. This guard NARROWS that race — it
+    * does not close it: it only detects swaps that complete strictly
+    * inside the append. A compactor that snapshotted the live dir
+    * before this append started and publishes its pointer after the
+    * post-append re-resolve still strands the appended rows silently —
+    * the single-writer schedule remains the actual invariant; this is
+    * a backstop for the common scheduling bug, not a substitute.
+    * When it does fire, the failure lands AFTER the write but BEFORE
+    * the caller records the batch as applied (ledger append /
+    * checkpoint commit), so the
     * batch replays against the new live version on restart — the same
     * recovery path as a crash mid-merge. Replayed appends can leave
     * duplicate rows behind (the compactor may have caught part of the
@@ -337,17 +344,31 @@ object Compaction {
   /** Collapse a tiny append-per-merge sidecar (the IVF/PQ `merge_log`:
     * one ~1-row file per absorbed batch) back to a single file once it
     * holds more than `maxFiles` data files. The sidecar is UNVERSIONED
-    * (advisory drift rows, overwritten in place — the same posture as
-    * the fingerprint family's dfs table), so this must only run under
-    * the tick's single-writer discipline; rows are materialized via
-    * localCheckpoint before the overwrite so the rewrite never reads
-    * the path it is replacing. */
+    * (advisory drift rows — the same posture as the fingerprint
+    * family's dfs table), so this must only run under the tick's
+    * single-writer discipline. The rewrite lands in a sibling temp dir
+    * first (so it never reads the path it replaces), then the live dir
+    * is deleted and the temp renamed into place. A crash between the
+    * delete and the rename leaves the full contents in the temp dir;
+    * the next tick's recovery step moves it back before anything else.
+    * In that window `shouldRetrain`/`shouldRetrainPq` see a missing
+    * log and report "no drift" — an advisory signal outage of one
+    * maintenance interval, not data loss. */
   private def collapseSidecar(spark: SparkSession, dir: String,
                               maxFiles: Int): Boolean = {
-    if (!Files.exists(Paths.get(dir))) return false
+    val live = Paths.get(dir)
+    val tmp = Paths.get(dir + "._collapse")
+    // crash recovery: a prior collapse deleted the live dir but died
+    // before the rename — the temp dir holds the complete history
+    if (!Files.exists(live) && Files.exists(tmp))
+      Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+    if (!Files.exists(live)) return false
     if (filesPerPartition(dir).values.sum <= maxFiles) return false
-    spark.read.parquet(dir).localCheckpoint(true)
-      .coalesce(1).write.mode("overwrite").parquet(dir)
+    if (Files.exists(tmp)) deleteRec(tmp) // orphan of an interrupted write
+    spark.read.parquet(dir).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    deleteRec(live)
+    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
     true
   }
 

@@ -48,17 +48,33 @@ object GlobalOrder {
     val parts = ranged.groupBy("_pid")
       .agg(count(lit(1)).as("_n"), coalesce(sum(sumCol), lit(0L)).as("_s"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-    if (parts.isEmpty)
-      return (ranged.withColumn("_rn", lit(0L)).withColumn("_cum", lit(0L)), 0L, 0L)
+    if (parts.isEmpty) {
+      // match the non-empty path's schema for the requested mode: _cum
+      // only exists when the caller asked for it
+      val out0 = ranged.withColumn("_rn", lit(0L))
+      return (if (needCum) out0.withColumn("_cum", lit(0L)) else out0, 0L, 0L)
+    }
     val size = parts.map(_._1).max + 1
     val nArr = Array.fill(size)(0L); val sArr = Array.fill(size)(0L)
     parts.foreach { case (p, n, s) => nArr(p) = n; sArr(p) = s }
     val nOff = nArr.scanLeft(0L)(_ + _).dropRight(1).toSeq
     val baseRn = element_at(typedlit(nOff), col("_pid") + 1)
     if (!needCum) {
+      // `partition_id << 33` is how the CURRENT Spark implementation
+      // constructs the id — an implementation detail, not a contract.
+      // Guard it: under the real layout every local index lands in
+      // [0, partition row count); any future layout change produces a
+      // negative or >=count index on the very first row it touches and
+      // fails loudly here instead of silently corrupting the numbering.
       val localIdx = monotonically_increasing_id() -
         (col("_pid").cast("long") * lit(1L << 33))
-      return (ranged.withColumn("_rn", baseRn + localIdx + lit(1L)),
+      val partN = element_at(typedlit(nArr.toSeq), col("_pid") + 1)
+      val guarded = when(localIdx >= 0L && localIdx < partN, localIdx)
+        .otherwise(raise_error(concat(
+          lit("GlobalOrder: monotonically_increasing_id layout changed " +
+            "(local index "), localIdx.cast("string"),
+          lit(" outside [0, "), partN.cast("string"), lit(")))"))))
+      return (ranged.withColumn("_rn", baseRn + guarded + lit(1L)),
         nArr.sum, sArr.sum)
     }
     val sOff = sArr.scanLeft(0L)(_ + _).dropRight(1).toSeq

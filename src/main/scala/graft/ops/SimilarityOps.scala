@@ -428,33 +428,58 @@ object SimilarityOps {
 
   // Per-process memo of stored-index control-plane tables (IVF
   // centroids, PQ codebooks), keyed by table dir and VALIDATED against
-  // the dir's mtime on every access: tiny rows the read paths would
-  // otherwise re-read (parquet listing + footer + one-job collect) on
-  // EVERY query/merge — at deployment QPS the cell probe must be warm
-  // driver arithmetic, the same treatment the inline variant's
-  // givenCellCentroids cache got. The mtime check (one stat call) is
-  // what makes the memo safe across PROCESSES: a rebuild by another
-  // JVM replaces the table dir (mode("overwrite") recreates it), the
-  // stat sees a new mtime, and the memo self-heals instead of serving
-  // stale centroids forever. Same-JVM rebuilds also invalidate
-  // explicitly, immediately after the overwrite.
+  // a CONTENT SIGNATURE of the dir on every access: tiny rows the read
+  // paths would otherwise re-read (parquet listing + footer + one-job
+  // collect) on EVERY query/merge — at deployment QPS the cell probe
+  // must be warm driver arithmetic, the same treatment the inline
+  // variant's givenCellCentroids cache got. The signature is the
+  // sorted (name, size, mtime) listing of the dir's files — NOT the
+  // dir's own mtime: on filesystems with coarse (1 s) mtime
+  // granularity a cross-process rebuild can land in the same dir
+  // timestamp as the memoized load, and a bare-mtime memo would then
+  // serve stale centroids forever. Parquet overwrites always change
+  // the part-file names (fresh UUIDs), so the listing signature
+  // catches every rebuild regardless of timer resolution. The
+  // signature is taken BEFORE the load: if a rebuild races the load
+  // (partial table read), the post-commit listing differs from the
+  // memoized pre-load signature, so the next access reloads — a raced
+  // load can be served at most until the next call, never pinned.
+  // Same-JVM rebuilds also invalidate explicitly, immediately after
+  // the overwrite.
+  private def dirSignature(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir)
+    try {
+      val s = java.nio.file.Files.list(p)
+      try {
+        val it = s.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val f = it.next()
+          val sz = try java.nio.file.Files.size(f)
+            catch { case _: java.io.IOException => -1L }
+          val mt = try java.nio.file.Files.getLastModifiedTime(f).toMillis
+            catch { case _: java.io.IOException => -1L }
+          buf += s"${f.getFileName}:$sz:$mt"
+        }
+        buf.sorted.mkString("|")
+      } finally s.close()
+    } catch { case _: java.io.IOException => "<missing>" }
+  }
+
   private def memoizedControlPlane[T](dir: String, memo:
-      scala.collection.concurrent.TrieMap[String, (Long, T)])(load: => T): T = {
-    val mtime =
-      try java.nio.file.Files.getLastModifiedTime(
-        java.nio.file.Paths.get(dir)).toMillis
-      catch { case _: java.io.IOException => -1L }
+      scala.collection.concurrent.TrieMap[String, (String, T)])(load: => T): T = {
+    val sig = dirSignature(dir)
     memo.get(dir) match {
-      case Some((m, v)) if m == mtime => v
+      case Some((m, v)) if m == sig => v
       case _ =>
         val v = load
-        memo.put(dir, (mtime, v))
+        memo.put(dir, (sig, v))
         v
     }
   }
 
   private val storedCentroidMemo = scala.collection.concurrent.TrieMap
-    .empty[String, (Long, IndexedSeq[(Long, IndexedSeq[Double])])]
+    .empty[String, (String, IndexedSeq[(Long, IndexedSeq[Double])])]
 
   private def storedCentroids(spark: org.apache.spark.sql.SparkSession,
                               path: String): IndexedSeq[(Long, IndexedSeq[Double])] =
@@ -696,7 +721,7 @@ object SimilarityOps {
   // Same mtime-validated control-plane memo as [[storedCentroids]] for
   // the PQ codebook table (m × ksub tiny rows).
   private val storedCodebookMemo = scala.collection.concurrent.TrieMap
-    .empty[String, (Long, Array[(Int, Int, IndexedSeq[Double])])]
+    .empty[String, (String, Array[(Int, Int, IndexedSeq[Double])])]
 
   private def storedCodebooks(spark: org.apache.spark.sql.SparkSession,
                               path: String): Array[(Int, Int, IndexedSeq[Double])] =
