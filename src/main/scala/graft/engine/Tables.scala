@@ -24,21 +24,56 @@ object Tables {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's schema inference
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read it under [[eventsNanosSchema]]
-    * (ts as raw nanos long — a per-read request, NOT the session-global
-    * `spark.sql.legacy.parquet.nanosAsLong` switch) and truncate to a
-    * microsecond TimestampType — the same truncation DuckDB applies when
-    * casting ns→µs, so oracle comparisons line up. Other nanos-parquet
-    * reads in the session are unaffected. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    tsFromNanos(spark.read.schema(eventsNanosSchema)
-      .parquet(s"$dir/events.parquet"))
+  /** events.ts has shipped as both parquet TIMESTAMP(MICROS) and
+    * TIMESTAMP(NANOS) across generator versions, so the loader detects
+    * which it got rather than assuming. The plain read succeeds for µs
+    * (ordinary TimestampType — use as-is; NTZ is cast to the session-TZ
+    * TimestampType the engine uses). For ns, Spark's schema inference
+    * rejects the footer ([PARQUET_TYPE_ILLEGAL]); fall back to reading
+    * `ts` as a raw long under [[eventsNanosSchema]] (a per-read request,
+    * NOT the session-global `spark.sql.legacy.parquet.nanosAsLong`
+    * switch) and truncate ns→µs — the same truncation DuckDB applies —
+    * so oracle comparisons line up either way. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    try {
+      val df = spark.read.parquet(path)
+      df.schema("ts").dataType match {
+        case TimestampType    => df
+        case TimestampNTZType => df.withColumn("ts", expr("cast(ts as timestamp)"))
+        case LongType         => tsFromNanos(df) // nanosAsLong session conf active
+        case other => throw new IllegalStateException(
+          s"events.ts: unexpected parquet type $other")
+      }
+    } catch {
+      case e: Exception if isNanosFooter(e) =>
+        tsFromNanos(spark.read.schema(eventsNanosSchema).parquet(path))
+    }
+  }
 
   /** Convert a nanos-as-long `ts` column (read under `nanosAsLong`) to the
     * µs TimestampType the rest of the engine uses. */
   def tsFromNanos(df: DataFrame): DataFrame =
     df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Streaming variant of [[events]]: the file-stream source needs an
+    * explicit schema, so probe the directory's footer with a batch read to
+    * learn the timestamp unit, then stream under the matching schema. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    try {
+      val probe = spark.read.parquet(s"$dir/events.parquet")
+      val df = spark.readStream.schema(probe.schema).parquet(dir)
+      if (probe.schema("ts").dataType == TimestampType) df
+      else df.withColumn("ts", expr("cast(ts as timestamp)"))
+    } catch {
+      case e: Exception if isNanosFooter(e) =>
+        tsFromNanos(spark.readStream.schema(eventsNanosSchema).parquet(dir))
+    }
+
+  private def isNanosFooter(e: Exception): Boolean =
+    e.getMessage != null &&
+      (e.getMessage.contains("PARQUET_TYPE_ILLEGAL") ||
+       e.getMessage.contains("Illegal Parquet type"))
   def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
   def customer(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "customer")

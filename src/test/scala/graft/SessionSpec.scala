@@ -18,27 +18,26 @@ class SessionSpec extends AnyFunSuite {
     assert(d === 32.0)
   }
 
-  test("events nanos read is per-read scoped, not a session-global switch") {
+  test("events loader adapts to the file's timestamp unit (µs or ns)") {
+    import org.apache.spark.sql.functions.{min, year, col}
     // via Tables.events: ts arrives as a proper microsecond timestamp
     val ev = Tables.events(spark, sfDir)
     assert(ev.schema("ts").dataType === TimestampType)
     assert(ev.count() > 0)
 
-    // the same file read under the explicit nanos schema: raw long nanos
+    // regression guard for the unit mix-up: µs misread as ns lands in 1970
+    val minYear = ev.agg(min(year(col("ts")))).head().getInt(0)
+    assert(minYear >= 2000, s"ts unit mangled: min year $minYear")
+
+    // the same file read under the explicit long schema: raw epoch count
     val raw = spark.read.schema(Tables.eventsNanosSchema)
       .parquet(s"$sfDir/events.parquet")
     assert(raw.schema("ts").dataType === LongType)
     assert(raw.count() === ev.count())
 
-    // no cross-contamination: the session-global legacy conf stays off, so
-    // a schema-INFERENCE read of the nanos file still refuses — proving
-    // events() no longer flips behavior for unrelated readers
+    // no cross-contamination: events() must never flip the session-global
+    // legacy switch for unrelated readers
     assert(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
       .forall(_ == "false"))
-    val e = intercept[Throwable] {
-      spark.read.parquet(s"$sfDir/events.parquet").collect()
-    }
-    assert(e.getMessage.contains("PARQUET") || e.getMessage.contains("Parquet") ||
-      e.getMessage.contains("parquet"))
   }
 }

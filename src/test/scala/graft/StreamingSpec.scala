@@ -227,14 +227,13 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming windowed aggregation with watermark matches the batch result") {
     import graft.engine.Tables
-    // stream the events table (ns-timestamp workaround applies) through an
+    // stream the events table (timestamp-unit detection applies) through an
     // event-time tumbling window with watermark, drain with AvailableNow
     // the streaming file source needs a directory; stage the table file
     val dir = Files.createTempDirectory("events_stream")
     Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events.parquet"))
-    val stream = Tables.tsFromNanos(
-      spark.readStream.schema(Tables.eventsNanosSchema).parquet(dir.toString))
+    val stream = Tables.eventsStream(spark, dir.toString)
       .withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n"))
