@@ -348,23 +348,29 @@ object Compaction {
     * family's dfs table), so this must only run under the tick's
     * single-writer discipline. The rewrite lands in a sibling temp dir
     * first (so it never reads the path it replaces), then the live dir
-    * is deleted and the temp renamed into place. A crash between the
-    * delete and the rename leaves the full contents in the temp dir;
-    * the next tick's recovery step moves it back before anything else.
-    * In that window `shouldRetrain`/`shouldRetrainPq` see a missing
-    * log and report "no drift" — an advisory signal outage of one
-    * maintenance interval, not data loss. */
+    * is deleted and the temp renamed into place. `tmp/_SUCCESS` marks a
+    * complete rewrite: from that point the temp dir is authoritative,
+    * so recovery replaces whatever remains of the live dir with it —
+    * including a PARTIALLY deleted live dir, which must never win over
+    * the full copy. A temp dir without `_SUCCESS` is an interrupted
+    * write and is discarded. In the crash window
+    * `shouldRetrain`/`shouldRetrainPq` may see a missing log and report
+    * "no drift" — an advisory signal outage of one maintenance
+    * interval, not data loss. */
   private def collapseSidecar(spark: SparkSession, dir: String,
                               maxFiles: Int): Boolean = {
     val live = Paths.get(dir)
     val tmp = Paths.get(dir + "._collapse")
-    // crash recovery: a prior collapse deleted the live dir but died
-    // before the rename — the temp dir holds the complete history
-    if (!Files.exists(live) && Files.exists(tmp))
+    // crash recovery: a completed rewrite (tmp/_SUCCESS present) is the
+    // one full copy — the live dir may be whole, partial, or gone
+    if (Files.exists(tmp.resolve("_SUCCESS"))) {
+      if (Files.exists(live)) deleteRec(live)
       Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+    } else if (Files.exists(tmp)) {
+      deleteRec(tmp) // orphan of an interrupted write; live is complete
+    }
     if (!Files.exists(live)) return false
     if (filesPerPartition(dir).values.sum <= maxFiles) return false
-    if (Files.exists(tmp)) deleteRec(tmp) // orphan of an interrupted write
     spark.read.parquet(dir).coalesce(1)
       .write.mode("overwrite").parquet(tmp.toString)
     deleteRec(live)

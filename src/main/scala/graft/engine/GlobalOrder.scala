@@ -73,7 +73,7 @@ object GlobalOrder {
         .otherwise(raise_error(concat(
           lit("GlobalOrder: monotonically_increasing_id layout changed " +
             "(local index "), localIdx.cast("string"),
-          lit(" outside [0, "), partN.cast("string"), lit(")))"))))
+          lit(" outside [0, "), partN.cast("string"), lit(")"))))
       return (ranged.withColumn("_rn", baseRn + guarded + lit(1L)),
         nArr.sum, sArr.sum)
     }

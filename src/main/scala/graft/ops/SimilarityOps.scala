@@ -718,8 +718,8 @@ object SimilarityOps {
     * left-associated sum per candidate, no float vectors, no training.
     * This is the production read path: sub-second at any corpus size that
     * fits its code table. */
-  // Same mtime-validated control-plane memo as [[storedCentroids]] for
-  // the PQ codebook table (m × ksub tiny rows).
+  // Same signature-validated control-plane memo as [[storedCentroids]]
+  // for the PQ codebook table (m × ksub tiny rows).
   private val storedCodebookMemo = scala.collection.concurrent.TrieMap
     .empty[String, (String, Array[(Int, Int, IndexedSeq[Double])])]
 

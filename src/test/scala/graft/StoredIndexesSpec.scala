@@ -154,6 +154,33 @@ class StoredIndexesSpec extends AnyFunSuite {
     assert(parquetFiles(s"$path/merge_log") === 1)
   }
 
+  test("sidecar crash recovery: a partial live dir never wins over a " +
+    "completed rewrite") {
+    val e = Tables.embeddings(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("cmp_mlog_crash").toString
+    SimilarityOps.buildIvfIndex(e.filter($"vec_id" % 8 === 0L), path)
+    (1L to 6L).foreach { r =>
+      SimilarityOps.mergeIvfIndex(e.filter($"vec_id" % 8 === r), path)
+    }
+    val log = s"$path/merge_log"
+    val rows = spark.read.parquet(log)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    // simulate the crash window: the rewrite committed (tmp/_SUCCESS) but
+    // deleteRec(live) died midway, leaving a PARTIAL live dir behind
+    val tmp = log + "._collapse"
+    spark.read.parquet(log).coalesce(1).write.parquet(tmp)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/_SUCCESS")))
+    val liveFiles = new java.io.File(log).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(liveFiles.length > 2)
+    liveFiles.take(liveFiles.length / 2).foreach(f => assert(f.delete()))
+    Compaction.maintainIndex(spark, path, "ivf", maxFilesPerPartition = 4)
+    assert(spark.read.parquet(log)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq === rows,
+      "recovery must restore the full drift history from the completed tmp copy")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp)))
+  }
+
   test("batch IVF probe equals the per-query probe for every query") {
     val e = Tables.embeddings(spark, sfDir)
     val path = java.nio.file.Files.createTempDirectory("cmp_ivfb").toString
