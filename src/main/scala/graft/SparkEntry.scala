@@ -715,6 +715,21 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) =>
       SamplingOps.packSequences(Tables.documents(s, dir), 512).orderBy("pack_id")),
 
+    // deterministic epoch-order shuffle: seed-keyed md5 permutation,
+    // contiguous position assigned by the range-partitioned GlobalOrder
+    // numbering (never a single-partition row_number window)
+    "shuffle_global" -> ((s, dir) =>
+      SamplingOps.shuffleOrder(
+        Tables.documents(s, dir).select("doc_id"), "doc_id", "graft-42")
+        .orderBy("train_order")),
+
+    // tokenizer-prep vocabulary: top-100 words by total frequency with
+    // document frequency; both aggregation levels partial-agg before
+    // their shuffle and the top-k is per-partition heaps
+    "vocab_topk" -> ((s, dir) =>
+      TextOps.vocabTopK(Tables.documents(s, dir), 100)
+        .orderBy(col("tf").desc, col("word"))),
+
     // temperature-flattened mixing (α = ½): big langs downsampled toward
     // the smallest, rate = sqrt(min_tokens/tokens) — all single-rounded
     // IEEE ops, so membership is bit-stable across engines
@@ -2263,6 +2278,24 @@ object SparkEntry {
          |WHERE ${keyHashSql("doc_id")} % 1000000 <
          |      CAST(floor(rate * 1000000) AS BIGINT)
          |ORDER BY doc_id""".stripMargin,
+
+    "shuffle_global" ->
+      """SELECT doc_id,
+        |       md5('graft-42:' || CAST(doc_id AS VARCHAR)) AS skey,
+        |       CAST(row_number() OVER (
+        |         ORDER BY md5('graft-42:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |         AS BIGINT) AS train_order
+        |FROM documents ORDER BY train_order""".stripMargin,
+
+    "vocab_topk" ->
+      s"""WITH $wordsSql,
+         |tok AS (SELECT doc_id, unnest(w) AS word FROM words),
+         |perdoc AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+         |           FROM tok WHERE word <> '' GROUP BY doc_id, word)
+         |SELECT word, CAST(sum(tf) AS BIGINT) AS tf,
+         |       CAST(count(*) AS BIGINT) AS df
+         |FROM perdoc GROUP BY word
+         |ORDER BY tf DESC, word LIMIT 100""".stripMargin,
 
     "corpus_mix" ->
       s"""WITH $wordsSql,

@@ -101,6 +101,21 @@ object SamplingOps {
     docs.select(col("doc_id"),
       size(TextOps.normWords(col("text"))).cast("long").as("n_tokens"))
 
+  /** Deterministic global shuffle for training order: a seed-keyed md5
+    * over the row key gives a reproducible pseudo-random permutation,
+    * and the contiguous 1-based position (`train_order`) comes from the
+    * range-partitioned [[globalOrder]] numbering — no single-partition
+    * window, so assigning the permutation scales with executors. Same
+    * seed → bit-identical epoch order across runs and restarts; a new
+    * seed reshuffles without touching the data. */
+  def shuffleOrder(df: DataFrame, key: String, seed: String): DataFrame = {
+    val keyed = df.withColumn("skey",
+      md5(concat_ws(":", lit(seed), col(key).cast("string"))))
+    val (out, _, _) =
+      globalOrder(keyed, Seq(col("skey"), col(key)), lit(0L), needCum = false)
+    out.withColumn("train_order", col("_rn")).drop("_pid", "_rn")
+  }
+
   /** Length-bucketed batching prep: docs ntiled into `n` buckets by token
     * count (total order with key tie-break), reported as per-bucket doc /
     * token ranges. Equal-population buckets are what sequence-length

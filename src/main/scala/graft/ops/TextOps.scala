@@ -56,6 +56,26 @@ object TextOps {
         .cast("long").as("n_bpeish_tokens"),
       length(col("text")).cast("long").as("n_chars_calc"))
 
+  /** Corpus vocabulary extraction (tokenizer-training prep): every
+    * normalized word with its total term frequency and document
+    * frequency, top-K by frequency. Two shuffles, both with map-side
+    * partial aggregation: (doc_id, word) compresses each task's exploded
+    * word stream to per-doc counts, then word-level Σtf + df — the df
+    * count is a plain `count(*)` over the per-doc rows, never a
+    * `count_distinct` carrying doc ids across the wire. The top-K lands
+    * as TakeOrderedAndProject (per-partition heaps, no global sort), so
+    * the op's cost at 100 TB is the word-count shuffle and nothing else. */
+  def vocabTopK(docs: DataFrame, topK: Int = 100): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), explode(normWords(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    perDoc.groupBy("word")
+      .agg(sum("tf").as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("word"))
+      .limit(topK)
+  }
+
   /** Content fingerprint: md5 of the sorted distinct normalized vocabulary —
     * word-order-insensitive dedup key (catches shuffled near-copies). */
   def fingerprint(docs: DataFrame): DataFrame =

@@ -467,6 +467,47 @@ class OpsSpec extends AnyFunSuite {
     assert(counts.max - counts.min <= 1)
   }
 
+  test("deterministic shuffle: seed-stable permutation, no single-partition window") {
+    val a = SamplingOps.shuffleOrder(docs.select($"doc_id"), "doc_id", "graft-42")
+    // train_order is a contiguous 1..N permutation
+    val orders = a.select($"train_order").as[Long].collect().sorted.toSeq
+    assert(orders === (1L to docs.count()).toSeq)
+    // bit-stable across invocations of the same seed
+    val first = a.orderBy("train_order").select($"doc_id").as[Long].collect().toSeq
+    val again = SamplingOps.shuffleOrder(docs.select($"doc_id"), "doc_id", "graft-42")
+      .orderBy("train_order").select($"doc_id").as[Long].collect().toSeq
+    assert(first === again)
+    // a different seed actually reshuffles
+    val other = SamplingOps.shuffleOrder(docs.select($"doc_id"), "doc_id", "graft-43")
+      .orderBy("train_order").select($"doc_id").as[Long].collect().toSeq
+    assert(first !== other)
+    // the numbering rides range partitioning, never one global partition
+    val plan = a.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"))
+    assert(!plan.contains("SinglePartition"))
+  }
+
+  test("vocab top-k: frequencies conserved, df bounded, heap-based top-k plan") {
+    val v = TextOps.vocabTopK(docs, 50).collect()
+    // the synthetic corpus has a small vocabulary; k caps, never pads
+    assert(v.nonEmpty && v.length <= 50)
+    // ordered by tf desc with word tie-break
+    val tfs = v.map(_.getLong(1)).toSeq
+    assert(tfs === tfs.sorted.reverse)
+    v.foreach { r =>
+      assert(r.getLong(2) >= 1L, "df >= 1")
+      assert(r.getLong(1) >= r.getLong(2), "tf >= df")
+    }
+    // the head word's tf equals a direct count of its occurrences
+    val top = v.head.getString(0)
+    val direct = docs.select(explode(TextOps.normWords($"text")).as("w"))
+      .filter($"w" === top).count()
+    assert(v.head.getLong(1) === direct)
+    // top-k must be TakeOrderedAndProject, not a global sort
+    val plan = TextOps.vocabTopK(docs, 50).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
   test("repetition score separates repetitive from diverse docs") {
     val d = Seq(
       (1L, Seq.fill(30)("spam ham").mkString(" ")),          // 2 distinct 3-grams
