@@ -40,4 +40,25 @@ class SessionSpec extends AnyFunSuite {
     assert(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
       .forall(_ == "false"))
   }
+
+  test("events loader: nanos fallback branch on a real TIMESTAMP(NANOS) file") {
+    // committed fixture: 10 rows at 2024-01-01 00:00:00..09, ts written as
+    // parquet TIMESTAMP(NANOS) — the unit the generator shipped before the
+    // micros era. The plain read must reject the footer EAGERLY and the
+    // loader must land on the raw-long + ns→µs truncation path.
+    val dir = "src/test/resources/events_ns"
+    val e = intercept[Throwable] {
+      spark.read.parquet(s"$dir/events.parquet").schema
+    }
+    assert(String.valueOf(e.getMessage).contains("Illegal Parquet type") ||
+      String.valueOf(e.getMessage).contains("PARQUET_TYPE_ILLEGAL"))
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType === TimestampType)
+    val got = ev.orderBy("event_id")
+      .select("ts").collect().map(_.getTimestamp(0).toString).toSeq
+    assert(got === (0 to 9).map(i => f"2024-01-01 00:00:$i%02d.0"))
+    // streaming variant takes the same fallback
+    val st = Tables.eventsStream(spark, dir)
+    assert(st.isStreaming && st.schema("ts").dataType === TimestampType)
+  }
 }
