@@ -56,18 +56,30 @@ object Tables {
   def tsFromNanos(df: DataFrame): DataFrame =
     df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
+  /** The events schema with `ts` at the current generator's unit
+    * (TIMESTAMP(MICROS) → plain TimestampType). */
+  val eventsMicrosSchema: StructType = StructType(
+    eventsNanosSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+
   /** Streaming variant of [[events]]: the file-stream source needs an
-    * explicit schema, so probe the directory's footer with a batch read to
-    * learn the timestamp unit, then stream under the matching schema. */
+    * explicit schema, so probe the directory's footers with a batch read
+    * to learn the timestamp unit, then stream under the matching schema.
+    * An empty ingest directory (stream started before the first file
+    * lands) can't be probed — assume the current generator's micros
+    * unit, matching the batch loader's primary path. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame =
     try {
-      val probe = spark.read.parquet(s"$dir/events.parquet")
+      val probe = spark.read.parquet(dir)
       val df = spark.readStream.schema(probe.schema).parquet(dir)
       if (probe.schema("ts").dataType == TimestampType) df
       else df.withColumn("ts", expr("cast(ts as timestamp)"))
     } catch {
       case e: Exception if isNanosFooter(e) =>
         tsFromNanos(spark.readStream.schema(eventsNanosSchema).parquet(dir))
+      case e: Exception if String.valueOf(e.getMessage)
+          .contains("Unable to infer schema") =>
+        spark.readStream.schema(eventsMicrosSchema).parquet(dir)
     }
 
   private def isNanosFooter(e: Exception): Boolean =

@@ -60,5 +60,9 @@ class SessionSpec extends AnyFunSuite {
     // streaming variant takes the same fallback
     val st = Tables.eventsStream(spark, dir)
     assert(st.isStreaming && st.schema("ts").dataType === TimestampType)
+    // and an empty ingest dir defaults to the micros-era schema
+    val empty = java.nio.file.Files.createTempDirectory("ev_empty").toString
+    val st2 = Tables.eventsStream(spark, empty)
+    assert(st2.isStreaming && st2.schema("ts").dataType === TimestampType)
   }
 }
