@@ -580,6 +580,14 @@ object SparkEntry {
       SimilarityOps.pqRerankTopK(Tables.embeddings(s, dir), 0L, 10,
         m = P.PqM, ksub = P.PqKsub, iters = P.PqIters)),
 
+    // IVF-PQ composite (the FAISS IndexIVFPQ shape): coarse quantizer
+    // prunes to nprobe cells, PQ ADC scores only those cells' codes —
+    // oracle splices the k-means replay and the PQ replay together
+    "ann_ivfpq_topk" -> ((s, dir) =>
+      SimilarityOps.ivfPqTopK(Tables.embeddings(s, dir), 0L, 10,
+        k = P.KmK, iters = P.KmIters, nprobe = 2,
+        m = P.PqM, ksub = P.PqKsub, pqIters = P.PqIters)),
+
     // Stored-index read paths — build-once/query-many, the deployment
     // shape of every production ANN index. The index is built ONCE per
     // process into the auto-removed StoredIndexes root (the bench warm
@@ -1191,9 +1199,12 @@ object SparkEntry {
          |             ORDER BY ${dSql(s"e$s.v", "c.cv")}, c.cl) AS rn
          |    FROM e$s, c1_$s c) WHERE rn = 1)$ctbCte""".stripMargin
     }
+    // subs exposed WITHOUT the `WITH e` prolog so a composite oracle
+    // (the IVF-PQ read) can splice them after its own CTE chain
+    val subs = (0 until m).map(sub).mkString(",\n")
     val ctes =
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |${(0 until m).map(sub).mkString(",\n")}""".stripMargin
+         |$subs""".stripMargin
     // batch mode drives FROM ctb_0 (aliased t0), so its joins start at 1
     val joins = (batchPred match {
       case None => (0 until m)
@@ -1202,10 +1213,11 @@ object SparkEntry {
         .map(s => s"JOIN ctb_$s t$s ON t$s.vec_id = t0.vec_id AND t$s.q_id = t0.q_id")
     }).mkString("\n")
     val adcSum = (0 until m).map(s => s"t$s.d").mkString(" + ")
-    (ctes, joins, adcSum)
+    (ctes, joins, adcSum, subs)
   }
 
-  private val (pqCtesSql, pqJoinsSql, pqAdcSumSql) = pqOracleFragments(None)
+  private val (pqCtesSql, pqJoinsSql, pqAdcSumSql, pqSubCtesSql) =
+    pqOracleFragments(None)
 
   /** Winnowed fingerprint sets — mirror of [[TextOps.winnowFps]] (k=8,
     * w=4): base-257 polynomial k-gram hash mod 2^40 (DuckDB
@@ -1469,7 +1481,7 @@ object SparkEntry {
          |ORDER BY q_id, bm25 DESC, doc_id""".stripMargin,
     // merged PQ: codebooks trained on the build subset, codes over all
     "ann_pq_merged_topk" -> {
-      val (ctes, joins, adcSum) = pqOracleFragments(Some(IvfMergeBuildPred))
+      val (ctes, joins, adcSum, _) = pqOracleFragments(Some(IvfMergeBuildPred))
       s"""$ctes
          |SELECT e.vec_id, $adcSum AS adc_dist
          |FROM e
@@ -1809,7 +1821,7 @@ object SparkEntry {
     // batch probes: same training replays, every 97th vector as a query
     "ann_ivf_batch_topk" -> ivfBatchOracleSql,
     "ann_pq_batch_topk" -> {
-      val (ctes, joins, adcSum) =
+      val (ctes, joins, adcSum, _) =
         pqOracleFragments(None, batchPred = Some(BatchQueryPred))
       s"""$ctes
          |SELECT q_id, vec_id, adc_dist FROM (
@@ -1828,6 +1840,23 @@ object SparkEntry {
          |FROM e
          |$pqJoinsSql
          |WHERE e.vec_id <> 0
+         |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
+
+    // IVF-PQ composite: splice the k-means cell replay (ivfFinCtes →
+    // fin, c2) with the PQ training/code/table replay (pqSubCtesSql);
+    // prune to the query's 2 nearest cells, ADC-score only those rows
+    "ann_ivfpq_topk" ->
+      s"""${ivfFinCtes(None, 2)},
+         |$pqSubCtesSql,
+         |qq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |best AS (
+         |  SELECT cl FROM c2, qq
+         |  ORDER BY ${dSql("cv", "qv")}, cl LIMIT 2)
+         |SELECT f.vec_id, CAST(f.cl AS BIGINT) AS cluster,
+         |       $pqAdcSumSql AS adc_dist
+         |FROM fin f JOIN best USING (cl)
+         |$pqJoinsSql
+         |WHERE f.vec_id <> 0
          |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
 
     "ann_pq_rerank_topk" ->

@@ -278,40 +278,103 @@ object SimilarityOps {
     require(dims % m == 0,
       s"pqTopK: embedding dims ($dims) must be divisible by m ($m)")
     val subDim = dims / m
-    // per-subspace codebooks (driver-looped Lloyd's, tiny collect each)
-    val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+    val codebooks = pqCodebooks(e, m, subDim, ksub, iters)
+    val qTables = pqQueryTables(e, queryId, codebooks, subDim)
+    // encode corpus + ADC score in one projection: code_s = nearest
+    // subspace centroid, adc = Σ_s table_s[code_s] (fixed fold order)
+    val encoded = e.select(col("vec_id") +: pqCodeCols(codebooks, subDim): _*)
+    encoded
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), pqAdc(qTables).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(topK)
+  }
+
+  /** Per-subspace codebooks (driver-looped Lloyd's, tiny collect each —
+    * memoized per (plan, k, iters) by [[kmeansCentroids]]). */
+  private def pqCodebooks(e: DataFrame, m: Int, subDim: Int, ksub: Int,
+                          iters: Int): Seq[Seq[Seq[Double]]] =
+    (0 until m).map { s =>
       kmeansCentroids(
         e.select(col("vec_id"),
           expr(s"slice(v, ${s * subDim + 1}, $subDim)").as("v")),
         ksub, iters)
     }
-    // query subvectors → per-subspace distance tables (driver arithmetic
-    // is only transport: the distances are computed by the same codegen'd
-    // kernel inside one Spark job, then collected as exact doubles)
-    val qTables: Seq[Seq[Double]] = {
-      val q = e.filter(col("vec_id") === queryId)
-      val tableCols = (0 until m).flatMap { s =>
-        val qSub = expr(s"slice(v, ${s * subDim + 1}, $subDim)")
-        codebooks(s).zipWithIndex.map { case (c, j) =>
-          call_function("graft_l2sq", qSub, typedlit(c)).as(s"d_${s}_$j")
-        }
+
+  /** Query subvectors → per-subspace distance tables (driver arithmetic
+    * is only transport: the distances are computed by the same codegen'd
+    * kernel inside one Spark job, then collected as exact doubles). */
+  private def pqQueryTables(e: DataFrame, queryId: Long,
+                            codebooks: Seq[Seq[Seq[Double]]],
+                            subDim: Int): Seq[Seq[Double]] = {
+    val m = codebooks.length; val ksub = codebooks.head.length
+    val q = e.filter(col("vec_id") === queryId)
+    val tableCols = (0 until m).flatMap { s =>
+      val qSub = expr(s"slice(v, ${s * subDim + 1}, $subDim)")
+      codebooks(s).zipWithIndex.map { case (c, j) =>
+        call_function("graft_l2sq", qSub, typedlit(c)).as(s"d_${s}_$j")
       }
-      val row = q.select(tableCols: _*).head()
-      (0 until m).map(s => (0 until ksub).map(j => row.getDouble(s * ksub + j)))
     }
-    // encode corpus + ADC score in one projection: code_s = nearest
-    // subspace centroid, adc = Σ_s table_s[code_s] (fixed fold order)
-    val codeCols = (0 until m).map { s =>
+    val row = q.select(tableCols: _*).head()
+    (0 until m).map(s => (0 until ksub).map(j => row.getDouble(s * ksub + j)))
+  }
+
+  /** `code_s` columns: each subvector's nearest codebook entry. Must be
+    * selected while the `v` column is still in scope. */
+  private def pqCodeCols(codebooks: Seq[Seq[Seq[Double]]],
+                         subDim: Int): Seq[Column] =
+    codebooks.indices.map { s =>
       assignCluster(expr(s"slice(v, ${s * subDim + 1}, $subDim)"), codebooks(s))
         .as(s"code_$s")
     }
-    val encoded = e.select(col("vec_id") +: codeCols: _*)
-    val adc = (0 until m)
+
+  /** ADC over previously selected `code_s` columns: Σ_s table_s[code_s]
+    * with the fixed left-associated fold order the oracle replays. */
+  private def pqAdc(qTables: Seq[Seq[Double]]): Column =
+    qTables.indices
       .map(s => element_at(typedlit(qTables(s)), col(s"code_$s") + 1))
       .reduce(_ + _)
-    encoded
+
+  /** IVF-PQ composite — the architecture a 100 TB ANN service actually
+    * deploys (the FAISS IndexIVFPQ shape): a coarse k-means quantizer
+    * prunes the corpus to the query's `nprobe` nearest cells, and ONLY
+    * those cells' vectors are scored — by PQ asymmetric distance (m
+    * byte codes, table lookups), never by touching float vectors at
+    * scan time. The whole read is one projection chain over the probed
+    * cells: assign → prune (broadcast nprobe cell ids) → encode → ADC →
+    * top-k; with a stored layout partitioned by cell the scan prunes to
+    * nprobe/k of the code table. Codebooks quantize raw vectors (not
+    * residuals), so cell pruning and code training stay independently
+    * oracle-replayable — a residual variant is a training change, not a
+    * plan change. */
+  def ivfPqTopK(embeddings: DataFrame, queryId: Long, topK: Int,
+                k: Int = 8, iters: Int = 2, nprobe: Int = 2,
+                m: Int = 8, ksub: Int = 16, pqIters: Int = 1): DataFrame = {
+    val spark = embeddings.sparkSession
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    val e = Caches.ensureCached(
+      embeddings.select(col("vec_id"), asDoubleVec(col("embedding")).as("v")))
+    val dims = embeddingDims(e)
+    require(dims % m == 0,
+      s"ivfPqTopK: embedding dims ($dims) must be divisible by m ($m)")
+    val subDim = dims / m
+    val cents = kmeansCentroids(e, k, iters)
+    val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val centsDf = cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("cluster", "c")
+    // nprobe nearest cells, same tie-break as the oracle (dist, then cl)
+    val probed = centsDf.crossJoin(broadcast(q))
+      .orderBy(call_function("graft_l2sq", col("c"), col("qv")), col("cluster"))
+      .select("cluster").limit(nprobe)
+    val codebooks = pqCodebooks(e, m, subDim, ksub, pqIters)
+    val qTables = pqQueryTables(e, queryId, codebooks, subDim)
+    e.withColumn("cluster", assignCluster(col("v"), cents).cast("long"))
+      .join(broadcast(probed), "cluster")
+      .select(Seq(col("vec_id"), col("cluster")) ++
+        pqCodeCols(codebooks, subDim): _*)
       .filter(col("vec_id") =!= queryId)
-      .select(col("vec_id"), adc.as("adc_dist"))
+      .select(col("vec_id"), col("cluster"), pqAdc(qTables).as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(topK)
   }

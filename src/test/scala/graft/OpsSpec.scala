@@ -280,6 +280,25 @@ class OpsSpec extends AnyFunSuite {
     assert(rr.intersect(bf).size > adcOnly.intersect(bf).size)
   }
 
+  test("IVF-PQ composite: exhaustive probe equals plain PQ; pruning confines to cells") {
+    val e = Tables.embeddings(spark, sfDir)
+    // nprobe = k scans every cell, so the composite's (vec_id, adc)
+    // ranking must be bit-identical to PQ without the IVF layer
+    val allCells = SimilarityOps.ivfPqTopK(e, 0L, 10, nprobe = 8)
+      .select($"vec_id", $"adc_dist").collect().toSeq
+    val pq = SimilarityOps.pqTopK(e, 0L, 10)
+      .select($"vec_id", $"adc_dist").collect().toSeq
+    assert(allCells === pq)
+    // pruned probe: every hit must come from the query's nprobe cells,
+    // and the result is deterministic across invocations
+    val pruned = SimilarityOps.ivfPqTopK(e, 0L, 10, nprobe = 2)
+    val rows = pruned.collect().toSeq
+    assert(rows === SimilarityOps.ivfPqTopK(e, 0L, 10, nprobe = 2).collect().toSeq)
+    assert(rows.nonEmpty && rows.map(_.getLong(1)).toSet.size <= 2)
+    val dists = rows.map(_.getDouble(2))
+    assert(dists === dists.sorted)
+  }
+
   test("stored IVF index: build once, probe scans only its cell partition") {
     val e = Tables.embeddings(spark, sfDir)
     val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
