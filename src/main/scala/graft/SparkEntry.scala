@@ -604,6 +604,15 @@ object SparkEntry {
       SimilarityOps.queryPqIndex(s, storedPqPath(s, dir),
         queryEmbedding(s, dir, 0L), 10, excludeIds = Seq(0L))),
 
+    // Stored IVF-PQ: centroid ranking and the ADC table are pure driver
+    // arithmetic over the memoized control-plane tables; the scan reads
+    // ONLY the probed cells' code partitions (PartitionFilters) and
+    // never a float vector — bit-identical to the inline composite, so
+    // it shares that oracle
+    "ann_ivfpq_stored_topk" -> ((s, dir) =>
+      SimilarityOps.queryIvfPqIndex(s, storedIvfPqPath(s, dir),
+        queryEmbedding(s, dir, 0L), 10, nprobe = 2, excludeIds = Seq(0L))),
+
     // Incremental stored-PQ maintenance — codebooks trained on the
     // initial subset, the remainder ENCODED against those frozen
     // codebooks and appended; the read path is the same stored ADC scan.
@@ -1001,6 +1010,7 @@ object SparkEntry {
     stage("ann_indexes") {
       storedIvfPath(s, dir); storedPqPath(s, dir)
       mergedIvfPath(s, dir); mergedPqPath(s, dir)
+      storedIvfPqPath(s, dir)
       ()
     }
       }),
@@ -1061,6 +1071,11 @@ object SparkEntry {
     engine.StoredIndexes.ensure("pq_idx", dir)(p =>
       SimilarityOps.buildPqIndex(Tables.embeddings(s, dir), p, P.PqM, P.PqKsub,
         P.PqIters))
+
+  private def storedIvfPqPath(s: SparkSession, dir: String): String =
+    engine.StoredIndexes.ensure("ivfpq_idx", dir)(p =>
+      SimilarityOps.buildIvfPqIndex(Tables.embeddings(s, dir), p,
+        P.KmK, P.KmIters, P.PqM, P.PqKsub, P.PqIters))
 
   private def mergedIvfPath(s: SparkSession, dir: String): String =
     engine.StoredIndexes.ensure("ivf_merge", dir) { p =>
@@ -1434,6 +1449,7 @@ object SparkEntry {
     // (same training, same scoring folds), so they share oracles
     "ann_ivf_stored_topk" -> oracleSqlBase("ann_ivf_kmeans_topk"),
     "ann_pq_stored_topk" -> oracleSqlBase("ann_pq_topk"),
+    "ann_ivfpq_stored_topk" -> oracleSqlBase("ann_ivfpq_topk"),
     "text_bm25_stored_topk" -> oracleSqlBase("text_bm25_topk"),
     "text_bm25_merged_topk" -> oracleSqlBase("text_bm25_topk"),
 

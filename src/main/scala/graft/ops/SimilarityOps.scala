@@ -399,6 +399,94 @@ object SimilarityOps {
       .limit(topK)
   }
 
+  /** Build the IVF-PQ index as a stored artifact — the deployment shape
+    * of [[ivfPqTopK]]: `centroids` (cluster, c) and `codebooks`
+    * (subspace, cl, cv) as tiny control-plane tables, and `codes`
+    * (vec_id, code_0..m−1) partitioned BY cluster, so a probe's scan
+    * prunes to its nprobe cells at the storage layer while reading only
+    * byte codes — at 100 TB the per-query I/O is `nprobe/k` of a code
+    * table that is itself ~64× smaller than the float vectors. Build
+    * once, query many. */
+  def buildIvfPqIndex(embeddings: DataFrame, path: String,
+                      k: Int = 8, iters: Int = 2,
+                      m: Int = 8, ksub: Int = 16, pqIters: Int = 1): Unit = {
+    val spark = embeddings.sparkSession
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    val e = Caches.ensureCached(
+      embeddings.select(col("vec_id"), asDoubleVec(col("embedding")).as("v")))
+    val dims = embeddingDims(e)
+    require(dims % m == 0,
+      s"buildIvfPqIndex: embedding dims ($dims) must be divisible by m ($m)")
+    val subDim = dims / m
+    val cents = kmeansCentroids(e, k, iters)
+    cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toDF("cluster", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // invalidate IMMEDIATELY after the overwrite (same discipline as
+    // buildIvfIndex): a build that fails later must not leave this
+    // JVM's memo pointing at the pre-rebuild tables
+    storedCentroidMemo.remove(s"$path/centroids")
+    val codebooks = pqCodebooks(e, m, subDim, ksub, pqIters)
+    codebooks.zipWithIndex
+      .flatMap { case (cb, s) => cb.zipWithIndex.map { case (c, j) => (s, j, c) } }
+      .toDF("subspace", "cl", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    storedCodebookMemo.remove(s"$path/codebooks")
+    e.withColumn("cluster", assignCluster(col("v"), cents).cast("long"))
+      .select(Seq(col("vec_id"), col("cluster")) ++
+        pqCodeCols(codebooks, subDim): _*)
+      .write.partitionBy("cluster").mode("overwrite").parquet(s"$path/codes")
+    // freeze the fresh layout's file counts as the compaction trigger's
+    // debt baseline: a large build is not debt (Compaction.seedBase)
+    Compaction.seedBase(s"$path/codes")
+  }
+
+  /** Query a stored IVF-PQ index: rank the (tiny, memoized) centroid
+    * table driver-side for the query's `nprobe` cells, build the
+    * m × ksub ADC table from the memoized codebooks — both pure driver
+    * arithmetic, no Spark job — then scan ONLY the probed cells' code
+    * partitions (PartitionFilters prune at the storage layer): m array
+    * lookups per candidate, no float vector anywhere in the read. */
+  def queryIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queryVec: Seq[Double], topK: Int, nprobe: Int = 2,
+                      excludeIds: Seq[Long] = Nil): DataFrame = {
+    // (distance, cluster) ascending — the inline probe's tie-break
+    val cells = storedCentroids(spark, path)
+      .map { case (cl, c) => (l2sqLocal(c, queryVec), cl) }
+      .sorted.take(nprobe).map(_._2)
+    val cb = storedCodebooks(spark, path)
+    val m = cb.map(_._1).max + 1
+    val ksub = cb.map(_._2).max + 1
+    val centroid = cb.map(r => (r._1, r._2) -> r._3).toMap
+    val subDim = centroid((0, 0)).length
+    require(queryVec.length == m * subDim,
+      s"queryIvfPqIndex: query has ${queryVec.length} dims but the index " +
+        s"was built for ${m * subDim} (m=$m × subDim=$subDim)")
+    val qTables: Seq[Seq[Double]] = (0 until m).map { s =>
+      val qSub = queryVec.slice(s * subDim, (s + 1) * subDim)
+      (0 until ksub).map { j =>
+        val c = centroid((s, j))
+        qSub.zip(c).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+      }
+    }
+    val codes = spark.read.parquet(Compaction.resolve(s"$path/codes"))
+      .filter(col("cluster").isin(cells: _*)) // → PartitionFilters, pruned scan
+    val kept =
+      if (excludeIds.isEmpty) codes
+      else codes.filter(!col("vec_id").isin(excludeIds: _*))
+    val adc = (0 until m)
+      .map(s => element_at(typedlit(qTables(s)), col(s"code_$s") + 1))
+      .reduce(_ + _)
+    kept
+      // partition-column values come back as the inferred directory
+      // type; pin bigint so the stored read schema-matches the inline one
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        adc.as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(topK)
+  }
+
   /** Build the IVF index as a stored artifact: trains k-means once and
     * writes two parquet tables under `path` — `centroids` (cluster, c)
     * and `assignments` (vec_id, cluster, v) partitioned BY cluster, so a

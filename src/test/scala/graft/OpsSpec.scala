@@ -280,6 +280,28 @@ class OpsSpec extends AnyFunSuite {
     assert(rr.intersect(bf).size > adcOnly.intersect(bf).size)
   }
 
+  test("stored IVF-PQ: pruned code-partition scan, bit-identical to inline") {
+    val e = Tables.embeddings(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    SimilarityOps.buildIvfPqIndex(e, path)
+    val qv = e.filter($"vec_id" === 0L)
+      .select(SimilarityOps.asDoubleVec($"embedding")).head().getSeq[Double](0)
+    val res = SimilarityOps.queryIvfPqIndex(spark, path, qv, 10,
+      nprobe = 2, excludeIds = Seq(0L))
+    // the cell filter must prune at the partition level, and the scan
+    // must read codes only — never the float vectors
+    val scan = res.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(scan.contains("PartitionFilters") &&
+      scan.toLowerCase.contains("cluster"))
+    assert(!scan.contains("embedding") && !scan.contains("struct<v:"))
+    val got = res.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val inline = SimilarityOps.ivfPqTopK(e, 0L, 10, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === inline)
+  }
+
   test("IVF-PQ composite: exhaustive probe equals plain PQ; pruning confines to cells") {
     val e = Tables.embeddings(spark, sfDir)
     // nprobe = k scans every cell, so the composite's (vec_id, adc)
