@@ -613,6 +613,15 @@ object SparkEntry {
       SimilarityOps.queryIvfPqIndex(s, storedIvfPqPath(s, dir),
         queryEmbedding(s, dir, 0L), 10, nprobe = 2, excludeIds = Seq(0L))),
 
+    // Incremental stored-IVF-PQ maintenance — centroids AND codebooks
+    // trained on the initial subset, the remainder assigned + encoded
+    // against both frozen control planes and appended to its cells; the
+    // read path is the same pruned code scan. The oracle splices the
+    // subset-trained k-means and PQ replays.
+    "ann_ivfpq_merged_topk" -> ((s, dir) =>
+      SimilarityOps.queryIvfPqIndex(s, mergedIvfPqPath(s, dir),
+        queryEmbedding(s, dir, 0L), 10, nprobe = 2, excludeIds = Seq(0L))),
+
     // Incremental stored-PQ maintenance — codebooks trained on the
     // initial subset, the remainder ENCODED against those frozen
     // codebooks and appended; the read path is the same stored ADC scan.
@@ -1010,7 +1019,7 @@ object SparkEntry {
     stage("ann_indexes") {
       storedIvfPath(s, dir); storedPqPath(s, dir)
       mergedIvfPath(s, dir); mergedPqPath(s, dir)
-      storedIvfPqPath(s, dir)
+      storedIvfPqPath(s, dir); mergedIvfPqPath(s, dir)
       ()
     }
       }),
@@ -1076,6 +1085,14 @@ object SparkEntry {
     engine.StoredIndexes.ensure("ivfpq_idx", dir)(p =>
       SimilarityOps.buildIvfPqIndex(Tables.embeddings(s, dir), p,
         P.KmK, P.KmIters, P.PqM, P.PqKsub, P.PqIters))
+
+  private def mergedIvfPqPath(s: SparkSession, dir: String): String =
+    engine.StoredIndexes.ensure("ivfpq_merge", dir) { p =>
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.buildIvfPqIndex(emb.filter(expr(IvfMergeBuildPred)), p,
+        P.KmK, P.KmIters, P.PqM, P.PqKsub, P.PqIters)
+      SimilarityOps.mergeIvfPqIndex(emb.filter(!expr(IvfMergeBuildPred)), p)
+    }
 
   private def mergedIvfPath(s: SparkSession, dir: String): String =
     engine.StoredIndexes.ensure("ivf_merge", dir) { p =>
@@ -1857,6 +1874,25 @@ object SparkEntry {
          |$pqJoinsSql
          |WHERE e.vec_id <> 0
          |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
+
+    // merged IVF-PQ: both control planes trained on the build subset,
+    // assignments and codes over every vector — the same splice with
+    // the subset train predicate threaded through both replays
+    "ann_ivfpq_merged_topk" -> {
+      val (_, joins, adcSum, subs) = pqOracleFragments(Some(IvfMergeBuildPred))
+      s"""${ivfFinCtes(Some(IvfMergeBuildPred), 2)},
+         |$subs,
+         |qq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |best AS (
+         |  SELECT cl FROM c2, qq
+         |  ORDER BY ${dSql("cv", "qv")}, cl LIMIT 2)
+         |SELECT f.vec_id, CAST(f.cl AS BIGINT) AS cluster,
+         |       $adcSum AS adc_dist
+         |FROM fin f JOIN best USING (cl)
+         |$joins
+         |WHERE f.vec_id <> 0
+         |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
+    },
 
     // IVF-PQ composite: splice the k-means cell replay (ivfFinCtes →
     // fin, c2) with the PQ training/code/table replay (pqSubCtesSql);

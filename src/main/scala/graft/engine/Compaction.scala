@@ -297,6 +297,12 @@ object Compaction {
         df => df.dropDuplicates("vec_id")
           .repartition(col("vec_id")).sortWithinPartitions("vec_id"),
         maxFilesPerPartition = maxFilesPerPartition)
+    case "ivfpq" => // cluster-partitioned code table: the IVF recipe on codes
+      compactTable(spark, s"$path/codes",
+        df => df.dropDuplicates("vec_id")
+          .repartition(col("cluster")).sortWithinPartitions("vec_id"),
+        partitionBy = Seq("cluster"),
+        maxFilesPerPartition = maxFilesPerPartition)
     case "bm25" =>
       compactTable(spark, s"$path/postings",
         df => df.dropDuplicates("term", "doc_id")
@@ -334,7 +340,7 @@ object Compaction {
       // IVF/PQ merges append one tiny drift row (file) per absorbed
       // batch; without this the streamed absorb re-accumulates exactly
       // the unbounded small-file debt the tick exists to bound
-      case "ivf" | "pq" =>
+      case "ivf" | "pq" | "ivfpq" =>
         collapseSidecar(spark, s"$path/merge_log", maxFilesPerPartition)
       case _ => false
     }
@@ -383,12 +389,12 @@ object Compaction {
     * after the compaction that superseded the data. */
   def vacuumIndex(path: String, kind: String): Seq[String] = (kind match {
     case "ivf"         => Seq(s"$path/assignments")
-    case "pq"          => Seq(s"$path/codes")
+    case "pq" | "ivfpq" => Seq(s"$path/codes")
     case "bm25"        => Seq(s"$path/postings")
     case "fingerprint" => Seq(s"$path/postings", s"$path/sizes")
     case other =>
       throw new IllegalArgumentException(
         s"vacuumIndex: unknown index kind '$other' " +
-          "(expected ivf | pq | bm25 | fingerprint)")
+          "(expected ivf | pq | ivfpq | bm25 | fingerprint)")
   }).flatMap(vacuum)
 }

@@ -440,6 +440,49 @@ object SimilarityOps {
     // freeze the fresh layout's file counts as the compaction trigger's
     // debt baseline: a large build is not debt (Compaction.seedBase)
     Compaction.seedBase(s"$path/codes")
+    // one-row quality meta (PQ distortion, the dominant lossy step) so
+    // [[shouldRetrainPq]] serves the composite unchanged
+    val md = e.agg(count(lit(1)).as("n"),
+      avg(pqDistortion(subDim, codebooks)).as("mean_d2")).head()
+    Seq((md.getLong(0), md.getDouble(1))).toDF("n", "mean_d2")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Incremental stored-IVF-PQ maintenance — the CDC×ANN composition
+    * for the composite index: new vectors are assigned to the FROZEN
+    * build-time centroids and encoded against the FROZEN codebooks
+    * (both via the process-wide control-plane memos), then appended to
+    * their cells' code partitions. O(|new|) write cost, old cells
+    * untouched; drift bookkeeping mirrors [[mergePqIndex]] (quantization
+    * distortion is the signal — cell-assignment error is already folded
+    * into it since both quantize the same drifting feed), so
+    * [[shouldRetrainPq]] is the composite's rebuild decision too. */
+  def mergeIvfPqIndex(newVecs: DataFrame, path: String): Unit = {
+    val spark = newVecs.sparkSession
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    val cents: Seq[Seq[Double]] = storedCentroids(spark, path).map(_._2)
+    val cb = storedCodebooks(spark, path)
+    val m = cb.map(_._1).max + 1
+    val ksub = cb.map(_._2).max + 1
+    val centroid = cb.map(r => (r._1, r._2) -> r._3).toMap
+    val subDim = centroid((0, 0)).length
+    val codebooks: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(s => (0 until ksub).map(j => centroid((s, j))))
+    val e = newVecs.select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+    // guardedAppend: loud failure (so the caller replays the batch) if
+    // a compactor swapped the pointer mid-append — see Compaction
+    Compaction.guardedAppend(s"$path/codes") { live =>
+      e.withColumn("cluster", assignCluster(col("v"), cents).cast("long"))
+        .select(Seq(col("vec_id"), col("cluster")) ++
+          pqCodeCols(codebooks, subDim): _*)
+        .write.partitionBy("cluster").mode("append").parquet(live)
+    }
+    val md = e.agg(count(lit(1)).as("n"),
+      avg(pqDistortion(subDim, codebooks)).as("mean_d2")).head()
+    if (md.getLong(0) > 0L)
+      Seq((md.getLong(0), md.getDouble(1))).toDF("n", "mean_d2")
+        .coalesce(1).write.mode("append").parquet(s"$path/merge_log")
   }
 
   /** Query a stored IVF-PQ index: rank the (tiny, memoized) centroid

@@ -181,6 +181,38 @@ class StoredIndexesSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp)))
   }
 
+  test("ivfpq index: merges append to cells, compaction keeps the pruned " +
+    "ADC probe bit-identical, drift log feeds the rebuild signal") {
+    val e = Tables.embeddings(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("cmp_ivfpq").toString
+    SimilarityOps.buildIvfPqIndex(e.filter($"vec_id" % 4 === 0L), path)
+    val filesAfterBuild = Compaction.filesPerPartition(s"$path/codes").values.sum
+    (1L to 3L).foreach { r =>
+      SimilarityOps.mergeIvfPqIndex(e.filter($"vec_id" % 4 === r), path)
+    }
+    // append-only merges accumulate small files and drift rows
+    assert(Compaction.filesPerPartition(s"$path/codes").values.sum > filesAfterBuild)
+    assert(parquetFiles(s"$path/merge_log") === 3)
+    val qv = e.filter($"vec_id" === 0L)
+      .select(SimilarityOps.asDoubleVec($"embedding")).head().getSeq[Double](0)
+    def probe() = SimilarityOps.queryIvfPqIndex(spark, path, qv, 10,
+      nprobe = 2, excludeIds = Seq(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val before = probe()
+    assert(before.nonEmpty)
+    assert(Compaction.maintainIndex(spark, path, "ivfpq",
+      maxFilesPerPartition = 1))
+    val perCell = Compaction.filesPerPartition(s"$path/codes")
+    assert(perCell.nonEmpty && perCell.valuesIterator.max === 1,
+      s"each cell dir must hold one file after compaction (got $perCell)")
+    assert(probe() === before, "ADC scores must be bit-identical")
+    assert(parquetFiles(s"$path/merge_log") === 1,
+      "the tick must collapse the drift sidecar")
+    // the composite's rebuild decision rides the PQ distortion signal
+    assert(!SimilarityOps.shouldRetrainPq(spark, path),
+      "a same-distribution feed must not trip the rebuild signal")
+  }
+
   test("batch IVF probe equals the per-query probe for every query") {
     val e = Tables.embeddings(spark, sfDir)
     val path = java.nio.file.Files.createTempDirectory("cmp_ivfb").toString
