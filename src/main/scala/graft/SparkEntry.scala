@@ -662,6 +662,15 @@ object SparkEntry {
         Tables.embeddings(s, dir).filter(expr(BatchQueryPred)), topK = 5)
         .orderBy(col("q_id"), col("adc_dist"), col("vec_id"))),
 
+    // Batched composite: pruning AND quantization at once — each query
+    // probes its 2 cells, one dynamically-pruned code scan serves the
+    // batch, ADC via per-query broadcast tables
+    "ann_ivfpq_batch_topk" -> ((s, dir) =>
+      SimilarityOps.queryIvfPqIndexBatch(s, storedIvfPqPath(s, dir),
+        Tables.embeddings(s, dir).filter(expr(BatchQueryPred)),
+        topK = 5, nprobe = 2)
+        .orderBy(col("q_id"), col("adc_dist"), col("vec_id"))),
+
     // Stored BM25 inverted index — build-once/query-many keyword
     // retrieval; scores are bit-identical to the inline text_bm25_topk
     // (same integer tf/df/dl operands, same fold order), so it shares
@@ -1874,6 +1883,33 @@ object SparkEntry {
          |$pqJoinsSql
          |WHERE e.vec_id <> 0
          |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
+
+    // batched composite: per-query nprobe cells from the k-means replay
+    // restrict the ctb contribution rows; otherwise the pq batch shape
+    "ann_ivfpq_batch_topk" -> {
+      val (_, joins, adcSum, subs) =
+        pqOracleFragments(None, batchPred = Some(BatchQueryPred))
+      s"""${ivfFinCtes(None, 2)},
+         |$subs,
+         |qb AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $BatchQueryPred),
+         |best AS (
+         |  SELECT q_id, cl FROM (
+         |    SELECT qb.q_id, c.cl,
+         |           row_number() OVER (PARTITION BY qb.q_id
+         |             ORDER BY ${dSql("c.cv", "qb.qv")}, c.cl) AS rn
+         |    FROM qb, c2 c) WHERE rn <= 2)
+         |SELECT q_id, vec_id, cluster, adc_dist FROM (
+         |  SELECT t0.q_id, t0.vec_id, CAST(f.cl AS BIGINT) AS cluster,
+         |         $adcSum AS adc_dist,
+         |         row_number() OVER (PARTITION BY t0.q_id
+         |           ORDER BY $adcSum, t0.vec_id) AS rn
+         |  FROM ctb_0 t0
+         |  $joins
+         |  JOIN fin f ON f.vec_id = t0.vec_id
+         |  JOIN best b ON b.q_id = t0.q_id AND b.cl = f.cl
+         |  WHERE t0.vec_id <> t0.q_id) WHERE rn <= 5
+         |ORDER BY q_id, adc_dist, vec_id""".stripMargin
+    },
 
     // merged IVF-PQ: both control planes trained on the build subset,
     // assignments and codes over every vector — the same splice with

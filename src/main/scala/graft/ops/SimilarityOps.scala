@@ -1000,6 +1000,60 @@ object SimilarityOps {
       .drop("_rn")
   }
 
+  /** Batch probe over a stored IVF-PQ index — [[queryIvfIndexBatch]]'s
+    * ADC sibling WITH pruning (PQ alone cannot prune; the composite
+    * can): each query ranks the broadcast centroid table for its
+    * `nprobe` cells, carries its per-subspace ADC tables as array
+    * columns, and ONE dynamically-pruned code scan serves the whole
+    * batch — the cluster join key is the partition column, so only
+    * cells some query probes are read, and each (query, candidate)
+    * costs m array lookups. Per-query top-k window. Returns
+    * (q_id, vec_id, cluster, adc_dist). */
+  def queryIvfPqIndexBatch(spark: org.apache.spark.sql.SparkSession,
+                           path: String, queries: DataFrame, topK: Int,
+                           nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    VectorExpressions.register(spark)
+    val spk = spark
+    import spk.implicits._
+    val cb = storedCodebooks(spark, path)
+    val m = cb.map(_._1).max + 1
+    val ksub = cb.map(_._2).max + 1
+    val centroid = cb.map(r => (r._1, r._2) -> r._3).toMap
+    val subDim = centroid((0, 0)).length
+    val q = queries.select(col("vec_id").as("q_id"),
+      asDoubleVec(col("embedding")).as("qv"))
+    val cents = storedCentroids(spark, path)
+      .map { case (cl, c) => (cl, c: Seq[Double]) }.toDF("cluster", "c")
+    // per-query ADC tables, computed ONCE per query (not per probed cell)
+    val dtCols = (0 until m).map { s =>
+      array((0 until ksub).map(j =>
+        call_function("graft_l2sq",
+          expr(s"slice(qv, ${s * subDim + 1}, $subDim)"),
+          typedlit(centroid((s, j)): Seq[Double]))): _*).as(s"dt_$s")
+    }
+    val qt = q.select(col("q_id") +: dtCols: _*)
+    val probed = q.crossJoin(broadcast(cents))
+      .withColumn("_d", call_function("graft_l2sq", col("qv"), col("c")))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("_d"), col("cluster"))))
+      .filter(col("_rn") <= nprobe)
+      .select(col("q_id"), col("cluster"))
+      .join(qt, "q_id")
+    val codes = spark.read.parquet(Compaction.resolve(s"$path/codes"))
+    val adc = (0 until m)
+      .map(s => element_at(col(s"dt_$s"), col(s"code_$s") + 1))
+      .reduce(_ + _)
+    codes.join(broadcast(probed), "cluster") // partition-column join → DPP
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        col("cluster").cast("long").as("cluster"), adc.as("adc_dist"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc_dist"), col("vec_id"))))
+      .filter(col("_rn") <= topK)
+      .drop("_rn")
+  }
+
   /** LSH bucket statistics: signature → vector count + min id. */
   def lshBuckets(embeddings: DataFrame, planes: Int): DataFrame = {
     VectorExpressions.register(embeddings.sparkSession)

@@ -294,6 +294,29 @@ class StoredIndexesSpec extends AnyFunSuite {
     }
   }
 
+  test("batch IVF-PQ probe equals the per-query probe for every query") {
+    val e = Tables.embeddings(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("cmp_ivfpqb").toString
+    SimilarityOps.buildIvfPqIndex(e, path)
+    val ids = Seq(0L, 7L, 31L)
+    val batch = SimilarityOps.queryIvfPqIndexBatch(spark, path,
+      e.filter($"vec_id".isin(ids: _*)), topK = 5, nprobe = 2)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(r => (r.getDouble(3), r.getLong(1)))
+        .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq)
+      .toMap
+    ids.foreach { id =>
+      val qv = e.filter($"vec_id" === id)
+        .select(SimilarityOps.asDoubleVec($"embedding")).head().getSeq[Double](0)
+      val single = SimilarityOps.queryIvfPqIndex(spark, path, qv, 5,
+        nprobe = 2, excludeIds = Seq(id))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(batch(id) === single,
+        s"batch composite for q_id=$id must be bit-identical to the single probe")
+    }
+  }
+
   test("pq index: compaction collapses the code table with bit-identical ADC") {
     val e = Tables.embeddings(spark, sfDir)
     val path = java.nio.file.Files.createTempDirectory("cmp_pq").toString
