@@ -903,10 +903,11 @@ object SparkEntry {
     // setup breakdown — a setup regression is then attributable to a
     // stage, the same property the per-run query times give the medians.
     //
-    // Stages run as FOUR CONCURRENT CHAINS (sequential within a chain,
+    // Stages run as FIVE CONCURRENT CHAINS (sequential within a chain,
     // chains submitted from separate threads — the standard Spark
     // multi-job pattern): text caches → dup groups; SCD2 dims; embedding
-    // caches → ANN index builds; text index builds. The chains touch
+    // caches → stored ANN builds; merged ANN builds; text index builds.
+    // The chains touch
     // disjoint caches/memos/artifacts, so the only shared state is the
     // thread-safe registries they already use (Caches' CacheManager
     // lookup, the per-key StoredIndexes build locks, TrieMap memos).
@@ -1027,8 +1028,19 @@ object SparkEntry {
     // builds need only the documents table and run on their own chain.
     stage("ann_indexes") {
       storedIvfPath(s, dir); storedPqPath(s, dir)
+      storedIvfPqPath(s, dir)
+      ()
+    }
+      }),
+      // the merged (build-on-subset + absorb-the-rest) index variants
+      // train their OWN subset memos — no dependency on the full-corpus
+      // k-means the ann chain warms — so they run as their own chain:
+      // with six sequential builds the ann chain was the setup critical
+      // path, and half of them never needed its warm-up at all
+      ("annmerge", () => {
+    stage("merged_indexes") {
       mergedIvfPath(s, dir); mergedPqPath(s, dir)
-      storedIvfPqPath(s, dir); mergedIvfPqPath(s, dir)
+      mergedIvfPqPath(s, dir)
       ()
     }
       }),
