@@ -369,6 +369,65 @@ object CdcStream {
     ()
   }
 
+  /** Streaming IVF-PQ screen-and-absorb — [[annScreenStream]]'s
+    * quantized sibling: each vector micro-batch is screened against the
+    * stored composite index by pruned ADC (nprobe cells + byte codes —
+    * the screen never reads a float vector), then absorbed against both
+    * frozen control planes ([[graft.ops.SimilarityOps.mergeIvfPqIndex]]).
+    * Same (stream, batch-id) ledger protocol; the maintenance tick runs
+    * the `ivfpq` compaction kind. ADC is a DISTANCE, so hits are rows
+    * with `adc_dist <= maxAdc` (note an exact copy of an indexed vector
+    * screens at its quantization distortion, not 0 — size the threshold
+    * from the index's meta distortion). Codebook drift stays a
+    * scheduled-rebuild decision (shouldRetrainPq); this stream never
+    * retrains. */
+  def ivfPqScreenStream(spark: SparkSession, inGlob: String,
+                        checkpointDir: String, schema: StructType,
+                        indexPath: String, topK: Int, maxAdc: Double,
+                        onHits: (DataFrame, Long) => Unit,
+                        nprobe: Int = 2,
+                        maintainEvery: Int = 0,
+                        maintainMaxFiles: Int = 8): StreamingQuery = {
+    // re-seed the replay memo at stream start (same reason as
+    // dedupScreenStream: the index may have been rebuilt at this path)
+    absorbedHighWater.remove((indexPath, checkpointDir))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .json(inGlob)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ivfPqScreenAndAbsorb(spark, batch, id, indexPath, checkpointDir,
+          topK, maxAdc, nprobe, onHits)
+        if (maintainEvery > 0 && id > 0 && id % maintainEvery == 0)
+          maintainStreamedIndex(spark, indexPath, "ivfpq", maintainMaxFiles)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** One IVF-PQ screen-and-absorb micro-batch — public for direct
+    * replay testing, like [[annScreenAndAbsorb]]. The screen is
+    * read-only and always re-run; the merge applies once per
+    * (streamId, id). */
+  def ivfPqScreenAndAbsorb(spark: SparkSession, batch: DataFrame, id: Long,
+                           indexPath: String, streamId: String,
+                           topK: Int, maxAdc: Double, nprobe: Int,
+                           onHits: (DataFrame, Long) => Unit): Unit = {
+    if (!batch.isEmpty) graft.engine.Caches.withCached {
+      onHits(
+        graft.ops.SimilarityOps.queryIvfPqIndexBatch(spark, indexPath,
+          batch, topK, nprobe)
+          .filter(org.apache.spark.sql.functions.col("adc_dist") <= maxAdc),
+        id)
+      absorbOnce(spark, indexPath, streamId, id) {
+        graft.ops.SimilarityOps.mergeIvfPqIndex(batch, indexPath)
+      }
+    }
+    ()
+  }
+
   /** Streaming exact dedup — A3's streaming twin: drop re-deliveries of
     * the same `idCol` arriving within the watermark delay, turning an
     * at-least-once file/log source into exactly-once rows before the

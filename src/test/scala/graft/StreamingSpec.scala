@@ -159,6 +159,61 @@ class StreamingSpec extends AnyFunSuite {
       .count() === 13L, "replaying an absorbed batch must not duplicate")
   }
 
+  test("IVF-PQ screen-and-absorb stream catches cross-batch dup vectors by ADC") {
+    import graft.ops.SimilarityOps
+    import graft.engine.Compaction
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StructType}
+    val in = Files.createTempDirectory("pqs_in").toString
+    val ckpt = Files.createTempDirectory("pqs_ckpt").toString
+    val idx = Files.createTempDirectory("pqs_idx").toString
+    def baseVec(i: Int): Seq[Double] =
+      Seq.tabulate(4)(j => if (j == i % 4) 1.0 + i else 0.01 * (j + 1))
+    val base = (0 until 10).map(i => (i.toLong, baseVec(i)))
+      .toDF("vec_id", "embedding")
+    // m=2 subspaces over 4 dims; ksub>corpus → codebooks hold every
+    // distinct subvector, so any vector WHOSE SUBVECTORS are codewords
+    // screens at exactly its candidate's code distance. `fresh` splices
+    // vec 0's sub0 with vec 3's sub1: zero quantization distortion (both
+    // halves are codewords) yet equal to NO indexed vector — the crisp
+    // ADC=0 self-match the quantized screen can certify, while every
+    // indexed candidate differs from it in one subspace (ADC ≥ 0.98)
+    SimilarityOps.buildIvfPqIndex(base, idx, m = 2, ksub = 16)
+    def jline(id: Long, v: Seq[Double]) =
+      s"""{"vec_id":$id,"embedding":[${v.mkString(",")}]}"""
+    val fresh = Seq(1.0, 0.02, 0.03, 4.0)
+    val f0 = java.nio.file.Paths.get(in, "vecs_000.json")
+    Files.writeString(f0,
+      jline(100, baseVec(2)) + "\n" + jline(101, fresh) + "\n")
+    Files.setLastModifiedTime(f0, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 60000))
+    Files.writeString(java.nio.file.Paths.get(in, "vecs_001.json"),
+      jline(200, fresh) + "\n")
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val schema = new StructType().add("vec_id", "long")
+      .add("embedding", ArrayType(DoubleType))
+    val q = CdcStream.ivfPqScreenStream(spark, s"$in/vecs_*.json", ckpt,
+      schema, idx, topK = 3, maxAdc = 1e-6,
+      (df, _) => hits ++= df.select("q_id", "vec_id").as[(Long, Long)].collect(),
+      maintainEvery = 1, maintainMaxFiles = 1)
+    q.awaitTermination()
+    val all = hits.toSet
+    assert(all.contains((100L, 2L)),
+      "an exact copy of an indexed vector screens at ADC 0")
+    assert(all.contains((200L, 101L)),
+      "batch 1 must be screened against batch 0's absorbed codes")
+    assert(!all.exists(_._1 == 101L), "the fresh direction must not fire")
+    // absorbed exactly once each, through the maintenance ticks
+    val codes = spark.read.parquet(Compaction.resolve(s"$idx/codes"))
+    assert(codes.select("vec_id").distinct().count() === 13L)
+    assert(codes.count() === 13L, "no duplicate code rows")
+    // re-delivery of an already-absorbed batch id is a no-op merge
+    val replayed = spark.read.schema(schema).json(s"$in/vecs_001.json")
+    CdcStream.ivfPqScreenAndAbsorb(spark, replayed, 1L, idx, ckpt,
+      3, 1e-6, 2, (df, _) => { df.count(); () })
+    assert(spark.read.parquet(Compaction.resolve(s"$idx/codes"))
+      .count() === 13L, "replaying an absorbed batch must not duplicate")
+  }
+
   test("maintenance tick beside the stream: files collapse, answers unchanged") {
     import graft.ops.DedupOps
     import graft.engine.Compaction
