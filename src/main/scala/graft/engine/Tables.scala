@@ -13,7 +13,17 @@ import org.apache.spark.sql.types._
   */
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    try spark.read.parquet(s"$dir/$name.parquet")
+    catch {
+      // a generator-side unit flip to TIMESTAMP(NANOS) (the r12 events
+      // incident, see bench/REGRESSION_r12.md) must fail with the fix in
+      // the message, not a bare footer exception deep inside a query
+      case e: Exception if isNanosFooter(e) =>
+        throw new IllegalStateException(
+          s"$name.parquet stores TIMESTAMP(NANOS), which Spark's schema " +
+            "inference rejects — give this table a unit-detecting loader " +
+            "like Tables.events (raw-long read + ns→µs truncation)", e)
+    }
 
   /** The events table's fixed generator schema, with `ts` requested as
     * LongType: parquet TIMESTAMP(NANOS) is physically INT64, and an
