@@ -765,6 +765,13 @@ object SparkEntry {
       TextOps.vocabTopK(Tables.documents(s, dir), 100)
         .orderBy(col("tf").desc, col("word"))),
 
+    // overlapping sliding-window chunking (RAG / training-example prep):
+    // pure per-row projection, no shuffle — the final chunk always
+    // reaches the document's last word
+    "text_chunk_windows" -> ((s, dir) =>
+      TextOps.chunkDocs(Tables.documents(s, dir), 64, 48)
+        .orderBy("doc_id", "chunk_no")),
+
     // temperature-flattened mixing (α = ½): big langs downsampled toward
     // the smallest, rate = sqrt(min_tokens/tokens) — all single-rounded
     // IEEE ops, so membership is bit-stable across engines
@@ -2415,6 +2422,17 @@ object SparkEntry {
         |         ORDER BY md5('graft-42:' || CAST(doc_id AS VARCHAR)), doc_id)
         |         AS BIGINT) AS train_order
         |FROM documents ORDER BY train_order""".stripMargin,
+
+    "text_chunk_windows" ->
+      s"""WITH $wordsSql,
+         |k AS (SELECT doc_id, w, len(w) AS n,
+         |             greatest(0, CAST(ceil((len(w) - 64) / 48.0) AS INT)) AS kk
+         |      FROM words)
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_no,
+         |       array_to_string(w[i * 48 + 1 : i * 48 + 64], ' ') AS chunk,
+         |       CAST(least(64, n - i * 48) AS BIGINT) AS n_tokens
+         |FROM k, LATERAL unnest(range(0, kk + 1)) AS tcw(i)
+         |ORDER BY doc_id, chunk_no""".stripMargin,
 
     "vocab_topk" ->
       s"""WITH $wordsSql,

@@ -56,6 +56,30 @@ object TextOps {
         .cast("long").as("n_bpeish_tokens"),
       length(col("text")).cast("long").as("n_chars_calc"))
 
+  /** Overlapping sliding-window chunking (RAG / training-example prep):
+    * each document becomes `ceil(max(0, n−size)/stride) + 1` chunks of up
+    * to `size` words starting every `stride` words, so consecutive
+    * chunks overlap by `size − stride` words and the final chunk always
+    * reaches the last word. Pure per-row projection (sequence →
+    * transform → slice on the word array) — no shuffle, no state; chunk
+    * counts scale with the corpus linearly. */
+  def chunkDocs(docs: DataFrame, size: Int = 64, stride: Int = 48): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"chunkDocs: need 0 < stride <= size (got size=$size stride=$stride)")
+    docs
+      .select(col("doc_id"), normWords(col("text")).as("w"))
+      .select(col("doc_id"), org.apache.spark.sql.functions.size(col("w")).as("n"),
+        posexplode(expr(
+          s"""transform(
+             |  sequence(0, greatest(0, cast(ceil((size(w) - $size) / cast($stride as double)) as int))),
+             |  i -> concat_ws(' ', slice(w, i * $stride + 1, $size)))""".stripMargin))
+          .as(Seq("chunk_no", "chunk")))
+      .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
+        col("chunk"),
+        least(lit(size), col("n") - col("chunk_no") * stride)
+          .cast("long").as("n_tokens"))
+  }
+
   /** Corpus vocabulary extraction (tokenizer-training prep): every
     * normalized word with its total term frequency and document
     * frequency, top-K by frequency. Two shuffles, both with map-side

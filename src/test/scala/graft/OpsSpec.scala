@@ -549,6 +549,36 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("sliding-window chunking covers every word with the declared overlap") {
+    val chunks = TextOps.chunkDocs(docs, 64, 48).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1))).toMap
+    val nWords = docs.select($"doc_id", size(TextOps.normWords($"text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    chunks.foreach { case (docId, rows) =>
+      val n = nWords(docId)
+      // chunk count = ceil(max(0, n-64)/48) + 1, contiguous numbering
+      val expected = math.ceil(math.max(0, n - 64) / 48.0).toInt + 1
+      assert(rows.length === expected, s"doc $docId: n=$n")
+      assert(rows.map(_.getLong(1)).toSeq === (0L until expected.toLong))
+      // the final chunk reaches the last word; all chunks cover [1, n]
+      val last = rows.last
+      assert(last.getLong(1) * 48 + last.getLong(3) === n.toLong,
+        s"doc $docId: last chunk must end at word $n")
+      // token counts: full-size except possibly the last
+      rows.init.foreach(r => assert(r.getLong(3) === 64L))
+      // chunk text matches its declared window
+      val words = docs.filter($"doc_id" === docId)
+        .select(TextOps.normWords($"text")).head().getSeq[String](0)
+      rows.take(3).foreach { r =>
+        val start = (r.getLong(1) * 48).toInt
+        assert(r.getString(2) ===
+          words.slice(start, start + 64).mkString(" "))
+      }
+    }
+    assert(chunks.nonEmpty)
+  }
+
   test("repetition score separates repetitive from diverse docs") {
     val d = Seq(
       (1L, Seq.fill(30)("spam ham").mkString(" ")),          // 2 distinct 3-grams
