@@ -772,6 +772,13 @@ object SparkEntry {
       TextOps.chunkDocs(Tables.documents(s, dir), 64, 48)
         .orderBy("doc_id", "chunk_no")),
 
+    // greedy token-budget curation: highest-quality docs while the
+    // running token total fits the budget — the global running sum rides
+    // the range-partitioned prefix scaffold, never one window partition
+    "select_token_budget" -> ((s, dir) =>
+      SamplingOps.selectTokenBudget(Tables.documents(s, dir), 10000L)
+        .orderBy(desc("quality_score"), col("doc_id"))),
+
     // temperature-flattened mixing (α = ½): big langs downsampled toward
     // the smallest, rate = sqrt(min_tokens/tokens) — all single-rounded
     // IEEE ops, so membership is bit-stable across engines
@@ -2422,6 +2429,18 @@ object SparkEntry {
         |         ORDER BY md5('graft-42:' || CAST(doc_id AS VARCHAR)), doc_id)
         |         AS BIGINT) AS train_order
         |FROM documents ORDER BY train_order""".stripMargin,
+
+    "select_token_budget" ->
+      s"""WITH $wordsSql,
+         |${qualityScoredSql("base", "scored")}
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality_score,
+         |       CAST(cum AS BIGINT) AS cum_tokens
+         |FROM (SELECT doc_id, n_tokens, quality_score,
+         |             sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM scored)
+         |WHERE cum <= 10000
+         |ORDER BY quality_score DESC, doc_id""".stripMargin,
 
     "text_chunk_windows" ->
       s"""WITH $wordsSql,

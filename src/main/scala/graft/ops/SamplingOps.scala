@@ -101,6 +101,23 @@ object SamplingOps {
     docs.select(col("doc_id"),
       size(TextOps.normWords(col("text"))).cast("long").as("n_tokens"))
 
+  /** Greedy token-budget selection — the curation step that turns "rank
+    * by quality" into an actual training corpus of bounded size: keep
+    * the highest-quality documents, whole docs only, while the running
+    * token total stays within `budget` (ties break by doc_id so the cut
+    * is deterministic). The running sum over the global quality order is
+    * the range-partitioned [[globalOrder]] prefix sum — never a
+    * single-partition window — so the selection scales with executors. */
+  def selectTokenBudget(docs: DataFrame, budget: Long): DataFrame = {
+    val scored = TextOps.qualityScore(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val (out, _, _) = globalOrder(scored,
+      Seq(col("quality_score").desc, col("doc_id")), col("n_tokens"))
+    out.filter(col("_cum") + col("n_tokens") <= budget)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+        (col("_cum") + col("n_tokens")).as("cum_tokens"))
+  }
+
   /** Deterministic global shuffle for training order: a seed-keyed md5
     * over the row key gives a reproducible pseudo-random permutation,
     * and the contiguous 1-based position (`train_order`) comes from the

@@ -549,6 +549,35 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("token-budget selection is a maximal quality-ordered prefix") {
+    val budget = 3000L
+    val sel = SamplingOps.selectTokenBudget(docs, budget)
+    val rows = sel.orderBy(desc("quality_score"), $"doc_id").collect()
+    assert(rows.nonEmpty)
+    // within budget, and cum_tokens is the inclusive running sum
+    assert(rows.map(_.getLong(1)).sum <= budget)
+    assert(rows.last.getLong(3) === rows.map(_.getLong(1)).sum)
+    // the selection is a strict PREFIX of the quality order: the running
+    // total counts every preceding doc, so the first doc that overflows
+    // the budget cuts everything after it (whole docs, no skip-ahead)
+    val all = TextOps.qualityScore(docs)
+      .select($"doc_id", $"n_tokens", $"quality_score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy { case (id, _, q) => (-q, id) }
+    val selected = rows.map(_.getLong(0)).toSet
+    var cum = 0L
+    all.foreach { case (id, n, _) =>
+      cum += n
+      if (cum <= budget)
+        assert(selected.contains(id), s"doc $id is inside the prefix (cum=$cum)")
+      else
+        assert(!selected.contains(id), s"doc $id is past the cut (cum=$cum)")
+    }
+    // the global running sum must ride range partitioning
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"))
+  }
+
   test("sliding-window chunking covers every word with the declared overlap") {
     val chunks = TextOps.chunkDocs(docs, 64, 48).collect()
       .groupBy(_.getLong(0)).view
