@@ -779,6 +779,13 @@ object SparkEntry {
       SamplingOps.selectTokenBudget(Tables.documents(s, dir), 10000L)
         .orderBy(desc("quality_score"), col("doc_id"))),
 
+    // deterministic weighted interleave: mixing-weight-scaled hash order
+    // so heavier languages surface proportionally denser in the epoch
+    "interleave_weighted" -> ((s, dir) =>
+      SamplingOps.weightedInterleave(
+        Tables.documents(s, dir), "lang", "doc_id", mixWeights)
+        .orderBy("train_order")),
+
     // temperature-flattened mixing (α = ½): big langs downsampled toward
     // the smallest, rate = sqrt(min_tokens/tokens) — all single-rounded
     // IEEE ops, so membership is bit-stable across engines
@@ -2429,6 +2436,22 @@ object SparkEntry {
         |         ORDER BY md5('graft-42:' || CAST(doc_id AS VARCHAR)), doc_id)
         |         AS BIGINT) AS train_order
         |FROM documents ORDER BY train_order""".stripMargin,
+
+    "interleave_weighted" ->
+      s"""SELECT doc_id, lang,
+         |       CAST(row_number() OVER (ORDER BY pos, doc_id) AS BIGINT)
+         |         AS train_order
+         |FROM (SELECT doc_id, lang,
+         |             (CAST(${keyHashSql("doc_id")} % 1000000 AS DOUBLE)
+         |                / 1000000.0) /
+         |             (CASE lang WHEN 'de' THEN CAST(0.15 AS DOUBLE)
+         |                        WHEN 'en' THEN CAST(0.35 AS DOUBLE)
+         |                        WHEN 'es' THEN CAST(0.15 AS DOUBLE)
+         |                        WHEN 'fr' THEN CAST(0.15 AS DOUBLE)
+         |                        WHEN 'zh' THEN CAST(0.20 AS DOUBLE)
+         |              END) AS pos
+         |      FROM documents)
+         |ORDER BY train_order""".stripMargin,
 
     "select_token_budget" ->
       s"""WITH $wordsSql,

@@ -101,6 +101,30 @@ object SamplingOps {
     docs.select(col("doc_id"),
       size(TextOps.normWords(col("text"))).cast("long").as("n_tokens"))
 
+  /** Deterministic weighted interleave for epoch construction: each
+    * row's position key is its uniform key-hash value scaled DOWN by its
+    * stratum's mixing weight (`u / w`), so a stratum with twice the
+    * weight surfaces twice as densely early in the order — the
+    * deterministic, engine-portable cousin of weighted
+    * without-replacement orderings (whose `u^(1/w)` keys need `pow`,
+    * which is not bit-stable across engines; `u / w` is two
+    * single-rounded IEEE divisions the oracle replays exactly). The
+    * contiguous epoch position rides the range-partitioned
+    * [[globalOrder]] numbering. */
+  def weightedInterleave(df: DataFrame, stratum: String, key: String,
+                         weights: Map[String, Double]): DataFrame = {
+    val w = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(Double.NaN): Column) { case (acc, (k, v)) =>
+        when(col(stratum) === lit(k), lit(v)).otherwise(acc)
+      }
+    val pos = (pmod(keyHash(key), lit(1000000L)).cast("double") /
+      lit(1000000.0)) / w
+    val keyed = df.select(col(key), col(stratum)).withColumn("pos", pos)
+    val (out, _, _) =
+      globalOrder(keyed, Seq(col("pos"), col(key)), lit(0L), needCum = false)
+    out.withColumn("train_order", col("_rn")).drop("_pid", "_rn", "pos")
+  }
+
   /** Greedy token-budget selection — the curation step that turns "rank
     * by quality" into an actual training corpus of bounded size: keep
     * the highest-quality documents, whole docs only, while the running

@@ -549,6 +549,30 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("weighted interleave: heavier strata surface earlier, deterministically") {
+    val weights = Map("de" -> 0.15, "en" -> 0.35, "es" -> 0.15,
+      "fr" -> 0.15, "zh" -> 0.20)
+    val a = SamplingOps.weightedInterleave(docs, "lang", "doc_id", weights)
+      .orderBy("train_order").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // contiguous 1..N permutation, bit-stable across invocations
+    assert(a.map(_._3).toSeq === (1L to a.length.toLong))
+    val again = SamplingOps.weightedInterleave(docs, "lang", "doc_id", weights)
+      .orderBy("train_order").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(a.toSeq === again.toSeq)
+    // the heaviest stratum's mean epoch position precedes every
+    // lightest-weight stratum's (u/w keys: 0.35 scales 2.3x denser)
+    def meanPos(lang: String): Double = {
+      val ps = a.filter(_._2 == lang).map(_._3.toDouble)
+      ps.sum / ps.length
+    }
+    Seq("de", "es", "fr").foreach { light =>
+      assert(meanPos("en") < meanPos(light),
+        s"en (w=0.35) must surface before $light (w=0.15) on average")
+    }
+  }
+
   test("token-budget selection is a maximal quality-ordered prefix") {
     val budget = 3000L
     val sel = SamplingOps.selectTokenBudget(docs, budget)
