@@ -765,6 +765,14 @@ object SparkEntry {
       TextOps.vocabTopK(Tables.documents(s, dir), 100)
         .orderBy(col("tf").desc, col("word"))),
 
+    // incremental materialized word-count view: per-batch partials
+    // appended O(|batch vocab|), re-summed at read — counts over the
+    // disjoint build+merge union equal the full corpus, so it shares
+    // vocab_topk's oracle
+    "vocab_merged_topk" -> ((s, dir) =>
+      TextOps.queryVocabTopK(s, mergedVocabPath(s, dir), 100)
+        .orderBy(col("tf").desc, col("word"))),
+
     // overlapping sliding-window chunking (RAG / training-example prep):
     // pure per-row projection, no shuffle — the final chunk always
     // reaches the document's last word
@@ -1068,7 +1076,7 @@ object SparkEntry {
       ("textidx", () => {
     stage("text_indexes") {
       storedBm25Path(s, dir); mergedBm25Path(s, dir)
-      dedupIdxPath(s, dir)
+      dedupIdxPath(s, dir); mergedVocabPath(s, dir)
       ()
     }
       }))
@@ -1147,6 +1155,13 @@ object SparkEntry {
   private def storedBm25Path(s: SparkSession, dir: String): String =
     engine.StoredIndexes.ensure("bm25_idx", dir)(p =>
       TextOps.buildBm25Index(Tables.documents(s, dir), p))
+
+  private def mergedVocabPath(s: SparkSession, dir: String): String =
+    engine.StoredIndexes.ensure("vocab_merge", dir) { p =>
+      val docs = Tables.documents(s, dir)
+      TextOps.buildVocabIndex(docs.filter(expr(Bm25MergeBuildPred)), p)
+      TextOps.mergeVocabIndex(docs.filter(!expr(Bm25MergeBuildPred)), p)
+    }
 
   private def mergedBm25Path(s: SparkSession, dir: String): String =
     engine.StoredIndexes.ensure("bm25_merge", dir) { p =>
@@ -1509,6 +1524,7 @@ object SparkEntry {
     "ann_ivf_stored_topk" -> oracleSqlBase("ann_ivf_kmeans_topk"),
     "ann_pq_stored_topk" -> oracleSqlBase("ann_pq_topk"),
     "ann_ivfpq_stored_topk" -> oracleSqlBase("ann_ivfpq_topk"),
+    "vocab_merged_topk" -> oracleSqlBase("vocab_topk"),
     "text_bm25_stored_topk" -> oracleSqlBase("text_bm25_topk"),
     "text_bm25_merged_topk" -> oracleSqlBase("text_bm25_topk"),
 

@@ -303,6 +303,15 @@ object Compaction {
           .repartition(col("cluster")).sortWithinPartitions("vec_id"),
         partitionBy = Seq("cluster"),
         maxFilesPerPartition = maxFilesPerPartition)
+    case "vocab" => // distributive-aggregate re-sum: the one recipe whose
+      // rewrite CHANGES row counts — per-batch partials collapse back
+      // toward one row per word, which is sound exactly because the
+      // aggregate is distributive (Σ of partial Σs = Σ)
+      compactTable(spark, s"$path/counts",
+        df => df.groupBy("word")
+          .agg(sum("tf").as("tf"), sum("df").as("df"))
+          .repartition(col("word")).sortWithinPartitions("word"),
+        maxFilesPerPartition = maxFilesPerPartition)
     case "bm25" =>
       compactTable(spark, s"$path/postings",
         df => df.dropDuplicates("term", "doc_id")
@@ -390,11 +399,12 @@ object Compaction {
   def vacuumIndex(path: String, kind: String): Seq[String] = (kind match {
     case "ivf"         => Seq(s"$path/assignments")
     case "pq" | "ivfpq" => Seq(s"$path/codes")
+    case "vocab"       => Seq(s"$path/counts")
     case "bm25"        => Seq(s"$path/postings")
     case "fingerprint" => Seq(s"$path/postings", s"$path/sizes")
     case other =>
       throw new IllegalArgumentException(
         s"vacuumIndex: unknown index kind '$other' " +
-          "(expected ivf | pq | ivfpq | bm25 | fingerprint)")
+          "(expected ivf | pq | ivfpq | vocab | bm25 | fingerprint)")
   }).flatMap(vacuum)
 }

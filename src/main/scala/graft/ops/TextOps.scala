@@ -100,6 +100,49 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Per-word partial counts of one corpus subset — the unit the stored
+    * vocabulary view appends per merge. */
+  private def vocabPartials(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(normWords(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .groupBy("word").agg(sum("tf").as("tf"), count(lit(1)).as("df"))
+
+  /** Stored word-count aggregate with incremental maintenance — the
+    * MATERIALIZED-VIEW pattern for distributive aggregates, a different
+    * lifecycle from the retrieval indexes: the stored `counts` table
+    * holds per-word PARTIAL (tf, df) rows — one row per word per
+    * absorbed batch — so a merge appends only the new batch's partials
+    * (O(|batch vocabulary|), old rows untouched, concurrent readers
+    * consistent) and a query re-sums at read time. df partials stay
+    * additive because build/merge corpora are DISJOINT doc sets (the
+    * caller's contract, same as the BM25 merge); replay protection is
+    * the caller's ledger (streaming absorbs route through the
+    * (stream, batch-id) protocol like every other family). Compaction
+    * kind `vocab` re-aggregates the partials back toward one row per
+    * word — the one compaction recipe where the rewrite CHANGES row
+    * counts, sound exactly because the aggregate is distributive. */
+  def buildVocabIndex(docs: DataFrame, path: String): Unit = {
+    vocabPartials(docs).write.mode("overwrite").parquet(s"$path/counts")
+    graft.engine.Compaction.seedBase(s"$path/counts")
+  }
+
+  /** Append one disjoint batch's per-word partials — O(|batch vocab|). */
+  def mergeVocabIndex(newDocs: DataFrame, path: String): Unit =
+    graft.engine.Compaction.guardedAppend(s"$path/counts") { live =>
+      vocabPartials(newDocs).write.mode("append").parquet(live)
+    }
+
+  /** Top-K view read: re-sum the stored partials (a partial-aggregated
+    * shuffle over |vocab × absorbed batches| rows, not the corpus). */
+  def queryVocabTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                     topK: Int): DataFrame =
+    spark.read.parquet(graft.engine.Compaction.resolve(s"$path/counts"))
+      .groupBy("word")
+      .agg(sum("tf").as("tf"), sum("df").as("df"))
+      .orderBy(col("tf").desc, col("word"))
+      .limit(topK)
+
   /** Content fingerprint: md5 of the sorted distinct normalized vocabulary —
     * word-order-insensitive dedup key (catches shuffled near-copies). */
   def fingerprint(docs: DataFrame): DataFrame =

@@ -213,6 +213,35 @@ class StoredIndexesSpec extends AnyFunSuite {
       "a same-distribution feed must not trip the rebuild signal")
   }
 
+  test("vocab view: disjoint merges re-sum to the full corpus, compaction " +
+    "re-aggregates partials without changing the answer") {
+    val docs = Tables.documents(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("vocab_mv").toString
+    TextOps.buildVocabIndex(docs.filter($"doc_id" % 3 === 0L), path)
+    val filesAfterBuild = Compaction.filesPerPartition(s"$path/counts").values.sum
+    (1L to 2L).foreach { r =>
+      TextOps.mergeVocabIndex(docs.filter($"doc_id" % 3 === r), path)
+    }
+    assert(Compaction.filesPerPartition(s"$path/counts").values.sum
+      > filesAfterBuild, "each merge appends its partials")
+    def top() = TextOps.queryVocabTopK(spark, path, 50)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // the re-summed view over the disjoint union equals the one-shot
+    // full-corpus aggregate
+    val full = TextOps.vocabTopK(docs, 50)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(top() === full)
+    // compaction re-aggregates: rows collapse toward one per word, the
+    // view's answer is unchanged
+    assert(Compaction.maintainIndex(spark, path, "vocab",
+      maxFilesPerPartition = 1))
+    assert(top() === full, "re-aggregated partials must re-sum identically")
+    val rows = spark.read.parquet(Compaction.resolve(s"$path/counts"))
+    assert(rows.groupBy("word").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).count() === 0L,
+      "post-compaction: one partial row per word")
+  }
+
   test("batch IVF probe equals the per-query probe for every query") {
     val e = Tables.embeddings(spark, sfDir)
     val path = java.nio.file.Files.createTempDirectory("cmp_ivfb").toString
