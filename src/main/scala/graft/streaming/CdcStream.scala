@@ -428,6 +428,47 @@ object CdcStream {
     ()
   }
 
+  /** Streaming incremental-view maintenance for the vocabulary
+    * aggregate: each document micro-batch's per-word partial counts are
+    * absorbed into the stored view ([[graft.ops.TextOps.mergeVocabIndex]])
+    * exactly once under the same (stream, batch-id) ledger protocol the
+    * retrieval indexes use — a crash between merge and checkpoint
+    * commit replays the batch, and the ledger high-water makes the
+    * re-merge a no-op, so partial counts are never double-added (the
+    * failure mode an additive aggregate cannot tolerate). The
+    * maintenance tick runs the re-aggregating `vocab` compaction. */
+  def vocabAbsorbStream(spark: SparkSession, inGlob: String,
+                        checkpointDir: String, schema: StructType,
+                        viewPath: String,
+                        maintainEvery: Int = 0,
+                        maintainMaxFiles: Int = 8): StreamingQuery = {
+    absorbedHighWater.remove((viewPath, checkpointDir))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .json(inGlob)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        vocabAbsorb(spark, batch, id, viewPath, checkpointDir)
+        if (maintainEvery > 0 && id > 0 && id % maintainEvery == 0)
+          maintainStreamedIndex(spark, viewPath, "vocab", maintainMaxFiles)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** One vocab-absorb micro-batch — public for direct replay testing. */
+  def vocabAbsorb(spark: SparkSession, batch: DataFrame, id: Long,
+                  viewPath: String, streamId: String): Unit = {
+    if (!batch.isEmpty) graft.engine.Caches.withCached {
+      absorbOnce(spark, viewPath, streamId, id) {
+        graft.ops.TextOps.mergeVocabIndex(batch, viewPath)
+      }
+    }
+    ()
+  }
+
   /** Streaming exact dedup — A3's streaming twin: drop re-deliveries of
     * the same `idCol` arriving within the watermark delay, turning an
     * at-least-once file/log source into exactly-once rows before the

@@ -159,6 +159,45 @@ class StreamingSpec extends AnyFunSuite {
       .count() === 13L, "replaying an absorbed batch must not duplicate")
   }
 
+  test("streaming vocab view: batches absorb exactly once, view equals " +
+    "the one-shot aggregate") {
+    import graft.ops.TextOps
+    import org.apache.spark.sql.types.StructType
+    val in = Files.createTempDirectory("vv_in").toString
+    val ckpt = Files.createTempDirectory("vv_ckpt").toString
+    val view = Files.createTempDirectory("vv_view").toString
+    val batches = Seq(
+      Seq((1L, "spark rows table table"), (2L, "rows merge")),
+      Seq((3L, "table merge merge spark")),
+      Seq((4L, "rows rows table")))
+    TextOps.buildVocabIndex(
+      Seq((0L, "spark table")).toDF("doc_id", "text"), view)
+    batches.zipWithIndex.foreach { case (docs, i) =>
+      val f = java.nio.file.Paths.get(in, f"docs_$i%03d.json")
+      Files.writeString(f, docs.map { case (id, t) =>
+        s"""{"doc_id":$id,"text":"$t"}""" }.mkString("", "\n", "\n"))
+      Files.setLastModifiedTime(f, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() - (600 - i * 60) * 1000L))
+    }
+    val schema = new StructType().add("doc_id", "long").add("text", "string")
+    val q = CdcStream.vocabAbsorbStream(spark, s"$in/docs_*.json", ckpt,
+      schema, view, maintainEvery = 1, maintainMaxFiles = 1)
+    q.awaitTermination()
+    def top() = TextOps.queryVocabTopK(spark, view, 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // view == one-shot aggregate over everything ever absorbed
+    val allDocs = (Seq((0L, "spark table")) ++ batches.flatten)
+      .toDF("doc_id", "text")
+    val full = TextOps.vocabTopK(allDocs, 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(top() === full)
+    // replaying an absorbed batch id must NOT double-add partials — the
+    // failure an additive aggregate cannot tolerate
+    val replayed = spark.read.schema(schema).json(s"$in/docs_001.json")
+    CdcStream.vocabAbsorb(spark, replayed, 1L, view, ckpt)
+    assert(top() === full, "replay must be a ledger no-op")
+  }
+
   test("IVF-PQ screen-and-absorb stream catches cross-batch dup vectors by ADC") {
     import graft.ops.SimilarityOps
     import graft.engine.Compaction
