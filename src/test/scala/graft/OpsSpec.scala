@@ -632,6 +632,30 @@ class OpsSpec extends AnyFunSuite {
     assert(chunks.nonEmpty)
   }
 
+  test("chunking property: every (size, stride) yields an end-covering, " +
+    "contiguous window family") {
+    val sample = docs.limit(30)
+    val nWords = sample.select($"doc_id", size(TextOps.normWords($"text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    for ((sz, st) <- Seq((16, 16), (32, 8), (50, 50), (200, 150))) {
+      val rows = TextOps.chunkDocs(sample, sz, st).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+      assert(rows.keySet === nWords.keySet, s"($sz,$st): every doc chunks")
+      rows.foreach { case (docId, cs) =>
+        val n = nWords(docId)
+        val expected = math.ceil(math.max(0, n - sz) / st.toDouble).toInt + 1
+        assert(cs.length === expected, s"($sz,$st) doc $docId n=$n")
+        assert(cs.map(_.getLong(1)).toSeq === (0L until expected.toLong))
+        assert(cs.last.getLong(1) * st + cs.last.getLong(3) === n.toLong,
+          s"($sz,$st) doc $docId: final chunk must end at word $n")
+        cs.init.foreach(r => assert(r.getLong(3) === sz.toLong))
+      }
+    }
+    // invalid parameters fail fast, not silently mis-chunk
+    intercept[IllegalArgumentException](TextOps.chunkDocs(sample, 10, 20))
+    intercept[IllegalArgumentException](TextOps.chunkDocs(sample, 0, 1))
+  }
+
   test("repetition score separates repetitive from diverse docs") {
     val d = Seq(
       (1L, Seq.fill(30)("spam ham").mkString(" ")),          // 2 distinct 3-grams
