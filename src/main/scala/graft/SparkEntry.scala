@@ -429,15 +429,20 @@ object SparkEntry {
 
     // Quality gating: keep docs at/above the corpus median score — the
     // filter-by-corpus-aggregate pattern every data-curation pipeline
-    // runs (exact percentile broadcast as a one-row join, no collect)
+    // runs. The median is ExactPercentile's GlobalOrder two-pass rank,
+    // not the percentile() aggregate: over a continuous score column the
+    // built-in buffers one entry per distinct value in a SINGLE
+    // aggregation buffer (executor OOM at 100 TB); the rank pass keeps
+    // per-task state bounded and returns the bit-identical number.
     "text_quality_gate" -> ((s, dir) => {
-      // the score table feeds both the percentile aggregate and the
-      // gate filter (and 3 other queries) — shared via the warm cache
+      // the score table feeds both the median rank and the gate filter
+      // (and 3 other queries) — shared via the warm cache
       val q = Caches.ensureCached(
         TextOps.qualityScore(Tables.documents(s, dir)))
-      val cut = q.agg(expr("percentile(quality_score, 0.5)").as("_cut"))
-      q.crossJoin(broadcast(cut))
-        .filter(col("quality_score") >= col("_cut"))
+      val cut = graft.engine.ExactPercentile.cut(
+        q, col("quality_score"), col("doc_id"), 0.5)
+      q.filter(cut.map(c => col("quality_score") >= lit(c))
+          .getOrElse(lit(false)))
         .select("doc_id", "n_tokens", "quality_score")
         .orderBy("doc_id")
     }),

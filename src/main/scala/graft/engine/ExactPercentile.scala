@@ -1,0 +1,74 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-safe EXACT interpolated percentile over a continuous column.
+  *
+  * SQL `percentile(x, p)` (Spark) / `quantile_cont(x, p)` (DuckDB,
+  * PostgreSQL's `percentile_cont`) is exact but Spark's implementation
+  * is a single-buffer aggregate: it accumulates a value→count map for
+  * the WHOLE input in ONE aggregation buffer. Over a continuous column
+  * (≈ one distinct value per row — e.g. a per-document quality score)
+  * that buffer grows linearly with the corpus and lands on one
+  * executor: fine at test scale, an OOM at 100 TB.
+  *
+  * This computes the identical number with bounded per-task state by
+  * riding [[GlobalOrder]]'s range-partitioned two-pass prefix sum:
+  *
+  *  1. rank the non-null values under a total order
+  *     `(value, tieBreak)` — range repartition, partition-local sort,
+  *     per-partition counts collected as control-plane data;
+  *  2. the interpolated percentile needs at most TWO rows (the values
+  *     at 0-based positions `floor(p·(n−1))` and `ceil(p·(n−1))`) —
+  *     filter the cached ranked table down to those ranks and collect
+  *     them (≤ 2 rows, bounded);
+  *  3. interpolate with EXACTLY the IEEE expression Spark's
+  *     `Percentile.getPercentile` evaluates —
+  *     `(ceil(pos) − pos)·lo + (pos − floor(pos))·hi` — so the result
+  *     is bit-identical to the built-in aggregate (and to DuckDB's
+  *     `quantile_cont`, which evaluates the same form), keeping
+  *     oracle hash-matches intact.
+  *
+  * Work per task is bounded by the range-partition size; driver state
+  * is one (count) row per partition plus the two picked values. The
+  * ranked table is registered through [[Caches.ensureCached]], so
+  * repeated cuts over the same input share one entry and service-mode
+  * callers release it via [[Caches.withCached]].
+  */
+object ExactPercentile {
+
+  /** The exact interpolated p-quantile of `value` over `df`, ignoring
+    * nulls (the SQL aggregate's null semantics). `tieBreak` must make
+    * `(value, tieBreak)` a total order so the range layout is
+    * deterministic; it never affects the returned number (equal values
+    * interpolate to themselves). Returns None on an empty (or all-null)
+    * input, where the SQL aggregate returns NULL. */
+  def cut(df: DataFrame, value: Column, tieBreak: Column,
+          p: Double): Option[Double] = {
+    require(p >= 0.0 && p <= 1.0, s"percentile p must be in [0,1], got $p")
+    val vals = df.filter(value.isNotNull)
+      .select(value.cast("double").as("_v"), tieBreak.as("_tb"))
+    val (ranked, n, _) =
+      GlobalOrder.attach(vals, Seq(col("_v"), col("_tb")), lit(0L),
+        needCum = false)
+    if (n == 0L) return None
+    // Spark Percentile.getPercentile: position = p * (n - 1), 0-based.
+    val pos = p * (n - 1)
+    val loRank = math.floor(pos).toLong + 1L // GlobalOrder._rn is 1-based
+    val hiRank = math.ceil(pos).toLong + 1L
+    val picked = ranked
+      .filter(col("_rn") === loRank || col("_rn") === hiRank)
+      .select(col("_rn"), col("_v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lo = picked(loRank)
+    if (loRank == hiRank) Some(lo)
+    else {
+      val hi = picked(hiRank)
+      // exact IEEE form of Percentile.getPercentile's interpolation —
+      // NOT lo + (hi-lo)*frac, which can differ in the last ulp
+      Some((math.ceil(pos) - pos) * lo + (pos - math.floor(pos)) * hi)
+    }
+  }
+}

@@ -71,16 +71,30 @@ object Scd2 {
     * renumbered, so downstream fact tables keep their foreign keys. */
   def extendSurrogateKey(keyed: DataFrame, merged: DataFrame,
                          identity: Seq[String], order: Seq[Column],
-                         name: String = "surrogate_key"): DataFrame = {
+                         name: String = "surrogate_key"): DataFrame =
+    extendSurrogateKeyBatch(keyed, merged, identity, order, name).dim
+
+  /** [[extendSurrogateKey]] returning a [[MergeResult]] whose `cleanup`
+    * unpersists the routed-join cache once the extended dimension has
+    * been materialized — the same lifecycle contract as [[mergeBatch]].
+    *
+    * The merged×existing-keys join feeds BOTH routing branches (inherit
+    * vs fresh), so it is persisted — uncached, each branch of the union
+    * re-executes the whole join (plus GlobalOrder's two collect passes
+    * over the fresh side), tripling the query's cost. */
+  def extendSurrogateKeyBatch(keyed: DataFrame, merged: DataFrame,
+                              identity: Seq[String], order: Seq[Column],
+                              name: String = "surrogate_key"): MergeResult = {
     val existing = keyed.select(identity.map(col) :+ col(name): _*)
-    val joined = merged.join(existing, identity, "left")
+    val joined = Caches.ensureCached(merged.join(existing, identity, "left"))
     val offset = keyed.agg(coalesce(max(col(name)), lit(0L))).first().getLong(0)
     val fresh = joined.filter(col(name).isNull).drop(name)
     val (numbered, _, _) = GlobalOrder.attach(fresh, order, lit(0L),
       needCum = false)
-    joined.filter(col(name).isNotNull)
+    val out = joined.filter(col(name).isNotNull)
       .unionByName(numbered.withColumn(name, col("_rn") + offset)
         .drop("_rn", "_cum", "_pid"))
+    MergeResult(out, () => { joined.unpersist(); () })
   }
 
   /** Current-rows filter (scd2_loader.py:193-200; the FOR UPDATE row lock is

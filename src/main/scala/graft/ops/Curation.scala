@@ -39,10 +39,15 @@ object Curation {
       .select(col("doc_id"), (col("doc_id") === col("_c")).as("is_canonical"))
     val q = graft.engine.Caches.ensureCached(TextOps.qualityScore(docs))
       .select("doc_id", "quality_score")
-    val cut = q.agg(expr("percentile(quality_score, 0.5)").as("_cut"))
-    val qual = q.crossJoin(broadcast(cut))
-      .select(col("doc_id"),
-        coalesce(col("quality_score") >= col("_cut"), lit(false)).as("quality_ok"))
+    // exact corpus median — NOT the percentile() aggregate, whose single
+    // value→count buffer grows with the corpus over a continuous column;
+    // ExactPercentile computes the identical number via the range-
+    // partitioned GlobalOrder rank with bounded per-task state
+    val cut = graft.engine.ExactPercentile.cut(
+      q, col("quality_score"), col("doc_id"), 0.5)
+    val qual = q.select(col("doc_id"),
+      cut.map(c => coalesce(col("quality_score") >= lit(c), lit(false)))
+        .getOrElse(lit(false)).as("quality_ok"))
     val cont = TextOps.decontaminate(docs,
       maxDf = TextOps.adaptiveMaxDf(docs))
       .select(col("doc_id"), lit(true).as("_cont"))

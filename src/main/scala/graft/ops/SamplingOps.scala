@@ -90,6 +90,15 @@ object SamplingOps {
     pmod(keyHash(key), lit(1000000L)) <
       floor(col("_rate") * lit(1000000.0)).cast("long")
 
+  /** Fail-loud fallback arm for stratum→weight CASE chains: a stratum
+    * absent from the caller's map raises at execution time instead of
+    * folding to NaN/null. Cast to double so when/otherwise coercion
+    * types the chain correctly (raise_error itself is NullType). */
+  private def unmappedStratum(op: String, stratum: String): Column =
+    raise_error(concat(
+      lit(s"$op: stratum '"), col(stratum).cast("string"),
+      lit(s"' has no configured weight"))).cast("double")
+
   /** Range-partitioned global-order scaffold — see
     * [[graft.engine.GlobalOrder.attach]] (factored to the engine so the
     * SCD2 surrogate-key path shares the identical two-pass prefix sum). */
@@ -113,9 +122,14 @@ object SamplingOps {
     * [[globalOrder]] numbering. */
   def weightedInterleave(df: DataFrame, stratum: String, key: String,
                          weights: Map[String, Double]): DataFrame = {
+    // unmapped stratum → raise_error, NOT a NaN weight: NaN position
+    // keys would silently sort the stratum to the end of the epoch, so
+    // a config typo re-orders training data with no signal (the same
+    // fail-loud posture as the events timestamp-unit guard)
     val w = weights.toSeq.sortBy(_._1)
-      .foldLeft(lit(Double.NaN): Column) { case (acc, (k, v)) =>
-        when(col(stratum) === lit(k), lit(v)).otherwise(acc)
+      .foldLeft(unmappedStratum("weightedInterleave", stratum)) {
+        case (acc, (k, v)) =>
+          when(col(stratum) === lit(k), lit(v)).otherwise(acc)
       }
     val pos = (pmod(keyHash(key), lit(1000000L)).cast("double") /
       lit(1000000.0)) / w
@@ -218,7 +232,9 @@ object SamplingOps {
     val per = toks.groupBy(stratum)
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
     val total = per.agg(sum(col("n_tokens")).as("_total"))
-    val target = targetWeights.foldLeft(lit(null).cast("double")) {
+    // unmapped stratum → raise_error, NOT a null target: a silent null
+    // dup_factor drops the stratum from the mix plan unnoticed
+    val target = targetWeights.foldLeft(unmappedStratum("corpusMix", stratum)) {
       case (acc, (k, v)) => when(col(stratum) === k, lit(v)).otherwise(acc)
     }
     per.crossJoin(broadcast(total))

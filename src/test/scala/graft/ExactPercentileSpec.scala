@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{ExactPercentile, Tables}
+import graft.ops.TextOps
+
+/** The GlobalOrder two-pass exact percentile must be BIT-identical to
+  * Spark's built-in `percentile()` aggregate (which in turn hash-matches
+  * DuckDB's `quantile_cont` in the oracle) — the whole point of the
+  * rewrite is removing the built-in's whole-column aggregation buffer
+  * without moving a single ulp. */
+class ExactPercentileSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def builtin(df: DataFrame, c: String, p: Double): Option[Double] = {
+    val r = df.agg(expr(s"percentile($c, $p)")).first()
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
+  }
+
+  private def check(vals: Seq[java.lang.Double], p: Double): Unit = {
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val ours = ExactPercentile.cut(df, col("v"), col("id"), p)
+    val ref = builtin(df, "v", p)
+    (ours, ref) match {
+      case (Some(a), Some(b)) =>
+        assert(java.lang.Double.doubleToLongBits(a) ===
+          java.lang.Double.doubleToLongBits(b),
+          s"p=$p over $vals: got $a, builtin $b")
+      case (a, b) => assert(a === b, s"p=$p over $vals")
+    }
+  }
+
+  test("even-count input hits the interpolation branch bit-exactly") {
+    check(Seq(1.0, 2.0, 3.5, 10.25), 0.5)
+    check(Seq(0.1, 0.2), 0.5) // 0.1+0.2 is the canonical ulp trap
+    check(Seq(-3.25, 1.5, 2.75, 7.125, 9.0, 11.5), 0.5)
+  }
+
+  test("odd-count input returns the exact middle value") {
+    check(Seq(3.0, 1.0, 2.0), 0.5)
+    check(Seq(42.0), 0.5)
+  }
+
+  test("duplicate-heavy input (continuous column's degenerate case)") {
+    check(Seq.fill(37)(5.0).map(java.lang.Double.valueOf) ++
+      Seq[java.lang.Double](1.0, 9.0), 0.5)
+    check(Seq(1.0, 1.0, 2.0, 2.0), 0.5)
+    check(Seq.fill(64)(0.125).map(java.lang.Double.valueOf), 0.5)
+  }
+
+  test("non-half percentiles interpolate with the aggregate's IEEE form") {
+    val v = Seq[java.lang.Double](1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0)
+    for (p <- Seq(0.0, 0.1, 0.25, 0.9, 0.99, 1.0)) check(v, p)
+  }
+
+  test("seeded random sweep stays bit-identical") {
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(2, 3, 100, 101)) {
+      val v = Seq.fill(n)(java.lang.Double.valueOf(rnd.nextDouble() * 1e3))
+      for (p <- Seq(0.5, 0.75)) check(v, p)
+    }
+  }
+
+  test("nulls are ignored; empty / all-null input returns None") {
+    check(Seq(null, 1.0, null, 3.0, 2.0), 0.5)
+    check(Seq(null, null), 0.5)
+    check(Seq.empty, 0.5)
+  }
+
+  test("corpus quality_score median matches the aggregate bit-for-bit") {
+    val q = TextOps.qualityScore(Tables.documents(spark, sfDir))
+      .select("doc_id", "quality_score")
+    val ours = ExactPercentile.cut(q, col("quality_score"), col("doc_id"), 0.5)
+    val ref = builtin(q, "quality_score", 0.5)
+    assert(ours.isDefined && ref.isDefined)
+    assert(java.lang.Double.doubleToLongBits(ours.get) ===
+      java.lang.Double.doubleToLongBits(ref.get))
+  }
+}

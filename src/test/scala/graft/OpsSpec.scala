@@ -1135,4 +1135,35 @@ class OpsSpec extends AnyFunSuite {
     assert(TextOps.queryBm25Index(spark, path, terms, 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === expected)
   }
+
+  private def msgChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
+  test("weightedInterleave fails loudly on a stratum with no weight") {
+    val df = Seq((1L, "en"), (2L, "xx")).toDF("doc_id", "lang")
+    val ex = intercept[Throwable] {
+      // the op runs its GlobalOrder collect eagerly — the error arm
+      // fires during the call, before any caller-side action
+      SamplingOps.weightedInterleave(df, "lang", "doc_id",
+        Map("en" -> 1.0)).collect()
+    }
+    assert(msgChain(ex).contains("has no configured weight"), msgChain(ex))
+    // fully-mapped input is unaffected
+    val ok = SamplingOps.weightedInterleave(
+      df.filter($"lang" === "en"), "lang", "doc_id", Map("en" -> 1.0))
+    assert(ok.count() === 1L)
+  }
+
+  test("corpusMix fails loudly on a stratum with no target weight") {
+    val df = Seq((1L, "en a b c"), (2L, "xx d e f"))
+      .toDF("doc_id", "text").withColumn("lang", split($"text", " ")(0))
+    val ex = intercept[Throwable] {
+      SamplingOps.corpusMix(df, "lang", Map("en" -> 1.0)).collect()
+    }
+    assert(msgChain(ex).contains("has no configured weight"), msgChain(ex))
+    val ok = SamplingOps.corpusMix(df.filter($"lang" === "en"), "lang",
+      Map("en" -> 1.0))
+    assert(ok.count() === 1L)
+  }
 }

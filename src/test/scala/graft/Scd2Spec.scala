@@ -281,6 +281,41 @@ class Scd2Spec extends AnyFunSuite {
       .filter($"surrogate_key" =!= $"orig").count() === 0)
   }
 
+  test("extendSurrogateKeyBatch caches the routed join once and cleanup " +
+    "releases it") {
+    val wm = lit("2024-01-18 00:00:00").cast("timestamp")
+    val hist = Scd2.rebuild(events.filter($"ts" <= wm),
+      "user_id", "ts", "event_id")
+    val keyed = Scd2.withSurrogateKey(hist,
+      Seq(col("user_id"), col("version_no")))
+    val merged = Scd2.merge(hist, events.filter($"ts" > wm),
+      "user_id", "ts", "event_id")
+    val res = Scd2.extendSurrogateKeyBatch(keyed, merged,
+      Seq("user_id", "version_no"), Seq(col("user_id"), col("version_no")))
+    // the merged×existing join must be registered in the cache manager —
+    // a plan-equal twin reports the entry's storage level (the
+    // WarmCacheSpec lookup pattern), so both union branches scan ONE
+    // in-memory relation instead of re-executing the join per branch
+    val twin = merged.join(
+      keyed.select($"user_id", $"version_no", $"surrogate_key"),
+      Seq("user_id", "version_no"), "left")
+    assert(twin.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "routed join not cached — each union branch re-executes it")
+    // both branches of the rewrite read cached relations (the inherit
+    // branch the join cache, the fresh branch GlobalOrder's ranged cache)
+    val planStr = res.dim.queryExecution.executedPlan.toString
+    assert("InMemoryTableScan".r.findAllIn(planStr).size >= 2, planStr)
+    // result identical to the public API
+    assert(res.dim.orderBy("surrogate_key").collect().toSeq ===
+      Scd2.extendSurrogateKey(keyed, merged,
+          Seq("user_id", "version_no"),
+          Seq(col("user_id"), col("version_no")))
+        .orderBy("surrogate_key").collect().toSeq)
+    res.cleanup()
+    assert(twin.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "cleanup did not release the routed-join cache")
+  }
+
   test("as-of returns exactly the version covering the instant") {
     val at = "2024-01-15 00:00:00"
     val got = Scd2.asOf(dim, lit(at).cast("timestamp"))
