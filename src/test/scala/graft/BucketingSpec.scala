@@ -106,6 +106,66 @@ class BucketingSpec extends AnyFunSuite {
     assert(Cdc.dedupLastPerKey(batch, "user_id", "ts", "event_id").count() > 0)
   }
 
+  test("full merge against a bucketed dim plans ZERO shuffles on the dim " +
+    "side — even with every join forced sort-merge") {
+    import graft.engine.{Scd2, SnapshotStore}
+    val wh = Files.createTempDirectory("warehouse_dim2").toString
+    val s3 = spark.newSession()
+    s3.conf.set("spark.sql.adaptive.enabled", "false")
+    // no broadcasts: at 100 TB neither the dim nor its per-key aggregate
+    // fits a driver broadcast, so the scale-honest plan is all-SMJ — the
+    // bucketed layout must carry co-location on its own
+    s3.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    val split = "2024-01-20 00:00:00"
+    val events = Tables.events(s3, sfDir)
+    val dim = Scd2.rebuild(events.filter(col("ts") <= lit(split)),
+      "user_id", "ts", "event_id")
+    SnapshotStore.publishBucketed(dim, "dim_b2", "user_id", buckets = 8,
+      path = Some(s"$wh/dim_b2"))
+    val bdim = s3.table("dim_b2")
+    val batch = events.filter(col("ts") > lit(split))
+
+    val res = Scd2.mergeBatch(bdim, batch, "user_id", "ts", "event_id", None)
+    try {
+      // the routed batch is cached; its keyMeta join subtree lives inside
+      // the InMemoryRelation — audit the cached plan too, not just the top
+      val top = res.dim.queryExecution.executedPlan
+      val plans = top +: top.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          s.relation.cachedPlan
+      }
+      def dimShuffles(p: SparkPlan) = p.collect {
+        case ex: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if ex.find {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.toString.contains("dim_b2")
+            case _ => false
+          }.isDefined => ex
+      }
+      val offending = plans.flatMap(dimShuffles)
+      assert(offending.isEmpty,
+        s"bucketed dim reshuffled:\n${offending.mkString("\n\n")}")
+      // not vacuous: the dim IS scanned (three union branches + keyMeta)
+      // and the BATCH side does shuffle (dedup window / join alignment)
+      val dimScans = plans.flatMap(_.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.toString.contains("dim_b2") => f
+      })
+      assert(dimScans.nonEmpty, "expected bucketed dim scans in the plan")
+      assert(plans.exists(countExchanges(_) > 0),
+        "expected batch-side exchanges — assertion would be vacuous")
+      assert(plans.mkString.contains("SortMergeJoin"),
+        "expected sort-merge joins under the no-broadcast conf")
+
+      // and the all-SMJ bucketed merge is result-identical to the
+      // in-memory dim merge
+      val expected = Scd2.merge(dim, batch, "user_id", "ts", "event_id")
+      assert(res.dim.orderBy("user_id", "version_no").collect().toSeq ===
+        expected.orderBy("user_id", "version_no").collect().toSeq)
+    } finally res.cleanup()
+  }
+
   test("AQE splits a skewed sort-merge join at runtime") {
     // the runtime half of the skew story (Skew.saltedJoin is the
     // deterministic pre-planned half): one key dominates the left side,
