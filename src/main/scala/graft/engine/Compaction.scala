@@ -306,10 +306,22 @@ object Compaction {
     case "vocab" => // distributive-aggregate re-sum: the one recipe whose
       // rewrite CHANGES row counts — per-batch partials collapse back
       // toward one row per word, which is sound exactly because the
-      // aggregate is distributive (Σ of partial Σs = Σ)
+      // aggregate is distributive (Σ of partial Σs = Σ). Retraction
+      // (negative partials, TextOps.retractVocabIndex) nets out here:
+      // fully-deleted words collapse to zero and are dropped; a word
+      // netting NEGATIVE means a retraction that was never absorbed (or
+      // absorbed with different text) — corrupt by contract, so fail
+      // loudly instead of publishing it.
       compactTable(spark, s"$path/counts",
         df => df.groupBy("word")
           .agg(sum("tf").as("tf"), sum("df").as("df"))
+          .withColumn("_ok",
+            when(col("tf") >= 0L && col("df") >= 0L, lit(true))
+              .otherwise(raise_error(concat(
+                lit("vocab view: word '"), col("word"),
+                lit("' netted negative counts — retraction without a " +
+                  "matching absorb")))))
+          .filter(col("_ok") && col("tf") > 0L).drop("_ok")
           .repartition(col("word")).sortWithinPartitions("word"),
         maxFilesPerPartition = maxFilesPerPartition)
     case "bm25" =>

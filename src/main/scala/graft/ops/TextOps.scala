@@ -133,6 +133,29 @@ object TextOps {
       vocabPartials(newDocs).write.mode("append").parquet(live)
     }
 
+  /** Retract previously-absorbed documents from the view — the CDC
+    * DELETE path: appends the batch's per-word partials NEGATED, so the
+    * read-time re-sum (and the `vocab` compaction) nets the deleted
+    * docs' counts out. Same O(|batch vocab|) append shape as
+    * [[mergeVocabIndex]]; the view stays append-only and concurrent
+    * readers stay consistent.
+    *
+    * Contract (fail-loud, not silent): each retracted doc must have
+    * been absorbed exactly once before, with IDENTICAL text — the CDC
+    * delete-capture contract, where the delete record carries the full
+    * row image (reference: the BEFORE DELETE trigger snapshots the row,
+    * /root/reference/src/cdc/log_extractor.py:290-334). A retraction
+    * that was never absorbed (or absorbed with different text) nets
+    * some word negative; the `vocab` compaction detects that and raises
+    * instead of publishing a corrupt view. Replay protection is the
+    * caller's (stream, batch-id) ledger, exactly as for merges. */
+  def retractVocabIndex(docs: DataFrame, path: String): Unit =
+    graft.engine.Compaction.guardedAppend(s"$path/counts") { live =>
+      vocabPartials(docs)
+        .select(col("word"), (-col("tf")).as("tf"), (-col("df")).as("df"))
+        .write.mode("append").parquet(live)
+    }
+
   /** Top-K view read: re-sum the stored partials (a partial-aggregated
     * shuffle over |vocab × absorbed batches| rows, not the corpus). */
   def queryVocabTopK(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -140,6 +163,18 @@ object TextOps {
     spark.read.parquet(graft.engine.Compaction.resolve(s"$path/counts"))
       .groupBy("word")
       .agg(sum("tf").as("tf"), sum("df").as("df"))
+      // a fully-retracted word nets to ZERO — it has left the corpus and
+      // must leave the view (no-op on an additive-only view). A NEGATIVE
+      // net means a retraction that was never absorbed — refuse to serve
+      // the corrupt view rather than silently filtering the word out
+      // (the compaction rewrite carries the same guard).
+      .withColumn("_ok",
+        when(col("tf") >= 0L && col("df") >= 0L, lit(true))
+          .otherwise(raise_error(concat(
+            lit("vocab view: word '"), col("word"),
+            lit("' netted negative counts — retraction without a " +
+              "matching absorb")))))
+      .filter(col("_ok") && col("tf") > 0L).drop("_ok")
       .orderBy(col("tf").desc, col("word"))
       .limit(topK)
 

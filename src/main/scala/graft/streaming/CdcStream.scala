@@ -458,12 +458,25 @@ object CdcStream {
       .start()
   }
 
-  /** One vocab-absorb micro-batch — public for direct replay testing. */
+  /** One vocab-absorb micro-batch — public for direct replay testing.
+    *
+    * Op-aware: a batch carrying an `op` column routes `op = 'DELETE'`
+    * rows through [[graft.ops.TextOps.retractVocabIndex]] (negative
+    * partials; the delete record must carry the full text image, the
+    * CDC delete-capture contract) and the rest through the additive
+    * merge — both under ONE ledger entry, so a replayed mixed batch
+    * re-applies neither half. Without an `op` column the batch is
+    * purely additive, as before. */
   def vocabAbsorb(spark: SparkSession, batch: DataFrame, id: Long,
                   viewPath: String, streamId: String): Unit = {
     if (!batch.isEmpty) graft.engine.Caches.withCached {
       absorbOnce(spark, viewPath, streamId, id) {
-        graft.ops.TextOps.mergeVocabIndex(batch, viewPath)
+        if (batch.columns.contains("op")) {
+          val adds = batch.filter(coalesce(col("op") =!= "DELETE", lit(true)))
+          val dels = batch.filter(col("op") === "DELETE")
+          if (!adds.isEmpty) graft.ops.TextOps.mergeVocabIndex(adds, viewPath)
+          if (!dels.isEmpty) graft.ops.TextOps.retractVocabIndex(dels, viewPath)
+        } else graft.ops.TextOps.mergeVocabIndex(batch, viewPath)
       }
     }
     ()

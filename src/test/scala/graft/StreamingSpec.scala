@@ -198,6 +198,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(top() === full, "replay must be a ledger no-op")
   }
 
+  test("vocab view retraction: CDC DELETE nets counts out, replays no-op, " +
+    "unmatched retraction fails the compaction") {
+    import graft.ops.TextOps
+    import graft.engine.Compaction
+    val view = Files.createTempDirectory("vv_del_view").toString
+    val ledger = Files.createTempDirectory("vv_del_ledger").toString
+    val base = Seq(
+      (1L, "spark rows table table"),
+      (2L, "rows merge"),
+      (3L, "table merge merge spark"))
+    TextOps.buildVocabIndex(base.toDF("doc_id", "text"), view)
+    def top() = TextOps.queryVocabTopK(spark, view, 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    def agg(docs: Seq[(Long, String)]) = TextOps.vocabTopK(
+      docs.toDF("doc_id", "text"), 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // a mixed CDC batch: doc 4 arrives, doc 2 is deleted (full row image,
+    // the delete-capture contract) — one ledger entry for both halves
+    val mixed = Seq(
+      (4L, "vector vector rows", null.asInstanceOf[String]),
+      (2L, "rows merge", "DELETE")).toDF("doc_id", "text", "op")
+    CdcStream.vocabAbsorb(spark, mixed, 10L, view, ledger)
+    val want = agg(Seq(base(0), base(2), (4L, "vector vector rows")))
+    assert(top() === want, "view must equal the aggregate over live docs")
+
+    // replaying the mixed batch re-applies NEITHER the add nor the delete
+    CdcStream.vocabAbsorb(spark, mixed, 10L, view, ledger)
+    assert(top() === want, "mixed-batch replay must be a ledger no-op")
+
+    // delete the only doc containing 'vector': the word nets to zero and
+    // leaves the view read immediately...
+    TextOps.retractVocabIndex(
+      Seq((4L, "vector vector rows")).toDF("doc_id", "text"), view)
+    val want2 = agg(Seq(base(0), base(2)))
+    assert(top() === want2, "fully-retracted word must leave the view")
+    // ...and the re-aggregating compaction nets the zero rows away while
+    // keeping live words intact
+    assert(Compaction.compactIndex(spark, view, "vocab", maxFilesPerPartition = 1))
+    assert(top() === want2, "compaction must preserve the netted view")
+    val stored = spark.read.parquet(Compaction.resolve(s"$view/counts"))
+    assert(stored.filter($"word" === "vector").isEmpty,
+      "zero-netted word must be dropped by the compaction rewrite")
+
+    // contract violation: retract a doc that was never absorbed — the
+    // READ path must refuse to serve the negative-count view (silently
+    // dropping the word would hide the corruption)
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(e => String.valueOf(e.getMessage)).mkString(" | ")
+    TextOps.retractVocabIndex(
+      Seq((9L, "unseen words here")).toDF("doc_id", "text"), view)
+    val exRead = intercept[Throwable] { top() }
+    assert(chain(exRead).contains("netted negative"), chain(exRead))
+    // ...and once append debt triggers a rewrite, the compaction refuses
+    // to PUBLISH it (same guard at the other lifecycle point)
+    TextOps.retractVocabIndex(
+      Seq((9L, "unseen words here")).toDF("doc_id", "text"), view)
+    TextOps.retractVocabIndex(
+      Seq((9L, "unseen words here")).toDF("doc_id", "text"), view)
+    val ex = intercept[Throwable] {
+      Compaction.compactIndex(spark, view, "vocab", maxFilesPerPartition = 1)
+    }
+    assert(chain(ex).contains("netted negative"), chain(ex))
+  }
+
   test("IVF-PQ screen-and-absorb stream catches cross-batch dup vectors by ADC") {
     import graft.ops.SimilarityOps
     import graft.engine.Compaction
