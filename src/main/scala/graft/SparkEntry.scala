@@ -799,6 +799,22 @@ object SparkEntry {
         Tables.documents(s, dir), "lang", "doc_id", mixWeights)
         .orderBy("train_order")),
 
+    // close the curation loop: pack the EPOCH — the weighted-interleave
+    // train order — not doc_id order, so the fixed-budget windows cut
+    // the token stream the trainer actually reads. Two chained
+    // range-partitioned prefix passes (interleave position, then the
+    // running token sum); no single-partition window anywhere.
+    "pack_interleaved" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ord = SamplingOps.weightedInterleave(docs, "lang", "doc_id",
+        mixWeights)
+      val toks = docs.select(col("doc_id"),
+        size(TextOps.normWords(col("text"))).cast("long").as("n_tokens"))
+      SamplingOps.packSequencesBy(ord.join(toks, "doc_id"),
+        Seq(col("train_order")), 512)
+        .orderBy("pack_id")
+    }),
+
     // temperature-flattened mixing (α = ½): big langs downsampled toward
     // the smallest, rate = sqrt(min_tokens/tokens) — all single-rounded
     // IEEE ops, so membership is bit-stable across engines
@@ -2473,6 +2489,30 @@ object SparkEntry {
          |              END) AS pos
          |      FROM documents)
          |ORDER BY train_order""".stripMargin,
+
+    "pack_interleaved" ->
+      s"""WITH $wordsSql,
+         |pos AS (SELECT doc_id, len(w) AS n_tokens,
+         |               (CAST(${keyHashSql("doc_id")} % 1000000 AS DOUBLE)
+         |                  / 1000000.0) /
+         |               (CASE lang WHEN 'de' THEN CAST(0.15 AS DOUBLE)
+         |                          WHEN 'en' THEN CAST(0.35 AS DOUBLE)
+         |                          WHEN 'es' THEN CAST(0.15 AS DOUBLE)
+         |                          WHEN 'fr' THEN CAST(0.15 AS DOUBLE)
+         |                          WHEN 'zh' THEN CAST(0.20 AS DOUBLE)
+         |                END) AS p
+         |        FROM words),
+         |ord AS (SELECT n_tokens,
+         |               row_number() OVER (ORDER BY p, doc_id) AS train_order
+         |        FROM pos),
+         |off AS (SELECT n_tokens,
+         |               CAST(coalesce(sum(n_tokens) OVER (ORDER BY train_order
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+         |        FROM ord)
+         |SELECT CAST(o // 512 AS BIGINT) AS pack_id, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |       CAST(sum(CASE WHEN (o % 512) + n_tokens > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+         |FROM off GROUP BY 1 ORDER BY pack_id""".stripMargin,
 
     "select_token_budget" ->
       s"""WITH $wordsSql,

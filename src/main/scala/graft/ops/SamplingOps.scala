@@ -205,9 +205,19 @@ object SamplingOps {
     * across packs). Exact integer arithmetic over the [[globalOrder]]
     * prefix sum — range-partitioned, the same shape the tokenizer
     * sharder runs. */
-  def packSequences(docs: DataFrame, budget: Int): DataFrame = {
-    val (ordered, _, _) =
-      globalOrder(docTokens(docs), Seq(col("doc_id")), col("n_tokens"))
+  def packSequences(docs: DataFrame, budget: Int): DataFrame =
+    packSequencesBy(docTokens(docs), Seq(col("doc_id")), budget)
+
+  /** Sequence packing in a CALLER-PROVIDED total order — the composition
+    * the curation chain closes with: pack the epoch in TRAIN order
+    * ([[weightedInterleave]]'s `train_order`), not doc_id order, so the
+    * fixed-budget windows cut the stream the trainer will actually read.
+    * `df` must carry `n_tokens`; `order` must be a total order. Same
+    * exact integer prefix-sum math as [[packSequences]], same
+    * range-partitioned [[globalOrder]] scaffold. */
+  def packSequencesBy(df: DataFrame, order: Seq[Column],
+                      budget: Int): DataFrame = {
+    val (ordered, _, _) = globalOrder(df, order, col("n_tokens"))
     ordered
       // integer division: exact on both engines (budget need not be 2^k)
       .withColumn("pack_id", expr(s"_cum div $budget"))

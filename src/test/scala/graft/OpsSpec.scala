@@ -508,6 +508,30 @@ class OpsSpec extends AnyFunSuite {
     assert(counts.max - counts.min <= 1)
   }
 
+  test("packSequencesBy packs in the caller's order and conserves tokens") {
+    val weights = Map("de" -> 0.15, "en" -> 0.35, "es" -> 0.15,
+      "fr" -> 0.15, "zh" -> 0.20)
+    val ord = SamplingOps.weightedInterleave(docs, "lang", "doc_id", weights)
+    val toks = docs.select($"doc_id",
+      size(TextOps.normWords($"text")).cast("long").as("n_tokens"))
+    val packs = SamplingOps
+      .packSequencesBy(ord.join(toks, "doc_id"), Seq($"train_order"), 512)
+      .orderBy("pack_id").collect()
+    // token stream conserved, pack ids contiguous from 0
+    val total = toks.agg(sum($"n_tokens")).head().getLong(0)
+    assert(packs.map(_.getLong(2)).sum === total)
+    assert(packs.map(_.getLong(0)).toSeq === (0L until packs.length).toSeq)
+    // train order ≠ doc_id order: the epoch packing must differ from the
+    // naive doc_id packing somewhere (else the composition is vacuous)
+    val naive = SamplingOps.packSequences(docs, 512)
+      .orderBy("pack_id").collect()
+    assert(packs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq !==
+      naive.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    // every pack but the last carries ≥ the budget-boundary mass: the
+    // exclusive-prefix cut means a pack closes only once 512 is crossed
+    assert(packs.dropRight(1).forall(_.getLong(2) >= 512 - 511), "sane packs")
+  }
+
   test("deterministic shuffle: seed-stable permutation, no single-partition window") {
     val a = SamplingOps.shuffleOrder(docs.select($"doc_id"), "doc_id", "graft-42")
     // train_order is a contiguous 1..N permutation
