@@ -380,10 +380,27 @@ object Compaction {
     * so recovery replaces whatever remains of the live dir with it —
     * including a PARTIALLY deleted live dir, which must never win over
     * the full copy. A temp dir without `_SUCCESS` is an interrupted
-    * write and is discarded. In the crash window
-    * `shouldRetrain`/`shouldRetrainPq` may see a missing log and report
-    * "no drift" — an advisory signal outage of one maintenance
-    * interval, not data loss. */
+    * write and is discarded — UNLESS the live dir is already gone, in
+    * which case the temp dir is the only copy left and is adopted
+    * (that state is unreachable under this writer, which verifies the
+    * marker before touching live, but must not be answered by deleting
+    * the sole survivor). The writer fails loudly after the rewrite if
+    * the committer was configured to skip `_SUCCESS`
+    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false`) —
+    * proceeding to delete live would open exactly that unrecoverable
+    * window. In the crash window `shouldRetrain`/`shouldRetrainPq` may
+    * see a missing log and report "no drift" — an advisory signal
+    * outage of one maintenance interval, not data loss.
+    *
+    * Bounded-loss window (advisory rows only): if a restarted stream
+    * appends fresh drift rows to the live dir between a crash
+    * mid-collapse and the next tick's recovery, the recovery replaces
+    * live with the pre-crash snapshot and those fresh rows are lost.
+    * They are not unioned in deliberately: a crash during
+    * `deleteRec(live)` leaves live PARTIAL, and no marker distinguishes
+    * "pre-crash row also present in tmp" from "fresh append", so a
+    * union would double-count drift and inflate the retrain signal —
+    * worse than losing one interval of an advisory counter. */
   private def collapseSidecar(spark: SparkSession, dir: String,
                               maxFiles: Int): Boolean = {
     val live = Paths.get(dir)
@@ -393,6 +410,9 @@ object Compaction {
     if (Files.exists(tmp.resolve("_SUCCESS"))) {
       if (Files.exists(live)) deleteRec(live)
       Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+    } else if (Files.exists(tmp) && !Files.exists(live)) {
+      // no marker but live is gone: tmp is the only copy — adopt it
+      Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
     } else if (Files.exists(tmp)) {
       deleteRec(tmp) // orphan of an interrupted write; live is complete
     }
@@ -400,6 +420,16 @@ object Compaction {
     if (filesPerPartition(dir).values.sum <= maxFiles) return false
     spark.read.parquet(dir).coalesce(1)
       .write.mode("overwrite").parquet(tmp.toString)
+    // the recovery protocol keys off tmp/_SUCCESS: if the committer was
+    // configured to skip the marker, deleting live now would leave a
+    // crash window with NO authoritative copy — refuse instead
+    if (!Files.exists(tmp.resolve("_SUCCESS"))) {
+      deleteRec(tmp)
+      throw new IllegalStateException(
+        s"collapseSidecar: rewrite of $dir produced no _SUCCESS marker " +
+          "(committer configured with marksuccessfuljobs=false?) — " +
+          "aborting before deleting the live sidecar")
+    }
     deleteRec(live)
     Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
     true

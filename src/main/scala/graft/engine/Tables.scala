@@ -77,7 +77,17 @@ object Tables {
     * to learn the timestamp unit, then stream under the matching schema.
     * An empty ingest directory (stream started before the first file
     * lands) can't be probed — assume the current generator's micros
-    * unit, matching the batch loader's primary path. */
+    * unit, matching the batch loader's primary path.
+    *
+    * Caveat (empty-dir start only): the unit is FROZEN at stream start.
+    * If the first files to land later carry TIMESTAMP(NANOS) (the
+    * pre-r12 generator unit the probe otherwise detects), the running
+    * micros-schema stream will fail per file with the nanos footer
+    * error at read time rather than silently mis-scaling — restart the
+    * stream once files exist so the probe can take the ns truncation
+    * path. A running stream cannot re-probe: Structured Streaming pins
+    * the source schema for the checkpoint's lifetime, so unit changes
+    * mid-stream are a restart by construction. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame =
     try {
       val probe = spark.read.parquet(dir)

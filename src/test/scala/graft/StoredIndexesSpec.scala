@@ -181,6 +181,37 @@ class StoredIndexesSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp)))
   }
 
+  test("sidecar crash recovery: a sole-survivor tmp without _SUCCESS is " +
+    "adopted, never deleted") {
+    // the marker-less window: a committer with marksuccessfuljobs=false
+    // (or an externally stripped marker) + live fully deleted — tmp is
+    // the ONLY copy; recovery must adopt it rather than discard it as an
+    // interrupted write
+    val e = Tables.embeddings(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("cmp_mlog_nomark").toString
+    SimilarityOps.buildIvfIndex(e.filter($"vec_id" % 8 === 0L), path)
+    (1L to 6L).foreach { r =>
+      SimilarityOps.mergeIvfIndex(e.filter($"vec_id" % 8 === r), path)
+    }
+    val log = s"$path/merge_log"
+    val rows = spark.read.parquet(log)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val tmp = log + "._collapse"
+    spark.read.parquet(log).coalesce(1).write.parquet(tmp)
+    assert(java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$tmp/_SUCCESS")))
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(deleteRec)); f.delete(); ()
+    }
+    deleteRec(new java.io.File(log))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(log)))
+    Compaction.maintainIndex(spark, path, "ivf", maxFilesPerPartition = 4)
+    assert(spark.read.parquet(log)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq === rows,
+      "the sole surviving copy must be adopted as the live sidecar")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp)))
+  }
+
   test("ivfpq index: merges append to cells, compaction keeps the pruned " +
     "ADC probe bit-identical, drift log feeds the rebuild signal") {
     val e = Tables.embeddings(spark, sfDir)
