@@ -353,6 +353,22 @@ object SparkEntry {
             .as("approx_within_tol"))
         .orderBy("event_type")),
 
+    // bounded-state quantiles: approx_percentile is the mergeable-sketch
+    // path for percentiles over CONTINUOUS columns at 100 TB when
+    // exactness isn't required (ExactPercentile's two-pass rank when it
+    // is). Same tolerance-boolean oracle shape as approx_distinct_users:
+    // each engine checks its own sketch against the shared exact value.
+    "approx_value_percentiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("exact_p50"),
+          count(lit(1)).as("n"),
+          (abs(expr("approx_percentile(l_quantity, 0.5, 1000)")
+            .cast("double") - expr("percentile(l_quantity, 0.5)")) <=
+            expr("percentile(l_quantity, 0.5)") * 0.05)
+            .as("approx_within_tol"))
+        .orderBy("l_returnflag")),
+
     // ── Gap-based session windows (batch twin of session_window) ─────
     "sessionization" -> ((s, dir) =>
       Stats.sessionize(ev(s, dir), KEY, TS, TIE, gapSeconds = 7200)
@@ -452,6 +468,13 @@ object SparkEntry {
 
     "text_winnow" -> ((s, dir) =>
       TextOps.winnowFingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // PII scrub pass: typed counts + placeholder redaction, a pure
+    // map-side projection (the dialect-portable regex subset — see
+    // TextOps.redactPii; planted-PII semantics are OpsSpec-verified,
+    // this row proves cross-engine regex parity on the real table)
+    "text_redact" -> ((s, dir) =>
+      TextOps.redactPii(Tables.documents(s, dir)).orderBy("doc_id")),
 
     // MOSS containment: winnowed-fingerprint overlap / smaller set.
     // The df cap is corpus-derived (p99.9 of the fingerprint-df
@@ -1781,6 +1804,20 @@ object SparkEntry {
          |       md5(array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ',')) AS winnow_sig
          |FROM fp ORDER BY doc_id""".stripMargin,
 
+    "text_redact" -> {
+      val (emailRe, phoneRe, ipRe) = graft.ops.TextOps.piiPatterns
+      s"""SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(text, '$ipRe')) AS BIGINT) AS n_ipv4,
+         |       CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phones,
+         |       regexp_replace(
+         |         regexp_replace(
+         |           regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+         |           '$ipRe', '<IP>', 'g'),
+         |         '$phoneRe', '<PHONE>', 'g') AS redacted
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
     // mirror of DedupOps.queryFingerprintIndex over the build/feed split:
     // df cap derived from (and frozen to) the INDEXED subset, containment
     // between cross pairs only
@@ -2308,6 +2345,15 @@ object SparkEntry {
         |             - count(DISTINCT user_id))
         |         / count(DISTINCT user_id) <= 0.05 AS approx_within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "approx_value_percentiles" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS exact_p50,
+        |       count(*) AS n,
+        |       abs(CAST(approx_quantile(l_quantity, 0.5) AS DOUBLE)
+        |             - quantile_cont(l_quantity, 0.5))
+        |         <= quantile_cont(l_quantity, 0.5) * 0.05 AS approx_within_tol
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "event_type_stats" ->
       """SELECT event_type, count(*) AS n_events,

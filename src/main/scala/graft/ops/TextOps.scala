@@ -178,6 +178,36 @@ object TextOps {
       .orderBy(col("tf").desc, col("word"))
       .limit(topK)
 
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction — the scrub pass every public-corpus curation
+    * pipeline runs before training: emails, phone-shaped numbers, and
+    * IPv4 literals are counted (pre-redaction) and replaced with typed
+    * placeholder tokens. Patterns are deliberately restricted to syntax
+    * that parses identically under Java regex (Spark) and RE2 (the
+    * DuckDB oracle): character classes, bounded repetition, `\b` — no
+    * lookarounds, no backreferences. Replacement order is email → ipv4
+    * → phone so the email's local/domain digits can't be re-matched by
+    * the narrower numeric patterns. One narrow codegen'd per-row
+    * projection — no shuffle, no state; at 100 TB this is a pure
+    * map-side pass that pipelines into the parquet write. */
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ipv4"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("redacted"))
+
+  /** The redaction regexes, exposed for the SQL oracle twin. */
+  private[graft] def piiPatterns: (String, String, String) =
+    (EmailRe, PhoneRe, Ipv4Re)
+
   /** Content fingerprint: md5 of the sorted distinct normalized vocabulary —
     * word-order-insensitive dedup key (catches shuffled near-copies). */
   def fingerprint(docs: DataFrame): DataFrame =

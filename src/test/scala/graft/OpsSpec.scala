@@ -1164,6 +1164,33 @@ class OpsSpec extends AnyFunSuite {
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
       .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
 
+  test("PII redaction: planted emails/phones/IPs are counted and replaced") {
+    val cases = Seq(
+      (1L, "contact me at jane.doe+spam@mail.example.org today"),
+      (2L, "server at 192.168.0.1 and 10.0.0.255 responded"),
+      (3L, "call 555-867-5309 or 555.867.5309 now"),
+      (4L, "mixed: bob@x.io from 1.2.3.4 dials 123-456-7890"),
+      (5L, "clean text with numbers 12345 and dots a.b but no pii"),
+      (6L, ""))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextOps.redactPii(cases).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    assert(got(0) === ((1L, 1L, 0L, 0L, "contact me at <EMAIL> today")))
+    assert(got(1) === ((2L, 0L, 2L, 0L,
+      "server at <IP> and <IP> responded")))
+    assert(got(2) === ((3L, 0L, 0L, 2L, "call <PHONE> or <PHONE> now")))
+    assert(got(3) === ((4L, 1L, 1L, 1L,
+      "mixed: <EMAIL> from <IP> dials <PHONE>")))
+    assert(got(4) === ((5L, 0L, 0L, 0L,
+      "clean text with numbers 12345 and dots a.b but no pii")))
+    assert(got(5) === ((6L, 0L, 0L, 0L, "")))
+    // corpus pass is a pure projection: row-preserving, no shuffle
+    val corpus = graft.ops.TextOps.redactPii(docs)
+    assert(corpus.count() === docs.count())
+    assert(!corpus.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("weightedInterleave fails loudly on a stratum with no weight") {
     val df = Seq((1L, "en"), (2L, "xx")).toDF("doc_id", "lang")
     val ex = intercept[Throwable] {
