@@ -337,6 +337,23 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    // the scale-safe exact-percentile machinery as a first-class query
+    // over a genuinely CONTINUOUS column (events.value ≈ one distinct
+    // value per row — exactly where the built-in percentile() aggregate
+    // would buffer the whole column in ONE aggregation buffer):
+    // ExactPercentile's GlobalOrder rank computes the bit-identical
+    // interpolated quantiles with bounded per-task state, both cuts in
+    // one rank pass
+    "value_percentiles_exact" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val c = graft.engine.ExactPercentile.cuts(
+        e.select(col("event_id"), col("value")),
+        col("value"), col("event_id"), Seq(0.5, 0.9))
+      e.agg(count(lit(1)).as("n"))
+        .select(lit(c(0.5).get).as("p50_value"),
+          lit(c(0.9).get).as("p90_value"), col("n"))
+    }),
+
     // ── Approximate distinct (HLL sketch), oracled by tolerance: the raw
     //    estimate is engine-specific, so the query emits the exact distinct
     //    count (hash-matchable) plus a boolean attesting the engine's OWN
@@ -1707,6 +1724,12 @@ object SparkEntry {
         |       quantile_cont(l_quantity, 0.9) AS p90_qty,
         |       count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "value_percentiles_exact" ->
+      """SELECT quantile_cont(value, 0.5) AS p50_value,
+        |       quantile_cont(value, 0.9) AS p90_value,
+        |       count(*) AS n
+        |FROM events""".stripMargin,
 
     "user_event_pivot" ->
       """SELECT user_id,

@@ -45,43 +45,66 @@ object ExactPercentile {
     * interpolate to themselves). Returns None on an empty (or all-null)
     * input, where the SQL aggregate returns NULL. */
   def cut(df: DataFrame, value: Column, tieBreak: Column,
-          p: Double): Option[Double] = {
-    require(p >= 0.0 && p <= 1.0, s"percentile p must be in [0,1], got $p")
+          p: Double): Option[Double] =
+    cuts(df, value, tieBreak, Seq(p))(p)
+
+  /** Several exact percentiles of the same column in ONE rank pass: the
+    * ranked table is built once, all interpolation rows are picked in
+    * one filtered scan (≤ 2·|ps| rows), each cut interpolates with the
+    * aggregate's exact IEEE form. Results are memoized per (session,
+    * input plan, p) — the adaptiveMaxDf contract: the cut is a
+    * per-corpus constant, so repeated invocations (warm bench runs, the
+    * report + gate sharing one corpus) skip the rank jobs entirely.
+    * Weak session id — closed sessions aren't pinned by the map. */
+  def cuts(df: DataFrame, value: Column, tieBreak: Column,
+           ps: Seq[Double]): Map[Double, Option[Double]] = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must be in [0,1], got $ps")
     val vals = df.filter(value.isNotNull)
       .select(value.cast("double").as("_v"), tieBreak.as("_tb"))
-    // session-scoped memo, the adaptiveMaxDf contract: the cut is a
-    // per-corpus constant, so repeated invocations (warm bench runs,
-    // report + gate sharing one corpus) skip the rank jobs entirely.
-    // Weak session id — closed sessions aren't pinned by the map.
-    cutMemo.getOrElseUpdate(
-      (Caches.sessionId(df.sparkSession), vals.semanticHash(), p),
-      computeCut(vals, p))
+    val sid = Caches.sessionId(df.sparkSession)
+    val hash = vals.semanticHash()
+    val missing = ps.distinct.filterNot(p => cutMemo.contains((sid, hash, p)))
+    if (missing.nonEmpty)
+      computeCuts(vals, missing).foreach { case (p, c) =>
+        cutMemo.putIfAbsent((sid, hash, p), c)
+      }
+    ps.distinct.map(p => p -> cutMemo((sid, hash, p))).toMap
   }
 
   private val cutMemo = scala.collection.concurrent.TrieMap
     .empty[(String, Int, Double), Option[Double]]
 
-  private def computeCut(vals: DataFrame, p: Double): Option[Double] = {
+  private def computeCuts(vals: DataFrame,
+                          ps: Seq[Double]): Map[Double, Option[Double]] = {
     val (ranked, n, _) =
       GlobalOrder.attach(vals, Seq(col("_v"), col("_tb")), lit(0L),
         needCum = false)
-    if (n == 0L) return None
+    if (n == 0L) return ps.map(_ -> None).toMap
     // Spark Percentile.getPercentile: position = p * (n - 1), 0-based.
-    val pos = p * (n - 1)
-    val loRank = math.floor(pos).toLong + 1L // GlobalOrder._rn is 1-based
-    val hiRank = math.ceil(pos).toLong + 1L
+    def posOf(p: Double) = p * (n - 1)
+    val wanted = ps.flatMap { p =>
+      val pos = posOf(p)
+      Seq(math.floor(pos).toLong + 1L, // GlobalOrder._rn is 1-based
+        math.ceil(pos).toLong + 1L)
+    }.distinct
     val picked = ranked
-      .filter(col("_rn") === loRank || col("_rn") === hiRank)
+      .filter(col("_rn").isin(wanted: _*))
       .select(col("_rn"), col("_v"))
       .collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val lo = picked(loRank)
-    if (loRank == hiRank) Some(lo)
-    else {
-      val hi = picked(hiRank)
-      // exact IEEE form of Percentile.getPercentile's interpolation —
-      // NOT lo + (hi-lo)*frac, which can differ in the last ulp
-      Some((math.ceil(pos) - pos) * lo + (pos - math.floor(pos)) * hi)
-    }
+    ps.map { p =>
+      val pos = posOf(p)
+      val lo = picked(math.floor(pos).toLong + 1L)
+      p -> Some {
+        if (math.floor(pos) == math.ceil(pos)) lo
+        else {
+          val hi = picked(math.ceil(pos).toLong + 1L)
+          // exact IEEE form of Percentile.getPercentile's interpolation —
+          // NOT lo + (hi-lo)*frac, which can differ in the last ulp
+          (math.ceil(pos) - pos) * lo + (pos - math.floor(pos)) * hi
+        }
+      }
+    }.toMap
   }
 }

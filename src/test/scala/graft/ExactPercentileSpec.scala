@@ -72,6 +72,21 @@ class ExactPercentileSpec extends AnyFunSuite {
     check(Seq.empty, 0.5)
   }
 
+  test("multi-percentile cuts: one rank pass, each bit-equal to the " +
+    "aggregate") {
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.fill(257)(java.lang.Double.valueOf(rnd.nextGaussian()))
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+    val got = ExactPercentile.cuts(df, col("v"), col("id"), ps)
+    for (p <- ps) {
+      val ref = builtin(df, "v", p).get
+      assert(java.lang.Double.doubleToLongBits(got(p).get) ===
+        java.lang.Double.doubleToLongBits(ref), s"p=$p")
+    }
+  }
+
   test("corpus quality_score median matches the aggregate bit-for-bit") {
     val q = TextOps.qualityScore(Tables.documents(spark, sfDir))
       .select("doc_id", "quality_score")
