@@ -571,6 +571,34 @@ object SparkEntry {
         P.EmbCosT, tables = P.EmbTables)
         .orderBy("vec_a", "vec_b")),
 
+    // embedding-space decontamination: the semantic twin of the text
+    // `decontaminate` sweep — a TEST-split vector with an LSH-blocked
+    // near-dup in TRAIN is cross-split leakage a text fingerprint can
+    // miss (paraphrases embed close but share no 8-gram). Composition
+    // of two audited shapes: hyperplane-LSH candidate blocking (never
+    // all-pairs) + the reshuffle-stable hash split; the pair table is
+    // tiny, so the split joins broadcast.
+    "embedding_decontaminate" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pairs = SimilarityOps.lshNearDupPairs(emb, P.EmbPlanes,
+        P.EmbCosT, tables = P.EmbTables)
+      val split = SamplingOps.hashSplit(emb.select("vec_id"), "vec_id")
+      pairs
+        .join(split.select(col("vec_id").as("vec_a"),
+          col("split").as("split_a")), "vec_a")
+        .join(split.select(col("vec_id").as("vec_b"),
+          col("split").as("split_b")), "vec_b")
+        .filter((col("split_a") === "test" && col("split_b") === "train") ||
+          (col("split_a") === "train" && col("split_b") === "test"))
+        .select(
+          when(col("split_a") === "test", col("vec_a"))
+            .otherwise(col("vec_b")).as("test_vec"),
+          when(col("split_a") === "test", col("vec_b"))
+            .otherwise(col("vec_a")).as("train_vec"),
+          col("cosine"))
+        .orderBy("test_vec", "train_vec")
+    }),
+
     // Transitive near-dup GROUPS over embeddings — the vector twin of
     // dedup_groups: the LSH near-dup pairs feed the same
     // pointer-doubling label propagation, and every vector reports its
@@ -872,6 +900,25 @@ object SparkEntry {
     // elsewhere, composed and re-oracled end-to-end here
     "curation_report" -> ((s, dir) =>
       Curation.curationReport(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // the curation dashboard number: per-stage survivor counts through
+    // the monotone filter chain (canonical → quality → clean → mixed →
+    // train-split) — one aggregate over the report, so the funnel can
+    // never disagree with the per-doc decisions it summarizes
+    "curation_funnel" -> ((s, dir) => {
+      val r = Curation.curationReport(Tables.documents(s, dir))
+      val canonical = col("is_canonical")
+      val quality = canonical && col("quality_ok")
+      val clean = quality && !col("contaminated")
+      val mixed = clean && col("temp_keep")
+      r.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(canonical, 1L).otherwise(0L)).as("n_canonical"),
+        sum(when(quality, 1L).otherwise(0L)).as("n_quality"),
+        sum(when(clean, 1L).otherwise(0L)).as("n_clean"),
+        sum(when(mixed, 1L).otherwise(0L)).as("n_mixed"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+    }),
 
     "corpus_mix" -> ((s, dir) =>
       SamplingOps.corpusMix(Tables.documents(s, dir), "lang", mixWeights)
@@ -1502,6 +1549,64 @@ object SparkEntry {
     * 2 OR-ed 8-plane signature tables, exact-cosine verify at ≥ 0.3.
     * Mirror of [[SimilarityOps.lshNearDupPairs]] with the `P.Emb*`
     * constants inlined; shared by the three embedding-dedup oracles. */
+  /** The curation-report oracle body as a reusable CTE chain ending in
+    * `report` — shared by the per-doc report and the funnel aggregate. */
+  private def curationReportCteSql: String =
+    s"""$wordsSql,
+       |fpm AS (SELECT doc_id,
+       |               md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fpr
+       |        FROM words),
+       |canon AS (SELECT doc_id,
+       |                 doc_id = min(doc_id) OVER (PARTITION BY fpr) AS is_canonical
+       |          FROM fpm),
+       |${qualityScoredSql("qbase", "scored")},
+       |qcut AS (SELECT quantile_cont(quality_score, 0.5) AS c FROM scored),
+       |$winnowFpSql,
+       |wex AS (SELECT doc_id, t.fp AS fp, ${keyHashSql("doc_id")} % 100 AS h
+       |        FROM fp, LATERAL unnest(fps) AS t(fp)),
+       |wdfc AS (SELECT fp, count(*) AS d FROM wex GROUP BY fp),
+       |wcap AS (SELECT least(32, greatest(4, CAST(trunc(quantile_cont(d, 0.999)) AS BIGINT))) AS c FROM wdfc),
+       |wkeep AS (SELECT fp FROM wdfc WHERE d <= (SELECT c FROM wcap)),
+       |wtr AS (SELECT doc_id, fp FROM wex JOIN wkeep USING (fp) WHERE h < 90),
+       |wte AS (SELECT doc_id AS tdoc, fp FROM wex JOIN wkeep USING (fp) WHERE h >= 90),
+       |wsizes AS (SELECT doc_id, count(*) AS n_fps FROM wtr GROUP BY doc_id),
+       |whits AS (
+       |  SELECT wtr.doc_id, count(DISTINCT wtr.fp) AS n_shared_fps
+       |  FROM wtr JOIN wte ON wtr.fp = wte.fp
+       |  GROUP BY wtr.doc_id),
+       |contam AS (
+       |  SELECT doc_id, TRUE AS contaminated
+       |  FROM whits JOIN wsizes USING (doc_id)
+       |  WHERE CAST(n_shared_fps AS DOUBLE) / n_fps >= 0.2),
+       |tper AS (SELECT lang, CAST(sum(len(w)) AS BIGINT) AS nt
+       |         FROM words GROUP BY lang),
+       |tr8 AS (SELECT lang,
+       |               sqrt(CAST((SELECT min(nt) FROM tper) AS DOUBLE) /
+       |                    CAST(nt AS DOUBLE)) AS rate
+       |        FROM tper),
+       |report AS (
+       |  SELECT d.doc_id, d.lang,
+       |         CASE WHEN ${keyHashSql("d.doc_id")} % 100 < 80 THEN 'train'
+       |              WHEN ${keyHashSql("d.doc_id")} % 100 < 90 THEN 'valid'
+       |              ELSE 'test' END AS split,
+       |         canon.is_canonical,
+       |         coalesce(scored.quality_score >= qcut.c, FALSE) AS quality_ok,
+       |         coalesce(contam.contaminated, FALSE) AS contaminated,
+       |         ${keyHashSql("d.doc_id")} % 1000000 <
+       |           CAST(floor(tr8.rate * 1000000) AS BIGINT) AS temp_keep,
+       |         canon.is_canonical
+       |           AND coalesce(scored.quality_score >= qcut.c, FALSE)
+       |           AND NOT coalesce(contam.contaminated, FALSE)
+       |           AND ${keyHashSql("d.doc_id")} % 1000000 <
+       |                 CAST(floor(tr8.rate * 1000000) AS BIGINT)
+       |           AND ${keyHashSql("d.doc_id")} % 100 < 80 AS keep
+       |  FROM documents d
+       |  JOIN canon ON d.doc_id = canon.doc_id
+       |  JOIN scored ON d.doc_id = scored.doc_id
+       |  LEFT JOIN contam ON d.doc_id = contam.doc_id
+       |  JOIN tr8 ON d.lang = tr8.lang
+       |  CROSS JOIN qcut)""".stripMargin
+
   private def embPairsSql: String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |s AS (SELECT vec_id, v,
@@ -2112,6 +2217,23 @@ object SparkEntry {
          |SELECT vec_a, vec_b, cosine FROM pairs
          |ORDER BY vec_a, vec_b""".stripMargin,
 
+    "embedding_decontaminate" ->
+      s"""WITH $embPairsSql,
+         |sp AS (SELECT vec_id,
+         |              CASE WHEN ${keyHashSql("vec_id")} % 100 < 80 THEN 'train'
+         |                   WHEN ${keyHashSql("vec_id")} % 100 < 90 THEN 'valid'
+         |                   ELSE 'test' END AS split
+         |       FROM embeddings)
+         |SELECT CASE WHEN sa.split = 'test' THEN p.vec_a ELSE p.vec_b END AS test_vec,
+         |       CASE WHEN sa.split = 'test' THEN p.vec_b ELSE p.vec_a END AS train_vec,
+         |       p.cosine
+         |FROM pairs p
+         |JOIN sp sa ON sa.vec_id = p.vec_a
+         |JOIN sp sb ON sb.vec_id = p.vec_b
+         |WHERE (sa.split = 'test' AND sb.split = 'train')
+         |   OR (sa.split = 'train' AND sb.split = 'test')
+         |ORDER BY test_vec, train_vec""".stripMargin,
+
     // same pair derivation + the recursive min-label walk dedup_groups
     // uses (reachability closure, min id per component)
     "embedding_dup_groups" ->
@@ -2478,60 +2600,20 @@ object SparkEntry {
     // end-to-end mirror of Curation.curationReport: each stage's SQL is
     // the same fragment its standalone oracle uses
     "curation_report" ->
-      s"""WITH $wordsSql,
-         |fpm AS (SELECT doc_id,
-         |               md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fpr
-         |        FROM words),
-         |canon AS (SELECT doc_id,
-         |                 doc_id = min(doc_id) OVER (PARTITION BY fpr) AS is_canonical
-         |          FROM fpm),
-         |${qualityScoredSql("qbase", "scored")},
-         |qcut AS (SELECT quantile_cont(quality_score, 0.5) AS c FROM scored),
-         |$winnowFpSql,
-         |wex AS (SELECT doc_id, t.fp AS fp, ${keyHashSql("doc_id")} % 100 AS h
-         |        FROM fp, LATERAL unnest(fps) AS t(fp)),
-         |wdfc AS (SELECT fp, count(*) AS d FROM wex GROUP BY fp),
-         |wcap AS (SELECT least(32, greatest(4, CAST(trunc(quantile_cont(d, 0.999)) AS BIGINT))) AS c FROM wdfc),
-         |wkeep AS (SELECT fp FROM wdfc WHERE d <= (SELECT c FROM wcap)),
-         |wtr AS (SELECT doc_id, fp FROM wex JOIN wkeep USING (fp) WHERE h < 90),
-         |wte AS (SELECT doc_id AS tdoc, fp FROM wex JOIN wkeep USING (fp) WHERE h >= 90),
-         |wsizes AS (SELECT doc_id, count(*) AS n_fps FROM wtr GROUP BY doc_id),
-         |whits AS (
-         |  SELECT wtr.doc_id, count(DISTINCT wtr.fp) AS n_shared_fps
-         |  FROM wtr JOIN wte ON wtr.fp = wte.fp
-         |  GROUP BY wtr.doc_id),
-         |contam AS (
-         |  SELECT doc_id, TRUE AS contaminated
-         |  FROM whits JOIN wsizes USING (doc_id)
-         |  WHERE CAST(n_shared_fps AS DOUBLE) / n_fps >= 0.2),
-         |tper AS (SELECT lang, CAST(sum(len(w)) AS BIGINT) AS nt
-         |         FROM words GROUP BY lang),
-         |tr8 AS (SELECT lang,
-         |               sqrt(CAST((SELECT min(nt) FROM tper) AS DOUBLE) /
-         |                    CAST(nt AS DOUBLE)) AS rate
-         |        FROM tper)
-         |SELECT d.doc_id, d.lang,
-         |       CASE WHEN ${keyHashSql("d.doc_id")} % 100 < 80 THEN 'train'
-         |            WHEN ${keyHashSql("d.doc_id")} % 100 < 90 THEN 'valid'
-         |            ELSE 'test' END AS split,
-         |       canon.is_canonical,
-         |       coalesce(scored.quality_score >= qcut.c, FALSE) AS quality_ok,
-         |       coalesce(contam.contaminated, FALSE) AS contaminated,
-         |       ${keyHashSql("d.doc_id")} % 1000000 <
-         |         CAST(floor(tr8.rate * 1000000) AS BIGINT) AS temp_keep,
-         |       canon.is_canonical
-         |         AND coalesce(scored.quality_score >= qcut.c, FALSE)
-         |         AND NOT coalesce(contam.contaminated, FALSE)
-         |         AND ${keyHashSql("d.doc_id")} % 1000000 <
-         |               CAST(floor(tr8.rate * 1000000) AS BIGINT)
-         |         AND ${keyHashSql("d.doc_id")} % 100 < 80 AS keep
-         |FROM documents d
-         |JOIN canon ON d.doc_id = canon.doc_id
-         |JOIN scored ON d.doc_id = scored.doc_id
-         |LEFT JOIN contam ON d.doc_id = contam.doc_id
-         |JOIN tr8 ON d.lang = tr8.lang
-         |CROSS JOIN qcut
-         |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH $curationReportCteSql
+         |SELECT * FROM report ORDER BY doc_id""".stripMargin,
+
+    "curation_funnel" ->
+      s"""WITH $curationReportCteSql
+         |SELECT count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+         |       CAST(sum(CASE WHEN is_canonical AND quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |       CAST(sum(CASE WHEN is_canonical AND quality_ok
+         |                      AND NOT contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+         |       CAST(sum(CASE WHEN is_canonical AND quality_ok
+         |                      AND NOT contaminated AND temp_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed,
+         |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM report""".stripMargin,
 
     "sample_temperature" ->
       s"""WITH $wordsSql,
