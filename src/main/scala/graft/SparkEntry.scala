@@ -354,6 +354,23 @@ object SparkEntry {
           lit(c(0.9).get).as("p90_value"), col("n"))
     }),
 
+    // skew-proof PER-GROUP exact median over a continuous column: one
+    // GlobalOrder pass over (lang, score, doc_id) — range partitioning
+    // splits a dominant group across many tasks, where both
+    // groupBy+percentile() (per-group value buffer) and a
+    // window-per-group rank (one task per group) break at 100 TB; group
+    // offsets are one collected row per group
+    "quality_median_by_lang" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val scored = Caches.ensureCached(TextOps.qualityScore(docs))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      val cuts = graft.engine.ExactPercentile.groupedCuts(
+        scored.select(col("lang"), col("quality_score"), col("doc_id")),
+        col("lang"), col("quality_score"), col("doc_id"), 0.5)
+      cuts.toDF("lang", "p50_quality", "n_scored").orderBy("lang")
+    }),
+
     // ── Approximate distinct (HLL sketch), oracled by tolerance: the raw
     //    estimate is engine-specific, so the query emits the exact distinct
     //    count (hash-matchable) plus a boolean attesting the engine's OWN
@@ -1835,6 +1852,14 @@ object SparkEntry {
         |       quantile_cont(value, 0.9) AS p90_value,
         |       count(*) AS n
         |FROM events""".stripMargin,
+
+    "quality_median_by_lang" ->
+      s"""WITH $wordsSql,
+         |${qualityScoredSql("base", "scored")}
+         |SELECT d.lang, quantile_cont(s.quality_score, 0.5) AS p50_quality,
+         |       CAST(count(*) AS BIGINT) AS n_scored
+         |FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "user_event_pivot" ->
       """SELECT user_id,

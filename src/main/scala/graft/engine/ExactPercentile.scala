@@ -75,6 +75,69 @@ object ExactPercentile {
   private val cutMemo = scala.collection.concurrent.TrieMap
     .empty[(String, Int, Double), Option[Double]]
 
+  /** PER-GROUP exact interpolated percentile over a continuous column —
+    * skew-proof. The naive per-group formulations both break at 100 TB:
+    * `groupBy(g).agg(percentile(v, p))` buffers each group's distinct
+    * values in one aggregation buffer, and a
+    * `Window.partitionBy(g).orderBy(v)` rank funnels each group through
+    * ONE task, so a dominant group (most corpora have one) becomes the
+    * straggler. Here the rank rides ONE GlobalOrder pass over the total
+    * order `(group, value, tie)` — range partitioning splits a giant
+    * group across MANY partitions — and per-group offsets come from a
+    * `min(_rn)/count` aggregate (one collected row per group, bounded
+    * control-plane data). All groups' interpolation rows are picked in
+    * one filtered scan; each cut uses the aggregate's exact IEEE form,
+    * so results are bit-identical to per-group `percentile()` /
+    * `quantile_cont`. Returns (group-as-string, cut, non-null count),
+    * sorted by group; memoized per (session, input plan, p). */
+  def groupedCuts(df: DataFrame, group: Column, value: Column,
+                  tieBreak: Column, p: Double): Seq[(String, Double, Long)] = {
+    require(p >= 0.0 && p <= 1.0, s"percentile p must be in [0,1], got $p")
+    val vals = df.filter(value.isNotNull && group.isNotNull)
+      .select(group.cast("string").as("_g"), value.cast("double").as("_v"),
+        tieBreak.as("_tb"))
+    groupedMemo.getOrElseUpdate(
+      (Caches.sessionId(df.sparkSession), vals.semanticHash(), p),
+      computeGroupedCuts(vals, p))
+  }
+
+  private val groupedMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Double), Seq[(String, Double, Long)]]
+
+  private def computeGroupedCuts(vals: DataFrame,
+                                 p: Double): Seq[(String, Double, Long)] = {
+    val (ranked, n, _) =
+      GlobalOrder.attach(vals, Seq(col("_g"), col("_v"), col("_tb")), lit(0L),
+        needCum = false)
+    if (n == 0L) return Seq.empty
+    // one row per group: rank base derived from the DATA (min rank), not
+    // from re-sorting group keys on the driver — no collation assumptions
+    val metas = ranked.groupBy("_g")
+      .agg(min(col("_rn")).as("_base"), count(lit(1)).as("_n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1) - 1L, r.getLong(2)))
+    val wanted = metas.flatMap { case (_, base, ng) =>
+      val pos = p * (ng - 1)
+      Seq(base + math.floor(pos).toLong + 1L, base + math.ceil(pos).toLong + 1L)
+    }.distinct
+    val picked = ranked
+      .filter(col("_rn").isin(wanted.toSeq: _*))
+      .select(col("_rn"), col("_v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    metas.map { case (g, base, ng) =>
+      val pos = p * (ng - 1)
+      val lo = picked(base + math.floor(pos).toLong + 1L)
+      val cut =
+        if (math.floor(pos) == math.ceil(pos)) lo
+        else {
+          val hi = picked(base + math.ceil(pos).toLong + 1L)
+          (math.ceil(pos) - pos) * lo + (pos - math.floor(pos)) * hi
+        }
+      (g, cut, ng)
+    }.sortBy(_._1).toSeq
+  }
+
   private def computeCuts(vals: DataFrame,
                           ps: Seq[Double]): Map[Double, Option[Double]] = {
     val (ranked, n, _) =

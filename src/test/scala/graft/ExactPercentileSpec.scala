@@ -87,6 +87,41 @@ class ExactPercentileSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped cuts: bit-equal to per-group percentile(), dominant " +
+    "group included") {
+    val rnd = new scala.util.Random(11)
+    // one dominant group (the skew case the op exists for) + small ones
+    val rows = Seq.fill(300)(("big", rnd.nextDouble() * 100)) ++
+      Seq.fill(7)(("mid", rnd.nextDouble() * 10)) ++
+      Seq(("one", 42.0))
+    val df = rows.zipWithIndex
+      .map { case ((g, v), i) => (i.toLong, g, v) }.toDF("id", "g", "v")
+    for (p <- Seq(0.5, 0.9)) {
+      val got = ExactPercentile.groupedCuts(df, col("g"), col("v"),
+        col("id"), p)
+      val ref = df.groupBy("g")
+        .agg(expr(s"percentile(v, $p)").as("c"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(got.map(_._1) === ref.map(_._1))
+      got.zip(ref).foreach { case ((g, c, n), (_, rc, rn)) =>
+        assert(n === rn, s"group $g count")
+        assert(java.lang.Double.doubleToLongBits(c) ===
+          java.lang.Double.doubleToLongBits(rc), s"group $g at p=$p")
+      }
+    }
+    // null groups and null values are excluded, like the aggregate
+    val withNulls = (rows.map { case (g, v) => (g, java.lang.Double.valueOf(v)) } ++
+      Seq((null.asInstanceOf[String], java.lang.Double.valueOf(1.0)),
+        ("big", null.asInstanceOf[java.lang.Double])))
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "g", "v")
+    val g2 = ExactPercentile.groupedCuts(withNulls, col("g"), col("v"),
+      col("id"), 0.5)
+    assert(g2.map(_._1) === Seq("big", "mid", "one"))
+    assert(g2.find(_._1 == "big").get._3 === 300L)
+  }
+
   test("corpus quality_score median matches the aggregate bit-for-bit") {
     val q = TextOps.qualityScore(Tables.documents(spark, sfDir))
       .select("doc_id", "quality_score")
