@@ -903,6 +903,33 @@ object SparkEntry {
         .orderBy("pack_id")
     }),
 
+    // tokenizer coverage: token mass OUTSIDE the top-20 vocabulary per
+    // language (K=20 of the corpus's 31 words, so the OOV tail is real) —
+    // the vocab is K rows by construction, so the coverage join
+    // broadcasts and the scoring pass is map-side
+    "text_oov_rate" -> ((s, dir) =>
+      TextOps.oovRate(Tables.documents(s, dir), "lang", 20)
+        .orderBy("lang")),
+
+    // corpus-relative informativeness: mean ln(N/df) over each doc's
+    // distinct words — template-heavy docs sink, rare-content docs rise;
+    // the DECIMAL-routed mean keeps the double sum order-independent
+    "doc_idf" -> ((s, dir) =>
+      TextOps.docIdf(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // per-source quota (the "max N pages per domain" rule): best 5 docs
+    // per source by quality — two-phase salted top-N, so one giant
+    // domain never serializes into a single window task
+    "cap_per_source" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = TextOps.qualityScore(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(col("doc_id"), col("source"), col("quality_score"))
+      SamplingOps.capPerGroup(scored, "source", "doc_id",
+        Seq(col("quality_score").desc, col("doc_id")), 5)
+        .orderBy("source", "grp_rank")
+    }),
+
     // temperature-flattened mixing (α = ½): big langs downsampled toward
     // the smallest, rate = sqrt(min_tokens/tokens) — all single-rounded
     // IEEE ops, so membership is bit-stable across engines
@@ -2733,6 +2760,42 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS df
          |FROM perdoc GROUP BY word
          |ORDER BY tf DESC, word LIMIT 100""".stripMargin,
+
+    "text_oov_rate" ->
+      s"""WITH $wordsSql,
+         |tok AS (SELECT lang, unnest(w) AS word FROM words),
+         |tk AS (SELECT lang, word FROM tok WHERE word <> ''),
+         |vocab AS (SELECT word FROM (SELECT word, count(*) AS tf FROM tk
+         |                            GROUP BY word
+         |                            ORDER BY tf DESC, word LIMIT 20) vv)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |       CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_rate
+         |FROM tk LEFT JOIN vocab v ON tk.word = v.word
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "doc_idf" ->
+      s"""WITH $wordsSql,
+         |tok AS (SELECT doc_id, unnest(w) AS word FROM words),
+         |dw AS (SELECT DISTINCT doc_id, word FROM tok WHERE word <> ''),
+         |dfq AS (SELECT word, count(*) AS dfc FROM dw GROUP BY word),
+         |nq AS (SELECT count(*) AS n FROM documents),
+         |per AS (SELECT dw.doc_id, ln(CAST(n AS DOUBLE) / dfc) AS idf
+         |        FROM dw JOIN dfq ON dw.word = dfq.word, nq)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(CAST(idf AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS mean_idf
+         |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "cap_per_source" ->
+      s"""WITH $wordsSql,
+         |${qualityScoredSql("base", "scored")},
+         |j AS (SELECT s.doc_id, d.source, s.quality_score
+         |      FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
+         |r AS (SELECT doc_id, source, quality_score,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY quality_score DESC, doc_id) AS grp_rank FROM j)
+         |SELECT doc_id, source, quality_score, CAST(grp_rank AS BIGINT) AS grp_rank
+         |FROM r WHERE grp_rank <= 5 ORDER BY source, grp_rank""".stripMargin,
 
     "corpus_mix" ->
       s"""WITH $wordsSql,

@@ -230,6 +230,34 @@ object SamplingOps {
         sum(col("_straddle")).as("n_straddlers"))
   }
 
+  /** Per-group quota cap — the "at most N documents per domain" curation
+    * rule (web corpora are dominated by a few giant hosts; capping
+    * per-source is the standard counter). Keeps each group's top `n`
+    * rows under `order` (which must be a total order for determinism),
+    * labeled with their 1-based rank.
+    *
+    * Scale shape: the textbook single `row_number` window partitioned by
+    * the group serializes EACH GROUP into one task — at 100 TB a domain
+    * with billions of pages hot-spots that task, and AQE's skew
+    * splitting does not apply to window exchanges. Two phases instead:
+    * phase 1 ranks within (group, salt) — a key-hash salt spreads a huge
+    * group across `salts` tasks, and a row ranked > n within its own
+    * salt cannot be in the group's true top n, so the per-salt survivors
+    * (≤ salts·n rows per group) are a provably safe superset; phase 2
+    * re-ranks only the survivors per group, a window whose input is
+    * BOUNDED by construction. The same construction the per-group exact
+    * percentiles use for skew (ExactPercentile.groupedCuts). */
+  def capPerGroup(df: DataFrame, group: String, key: String,
+                  order: Seq[Column], n: Int, salts: Int = 16): DataFrame = {
+    val w1 = Window.partitionBy(col(group), pmod(keyHash(key), lit(salts)))
+      .orderBy(order: _*)
+    val survivors = df.withColumn("_lr", row_number().over(w1))
+      .filter(col("_lr") <= n).drop("_lr")
+    val w2 = Window.partitionBy(col(group)).orderBy(order: _*)
+    survivors.withColumn("grp_rank", row_number().over(w2).cast("long"))
+      .filter(col("grp_rank") <= n)
+  }
+
   /** Corpus-mixing report: per-stratum token mass, its share of the
     * corpus, and the duplication (epoch) factor needed to hit a target
     * weight — the bookkeeping behind weighted data mixes. All shares and

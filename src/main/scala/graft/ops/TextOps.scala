@@ -178,6 +178,56 @@ object TextOps {
       .orderBy(col("tf").desc, col("word"))
       .limit(topK)
 
+  /** Tokenizer-coverage (OOV) report: the fraction of corpus tokens that
+    * fall OUTSIDE the top-K vocabulary, per stratum — the go/no-go
+    * metric for shipping a fixed vocabulary over a multilingual corpus
+    * (a stratum with a high OOV rate is under-served by the tokenizer).
+    * The vocabulary is [[vocabTopK]]'s top-K by total frequency with the
+    * deterministic word tie-break. Scale shape: the vocab is K rows by
+    * construction, so the coverage join is a BROADCAST against the token
+    * stream, and the per-stratum rollup is a hash-agg on a small key —
+    * after the vocab election the whole pass is map-side. The corpus is
+    * read twice (elect, then score); at 100 TB the election side reads
+    * the stored vocab view ([[queryVocabTopK]]) instead, making coverage
+    * a single narrow pass. */
+  def oovRate(docs: DataFrame, stratum: String, topK: Int = 100): DataFrame =
+    docs.select(col(stratum), explode(normWords(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(vocabTopK(docs, topK).select(col("word"), lit(1L).as("_inv"))),
+        Seq("word"), "left")
+      .groupBy(stratum)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      // one long→double division of exact counts — bit-stable cross-engine
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+
+  /** Per-document informativeness: the mean inverse document frequency
+    * (idf = ln(N / df)) of the document's DISTINCT words — boilerplate
+    * and template-heavy docs (all-common vocabulary) score low, docs
+    * carrying rare content score high; the cheap corpus-relative twin of
+    * perplexity-based quality filters. Parity: idf is ln of one
+    * exact-count division (both engines' ln agree on these operands —
+    * the BM25 family's precedent) and the per-doc mean routes the double
+    * sum through DECIMAL so it is addition-order-independent. Scale
+    * shape: distinct (doc, word) → word-keyed df hash-agg → join back on
+    * word → doc-keyed hash-agg; every shuffle keys on a high-cardinality
+    * column and N arrives via a one-row broadcast — linear end to end. */
+  def docIdf(docs: DataFrame): DataFrame = {
+    val dw = docs
+      .select(col("doc_id"), explode(normWords(col("text"))).as("word"))
+      .filter(col("word") =!= "").distinct()
+    val dfByWord = dw.groupBy("word").agg(count(lit(1)).as("_df"))
+    val nDocs = docs.agg(count(lit(1)).as("_n"))
+    dw.join(dfByWord, "word")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"),
+        log(col("_n").cast("double") / col("_df").cast("double")).as("_idf"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        (sum(col("_idf").cast("decimal(20,6)")).cast("double") /
+          count(lit(1))).as("mean_idf"))
+  }
+
   private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
   private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"

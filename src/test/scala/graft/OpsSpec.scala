@@ -1217,4 +1217,59 @@ class OpsSpec extends AnyFunSuite {
       Map("en" -> 1.0))
     assert(ok.count() === 1L)
   }
+
+  test("oovRate counts exactly the token mass outside the elected vocab") {
+    // vocab by total tf with word tie-break: topK=2 elects {a (tf 4), b (tf 3)}
+    val d = Seq(
+      (1L, "a a b c", "en"),
+      (2L, "a b d", "en"),
+      (3L, "a b e", "fr")).toDF("doc_id", "text", "lang")
+    val got = TextOps.oovRate(d, "lang", topK = 2).orderBy("lang")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // en: 7 tokens, oov {c, d} = 2; fr: 3 tokens, oov {e} = 1
+    assert(got === Seq(("en", 7L, 2L), ("fr", 3L, 1L)))
+    // a vocab that holds every word → zero OOV everywhere
+    val full = TextOps.oovRate(docs, "lang", topK = 1000000)
+    assert(full.agg(sum($"n_oov")).head().getLong(0) === 0L)
+  }
+
+  test("docIdf ranks common-vocabulary docs below rare-content docs") {
+    // N=3: 'a' in docs 1,2 (df 2 → idf ln 1.5); w1..w4 / x1..x4 unique
+    // to their doc (df 1 → idf ln 3)
+    val d = Seq(
+      (1L, "a a a a"),            // all-common → lowest mean_idf
+      (2L, "a w1 w2 w3 w4"),      // mostly rare
+      (3L, "x1 x2 x3 x4")).toDF("doc_id", "text")
+    val got = TextOps.docIdf(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // decimal(20,6)-routed mean: idf values round before summing
+    val ln15r = 0.405465 // ln 1.5 = 0.4054651081...
+    val ln3r = 1.098612  // ln 3   = 1.0986122886...
+    assert(got(0) === ((1L, 1L, ln15r)))
+    assert(math.abs(got(1)._3 - (ln15r + 4 * ln3r) / 5) < 1e-12)
+    assert(math.abs(got(2)._3 - ln3r) < 1e-12)
+    assert(got(0)._3 < got(1)._3 && got(1)._3 < got(2)._3)
+  }
+
+  test("capPerGroup equals the single-window reference and is salt-invariant") {
+    val base = Tables.documents(spark, sfDir)
+    val scored = TextOps.qualityScore(base)
+      .join(base.select("doc_id", "source"), "doc_id")
+      .select($"doc_id", $"source", $"quality_score")
+    val order = Seq($"quality_score".desc, $"doc_id")
+    def run(salts: Int) =
+      SamplingOps.capPerGroup(scored, "source", "doc_id", order, 3, salts)
+        .orderBy("source", "grp_rank")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq
+    // reference: the textbook one-window formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy(order: _*)
+    val ref = scored.withColumn("grp_rank", row_number().over(w).cast("long"))
+      .filter($"grp_rank" <= 3).orderBy("source", "grp_rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq
+    assert(run(16) === ref)
+    // the phase-1 salt count must not change the answer (superset proof)
+    assert(run(1) === ref)
+    assert(run(7) === ref)
+  }
 }
