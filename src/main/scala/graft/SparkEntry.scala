@@ -632,6 +632,14 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // SemDeDup (k-means-blocked semantic dedup): pairwise cosine only
+    // WITHIN a trained cluster, drop the higher-centroid-similarity
+    // member of any pair above the threshold — the paper's
+    // keep-low-centroid-similarity upper-triangle scan, declarative
+    "semdedup" -> ((s, dir) =>
+      SimilarityOps.semDedup(Tables.embeddings(s, dir), P.KmK, P.KmIters,
+        P.SemT).orderBy("vec_id")),
+
     // Survivor selection over the embedding near-dup graph — the vector
     // twin of dedup_keep_best, reusing DedupOps.keepBest verbatim: each
     // member's "quality" is its graph centrality (DECIMAL-exact sum of
@@ -866,6 +874,18 @@ object SparkEntry {
       TextOps.queryVocabTopK(s, mergedVocabPath(s, dir), 100)
         .orderBy(col("tf").desc, col("word"))),
 
+    // unigram-LM document scoring (the CCNet-style LM quality filter
+    // with the corpus as its own LM): avg token log-prob per doc,
+    // DECIMAL-accumulated over 6-dp-rounded log-probs
+    "lm_score" -> ((s, dir) =>
+      TextOps.lmScore(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // BPE tokenizer training step 1: within-word adjacent char-pair
+    // counts weighted by word frequency — the pair explosion runs over
+    // the distinct-word vocabulary, never the corpus
+    "bpe_pair_counts" -> ((s, dir) =>
+      TextOps.bpePairCounts(Tables.documents(s, dir), 30)),
+
     // overlapping sliding-window chunking (RAG / training-example prep):
     // pure per-row projection, no shuffle — the final chunk always
     // reaches the document's last word
@@ -1066,6 +1086,9 @@ object SparkEntry {
     val EmbCosT = 0.3     // embedding near-dup cosine threshold
     val KmK = 8           // IVF k-means cells
     val KmIters = 2       // IVF k-means Lloyd iterations
+    val SemT = 0.35       // SemDeDup within-cluster cosine threshold
+                          // (≈ p99.5 of the all-pairs distribution —
+                          // max is 0.51, so drops are a real minority)
     val PqM = 8           // PQ subspaces
     val PqKsub = 16       // PQ centroids per subspace
     val PqIters = 1       // PQ k-means iterations
@@ -1551,6 +1574,30 @@ object SparkEntry {
        |FROM fin f JOIN best USING (cl), q
        |WHERE f.vec_id <> 0
        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** SemDeDup oracle — replays the identical k-means ([[ivfFinCtes]]),
+    * the 6-dp-rounded centroid-similarity rank, and the declarative
+    * upper-triangle drop rule of [[SimilarityOps.semDedup]]: b drops
+    * iff some a with (cent_cosine, vec_id) rank before it is within
+    * the cosine threshold. */
+  private def semdedupOracleSql: String = {
+    val iters = 2
+    s"""${ivfFinCtes(None, iters)},
+       |asg AS (
+       |  SELECT f.vec_id, f.cl, f.v,
+       |         round(${cosSql("f.v", "c.cv")}, 6) AS cent_cosine
+       |  FROM fin f JOIN c$iters c ON f.cl = c.cl),
+       |drops AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM asg a JOIN asg b ON a.cl = b.cl AND a.vec_id <> b.vec_id
+       |  WHERE round(${cosSql("a.v", "b.v")}, 6) >= CAST(${P.SemT} AS DOUBLE)
+       |    AND (a.cent_cosine < b.cent_cosine OR
+       |         (a.cent_cosine = b.cent_cosine AND a.vec_id < b.vec_id)))
+       |SELECT g.vec_id, CAST(g.cl AS BIGINT) AS cluster, g.cent_cosine,
+       |       (d.vec_id IS NULL) AS kept
+       |FROM asg g LEFT JOIN drops d ON g.vec_id = d.vec_id
+       |ORDER BY g.vec_id""".stripMargin
   }
 
   /** Oracle for the batch probe: each query (`vec_id % 97 = 0`) ranks
@@ -2152,6 +2199,8 @@ object SparkEntry {
          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
 
     "ann_ivf_kmeans_topk" -> ivfKmeansOracleSql(trainPred = None),
+
+    "semdedup" -> semdedupOracleSql,
 
     // same Lloyd's replay, but TRAINED on the build subset only — the
     // assignment pass still covers every vector, exactly as the stored
@@ -2760,6 +2809,31 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS df
          |FROM perdoc GROUP BY word
          |ORDER BY tf DESC, word LIMIT 100""".stripMargin,
+
+    "lm_score" ->
+      s"""WITH $wordsSql,
+         |tok AS (SELECT doc_id, unnest(w) AS word FROM words),
+         |dc AS (SELECT doc_id, word, count(*) AS tf FROM tok
+         |       WHERE word <> '' GROUP BY doc_id, word),
+         |cv AS (SELECT word, sum(tf) AS ctf FROM dc GROUP BY word),
+         |tot AS (SELECT CAST(sum(ctf) AS DOUBLE) AS n FROM cv),
+         |lp AS (SELECT word, round(ln(CAST(ctf AS DOUBLE) / n), 6) AS logp
+         |       FROM cv, tot)
+         |SELECT dc.doc_id, CAST(sum(dc.tf) AS BIGINT) AS n_tokens,
+         |       round(CAST(sum(CAST(lp.logp AS DECIMAL(20,6)) * dc.tf) AS DOUBLE)
+         |             / sum(dc.tf), 6) AS avg_logp
+         |FROM dc JOIN lp USING (word)
+         |GROUP BY dc.doc_id ORDER BY doc_id""".stripMargin,
+
+    "bpe_pair_counts" ->
+      s"""WITH $wordsSql,
+         |tok AS (SELECT unnest(w) AS word FROM words),
+         |vocab AS (SELECT word, count(*) AS tf FROM tok
+         |          WHERE word <> '' GROUP BY word)
+         |SELECT substr(word, i, 2) AS pair, CAST(sum(tf) AS BIGINT) AS cnt
+         |FROM vocab, LATERAL unnest(range(1, length(word))) AS t(i)
+         |WHERE length(word) >= 2
+         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
 
     "text_oov_rate" ->
       s"""WITH $wordsSql,

@@ -258,6 +258,61 @@ object SimilarityOps {
       .limit(topK)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    * deduplication by k-means cluster blocking — paraphrase-level
+    * duplicates that share no text n-gram embed close together, so the
+    * embedding space is where they are findable. The corpus is clustered
+    * with the deterministic [[kmeansCentroids]] (the same training every
+    * IVF path replays), pairwise cosine runs only WITHIN a cluster, and
+    * of any pair above `cosT` the member with HIGHER similarity to its
+    * own centroid is dropped — the paper's keep-low-centroid-similarity
+    * policy (§4.1: prototypical members carry less marginal information
+    * than outliers). The drop rule is the paper's upper-triangular scan
+    * made declarative: rank cluster members by (cent_cosine asc, vec_id
+    * asc); a member is dropped iff SOME earlier-ranked member is within
+    * `cosT` — already-dropped members still shadow later ones, exactly
+    * like the reference numpy `max over the triangle` formulation, so no
+    * transitive closure is needed.
+    *
+    * Scale shape: assignment is a broadcast of k centroids over one
+    * linear scan; the pairwise join is blocked by cluster, and k grows
+    * with the corpus (the paper uses 50k clusters on LAION) so the
+    * per-cluster quadratic term stays bounded — at 100 TB the cluster
+    * key also carries the join's parallelism, so k must be ≳ the task
+    * count; an oversized cluster can be sub-blocked with the hyperplane
+    * LSH of [[lshNearDupPairs]] without changing the rule. Returns every
+    * vector: (vec_id, cluster, cent_cosine, kept). */
+  def semDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+               cosT: Double = 0.35): DataFrame = {
+    val spark = embeddings.sparkSession
+    VectorExpressions.register(spark)
+    val e = embeddings.select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+    val cents = kmeansCentroids(e, k, iters)
+    // cent_cosine rounds to 6 dp BEFORE the rank comparison so the
+    // keep/drop decision compares engine-portable values
+    val asg = Caches.ensureCached(
+      e.withColumn("cluster", assignCluster(col("v"), cents).cast("long"))
+        .withColumn("cv", element_at(typedlit(cents.map(_.toIndexedSeq)),
+          (col("cluster") + 1).cast("int")))
+        .select(col("vec_id"), col("cluster"), col("v"),
+          round(cosine("v", "cv"), 6).as("cent_cosine")))
+    val a = asg.select(col("vec_id").as("vec_a"), col("cluster"),
+      col("v").as("va"), col("cent_cosine").as("ca"))
+    val b = asg.select(col("vec_id").as("vec_b"), col("cluster"),
+      col("v").as("vb"), col("cent_cosine").as("cb"))
+    val drops = a.join(b, Seq("cluster"))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .filter(round(cosine("va", "vb"), 6) >= cosT)
+      // a precedes b in (cent_cosine asc, vec_id asc) rank → b drops
+      .filter(col("ca") < col("cb") ||
+        (col("ca") === col("cb") && col("vec_a") < col("vec_b")))
+      .select(col("vec_b").as("vec_id")).distinct()
+    asg.join(broadcast(drops.withColumn("dropped", lit(true))),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("cent_cosine"),
+        col("dropped").isNull.as("kept"))
+  }
+
   /** Product-quantization ANN (the memory-compression scale path: a
     * 64-dim float vector becomes `m` one-byte codes, so a 100 TB corpus's
     * index fits in RAM). The vector is split into `m` subspaces; each

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.engine.Compaction
+import graft.engine.{Caches, Compaction}
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization stats, document fingerprinting, quality scoring, and
@@ -97,6 +97,67 @@ object TextOps {
     perDoc.groupBy("word")
       .agg(sum("tf").as("tf"), count(lit(1)).as("df"))
       .orderBy(col("tf").desc, col("word"))
+      .limit(topK)
+  }
+
+  /** Unigram-LM document scoring — the CCNet-style LM quality filter
+    * (Wenzek et al. 2020) with the corpus itself as the language model:
+    * a document's score is the average log-probability of its tokens
+    * under the corpus unigram distribution, so boilerplate-heavy and
+    * in-distribution text scores high while gibberish, rare-token spam,
+    * and off-language text score low — the standard companion signal to
+    * the heuristic quality gate (a real pipeline scores with a held-out
+    * LM; the estimator pipeline is identical).
+    *
+    * Shape: per-(doc, word) counts (map-side combined), a word-level
+    * re-aggregation for corpus term frequencies, one scalar total
+    * (broadcast one-row join), then per-doc weighted sums accumulated in
+    * DECIMAL over 6-dp-rounded log-probs — order-independent, so scores
+    * hash-match the oracle. The words↔log-prob join shuffles by word;
+    * stopword keys are hot, which is exactly the skew class AQE's
+    * skew-join split handles (the build side is one row per word), and
+    * a df-capped vocabulary can be broadcast outright. Both corpus
+    * passes share one cached per-doc count table. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val perDoc = Caches.ensureCached(
+      docs.select(col("doc_id"), explode(normWords(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf")))
+    val vocab = perDoc.groupBy("word").agg(sum("tf").as("ctf"))
+    val total = vocab.agg(sum("ctf").cast("double").as("n"))
+    val logp = vocab.crossJoin(broadcast(total))
+      .select(col("word"),
+        round(log(col("ctf").cast("double") / col("n")), 6).as("logp"))
+    perDoc.join(logp, "word")
+      .groupBy("doc_id")
+      .agg(sum("tf").cast("long").as("n_tokens"),
+        round(sum(col("logp").cast("decimal(20,6)") * col("tf")).cast("double")
+          / sum("tf"), 6).as("avg_logp"))
+  }
+
+  /** BPE tokenizer training, step 1: adjacent symbol-pair counts. With
+    * characters as the initial symbols, the count of every within-word
+    * adjacent character pair — weighted by word frequency — is the table
+    * whose argmax is BPE's first merge (Sennrich et al. 2016). The
+    * corpus-proportional cost is ONE word-count shuffle (map-side
+    * combined); the pair explosion then runs over the DISTINCT-word
+    * vocabulary — orders of magnitude smaller than the corpus — so
+    * successive merge iterations at 100 TB re-scan only the vocab table,
+    * never the text. Top-K lands as TakeOrderedAndProject (per-partition
+    * heaps). Overlapping pairs count per occurrence ("aaa" → "aa"×2),
+    * matching the canonical BPE counting. */
+  def bpePairCounts(docs: DataFrame, topK: Int = 30): DataFrame = {
+    val vocab = docs
+      .select(explode(normWords(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("tf"))
+    vocab
+      .filter(length(col("word")) >= 2)
+      .select(col("tf"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("tf").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
       .limit(topK)
   }
 

@@ -1272,4 +1272,80 @@ class OpsSpec extends AnyFunSuite {
     assert(run(1) === ref)
     assert(run(7) === ref)
   }
+
+  test("unigram LM score ranks in-distribution text above rare-token text") {
+    val tiny = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat sat"),
+      (2L, "zq xv qq"),
+      (3L, "the the the")).toDF("doc_id", "text")
+    val s = TextOps.lmScore(tiny).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // token counts exact
+    assert(s(0)._1 === 6L && s(2)._1 === 3L)
+    // "the" is the modal word: the all-"the" doc scores highest, the
+    // rare-token doc lowest, and log-probs are strictly negative
+    assert(s(3)._2 === s.values.map(_._2).max)
+    assert(s(2)._2 === s.values.map(_._2).min)
+    assert(s.values.forall(_._2 < 0))
+    // a document's score is exactly the tf-weighted mean of its words'
+    // 6-dp log-probs under the corpus unigram distribution
+    val nTok = 15.0
+    def lp(ctf: Long): BigDecimal =
+      BigDecimal(math.log(ctf / nTok)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // doc 1 = the(6) cat(2) sat(2), 3 tokens
+    val want1 = ((lp(6) + lp(2) + lp(2)) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(s(1)._2 === want1)
+  }
+
+  test("BPE pair counts: hand-counted pairs, overlap per occurrence, heap top-k") {
+    val tiny = Seq((0L, "aaa ab"), (1L, "aaa")).toDF("doc_id", "text")
+    // vocab: aaa×2, ab×1 → "aa" twice per "aaa" occurrence = 4, "ab" = 1
+    val p = TextOps.bpePairCounts(tiny, 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(p === Map("aa" -> 4L, "ab" -> 1L))
+    // corpus: the argmax pair's count equals a direct text-level count
+    val top = TextOps.bpePairCounts(docs, 1).collect().head
+    val direct = docs
+      .select(explode(TextOps.normWords($"text")).as("w"))
+      .select(expr(
+        s"size(filter(sequence(1, greatest(1, length(w) - 1)), " +
+          s"i -> substring(w, i, 2) = '${top.getString(0)}'))").as("c"))
+      .agg(sum($"c")).head().getLong(0)
+    assert(top.getLong(1) === direct)
+    // top-k is per-partition heaps, not a global sort
+    val plan = TextOps.bpePairCounts(docs, 30).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("semdedup: rank-first survives and the drop rule matches a driver replay") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = SimilarityOps.semDedup(emb, 8, 2, 0.35).collect()
+    assert(out.length === emb.count())
+    val vecs = emb.select($"vec_id",
+        SimilarityOps.asDoubleVec($"embedding").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(x: Array[Double], y: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i) * y(i); i += 1 }; s
+    }
+    def cos6(a: Array[Double], b: Array[Double]): Double =
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.groupBy(_.getLong(1)).foreach { case (_, members) =>
+      val ranked = members.sortBy(r => (r.getDouble(2), r.getLong(0)))
+      assert(ranked.head.getBoolean(3), "rank-first member must survive")
+      // kept iff NO earlier-ranked member (kept or dropped) is within τ —
+      // the paper's upper-triangular max over the centroid-similarity rank
+      ranked.zipWithIndex.foreach { case (r, i) =>
+        val shadowed = ranked.take(i).exists(p =>
+          cos6(vecs(p.getLong(0)), vecs(r.getLong(0))) >= 0.35)
+        assert(r.getBoolean(3) === !shadowed)
+      }
+    }
+    // τ below every cosine → exactly one survivor per non-empty cluster
+    val all = SimilarityOps.semDedup(emb, 8, 2, -2.0).collect()
+    assert(all.count(_.getBoolean(3)) === all.map(_.getLong(1)).distinct.length)
+  }
 }

@@ -17,4 +17,4 @@ rm -rf "$OUT"
 exec java $ADDOPENS -Xmx8g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Verify "$SF" "$OUT"
+  graft.Verify "$SF" "$OUT" ${3:+"$3"}
