@@ -886,6 +886,17 @@ object SparkEntry {
     "bpe_pair_counts" -> ((s, dir) =>
       TextOps.bpePairCounts(Tables.documents(s, dir), 30)),
 
+    // BPE training step 2: apply the argmax merge (greedy left-to-right
+    // fold per word) and recount — one real merge-loop iteration, still
+    // a vocab-table pass after the shared word-count shuffle
+    "bpe_merge_step" -> ((s, dir) =>
+      TextOps.bpeMergeStep(Tables.documents(s, dir), 30)),
+
+    // per-source KL(source ‖ corpus) over unigram distributions — the
+    // drifted-source dashboard number; 6-dp terms DECIMAL-summed
+    "source_kl" -> ((s, dir) =>
+      TextOps.sourceKl(Tables.documents(s, dir)).orderBy("source")),
+
     // overlapping sliding-window chunking (RAG / training-example prep):
     // pure per-row projection, no shuffle — the final chunk always
     // reaches the document's last word
@@ -2834,6 +2845,52 @@ object SparkEntry {
          |FROM vocab, LATERAL unnest(range(1, length(word))) AS t(i)
          |WHERE length(word) >= 2
          |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
+
+    // the fold wraps each char as a 1-element list so list_reduce's
+    // accumulator is a VARCHAR[] (greedy left-to-right merge — a fresh
+    // "p1p2" symbol is never p1, so a merge cannot chain within a rule)
+    "bpe_merge_step" ->
+      s"""WITH $wordsSql,
+         |tok AS (SELECT unnest(w) AS word FROM words),
+         |vocab AS (SELECT word, count(*) AS tf FROM tok
+         |          WHERE word <> '' GROUP BY word),
+         |mp AS (SELECT substr(pair, 1, 1) AS p1, substr(pair, 2, 1) AS p2
+         |       FROM (SELECT substr(word, i, 2) AS pair, sum(tf) AS cnt
+         |             FROM vocab, LATERAL unnest(range(1, length(word))) AS tp(i)
+         |             WHERE length(word) >= 2
+         |             GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1)),
+         |m AS (
+         |  SELECT tf, list_reduce(
+         |    list_transform([substr(word, i, 1) for i in range(1, length(word) + 1)], c -> [c]),
+         |    (acc, x) -> CASE WHEN acc[-1] = p1 AND x[1] = p2
+         |                     THEN list_append(acc[:-2], acc[-1] || x[1])
+         |                     ELSE list_append(acc, x[1]) END) AS syms
+         |  FROM vocab, mp)
+         |SELECT syms[i] || ' ' || syms[i + 1] AS pair,
+         |       CAST(sum(tf) AS BIGINT) AS cnt
+         |FROM m, LATERAL unnest(range(1, len(syms))) AS t(i)
+         |WHERE len(syms) >= 2
+         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
+
+    "source_kl" ->
+      s"""WITH $wordsSql,
+         |tok AS (SELECT source, unnest(w) AS word FROM words),
+         |sw AS (SELECT source, word, count(*) AS tf FROM tok
+         |       WHERE word <> '' GROUP BY source, word),
+         |st AS (SELECT source, sum(tf) AS ns FROM sw GROUP BY source),
+         |cw AS (SELECT word, sum(tf) AS ctf FROM sw GROUP BY word),
+         |tot AS (SELECT CAST(sum(ctf) AS DOUBLE) AS n FROM cw),
+         |terms AS (
+         |  SELECT sw.source, st.ns,
+         |         CAST(round((CAST(sw.tf AS DOUBLE) / st.ns) *
+         |           ln((CAST(sw.tf AS DOUBLE) / st.ns) /
+         |              (CAST(cw.ctf AS DOUBLE) / n)), 6)
+         |           AS DECIMAL(20,6)) AS term
+         |  FROM sw JOIN st USING (source) JOIN cw USING (word), tot)
+         |SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,
+         |       CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(term) AS DOUBLE) AS kl
+         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
 
     "text_oov_rate" ->
       s"""WITH $wordsSql,

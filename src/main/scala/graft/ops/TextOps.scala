@@ -146,11 +146,18 @@ object TextOps {
     * never the text. Top-K lands as TakeOrderedAndProject (per-partition
     * heaps). Overlapping pairs count per occurrence ("aaa" → "aa"×2),
     * matching the canonical BPE counting. */
-  def bpePairCounts(docs: DataFrame, topK: Int = 30): DataFrame = {
-    val vocab = docs
-      .select(explode(normWords(col("text"))).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy("word").agg(count(lit(1)).as("tf"))
+  def bpePairCounts(docs: DataFrame, topK: Int = 30): DataFrame =
+    bpePairCountsOf(bpeVocab(docs), topK)
+
+  /** The word→tf vocabulary table both BPE steps share (cached: the
+    * corpus is scanned once; everything after runs over distinct words). */
+  private def bpeVocab(docs: DataFrame): DataFrame =
+    Caches.ensureCached(
+      docs.select(explode(normWords(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("tf")))
+
+  private def bpePairCountsOf(vocab: DataFrame, topK: Int): DataFrame =
     vocab
       .filter(length(col("word")) >= 2)
       .select(col("tf"), explode(expr(
@@ -159,6 +166,74 @@ object TextOps {
       .groupBy("pair").agg(sum("tf").as("cnt"))
       .orderBy(col("cnt").desc, col("pair"))
       .limit(topK)
+
+  /** BPE tokenizer training, step 2: APPLY the argmax merge of
+    * [[bpePairCounts]] and recount — one real iteration of the merge
+    * loop, so composing this op k times trains a k-rule BPE vocabulary.
+    * The merge is the canonical greedy left-to-right pass, expressed as
+    * a fold over each word's symbol array: the pair (p1,p2) merges
+    * wherever the accumulator's LAST symbol is exactly p1 and the next
+    * is p2 — a freshly merged symbol is "p1p2", never p1, so it cannot
+    * chain within the same rule, and runs like "aaa" merge to ["aa","a"]
+    * exactly as sequential BPE does. Post-merge symbols are multi-char,
+    * so recounted pairs join on a space. Everything after the (shared,
+    * cached) word-count shuffle runs over the distinct-word vocabulary;
+    * the argmax pair arrives as a 1-row broadcast — at 100 TB each merge
+    * iteration is a vocab-table pass, not a corpus scan. */
+  def bpeMergeStep(docs: DataFrame, topK: Int = 30): DataFrame = {
+    val vocab = bpeVocab(docs)
+    val top = bpePairCountsOf(vocab, 1)
+      .select(substring(col("pair"), 1, 1).as("p1"),
+        substring(col("pair"), 2, 1).as("p2"))
+    val merged = vocab.crossJoin(broadcast(top))
+      .withColumn("cs", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .withColumn("syms", expr(
+        """aggregate(
+          |  slice(cs, 2, size(cs) - 1),
+          |  array(element_at(cs, 1)),
+          |  (acc, x) -> IF(element_at(acc, -1) = p1 AND x = p2,
+          |    concat(slice(acc, 1, size(acc) - 1),
+          |           array(concat(element_at(acc, -1), x))),
+          |    concat(acc, array(x))))""".stripMargin))
+    merged
+      .filter(size(col("syms")) >= 2)
+      .select(col("tf"), explode(expr(
+        """transform(sequence(1, size(syms) - 1),
+          |  i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"""
+          .stripMargin)).as("pair"))
+      .groupBy("pair").agg(sum("tf").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(topK)
+  }
+
+  /** Per-source distribution drift: KL(P_source ‖ P_corpus) over unigram
+    * word distributions — the standard corpus-quality dashboard number
+    * for spotting a source whose text stopped looking like the mixture
+    * it feeds (scraper drift, language shift, template spam). Every
+    * source word is in the corpus by construction, so no zero-probability
+    * smoothing is needed. Per-word terms are 6-dp-rounded then
+    * DECIMAL-summed (order-independent, the cross-engine parity rule);
+    * the corpus total is a 1-row broadcast; the word join is the same
+    * AQE-skew class as [[lmScore]]'s. */
+  def sourceKl(docs: DataFrame): DataFrame = {
+    val perSrc = Caches.ensureCached(
+      docs.select(col("source"), explode(normWords(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("source", "word").agg(count(lit(1)).as("tf")))
+    val srcTot = perSrc.groupBy("source").agg(sum("tf").as("ns"))
+    val corpus = perSrc.groupBy("word").agg(sum("tf").as("ctf"))
+    val tot = corpus.agg(sum("ctf").cast("double").as("n"))
+    val ps = col("tf").cast("double") / col("ns")
+    val pc = col("ctf").cast("double") / col("n")
+    perSrc.join(srcTot, "source").join(corpus, "word")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("tf"), col("ns"),
+        round(ps * log(ps / pc), 6).cast("decimal(20,6)").as("term"))
+      .groupBy("source")
+      .agg(max(col("ns")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_words"),
+        sum(col("term")).cast("double").as("kl"))
   }
 
   /** Per-word partial counts of one corpus subset — the unit the stored

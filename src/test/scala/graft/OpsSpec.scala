@@ -1319,6 +1319,51 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("BPE merge step applies the argmax merge greedily left-to-right") {
+    // vocab: aaab×1, aa×1 → step-1 pairs: aa=3 (two in aaab, one in aa),
+    // ab=1 → argmax "aa"; greedy merge: aaab → [aa, a, b] (the fresh
+    // "aa" symbol cannot chain), aa → [aa] (no pairs left)
+    val tiny = Seq((0L, "aaab aa")).toDF("doc_id", "text")
+    val p = TextOps.bpeMergeStep(tiny, 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(p === Map("aa a" -> 1L, "a b" -> 1L))
+    // corpus: every recounted pair is two space-joined symbols, and the
+    // merged symbol (the step-1 argmax) appears among them
+    val top1 = TextOps.bpePairCounts(docs, 1).collect().head.getString(0)
+    val after = TextOps.bpeMergeStep(docs, 30).collect().map(_.getString(0))
+    assert(after.forall(_.split(" ").length == 2))
+    assert(after.exists(_.split(" ").contains(top1)))
+  }
+
+  test("source KL: zero on itself, ln 2 on a disjoint half-half mixture") {
+    // one source == the corpus → every term ln(1) = 0
+    val one = Seq((0L, "x y z", "s1"), (1L, "x y", "s1"))
+      .toDF("doc_id", "text", "source")
+    val k1 = TextOps.sourceKl(one).collect()
+    assert(k1.length === 1 && k1.head.getDouble(3) === 0.0)
+    // two disjoint equal-mass sources: each is 2× its corpus prob
+    // everywhere → KL = ln 2 for both
+    val two = Seq((0L, "a a a", "sa"), (1L, "b b b", "sb"))
+      .toDF("doc_id", "text", "source")
+    val k2 = TextOps.sourceKl(two).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val ln2 = BigDecimal(math.log(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(k2 === Map("sa" -> ln2, "sb" -> ln2))
+    // real corpus: KL is non-negative up to per-term 6-dp rounding, and
+    // token/word counts are exact
+    val k = TextOps.sourceKl(docs).collect()
+    assert(k.forall(_.getDouble(3) > -0.001))
+    val direct = docs
+      .select($"source", explode(TextOps.normWords($"text")).as("w"))
+      .filter($"w" =!= "").groupBy($"source")
+      .agg(count(lit(1)).as("n"), countDistinct($"w").as("d"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    k.foreach { r =>
+      assert((r.getLong(1), r.getLong(2)) === direct(r.getString(0)))
+    }
+  }
+
   test("semdedup: rank-first survives and the drop rule matches a driver replay") {
     val emb = Tables.embeddings(spark, sfDir)
     val out = SimilarityOps.semDedup(emb, 8, 2, 0.35).collect()
