@@ -886,6 +886,14 @@ object SparkEntry {
     "bpe_pair_counts" -> ((s, dir) =>
       TextOps.bpePairCounts(Tables.documents(s, dir), 30)),
 
+    // LM scoring against the STORED vocab view (built on one disjoint
+    // split, merged with the other — covers the corpus, so scores are
+    // bit-identical to inline lm_score): O(view)+O(batch), no corpus
+    // re-scan on the LM side
+    "lm_score_stored" -> ((s, dir) =>
+      TextOps.lmScoreStored(s, Tables.documents(s, dir),
+        mergedVocabPath(s, dir)).orderBy("doc_id")),
+
     // BPE training step 2: apply the argmax merge (greedy left-to-right
     // fold per word) and recount — one real merge-loop iteration, still
     // a vocab-table pass after the shared word-count shuffle
@@ -1804,6 +1812,7 @@ object SparkEntry {
     "ann_pq_stored_topk" -> oracleSqlBase("ann_pq_topk"),
     "ann_ivfpq_stored_topk" -> oracleSqlBase("ann_ivfpq_topk"),
     "vocab_merged_topk" -> oracleSqlBase("vocab_topk"),
+    "lm_score_stored" -> oracleSqlBase("lm_score"),
     "text_bm25_stored_topk" -> oracleSqlBase("text_bm25_topk"),
     "text_bm25_merged_topk" -> oracleSqlBase("text_bm25_topk"),
 

@@ -314,6 +314,45 @@ object TextOps {
       .orderBy(col("tf").desc, col("word"))
       .limit(topK)
 
+  /** [[lmScore]] against the STORED vocabulary view — the production
+    * shape of LM quality filtering: the corpus unigram LM is the
+    * materialized view (built once, maintained incrementally by the
+    * streaming absorb/retract protocol), so scoring a new batch reads
+    * O(view) + O(batch) and never re-scans the corpus. When the view
+    * covers exactly the scored corpus, scores are bit-identical to the
+    * inline [[lmScore]] (partials re-sum to the full counts — the same
+    * distributivity `vocab_merged_topk` rides), which is the oracle.
+    * A word the view has never seen scores at the OOV floor ln(1/N) —
+    * below every in-view word; a negative-netting word (retraction
+    * without its absorb) raises rather than serving a corrupt LM. */
+  def lmScoreStored(spark: org.apache.spark.sql.SparkSession,
+                    docs: DataFrame, path: String): DataFrame = {
+    val counts = spark.read
+      .parquet(graft.engine.Compaction.resolve(s"$path/counts"))
+      .groupBy("word").agg(sum("tf").as("ctf"))
+      .withColumn("_ok", when(col("ctf") >= 0L, lit(true))
+        .otherwise(raise_error(concat(
+          lit("vocab view: word '"), col("word"),
+          lit("' netted negative counts — retraction without a matching absorb")))))
+      .filter(col("_ok") && col("ctf") > 0L).drop("_ok")
+    val tot = counts.agg(sum("ctf").cast("double").as("n"))
+    val logp = counts.crossJoin(broadcast(tot))
+      .select(col("word"),
+        round(log(col("ctf").cast("double") / col("n")), 6).as("logp"))
+    docs.select(col("doc_id"), explode(normWords(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .crossJoin(broadcast(tot))
+      .join(logp, Seq("word"), "left")
+      .select(col("doc_id"), col("tf"),
+        coalesce(col("logp"),
+          round(log(lit(1.0) / col("n")), 6)).as("logp"))
+      .groupBy("doc_id")
+      .agg(sum("tf").cast("long").as("n_tokens"),
+        round(sum(col("logp").cast("decimal(20,6)") * col("tf")).cast("double")
+          / sum("tf"), 6).as("avg_logp"))
+  }
+
   /** Tokenizer-coverage (OOV) report: the fraction of corpus tokens that
     * fall OUTSIDE the top-K vocabulary, per stratum — the go/no-go
     * metric for shipping a fixed vocabulary over a multilingual corpus

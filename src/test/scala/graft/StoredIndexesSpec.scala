@@ -273,6 +273,37 @@ class StoredIndexesSpec extends AnyFunSuite {
       "post-compaction: one partial row per word")
   }
 
+  test("stored-view LM scoring: equals inline on full coverage, floors OOV, " +
+    "raises on a negative-netting view") {
+    val docs = Tables.documents(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("vocab_lm").toString
+    TextOps.buildVocabIndex(docs.filter($"doc_id" % 2 === 0L), path)
+    TextOps.mergeVocabIndex(docs.filter($"doc_id" % 2 === 1L), path)
+    // full coverage → bit-identical to the inline corpus-as-LM score
+    val stored = TextOps.lmScoreStored(spark, docs, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    val inline = TextOps.lmScore(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(stored === inline)
+    // a batch with words the view has never seen scores at the OOV
+    // floor ln(1/N) — strictly below every in-view word's log-prob
+    val n = spark.read.parquet(Compaction.resolve(s"$path/counts"))
+      .agg(org.apache.spark.sql.functions.sum("tf")).head().getLong(0).toDouble
+    val floor = BigDecimal(math.log(1.0 / n))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val oov = Seq((900001L, "qqqqz wwwwz qqqqz")).toDF("doc_id", "text")
+    val got = TextOps.lmScoreStored(spark, oov, path).collect().head
+    assert(got.getLong(1) === 3L)
+    assert(got.getDouble(2) === floor)
+    // retraction without its absorb nets negative → the read raises
+    TextOps.retractVocabIndex(
+      Seq((900002L, "zzzzqy zzzzqy")).toDF("doc_id", "text"), path)
+    val ex = intercept[Exception] {
+      TextOps.lmScoreStored(spark, docs, path).collect()
+    }
+    assert(ex.getMessage.contains("netted negative"))
+  }
+
   test("batch IVF probe equals the per-query probe for every query") {
     val e = Tables.embeddings(spark, sfDir)
     val path = java.nio.file.Files.createTempDirectory("cmp_ivfb").toString
