@@ -984,6 +984,19 @@ object SparkEntry {
     "curation_report" -> ((s, dir) =>
       Curation.curationReport(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // calibration: do duplicates concentrate in low-quality deciles?
+    // nine exact decile cuts in ONE ranked pass (broadcast literals),
+    // is_dup = non-survivor of its exact-fingerprint group
+    "quality_dup_calibration" -> ((s, dir) =>
+      Curation.qualityDupCalibration(Tables.documents(s, dir))
+        .orderBy("decile")),
+
+    // interpolated bigram LM (Jelinek-Mercer λ=0.7): token 1 scores
+    // under the unigram LM, later tokens under λ·p(w|prev)+(1−λ)·p(w)
+    "lm_bigram_score" -> ((s, dir) =>
+      TextOps.lmBigramScore(Tables.documents(s, dir), 0.7)
+        .orderBy("doc_id")),
+
     // the curation dashboard number: per-stage survivor counts through
     // the monotone filter chain (canonical → quality → clean → mixed →
     // train-split) — one aggregate over the report, so the funnel can
@@ -1813,6 +1826,57 @@ object SparkEntry {
     "ann_ivfpq_stored_topk" -> oracleSqlBase("ann_ivfpq_topk"),
     "vocab_merged_topk" -> oracleSqlBase("vocab_topk"),
     "lm_score_stored" -> oracleSqlBase("lm_score"),
+
+    "lm_bigram_score" ->
+      s"""WITH $wordsSql,
+         |t AS (SELECT doc_id, w FROM words WHERE w[1] <> ''),
+         |bg AS (SELECT doc_id, w[i - 1] AS prev, w[i] AS word
+         |       FROM t, LATERAL unnest(range(2, len(w) + 1)) AS r(i)
+         |       WHERE len(w) >= 2),
+         |bgc AS (SELECT prev, word, count(*) AS cbw FROM bg GROUP BY prev, word),
+         |pc AS (SELECT prev, sum(cbw) AS cp FROM bgc GROUP BY prev),
+         |uc AS (SELECT word, count(*) AS cw
+         |       FROM (SELECT unnest(w) AS word FROM t) GROUP BY word),
+         |tot AS (SELECT CAST(sum(cw) AS DOUBLE) AS n FROM uc),
+         |fterm AS (
+         |  SELECT doc_id,
+         |         CAST(round(ln(CAST(cw AS DOUBLE) / n), 6) AS DECIMAL(20,6)) AS term
+         |  FROM (SELECT doc_id, w[1] AS word FROM t) f JOIN uc USING (word), tot),
+         |bterm AS (
+         |  SELECT bg.doc_id,
+         |         CAST(round(ln(
+         |           CAST(0.7 AS DOUBLE) * (CAST(cbw AS DOUBLE) / cp) +
+         |           (CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * (CAST(cw AS DOUBLE) / n)),
+         |           6) AS DECIMAL(20,6)) AS term
+         |  FROM bg JOIN bgc USING (prev, word) JOIN pc USING (prev)
+         |       JOIN uc USING (word), tot),
+         |at AS (SELECT * FROM fterm UNION ALL SELECT * FROM bterm)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       round(CAST(sum(term) AS DOUBLE) / count(*), 6) AS avg_logp
+         |FROM at GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "quality_dup_calibration" -> {
+      val cutCols = (1 to 9)
+        .map(i => s"quantile_cont(quality_score, 0.${i}) AS c$i").mkString(", ")
+      val decileSum = (1 to 9)
+        .map(i => s"CASE WHEN quality_score >= c$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $wordsSql,
+         |${qualityScoredSql("base", "scored")},
+         |fp AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fingerprint
+         |       FROM words),
+         |k AS (SELECT fingerprint, min(doc_id) AS kid FROM fp GROUP BY fingerprint),
+         |d AS (SELECT fp.doc_id, fp.doc_id <> k.kid AS is_dup
+         |      FROM fp JOIN k USING (fingerprint)),
+         |c AS (SELECT $cutCols FROM scored),
+         |a AS (SELECT ($decileSum) AS decile, is_dup
+         |      FROM scored JOIN d USING (doc_id), c)
+         |SELECT CAST(decile AS BIGINT) AS decile,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+         |       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_rate
+         |FROM a GROUP BY decile ORDER BY decile""".stripMargin
+    },
     "text_bm25_stored_topk" -> oracleSqlBase("text_bm25_topk"),
     "text_bm25_merged_topk" -> oracleSqlBase("text_bm25_topk"),
 

@@ -65,4 +65,36 @@ object Curation {
         col("is_canonical") && col("quality_ok") && !col("contaminated") &&
           col("temp_keep") && col("split") === "train")
   }
+
+  /** Quality-decile × duplication calibration — the sanity table a
+    * curation team reads before trusting either signal: if duplicates
+    * do NOT concentrate in the low-quality deciles, one of the two
+    * filters is measuring noise. Deciles come from the scale-safe
+    * [[graft.engine.ExactPercentile.cuts]] (all nine cuts in ONE ranked
+    * pass, broadcast as literals — never a percentile() buffer);
+    * `is_dup` marks every non-survivor of its exact-fingerprint group.
+    * Per decile: doc count, duplicate count, duplicate rate (exact
+    * integer counts divided once — no float-sum hazards). */
+  def qualityDupCalibration(docs: DataFrame): DataFrame = {
+    val q = graft.engine.Caches.ensureCached(TextOps.qualityScore(docs))
+      .select("doc_id", "quality_score")
+    val ps = (1 to 9).map(_ / 10.0)
+    val cuts = graft.engine.ExactPercentile.cuts(
+      q, col("quality_score"), col("doc_id"), ps)
+    val cutVals = ps.map(p => cuts(p).getOrElse(
+      sys.error("qualityDupCalibration: empty corpus has no deciles")))
+    val decile = cutVals
+      .map(c => when(col("quality_score") >= lit(c), 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    val fp = TextOps.fingerprint(docs)
+    val dup = fp
+      .join(fp.groupBy("fingerprint").agg(min("doc_id").as("_k")), "fingerprint")
+      .select(col("doc_id"), (col("doc_id") =!= col("_k")).as("is_dup"))
+    q.join(dup, "doc_id")
+      .groupBy(decile.as("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
+      .withColumn("dup_rate",
+        col("n_dups").cast("double") / col("n_docs"))
+  }
 }

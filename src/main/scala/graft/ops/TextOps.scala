@@ -353,6 +353,54 @@ object TextOps {
           / sum("tf"), 6).as("avg_logp"))
   }
 
+  /** Interpolated bigram-LM document scoring — one modeling step up from
+    * [[lmScore]] toward the KenLM-style n-gram filters real pipelines
+    * run (CCNet uses a 5-gram model; the estimator pipeline is the same
+    * shape at every order). Token 1 scores under the unigram LM; token i
+    * (i ≥ 2) under the Jelinek-Mercer interpolation
+    * λ·p(wᵢ|wᵢ₋₁) + (1−λ)·p(wᵢ), with p(wᵢ|wᵢ₋₁) the ML estimate
+    * c(wᵢ₋₁wᵢ)/Σₓc(wᵢ₋₁x). With the corpus as its own LM every document
+    * bigram exists in the model, so no backoff-to-zero arm is needed;
+    * 1−λ is computed as the IEEE double `1.0 − λ` on BOTH engines so the
+    * weights agree bit-for-bit. Per-token log terms round to 6 dp then
+    * DECIMAL-sum per doc. Corpus-proportional cost: the bigram-count
+    * shuffle (high-cardinality (prev, word) keys, map-side combined);
+    * the denominator and unigram tables re-aggregate from it; scoring
+    * joins key on the same high-cardinality pairs. */
+  def lmBigramScore(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
+    val t = Caches.ensureCached(
+      docs.select(col("doc_id"), normWords(col("text")).as("w"))
+        .filter(element_at(col("w"), 1) =!= ""))
+    val bg = t.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(2, size(w)),
+          |  i -> struct(element_at(w, i - 1) AS prev,
+          |              element_at(w, i) AS word))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.word").as("word"))
+    val bgc = bg.groupBy("prev", "word").agg(count(lit(1)).as("cbw"))
+    val pc = bgc.groupBy("prev").agg(sum("cbw").as("cp"))
+    val uc = t.select(explode(col("w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cw"))
+    val tot = uc.agg(sum("cw").cast("double").as("n"))
+    val fterm = t.select(col("doc_id"), element_at(col("w"), 1).as("word"))
+      .join(uc, "word").crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        round(log(col("cw").cast("double") / col("n")), 6)
+          .cast("decimal(20,6)").as("term"))
+    val bterm = bg.join(bgc, Seq("prev", "word")).join(pc, Seq("prev"))
+      .join(uc, Seq("word")).crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        round(log(
+          lit(lambda) * (col("cbw").cast("double") / col("cp")) +
+            (lit(1.0) - lit(lambda)) * (col("cw").cast("double") / col("n"))),
+          6).cast("decimal(20,6)").as("term"))
+    fterm.unionByName(bterm)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(sum(col("term")).cast("double") / count(lit(1)), 6)
+          .as("avg_logp"))
+  }
+
   /** Tokenizer-coverage (OOV) report: the fraction of corpus tokens that
     * fall OUTSIDE the top-K vocabulary, per stratum — the go/no-go
     * metric for shipping a fixed vocabulary over a multilingual corpus

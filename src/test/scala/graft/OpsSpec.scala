@@ -1364,6 +1364,53 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram LM score matches a hand-computed interpolation") {
+    // corpus: "a b", "a b", "a c" → unigrams a:3 b:2 c:1 (N=6);
+    // bigrams (a,b):2 (a,c):1, cp(a)=3
+    val tiny = Seq((0L, "a b"), (1L, "a b"), (2L, "a c"))
+      .toDF("doc_id", "text")
+    val got = TextOps.lmBigramScore(tiny, 0.7).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val lam = 0.7; val uni = 1.0 - lam
+    def score(terms: Seq[Double]): Double =
+      (terms.map(r6).sum / terms.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ab = score(Seq(math.log(3.0 / 6),
+      math.log(lam * (2.0 / 3) + uni * (2.0 / 6))))
+    val ac = score(Seq(math.log(3.0 / 6),
+      math.log(lam * (1.0 / 3) + uni * (1.0 / 6))))
+    assert(got === Map(0L -> ((2L, ab)), 1L -> ((2L, ab)), 2L -> ((2L, ac))))
+    // the shared-context doc pair scores identically; the rarer
+    // continuation scores lower
+    assert(ab > ac)
+    // corpus: every doc appears once with exact token counts
+    val full = TextOps.lmBigramScore(docs).collect()
+    assert(full.length === docs.count())
+    assert(full.forall(_.getDouble(2) < 0))
+    val nTok = docs.select($"doc_id",
+      size(TextOps.normWords($"text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    full.foreach(r => assert(r.getLong(1) === nTok(r.getLong(0))))
+  }
+
+  test("quality-dup calibration partitions the corpus exactly") {
+    val cal = graft.ops.Curation.qualityDupCalibration(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // deciles are 0..9, docs partition exactly, dup_rate is the ratio
+    assert(cal.forall { case (d, _, _, _) => d >= 0 && d <= 9 })
+    assert(cal.map(_._2).sum === docs.count())
+    cal.foreach { case (_, n, dups, rate) =>
+      assert(dups <= n)
+      assert(rate === dups.toDouble / n)
+    }
+    // total duplicates = docs minus distinct fingerprint groups
+    val distinctFp = TextOps.fingerprint(docs)
+      .select("fingerprint").distinct().count()
+    assert(cal.map(_._3).sum === docs.count() - distinctFp)
+  }
+
   test("semdedup: rank-first survives and the drop rule matches a driver replay") {
     val emb = Tables.embeddings(spark, sfDir)
     val out = SimilarityOps.semDedup(emb, 8, 2, 0.35).collect()
