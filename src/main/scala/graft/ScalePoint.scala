@@ -40,8 +40,15 @@ import org.apache.spark.sql.functions._
 object ScalePoint {
 
   private val Replicas = 10
+  // r14 adds the two heaviest new text ops: the bigram-LM score (the
+  // largest count shuffle in the engine) and the BPE merge iteration
+  // (vocab-pass claim). Embedding ops are excluded by design: the
+  // cipher construction scales TEXT while preserving its equality
+  // structure; replicating vectors would manufacture exact duplicates
+  // the real distribution doesn't have.
   private val Queries =
-    Seq("dedup_incremental", "text_bm25_batch_topk", "text_containment")
+    Seq("dedup_incremental", "text_bm25_batch_topk", "text_containment",
+      "lm_bigram_score", "bpe_merge_step")
 
   private def buildScaled(spark: SparkSession, baseDir: String,
                           outDir: String): Unit = {

@@ -632,6 +632,26 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // incremental SemDeDup: the CDC change feed screened for semantic
+    // duplicates against the stored subset-built IVF index — one probed
+    // cell per arriving vector, survivors would then merge into the
+    // index under the caller's ledger
+    "semdedup_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.semDedupScreen(s, baseIvfPath(s, dir),
+        emb.filter(!expr(IvfMergeBuildPred)), P.SemT)
+        .orderBy("vec_id")
+    }),
+
+    // recall@10 of single-probe trained IVF vs exact brute force, per
+    // batch query — the measured "is nprobe=1 good enough?" report
+    "ann_recall_report" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.ivfRecallReport(emb,
+        emb.filter(expr(BatchQueryPred)), 10, P.KmK, P.KmIters)
+        .orderBy("q_id")
+    }),
+
     // SemDeDup (k-means-blocked semantic dedup): pairwise cosine only
     // WITHIN a trained cluster, drop the higher-centroid-similarity
     // member of any pair above the threshold — the paper's
@@ -1343,6 +1363,14 @@ object SparkEntry {
   private def storedIvfPath(s: SparkSession, dir: String): String =
     engine.StoredIndexes.ensure("ivf_idx", dir)(p =>
       SimilarityOps.buildIvfIndex(Tables.embeddings(s, dir), p, P.KmK, P.KmIters))
+
+  /** IVF index over ONLY the merge-build subset — the "already indexed
+    * corpus" a CDC screen probes (the complement is the change feed). */
+  private def baseIvfPath(s: SparkSession, dir: String): String =
+    engine.StoredIndexes.ensure("ivf_base", dir)(p =>
+      SimilarityOps.buildIvfIndex(
+        Tables.embeddings(s, dir).filter(expr(IvfMergeBuildPred)), p,
+        P.KmK, P.KmIters))
 
   private def storedPqPath(s: SparkSession, dir: String): String =
     engine.StoredIndexes.ensure("pq_idx", dir)(p =>
@@ -2285,6 +2313,50 @@ object SparkEntry {
     "ann_ivf_kmeans_topk" -> ivfKmeansOracleSql(trainPred = None),
 
     "semdedup" -> semdedupOracleSql,
+
+    "semdedup_incremental" -> {
+      val iters = 2
+      s"""${ivfFinCtes(Some(IvfMergeBuildPred), iters)},
+         |idx AS (SELECT * FROM fin WHERE $IvfMergeBuildPred),
+         |qb AS (SELECT vec_id AS q_id, v AS qv, cl AS qcl FROM fin
+         |       WHERE NOT ($IvfMergeBuildPred)),
+         |best AS (
+         |  SELECT q_id, match_id, cluster, cosine FROM (
+         |    SELECT qb.q_id, i.vec_id AS match_id,
+         |           CAST(i.cl AS BIGINT) AS cluster,
+         |           round(${cosSql("i.v", "qb.qv")}, 6) AS cosine,
+         |           row_number() OVER (PARTITION BY qb.q_id
+         |             ORDER BY round(${cosSql("i.v", "qb.qv")}, 6) DESC, i.vec_id) AS rn
+         |    FROM idx i JOIN qb ON i.cl = qb.qcl) WHERE rn = 1)
+         |SELECT qb.q_id AS vec_id, b.match_id, b.cluster, b.cosine,
+         |       coalesce(b.cosine >= CAST(${P.SemT} AS DOUBLE), false) AS is_dup
+         |FROM qb LEFT JOIN best b USING (q_id) ORDER BY vec_id""".stripMargin
+    },
+
+    "ann_recall_report" -> {
+      val iters = 2
+      s"""${ivfFinCtes(None, iters)},
+         |q AS (SELECT vec_id AS q_id, v AS qv, cl AS qcl FROM fin
+         |      WHERE $BatchQueryPred),
+         |brute AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, e.vec_id,
+         |           row_number() OVER (PARTITION BY q.q_id
+         |             ORDER BY round(${cosSql("e.v", "q.qv")}, 6) DESC, e.vec_id) AS rn
+         |    FROM e, q WHERE e.vec_id <> q.q_id) WHERE rn <= 10),
+         |ivf AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, f.vec_id,
+         |           row_number() OVER (PARTITION BY q.q_id
+         |             ORDER BY round(${cosSql("f.v", "q.qv")}, 6) DESC, f.vec_id) AS rn
+         |    FROM fin f JOIN q ON f.cl = q.qcl
+         |    WHERE f.vec_id <> q.q_id) WHERE rn <= 10),
+         |h AS (SELECT b.q_id, count(*) AS n_hits
+         |      FROM brute b JOIN ivf USING (q_id, vec_id) GROUP BY b.q_id)
+         |SELECT q.q_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         |       CAST(coalesce(n_hits, 0) AS DOUBLE) / 10 AS recall
+         |FROM q LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin
+    },
 
     // same Lloyd's replay, but TRAINED on the build subset only — the
     // assignment pass still covers every vector, exactly as the stored

@@ -307,10 +307,79 @@ object SimilarityOps {
       .filter(col("ca") < col("cb") ||
         (col("ca") === col("cb") && col("vec_a") < col("vec_b")))
       .select(col("vec_b").as("vec_id")).distinct()
-    asg.join(broadcast(drops.withColumn("dropped", lit(true))),
-        Seq("vec_id"), "left")
+    // no broadcast hint: at paper-realistic drop rates (up to half of
+    // LAION) the drop set is corpus-scale — let AQE size the join
+    asg.join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"), col("cent_cosine"),
         col("dropped").isNull.as("kept"))
+  }
+
+  /** Incremental SemDeDup — the CDC screen path: an arriving batch is
+    * checked for semantic duplicates against the STORED IVF index
+    * without touching the indexed corpus' float vectors outside the
+    * probed cells (the same one-cell-per-query scan every stored-index
+    * probe rides, [[queryIvfIndexBatch]] with topK=1 — a vector is a
+    * duplicate iff its best in-cell match clears `cosT`). The screen
+    * composes with the index lifecycle exactly like the fingerprint
+    * screen ([[DedupOps.queryFingerprintIndex]]): screen → absorb the
+    * survivors via [[mergeIvfIndex]] under the caller's ledger. Returns
+    * every batch vector: (vec_id, match_id, cluster, cosine, is_dup) —
+    * match/cosine null when the probed cell is empty. */
+  def semDedupScreen(spark: org.apache.spark.sql.SparkSession, path: String,
+                     batch: DataFrame, cosT: Double,
+                     nprobe: Int = 1): DataFrame = {
+    val best = queryIvfIndexBatch(spark, path, batch, topK = 1, nprobe)
+      .select(col("q_id").as("vec_id"), col("vec_id").as("match_id"),
+        col("cluster"), col("cosine"))
+    batch.select(col("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("match_id"), col("cluster"), col("cosine"),
+        coalesce(col("cosine") >= lit(cosT), lit(false)).as("is_dup"))
+  }
+
+  /** ANN index-quality evaluation: recall@k of the single-probe trained-
+    * IVF retrieval against the exact brute-force top-k, per query — the
+    * measured answer to "is nprobe=1 good enough for this corpus?" that
+    * a retrieval deployment reads before picking its latency dial (the
+    * published retrain-decision signals say when to re-train; this says
+    * what the trained index is worth). Both retrievals rank by the same
+    * 6-dp-rounded cosine with vec_id tie-break, so the report is
+    * deterministic. The brute baseline IS the evaluation's cost — one
+    * corpus scan per query — so at 100 TB the query set is a sample
+    * (here: the standard `% 97` batch); the IVF side scans 1/k of the
+    * corpus per query like every probe. */
+  def ivfRecallReport(embeddings: DataFrame, queries: DataFrame,
+                      k: Int = 10, km: Int = 8, iters: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    VectorExpressions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val e = Caches.ensureCached(
+      embeddings.select(col("vec_id"), asDoubleVec(col("embedding")).as("v")))
+    val cents = kmeansCentroids(e, km, iters)
+    val assigned = e.withColumn("cluster",
+      assignCluster(col("v"), cents).cast("long"))
+    // a query's probe cell is its own assignment — the same
+    // lowest-cluster-tie-break nearest-centroid rule
+    val q = queries.select(col("vec_id").as("q_id"),
+        asDoubleVec(col("embedding")).as("qv"))
+      .withColumn("qcl", assignCluster(col("qv"), cents).cast("long"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("vec_id"))
+    val brute = e.crossJoin(broadcast(q.select("q_id", "qv")))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), round(cosine("v", "qv"), 6).as("cosine"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    val ivf = assigned.join(broadcast(q), col("cluster") === col("qcl"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), round(cosine("v", "qv"), 6).as("cosine"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    val hits = brute.select("q_id", "vec_id")
+      .join(ivf.select("q_id", "vec_id"), Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    q.select("q_id")
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
   }
 
   /** Product-quantization ANN (the memory-compression scale path: a

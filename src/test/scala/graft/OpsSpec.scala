@@ -1411,6 +1411,27 @@ class OpsSpec extends AnyFunSuite {
     assert(cal.map(_._3).sum === docs.count() - distinctFp)
   }
 
+  test("IVF recall report: exhaustive at k=1 cell, bounded and consistent at 8") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter($"vec_id" % 10 === 0)
+    // one cell = exhaustive probe = brute force → recall exactly 1.0
+    val exhaustive = SimilarityOps.ivfRecallReport(emb, queries, 10, km = 1)
+      .collect()
+    assert(exhaustive.nonEmpty)
+    exhaustive.foreach { r =>
+      assert(r.getLong(1) === 10L)
+      assert(r.getDouble(2) === 1.0)
+    }
+    // 8 cells: one row per query, recall = n_hits/k in [0,1]
+    val report = SimilarityOps.ivfRecallReport(emb, queries, 10, km = 8)
+      .collect()
+    assert(report.length === queries.count())
+    report.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= 10L)
+      assert(r.getDouble(2) === r.getLong(1).toDouble / 10)
+    }
+  }
+
   test("semdedup: rank-first survives and the drop rule matches a driver replay") {
     val emb = Tables.embeddings(spark, sfDir)
     val out = SimilarityOps.semDedup(emb, 8, 2, 0.35).collect()

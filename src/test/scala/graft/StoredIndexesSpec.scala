@@ -304,6 +304,62 @@ class StoredIndexesSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("netted negative"))
   }
 
+  test("semdedup screen: threshold arms and best-match agree with a cell replay") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("ivf_screen").toString
+    SimilarityOps.buildIvfIndex(emb.filter($"vec_id" % 4 < 3), path, 8, 2)
+    val batch = emb.filter($"vec_id" % 4 === 3)
+    // τ below every cosine → everything with a non-empty cell flags
+    val all = SimilarityOps.semDedupScreen(spark, path, batch, -2.0).collect()
+    assert(all.length === batch.count())
+    all.foreach(r => assert(r.getBoolean(4) === !r.isNullAt(3)))
+    // τ above 1 → nothing flags, matches still reported
+    val none = SimilarityOps.semDedupScreen(spark, path, batch, 1.01).collect()
+    assert(none.forall(!_.getBoolean(4)))
+    // the reported best match replays driver-side from the stored cells
+    val screened = SimilarityOps.semDedupScreen(spark, path, batch, 0.35)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3),
+          r.getBoolean(4))).toMap
+    val idx = spark.read.parquet(Compaction.resolve(s"$path/assignments"))
+      .collect().map(r => (r.getLong(r.fieldIndex("vec_id")),
+        // the cluster partition column reads back as Int
+        r.getInt(r.fieldIndex("cluster")).toLong,
+        r.getSeq[Double](r.fieldIndex("v")).toArray))
+    val cents = spark.read.parquet(Compaction.resolve(s"$path/centroids"))
+      .collect().map(r => r.getLong(r.fieldIndex("cluster")) ->
+        r.getSeq[Double](r.fieldIndex("c")).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    batch.select($"vec_id", SimilarityOps.asDoubleVec($"embedding").as("v"))
+      .collect().foreach { r =>
+        val (id, qv) = (r.getLong(0), r.getSeq[Double](1).toArray)
+        val cell = cents.toSeq.map { case (cl, c) => (l2(qv, c), cl) }
+          .sortBy(identity).head._2
+        val members = idx.filter(_._2 == cell)
+        val best = members
+          .map { case (mid, _, v) =>
+            val c = BigDecimal(dot(qv, v) / (math.sqrt(dot(v, v)) * math.sqrt(dot(qv, qv))))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            (mid, c)
+          }.sortBy { case (mid, c) => (-c, mid) }.headOption
+        val (gotMatch, gotCos, gotDup) = screened(id)
+        best match {
+          case Some((mid, c)) =>
+            assert(gotMatch === mid && gotCos === c && gotDup === (c >= 0.35))
+          case None =>
+            assert(gotMatch === -1L && gotCos.isNaN && !gotDup)
+        }
+      }
+  }
+
   test("batch IVF probe equals the per-query probe for every query") {
     val e = Tables.embeddings(spark, sfDir)
     val path = java.nio.file.Files.createTempDirectory("cmp_ivfb").toString
