@@ -920,6 +920,12 @@ object SparkEntry {
     "bpe_merge_step" -> ((s, dir) =>
       TextOps.bpeMergeStep(Tables.documents(s, dir), 30)),
 
+    // BPE pair counts from the STORED vocab view — the production merge
+    // loop: O(view) per iteration, zero corpus access (bit-identical to
+    // the inline step on full coverage, so the oracle is shared)
+    "bpe_pairs_stored" -> ((s, dir) =>
+      TextOps.bpePairCountsStored(s, mergedVocabPath(s, dir), 30)),
+
     // per-source KL(source ‖ corpus) over unigram distributions — the
     // drifted-source dashboard number; 6-dp terms DECIMAL-summed
     "source_kl" -> ((s, dir) =>
@@ -1854,6 +1860,7 @@ object SparkEntry {
     "ann_ivfpq_stored_topk" -> oracleSqlBase("ann_ivfpq_topk"),
     "vocab_merged_topk" -> oracleSqlBase("vocab_topk"),
     "lm_score_stored" -> oracleSqlBase("lm_score"),
+    "bpe_pairs_stored" -> oracleSqlBase("bpe_pair_counts"),
 
     "lm_bigram_score" ->
       s"""WITH $wordsSql,

@@ -167,6 +167,26 @@ object TextOps {
       .orderBy(col("cnt").desc, col("pair"))
       .limit(topK)
 
+  /** [[bpePairCounts]] over the STORED vocabulary view — the production
+    * shape of the BPE merge loop: training reads the materialized
+    * word counts (maintained incrementally by the absorb/retract
+    * stream), so every merge iteration at 100 TB is O(view) with NO
+    * corpus access at all. Bit-identical to the inline step when the
+    * view covers the corpus (the vocab view's distributivity); the
+    * negative-net guard is the view read's, via the same re-sum. */
+  def bpePairCountsStored(spark: org.apache.spark.sql.SparkSession,
+                          path: String, topK: Int = 30): DataFrame = {
+    val vocab = spark.read
+      .parquet(graft.engine.Compaction.resolve(s"$path/counts"))
+      .groupBy("word").agg(sum("tf").as("tf"))
+      .withColumn("_ok", when(col("tf") >= 0L, lit(true))
+        .otherwise(raise_error(concat(
+          lit("vocab view: word '"), col("word"),
+          lit("' netted negative counts — retraction without a matching absorb")))))
+      .filter(col("_ok") && col("tf") > 0L).drop("_ok")
+    bpePairCountsOf(vocab, topK)
+  }
+
   /** BPE tokenizer training, step 2: APPLY the argmax merge of
     * [[bpePairCounts]] and recount — one real iteration of the merge
     * loop, so composing this op k times trains a k-rule BPE vocabulary.

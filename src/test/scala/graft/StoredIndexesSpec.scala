@@ -304,6 +304,22 @@ class StoredIndexesSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("netted negative"))
   }
 
+  test("stored-view BPE pairs equal inline, and track retraction") {
+    val docs = Tables.documents(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("vocab_bpe").toString
+    TextOps.buildVocabIndex(docs.filter($"doc_id" % 2 === 0L), path)
+    TextOps.mergeVocabIndex(docs.filter($"doc_id" % 2 === 1L), path)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(pairs(TextOps.bpePairCountsStored(spark, path, 30))
+      === pairs(TextOps.bpePairCounts(docs, 30)))
+    // retract half the corpus: the view-backed counts follow, with no
+    // corpus re-scan on the training side
+    TextOps.retractVocabIndex(docs.filter($"doc_id" % 2 === 1L), path)
+    assert(pairs(TextOps.bpePairCountsStored(spark, path, 30))
+      === pairs(TextOps.bpePairCounts(docs.filter($"doc_id" % 2 === 0L), 30)))
+  }
+
   test("semdedup screen: threshold arms and best-match agree with a cell replay") {
     val emb = Tables.embeddings(spark, sfDir)
     val path = java.nio.file.Files.createTempDirectory("ivf_screen").toString
