@@ -1120,6 +1120,43 @@ class OpsSpec extends AnyFunSuite {
       s"stored-index scan under a shuffle Exchange:\n$shuffledIndexScans")
   }
 
+  test("semdedup screen plan never shuffles the stored IVF index") {
+    import java.nio.file.Files
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = Files.createTempDirectory("ivf_screen_plan").toString
+    SimilarityOps.buildIvfIndex(emb.filter($"vec_id" % 4 < 3), path, 8, 2)
+    val plan = SimilarityOps.semDedupScreen(spark, path,
+        emb.filter($"vec_id" % 4 === 3), 0.35)
+      .queryExecution.executedPlan
+    // the scale contract: stored cell assignments are scanned via the
+    // broadcast probed-cell join, never moved through an Exchange
+    val shuffledIndexScans = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.collectLeaves().filter(_.toString.contains(s"$path/assignments"))
+    }.flatten
+    assert(shuffledIndexScans.isEmpty,
+      s"stored-index scan under a shuffle Exchange:\n$shuffledIndexScans")
+  }
+
+  test("BPE pair explosion runs over the vocabulary, never the corpus") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate}
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    // the scale claim: the PAIR Generate must sit ABOVE the word-level
+    // aggregate — its input is the distinct-word vocab (word, tf),
+    // which appears either as a bare Aggregate or as the cached
+    // InMemoryRelation bpeVocab registers
+    for (df <- Seq(TextOps.bpePairCounts(docs, 30),
+        TextOps.bpeMergeStep(docs, 30))) {
+      val gens = df.queryExecution.optimizedPlan.collect { case g: Generate => g }
+      assert(gens.exists(g =>
+        g.child.output.exists(_.name == "tf") &&
+          (g.child.collectFirst { case a: Aggregate => a }.isDefined ||
+            g.child.collectLeaves().exists(_.isInstanceOf[InMemoryRelation]))),
+        "no pair Generate found above the vocab aggregate — the " +
+          "explosion would re-scan the corpus")
+    }
+  }
+
   test("BM25 merge appends postings only and matches a full-corpus build") {
     import java.nio.file.{Files, Paths}
     val path = Files.createTempDirectory("bm25_merge").toString
