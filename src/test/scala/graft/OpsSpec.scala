@@ -1157,6 +1157,31 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("round-14 ops are invariant under input repartitioning") {
+    // the distributed-correctness property: a different physical layout
+    // of the same rows (different partition count, different row order
+    // within partitions) must not change any answer — catches hidden
+    // partition-order dependence (float-sum ordering, first()-style
+    // picks) that local[32] with one layout would never surface
+    val shuffled = docs.repartition(7)
+    val embShuffled = Tables.embeddings(spark, sfDir).repartition(5)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(TextOps.lmScore(shuffled)) === rows(TextOps.lmScore(docs)))
+    assert(rows(TextOps.lmBigramScore(shuffled))
+      === rows(TextOps.lmBigramScore(docs)))
+    assert(rows(TextOps.sourceKl(shuffled)) === rows(TextOps.sourceKl(docs)))
+    assert(rows(TextOps.bpePairCounts(shuffled, 30))
+      === rows(TextOps.bpePairCounts(docs, 30)))
+    assert(rows(TextOps.bpeMergeStep(shuffled, 30))
+      === rows(TextOps.bpeMergeStep(docs, 30)))
+    assert(rows(graft.ops.Curation.qualityDupCalibration(shuffled))
+      === rows(graft.ops.Curation.qualityDupCalibration(docs)))
+    val emb = Tables.embeddings(spark, sfDir)
+    assert(rows(SimilarityOps.semDedup(embShuffled, 8, 2, 0.35))
+      === rows(SimilarityOps.semDedup(emb, 8, 2, 0.35)))
+  }
+
   test("BM25 merge appends postings only and matches a full-corpus build") {
     import java.nio.file.{Files, Paths}
     val path = Files.createTempDirectory("bm25_merge").toString
