@@ -926,6 +926,12 @@ object SparkEntry {
     "bpe_pairs_stored" -> ((s, dir) =>
       TextOps.bpePairCountsStored(s, mergedVocabPath(s, dir), 30)),
 
+    // full BPE training: 3 iterations of argmax + greedy merge — the
+    // learned rule table; one bounded 1-row collect steers each
+    // vocab-sized distributed pass (kmeansCentroids control-flow shape)
+    "bpe_train" -> ((s, dir) =>
+      TextOps.bpeTrain(Tables.documents(s, dir), 3).orderBy("rule_no")),
+
     // per-source KL(source ‖ corpus) over unigram distributions — the
     // drifted-source dashboard number; 6-dp terms DECIMAL-summed
     "source_kl" -> ((s, dir) =>
@@ -1861,6 +1867,36 @@ object SparkEntry {
     "vocab_merged_topk" -> oracleSqlBase("vocab_topk"),
     "lm_score_stored" -> oracleSqlBase("lm_score"),
     "bpe_pairs_stored" -> oracleSqlBase("bpe_pair_counts"),
+
+    // unrolled replay of TextOps.bpeTrain's 3-iteration loop — same
+    // CTE-chain posture as the k-means oracles; symbols are lists, so
+    // the fold wraps elements and pairs are (a, b) columns
+    "bpe_train" -> {
+      def iter(r: Int): String = {
+        val prev = s"v${r - 1}"
+        s"""c$r AS (SELECT syms[i] AS a, syms[i + 1] AS b, sum(tf) AS cnt
+           |        FROM $prev, LATERAL unnest(range(1, len(syms))) AS tc$r(i)
+           |        WHERE len(syms) >= 2 GROUP BY a, b),
+           |r$r AS (SELECT $r AS rule_no, a, b, cnt FROM c$r
+           |        ORDER BY cnt DESC, a, b LIMIT 1),
+           |v$r AS (SELECT tf, list_reduce(list_transform(syms, s -> [s]),
+           |          (acc, x) -> CASE WHEN acc[-1] = a AND x[1] = b
+           |                           THEN list_append(acc[:-2], acc[-1] || x[1])
+           |                           ELSE list_append(acc, x[1]) END) AS syms
+           |        FROM $prev, r$r)""".stripMargin
+      }
+      s"""WITH $wordsSql,
+         |tok AS (SELECT unnest(w) AS word FROM words),
+         |vocab AS (SELECT word, count(*) AS tf FROM tok
+         |          WHERE word <> '' GROUP BY word),
+         |v0 AS (SELECT [substr(word, i, 1) for i in range(1, length(word) + 1)] AS syms, tf
+         |       FROM vocab),
+         |${(1 to 3).map(iter).mkString(",\n")}
+         |SELECT CAST(rule_no AS BIGINT) AS rule_no, a AS p1, b AS p2,
+         |       CAST(cnt AS BIGINT) AS cnt
+         |FROM (${(1 to 3).map(r => s"SELECT * FROM r$r").mkString(" UNION ALL ")})
+         |ORDER BY rule_no""".stripMargin
+    },
 
     "lm_bigram_score" ->
       s"""WITH $wordsSql,

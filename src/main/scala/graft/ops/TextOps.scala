@@ -256,6 +256,61 @@ object TextOps {
         sum(col("term")).cast("double").as("kl"))
   }
 
+  /** BPE tokenizer TRAINING — the full merge loop: `rules` iterations of
+    * (count adjacent symbol pairs over the vocabulary → take the argmax
+    * → apply the merge greedily left-to-right), returning the learned
+    * rule table (rule_no, p1, p2, cnt) — the artifact a tokenizer ships.
+    * Symbols start as characters and grow by concatenation, so later
+    * rules merge multi-char symbols (pairs are (a, b) columns, not
+    * substrings). The argmax tie-breaks (cnt desc, a, b) — total order,
+    * engine-portable. Control flow is the [[SimilarityOps.kmeansCentroids]]
+    * shape: per iteration ONE bounded driver collect (the 1-row argmax)
+    * steers the next distributed pass; everything data-sized stays in
+    * DataFrames, and every pass after the shared word-count shuffle is
+    * vocab-sized. The oracle unrolls the identical loop as a CTE chain,
+    * like the k-means replays. Stops early if no pair remains. */
+  def bpeTrain(docs: DataFrame, rules: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mergeFold = expr(
+      """aggregate(
+        |  slice(syms, 2, size(syms) - 1),
+        |  array(element_at(syms, 1)),
+        |  (acc, x) -> IF(element_at(acc, -1) = p1 AND x = p2,
+        |    concat(slice(acc, 1, size(acc) - 1),
+        |           array(concat(element_at(acc, -1), x))),
+        |    concat(acc, array(x))))""".stripMargin)
+    var syms = Caches.ensureCached(bpeVocab(docs).select(
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        .as("syms"),
+      col("tf")))
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rules && !exhausted) {
+      val top = syms.filter(size(col("syms")) >= 2)
+        .select(col("tf"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> struct(element_at(syms, i) AS a,
+            |              element_at(syms, i + 1) AS b))""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("tf").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (pa, pb, cnt) =
+          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        learned += ((r.toLong, pa, pb, cnt))
+        syms = Caches.ensureCached(
+          syms.crossJoin(broadcast(Seq((pa, pb)).toDF("p1", "p2")))
+            .select(mergeFold.as("syms"), col("tf")))
+        r += 1
+      }
+    }
+    learned.toSeq.toDF("rule_no", "p1", "p2", "cnt")
+  }
+
   /** Per-word partial counts of one corpus subset — the unit the stored
     * vocabulary view appends per merge. */
   private def vocabPartials(docs: DataFrame): DataFrame =

@@ -1397,6 +1397,27 @@ class OpsSpec extends AnyFunSuite {
     assert(after.exists(_.split(" ").contains(top1)))
   }
 
+  test("BPE training learns the hand-derived rule sequence") {
+    // corpus "aaab aa": r1 = (a,a) cnt 3; after merging, pairs (aa,a)
+    // and (a,b) tie at 1 → lexicographic tie-break picks (a,b); after
+    // that merge, only (aa,ab) remains — later rules merge MULTI-char
+    // symbols, which substring-pair formulations cannot express
+    val tiny = Seq((0L, "aaab aa")).toDF("doc_id", "text")
+    val got = TextOps.bpeTrain(tiny, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(got === Seq((1L, "a", "a", 3L), (2L, "a", "b", 1L),
+      (3L, "aa", "ab", 1L)))
+    // early exhaustion: a corpus with nothing left to merge stops short
+    val one = Seq((0L, "x y")).toDF("doc_id", "text")
+    assert(TextOps.bpeTrain(one, 5).count() === 0L)
+    // rule 1 always equals the step-1 argmax on the real corpus
+    val r1 = TextOps.bpeTrain(docs, 1).collect().head
+    val top1 = TextOps.bpePairCounts(docs, 1).collect().head
+    assert(r1.getString(1) + r1.getString(2) === top1.getString(0))
+    assert(r1.getLong(3) === top1.getLong(1))
+  }
+
   test("source KL: zero on itself, ln 2 on a disjoint half-half mixture") {
     // one source == the corpus → every term ln(1) = 0
     val one = Seq((0L, "x y z", "s1"), (1L, "x y", "s1"))
