@@ -932,6 +932,12 @@ object SparkEntry {
     "bpe_train" -> ((s, dir) =>
       TextOps.bpeTrain(Tables.documents(s, dir), 3).orderBy("rule_no")),
 
+    // the apply side: encode every doc with the learned rules — distinct
+    // words fold once (vocab-sized), docs get tf-weighted counts; the
+    // words/BPE-tokens ratio is the tokenizer-compression metric
+    "bpe_encode_stats" -> ((s, dir) =>
+      TextOps.bpeEncodeStats(Tables.documents(s, dir), 3).orderBy("doc_id")),
+
     // per-source KL(source ‖ corpus) over unigram distributions — the
     // drifted-source dashboard number; 6-dp terms DECIMAL-summed
     "source_kl" -> ((s, dir) =>
@@ -1596,6 +1602,38 @@ object SparkEntry {
   private def dSql(a: String, b: String) =
     s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, el) -> acc + el)"
 
+  /** The BPE training CTE chain shared by the `bpe_train` and
+    * `bpe_encode_stats` oracles: vocab word counts, char symbol arrays
+    * (`v0`), then per rule r: pair counts `c$r`, argmax `r$r`
+    * (cnt desc, a, b — the engine's tie-break), merged symbols `v$r`
+    * via the list-wrapped fold. `keepWord` threads the word column
+    * through the folds for the encode join. Assumes the corpus yields
+    * at least `rules` merges (the trainer itself early-stops; a corpus
+    * that exhausts sooner would need the shorter unroll). */
+  private def bpeChainSql(rules: Int, keepWord: Boolean): String = {
+    val wcol = if (keepWord) "word, " else ""
+    def iter(r: Int): String = {
+      val prev = s"v${r - 1}"
+      s"""c$r AS (SELECT syms[i] AS a, syms[i + 1] AS b, sum(tf) AS cnt
+         |        FROM $prev, LATERAL unnest(range(1, len(syms))) AS tc$r(i)
+         |        WHERE len(syms) >= 2 GROUP BY a, b),
+         |r$r AS (SELECT $r AS rule_no, a, b, cnt FROM c$r
+         |        ORDER BY cnt DESC, a, b LIMIT 1),
+         |v$r AS (SELECT ${wcol}tf, list_reduce(list_transform(syms, s -> [s]),
+         |          (acc, x) -> CASE WHEN acc[-1] = a AND x[1] = b
+         |                           THEN list_append(acc[:-2], acc[-1] || x[1])
+         |                           ELSE list_append(acc, x[1]) END) AS syms
+         |        FROM $prev, r$r)""".stripMargin
+    }
+    s"""$wordsSql,
+       |tok AS (SELECT doc_id, unnest(w) AS word FROM words),
+       |vocab AS (SELECT word, count(*) AS tf FROM tok
+       |          WHERE word <> '' GROUP BY word),
+       |v0 AS (SELECT $wcol[substr(word, i, 1) for i in range(1, length(word) + 1)] AS syms, tf
+       |       FROM vocab),
+       |${(1 to rules).map(iter).mkString(",\n")}""".stripMargin
+  }
+
   /** The k-means training + final-assignment CTE chain shared by every
     * IVF oracle: replays [[SimilarityOps.kmeansCentroids]] exactly
     * (first-8 seed, `iters` Lloyd rounds, DECIMAL mean accumulation) and
@@ -1871,32 +1909,24 @@ object SparkEntry {
     // unrolled replay of TextOps.bpeTrain's 3-iteration loop — same
     // CTE-chain posture as the k-means oracles; symbols are lists, so
     // the fold wraps elements and pairs are (a, b) columns
-    "bpe_train" -> {
-      def iter(r: Int): String = {
-        val prev = s"v${r - 1}"
-        s"""c$r AS (SELECT syms[i] AS a, syms[i + 1] AS b, sum(tf) AS cnt
-           |        FROM $prev, LATERAL unnest(range(1, len(syms))) AS tc$r(i)
-           |        WHERE len(syms) >= 2 GROUP BY a, b),
-           |r$r AS (SELECT $r AS rule_no, a, b, cnt FROM c$r
-           |        ORDER BY cnt DESC, a, b LIMIT 1),
-           |v$r AS (SELECT tf, list_reduce(list_transform(syms, s -> [s]),
-           |          (acc, x) -> CASE WHEN acc[-1] = a AND x[1] = b
-           |                           THEN list_append(acc[:-2], acc[-1] || x[1])
-           |                           ELSE list_append(acc, x[1]) END) AS syms
-           |        FROM $prev, r$r)""".stripMargin
-      }
-      s"""WITH $wordsSql,
-         |tok AS (SELECT unnest(w) AS word FROM words),
-         |vocab AS (SELECT word, count(*) AS tf FROM tok
-         |          WHERE word <> '' GROUP BY word),
-         |v0 AS (SELECT [substr(word, i, 1) for i in range(1, length(word) + 1)] AS syms, tf
-         |       FROM vocab),
-         |${(1 to 3).map(iter).mkString(",\n")}
+    "bpe_train" ->
+      s"""WITH ${bpeChainSql(3, keepWord = false)}
          |SELECT CAST(rule_no AS BIGINT) AS rule_no, a AS p1, b AS p2,
          |       CAST(cnt AS BIGINT) AS cnt
          |FROM (${(1 to 3).map(r => s"SELECT * FROM r$r").mkString(" UNION ALL ")})
-         |ORDER BY rule_no""".stripMargin
-    },
+         |ORDER BY rule_no""".stripMargin,
+
+    // encode replay: the same chain keeps `word` through the folds so
+    // the final symbol counts join back to per-doc term frequencies
+    "bpe_encode_stats" ->
+      s"""WITH ${bpeChainSql(3, keepWord = true)},
+         |dc AS (SELECT doc_id, word, count(*) AS tf FROM tok
+         |       WHERE word <> '' GROUP BY doc_id, word),
+         |enc AS (SELECT word, len(syms) AS n_sym FROM v3)
+         |SELECT dc.doc_id, CAST(sum(dc.tf) AS BIGINT) AS n_words,
+         |       CAST(sum(dc.tf * n_sym) AS BIGINT) AS n_bpe_tokens
+         |FROM dc JOIN enc USING (word)
+         |GROUP BY dc.doc_id ORDER BY doc_id""".stripMargin,
 
     "lm_bigram_score" ->
       s"""WITH $wordsSql,

@@ -311,6 +311,43 @@ object TextOps {
     learned.toSeq.toDF("rule_no", "p1", "p2", "cnt")
   }
 
+  /** ENCODE with the trained rules — the apply side of [[bpeTrain]],
+    * closing the tokenizer loop (train → encode): each distinct word is
+    * segmented by replaying the k merge rules in order (one fold
+    * projection per rule — separate projections, so Catalyst keeps the
+    * intermediate symbol arrays instead of inlining a 3^k expression
+    * blowup, the same CollapseProject behavior [[DedupOps.shingleArrays]]
+    * documents), then per-doc token counts come from the tf-weighted
+    * join — the corpus is never re-folded per document. The
+    * words-per-BPE-token ratio this yields is the standard
+    * tokenizer-compression quality metric. */
+  def bpeEncodeStats(docs: DataFrame, rules: Int = 3): DataFrame = {
+    val ruleTab = bpeTrain(docs, rules).orderBy("rule_no").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    var enc = bpeVocab(docs).select(col("word"), expr(
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+      .as("syms"))
+    for ((p1, p2) <- ruleTab) {
+      // normWords output is [a-z0-9]+ so the literals embed safely
+      enc = enc.withColumn("syms", expr(
+        s"""aggregate(
+           |  slice(syms, 2, size(syms) - 1),
+           |  array(element_at(syms, 1)),
+           |  (acc, x) -> IF(element_at(acc, -1) = '$p1' AND x = '$p2',
+           |    concat(slice(acc, 1, size(acc) - 1),
+           |           array(concat(element_at(acc, -1), x))),
+           |    concat(acc, array(x))))""".stripMargin))
+    }
+    val encSize = enc.select(col("word"), size(col("syms")).cast("long").as("n_sym"))
+    docs.select(col("doc_id"), explode(normWords(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .join(encSize, "word")
+      .groupBy("doc_id")
+      .agg(sum("tf").cast("long").as("n_words"),
+        sum(col("tf") * col("n_sym")).cast("long").as("n_bpe_tokens"))
+  }
+
   /** Per-word partial counts of one corpus subset — the unit the stored
     * vocabulary view appends per merge. */
   private def vocabPartials(docs: DataFrame): DataFrame =

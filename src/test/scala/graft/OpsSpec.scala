@@ -1418,6 +1418,26 @@ class OpsSpec extends AnyFunSuite {
     assert(r1.getLong(3) === top1.getLong(1))
   }
 
+  test("BPE encode applies the learned rules and is bounded by chars and words") {
+    // "aaab aa" trains rules (a,a),(a,b),(aa,ab) — see the trainer test —
+    // under which aaab → [aaab] and aa → [aa]: 2 words, 2 BPE tokens
+    val tiny = Seq((0L, "aaab aa")).toDF("doc_id", "text")
+    val got = TextOps.bpeEncodeStats(tiny, 3).collect().head
+    assert((got.getLong(1), got.getLong(2)) === ((2L, 2L)))
+    // corpus: every doc's BPE token count sits between its word count
+    // (full merges) and its character count (no merges)
+    val stats = TextOps.bpeEncodeStats(docs, 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val chars = docs.select($"doc_id",
+      aggregate(transform(TextOps.normWords($"text"), w => length(w).cast("long")),
+        lit(0L), (a, x) => a + x).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    stats.foreach { case (id, (nw, nb)) =>
+      assert(nw <= nb && nb <= chars(id),
+        s"doc $id: words=$nw bpe=$nb chars=${chars(id)}")
+    }
+  }
+
   test("source KL: zero on itself, ln 2 on a disjoint half-half mixture") {
     // one source == the corpus → every term ln(1) = 0
     val one = Seq((0L, "x y z", "s1"), (1L, "x y", "s1"))
