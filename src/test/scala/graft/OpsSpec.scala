@@ -1418,6 +1418,50 @@ class OpsSpec extends AnyFunSuite {
     assert(r1.getLong(3) === top1.getLong(1))
   }
 
+  test("greedy merge fold equals the sequential reference on random words") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // the fold is the subtle core of the BPE family — check it against
+    // a plain sequential left-to-right merge on pair-dense random words
+    def refMerge(word: String, p1: String, p2: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      word.foreach { ch =>
+        val x = ch.toString
+        if (out.nonEmpty && out.last == p1 && x == p2)
+          out(out.length - 1) = out.last + x
+        else out += x
+      }
+      out.toSeq
+    }
+    val wordGen = for {
+      n <- Gen.choose(1, 12)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b'))
+    } yield cs.mkString
+    val cases = (0 until 120).flatMap { i =>
+      wordGen.apply(Gen.Parameters.default, Seed(i.toLong))
+    } ++ Seq("a", "aa", "aaa", "aaaa", "abab", "aabb", "baaa")
+    for ((p1, p2) <- Seq(("a", "a"), ("a", "b"), ("b", "a"))) {
+      val df = cases.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("id", "word")
+        .crossJoin(Seq((p1, p2)).toDF("p1", "p2"))
+        .select(col("id"), col("word"), expr(
+          """aggregate(
+            |  slice(transform(sequence(1, length(word)), i -> substring(word, i, 1)),
+            |        2, length(word) - 1),
+            |  array(substring(word, 1, 1)),
+            |  (acc, x) -> IF(element_at(acc, -1) = p1 AND x = p2,
+            |    concat(slice(acc, 1, size(acc) - 1),
+            |           array(concat(element_at(acc, -1), x))),
+            |    concat(acc, array(x))))""".stripMargin).as("syms"))
+      val got = df.collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](2).toSeq).toMap
+      cases.zipWithIndex.foreach { case (w, i) =>
+        assert(got(i.toLong) === refMerge(w, p1, p2),
+          s"word=$w pair=($p1,$p2)")
+      }
+    }
+  }
+
   test("BPE encode applies the learned rules and is bounded by chars and words") {
     // "aaab aa" trains rules (a,a),(a,b),(aa,ab) — see the trainer test —
     // under which aaab → [aaab] and aa → [aa]: 2 words, 2 BPE tokens
