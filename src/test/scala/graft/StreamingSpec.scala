@@ -196,6 +196,21 @@ class StreamingSpec extends AnyFunSuite {
     val replayed = spark.read.schema(schema).json(s"$in/docs_001.json")
     CdcStream.vocabAbsorb(spark, replayed, 1L, view, ckpt)
     assert(top() === full, "replay must be a ledger no-op")
+    // the stored-view READERS compose with the streamed view: LM scores
+    // and BPE pair counts off the streamed-into view equal the inline
+    // ops over everything ever absorbed
+    val lmStored = TextOps.lmScoreStored(spark, allDocs, view)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    val lmInline = TextOps.lmScore(allDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(lmStored === lmInline,
+      "stored-view LM over a streamed view must equal inline")
+    val bpeStored = TextOps.bpePairCountsStored(spark, view, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val bpeInline = TextOps.bpePairCounts(allDocs, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(bpeStored === bpeInline,
+      "stored-view BPE counts over a streamed view must equal inline")
   }
 
   test("vocab view retraction: CDC DELETE nets counts out, replays no-op, " +
