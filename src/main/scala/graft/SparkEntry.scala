@@ -503,6 +503,13 @@ object SparkEntry {
     "text_winnow" -> ((s, dir) =>
       TextOps.winnowFingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // boilerplate span removal: chunks shared by >1 doc are cut and the
+    // survivors reassemble in order — the dedup family's one content
+    // TRANSFORMATION (everything else flags or drops whole docs)
+    "text_strip_boilerplate" -> ((s, dir) =>
+      TextOps.stripBoilerplate(Tables.documents(s, dir), 20, 1L)
+        .orderBy("doc_id")),
+
     // PII scrub pass: typed counts + placeholder redaction, a pure
     // map-side projection (the dialect-portable regex subset — see
     // TextOps.redactPii; planted-PII semantics are OpsSpec-verified,
@@ -2280,6 +2287,20 @@ object SparkEntry {
          |       FROM words)
          |SELECT fingerprint, min(doc_id) AS doc_id, count(*) AS group_size
          |FROM fp GROUP BY fingerprint ORDER BY doc_id""".stripMargin,
+
+    "text_strip_boilerplate" ->
+      s"""WITH $wordsSql,
+         |ch AS (SELECT doc_id, i,
+         |              array_to_string(w[((i - 1) * 20 + 1):(i * 20)], ' ') AS txt
+         |       FROM words,
+         |            LATERAL unnest(range(1, CAST(ceil(len(w) / 20.0) AS BIGINT) + 1)) AS t(i)),
+         |cdf AS (SELECT md5(txt) AS h, count(DISTINCT doc_id) AS d
+         |        FROM ch GROUP BY md5(txt))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(sum(CASE WHEN d <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       coalesce(string_agg(CASE WHEN d <= 1 THEN txt END, ' ' ORDER BY i), '') AS clean_text
+         |FROM ch JOIN cdf ON md5(ch.txt) = cdf.h
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH $wordsSql,

@@ -513,6 +513,40 @@ object TextOps {
           .as("avg_logp"))
   }
 
+  /** Boilerplate span REMOVAL — the CCNet-style paragraph-hash dedup as
+    * a content transformation (the rest of the dedup family flags or
+    * drops whole documents; this rewrites them): fixed-width word chunks
+    * whose exact content appears in more than `maxDf` documents are cut,
+    * and the survivors reassemble in order into `clean_text`. Shape:
+    * chunk explode → one df hash-agg keyed on the chunk md5 (the text
+    * itself never shuffles for counting) → per-doc ordered reassembly
+    * via sort_array over (idx, txt) structs — collect_list drops the
+    * nulled-out cut chunks, and the idx sort makes the rebuilt text
+    * deterministic under any partitioning. Linear; the df join is the
+    * familiar hot-key AQE class. */
+  def stripBoilerplate(docs: DataFrame, chunkWords: Int = 20,
+                       maxDf: Long = 1L): DataFrame = {
+    val cw = chunkWords
+    // words materialized before the chunk transform (the shingleArrays
+    // CollapseProject discipline)
+    val words = docs.select(col("doc_id"), normWords(col("text")).as("w"))
+    val chunks = words.select(col("doc_id"), posexplode(expr(
+      s"""transform(sequence(1, cast(ceil(size(w) / ${cw}.0) as int)),
+         |  i -> concat_ws(' ', slice(w, (i - 1) * $cw + 1, $cw)))"""
+        .stripMargin)).as(Seq("idx", "txt")))
+      .withColumn("h", md5(col("txt")))
+    val cdf = chunks.groupBy("h").agg(countDistinct("doc_id").as("d"))
+    chunks.join(cdf, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("d") <= maxDf, 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", expr(
+          s"""transform(
+             |  array_sort(collect_list(
+             |    CASE WHEN d <= $maxDf THEN struct(idx, txt) END)),
+             |  s -> s.txt)""".stripMargin)).as("clean_text"))
+  }
+
   /** Tokenizer-coverage (OOV) report: the fraction of corpus tokens that
     * fall OUTSIDE the top-K vocabulary, per stratum — the go/no-go
     * metric for shipping a fixed vocabulary over a multilingual corpus

@@ -1418,6 +1418,29 @@ class OpsSpec extends AnyFunSuite {
     assert(r1.getLong(3) === top1.getLong(1))
   }
 
+  test("boilerplate strip cuts shared chunks and preserves order") {
+    val tiny = Seq(
+      (0L, "a b c d"),
+      (1L, "a b x y"),
+      (2L, "u v a b w z")).toDF("doc_id", "text")
+    val got = TextOps.stripBoilerplate(tiny, chunkWords = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // "a b" appears in all three docs → cut everywhere; survivors keep
+    // their original order (middle cut in doc 2)
+    assert(got(0L) === ((2L, 1L, "c d")))
+    assert(got(1L) === ((2L, 1L, "x y")))
+    assert(got(2L) === ((3L, 2L, "u v w z")))
+    // a permissive df cap keeps everything, text round-trips
+    val all = TextOps.stripBoilerplate(tiny, chunkWords = 2, maxDf = 3L)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(all === Map(0L -> "a b c d", 1L -> "a b x y", 2L -> "u v a b w z"))
+    // corpus: kept ≤ total, and a fully-unique doc round-trips its words
+    val stats = TextOps.stripBoilerplate(docs).collect()
+    assert(stats.length === docs.count())
+    stats.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
   test("greedy merge fold equals the sequential reference on random words") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
