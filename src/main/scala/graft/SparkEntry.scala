@@ -893,6 +893,12 @@ object SparkEntry {
       TextOps.vocabTopK(Tables.documents(s, dir), 100)
         .orderBy(col("tf").desc, col("word"))),
 
+    // frequent-words sketch (bounded-state top-k): exact top-20 rows
+    // with a tolerance boolean on the sketch's count — the mergeable
+    // path when vocabulary-sized exact state doesn't fit
+    "vocab_approx_topk" -> ((s, dir) =>
+      TextOps.vocabApproxTopK(Tables.documents(s, dir), 20)),
+
     // incremental materialized word-count view: per-batch partials
     // appended O(|batch vocab|), re-summed at read — counts over the
     // disjoint build+merge union equal the full corpus, so it shares
@@ -3059,6 +3065,17 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS df
          |FROM perdoc GROUP BY word
          |ORDER BY tf DESC, word LIMIT 100""".stripMargin,
+
+    // the sketch side is engine-local (the oracle cannot replay a
+    // Spark SketchEstimator); rows are the exact top-20 and the
+    // tolerance boolean must come back true for every one of them
+    "vocab_approx_topk" ->
+      s"""WITH $wordsSql,
+         |tok AS (SELECT unnest(w) AS word FROM words),
+         |perdoc AS (SELECT word, count(*) AS tf FROM tok
+         |           WHERE word <> '' GROUP BY word)
+         |SELECT word, CAST(tf AS BIGINT) AS tf, true AS sketch_ok
+         |FROM perdoc ORDER BY tf DESC, word LIMIT 20""".stripMargin,
 
     "lm_score" ->
       s"""WITH $wordsSql,

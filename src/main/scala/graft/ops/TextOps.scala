@@ -80,6 +80,31 @@ object TextOps {
           .cast("long").as("n_tokens"))
   }
 
+  /** Frequent-words SKETCH check — the bounded-state path for the vocab
+    * top-k, completing the engine's mergeable-sketch family (HLL for
+    * distinct counts, approx_percentile for quantiles, approx_top_k for
+    * frequent items): at 100 TB the exact word-count state is
+    * vocabulary-sized, while the sketch is O(maxTracked) per partition
+    * and merges associatively. Verified the approx_distinct_users way —
+    * deterministic rows are the EXACT top-k, and `sketch_ok` reports
+    * whether the sketch's count for each lands within `tolerance` (the
+    * oracle emits literal true, so a drifting sketch hash-fails). */
+  def vocabApproxTopK(docs: DataFrame, k: Int = 20,
+                      tolerance: Double = 0.02,
+                      maxTracked: Int = 100000): DataFrame = {
+    val words = docs.select(explode(normWords(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+    val sk = words.agg(expr(s"approx_top_k(word, $k, $maxTracked)").as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item").as("word"), col("e.count").as("approx_tf"))
+    vocabTopK(docs, k).select("word", "tf")
+      .join(sk, Seq("word"), "left")
+      .select(col("word"), col("tf"),
+        (abs(coalesce(col("approx_tf"), lit(0L)) - col("tf")).cast("double")
+          / col("tf") <= tolerance).as("sketch_ok"))
+      .orderBy(col("tf").desc, col("word"))
+  }
+
   /** Corpus vocabulary extraction (tokenizer-training prep): every
     * normalized word with its total term frequency and document
     * frequency, top-K by frequency. Two shuffles, both with map-side

@@ -1418,6 +1418,25 @@ class OpsSpec extends AnyFunSuite {
     assert(r1.getLong(3) === top1.getLong(1))
   }
 
+  test("frequent-words sketch agrees with exact counts within tolerance") {
+    val rows = TextOps.vocabApproxTopK(docs, 20).collect()
+    assert(rows.length === 20)
+    // the sketch must validate on every exact-top-k row, and the rows
+    // themselves are the exact top-k in (tf desc, word) order
+    assert(rows.forall(_.getBoolean(2)), "sketch count drifted past tolerance")
+    val exact = TextOps.vocabTopK(docs, 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq === exact)
+    // an under-provisioned sketch must FAIL the check, not silently
+    // return plausible counts — 20 tracked slots over a thousands-word
+    // vocabulary cannot report exact-ish counts for all of the top 20
+    // (Spark rejects maxItemsTracked < k outright, which is the other
+    // half of the guard)
+    val tight = TextOps.vocabApproxTopK(docs, 20, maxTracked = 20).collect()
+    assert(tight.exists(!_.getBoolean(2)),
+      "a 20-slot sketch validating all 20 counts means the check is vacuous")
+  }
+
   test("boilerplate strip cuts shared chunks and preserves order") {
     val tiny = Seq(
       (0L, "a b c d"),
