@@ -190,6 +190,12 @@ object SparkEntry {
     "event_type_stats" -> ((s, dir) =>
       Stats.recentTypeStats(ev(s, dir), 7).orderBy("event_type")),
 
+    // join-key skew diagnosis: the 10 heaviest user_ids with share and
+    // skew factor vs the mean key — the pre-shuffle audit that decides
+    // salting / broadcast / AQE skew-join before a 100 TB join
+    "skew_report" -> ((s, dir) =>
+      Stats.skewReport(ev(s, dir), "user_id", 10)),
+
     // ── U1: union of labeled counts ───────────────────────────────────
     "union_counts" -> ((s, dir) => {
       val d = dimOf(ev(s, dir))
@@ -509,6 +515,13 @@ object SparkEntry {
     "text_strip_boilerplate" -> ((s, dir) =>
       TextOps.stripBoilerplate(Tables.documents(s, dir), 20, 1L)
         .orderBy("doc_id")),
+
+    // memorization-hotspot audit: the 5-grams shared verbatim across the
+    // most documents (license headers / templated boilerplate — the
+    // sequences a model memorizes first); one partial-agg shingle
+    // shuffle + a top-k heap
+    "ngram_hotspots" -> ((s, dir) =>
+      TextOps.ngramHotspots(Tables.documents(s, dir), P.ShingleN, 2L, 20)),
 
     // PII scrub pass: typed counts + placeholder redaction, a pure
     // map-side projection (the dialect-portable regex subset — see
@@ -871,6 +884,17 @@ object SparkEntry {
     "sample_stratified" -> ((s, dir) =>
       SamplingOps.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id", 20)
         .select("doc_id", "lang").orderBy("lang", "doc_id")),
+
+    // fixed-budget proportional allocation: exactly 200 docs split across
+    // languages by largest-remainder quotas — driver-side exact integer
+    // math (bounded control-plane counts) steering a two-phase salted
+    // per-stratum selection
+    "sample_proportional" -> ((s, dir) =>
+      SamplingOps.proportionalSample(
+        Tables.documents(s, dir).select("doc_id", "lang"),
+        "lang", "doc_id", 200)
+        .select("doc_id", "lang", "samp_rank")
+        .orderBy("lang", "samp_rank")),
 
     "token_buckets" -> ((s, dir) =>
       SamplingOps.tokenBuckets(Tables.documents(s, dir), 10).orderBy("bucket")),
@@ -2229,6 +2253,14 @@ object SparkEntry {
          |       md5(array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ',')) AS winnow_sig
          |FROM fp ORDER BY doc_id""".stripMargin,
 
+    "ngram_hotspots" ->
+      s"""WITH $wordsSql,
+         |$shSql
+         |SELECT shingle AS ngram, count(*) AS df,
+         |       CAST(min(doc_id) AS BIGINT) AS example_doc
+         |FROM sh GROUP BY shingle HAVING count(*) >= 2
+         |ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
+
     "text_redact" -> {
       val (emailRe, phoneRe, ipRe) = graft.ops.TextOps.piiPatterns
       s"""SELECT doc_id,
@@ -2865,6 +2897,17 @@ object SparkEntry {
         |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "skew_report" ->
+      """WITH per AS (SELECT user_id, count(*) AS n_rows
+        |             FROM events GROUP BY user_id),
+        |tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t,
+        |               count(*) AS kc FROM per)
+        |SELECT user_id, n_rows,
+        |       CAST(n_rows AS DOUBLE) / t AS share,
+        |       CAST(n_rows AS DOUBLE) * kc / t AS skew_factor
+        |FROM per, tot
+        |ORDER BY n_rows DESC, user_id LIMIT 10""".stripMargin,
+
     "union_counts" ->
       s"""WITH ${dimSql("events")}
          |SELECT * FROM (
@@ -2929,6 +2972,27 @@ object SparkEntry {
          |           ORDER BY ${keyHashSql("doc_id")}, doc_id) AS rn
          |  FROM documents)
          |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+
+    // largest-remainder quotas replayed in pure SQL: the same integer
+    // arithmetic the driver-side BigInt computation performs
+    "sample_proportional" ->
+      s"""WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cnt),
+         |fl AS (SELECT lang, CAST((200 * n) // t AS BIGINT) AS fl,
+         |               CAST((200 * n) % t AS BIGINT) AS rem
+         |        FROM cnt, tot),
+         |bon AS (SELECT CAST(200 - sum(fl) AS BIGINT) AS b FROM fl),
+         |q AS (SELECT lang,
+         |             fl + (CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+         |                             <= b THEN 1 ELSE 0 END) AS quota
+         |      FROM fl, bon),
+         |r AS (SELECT doc_id, lang,
+         |             CAST(row_number() OVER (PARTITION BY lang
+         |               ORDER BY ${keyHashSql("doc_id")}, doc_id) AS BIGINT) AS samp_rank
+         |      FROM documents)
+         |SELECT doc_id, lang, samp_rank
+         |FROM r JOIN q USING (lang) WHERE samp_rank <= quota
+         |ORDER BY lang, samp_rank""".stripMargin,
 
     "token_buckets" ->
       s"""WITH $wordsSql,

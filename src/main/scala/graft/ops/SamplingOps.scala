@@ -92,12 +92,13 @@ object SamplingOps {
 
   /** Fail-loud fallback arm for stratum→weight CASE chains: a stratum
     * absent from the caller's map raises at execution time instead of
-    * folding to NaN/null. Cast to double so when/otherwise coercion
+    * folding to NaN/null. Cast (`tpe`) so when/otherwise coercion
     * types the chain correctly (raise_error itself is NullType). */
-  private def unmappedStratum(op: String, stratum: String): Column =
+  private def unmappedStratum(op: String, stratum: String,
+                              tpe: String = "double"): Column =
     raise_error(concat(
       lit(s"$op: stratum '"), col(stratum).cast("string"),
-      lit(s"' has no configured weight"))).cast("double")
+      lit(s"' has no configured weight"))).cast(tpe)
 
   /** Range-partitioned global-order scaffold — see
     * [[graft.engine.GlobalOrder.attach]] (factored to the engine so the
@@ -256,6 +257,65 @@ object SamplingOps {
     val w2 = Window.partitionBy(col(group)).orderBy(order: _*)
     survivors.withColumn("grp_rank", row_number().over(w2).cast("long"))
       .filter(col("grp_rank") <= n)
+  }
+
+  /** Fixed-budget proportional allocation — "give me exactly `budget`
+    * documents, split across sources in proportion to their size", the
+    * integer-exact companion to the rate-based samplers ([[hashSplit]],
+    * [[temperatureSample]] keep a PERCENTAGE; a training-set builder is
+    * usually handed a COUNT). Per-stratum quotas use the largest-
+    * remainder method: every stratum gets ⌊budget·nₛ/N⌋ and the
+    * `budget − Σ⌊·⌋` strata with the largest remainders (ties by stratum
+    * name) get one extra — quotas sum to `budget` exactly, all integer
+    * arithmetic, so the allocation is bit-reproducible on any engine.
+    * Within a stratum the quota is filled by the lowest (key-hash, key)
+    * rows — the same pseudo-random-but-deterministic subset rule as
+    * [[stratifiedSample]].
+    *
+    * Scale shape: the per-stratum count table is bounded control-plane
+    * data (one row per source/language), so the quota math is a driver-
+    * side exact BigInt computation steering the distributed selection —
+    * the kmeansCentroids control-flow shape. Selection reuses the
+    * [[capPerGroup]] two-phase salted window, so one giant stratum
+    * spreads across `salts` tasks instead of serializing into one.
+    * `budget` must not exceed the row count (quotas beyond a stratum's
+    * population would silently under-fill; we raise instead). */
+  def proportionalSample(df: DataFrame, stratum: String, key: String,
+                         budget: Long, salts: Int = 16): DataFrame = {
+    val counts = df.groupBy(col(stratum))
+      .agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    require(counts.nonEmpty, "proportionalSample: empty input")
+    val total = counts.map(_._2).sum
+    require(budget <= total,
+      s"proportionalSample: budget $budget exceeds corpus size $total")
+    // exact integer allocation: BigInt keeps budget·nₛ exact at any scale
+    // (long·long overflows past ~3·10⁹ docs × 3·10⁹ budget)
+    val floors = counts.map { case (s, n) =>
+      val prod = BigInt(budget) * n
+      (s, (prod / total).toLong, (prod % total).toLong)
+    }
+    val bonus = (budget - floors.map(_._2).sum).toInt
+    val bonusSet = floors.sortBy { case (s, _, r) => (-r, s) }
+      .take(bonus).map(_._1).toSet
+    val quota = floors.map { case (s, f, _) =>
+      (s, f + (if (bonusSet(s)) 1L else 0L)) }
+    // every stratum is mapped by construction (quotas derive from the
+    // same input); the raise_error arm guards a concurrent append
+    // between the count pass and the selection pass
+    val qCol = quota.foldLeft(
+      unmappedStratum("proportionalSample", stratum, "bigint")) {
+      case (acc, (k, v)) => when(col(stratum) === lit(k), lit(v)).otherwise(acc)
+    }
+    val keyed = df.withColumn("_q", qCol)
+    val w1 = Window.partitionBy(col(stratum), pmod(keyHash(key), lit(salts)))
+      .orderBy(keyHash(key), col(key))
+    val survivors = keyed.withColumn("_lr", row_number().over(w1))
+      .filter(col("_lr") <= col("_q")).drop("_lr")
+    val w2 = Window.partitionBy(col(stratum)).orderBy(keyHash(key), col(key))
+    survivors.withColumn("samp_rank", row_number().over(w2).cast("long"))
+      .filter(col("samp_rank") <= col("_q"))
+      .drop("_q")
   }
 
   /** Corpus-mixing report: per-stratum token mass, its share of the

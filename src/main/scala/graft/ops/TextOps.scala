@@ -652,6 +652,25 @@ object TextOps {
   private[graft] def piiPatterns: (String, String, String) =
     (EmailRe, PhoneRe, Ipv4Re)
 
+  /** Memorization-hotspot audit: the top-`k` word `n`-grams by document
+    * frequency — the sequences a model is most likely to memorize are
+    * the ones repeated verbatim across many training documents (license
+    * headers, templated boilerplate, chain letters), and the same table
+    * doubles as the candidate list a boilerplate-stripping pass reviews.
+    * `df` counts distinct documents (shingle sets are per-doc distinct
+    * by construction, [[shingles]]); `example_doc` anchors each hotspot
+    * for inspection. Scale: one partial-aggregated hash shuffle on the
+    * shingle — the same cost class as the vocab/df passes — then a
+    * TakeOrderedAndProject top-k; no joins, no windows. */
+  def ngramHotspots(docs: DataFrame, n: Int, minDf: Long, k: Int): DataFrame =
+    DedupOps.shingleSets(docs, n)
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("example_doc"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("shingle"))
+      .limit(k)
+      .withColumnRenamed("shingle", "ngram")
+
   /** Content fingerprint: md5 of the sorted distinct normalized vocabulary —
     * word-order-insensitive dedup key (catches shuffled near-copies). */
   def fingerprint(docs: DataFrame): DataFrame =

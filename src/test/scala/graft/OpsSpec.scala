@@ -1335,6 +1335,63 @@ class OpsSpec extends AnyFunSuite {
     assert(run(7) === ref)
   }
 
+  test("ngramHotspots surfaces the shared n-gram with its df and example doc") {
+    val tiny = Seq(
+      (0L, "all rights reserved by the author today"),
+      (1L, "notice all rights reserved by the editor"),
+      (2L, "all rights reserved by the publisher"),
+      (3L, "completely unrelated text with different words entirely"))
+      .toDF("doc_id", "text")
+    val hot = TextOps.ngramHotspots(tiny, 5, 2L, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the license-header 5-gram is shared by docs 0,1,2 and tops the list
+    assert(hot.head === (("all rights reserved by the"), 3L, 0L))
+    // every reported hotspot clears the min-df bar; nothing from doc 3
+    assert(hot.forall(_._2 >= 2L))
+    assert(hot.forall(h => !h._1.contains("unrelated")))
+    // df counts DISTINCT docs: a doc repeating the n-gram counts once
+    val rep = Seq(
+      (0L, "x y z w v x y z w v"), // the 5-gram "x y z w v" twice in one doc
+      (1L, "x y z w v")).toDF("doc_id", "text")
+    val r2 = TextOps.ngramHotspots(rep, 5, 2L, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(r2.contains(("x y z w v", 2L)))
+  }
+
+  test("proportionalSample fills the budget exactly with largest-remainder quotas") {
+    val base = Tables.documents(spark, sfDir).select("doc_id", "lang")
+    val out = SamplingOps.proportionalSample(base, "lang", "doc_id", 200)
+    val picked = out.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // exactly the budget, no duplicates
+    assert(picked.size === 200)
+    assert(picked.map(_._1).distinct.size === 200)
+    // per-stratum quota is within 1 of the exact proportional share and
+    // the bonus went to the largest remainders
+    val n = base.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = n.values.sum
+    val got = picked.groupBy(_._2).map { case (l, xs) => l -> xs.size.toLong }
+    n.keys.foreach { l =>
+      val fl = BigInt(200) * n(l) / total
+      assert(got.getOrElse(l, 0L) === fl.toLong ||
+        got.getOrElse(l, 0L) === fl.toLong + 1, s"stratum $l")
+    }
+    // salt count must not change the answer (phase-1 superset proof),
+    // and neither may the input order (hash membership, not row order)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("lang", "samp_rank")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(key(SamplingOps.proportionalSample(base, "lang", "doc_id", 200, salts = 1))
+      === key(out))
+    assert(key(SamplingOps.proportionalSample(
+      base.orderBy(desc("doc_id")), "lang", "doc_id", 200)) === key(out))
+    // an over-budget ask fails loudly instead of silently under-filling
+    val err = intercept[IllegalArgumentException] {
+      SamplingOps.proportionalSample(base, "lang", "doc_id", total + 1)
+    }
+    assert(err.getMessage.contains("exceeds corpus size"))
+  }
+
   test("unigram LM score ranks in-distribution text above rare-token text") {
     val tiny = Seq(
       (0L, "the cat sat on the mat"),
