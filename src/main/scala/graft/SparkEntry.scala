@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.engine.{Caches, Cdc, Scd2, SnapshotStore, Stats, Tables}
+import graft.engine.{Caches, Cdc, Scd2, SnapshotStore, Stats, Tables, ZOrder}
 import graft.ops.{Curation, DedupOps, Multimodal, SamplingOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (★ inventory) and §7.
@@ -195,6 +195,15 @@ object SparkEntry {
     // salting / broadcast / AQE skew-join before a 100 TB join
     "skew_report" -> ((s, dir) =>
       Stats.skewReport(ev(s, dir), "user_id", 10)),
+
+    // z-order layout key: Morton interleave of (user_id, event_id) — the
+    // write-time clustering that keeps file min/max stats tight in BOTH
+    // dimensions (ZOrderSpec measures the box-predicate pruning win vs a
+    // linear sort); exact integer bit math the oracle replays verbatim
+    "zorder_layout" -> ((s, dir) =>
+      ev(s, dir).select(col("event_id"), col("user_id"),
+        ZOrder.zvalue2(col("user_id"), col("event_id")).as("zval"))
+        .orderBy("zval", "event_id")),
 
     // ── U1: union of labeled counts ───────────────────────────────────
     "union_counts" -> ((s, dir) => {
@@ -2896,6 +2905,11 @@ object SparkEntry {
         |FROM events
         |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "zorder_layout" ->
+      s"""SELECT event_id, user_id,
+         |       ${ZOrder.zvalueSql("user_id", "event_id")} AS zval
+         |FROM events ORDER BY zval, event_id""".stripMargin,
 
     "skew_report" ->
       """WITH per AS (SELECT user_id, count(*) AS n_rows

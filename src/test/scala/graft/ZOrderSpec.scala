@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.ZOrder
+
+/** The z-order layout's pruning claim, measured: per-file min/max
+  * statistics (the file-skipping index a lakehouse keeps) admit far
+  * fewer candidate files for 2-D box predicates under a z-value sort
+  * than under a linear sort — in BOTH dimensions at once, which is the
+  * whole point (a linear layout prunes only its leading column). */
+class ZOrderSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("zvalue2 matches a bit-by-bit reference interleave") {
+    def ref(a: Long, b: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 16) {
+        z |= ((a >> i) & 1L) << (2 * i + 1)
+        z |= ((b >> i) & 1L) << (2 * i)
+      }
+      z
+    }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (65536L, 70000L), (0xFFFFFFFFL, 123L))
+    val got = cases.toDF("a", "b")
+      .select(ZOrder.zvalue2($"a", $"b")).as[Long].collect().toSeq
+    assert(got === cases.map { case (a, b) => ref(a & 0xFFFF, b & 0xFFFF) })
+    // monotone block structure: the z-value of a 16-aligned 16×16 block
+    // corner is a prefix all cells of the block share (high bits equal)
+    assert(ref(16, 32) >> 8 === ref(31, 47) >> 8)
+  }
+
+  test("z layout prunes thin boxes in both dims; linear only in its sort dim") {
+    // 256×256 key grid in 64 files of 1024 rows: the linear layout is
+    // range-sorted by (x, y) — each file a thin x-stripe spanning all y;
+    // the z layout's files are contiguous z-ranges ≈ 32×32 rectangles
+    val grid = spark.range(65536).select(
+      (col("id") % 256).as("x"), expr("id div 256").as("y"), col("id"))
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val lin = s"$base/linear"; val zo = s"$base/zorder"
+    grid.repartitionByRange(64, col("x"), col("y"), col("id"))
+      .sortWithinPartitions("x", "y", "id")
+      .write.parquet(lin)
+    ZOrder.clustered(grid, col("x"), col("y"), col("id"), 64)
+      .write.parquet(zo)
+
+    // the file-skipping index: per-file min/max of both dims (one pass
+    // grouped by file, not a job per file)
+    def fileStats(dir: String): Seq[(Long, Long, Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(col("_metadata.file_path"))
+        .agg(min("x"), max("x"), min("y"), max("y"))
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+    def candidates(st: Seq[(Long, Long, Long, Long)],
+                   x0: Long, x1: Long, y0: Long, y1: Long): Int =
+      st.count { case (nx, xx, ny, xy) =>
+        !(xx < x0 || nx > x1 || xy < y0 || ny > y1) }
+
+    val ls = fileStats(lin); val zs = fileStats(zo)
+    assert(ls.size === 64 && zs.size === 64)
+    // thin-in-y box (all x, 4 y values): the x-sorted linear layout
+    // cannot prune AT ALL; z admits only the intersected block rows
+    val linThinY = candidates(ls, 0, 255, 100, 103)
+    val zThinY = candidates(zs, 0, 255, 100, 103)
+    assert(linThinY === 64)
+    assert(zThinY <= 24, s"z thin-y candidates $zThinY")
+    // thin-in-x box: linear prunes well (its sort dim), z stays bounded
+    val linThinX = candidates(ls, 100, 103, 0, 255)
+    val zThinX = candidates(zs, 100, 103, 0, 255)
+    assert(linThinX <= 4)
+    assert(zThinX <= 24, s"z thin-x candidates $zThinX")
+    // the layout decision in one line: worst-dimension scan cost — z's
+    // worst box reads ≤ a third of the table, linear's reads ALL of it
+    assert(math.max(zThinX, zThinY) * 3 <= math.max(linThinX, linThinY))
+
+    // pruning is an optimization, never a semantics change: both layouts
+    // answer the boxes identically
+    def boxCount(dir: String, x0: Long, x1: Long, y0: Long, y1: Long) =
+      spark.read.parquet(dir)
+        .filter(col("x").between(x0, x1) && col("y").between(y0, y1)).count()
+    assert(boxCount(lin, 0, 255, 100, 103) === boxCount(zo, 0, 255, 100, 103))
+    assert(boxCount(lin, 100, 103, 0, 255) === boxCount(zo, 100, 103, 0, 255))
+    assert(boxCount(zo, 0, 255, 100, 103) === 256L * 4)
+  }
+}
