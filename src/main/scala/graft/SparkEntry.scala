@@ -1104,6 +1104,12 @@ object SparkEntry {
       SamplingOps.corpusMix(Tables.documents(s, dir), "lang", mixWeights)
         .orderBy("lang")),
 
+    // the release one-pager: per-language doc/token counts + dup /
+    // quality-gate / PII rates — exact counts, single IEEE divisions,
+    // the memoized scale-safe median cut
+    "corpus_datacard" -> ((s, dir) =>
+      Curation.dataCard(Tables.documents(s, dir)).orderBy("lang")),
+
     "text_repetition" -> ((s, dir) =>
       TextOps.repetitionScore(Tables.documents(s, dir)).orderBy("doc_id")),
 
@@ -3282,6 +3288,39 @@ object SparkEntry {
          |       target_weight,
          |       target_weight / (CAST(n_tokens AS DOUBLE) / t) AS dup_factor
          |FROM tw, tot ORDER BY lang""".stripMargin,
+
+    "corpus_datacard" -> {
+      val (emailRe, phoneRe, ipRe) = graft.ops.TextOps.piiPatterns
+      s"""WITH $wordsSql,
+         |${qualityScoredSql("base", "scored")},
+         |cut AS (SELECT quantile_cont(quality_score, 0.5) AS c FROM scored),
+         |fp AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fingerprint
+         |       FROM words),
+         |k AS (SELECT fingerprint, min(doc_id) AS kid FROM fp GROUP BY fingerprint),
+         |d AS (SELECT fp.doc_id, fp.doc_id <> k.kid AS is_dup
+         |      FROM fp JOIN k USING (fingerprint)),
+         |pii AS (SELECT doc_id,
+         |               (len(regexp_extract_all(text, '$emailRe'))
+         |                + len(regexp_extract_all(text, '$ipRe'))
+         |                + len(regexp_extract_all(text, '$phoneRe'))) > 0 AS has_pii
+         |        FROM documents),
+         |per AS (SELECT lang, count(*) AS n_docs,
+         |               CAST(sum(len(w)) AS BIGINT) AS n_tokens,
+         |               sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS nd,
+         |               sum(CASE WHEN quality_score >= c THEN 1 ELSE 0 END) AS nq,
+         |               sum(CASE WHEN has_pii THEN 1 ELSE 0 END) AS np
+         |        FROM words JOIN d USING (doc_id) JOIN scored USING (doc_id)
+         |                   JOIN pii USING (doc_id), cut
+         |        GROUP BY lang),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM per)
+         |SELECT lang, n_docs, n_tokens,
+         |       CAST(n_tokens AS DOUBLE) / n_docs AS avg_doc_tokens,
+         |       CAST(n_tokens AS DOUBLE) / tt AS token_share,
+         |       CAST(nd AS DOUBLE) / n_docs AS dup_rate,
+         |       CAST(nq AS DOUBLE) / n_docs AS quality_ok_rate,
+         |       CAST(np AS DOUBLE) / n_docs AS pii_rate
+         |FROM per, tot ORDER BY lang""".stripMargin
+    },
 
     "text_repetition" ->
       s"""WITH $wordsSql,

@@ -66,6 +66,50 @@ object Curation {
           col("temp_keep") && col("split") === "train")
   }
 
+  /** Per-language corpus data card — the one-page summary a corpus
+    * release publishes (and the table a training run's data section
+    * cites): per stratum, exact doc/token counts plus the rates every
+    * reviewer asks for — duplication (exact-fingerprint non-survivors),
+    * quality (share at or above the corpus median, the
+    * [[graft.engine.ExactPercentile]] cut), and PII incidence (any
+    * email/phone/IPv4 hit, [[TextOps.redactPii]]). All rates are single
+    * IEEE divisions of exact integer counts; the median cut is the
+    * memoized scale-safe two-pass rank — so the whole card is
+    * bit-reproducible. Plan: three narrow per-doc projections joined on
+    * doc_id, one per-lang aggregate, one broadcast one-row total. */
+  def dataCard(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+      size(TextOps.normWords(col("text"))).cast("long").as("n_tokens"))
+    val fp = TextOps.fingerprint(docs)
+    val dup = fp
+      .join(fp.groupBy("fingerprint").agg(min("doc_id").as("_k")), "fingerprint")
+      .select(col("doc_id"), (col("doc_id") =!= col("_k")).as("is_dup"))
+    val q = graft.engine.Caches.ensureCached(TextOps.qualityScore(docs))
+      .select("doc_id", "quality_score")
+    val cut = graft.engine.ExactPercentile.cut(
+      q, col("quality_score"), col("doc_id"), 0.5)
+    val qual = q.select(col("doc_id"),
+      cut.map(c => coalesce(col("quality_score") >= lit(c), lit(false)))
+        .getOrElse(lit(false)).as("quality_ok"))
+    val pii = TextOps.redactPii(docs).select(col("doc_id"),
+      ((col("n_emails") + col("n_ipv4") + col("n_phones")) > 0).as("has_pii"))
+    val per = toks.join(dup, "doc_id").join(qual, "doc_id").join(pii, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("_nd"),
+        sum(when(col("quality_ok"), 1L).otherwise(0L)).as("_nq"),
+        sum(when(col("has_pii"), 1L).otherwise(0L)).as("_np"))
+    val tot = per.agg(sum(col("n_tokens")).as("_tt"))
+    per.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_docs")).as("avg_doc_tokens"),
+        (col("n_tokens").cast("double") / col("_tt")).as("token_share"),
+        (col("_nd").cast("double") / col("n_docs")).as("dup_rate"),
+        (col("_nq").cast("double") / col("n_docs")).as("quality_ok_rate"),
+        (col("_np").cast("double") / col("n_docs")).as("pii_rate"))
+  }
+
   /** Quality-decile × duplication calibration — the sanity table a
     * curation team reads before trusting either signal: if duplicates
     * do NOT concentrate in the low-quality deciles, one of the two

@@ -1657,6 +1657,38 @@ class OpsSpec extends AnyFunSuite {
     assert(cal.map(_._3).sum === docs.count() - distinctFp)
   }
 
+  test("data card partitions the corpus with consistent rates and shares") {
+    val card = graft.ops.Curation.dataCard(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    // every language accounted for, docs partition exactly
+    assert(card.map(_._2).sum === docs.count())
+    // token shares are exact single divisions that re-sum to ~1
+    val tt = card.map(_._3).sum
+    card.foreach { case (_, _, nt, share, dr, qr, pr) =>
+      assert(share === nt.toDouble / tt)
+      Seq(dr, qr, pr).foreach(x => assert(x >= 0.0 && x <= 1.0))
+    }
+    // dup mass matches the fingerprint-group arithmetic
+    val distinctFp = TextOps.fingerprint(docs)
+      .select("fingerprint").distinct().count()
+    val nDups = card.map { case (_, n, _, _, dr, _, _) =>
+      math.round(dr * n) }.sum
+    assert(nDups === docs.count() - distinctFp)
+    // planted corpus: one dup pair, one PII doc, rates come out exact
+    val tiny = Seq(
+      (0L, "alpha beta gamma delta epsilon common words", "en"),
+      (1L, "alpha beta gamma delta epsilon common words", "en"),
+      (2L, "reach me at bob@example.com for details", "en"),
+      (3L, "totally distinct content over here", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val t = graft.ops.Curation.dataCard(tiny).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(5), r.getDouble(7)))).toMap
+    assert(t("en")._1 === 1.0 / 3)   // one non-survivor of three en docs
+    assert(t("en")._2 === 1.0 / 3)   // one PII doc of three
+    assert(t("fr") === ((0.0, 0.0)))
+  }
+
   test("IVF recall report: exhaustive at k=1 cell, bounded and consistent at 8") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter($"vec_id" % 10 === 0)
