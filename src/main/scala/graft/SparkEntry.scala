@@ -402,6 +402,24 @@ object SparkEntry {
             .as("approx_within_tol"))
         .orderBy("event_type")),
 
+    // STORED mergeable distinct-count view: per-(type, batch) HLL sketch
+    // partials absorbed in three disjoint batches, unioned at read —
+    // "distinct users over all history" without ever re-shuffling the
+    // key set. Rows pin the VIEW's estimate within 5 % of exact (the
+    // approx_distinct_users oracle shape, now against stored state).
+    "distinct_view_users" -> ((s, dir) => {
+      val est = Stats.queryDistinctView(s, distinctViewPath(s, dir),
+        "event_type")
+      ev(s, dir).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        .join(est, "event_type")
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_distinct") - col("exact_users").cast("double")) /
+            col("exact_users").cast("double") <= 0.05)
+            .as("view_within_tol"))
+        .orderBy("event_type")
+    }),
+
     // bounded-state quantiles: approx_percentile is the mergeable-sketch
     // path for percentiles over CONTINUOUS columns at 100 TB when
     // exactness isn't required (ExactPercentile's two-pass rank when it
@@ -1471,6 +1489,17 @@ object SparkEntry {
   private def storedBm25Path(s: SparkSession, dir: String): String =
     engine.StoredIndexes.ensure("bm25_idx", dir)(p =>
       TextOps.buildBm25Index(Tables.documents(s, dir), p))
+
+  private def distinctViewPath(s: SparkSession, dir: String): String =
+    engine.StoredIndexes.ensure("distinct_view", dir) { p =>
+      val e = ev(s, dir)
+      Stats.buildDistinctView(e.filter(col("event_id") % 3 === 0),
+        "event_type", "user_id", p)
+      Stats.mergeDistinctView(e.filter(col("event_id") % 3 === 1),
+        "event_type", "user_id", p)
+      Stats.mergeDistinctView(e.filter(col("event_id") % 3 === 2),
+        "event_type", "user_id", p)
+    }
 
   private def mergedVocabPath(s: SparkSession, dir: String): String =
     engine.StoredIndexes.ensure("vocab_merge", dir) { p =>
@@ -2893,6 +2922,17 @@ object SparkEntry {
         |       abs(CAST(approx_count_distinct(user_id) AS DOUBLE)
         |             - count(DISTINCT user_id))
         |         / count(DISTINCT user_id) <= 0.05 AS approx_within_tol
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // each engine attests ITS OWN sketch path (the view-merged HLL on
+    // the Spark side, approx_count_distinct here) against the shared
+    // exact count — both hash-match on exact_users + `true`
+    "distinct_view_users" ->
+      """SELECT event_type,
+        |       count(DISTINCT user_id) AS exact_users,
+        |       abs(CAST(approx_count_distinct(user_id) AS DOUBLE)
+        |             - count(DISTINCT user_id))
+        |         / count(DISTINCT user_id) <= 0.05 AS view_within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "approx_value_percentiles" ->

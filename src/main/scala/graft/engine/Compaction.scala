@@ -339,10 +339,20 @@ object Compaction {
           .repartition(col("doc_id")).sortWithinPartitions("doc_id"),
         maxFilesPerPartition = maxFilesPerPartition)
       p || s
+    case "hll" => // sketch re-union: like `vocab`, the rewrite CHANGES
+      // row counts — per-batch sketch partials collapse to one row per
+      // group, sound because HLL union is associative and commutative
+      // (union of unions = union). No negative-netting guard: sketches
+      // cannot retract at all (the loud build-time contract).
+      compactTable(spark, s"$path/sketches",
+        df => df.groupBy("grp")
+          .agg(hll_union_agg(col("sketch")).as("sketch"))
+          .repartition(col("grp")).sortWithinPartitions("grp"),
+        maxFilesPerPartition = maxFilesPerPartition)
     case other =>
       throw new IllegalArgumentException(
         s"compactIndex: unknown index kind '$other' " +
-          "(expected ivf | pq | bm25 | fingerprint)")
+          "(expected ivf | pq | ivfpq | vocab | bm25 | fingerprint | hll)")
   }
 
   /** One scheduled-maintenance tick for any stored-index family:
@@ -444,9 +454,10 @@ object Compaction {
     case "vocab"       => Seq(s"$path/counts")
     case "bm25"        => Seq(s"$path/postings")
     case "fingerprint" => Seq(s"$path/postings", s"$path/sizes")
+    case "hll"         => Seq(s"$path/sketches")
     case other =>
       throw new IllegalArgumentException(
         s"vacuumIndex: unknown index kind '$other' " +
-          "(expected ivf | pq | ivfpq | vocab | bm25 | fingerprint)")
+          "(expected ivf | pq | ivfpq | vocab | bm25 | fingerprint | hll)")
   }).flatMap(vacuum)
 }

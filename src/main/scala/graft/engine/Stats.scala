@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Aggregation surface of the reference (SURVEY §2.4) — multi-aggregate
@@ -118,6 +118,53 @@ object Stats {
     * broadcast one-row aggregate. Share and factor are plain IEEE
     * divisions of exact integer counts, so the doubles are
     * engine-portable. */
+  /** Distinct-count materialized view — the SKETCH member of the stored
+    * family (the vocab view's twin for the one aggregate that is NOT
+    * distributive over raw counts): stored rows are (grp, HLL-sketch)
+    * PARTIALS — one Datasketches HLL per group per absorbed batch
+    * (`hll_sketch_agg`). A merge appends O(|groups|) rows and never
+    * touches history; a read unions each group's partials
+    * (`hll_union_agg`) and estimates. "Distinct users per event type
+    * over 100 TB of history" thus costs O(groups) per maintenance batch
+    * and O(groups × batches) per read — an exact COUNT(DISTINCT) over
+    * the same history has to re-shuffle every key ever seen. Compaction
+    * kind `hll` collapses partials back toward one row per group (HLL
+    * union is associative+commutative, so the rewrite is sound the same
+    * way `vocab`'s re-sum is). The price of mergeability, stated
+    * loudly: sketches cannot retract (a CDC DELETE requires a rebuild —
+    * unlike the vocab view's negated partials) and the estimate is
+    * approximate (±~2 % at the default lgK; query rows pin a tolerance
+    * boolean against the exact count, the approx_distinct_users oracle
+    * shape). Replay protection is the caller's (stream, batch-id)
+    * ledger, as for every absorb family. */
+  def buildDistinctView(df: DataFrame, group: String, key: String,
+                        path: String): Unit = {
+    distinctPartials(df, group, key)
+      .write.mode("overwrite").parquet(s"$path/sketches")
+    Compaction.seedBase(s"$path/sketches")
+  }
+
+  /** Append one batch's per-group sketch partials — O(|groups|). */
+  def mergeDistinctView(df: DataFrame, group: String, key: String,
+                        path: String): Unit =
+    Compaction.guardedAppend(s"$path/sketches") { live =>
+      distinctPartials(df, group, key).write.mode("append").parquet(live)
+    }
+
+  private def distinctPartials(df: DataFrame, group: String,
+                               key: String): DataFrame =
+    df.groupBy(col(group).as("grp"))
+      .agg(hll_sketch_agg(col(key)).as("sketch"))
+
+  /** View read: union each group's stored sketches, estimate. */
+  def queryDistinctView(spark: SparkSession, path: String,
+                        group: String): DataFrame =
+    spark.read.parquet(Compaction.resolve(s"$path/sketches"))
+      .groupBy("grp")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
+        .as("approx_distinct"))
+      .withColumnRenamed("grp", group)
+
   def skewReport(df: DataFrame, key: String, k: Int): DataFrame = {
     val per = df.groupBy(col(key)).agg(count(lit(1)).as("n_rows"))
     val tot = per.agg(sum(col("n_rows")).as("_t"), count(lit(1)).as("_k"))

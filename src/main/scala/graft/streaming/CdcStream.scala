@@ -482,6 +482,55 @@ object CdcStream {
     ()
   }
 
+  /** Streaming maintenance of the distinct-count sketch view
+    * ([[graft.engine.Stats.buildDistinctView]]) — the vocab absorb's
+    * twin for the HLL family: each micro-batch appends its per-group
+    * sketch partials under the shared (stream, batch-id) ledger. A
+    * replayed union would be VALUE-harmless (register-max is
+    * idempotent), but the ledger still guards it so the view's row
+    * count — and therefore its compaction debt and file lineage — stays
+    * deterministic under re-delivery. Op-aware only in refusal: HLL
+    * cannot retract, so a batch carrying op='DELETE' rows raises (route
+    * deletes to a rebuild) instead of silently absorbing a delete as an
+    * insert. */
+  def distinctAbsorbStream(spark: SparkSession, inGlob: String,
+                           checkpointDir: String, schema: StructType,
+                           viewPath: String, group: String, key: String,
+                           maintainEvery: Int = 0,
+                           maintainMaxFiles: Int = 8): StreamingQuery = {
+    absorbedHighWater.remove((viewPath, checkpointDir))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .json(inGlob)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        distinctAbsorb(spark, batch, id, viewPath, group, key, checkpointDir)
+        if (maintainEvery > 0 && id > 0 && id % maintainEvery == 0)
+          maintainStreamedIndex(spark, viewPath, "hll", maintainMaxFiles)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** One distinct-view absorb micro-batch — public for replay testing. */
+  def distinctAbsorb(spark: SparkSession, batch: DataFrame, id: Long,
+                     viewPath: String, group: String, key: String,
+                     streamId: String): Unit = {
+    if (!batch.isEmpty) {
+      if (batch.columns.contains("op") &&
+          !batch.filter(col("op") === "DELETE").isEmpty)
+        throw new IllegalArgumentException(
+          "distinct view: HLL sketches cannot retract — a CDC DELETE " +
+            "requires a view rebuild (the loud mergeability trade-off)")
+      absorbOnce(spark, viewPath, streamId, id) {
+        graft.engine.Stats.mergeDistinctView(batch, group, key, viewPath)
+      }
+    }
+    ()
+  }
+
   /** Streaming exact dedup — A3's streaming twin: drop re-deliveries of
     * the same `idCol` arriving within the watermark delay, turning an
     * at-least-once file/log source into exactly-once rows before the

@@ -273,6 +273,54 @@ class StoredIndexesSpec extends AnyFunSuite {
       "post-compaction: one partial row per word")
   }
 
+  test("hll view: absorb-order-invariant estimates within tolerance, " +
+    "compaction collapses partials without changing the answer") {
+    import org.apache.spark.sql.functions.{abs => fabs, col, countDistinct}
+    val ev = Tables.events(spark, sfDir)
+    def buildAt(order: Seq[Long]): String = {
+      val p = java.nio.file.Files.createTempDirectory("hll_mv").toString
+      graft.engine.Stats.buildDistinctView(
+        ev.filter($"event_id" % 3 === order.head), "event_type", "user_id", p)
+      order.tail.foreach { r =>
+        graft.engine.Stats.mergeDistinctView(
+          ev.filter($"event_id" % 3 === r), "event_type", "user_id", p)
+      }
+      p
+    }
+    val path = buildAt(Seq(0L, 1L, 2L))
+    def est(p: String) = graft.engine.Stats
+      .queryDistinctView(spark, p, "event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val e1 = est(path)
+    // every group's view estimate is within 5 % of the exact count
+    val exact = ev.groupBy("event_type").agg(countDistinct("user_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    e1.foreach { case (t, a) =>
+      assert(math.abs(a.toDouble - exact(t)) / exact(t) <= 0.05, s"group $t") }
+    // HLL union is register-max — absorb order cannot change the answer
+    assert(est(buildAt(Seq(2L, 0L, 1L))) === e1)
+    // compaction re-unions partials to one row per group, same estimates
+    val before = Compaction.filesPerPartition(s"$path/sketches").values.sum
+    assert(Compaction.maintainIndex(spark, path, "hll",
+      maxFilesPerPartition = 1))
+    assert(Compaction.filesPerPartition(s"$path/sketches").values.sum
+      < before, "partial sketch files collapse")
+    assert(est(path) === e1, "re-unioned partials must estimate identically")
+    val rows = spark.read.parquet(Compaction.resolve(s"$path/sketches"))
+    assert(rows.groupBy("grp").count()
+      .filter(col("count") > 1).count() === 0L,
+      "post-compaction: one sketch row per group")
+    // the view still absorbs after the rewrite: fresh keys raise counts
+    val extra = spark.range(500, 900)
+      .select(org.apache.spark.sql.functions.lit("purchase").as("event_type"),
+        $"id".as("user_id"))
+    graft.engine.Stats.mergeDistinctView(extra, "event_type", "user_id", path)
+    val e2 = est(path).toMap
+    assert(e2("purchase") > e1.toMap.apply("purchase"))
+    // untouched groups keep their exact pre-merge estimates
+    e1.toMap.removed("purchase").foreach { case (t, a) => assert(e2(t) === a) }
+  }
+
   test("stored-view LM scoring: equals inline on full coverage, floors OOV, " +
     "raises on a negative-netting view") {
     val docs = Tables.documents(spark, sfDir)

@@ -213,6 +213,58 @@ class StreamingSpec extends AnyFunSuite {
       "stored-view BPE counts over a streamed view must equal inline")
   }
 
+  test("streaming distinct view: sketches absorb exactly once through " +
+    "maintenance ticks; DELETE batches are refused") {
+    import graft.engine.{Compaction, Stats}
+    import org.apache.spark.sql.types.StructType
+    val in = Files.createTempDirectory("dv_in").toString
+    val ckpt = Files.createTempDirectory("dv_ckpt").toString
+    val view = Files.createTempDirectory("dv_view").toString
+    Stats.buildDistinctView(
+      Seq(("click", 1L), ("click", 2L)).toDF("event_type", "user_id"),
+      "event_type", "user_id", view)
+    val batches = Seq(
+      Seq(("click", 2L), ("view", 7L)),   // user 2 is a cross-batch repeat
+      Seq(("click", 3L), ("view", 7L)),   // user 7 repeats within 'view'
+      Seq(("click", 4L)))
+    batches.zipWithIndex.foreach { case (evs, i) =>
+      val f = java.nio.file.Paths.get(in, f"ev_$i%03d.json")
+      Files.writeString(f, evs.map { case (t, u) =>
+        s"""{"event_type":"$t","user_id":$u}""" }.mkString("", "\n", "\n"))
+      Files.setLastModifiedTime(f, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() - (600 - i * 60) * 1000L))
+    }
+    val schema = new StructType().add("event_type", "string")
+      .add("user_id", "long")
+    val q = CdcStream.distinctAbsorbStream(spark, s"$in/ev_*.json", ckpt,
+      schema, view, "event_type", "user_id",
+      maintainEvery = 1, maintainMaxFiles = 1)
+    q.awaitTermination()
+    def est() = Stats.queryDistinctView(spark, view, "event_type")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // at these cardinalities the HLL is in exact (sparse) range: the
+    // view must count distinct users precisely, repeats collapsed
+    assert(est() === Map("click" -> 4L, "view" -> 1L))
+    val rowsBefore = spark.read
+      .parquet(Compaction.resolve(s"$view/sketches")).count()
+    // replaying an absorbed batch id is a ledger no-op: no new partials
+    val replayed = spark.read.schema(schema).json(s"$in/ev_001.json")
+    CdcStream.distinctAbsorb(spark, replayed, 1L, view, "event_type",
+      "user_id", ckpt)
+    assert(spark.read.parquet(Compaction.resolve(s"$view/sketches")).count()
+      === rowsBefore, "replay must append nothing")
+    assert(est() === Map("click" -> 4L, "view" -> 1L))
+    // a CDC DELETE cannot be absorbed into a sketch — refuse loudly
+    val del = Seq(("click", 2L, "DELETE"))
+      .toDF("event_type", "user_id", "op")
+    val err = intercept[IllegalArgumentException] {
+      CdcStream.distinctAbsorb(spark, del, 99L, view, "event_type",
+        "user_id", ckpt)
+    }
+    assert(err.getMessage.contains("cannot retract"))
+    assert(est() === Map("click" -> 4L, "view" -> 1L))
+  }
+
   test("vocab view retraction: CDC DELETE nets counts out, replays no-op, " +
     "unmatched retraction fails the compaction") {
     import graft.ops.TextOps
