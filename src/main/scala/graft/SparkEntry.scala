@@ -205,6 +205,20 @@ object SparkEntry {
         ZOrder.zvalue2(col("user_id"), col("event_id")).as("zval"))
         .orderBy("zval", "event_id")),
 
+    // z-order over a CONTINUOUS dimension: the double `value` column is
+    // first equi-depth-bucketed into 2^16 ranks (range-partitioned
+    // GlobalOrder — bit-masking a double would collapse the curve), then
+    // interleaved with user_id; rank ties spread by the tie-break, so a
+    // hot value cannot hot-spot a cell
+    "zorder_bucketed" -> ((s, dir) => {
+      val b = ZOrder.equiDepthBucket(
+        ev(s, dir).select("event_id", "user_id", "value"),
+        Seq(col("value"), col("event_id")))
+      b.select(col("event_id"), col("zbucket"),
+        ZOrder.zvalue2(col("zbucket"), col("user_id")).as("zval"))
+        .orderBy("zval", "event_id")
+    }),
+
     // ── U1: union of labeled counts ───────────────────────────────────
     "union_counts" -> ((s, dir) => {
       val d = dimOf(ev(s, dir))
@@ -2956,6 +2970,17 @@ object SparkEntry {
       s"""SELECT event_id, user_id,
          |       ${ZOrder.zvalueSql("user_id", "event_id")} AS zval
          |FROM events ORDER BY zval, event_id""".stripMargin,
+
+    "zorder_bucketed" ->
+      s"""WITH r AS (SELECT event_id, user_id,
+         |                  row_number() OVER (ORDER BY value, event_id) AS rn,
+         |                  count(*) OVER () AS n
+         |           FROM events),
+         |b AS (SELECT event_id, user_id,
+         |             (rn - 1) * 65536 // n AS zbucket FROM r)
+         |SELECT event_id, zbucket,
+         |       ${ZOrder.zvalueSql("zbucket", "user_id")} AS zval
+         |FROM b ORDER BY zval, event_id""".stripMargin,
 
     "skew_report" ->
       """WITH per AS (SELECT user_id, count(*) AS n_rows

@@ -64,6 +64,27 @@ object ZOrder {
       .sortWithinPartitions(col("zval"), tie)
   }
 
+  /** Equi-depth 16-bit bucketing of a continuous or skewed column — the
+    * preprocessing a z-order on such a column needs. Masking a double's
+    * bits (or a hot-keyed long's) collapses the curve: one popular value
+    * lands every row in one cell and the layout degenerates to the
+    * linear sort. The RANK is uniform by construction — ties spread by
+    * the total order's tie-break — so `bucket = (rank−1)·2¹⁶ div N`
+    * gives 65 536 equal-population cells whatever the distribution
+    * (the `range_partition_id` trick lakehouse z-ordering uses). Rides
+    * the range-partitioned [[GlobalOrder]] numbering — no
+    * single-partition window — and the bucket is monotone in `order`,
+    * so file min/max statistics on the RAW column stay usable for
+    * pruning after the z-sort. (Exact up to N < 2⁴⁷ rows, where
+    * rank·2¹⁶ approaches Long.MaxValue.) */
+  def equiDepthBucket(df: DataFrame, order: Seq[Column]): DataFrame = {
+    val (ranked, n, _) =
+      GlobalOrder.attach(df, order, lit(0L), needCum = false)
+    if (n == 0L) return ranked.withColumn("zbucket", lit(0L)).drop("_pid", "_rn")
+    ranked.withColumn("zbucket", expr(s"(_rn - 1) * 65536 div $n"))
+      .drop("_pid", "_rn")
+  }
+
   /** SQL replay of [[spread16]] for the DuckDB oracle (fully
     * parenthesized — `&`/`|` bind loosely). The ladder substitutes the
     * previous level twice per step; with a short leaf expression the

@@ -32,6 +32,29 @@ class ZOrderSpec extends AnyFunSuite {
     assert(ref(16, 32) >> 8 === ref(31, 47) >> 8)
   }
 
+  test("equiDepthBucket spreads a hot value uniformly and stays monotone") {
+    // 90 % of rows share one value — the distribution that collapses a
+    // bit-masked z-curve into a single cell
+    val skewed = spark.range(100).select(
+      $"id".as("event_id"),
+      when($"id" < 90, 7.5).otherwise($"id".cast("double")).as("value"))
+    val b = ZOrder.equiDepthBucket(skewed, Seq(col("value"), col("event_id")))
+      .select("event_id", "value", "zbucket")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // every row gets its own bucket (n ≤ 2^16): no hot cell at all
+    assert(b.map(_._3).distinct.length === 100)
+    assert(b.forall { case (_, _, bk) => bk >= 0 && bk < 65536 })
+    // buckets are equally spaced ranks: consecutive rows in the
+    // (value, event_id) order sit 655 or 656 buckets apart
+    val ordered = b.sortBy { case (id, v, _) => (v, id) }.map(_._3)
+    assert(ordered === ordered.sorted, "bucket must be monotone in the order")
+    val gaps = ordered.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(gaps.forall(g => g == 655L || g == 656L), s"gaps: ${gaps.distinct}")
+    // ties on the hot value spread across the low buckets by event_id
+    val hot = b.filter(_._2 == 7.5).sortBy(_._1).map(_._3)
+    assert(hot.length === 90 && hot === hot.sorted && hot.distinct.length === 90)
+  }
+
   test("z layout prunes thin boxes in both dims; linear only in its sort dim") {
     // 256×256 key grid in 64 files of 1024 rows: the linear layout is
     // range-sorted by (x, y) — each file a thin x-stripe spanning all y;
