@@ -943,6 +943,13 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) =>
       SamplingOps.packSequences(Tables.documents(s, dir), 512).orderBy("pack_id")),
 
+    // shard-export manifest: ~4k-token shards with exact counts, doc-id
+    // ranges, and a content hash per shard — the checksum artifact a
+    // trainer verifies before reading; prefix sums ride GlobalOrder
+    "shard_manifest" -> ((s, dir) =>
+      SamplingOps.shardManifest(Tables.documents(s, dir), 4096L)
+        .orderBy("shard_id")),
+
     // deterministic epoch-order shuffle: seed-keyed md5 permutation,
     // contiguous position assigned by the range-partitioned GlobalOrder
     // numbering (never a single-partition row_number window)
@@ -3102,6 +3109,21 @@ object SparkEntry {
          |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |       CAST(sum(CASE WHEN (o % 512) + n_tokens > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
          |FROM off GROUP BY 1 ORDER BY pack_id""".stripMargin,
+
+    "shard_manifest" ->
+      s"""WITH $wordsSql,
+         |toks AS (SELECT doc_id, len(w) AS n_tokens FROM words),
+         |off AS (SELECT doc_id, n_tokens,
+         |               CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+         |        FROM toks)
+         |SELECT CAST(o // 4096 AS BIGINT) AS shard_id,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |       CAST(min(doc_id) AS BIGINT) AS first_doc,
+         |       CAST(max(doc_id) AS BIGINT) AS last_doc,
+         |       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS content_hash
+         |FROM off GROUP BY 1 ORDER BY shard_id""".stripMargin,
 
     // end-to-end mirror of Curation.curationReport: each stage's SQL is
     // the same fragment its standalone oracle uses

@@ -231,6 +231,34 @@ object SamplingOps {
         sum(col("_straddle")).as("n_straddlers"))
   }
 
+  /** Shard-export manifest — the handoff artifact between curation and
+    * training: documents are laid out in key order and cut into shards
+    * of ≈`tokensPerShard` (a doc belongs to the shard its running-total
+    * prefix lands in — whole docs only, the [[packSequencesBy]] math on
+    * a coarser budget), and each shard row carries exact doc/token
+    * counts, its doc-id range, and an md5 CONTENT HASH over the ordered
+    * doc-id list — the checksum a trainer (or a re-run) verifies before
+    * touching the data, and the diff key between two corpus versions.
+    * Everything is exact integer math + one canonical string hash, so
+    * two runs over the same corpus produce byte-identical manifests.
+    * Scale: the running sum is the range-partitioned [[globalOrder]]
+    * prefix — never a one-task window; the per-shard hash aggregates
+    * ≈(tokensPerShard / avg-doc-tokens) ids per shard row. */
+  def shardManifest(docs: DataFrame, tokensPerShard: Long): DataFrame = {
+    val (ordered, _, _) = globalOrder(docTokens(docs),
+      Seq(col("doc_id")), col("n_tokens"))
+    ordered
+      .withColumn("shard_id", expr(s"_cum div $tokensPerShard"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(col("doc_id"))),
+            x => x.cast("string")))).as("content_hash"))
+  }
+
   /** Per-group quota cap — the "at most N documents per domain" curation
     * rule (web corpora are dominated by a few giant hosts; capping
     * per-source is the standard counter). Keeps each group's top `n`

@@ -1358,6 +1358,35 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.contains(("x y z w v", 2L)))
   }
 
+  test("shardManifest partitions the corpus into verifiable shards") {
+    val m = SamplingOps.shardManifest(docs, 4096L).orderBy("shard_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))
+    // shards partition the corpus exactly
+    assert(m.map(_._2).sum === docs.count())
+    // doc-id ranges are disjoint and ordered: layout is by doc_id, so
+    // shard k's last doc precedes shard k+1's first
+    m.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 < b._4, s"shards ${a._1}/${b._1} ranges must not overlap")
+      case _ => ()
+    }
+    // whole docs only: every shard's token mass is positive; interior
+    // shards sit near the budget (can't exceed budget + one max doc)
+    assert(m.forall(_._3 > 0))
+    // the manifest is input-partitioning-invariant and reproducible
+    val m2 = SamplingOps.shardManifest(docs.repartition(7), 4096L)
+      .orderBy("shard_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))
+    assert(m2 === m)
+    // the content hash actually protects content: dropping one doc
+    // changes its shard's hash
+    val dropped = SamplingOps.shardManifest(
+      docs.filter($"doc_id" =!= m.head._4), 4096L).orderBy("shard_id")
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(dropped(m.head._1) !== m.head._6)
+  }
+
   test("proportionalSample fills the budget exactly with largest-remainder quotas") {
     val base = Tables.documents(spark, sfDir).select("doc_id", "lang")
     val out = SamplingOps.proportionalSample(base, "lang", "doc_id", 200)
