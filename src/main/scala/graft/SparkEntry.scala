@@ -1017,6 +1017,12 @@ object SparkEntry {
     "bpe_train" -> ((s, dir) =>
       TextOps.bpeTrain(Tables.documents(s, dir), 3).orderBy("rule_no")),
 
+    // the tokenizer's final output: per-doc token-ID sequences (sorted
+    // alphabet 0..B-1, then rules in order) summarized as exact count +
+    // md5 id-stream signature; the fold runs once per distinct word
+    "bpe_encode_ids" -> ((s, dir) =>
+      TextOps.bpeEncodeIds(Tables.documents(s, dir), 3).orderBy("doc_id")),
+
     // the apply side: encode every doc with the learned rules — distinct
     // words fold once (vocab-sized), docs get tf-weighted counts; the
     // words/BPE-tokens ratio is the tokenizer-compression metric
@@ -2029,6 +2035,34 @@ object SparkEntry {
          |       CAST(sum(dc.tf * n_sym) AS BIGINT) AS n_bpe_tokens
          |FROM dc JOIN enc USING (word)
          |GROUP BY dc.doc_id ORDER BY doc_id""".stripMargin,
+
+    // id scheme replayed: sorted base alphabet 0..B-1, rule r -> B+r-1,
+    // string collisions keep the smallest id; the per-doc stream orders
+    // by (word position, symbol position)
+    "bpe_encode_ids" ->
+      s"""WITH ${bpeChainSql(3, keepWord = true)},
+         |base AS (SELECT DISTINCT substr(word, i, 1) AS tok
+         |         FROM vocab, LATERAL unnest(range(1, length(word) + 1)) AS tb(i)),
+         |bn AS (SELECT count(*) AS nb FROM base),
+         |bid AS (SELECT tok, row_number() OVER (ORDER BY tok) - 1 AS id FROM base),
+         |rid AS (SELECT a || b AS tok, nb + rule_no - 1 AS id
+         |        FROM (SELECT 1 AS rule_no, a, b FROM r1
+         |              UNION ALL SELECT 2, a, b FROM r2
+         |              UNION ALL SELECT 3, a, b FROM r3), bn),
+         |ids AS (SELECT tok, CAST(min(id) AS BIGINT) AS id
+         |        FROM (SELECT * FROM bid UNION ALL SELECT * FROM rid)
+         |        GROUP BY tok),
+         |seq AS (SELECT doc_id, i AS wpos, w[i] AS word
+         |        FROM words, LATERAL unnest(range(1, len(w) + 1)) AS ts(i)
+         |        WHERE w[i] <> ''),
+         |wsym AS (SELECT doc_id, wpos, j AS spos, syms[j] AS tok
+         |         FROM seq JOIN v3 USING (word),
+         |              LATERAL unnest(range(1, len(syms) + 1)) AS tu(j)),
+         |tid AS (SELECT doc_id, wpos, spos, id
+         |        FROM wsym JOIN ids USING (tok))
+         |SELECT doc_id, count(*) AS n_bpe_tokens,
+         |       md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY wpos, spos)) AS ids_sig
+         |FROM tid GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "lm_bigram_score" ->
       s"""WITH $wordsSql,

@@ -373,6 +373,67 @@ object TextOps {
         sum(col("tf") * col("n_sym")).cast("long").as("n_bpe_tokens"))
   }
 
+  /** Full tokenization — [[bpeEncodeStats]] taken the last step, from
+    * token COUNTS to the actual token-ID SEQUENCE a trainer consumes.
+    * Vocabulary ids follow the standard BPE scheme: the sorted base
+    * alphabet takes 0..B−1, each learned rule's merged token takes
+    * B+rule−1 (a string two parses both produce keeps its smallest id —
+    * deterministic either way). Per document the id stream is the words
+    * in position order, each expanded to its fold-encoded symbols; the
+    * row carries the exact token count plus an md5 signature of the
+    * comma-joined id sequence — the artifact two engines (or two runs)
+    * compare without shipping the sequences themselves.
+    *
+    * Scale shape: the fold runs once per DISTINCT word (vocab-sized, one
+    * projection per rule); the corpus-sized work is the posexplode →
+    * vocab join → symbol explode chain — the unavoidable linear
+    * tokenization pass — plus one id lookup against a broadcast
+    * (alphabet + rules)-row table and a per-doc sorted-struct fold.
+    * Documents with no normalized words drop out (nothing to encode). */
+  def bpeEncodeIds(docs: DataFrame, rules: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ruleTab = bpeTrain(docs, rules).orderBy("rule_no").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    var enc = bpeVocab(docs).select(col("word"), expr(
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+      .as("syms"))
+    for ((_, p1, p2) <- ruleTab) {
+      // normWords output is [a-z0-9]+ so the literals embed safely
+      enc = enc.withColumn("syms", expr(
+        s"""aggregate(
+           |  slice(syms, 2, size(syms) - 1),
+           |  array(element_at(syms, 1)),
+           |  (acc, x) -> IF(element_at(acc, -1) = '$p1' AND x = '$p2',
+           |    concat(slice(acc, 1, size(acc) - 1),
+           |           array(concat(element_at(acc, -1), x))),
+           |    concat(acc, array(x))))""".stripMargin))
+    }
+    val baseChars = bpeVocab(docs).select(explode(expr(
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .as("tok")).distinct().collect().map(_.getString(0)).sorted
+    val nb = baseChars.length.toLong
+    val idRows = baseChars.zipWithIndex
+      .map { case (t, i) => (t, i.toLong) } ++
+      ruleTab.map { case (r, p1, p2) => (p1 + p2, nb + r - 1) }
+    val ids = idRows.groupBy(_._1)
+      .map { case (t, xs) => (t, xs.map(_._2).min) }.toSeq.toDF("tok", "id")
+    docs.select(col("doc_id"),
+        posexplode(normWords(col("text"))).as(Seq("wpos", "word")))
+      .filter(col("word") =!= "")
+      .join(enc, "word")
+      .select(col("doc_id"), col("wpos"),
+        posexplode(col("syms")).as(Seq("spos", "tok")))
+      .join(broadcast(ids), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bpe_tokens"),
+        md5(concat_ws(",",
+          transform(
+            array_sort(collect_list(struct(col("wpos"), col("spos"),
+              col("id")))),
+            s => s.getField("id").cast("string")))).as("ids_sig"))
+  }
+
   /** Per-word partial counts of one corpus subset — the unit the stored
     * vocabulary view appends per merge. */
   private def vocabPartials(docs: DataFrame): DataFrame =

@@ -1358,6 +1358,30 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.contains(("x y z w v", 2L)))
   }
 
+  test("bpeEncodeIds emits the hand-derived id stream") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // alphabet {a, b} -> ids a=0, b=1; pair (a,b) dominates (tf-weighted
+    // count 3) so rule 1 merges it -> token "ab" gets id 2
+    val tiny = Seq((0L, "ab ab b a"), (1L, "aab")).toDF("doc_id", "text")
+    val out = TextOps.bpeEncodeIds(tiny, rules = 1).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // doc 0: words [ab, ab, b, a] -> ids [2, 2, 1, 0]
+    assert(out(0) === ((0L, 4L, md5hex("2,2,1,0"))))
+    // doc 1: "aab" greedy-folds to [a, ab] -> ids [0, 2] (the fresh
+    // merged symbol cannot chain, so the leading 'a' stays single)
+    assert(out(1) === ((1L, 2L, md5hex("0,2"))))
+    // corpus-level determinism: same input partitioned differently gives
+    // byte-identical signatures
+    val d = docs.limit(50)
+    val a = TextOps.bpeEncodeIds(d, 2).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val b = TextOps.bpeEncodeIds(d.repartition(7), 2).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(a === b)
+  }
+
   test("shardManifest partitions the corpus into verifiable shards") {
     val m = SamplingOps.shardManifest(docs, 4096L).orderBy("shard_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
