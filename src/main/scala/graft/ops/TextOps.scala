@@ -297,6 +297,22 @@ object TextOps {
   def bpeTrain(docs: DataFrame, rules: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // memoized per (session, corpus plan, k): training is a driver-
+    // steered loop of k argmax collects, and three queries (train,
+    // encode-stats, encode-ids) share the same rule table — the
+    // kmeansCentroids memo shape
+    val key = (Caches.sessionId(spark), docs.semanticHash(), rules)
+    bpeTrainMemo.getOrElseUpdate(key, bpeTrainUncached(docs, rules))
+      .toDF("rule_no", "p1", "p2", "cnt")
+  }
+
+  private val bpeTrainMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int), Seq[(Long, String, String, Long)]]
+
+  private def bpeTrainUncached(docs: DataFrame,
+                               rules: Int): Seq[(Long, String, String, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val mergeFold = expr(
       """aggregate(
         |  slice(syms, 2, size(syms) - 1),
@@ -333,7 +349,7 @@ object TextOps {
         r += 1
       }
     }
-    learned.toSeq.toDF("rule_no", "p1", "p2", "cnt")
+    learned.toSeq
   }
 
   /** ENCODE with the trained rules — the apply side of [[bpeTrain]],
