@@ -1155,6 +1155,16 @@ object SparkEntry {
     "corpus_datacard" -> ((s, dir) =>
       Curation.dataCard(Tables.documents(s, dir)).orderBy("lang")),
 
+    // incremental-reprocessing planner: v2 simulates a 10% deletion wave
+    // (hash band), the diff reports ONLY the stable key-hash buckets
+    // whose content signature moved — the work list a re-tokenization
+    // run processes instead of the whole corpus
+    "corpus_diff" -> ((s, dir) => {
+      val v1 = Tables.documents(s, dir)
+      val v2 = v1.filter(pmod(SamplingOps.keyHash("doc_id"), lit(100)) >= 10)
+      Curation.corpusDiff(v1, v2, 64).orderBy("bucket")
+    }),
+
     "text_repetition" -> ((s, dir) =>
       TextOps.repetitionScore(Tables.documents(s, dir)).orderBy("doc_id")),
 
@@ -3409,6 +3419,28 @@ object SparkEntry {
          |       target_weight,
          |       target_weight / (CAST(n_tokens AS DOUBLE) / t) AS dup_factor
          |FROM tw, tot ORDER BY lang""".stripMargin,
+
+    "corpus_diff" ->
+      s"""WITH s1 AS (
+         |  SELECT ${keyHashSql("doc_id")} % 64 AS bucket, count(*) AS n_v1,
+         |         md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text), ','
+         |           ORDER BY doc_id)) AS sig
+         |  FROM documents GROUP BY 1),
+         |s2 AS (
+         |  SELECT ${keyHashSql("doc_id")} % 64 AS bucket, count(*) AS n_v2,
+         |         md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text), ','
+         |           ORDER BY doc_id)) AS sig
+         |  FROM documents WHERE ${keyHashSql("doc_id")} % 100 >= 10
+         |  GROUP BY 1)
+         |SELECT coalesce(s1.bucket, s2.bucket) AS bucket,
+         |       coalesce(n_v1, 0) AS n_v1,
+         |       coalesce(n_v2, 0) AS n_v2,
+         |       CASE WHEN s1.sig IS NULL THEN 'added'
+         |            WHEN s2.sig IS NULL THEN 'removed'
+         |            ELSE 'changed' END AS status
+         |FROM s1 FULL OUTER JOIN s2 ON s1.bucket = s2.bucket
+         |WHERE s1.sig IS DISTINCT FROM s2.sig
+         |ORDER BY bucket""".stripMargin,
 
     "corpus_datacard" -> {
       val (emailRe, phoneRe, ipRe) = graft.ops.TextOps.piiPatterns

@@ -110,6 +110,42 @@ object Curation {
         (col("_np").cast("double") / col("n_docs")).as("pii_rate"))
   }
 
+  /** Corpus-version diff — the incremental-reprocessing planner: two
+    * corpus versions are content-hashed into `buckets` stable key-hash
+    * buckets (stable: membership depends only on doc_id, so an edit
+    * touches exactly its own bucket — unlike token-prefix shards, whose
+    * boundaries shift globally on any insert), and only buckets whose
+    * per-bucket signature differs are reported, classified as
+    * added / removed / changed. Downstream, the changed-bucket list IS
+    * the work list: re-tokenize / re-index those buckets, skip the
+    * rest. Signatures are md5 over the (doc_id, md5(text)) list in
+    * doc_id order — deterministic, and sensitive to any text edit,
+    * insert, or delete.
+    * Scale: one bucket-keyed shuffle per version (bounded per-bucket
+    * lists — size `buckets` to corpus/≈64 MB), then a bucket-level
+    * (tiny) full outer join. */
+  def corpusDiff(v1: DataFrame, v2: DataFrame, buckets: Int): DataFrame = {
+    def sig(df: DataFrame, n: String, s: String) = df.select(
+        pmod(SamplingOps.keyHash("doc_id"), lit(buckets)).as("bucket"),
+        col("doc_id"), md5(col("text")).as("h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as(n),
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("h")))),
+            x => concat_ws(":", x.getField("doc_id").cast("string"),
+              x.getField("h"))))).as(s))
+    sig(v1, "n_v1", "_s1")
+      .join(sig(v2, "n_v2", "_s2"), Seq("bucket"), "full_outer")
+      .filter(col("_s1").isNull || col("_s2").isNull ||
+        col("_s1") =!= col("_s2"))
+      .select(col("bucket"),
+        coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+        coalesce(col("n_v2"), lit(0L)).as("n_v2"),
+        when(col("_s1").isNull, "added")
+          .when(col("_s2").isNull, "removed")
+          .otherwise("changed").as("status"))
+  }
+
   /** Quality-decile × duplication calibration — the sanity table a
     * curation team reads before trusting either signal: if duplicates
     * do NOT concentrate in the low-quality deciles, one of the two

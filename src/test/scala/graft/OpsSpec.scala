@@ -1358,6 +1358,29 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.contains(("x y z w v", 2L)))
   }
 
+  test("corpusDiff reports exactly the touched buckets, classified") {
+    import graft.ops.Curation
+    val v1 = (1L to 8L).map(i => (i, s"document number $i body")).toDF("doc_id", "text")
+    // identical versions: nothing to reprocess
+    assert(Curation.corpusDiff(v1, v1, 64).count() === 0L)
+    // v2: doc 2 removed, doc 5 edited, doc 99 added — with enough
+    // buckets each touched doc sits alone, so statuses are exact
+    val v2 = v1.filter($"doc_id" =!= 2L)
+      .withColumn("text", when($"doc_id" === 5L, lit("edited body"))
+        .otherwise($"text"))
+      .union(Seq((99L, "brand new doc")).toDF("doc_id", "text"))
+    val d = Curation.corpusDiff(v1, v2, 1024).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(d.length === 3, s"got ${d.toSeq}")
+    assert(d.count(_._3 == "removed") === 1)
+    assert(d.count(_._3 == "added") === 1)
+    assert(d.count(_._3 == "changed") === 1)
+    // counts agree with the classification
+    assert(d.find(_._3 == "removed").get === ((1L, 0L, "removed")))
+    assert(d.find(_._3 == "added").get === ((0L, 1L, "added")))
+    assert(d.find(_._3 == "changed").get === ((1L, 1L, "changed")))
+  }
+
   test("bpeEncodeIds emits the hand-derived id stream") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
