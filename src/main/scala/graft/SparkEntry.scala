@@ -400,6 +400,21 @@ object SparkEntry {
       cuts.toDF("lang", "p50_quality", "n_scored").orderBy("lang")
     }),
 
+    // TOKEN-MASS-weighted median quality (lower/inverted-CDF rule): the
+    // score below which half the token mass sits — the budget-aware
+    // quality cut; exact integer comparison over the GlobalOrder
+    // weighted prefix sum, no float cumsums
+    "quality_weighted_median" -> ((s, dir) => {
+      import s.implicits._
+      val scored = Caches.ensureCached(
+        TextOps.qualityScore(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      val r = graft.engine.ExactPercentile.weightedCut(scored,
+        col("quality_score"), col("n_tokens"), col("doc_id"), 1L, 2L)
+      r.map { case (c, w) => Seq((c, w)) }.getOrElse(Seq.empty)
+        .toDF("cut_value", "total_tokens")
+    }),
+
     // ── Approximate distinct (HLL sketch), oracled by tolerance: the raw
     //    estimate is engine-specific, so the query emits the exact distinct
     //    count (hash-matchable) plus a boolean attesting the engine's OWN
@@ -2265,6 +2280,21 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n_scored
          |FROM scored s JOIN documents d ON s.doc_id = d.doc_id
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // lower weighted median: first row of the (score, doc_id) order
+    // whose inclusive cumulative token mass clears half the total —
+    // integer comparison, no float cumsum
+    "quality_weighted_median" ->
+      s"""WITH $wordsSql,
+         |${qualityScoredSql("base", "scored")},
+         |wts AS (SELECT quality_score AS v, n_tokens AS wt, doc_id FROM scored),
+         |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS tw FROM wts),
+         |c AS (SELECT v, wt, doc_id,
+         |             CAST(sum(wt) OVER (ORDER BY v, doc_id) AS BIGINT) AS cum
+         |      FROM wts)
+         |SELECT min(v) AS cut_value, tw AS total_tokens
+         |FROM c, tot WHERE wt > 0 AND cum * 2 >= tw
+         |GROUP BY tw""".stripMargin,
 
     "user_event_pivot" ->
       """SELECT user_id,

@@ -75,6 +75,57 @@ object ExactPercentile {
   private val cutMemo = scala.collection.concurrent.TrieMap
     .empty[(String, Int, Double), Option[Double]]
 
+  /** WEIGHTED p-quantile (lower / inverted-CDF rule): the smallest value
+    * whose cumulative WEIGHT under the total order (value, tieBreak)
+    * reaches p of the total weight. Where [[cut]] answers "the score at
+    * the p-th document", this answers the curation question "the score
+    * below which p of the TOKEN MASS sits" (weight = n_tokens) — the
+    * cut that makes a quality gate budget-aware. No interpolation: the
+    * cut is an actual data value, selected by the exact integer
+    * comparison `(cum + w)·den ≥ num·W` with p = num/den — no float
+    * cumsums, so any engine replays it bit-for-bit. Rides
+    * [[GlobalOrder]]'s range-partitioned prefix sum (the weighted rank
+    * never funnels through one task); the winner is one
+    * TakeOrdered(1) over the qualifying suffix. Zero-weight rows carry
+    * no mass and are skipped; weights must be non-negative. Exact while
+    * num·totalWeight < 2⁶³ (a 100 TB token mass ≈ 10¹⁵ against den ≤
+    * a few hundred is 4 orders under the line). Returns
+    * (cut, total weight); None on empty or all-zero-weight input.
+    * Memoized like [[cuts]]. */
+  def weightedCut(df: DataFrame, value: Column, weight: Column,
+                  tieBreak: Column, num: Long,
+                  den: Long): Option[(Double, Long)] = {
+    require(den > 0 && num >= 0 && num <= den,
+      s"p = $num/$den must lie in [0,1]")
+    val vals = df.filter(value.isNotNull && weight.isNotNull)
+      .select(value.cast("double").as("_v"), weight.cast("long").as("_w"),
+        tieBreak.as("_tb"))
+    val key = (Caches.sessionId(df.sparkSession), vals.semanticHash(), num, den)
+    weightedMemo.getOrElseUpdate(key, computeWeightedCut(vals, num, den))
+  }
+
+  private val weightedMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Long, Long), Option[(Double, Long)]]
+
+  private def computeWeightedCut(vals: DataFrame, num: Long,
+                                 den: Long): Option[(Double, Long)] = {
+    val guarded = vals.withColumn("_w",
+      when(col("_w") >= 0L, col("_w")).otherwise(raise_error(
+        lit("weightedCut: negative weight"))))
+    val (ranked, n, w) =
+      GlobalOrder.attach(guarded, Seq(col("_v"), col("_tb")), col("_w"))
+    if (n == 0L || w == 0L) return None
+    // _cum is the EXCLUSIVE running weight; the row's inclusive mass is
+    // _cum + _w. The first positive-weight row whose inclusive mass
+    // clears num/den of the total is the cut.
+    val hit = ranked
+      .filter(col("_w") > 0L &&
+        (col("_cum") + col("_w")) * lit(den) >= lit(num) * lit(w))
+      .orderBy(col("_v"), col("_tb")).limit(1)
+      .select(col("_v")).collect()
+    hit.headOption.map(r => (r.getDouble(0), w))
+  }
+
   /** PER-GROUP exact interpolated percentile over a continuous column —
     * skew-proof. The naive per-group formulations both break at 100 TB:
     * `groupBy(g).agg(percentile(v, p))` buffers each group's distinct

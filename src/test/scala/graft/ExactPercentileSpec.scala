@@ -122,6 +122,34 @@ class ExactPercentileSpec extends AnyFunSuite {
     assert(g2.find(_._1 == "big").get._3 === 300L)
   }
 
+  test("weightedCut follows the mass, not the row count") {
+    import spark.implicits._
+    def wc(rows: Seq[(Double, Long)], num: Long = 1L, den: Long = 2L) =
+      ExactPercentile.weightedCut(
+        rows.zipWithIndex.map { case ((v, w), i) => (i.toLong, v, w) }
+          .toDF("id", "v", "w"),
+        col("v"), col("w"), col("id"), num, den)
+    // one heavy row at the top: the median value is where the MASS sits
+    assert(wc(Seq((1.0, 1L), (2.0, 1L), (3.0, 1L), (4.0, 5L)))
+      === Some((4.0, 8L)))
+    // heavy row at the bottom pulls the cut down
+    assert(wc(Seq((1.0, 5L), (2.0, 1L), (3.0, 1L), (4.0, 1L)))
+      === Some((1.0, 8L)))
+    // unit weights degenerate to the lower median
+    assert(wc(Seq((10.0, 1L), (20.0, 1L), (30.0, 1L))) === Some((20.0, 3L)))
+    // p as an exact fraction: 9/10 of the mass
+    assert(wc(Seq((1.0, 9L), (2.0, 1L)), 9L, 10L) === Some((1.0, 10L)))
+    assert(wc(Seq((1.0, 9L), (2.0, 1L)), 10L, 10L) === Some((2.0, 10L)))
+    // zero-weight rows carry no mass and can never be the cut
+    assert(wc(Seq((0.5, 0L), (1.0, 1L))) === Some((1.0, 1L)))
+    // empty and all-zero-weight inputs have no cut
+    assert(wc(Seq.empty) === None)
+    assert(wc(Seq((1.0, 0L))) === None)
+    // a negative weight fails loudly
+    val err = intercept[Exception] { wc(Seq((1.0, -1L), (2.0, 3L))) }
+    assert(err.getMessage.contains("negative weight"))
+  }
+
   test("corpus quality_score median matches the aggregate bit-for-bit") {
     val q = TextOps.qualityScore(Tables.documents(spark, sfDir))
       .select("doc_id", "quality_score")
