@@ -1164,6 +1164,13 @@ object SparkEntry {
       SamplingOps.corpusMix(Tables.documents(s, dir), "lang", mixWeights)
         .orderBy("lang")),
 
+    // the mix plan EXECUTED: ⌊dup_factor⌋ copies per doc plus a
+    // hash-selected extra for the fractional part — deterministic, and
+    // the report shows how close the integerized epoch lands on target
+    "epoch_materialize" -> ((s, dir) =>
+      SamplingOps.epochMaterialize(Tables.documents(s, dir), "lang",
+        "doc_id", mixWeights).orderBy("lang")),
+
     // the release one-pager: per-language doc/token counts + dup /
     // quality-gate / PII rates — exact counts, single IEEE divisions,
     // the memoized scale-safe median cut
@@ -3504,6 +3511,36 @@ object SparkEntry {
          |       CAST(np AS DOUBLE) / n_docs AS pii_rate
          |FROM per, tot ORDER BY lang""".stripMargin
     },
+
+    "epoch_materialize" ->
+      s"""WITH $wordsSql,
+         |toks AS (SELECT doc_id, lang, len(w) AS n_tokens FROM words),
+         |per0 AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS nt
+         |         FROM toks GROUP BY lang),
+         |tot0 AS (SELECT CAST(sum(nt) AS BIGINT) AS t FROM per0),
+         |fac AS (SELECT lang,
+         |               (CASE lang WHEN 'de' THEN CAST(0.15 AS DOUBLE)
+         |                          WHEN 'en' THEN CAST(0.35 AS DOUBLE)
+         |                          WHEN 'es' THEN CAST(0.15 AS DOUBLE)
+         |                          WHEN 'fr' THEN CAST(0.15 AS DOUBLE)
+         |                          WHEN 'zh' THEN CAST(0.20 AS DOUBLE)
+         |                          ELSE NULL END)
+         |                 / (CAST(nt AS DOUBLE) / t) AS f
+         |        FROM per0, tot0),
+         |cp AS (SELECT toks.lang, n_tokens,
+         |              CAST(floor(f) AS BIGINT) +
+         |              (CASE WHEN ${keyHashSql("doc_id")} % 1000000 <
+         |                      CAST(floor((f - floor(f)) * 1000000.0) AS BIGINT)
+         |                    THEN 1 ELSE 0 END) AS copies
+         |       FROM toks JOIN fac USING (lang)),
+         |per AS (SELECT lang, count(*) AS n_docs,
+         |               CAST(sum(copies) AS BIGINT) AS n_epoch_docs,
+         |               CAST(sum(copies * n_tokens) AS BIGINT) AS n_epoch_tokens
+         |        FROM cp GROUP BY lang),
+         |tot AS (SELECT CAST(sum(n_epoch_tokens) AS BIGINT) AS te FROM per)
+         |SELECT lang, n_docs, n_epoch_docs, n_epoch_tokens,
+         |       CAST(n_epoch_tokens AS DOUBLE) / te AS achieved_weight
+         |FROM per, tot ORDER BY lang""".stripMargin,
 
     "text_repetition" ->
       s"""WITH $wordsSql,

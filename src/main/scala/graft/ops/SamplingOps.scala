@@ -231,6 +231,41 @@ object SamplingOps {
         sum(col("_straddle")).as("n_straddlers"))
   }
 
+  /** Epoch materialization — [[corpusMix]]'s dup_factor made executable:
+    * each document enters the epoch ⌊f⌋ times, plus one more when its
+    * key hash falls under f's fractional part
+    * (hash mod 10⁶ < ⌊frac·10⁶⌋) — so a stratum's achieved token mass
+    * converges on target·total with NO randomness: the same documents
+    * get the extra copy on every run and engine, and the report below
+    * shows how close the integerized epoch lands to the target mix.
+    * All arithmetic is the single-rounded IEEE chain [[corpusMix]]
+    * already oracles (f = target/share) plus exact floor/compare steps.
+    * One broadcast factor join over the corpus, one per-stratum
+    * aggregate, one broadcast epoch total — no corpus-sized shuffle
+    * beyond the stratum aggregate. */
+  def epochMaterialize(docs: DataFrame, stratum: String, key: String,
+                       targetWeights: Map[String, Double]): DataFrame = {
+    val factors = corpusMix(docs, stratum, targetWeights)
+      .select(col(stratum), col("dup_factor"))
+    val toks = docs.select(col(stratum), col(key),
+      size(TextOps.normWords(col("text"))).cast("long").as("n_tokens"))
+    val frac = col("dup_factor") - floor(col("dup_factor"))
+    val copies = toks.join(broadcast(factors), stratum)
+      .withColumn("_copies",
+        floor(col("dup_factor")).cast("long") +
+          (pmod(keyHash(key), lit(1000000L)) <
+            floor(frac * lit(1000000.0)).cast("long")).cast("long"))
+    val per = copies.groupBy(stratum)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_copies")).as("n_epoch_docs"),
+        sum(col("_copies") * col("n_tokens")).as("n_epoch_tokens"))
+    val tot = per.agg(sum(col("n_epoch_tokens")).as("_te"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("achieved_weight",
+        col("n_epoch_tokens").cast("double") / col("_te"))
+      .drop("_te")
+  }
+
   /** Shard-export manifest — the handoff artifact between curation and
     * training: documents are laid out in key order and cut into shards
     * of ≈`tokensPerShard` (a doc belongs to the shard its running-total

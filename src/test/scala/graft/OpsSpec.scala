@@ -1358,6 +1358,31 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.contains(("x y z w v", 2L)))
   }
 
+  test("epochMaterialize integerizes the mix deterministically toward target") {
+    val weights = Map("de" -> 0.15, "en" -> 0.35, "es" -> 0.15,
+      "fr" -> 0.15, "zh" -> 0.20)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      SamplingOps.epochMaterialize(d, "lang", "doc_id", weights)
+        .orderBy("lang").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSeq
+    val out = run(docs)
+    assert(out.map(_._1).toSet === weights.keySet)
+    // achieved shares are a probability vector over the epoch
+    assert(math.abs(out.map(_._5).sum - 1.0) < 1e-9)
+    // every stratum's epoch doc count sits in the [floor(f)·n, ceil(f)·n]
+    // band its factor dictates
+    val mix = SamplingOps.corpusMix(docs, "lang", weights).collect()
+      .map(r => r.getString(0) -> r.getDouble(5)).toMap
+    out.foreach { case (l, n, en, _, _) =>
+      val f = mix(l)
+      assert(en >= math.floor(f).toLong * n && en <= math.ceil(f).toLong * n,
+        s"stratum $l: $en copies of $n docs under f=$f")
+    }
+    // hash-selected extras, not row order: reshuffling changes nothing
+    assert(run(docs.repartition(9)) === out)
+  }
+
   test("corpusDiff reports exactly the touched buckets, classified") {
     import graft.ops.Curation
     val v1 = (1L to 8L).map(i => (i, s"document number $i body")).toDF("doc_id", "text")
