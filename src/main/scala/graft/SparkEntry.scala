@@ -400,6 +400,23 @@ object SparkEntry {
       cuts.toDF("lang", "p50_quality", "n_scored").orderBy("lang")
     }),
 
+    // per-group weighted median: one GlobalOrder pass over
+    // (lang, score, doc_id) carries the weighted running sum — a
+    // dominant group spreads across range partitions; winners picked
+    // distributed via a broadcast threshold join + min-struct aggregate
+    "quality_weighted_median_by_lang" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val scored = Caches.ensureCached(TextOps.qualityScore(docs))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      val cuts = graft.engine.ExactPercentile.groupedWeightedCuts(
+        scored.select(col("lang"), col("quality_score"), col("n_tokens"),
+          col("doc_id")),
+        col("lang"), col("quality_score"), col("n_tokens"), col("doc_id"),
+        1L, 2L)
+      cuts.toDF("lang", "cut_value", "lang_tokens").orderBy("lang")
+    }),
+
     // TOKEN-MASS-weighted median quality (lower/inverted-CDF rule): the
     // score below which half the token mass sits — the budget-aware
     // quality cut; exact integer comparison over the GlobalOrder
@@ -2287,6 +2304,21 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n_scored
          |FROM scored s JOIN documents d ON s.doc_id = d.doc_id
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "quality_weighted_median_by_lang" ->
+      s"""WITH $wordsSql,
+         |${qualityScoredSql("base", "scored")},
+         |j AS (SELECT d.lang, s.quality_score AS v, s.n_tokens AS wt, s.doc_id
+         |      FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
+         |g AS (SELECT lang, CAST(sum(wt) AS BIGINT) AS gw FROM j GROUP BY lang),
+         |c AS (SELECT lang, v, wt, doc_id,
+         |             CAST(sum(wt) OVER (PARTITION BY lang
+         |               ORDER BY v, doc_id) AS BIGINT) AS cum
+         |      FROM j)
+         |SELECT c.lang, min(v) AS cut_value, gw AS lang_tokens
+         |FROM c JOIN g USING (lang)
+         |WHERE wt > 0 AND cum * 2 >= gw
+         |GROUP BY c.lang, gw ORDER BY lang""".stripMargin,
 
     // lower weighted median: first row of the (score, doc_id) order
     // whose inclusive cumulative token mass clears half the total —

@@ -126,6 +126,64 @@ object ExactPercentile {
     hit.headOption.map(r => (r.getDouble(0), w))
   }
 
+  /** PER-GROUP [[weightedCut]] — skew-proof like [[groupedCuts]]: ONE
+    * GlobalOrder pass over the total order (group, value, tie) carries
+    * the weighted running sum, so a dominant group spreads across many
+    * range partitions instead of serializing into one window task.
+    * Per-group thresholds come from a bounded (one row per group)
+    * aggregate of (base exclusive mass, group mass); the winners are
+    * picked distributed — a broadcast threshold join plus a min-struct
+    * aggregate over qualifying rows — never a per-group driver scan.
+    * Same lower/inverted-CDF rule, same exact integer comparison, zero
+    * weights skipped. Returns (group, cut, group weight) sorted by
+    * group; memoized. */
+  def groupedWeightedCuts(df: DataFrame, group: Column, value: Column,
+                          weight: Column, tieBreak: Column, num: Long,
+                          den: Long): Seq[(String, Double, Long)] = {
+    require(den > 0 && num >= 0 && num <= den,
+      s"p = $num/$den must lie in [0,1]")
+    val vals = df.filter(value.isNotNull && weight.isNotNull && group.isNotNull)
+      .select(group.cast("string").as("_g"), value.cast("double").as("_v"),
+        weight.cast("long").as("_w"), tieBreak.as("_tb"))
+    groupedWeightedMemo.getOrElseUpdate(
+      (Caches.sessionId(df.sparkSession), vals.semanticHash(), num, den),
+      computeGroupedWeightedCuts(vals, num, den))
+  }
+
+  private val groupedWeightedMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Long, Long), Seq[(String, Double, Long)]]
+
+  private def computeGroupedWeightedCuts(
+      vals: DataFrame, num: Long, den: Long): Seq[(String, Double, Long)] = {
+    val guarded = vals.withColumn("_w",
+      when(col("_w") >= 0L, col("_w")).otherwise(raise_error(
+        lit("groupedWeightedCuts: negative weight"))))
+    val (ranked, n, _) = GlobalOrder.attach(guarded,
+      Seq(col("_g"), col("_v"), col("_tb")), col("_w"))
+    if (n == 0L) return Seq.empty
+    // one bounded row per group: the group's base (exclusive mass at its
+    // first row) and total mass
+    val metas = ranked.groupBy("_g")
+      .agg(min(col("_cum")).as("_base"), sum(col("_w")).as("_gw"))
+    val spark = vals.sparkSession
+    import spark.implicits._
+    // winner per group: the minimal (value, tie) among rows whose
+    // in-group inclusive mass clears num/den of the group mass — a
+    // broadcast threshold join + one min-struct aggregate
+    val winners = ranked
+      .join(broadcast(metas), "_g")
+      .filter(col("_w") > 0L && col("_gw") > 0L &&
+        (col("_cum") - col("_base") + col("_w")) * lit(den) >=
+          lit(num) * col("_gw"))
+      .groupBy("_g")
+      .agg(min(struct(col("_v"), col("_tb"))).as("_win"),
+        first(col("_gw")).as("_gw"))
+      .select(col("_g"), col("_win._v").as("_v"), col("_gw"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    winners.sortBy(_._1).toSeq
+  }
+
   /** PER-GROUP exact interpolated percentile over a continuous column —
     * skew-proof. The naive per-group formulations both break at 100 TB:
     * `groupBy(g).agg(percentile(v, p))` buffers each group's distinct

@@ -150,6 +150,39 @@ class ExactPercentileSpec extends AnyFunSuite {
     assert(err.getMessage.contains("negative weight"))
   }
 
+  test("groupedWeightedCuts equals per-group weightedCut on every group") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1.0, 1L), ("a", 2.0, 1L), ("a", 3.0, 6L),   // mass at the top
+      ("b", 1.0, 9L), ("b", 5.0, 1L),                   // mass at the bottom
+      ("c", 4.0, 0L), ("c", 7.0, 2L))                   // zero-weight row
+      .zipWithIndex.map { case ((g, v, w), i) => (i.toLong, g, v, w) }
+      .toDF("id", "g", "v", "w")
+    val grouped = ExactPercentile.groupedWeightedCuts(
+      rows, col("g"), col("v"), col("w"), col("id"), 1L, 2L)
+    assert(grouped === Seq(("a", 3.0, 8L), ("b", 1.0, 10L), ("c", 7.0, 2L)))
+    // agreement with the single-group primitive, group by group
+    Seq("a", "b", "c").foreach { g =>
+      val single = ExactPercentile.weightedCut(rows.filter($"g" === g),
+        col("v"), col("w"), col("id"), 1L, 2L)
+      val row = grouped.find(_._1 == g).get
+      assert(single === Some((row._2, row._3)), s"group $g")
+    }
+    // corpus-scale agreement: per-lang grouped result equals filtering
+    // each lang and running the global weighted cut
+    val docs = Tables.documents(spark, sfDir)
+    val scored = TextOps.qualityScore(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("lang"), col("quality_score"), col("n_tokens"), col("doc_id"))
+    val byLang = ExactPercentile.groupedWeightedCuts(scored, col("lang"),
+      col("quality_score"), col("n_tokens"), col("doc_id"), 1L, 2L)
+    byLang.foreach { case (l, cut, gw) =>
+      val one = ExactPercentile.weightedCut(scored.filter(col("lang") === l),
+        col("quality_score"), col("n_tokens"), col("doc_id"), 1L, 2L)
+      assert(one === Some((cut, gw)), s"lang $l")
+    }
+  }
+
   test("corpus quality_score median matches the aggregate bit-for-bit") {
     val q = TextOps.qualityScore(Tables.documents(spark, sfDir))
       .select("doc_id", "quality_score")
