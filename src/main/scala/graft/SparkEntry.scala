@@ -614,6 +614,16 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // cross-source leakage matrix: which sources share verbatim content
+    // (winnow fingerprints) — the audit behind per-source dedup
+    // priorities; same df-capped join as containment, collapsed to a
+    // bounded |sources|² matrix
+    "source_overlap_matrix" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextOps.sourceOverlapMatrix(d, maxDf = TextOps.adaptiveMaxDf(d))
+        .orderBy("source_a", "source_b")
+    }),
+
     // ── North-star: deduplication family ──────────────────────────────
     "dedup_exact" -> ((s, dir) =>
       DedupOps.exactDupGroups(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -2496,6 +2506,28 @@ object SparkEntry {
          |          JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE CAST(n_shared AS DOUBLE) / least(sa.n, sb.n) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "source_overlap_matrix" ->
+      s"""WITH $winnowFpSql,
+         |ex0 AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+         |dfc AS (SELECT f, count(*) AS d FROM ex0 GROUP BY f),
+         |cap AS (SELECT least(32, greatest(4, CAST(trunc(quantile_cont(d, 0.999)) AS BIGINT))) AS c FROM dfc),
+         |ex AS (SELECT doc_id, f FROM ex0 JOIN dfc USING (f) WHERE d <= (SELECT c FROM cap)),
+         |exs AS (SELECT ex.doc_id, f, source
+         |        FROM ex JOIN documents USING (doc_id)),
+         |cr AS (SELECT least(a.source, b.source) AS source_a,
+         |              greatest(a.source, b.source) AS source_b,
+         |              a.f AS f,
+         |              CAST(a.doc_id AS VARCHAR) || ':' ||
+         |                CAST(b.doc_id AS VARCHAR) AS pr
+         |       FROM exs a JOIN exs b
+         |         ON a.f = b.f AND a.doc_id < b.doc_id
+         |            AND a.source <> b.source)
+         |SELECT source_a, source_b,
+         |       CAST(count(DISTINCT pr) AS BIGINT) AS n_doc_pairs,
+         |       CAST(count(DISTINCT f) AS BIGINT) AS n_shared_fps
+         |FROM cr GROUP BY source_a, source_b
+         |ORDER BY source_a, source_b""".stripMargin,
 
     "dedup_exact" ->
       s"""WITH $wordsSql,

@@ -898,6 +898,32 @@ object TextOps {
       ex0.join(dfCount.filter(col("_d") <= maxDf), "fp").drop("_d"))
   }
 
+  /** Cross-source leakage matrix — "which sources copy from each
+    * other": for every unordered pair of sources, the number of
+    * cross-source document pairs sharing a winnow fingerprint and the
+    * number of distinct shared fingerprints. A hot cell means one feed
+    * mirrors another (syndication, scraping overlap) — the audit that
+    * decides per-source dedup priorities and catches a supposedly-
+    * independent source that isn't. Rides the SAME df-capped exploded
+    * fingerprint table as [[containmentPairs]] (bounded df² candidates
+    * per fingerprint, the cap corpus-derived via [[adaptiveMaxDf]]),
+    * then collapses to a ≤|sources|² matrix — the per-pair distinct
+    * counts shuffle on (source pair), bounded keys. */
+  def sourceOverlapMatrix(docs: DataFrame, maxDf: Int = 10): DataFrame = {
+    val ex = containmentExploded(docs, maxDf = maxDf)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    ex.as("a").join(ex.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.source") =!= col("b.source"))
+      .select(least(col("a.source"), col("b.source")).as("source_a"),
+        greatest(col("a.source"), col("b.source")).as("source_b"),
+        col("a.fp").as("fp"),
+        concat_ws(":", col("a.doc_id"), col("b.doc_id")).as("_pair"))
+      .groupBy("source_a", "source_b")
+      .agg(count_distinct(col("_pair")).as("n_doc_pairs"),
+        count_distinct(col("fp")).as("n_shared_fps"))
+  }
+
   /** Intra-document repetition score — the MassiveText-style quality
     * signal: the fraction of a doc's word n-grams that repeat an earlier
     * one (1 − distinct/total). Highly repetitive docs (boilerplate,

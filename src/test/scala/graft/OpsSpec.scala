@@ -1358,6 +1358,24 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.contains(("x y z w v", 2L)))
   }
 
+  test("sourceOverlapMatrix flags the copying source pair only") {
+    val shared = "the quick brown fox jumps over the lazy dog repeatedly today"
+    val tiny = Seq(
+      (0L, shared, "feedX"),
+      (1L, s"prefix words $shared suffix words", "feedY"), // contains the copy
+      (2L, "completely different material about database engines", "feedZ"),
+      (3L, "another unrelated article body on sailing boats", "feedX"))
+      .toDF("doc_id", "text", "source")
+    val m = TextOps.sourceOverlapMatrix(tiny, maxDf = 10).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    // the X↔Y copy is caught with at least one shared fingerprint
+    assert(m.contains(("feedX", "feedY")))
+    assert(m(("feedX", "feedY"))._1 >= 1L && m(("feedX", "feedY"))._2 >= 1L)
+    // independent sources share nothing
+    assert(!m.keySet.exists { case (a, b) => a == "feedZ" || b == "feedZ" })
+  }
+
   test("epochMaterialize integerizes the mix deterministically toward target") {
     val weights = Map("de" -> 0.15, "en" -> 0.35, "es" -> 0.15,
       "fr" -> 0.15, "zh" -> 0.20)
