@@ -992,6 +992,14 @@ object SparkEntry {
       SamplingOps.shardManifest(Tables.documents(s, dir), 4096L)
         .orderBy("shard_id")),
 
+    // a 20k global token budget split across languages by largest
+    // remainder over the mix weights, then filled greedily by quality
+    // within each language — grouped prefix sums on ONE GlobalOrder pass
+    "select_budget_by_lang" -> ((s, dir) =>
+      SamplingOps.selectTokenBudgetByGroup(Tables.documents(s, dir), "lang",
+        SamplingOps.largestRemainderBudgets(20000L, mixWeights))
+        .orderBy("lang", "cum_tokens")),
+
     // deterministic epoch-order shuffle: seed-keyed md5 permutation,
     // contiguous position assigned by the range-partitioned GlobalOrder
     // numbering (never a single-partition row_number window)
@@ -3254,6 +3262,34 @@ object SparkEntry {
          |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |       CAST(sum(CASE WHEN (o % 512) + n_tokens > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
          |FROM off GROUP BY 1 ORDER BY pack_id""".stripMargin,
+
+    // budgets replayed with the identical IEEE multiply + floor +
+    // largest-remainder ranking; the greedy fill is the per-lang
+    // quality-ordered window cumsum
+    "select_budget_by_lang" ->
+      s"""WITH $wordsSql,
+         |${qualityScoredSql("base", "scored")},
+         |wt AS (SELECT * FROM (VALUES
+         |         ('de', CAST(0.15 AS DOUBLE)), ('en', CAST(0.35 AS DOUBLE)),
+         |         ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
+         |         ('zh', CAST(0.20 AS DOUBLE))) AS t(lang, w)),
+         |fl AS (SELECT lang, CAST(floor(20000 * w) AS BIGINT) AS fl,
+         |              20000 * w - floor(20000 * w) AS rem FROM wt),
+         |bon AS (SELECT CAST(20000 - sum(fl) AS BIGINT) AS b FROM fl),
+         |q AS (SELECT lang,
+         |             fl + (CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+         |                             <= b THEN 1 ELSE 0 END) AS bud
+         |      FROM fl, bon),
+         |j AS (SELECT d.lang, s.doc_id, s.n_tokens, s.quality_score
+         |      FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
+         |c AS (SELECT lang, doc_id, n_tokens, quality_score,
+         |             CAST(sum(n_tokens) OVER (PARTITION BY lang
+         |               ORDER BY quality_score DESC, doc_id) AS BIGINT) AS cum
+         |      FROM j)
+         |SELECT c.lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       quality_score, cum AS cum_tokens
+         |FROM c JOIN q USING (lang) WHERE cum <= bud
+         |ORDER BY lang, cum_tokens""".stripMargin,
 
     "shard_manifest" ->
       s"""WITH $wordsSql,

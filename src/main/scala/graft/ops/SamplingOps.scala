@@ -157,6 +157,55 @@ object SamplingOps {
         (col("_cum") + col("n_tokens")).as("cum_tokens"))
   }
 
+  /** PER-GROUP greedy token-budget selection — [[selectTokenBudget]]
+    * with a budget per stratum: within each stratum, keep the highest-
+    * quality whole documents while the stratum's running token total
+    * stays within its budget. The grouped running sum rides ONE
+    * [[globalOrder]] pass over (stratum, quality desc, key) — a
+    * dominant stratum spreads across range partitions instead of one
+    * window task — with per-stratum base offsets from a bounded
+    * one-row-per-stratum aggregate (the groupedWeightedCuts shape).
+    * Strata missing from `budgets` raise (fail-loud, as everywhere). */
+  def selectTokenBudgetByGroup(docs: DataFrame, stratum: String,
+                               budgets: Map[String, Long]): DataFrame = {
+    val scored = TextOps.qualityScore(docs)
+      .join(docs.select("doc_id", stratum), "doc_id")
+      .select(col(stratum), col("doc_id"), col("n_tokens"),
+        col("quality_score"))
+    val (ranked, _, _) = globalOrder(scored,
+      Seq(col(stratum), col("quality_score").desc, col("doc_id")),
+      col("n_tokens"))
+    val base = ranked.groupBy(stratum).agg(min(col("_cum")).as("_base"))
+    val bCol = budgets.toSeq.sortBy(_._1).foldLeft(
+      unmappedStratum("selectTokenBudgetByGroup", stratum, "bigint")) {
+      case (acc, (k, v)) => when(col(stratum) === lit(k), lit(v)).otherwise(acc)
+    }
+    ranked.join(broadcast(base), stratum)
+      .withColumn("_b", bCol)
+      .filter(col("_cum") - col("_base") + col("n_tokens") <= col("_b"))
+      .select(col(stratum), col("doc_id"), col("n_tokens"),
+        col("quality_score"),
+        (col("_cum") - col("_base") + col("n_tokens")).as("cum_tokens"))
+  }
+
+  /** Largest-remainder split of an integer budget across the keys of a
+    * weight map (quotas sum to `budget` exactly; ties by key) — the
+    * [[proportionalSample]] arithmetic over WEIGHTS instead of counts,
+    * exposed for budget-per-stratum callers. Double products replay
+    * bit-for-bit in SQL (single IEEE multiply + floor). */
+  def largestRemainderBudgets(budget: Long,
+                              weights: Map[String, Double]): Map[String, Long] = {
+    val floors = weights.toSeq.sortBy(_._1).map { case (k, w) =>
+      val x = budget * w
+      (k, math.floor(x).toLong, x - math.floor(x))
+    }
+    val bonus = (budget - floors.map(_._2).sum).toInt
+    val bonusSet = floors.sortBy { case (k, _, r) => (-r, k) }
+      .take(bonus).map(_._1).toSet
+    floors.map { case (k, f, _) =>
+      k -> (f + (if (bonusSet(k)) 1L else 0L)) }.toMap
+  }
+
   /** Deterministic global shuffle for training order: a seed-keyed md5
     * over the row key gives a reproducible pseudo-random permutation,
     * and the contiguous 1-based position (`train_order`) comes from the

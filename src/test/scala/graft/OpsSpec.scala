@@ -1358,6 +1358,42 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.contains(("x y z w v", 2L)))
   }
 
+  test("selectTokenBudgetByGroup fills each stratum's budget greedily") {
+    val weights = Map("de" -> 0.15, "en" -> 0.35, "es" -> 0.15,
+      "fr" -> 0.15, "zh" -> 0.20)
+    val budgets = SamplingOps.largestRemainderBudgets(20000L, weights)
+    // quotas are an exact partition of the budget
+    assert(budgets.values.sum === 20000L)
+    val out = SamplingOps.selectTokenBudgetByGroup(docs, "lang", budgets)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(4)))
+    // every stratum respects its own budget
+    out.groupBy(_._1).foreach { case (l, rows) =>
+      assert(rows.map(_._3).sum <= budgets(l), s"stratum $l over budget")
+      // cum_tokens is the running sum in selection order
+      assert(rows.map(_._4).max === rows.map(_._3).sum)
+    }
+    // matches the textbook per-group window formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"quality_score".desc, $"doc_id")
+    val scored = TextOps.qualityScore(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val bCol = budgets.foldLeft(lit(-1L)) { case (acc, (k, v)) =>
+      when($"lang" === k, lit(v)).otherwise(acc) }
+    val ref = scored.withColumn("cum",
+        sum($"n_tokens").over(w.rowsBetween(Long.MinValue, 0)))
+      .filter($"cum" <= bCol)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id")))
+      .toSet
+    assert(out.map(t => (t._1, t._2)).toSet === ref)
+    // an unconfigured stratum fails loudly
+    val err = intercept[Exception] {
+      SamplingOps.selectTokenBudgetByGroup(docs, "lang",
+        budgets - "zh").collect()
+    }
+    assert(err.getMessage.contains("no configured weight"))
+  }
+
   test("sourceOverlapMatrix flags the copying source pair only") {
     val shared = "the quick brown fox jumps over the lazy dog repeatedly today"
     val tiny = Seq(
