@@ -763,6 +763,14 @@ object SparkEntry {
       SimilarityOps.semDedup(Tables.embeddings(s, dir), P.KmK, P.KmIters,
         P.SemT).orderBy("vec_id")),
 
+    // coreset seed set: the vector nearest each trained centroid with
+    // its cluster population — a spread-out sample where random
+    // sampling oversamples dense regions; one broadcast centroid join +
+    // one k-group min-struct aggregate
+    "diverse_representatives" -> ((s, dir) =>
+      SimilarityOps.diverseRepresentatives(Tables.embeddings(s, dir),
+        P.KmK, P.KmIters).orderBy("cluster")),
+
     // Survivor selection over the embedding near-dup graph — the vector
     // twin of dedup_keep_best, reusing DedupOps.keepBest verbatim: each
     // member's "quality" is its graph centrality (DECIMAL-exact sum of
@@ -2661,6 +2669,22 @@ object SparkEntry {
          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
 
     "ann_ivf_kmeans_topk" -> ivfKmeansOracleSql(trainPred = None),
+
+    "diverse_representatives" -> {
+      val iters = 2
+      s"""${ivfFinCtes(None, iters)},
+         |rep AS (SELECT f.cl, f.vec_id,
+         |               round(${dSql("f.v", "c.cv")}, 6) AS d
+         |        FROM fin f JOIN c$iters c ON f.cl = c.cl),
+         |sel AS (SELECT cl, vec_id, d,
+         |               row_number() OVER (PARTITION BY cl
+         |                 ORDER BY d, vec_id) AS rn,
+         |               count(*) OVER (PARTITION BY cl) AS nm
+         |        FROM rep)
+         |SELECT CAST(cl AS BIGINT) AS cluster, vec_id AS rep_vec,
+         |       d AS rep_dist, CAST(nm AS BIGINT) AS n_members
+         |FROM sel WHERE rn = 1 ORDER BY cluster""".stripMargin
+    },
 
     "semdedup" -> semdedupOracleSql,
 

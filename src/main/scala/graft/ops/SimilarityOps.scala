@@ -282,6 +282,35 @@ object SimilarityOps {
     * count; an oversized cluster can be sub-blocked with the hyperplane
     * LSH of [[lshNearDupPairs]] without changing the rule. Returns every
     * vector: (vec_id, cluster, cent_cosine, kept). */
+  /** Diverse representatives — coreset selection's simplest useful
+    * form: the vector nearest each k-means centroid (6-dp-rounded L2²,
+    * ties by vec_id) plus its cluster population. The k winners are a
+    * spread-out sample of the embedding space — the seed set for
+    * curriculum anchors, eval-probe selection, or human inspection —
+    * where a random sample oversamples dense regions by construction.
+    * Reuses the memoized deterministic [[kmeansCentroids]] training;
+    * selection is one broadcast centroid join + one k-group min-struct
+    * aggregate over the corpus — no window, no per-cluster sort. */
+  def diverseRepresentatives(embeddings: DataFrame, k: Int = 8,
+                             iters: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    val e = embeddings.select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+    val cents = kmeansCentroids(e, k, iters)
+    val centsDf = cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("cluster", "c")
+    e.withColumn("cluster", assignCluster(col("v"), cents).cast("long"))
+      .join(broadcast(centsDf), "cluster")
+      .select(col("cluster"), col("vec_id"),
+        round(call_function("graft_l2sq", col("v"), col("c")), 6).as("d"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        min(struct(col("d"), col("vec_id"))).as("_m"))
+      .select(col("cluster"), col("_m.vec_id").as("rep_vec"),
+        col("_m.d").as("rep_dist"), col("n_members"))
+  }
+
   def semDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
                cosT: Double = 0.35): DataFrame = {
     val spark = embeddings.sparkSession

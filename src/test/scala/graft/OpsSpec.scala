@@ -1358,6 +1358,35 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.contains(("x y z w v", 2L)))
   }
 
+  test("diverseRepresentatives picks each cluster's nearest member") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val reps = SimilarityOps.diverseRepresentatives(emb, 8, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // one representative per non-empty cluster; populations partition
+    assert(reps.map(_._1).distinct.length === reps.length)
+    assert(reps.map(_._4).sum === emb.count())
+    // driver replay: each winner is its own cluster's true argmin
+    val e = emb.select(col("vec_id"),
+      SimilarityOps.asDoubleVec(col("embedding")).as("v"))
+    val cents = SimilarityOps.kmeansCentroids(e, 8, 2)
+    val all = e.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+    def l2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val byCluster = all.groupBy { case (_, v) =>
+      cents.indices.minBy(i => (l2(v, cents(i)), i)).toLong }
+    reps.foreach { case (cl, rep, d, nm) =>
+      val members = byCluster(cl)
+      assert(members.length.toLong === nm)
+      val best = members
+        .map { case (id, v) =>
+          (BigDecimal(l2(v, cents(cl.toInt)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, id) }
+        .min
+      assert((best._2, best._1) === ((rep, d)), s"cluster $cl")
+    }
+  }
+
   test("selectTokenBudgetByGroup fills each stratum's budget greedily") {
     val weights = Map("de" -> 0.15, "en" -> 0.35, "es" -> 0.15,
       "fr" -> 0.15, "zh" -> 0.20)
