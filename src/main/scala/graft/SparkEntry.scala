@@ -196,6 +196,42 @@ object SparkEntry {
     "skew_report" -> ((s, dir) =>
       Stats.skewReport(ev(s, dir), "user_id", 10)),
 
+    // click→purchase funnel: of users with a click, the share with a
+    // purchase within 7 days of their FIRST click — two narrow filtered
+    // aggregates + one key join, exact counts, one IEEE division
+    "funnel_conversion" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min(col(TS)).as("first_click"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col(TS).as("pts"))
+      clicks.join(purchases, Seq("user_id"), "left")
+        .groupBy("user_id")
+        .agg(max(coalesce(
+          (col("pts") >= col("first_click") &&
+            col("pts") <= col("first_click") + expr("INTERVAL 7 DAYS"))
+            .cast("long"), lit(0L))).as("converted"))
+        .agg(count(lit(1)).as("n_clickers"),
+          sum(col("converted")).as("n_converted"),
+          (sum(col("converted")).cast("double") / count(lit(1)))
+            .as("conversion_rate"))
+    }),
+
+    // weekly retention cohorts: users grouped by first-seen ISO week ×
+    // weeks-since-cohort activity — the classic warehouse triangle; one
+    // first-seen aggregate + one cohort join + one distinct count
+    "retention_cohorts" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val firstSeen = e.groupBy("user_id")
+        .agg(min(date_trunc("week", col(TS))).as("cohort"))
+      e.join(firstSeen, "user_id")
+        .groupBy(col("cohort"),
+          expr(s"CAST(datediff(date_trunc('week', $TS), cohort) div 7 AS BIGINT)")
+            .as("week_offset"))
+        .agg(count_distinct(col("user_id")).as("n_active"))
+        .orderBy("cohort", "week_offset")
+    }),
+
     // z-order layout key: Morton interleave of (user_id, event_id) — the
     // write-time clustering that keeps file min/max stats tight in BOTH
     // dimensions (ZOrderSpec measures the box-predicate pruning win vs a
@@ -3165,6 +3201,31 @@ object SparkEntry {
          |SELECT event_id, zbucket,
          |       ${ZOrder.zvalueSql("zbucket", "user_id")} AS zval
          |FROM b ORDER BY zval, event_id""".stripMargin,
+
+    "funnel_conversion" ->
+      """WITH c AS (SELECT user_id, min(ts) AS fc FROM events
+        |           WHERE event_type = 'click' GROUP BY user_id),
+        |p AS (SELECT user_id, ts AS pts FROM events
+        |      WHERE event_type = 'purchase'),
+        |u AS (SELECT c.user_id,
+        |             max(CASE WHEN pts >= fc AND pts <= fc + INTERVAL 7 DAY
+        |                      THEN 1 ELSE 0 END) AS conv
+        |      FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |      GROUP BY c.user_id)
+        |SELECT count(*) AS n_clickers,
+        |       CAST(sum(conv) AS BIGINT) AS n_converted,
+        |       CAST(sum(conv) AS DOUBLE) / count(*) AS conversion_rate
+        |FROM u""".stripMargin,
+
+    "retention_cohorts" ->
+      """WITH f AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort
+        |           FROM events GROUP BY user_id)
+        |SELECT cohort,
+        |       CAST(date_diff('day', cohort, date_trunc('week', e.ts)) // 7
+        |            AS BIGINT) AS week_offset,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+        |FROM events e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin,
 
     "skew_report" ->
       """WITH per AS (SELECT user_id, count(*) AS n_rows
