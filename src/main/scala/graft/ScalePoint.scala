@@ -45,10 +45,14 @@ object ScalePoint {
   // (vocab-pass claim). Embedding ops are excluded by design: the
   // cipher construction scales TEXT while preserving its equality
   // structure; replicating vectors would manufacture exact duplicates
-  // the real distribution doesn't have.
+  // the real distribution doesn't have. The third session adds the
+  // full tokenization pass (bpe_encode_ids — corpus-linear explode +
+  // vocab join) and the memorization audit (ngram_hotspots — one
+  // shingle-keyed partial-agg shuffle).
   private val Queries =
     Seq("dedup_incremental", "text_bm25_batch_topk", "text_containment",
-      "lm_bigram_score", "bpe_merge_step")
+      "lm_bigram_score", "bpe_merge_step", "bpe_encode_ids",
+      "ngram_hotspots")
 
   private def buildScaled(spark: SparkSession, baseDir: String,
                           outDir: String): Unit = {
