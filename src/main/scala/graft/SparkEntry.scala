@@ -196,6 +196,17 @@ object SparkEntry {
     "skew_report" -> ((s, dir) =>
       Stats.skewReport(ev(s, dir), "user_id", 10)),
 
+    // pipeline-health alarm: daily counts ≥ 2σ from the type's mean —
+    // mean/var from exact integer sums, a fixed IEEE expression both
+    // engines evaluate identically
+    "event_anomalies" -> ((s, dir) =>
+      Stats.dailyAnomalies(ev(s, dir), 2.0).orderBy("event_type", "day")),
+
+    // ingestion freshness: per type, latest event time and its lag
+    // behind the global high-water mark (event time, not wall clock)
+    "freshness_report" -> ((s, dir) =>
+      Stats.freshnessReport(ev(s, dir)).orderBy("event_type")),
+
     // click→purchase funnel: of users with a click, the share with a
     // purchase within 7 days of their FIRST click — two narrow filtered
     // aggregates + one key join, exact counts, one IEEE division
@@ -3201,6 +3212,32 @@ object SparkEntry {
          |SELECT event_id, zbucket,
          |       ${ZOrder.zvalueSql("zbucket", "user_id")} AS zval
          |FROM b ORDER BY zval, event_id""".stripMargin,
+
+    "event_anomalies" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |                      count(*) AS n_events
+        |               FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS nd,
+        |              CAST(sum(n_events) AS BIGINT) AS s,
+        |              CAST(sum(n_events * n_events) AS BIGINT) AS s2
+        |       FROM daily GROUP BY event_type),
+        |m AS (SELECT event_type, nd, s, s2,
+        |             CAST(s AS DOUBLE) / nd AS mean,
+        |             (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / nd)) / nd AS var
+        |      FROM st WHERE nd > 1)
+        |SELECT d.event_type, d.day, d.n_events,
+        |       mean AS daily_mean,
+        |       (CAST(d.n_events AS DOUBLE) - mean) / sqrt(var) AS z
+        |FROM daily d JOIN m USING (event_type)
+        |WHERE var > 0 AND abs((CAST(d.n_events AS DOUBLE) - mean) / sqrt(var)) >= 2.0
+        |ORDER BY event_type, day""".stripMargin,
+
+    "freshness_report" ->
+      """WITH g AS (SELECT max(ts) AS hwm FROM events)
+        |SELECT event_type, max(ts) AS latest_ts, count(*) AS n_events,
+        |       CAST((epoch_us(hwm) - epoch_us(max(ts))) // 60000000 AS BIGINT) AS lag_minutes
+        |FROM events, g GROUP BY event_type, hwm
+        |ORDER BY event_type""".stripMargin,
 
     "funnel_conversion" ->
       """WITH c AS (SELECT user_id, min(ts) AS fc FROM events

@@ -108,6 +108,53 @@ object Stats {
         max(col("ts")).as("latest_ts"))
   }
 
+  /** Daily-volume anomaly detection: per event type, days whose event
+    * count sits ≥ `zThreshold` standard deviations from that type's
+    * daily mean — the pipeline-health alarm (an ingestion gap shows as
+    * a negative spike, a replay/duplication bug as a positive one).
+    * Mean and variance derive from EXACT integer sums (n, Σc, Σc² per
+    * type — one tiny aggregate), so the doubles are a fixed IEEE
+    * expression both engines evaluate identically: mean = Σc/n,
+    * var = (Σc² − Σc·mean)/n, z = (c − mean)/√var. Two bounded-key
+    * aggregates + a broadcast per-type stats join; types with zero
+    * variance or a single day report nothing. */
+  def dailyAnomalies(events: DataFrame, zThreshold: Double): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("_nd"), sum(col("n_events")).as("_s"),
+        sum(col("n_events") * col("n_events")).as("_s2"))
+      .withColumn("_mean", col("_s").cast("double") / col("_nd"))
+      .withColumn("_var",
+        (col("_s2").cast("double") - col("_s").cast("double") * col("_mean")) /
+          col("_nd"))
+      .filter(col("_nd") > 1L && col("_var") > 0.0)
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("z",
+        (col("n_events").cast("double") - col("_mean")) / sqrt(col("_var")))
+      .filter(abs(col("z")) >= zThreshold)
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("_mean").as("daily_mean"), col("z"))
+  }
+
+  /** Data-freshness report: per event type, the latest event time and
+    * its lag behind the table's global high-water mark in minutes — the
+    * first page of any ingestion dashboard (a stalled upstream shows as
+    * a growing lag on one type). Deterministic: both bounds are event
+    * time, not wall clock. */
+  def freshnessReport(events: DataFrame): DataFrame = {
+    val globalMax = events.agg(max(col("ts")).as("_hwm"))
+    events.groupBy("event_type")
+      .agg(max(col("ts")).as("latest_ts"), count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(globalMax))
+      .select(col("event_type"), col("latest_ts"), col("n_events"),
+        // microsecond-exact integer math: unix_timestamp truncates to
+        // seconds and disagrees with fractional-second floors by ±1
+        expr("(unix_micros(_hwm) - unix_micros(latest_ts)) div 60000000")
+          .as("lag_minutes"))
+  }
+
   /** Join-key skew diagnosis — the table to read BEFORE shuffling 100 TB
     * on a key: per-key row counts for the `k` heaviest keys, each with
     * its share of all rows and its skew factor vs the mean key
