@@ -328,12 +328,23 @@ object SamplingOps {
     * Scale: the running sum is the range-partitioned [[globalOrder]]
     * prefix — never a one-task window; the per-shard hash aggregates
     * ≈(tokensPerShard / avg-doc-tokens) ids per shard row. */
-  def shardManifest(docs: DataFrame, tokensPerShard: Long): DataFrame = {
+  def shardManifest(docs: DataFrame, tokensPerShard: Long): DataFrame =
+    manifestOf(shardAssignments(docs, tokensPerShard))
+
+  /** The per-document shard assignment behind [[shardManifest]] —
+    * (doc_id, n_tokens, shard_id), exposed so the export path and the
+    * manifest derive from the SAME layout computation. */
+  def shardAssignments(docs: DataFrame, tokensPerShard: Long): DataFrame = {
     val (ordered, _, _) = globalOrder(docTokens(docs),
       Seq(col("doc_id")), col("n_tokens"))
-    ordered
-      .withColumn("shard_id", expr(s"_cum div $tokensPerShard"))
-      .groupBy("shard_id")
+    ordered.withColumn("shard_id", expr(s"_cum div $tokensPerShard"))
+      .select("doc_id", "n_tokens", "shard_id")
+  }
+
+  /** Manifest aggregate over an assignment table (also applied to
+    * RE-READ exported data — the publish-time verification). */
+  def manifestOf(assigned: DataFrame): DataFrame =
+    assigned.groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         min(col("doc_id")).as("first_doc"),
@@ -341,7 +352,19 @@ object SamplingOps {
         md5(concat_ws(",",
           transform(array_sort(collect_list(col("doc_id"))),
             x => x.cast("string")))).as("content_hash"))
-  }
+
+  /** Materialize the layout [[shardManifest]] describes: the full
+    * documents written as parquet PARTITIONED BY shard_id, so a trainer
+    * (or any reader) fetching a shard subset gets partition-pruned
+    * scans — the filter lands in PartitionFilters, untouched shard
+    * directories are never opened. The production export protocol is
+    * write → re-read → [[manifestOf]] → compare against the planning
+    * manifest → publish; ExportSpec runs exactly that loop. */
+  def writeShards(docs: DataFrame, tokensPerShard: Long,
+                  path: String): Unit =
+    docs.join(shardAssignments(docs, tokensPerShard)
+        .select("doc_id", "n_tokens", "shard_id"), "doc_id")
+      .write.partitionBy("shard_id").mode("overwrite").parquet(path)
 
   /** Per-group quota cap — the "at most N documents per domain" curation
     * rule (web corpora are dominated by a few giant hosts; capping
