@@ -51,6 +51,24 @@ class SnapshotStore(spark: SparkSession, root: String) {
     next
   }
 
+  /** OPTIMIZE-style clustered publish: the next version written in
+    * z-order of (`a`, `b`) — [[ZOrder.clustered]]'s range-partition +
+    * partition-sort layout, one file per range partition (plus `tie`
+    * for a total order), behind the SAME atomic pointer protocol as
+    * [[publish]]. Readers are untouched (the pointer resolves as
+    * always, answers are layout-independent); the payoff is file-stat
+    * pruning for 2-D box predicates on versions published this way —
+    * the lakehouse OPTIMIZE ZORDER verb expressed as a snapshot
+    * version transition, so a periodic re-cluster is just another
+    * publish and time travel across layout changes keeps working. */
+  def publishZOrdered(df: DataFrame, a: String, b: String, tie: String,
+                      numFiles: Int): Long = {
+    val clustered = ZOrder
+      .clustered(df, df(a), df(b), df(tie), numFiles)
+      .drop("zval")
+    publish(clustered)
+  }
+
   /** T7 retention: delete version dirs older than the `keepLast` most
     * recent (never the published one). Returns the versions removed.
     * Mirrors the reference's batch-file GC (log_extractor.py:212-227) at

@@ -55,6 +55,34 @@ class ZOrderSpec extends AnyFunSuite {
     assert(hot.length === 90 && hot === hot.sorted && hot.distinct.length === 90)
   }
 
+  test("publishZOrdered is an OPTIMIZE verb: same answers, pruned layout, " +
+    "time travel across the layout change") {
+    import graft.engine.SnapshotStore
+    val grid = spark.range(65536).select(
+      (col("id") % 256).as("x"), expr("id div 256").as("y"), col("id"))
+    val root = java.nio.file.Files.createTempDirectory("graft_zpub").toString
+    val store = new SnapshotStore(spark, root)
+    // v0: an unclustered publish; v1: the OPTIMIZE ZORDER transition
+    assert(store.publish(grid.repartition(64)) === 0L)
+    assert(store.publishZOrdered(grid, "x", "y", "id", 64) === 1L)
+    // readers see identical content through the pointer
+    val cur = store.read().get
+    assert(cur.count() === 65536L)
+    assert(cur.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0)
+      === grid.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0))
+    assert(cur.filter(col("x") === 5 && col("y") === 7).count() === 1L)
+    // the published layout actually clusters: a thin-y box admits far
+    // fewer candidate files than the v0 layout holds in total
+    def candThinY(df: org.apache.spark.sql.DataFrame): Int =
+      df.groupBy(col("_metadata.file_path"))
+        .agg(min("y").as("ny"), max("y").as("xy"))
+        .collect().count(r => !(r.getLong(2) < 100 || r.getLong(1) > 103))
+    assert(candThinY(store.read().get) <= 24)
+    // time travel across the layout change keeps working
+    assert(store.readVersion(0).count() === 65536L)
+    assert(store.readVersion(1).columns.sorted === grid.columns.sorted)
+  }
+
   test("z layout prunes thin boxes in both dims; linear only in its sort dim") {
     // 256×256 key grid in 64 files of 1024 rows: the linear layout is
     // range-sorted by (x, y) — each file a thin x-stripe spanning all y;
