@@ -464,6 +464,25 @@ object SparkEntry {
       cuts.toDF("lang", "cut_value", "lang_tokens").orderBy("lang")
     }),
 
+    // the token-mass quality DISTRIBUTION: all nine weighted deciles in
+    // ONE ranked pass (one conditional min-struct aggregate per
+    // threshold, single job) — "p% of the token mass sits below this
+    // score" for every decile
+    "token_mass_deciles" -> ((s, dir) => {
+      import s.implicits._
+      val scored = Caches.ensureCached(
+        TextOps.qualityScore(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      val ps = (1L to 9L).map(i => (i, 10L))
+      val cuts = graft.engine.ExactPercentile.weightedCuts(scored,
+        col("quality_score"), col("n_tokens"), col("doc_id"), ps)
+      ps.map { case (num, den) =>
+        val (c, w) = cuts((num, den)).getOrElse(
+          sys.error("token_mass_deciles: empty corpus"))
+        (num * 10L, c, w)
+      }.toDF("mass_pct", "cut_value", "total_tokens").orderBy("mass_pct")
+    }),
+
     // TOKEN-MASS-weighted median quality (lower/inverted-CDF rule): the
     // score below which half the token mass sits — the budget-aware
     // quality cut; exact integer comparison over the GlobalOrder
@@ -2392,6 +2411,22 @@ object SparkEntry {
          |FROM c JOIN g USING (lang)
          |WHERE wt > 0 AND cum * 2 >= gw
          |GROUP BY c.lang, gw ORDER BY lang""".stripMargin,
+
+    // all nine mass thresholds from one cumsum CTE crossed with the
+    // decile table — the same integer comparison per threshold
+    "token_mass_deciles" ->
+      s"""WITH $wordsSql,
+         |${qualityScoredSql("base", "scored")},
+         |wts AS (SELECT quality_score AS v, n_tokens AS wt, doc_id FROM scored),
+         |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS tw FROM wts),
+         |c AS (SELECT v, wt, doc_id,
+         |             CAST(sum(wt) OVER (ORDER BY v, doc_id) AS BIGINT) AS cum
+         |      FROM wts),
+         |p AS (SELECT unnest(range(1, 10)) AS num)
+         |SELECT CAST(num * 10 AS BIGINT) AS mass_pct,
+         |       min(v) AS cut_value, tw AS total_tokens
+         |FROM c, tot, p WHERE wt > 0 AND cum * 10 >= num * tw
+         |GROUP BY num, tw ORDER BY mass_pct""".stripMargin,
 
     // lower weighted median: first row of the (score, doc_id) order
     // whose inclusive cumulative token mass clears half the total —

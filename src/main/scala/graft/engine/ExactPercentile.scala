@@ -94,36 +94,59 @@ object ExactPercentile {
     * Memoized like [[cuts]]. */
   def weightedCut(df: DataFrame, value: Column, weight: Column,
                   tieBreak: Column, num: Long,
-                  den: Long): Option[(Double, Long)] = {
-    require(den > 0 && num >= 0 && num <= den,
-      s"p = $num/$den must lie in [0,1]")
+                  den: Long): Option[(Double, Long)] =
+    weightedCuts(df, value, weight, tieBreak, Seq((num, den)))((num, den))
+
+  /** Several weighted cuts of the same column in ONE ranked pass — the
+    * [[cuts]] shape for the weighted rule: the weighted prefix sum is
+    * built once, every threshold is answered by one conditional
+    * min-struct aggregate inside a SINGLE distributed pass (a row
+    * qualifies for p when its inclusive mass clears num/den of the
+    * total; the minimal (value, tie) qualifier IS the first, because
+    * the running mass is monotone in that order). Memoized per
+    * (session, input plan, p). */
+  def weightedCuts(df: DataFrame, value: Column, weight: Column,
+                   tieBreak: Column, ps: Seq[(Long, Long)])
+      : Map[(Long, Long), Option[(Double, Long)]] = {
+    require(ps.nonEmpty && ps.forall { case (n, d) => d > 0 && n >= 0 && n <= d },
+      s"every p = num/den must lie in [0,1], got $ps")
     val vals = df.filter(value.isNotNull && weight.isNotNull)
       .select(value.cast("double").as("_v"), weight.cast("long").as("_w"),
         tieBreak.as("_tb"))
-    val key = (Caches.sessionId(df.sparkSession), vals.semanticHash(), num, den)
-    weightedMemo.getOrElseUpdate(key, computeWeightedCut(vals, num, den))
+    val sid = Caches.sessionId(df.sparkSession)
+    val hash = vals.semanticHash()
+    val missing = ps.distinct
+      .filterNot(p => weightedMemo.contains((sid, hash, p._1, p._2)))
+    if (missing.nonEmpty)
+      computeWeightedCuts(vals, missing).foreach { case (p, c) =>
+        weightedMemo.putIfAbsent((sid, hash, p._1, p._2), c)
+      }
+    ps.distinct.map(p => p -> weightedMemo((sid, hash, p._1, p._2))).toMap
   }
 
   private val weightedMemo = scala.collection.concurrent.TrieMap
     .empty[(String, Int, Long, Long), Option[(Double, Long)]]
 
-  private def computeWeightedCut(vals: DataFrame, num: Long,
-                                 den: Long): Option[(Double, Long)] = {
+  private def computeWeightedCuts(vals: DataFrame, ps: Seq[(Long, Long)])
+      : Map[(Long, Long), Option[(Double, Long)]] = {
     val guarded = vals.withColumn("_w",
       when(col("_w") >= 0L, col("_w")).otherwise(raise_error(
         lit("weightedCut: negative weight"))))
     val (ranked, n, w) =
       GlobalOrder.attach(guarded, Seq(col("_v"), col("_tb")), col("_w"))
-    if (n == 0L || w == 0L) return None
-    // _cum is the EXCLUSIVE running weight; the row's inclusive mass is
-    // _cum + _w. The first positive-weight row whose inclusive mass
-    // clears num/den of the total is the cut.
-    val hit = ranked
-      .filter(col("_w") > 0L &&
-        (col("_cum") + col("_w")) * lit(den) >= lit(num) * lit(w))
-      .orderBy(col("_v"), col("_tb")).limit(1)
-      .select(col("_v")).collect()
-    hit.headOption.map(r => (r.getDouble(0), w))
+    if (n == 0L || w == 0L) return ps.map(_ -> None).toMap
+    // _cum is the EXCLUSIVE running weight; a row's inclusive mass is
+    // _cum + _w. One conditional min-struct per threshold, all in one
+    // aggregate job.
+    val aggs = ps.zipWithIndex.map { case ((num, den), i) =>
+      min(when(col("_w") > 0L &&
+        (col("_cum") + col("_w")) * lit(den) >= lit(num) * lit(w),
+        struct(col("_v"), col("_tb")))).as(s"_c$i")
+    }
+    val row = ranked.agg(aggs.head, aggs.tail: _*).head()
+    ps.zipWithIndex.map { case (p, i) =>
+      p -> Option(row.getStruct(i)).map(s => (s.getDouble(0), w))
+    }.toMap
   }
 
   /** PER-GROUP [[weightedCut]] — skew-proof like [[groupedCuts]]: ONE

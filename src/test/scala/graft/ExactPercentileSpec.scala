@@ -150,6 +150,26 @@ class ExactPercentileSpec extends AnyFunSuite {
     assert(err.getMessage.contains("negative weight"))
   }
 
+  test("weightedCuts batch equals per-p single cuts in one pass") {
+    import spark.implicits._
+    val rows = Seq((1.0, 3L), (2.0, 2L), (3.0, 1L), (4.0, 4L))
+      .zipWithIndex.map { case ((v, w), i) => (i.toLong, v, w) }
+      .toDF("id", "v", "w")
+    val ps = (1L to 9L).map(i => (i, 10L))
+    val batch = ExactPercentile.weightedCuts(
+      rows, col("v"), col("w"), col("id"), ps)
+    ps.foreach { case (n, d) =>
+      assert(batch((n, d)) === ExactPercentile.weightedCut(
+        rows, col("v"), col("w"), col("id"), n, d), s"p=$n/$d")
+    }
+    // spot-check the mass walk: w=[3,2,1,4] of 10 → 30% lands on v=1,
+    // 50% on v=2, 60% on v=3, 70% on v=4
+    assert(batch((3L, 10L)).get._1 === 1.0)
+    assert(batch((5L, 10L)).get._1 === 2.0)
+    assert(batch((6L, 10L)).get._1 === 3.0)
+    assert(batch((7L, 10L)).get._1 === 4.0)
+  }
+
   test("groupedWeightedCuts equals per-group weightedCut on every group") {
     import spark.implicits._
     val rows = Seq(
