@@ -71,6 +71,75 @@ object Caches {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
 
+  /** Cap on driver-side per-group control-plane collects. The grouped
+    * percentile/quota operators collect one meta row per group — bounded
+    * for real strata (languages, sources), a silent driver OOM if a
+    * caller passes a row key as the group column. Every such collect
+    * goes through `limit(MaxDriverGroups + 1)` and raises past the cap,
+    * matching the engine's fail-loud posture. */
+  val MaxDriverGroups: Int = 100000
+
+  /** A bounded, session-evictable memo for derived per-corpus constants
+    * (adaptive caps, k-means centroids, percentile cuts, BPE rule
+    * tables). Two leak controls, layered:
+    *  - LRU bound (`maxEntries`, access-ordered): a long-running service
+    *    touching many corpora stays flat even if nobody evicts;
+    *  - [[Caches.evictSession]]: keys carry the owning [[Caches.sessionId]]
+    *    as their first element, so a session teardown drops its entries
+    *    deterministically instead of waiting for LRU pressure.
+    * `compute` runs OUTSIDE the lock (it launches Spark jobs); a racing
+    * duplicate computation is benign — these are pure derivations — and
+    * first-write-wins keeps the map consistent. */
+  final class BoundedMemo[K <: Product, V] private[Caches] (maxEntries: Int) {
+    private val map = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+        this.size() > maxEntries
+    }
+    def get(key: K): Option[V] = map.synchronized(Option(map.get(key)))
+    def contains(key: K): Boolean = map.synchronized(map.containsKey(key))
+    def putIfAbsent(key: K, v: V): Unit = map.synchronized {
+      if (!map.containsKey(key)) map.put(key, v); ()
+    }
+    def apply(key: K): V = get(key).getOrElse(
+      throw new NoSuchElementException(key.toString))
+    def getOrElseUpdate(key: K, compute: => V): V = get(key) match {
+      case Some(v) => v
+      case None =>
+        val v = compute
+        map.synchronized(Option(map.get(key)).getOrElse { map.put(key, v); v })
+    }
+    def size: Int = map.synchronized(map.size())
+    private[Caches] def evictSession(sid: String): Int = map.synchronized {
+      val it = map.keySet().iterator()
+      var n = 0
+      while (it.hasNext)
+        if (it.next().productElement(0) == sid) { it.remove(); n += 1 }
+      n
+    }
+  }
+
+  private val memoRegistry =
+    new java.util.concurrent.CopyOnWriteArrayList[BoundedMemo[_ <: Product, _]]()
+
+  /** Create a registered [[BoundedMemo]]. Key contract: a tuple whose
+    * FIRST element is the [[sessionId]] of the owning session. */
+  def sessionMemo[K <: Product, V](maxEntries: Int = 512): BoundedMemo[K, V] = {
+    val m = new BoundedMemo[K, V](maxEntries)
+    memoRegistry.add(m)
+    m
+  }
+
+  /** Drop every registered memo entry owned by `spark` — the teardown
+    * hook for service-mode session lifecycles (call alongside
+    * `spark.close()`; GracefulShutdown's drain calls it for streams).
+    * Returns the number of entries evicted. */
+  def evictSession(spark: org.apache.spark.sql.SparkSession): Int = {
+    val sid = sessionId(spark)
+    var n = 0
+    memoRegistry.forEach(m => n += m.evictSession(sid))
+    n
+  }
+
   /** Run `body`, then unpersist every entry [[ensureCached]] registered
     * during it (innermost scope on this thread; scopes nest). Execute the
     * request's actions INSIDE the scope — a lazy DataFrame returned out

@@ -72,8 +72,8 @@ object ExactPercentile {
     ps.distinct.map(p => p -> cutMemo((sid, hash, p))).toMap
   }
 
-  private val cutMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, Double), Option[Double]]
+  private val cutMemo =
+    Caches.sessionMemo[(String, Int, Double), Option[Double]]()
 
   /** WEIGHTED p-quantile (lower / inverted-CDF rule): the smallest value
     * whose cumulative WEIGHT under the total order (value, tieBreak)
@@ -124,8 +124,8 @@ object ExactPercentile {
     ps.distinct.map(p => p -> weightedMemo((sid, hash, p._1, p._2))).toMap
   }
 
-  private val weightedMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, Long, Long), Option[(Double, Long)]]
+  private val weightedMemo =
+    Caches.sessionMemo[(String, Int, Long, Long), Option[(Double, Long)]]()
 
   private def computeWeightedCuts(vals: DataFrame, ps: Seq[(Long, Long)])
       : Map[(Long, Long), Option[(Double, Long)]] = {
@@ -135,6 +135,14 @@ object ExactPercentile {
     val (ranked, n, w) =
       GlobalOrder.attach(guarded, Seq(col("_v"), col("_tb")), col("_w"))
     if (n == 0L || w == 0L) return ps.map(_ -> None).toMap
+    // the exactness bound is enforced, not just documented: past
+    // totalWeight·den ≥ 2⁶³ the integer comparison would silently wrap
+    // and return a wrong cut — the total weight is already driver-side,
+    // so failing loudly here is free
+    val maxDen = ps.map(_._2).max
+    require(BigInt(w) * maxDen < Long.MaxValue,
+      s"weightedCuts: totalWeight($w) x den($maxDen) overflows the exact " +
+        "integer comparison — reduce den or rescale the weights")
     // _cum is the EXCLUSIVE running weight; a row's inclusive mass is
     // _cum + _w. One conditional min-struct per threshold, all in one
     // aggregate job.
@@ -173,17 +181,23 @@ object ExactPercentile {
       computeGroupedWeightedCuts(vals, num, den))
   }
 
-  private val groupedWeightedMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, Long, Long), Seq[(String, Double, Long)]]
+  private val groupedWeightedMemo =
+    Caches.sessionMemo[(String, Int, Long, Long), Seq[(String, Double, Long)]]()
 
   private def computeGroupedWeightedCuts(
       vals: DataFrame, num: Long, den: Long): Seq[(String, Double, Long)] = {
     val guarded = vals.withColumn("_w",
       when(col("_w") >= 0L, col("_w")).otherwise(raise_error(
         lit("groupedWeightedCuts: negative weight"))))
-    val (ranked, n, _) = GlobalOrder.attach(guarded,
+    val (ranked, n, w) = GlobalOrder.attach(guarded,
       Seq(col("_g"), col("_v"), col("_tb")), col("_w"))
     if (n == 0L) return Seq.empty
+    // overflow guard (same bound as computeWeightedCuts): the TOTAL
+    // weight upper-bounds every group's mass, and it is already on the
+    // driver — a free fail-loud check against silent wraparound
+    require(BigInt(w) * den < Long.MaxValue,
+      s"groupedWeightedCuts: totalWeight($w) x den($den) overflows the " +
+        "exact integer comparison — reduce den or rescale the weights")
     // one bounded row per group: the group's base (exclusive mass at its
     // first row) and total mass
     val metas = ranked.groupBy("_g")
@@ -202,8 +216,16 @@ object ExactPercentile {
       .agg(min(struct(col("_v"), col("_tb"))).as("_win"),
         first(col("_gw")).as("_gw"))
       .select(col("_g"), col("_win._v").as("_v"), col("_gw"))
+      .limit(Caches.MaxDriverGroups + 1)
       .collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    // cardinality guard: one winner row per group is bounded control-
+    // plane data only while the group column is a real stratum — a row
+    // key here must raise, not OOM the driver (the limit above bounds
+    // the collect itself, so the check costs nothing)
+    require(winners.length <= Caches.MaxDriverGroups,
+      s"groupedWeightedCuts: over ${Caches.MaxDriverGroups} groups — " +
+        "the group column is not bounded control-plane data")
     winners.sortBy(_._1).toSeq
   }
 
@@ -233,8 +255,8 @@ object ExactPercentile {
       computeGroupedCuts(vals, p))
   }
 
-  private val groupedMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, Double), Seq[(String, Double, Long)]]
+  private val groupedMemo =
+    Caches.sessionMemo[(String, Int, Double), Seq[(String, Double, Long)]]()
 
   private def computeGroupedCuts(vals: DataFrame,
                                  p: Double): Seq[(String, Double, Long)] = {
@@ -246,8 +268,13 @@ object ExactPercentile {
     // from re-sorting group keys on the driver — no collation assumptions
     val metas = ranked.groupBy("_g")
       .agg(min(col("_rn")).as("_base"), count(lit(1)).as("_n"))
+      .limit(Caches.MaxDriverGroups + 1)
       .collect()
       .map(r => (r.getString(0), r.getLong(1) - 1L, r.getLong(2)))
+    // cardinality guard, same contract as computeGroupedWeightedCuts
+    require(metas.length <= Caches.MaxDriverGroups,
+      s"groupedCuts: over ${Caches.MaxDriverGroups} groups — " +
+        "the group column is not bounded control-plane data")
     val wanted = metas.flatMap { case (_, base, ng) =>
       val pos = p * (ng - 1)
       Seq(base + math.floor(pos).toLong + 1L, base + math.ceil(pos).toLong + 1L)

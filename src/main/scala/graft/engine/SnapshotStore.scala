@@ -63,10 +63,7 @@ class SnapshotStore(spark: SparkSession, root: String) {
     * publish and time travel across layout changes keeps working. */
   def publishZOrdered(df: DataFrame, a: String, b: String, tie: String,
                       numFiles: Int): Long = {
-    val clustered = ZOrder
-      .clustered(df, df(a), df(b), df(tie), numFiles)
-      .drop("zval")
-    publish(clustered)
+    publish(ZOrder.clustered(df, df(a), df(b), df(tie), numFiles))
   }
 
   /** T7 retention: delete version dirs older than the `keepLast` most

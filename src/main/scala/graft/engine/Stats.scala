@@ -155,16 +155,6 @@ object Stats {
           .as("lag_minutes"))
   }
 
-  /** Join-key skew diagnosis — the table to read BEFORE shuffling 100 TB
-    * on a key: per-key row counts for the `k` heaviest keys, each with
-    * its share of all rows and its skew factor vs the mean key
-    * population (factor ≫ number of shuffle partitions ⇒ that key's
-    * partition hot-spots; the cue to salt it, broadcast the other side,
-    * or lean on AQE's skew-join split). One partial-aggregated shuffle
-    * on the key plus a top-k heap; the corpus totals arrive as a
-    * broadcast one-row aggregate. Share and factor are plain IEEE
-    * divisions of exact integer counts, so the doubles are
-    * engine-portable. */
   /** Distinct-count materialized view — the SKETCH member of the stored
     * family (the vocab view's twin for the one aggregate that is NOT
     * distributive over raw counts): stored rows are (grp, HLL-sketch)
@@ -212,6 +202,16 @@ object Stats {
         .as("approx_distinct"))
       .withColumnRenamed("grp", group)
 
+  /** Join-key skew diagnosis — the table to read BEFORE shuffling 100 TB
+    * on a key: per-key row counts for the `k` heaviest keys, each with
+    * its share of all rows and its skew factor vs the mean key
+    * population (factor ≫ number of shuffle partitions ⇒ that key's
+    * partition hot-spots; the cue to salt it, broadcast the other side,
+    * or lean on AQE's skew-join split). One partial-aggregated shuffle
+    * on the key plus a top-k heap; the corpus totals arrive as a
+    * broadcast one-row aggregate. Share and factor are plain IEEE
+    * divisions of exact integer counts, so the doubles are
+    * engine-portable. */
   def skewReport(df: DataFrame, key: String, k: Int): DataFrame = {
     val per = df.groupBy(col(key)).agg(count(lit(1)).as("n_rows"))
     val tot = per.agg(sum(col("n_rows")).as("_t"), count(lit(1)).as("_k"))

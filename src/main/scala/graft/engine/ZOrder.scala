@@ -48,10 +48,17 @@ object ZOrder {
     * rectangles. Writers follow with `.write.parquet(...)` — one file
     * per range partition (plus `maxRecordsPerFile` splits, which
     * preserve the sort and therefore the rectangles). */
+  // collision-proof internal sort-key name: `withColumn("zval", ...)`
+  // would silently OVERWRITE (and the post-sort drop would then destroy)
+  // a user column of that name — the layout key is private plumbing, so
+  // it gets a private name and never leaves this method
+  private val ZCol = "__graft_zval"
+
   def clustered(df: DataFrame, a: Column, b: Column, tie: Column): DataFrame = {
-    val z = df.withColumn("zval", zvalue2(a, b))
-    z.repartitionByRange(col("zval"), tie)
-      .sortWithinPartitions(col("zval"), tie)
+    val z = df.withColumn(ZCol, zvalue2(a, b))
+    z.repartitionByRange(col(ZCol), tie)
+      .sortWithinPartitions(col(ZCol), tie)
+      .drop(ZCol)
   }
 
   /** [[clustered]] with an explicit output-file target — `numFiles` range
@@ -59,9 +66,10 @@ object ZOrder {
     * total/128 MB). */
   def clustered(df: DataFrame, a: Column, b: Column, tie: Column,
                 numFiles: Int): DataFrame = {
-    val z = df.withColumn("zval", zvalue2(a, b))
-    z.repartitionByRange(numFiles, col("zval"), tie)
-      .sortWithinPartitions(col("zval"), tie)
+    val z = df.withColumn(ZCol, zvalue2(a, b))
+    z.repartitionByRange(numFiles, col(ZCol), tie)
+      .sortWithinPartitions(col(ZCol), tie)
+      .drop(ZCol)
   }
 
   /** Equi-depth 16-bit bucketing of a continuous or skewed column — the
@@ -78,6 +86,12 @@ object ZOrder {
     * pruning after the z-sort. (Exact up to N < 2⁴⁷ rows, where
     * rank·2¹⁶ approaches Long.MaxValue.) */
   def equiDepthBucket(df: DataFrame, order: Seq[Column]): DataFrame = {
+    // `zbucket` is this method's OUTPUT contract, so it cannot be
+    // renamed away — but silently overwriting a caller's column of the
+    // same name would destroy data; raise instead
+    require(!df.columns.contains("zbucket"),
+      "equiDepthBucket: input already has a 'zbucket' column — rename it " +
+        "before bucketing (the output column of this method is 'zbucket')")
     val (ranked, n, _) =
       GlobalOrder.attach(df, order, lit(0L), needCum = false)
     if (n == 0L) return ranked.withColumn("zbucket", lit(0L)).drop("_pid", "_rn")

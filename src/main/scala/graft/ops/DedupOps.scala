@@ -106,8 +106,8 @@ object DedupOps {
     })
   }
 
-  private val saltMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, Int, Long, Int), Int]
+  private val saltMemo = graft.engine.Caches
+    .sessionMemo[(String, Int, Int, Long, Int), Int]()
 
   /** [[jaccardPairs]] with the salt factor derived from the corpus's own
     * shingle-df histogram instead of a hand-picked constant. */

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.engine.Caches
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -200,6 +201,13 @@ object SamplingOps {
       (k, math.floor(x).toLong, x - math.floor(x))
     }
     val bonus = (budget - floors.map(_._2).sum).toInt
+    // "quotas sum to budget exactly" only holds when the weights are a
+    // distribution: Σw < 1 leaves bonus > |strata| (silent under-fill),
+    // Σw > 1 drives it negative (take(-n) silently empty) — both are
+    // caller bugs this raises on instead of mis-allocating
+    require(bonus >= 0 && bonus <= floors.size,
+      s"largestRemainderBudgets: weights sum to ${weights.values.sum} " +
+        "(must be ~1.0 for quotas to sum to the budget exactly)")
     val bonusSet = floors.sortBy { case (k, _, r) => (-r, k) }
       .take(bonus).map(_._1).toSet
     floors.map { case (k, f, _) =>
@@ -417,9 +425,17 @@ object SamplingOps {
     * population would silently under-fill; we raise instead). */
   def proportionalSample(df: DataFrame, stratum: String, key: String,
                          budget: Long, salts: Int = 16): DataFrame = {
+    // bounded-cardinality guard: the quota table is driver-side, so a
+    // caller passing a row-key as `stratum` must fail loudly, not OOM
+    // the driver — limit(cap+1) bounds the collect itself
     val counts = df.groupBy(col(stratum))
       .agg(count(lit(1)).as("_n"))
+      .limit(Caches.MaxDriverGroups + 1)
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    require(counts.length <= Caches.MaxDriverGroups,
+      s"proportionalSample: over ${Caches.MaxDriverGroups} distinct " +
+        s"'$stratum' values — not a stratum column (driver-side quota " +
+        "table would not be bounded control-plane data)")
     require(counts.nonEmpty, "proportionalSample: empty input")
     val total = counts.map(_._2).sum
     require(budget <= total,

@@ -193,8 +193,8 @@ object SimilarityOps {
     kmeansMemo.getOrElseUpdate(key, kmeansCentroidsUncached(vecs, k, iters))
   }
 
-  private val kmeansMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, Int, Int), Seq[Seq[Double]]]
+  private val kmeansMemo = graft.engine.Caches
+    .sessionMemo[(String, Int, Int, Int), Seq[Seq[Double]]]()
 
   private def kmeansCentroidsUncached(vecs: DataFrame, k: Int,
                                       iters: Int): Seq[Seq[Double]] = {

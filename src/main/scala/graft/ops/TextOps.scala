@@ -306,8 +306,8 @@ object TextOps {
       .toDF("rule_no", "p1", "p2", "cnt")
   }
 
-  private val bpeTrainMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, Int), Seq[(Long, String, String, Long)]]
+  private val bpeTrainMemo = graft.engine.Caches
+    .sessionMemo[(String, Int, Int), Seq[(Long, String, String, Long)]]()
 
   private def bpeTrainUncached(docs: DataFrame,
                                rules: Int): Seq[(Long, String, String, Long)] = {
@@ -881,8 +881,8 @@ object TextOps {
     })
   }
 
-  private val maxDfMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, Int, Int, Double, Int, Int), Int]
+  private val maxDfMemo = graft.engine.Caches
+    .sessionMemo[(String, Int, Int, Int, Double, Int, Int), Int]()
 
   /** The df-capped exploded (doc_id, fp) fingerprint table behind
     * [[containmentPairs]] — cached, because it feeds both the candidate

@@ -48,6 +48,13 @@ final class GracefulShutdown {
     val drained = !query.status.isTriggerActive
     query.stop()
     cleanup()
+    // session-memo teardown: the stream's session owns derived-constant
+    // memo entries (adaptive caps, centroids, cuts) keyed by its
+    // sessionId — drop them here so a service cycling streams stays
+    // flat (the memos are also LRU-bounded; this makes release
+    // deterministic rather than pressure-driven)
+    try graft.engine.Caches.evictSession(query.sparkSession)
+    catch { case e: Throwable => synchronized { failures += e } }
     drained
   }
 

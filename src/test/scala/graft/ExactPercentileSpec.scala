@@ -203,6 +203,44 @@ class ExactPercentileSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted-cut overflow guard fires instead of silently wrapping") {
+    // totalWeight x den past 2^63: one row carrying ~5e18 mass against
+    // den=2 — the exact integer comparison would wrap, so it must raise
+    val big = Seq((1L, 1.0, 5000000000000000000L), (2L, 2.0, 1L))
+      .toDF("id", "v", "w")
+    val e = intercept[IllegalArgumentException] {
+      ExactPercentile.weightedCut(big, col("v"), col("w"), col("id"), 1L, 2L)
+    }
+    assert(e.getMessage.contains("overflows"))
+    // grouped form guards against the same bound (total weight
+    // upper-bounds every group's mass)
+    val e2 = intercept[IllegalArgumentException] {
+      ExactPercentile.groupedWeightedCuts(
+        big.withColumn("g", lit("x")), col("g"), col("v"), col("w"),
+        col("id"), 1L, 2L)
+    }
+    assert(e2.getMessage.contains("overflows"))
+  }
+
+  test("group-cardinality guard raises instead of OOMing the driver") {
+    import graft.engine.Caches
+    // one group per row, cap+1 rows: the per-group meta collect is no
+    // longer bounded control-plane data — both grouped forms must raise,
+    // and the limit(cap+1) bounds what the check itself collects
+    val wide = spark.range(Caches.MaxDriverGroups + 1)
+      .select(col("id"), col("id").cast("string").as("g"),
+        col("id").cast("double").as("v"), lit(1L).as("w"))
+    val e = intercept[IllegalArgumentException] {
+      ExactPercentile.groupedCuts(wide, col("g"), col("v"), col("id"), 0.5)
+    }
+    assert(e.getMessage.contains("groups"))
+    val e2 = intercept[IllegalArgumentException] {
+      ExactPercentile.groupedWeightedCuts(wide, col("g"), col("v"),
+        col("w"), col("id"), 1L, 2L)
+    }
+    assert(e2.getMessage.contains("groups"))
+  }
+
   test("corpus quality_score median matches the aggregate bit-for-bit") {
     val q = TextOps.qualityScore(Tables.documents(spark, sfDir))
       .select("doc_id", "quality_score")

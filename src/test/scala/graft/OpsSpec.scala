@@ -1387,6 +1387,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("largestRemainderBudgets raises on non-distribution weights") {
+    // Σw = 0.5: floors sum to ~budget/2, bonus exceeds the stratum
+    // count — the "quotas sum to budget" claim silently breaks, so the
+    // guard must fire instead
+    val e = intercept[IllegalArgumentException] {
+      SamplingOps.largestRemainderBudgets(1000L,
+        Map("a" -> 0.25, "b" -> 0.25))
+    }
+    assert(e.getMessage.contains("weights sum"))
+    // Σw = 1.5 drives the bonus negative — same guard
+    val e2 = intercept[IllegalArgumentException] {
+      SamplingOps.largestRemainderBudgets(1000L,
+        Map("a" -> 0.75, "b" -> 0.75))
+    }
+    assert(e2.getMessage.contains("weights sum"))
+  }
+
   test("selectTokenBudgetByGroup fills each stratum's budget greedily") {
     val weights = Map("de" -> 0.15, "en" -> 0.35, "es" -> 0.15,
       "fr" -> 0.15, "zh" -> 0.20)

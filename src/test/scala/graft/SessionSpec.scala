@@ -65,4 +65,36 @@ class SessionSpec extends AnyFunSuite {
     val st2 = Tables.eventsStream(spark, empty)
     assert(st2.isStreaming && st2.schema("ts").dataType === TimestampType)
   }
+
+  test("session memos are LRU-bounded") {
+    val m = graft.engine.Caches.sessionMemo[(String, Int), Int](maxEntries = 3)
+    (1 to 4).foreach(i => m.putIfAbsent(("sid", i), i))
+    assert(m.size === 3)
+    assert(!m.contains(("sid", 1)) && m.contains(("sid", 4))) // eldest out
+    // access refreshes recency: touching 2 makes 3 the eldest
+    assert(m(("sid", 2)) === 2)
+    m.putIfAbsent(("sid", 5), 5)
+    assert(m.contains(("sid", 2)) && !m.contains(("sid", 3)))
+  }
+
+  test("evictSession drops exactly the closed session's memo entries") {
+    import graft.engine.Caches
+    val m = Caches.sessionMemo[(String, Int), Int]()
+    val s2 = spark.newSession()
+    val (sidA, sidB) = (Caches.sessionId(spark), Caches.sessionId(s2))
+    assert(sidA !== sidB)
+    m.putIfAbsent((sidA, 1), 1); m.putIfAbsent((sidB, 2), 2)
+    // a real memo user on s2: ExactPercentile's cut memo gets an entry
+    // owned by sidB that the teardown must release
+    import s2.implicits._
+    val df = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+    graft.engine.ExactPercentile.cut(df,
+      org.apache.spark.sql.functions.col("v"),
+      org.apache.spark.sql.functions.col("id"), 0.5)
+    val evicted = Caches.evictSession(s2)
+    assert(evicted >= 2) // the direct entry + the percentile cut
+    assert(m.contains((sidA, 1)) && !m.contains((sidB, 2)))
+    // (no s2.stop(): SparkSession.stop() stops the SHARED SparkContext —
+    // evictSession is exactly the teardown that doesn't require it)
+  }
 }
