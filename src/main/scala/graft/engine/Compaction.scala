@@ -402,32 +402,24 @@ object Compaction {
     * see a missing log and report "no drift" — an advisory signal
     * outage of one maintenance interval, not data loss.
     *
-    * Bounded-loss window (advisory rows only): if a restarted stream
-    * appends fresh drift rows to the live dir between a crash
-    * mid-collapse and the next tick's recovery, the recovery replaces
-    * live with the pre-crash snapshot and those fresh rows are lost.
-    * They are not unioned in deliberately: a crash during
-    * `deleteRec(live)` leaves live PARTIAL, and no marker distinguishes
-    * "pre-crash row also present in tmp" from "fresh append", so a
-    * union would double-count drift and inflate the retrain signal —
-    * worse than losing one interval of an advisory counter. */
+    * Fresh-rows window, CLOSED at the writer: the r14 shape lost drift
+    * rows a restarted stream appended to the live dir between a crash
+    * mid-collapse and the next tick's recovery (recovery replaces live
+    * with the pre-crash snapshot; a union could not distinguish "fresh
+    * append" from "pre-crash row also in tmp" in a PARTIALLY deleted
+    * live dir, so it would double-count). The fix is ordering, not
+    * unioning: every sidecar writer appends through [[sidecarAppend]],
+    * which COMPLETES any pending recovery first — fresh rows therefore
+    * always land in a recovered live dir, and by the time the tick's
+    * recovery runs, anything it finds in live beside a marked tmp is by
+    * construction pre-crash residue, safe to replace. */
   private def collapseSidecar(spark: SparkSession, dir: String,
                               maxFiles: Int): Boolean = {
     val live = Paths.get(dir)
-    val tmp = Paths.get(dir + "._collapse")
-    // crash recovery: a completed rewrite (tmp/_SUCCESS present) is the
-    // one full copy — the live dir may be whole, partial, or gone
-    if (Files.exists(tmp.resolve("_SUCCESS"))) {
-      if (Files.exists(live)) deleteRec(live)
-      Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
-    } else if (Files.exists(tmp) && !Files.exists(live)) {
-      // no marker but live is gone: tmp is the only copy — adopt it
-      Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
-    } else if (Files.exists(tmp)) {
-      deleteRec(tmp) // orphan of an interrupted write; live is complete
-    }
+    recoverSidecar(dir)
     if (!Files.exists(live)) return false
     if (filesPerPartition(dir).values.sum <= maxFiles) return false
+    val tmp = Paths.get(dir + "._collapse")
     spark.read.parquet(dir).coalesce(1)
       .write.mode("overwrite").parquet(tmp.toString)
     // the recovery protocol keys off tmp/_SUCCESS: if the committer was
@@ -443,6 +435,42 @@ object Compaction {
     deleteRec(live)
     Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
     true
+  }
+
+  /** Complete any pending sidecar-collapse recovery on `dir` — the
+    * crash-recovery head of [[collapseSidecar]], factored out so every
+    * sidecar TOUCH (the tick's collapse, a stream's drift append, an
+    * advisory read) runs it first. A completed rewrite
+    * (`tmp/_SUCCESS` present) is the one full copy — live may be whole,
+    * partial, or gone, and is replaced; a marker-less tmp is adopted
+    * only when live is gone (sole survivor), discarded otherwise.
+    * Idempotent and cheap (two existence probes) when there is nothing
+    * to recover. Same single-writer discipline as every Compaction
+    * verb. */
+  def recoverSidecar(dir: String): Unit = {
+    val live = Paths.get(dir)
+    val tmp = Paths.get(dir + "._collapse")
+    if (Files.exists(tmp.resolve("_SUCCESS"))) {
+      if (Files.exists(live)) deleteRec(live)
+      Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+    } else if (Files.exists(tmp) && !Files.exists(live)) {
+      // no marker but live is gone: tmp is the only copy — adopt it
+      Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+    } else if (Files.exists(tmp)) {
+      deleteRec(tmp) // orphan of an interrupted write; live is complete
+    }
+  }
+
+  /** Append to an UNVERSIONED advisory sidecar (the IVF/PQ `merge_log`),
+    * recovery-first: completing any pending collapse recovery BEFORE
+    * the append is what closes the fresh-rows loss window
+    * ([[collapseSidecar]]'s doc) — a row appended here can never land
+    * in a live dir that a later recovery will discard, because the
+    * recovery that would have discarded it has already run. `body`
+    * receives the recovered dir path. */
+  def sidecarAppend[T](dir: String)(body: String => T): T = {
+    recoverSidecar(dir)
+    body(dir)
   }
 
   /** [[vacuum]] over every table [[compactIndex]] maintains for `kind` —

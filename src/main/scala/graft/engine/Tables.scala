@@ -76,31 +76,101 @@ object Tables {
     * explicit schema, so probe the directory's footers with a batch read
     * to learn the timestamp unit, then stream under the matching schema.
     * An empty ingest directory (stream started before the first file
-    * lands) can't be probed — assume the current generator's micros
-    * unit, matching the batch loader's primary path.
+    * lands) can't be probed — wait up to `probeWaitMs` for the first
+    * file (re-probing every 50 ms; 0 disables the wait), and if still
+    * empty assume the current generator's micros unit, matching the
+    * batch loader's primary path. The dir is then recorded in
+    * [[assumedUnit]] so [[explainStreamFailure]] can turn the eventual
+    * footer error into an actionable restart message.
     *
     * Caveat (empty-dir start only): the unit is FROZEN at stream start.
     * If the first files to land later carry TIMESTAMP(NANOS) (the
     * pre-r12 generator unit the probe otherwise detects), the running
-    * micros-schema stream will fail per file with the nanos footer
-    * error at read time rather than silently mis-scaling — restart the
-    * stream once files exist so the probe can take the ns truncation
-    * path. A running stream cannot re-probe: Structured Streaming pins
-    * the source schema for the checkpoint's lifetime, so unit changes
-    * mid-stream are a restart by construction. */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    * micros-schema stream fails per file with the nanos footer error at
+    * read time rather than silently mis-scaling. A running stream
+    * cannot re-probe — Structured Streaming pins the source schema for
+    * the checkpoint's lifetime, so unit changes mid-stream are a
+    * restart by construction — which is why the failure must carry the
+    * fix: wrap the query's await/stop in [[explainStreamFailure]] (or
+    * pass a `probeWaitMs` sized to the feed's arrival latency so the
+    * assumption is never made). */
+  def eventsStream(spark: SparkSession, dir: String,
+                   probeWaitMs: Long = 0L): DataFrame =
     try {
       val probe = spark.read.parquet(dir)
+      assumedUnitDirs.remove(dir)
       val df = spark.readStream.schema(probe.schema).parquet(dir)
       if (probe.schema("ts").dataType == TimestampType) df
       else df.withColumn("ts", expr("cast(ts as timestamp)"))
     } catch {
       case e: Exception if isNanosFooter(e) =>
+        assumedUnitDirs.remove(dir)
         tsFromNanos(spark.readStream.schema(eventsNanosSchema).parquet(dir))
       case e: Exception if String.valueOf(e.getMessage)
           .contains("Unable to infer schema") =>
-        spark.readStream.schema(eventsMicrosSchema).parquet(dir)
+        // empty dir: re-probe once files land (bounded wait), else
+        // assume micros and REMEMBER the assumption for fail-loud
+        // translation of a later unit mismatch
+        val deadline = System.nanoTime + probeWaitMs * 1000000L
+        var ready = false
+        while (!ready && System.nanoTime < deadline) {
+          Thread.sleep(50)
+          ready = try {
+            spark.read.parquet(dir).schema; true
+          } catch {
+            case e2: Exception if isNanosFooter(e2) => true
+            case _: Exception => false
+          }
+        }
+        if (ready) eventsStream(spark, dir, 0L)
+        else {
+          assumedUnitDirs.add(dir)
+          spark.readStream.schema(eventsMicrosSchema).parquet(dir)
+        }
     }
+
+  private val assumedUnitDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** True if `dir`'s stream schema was ASSUMED (dir empty at start)
+    * rather than probed from a footer. */
+  def assumedUnit(dir: String): Boolean = assumedUnitDirs.contains(dir)
+
+  /** Translate a streaming failure on an ingest stream over `dir` into
+    * an actionable error when it is the assumed-unit mismatch: the dir
+    * was empty at stream start (micros schema assumed) and the failure
+    * chain bottoms out in the TIMESTAMP(NANOS) footer rejection.
+    * Returns the (re-thrown) actionable exception, or the original
+    * failure untouched for anything else. Usage:
+    * `try q.awaitTermination() catch { case e: Throwable => throw
+    * Tables.explainStreamFailure(dir, e) }`. */
+  def explainStreamFailure(dir: String, e: Throwable): Throwable = {
+    // two failure shapes for the same root cause: schema INFERENCE over
+    // a nanos footer raises PARQUET_TYPE_ILLEGAL, but a running stream
+    // reads under an EXPLICIT micros schema, so the per-file failure is
+    // the reader's type mismatch (ts expected timestamp, physical INT64
+    // with a nanos annotation Spark won't down-convert)
+    def isUnitMismatch(t: Throwable): Boolean = t match {
+      case _: org.apache.spark.sql.execution.datasources
+          .SchemaColumnConvertNotSupportedException => true
+      case ex: Exception =>
+        isNanosFooter(ex) || (ex.getMessage != null &&
+          ex.getMessage.contains("PARQUET_COLUMN_DATA_TYPE_MISMATCH") &&
+          ex.getMessage.contains("[ts]"))
+      case _ => false
+    }
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+    val nanos = chain.exists(isUnitMismatch)
+    if (nanos && assumedUnit(dir))
+      new IllegalStateException(
+        s"ingest dir $dir was empty at stream start, so the source " +
+          "schema was ASSUMED to be the micros-era unit — the files now " +
+          "arriving carry TIMESTAMP(NANOS). Restart the stream (same " +
+          "checkpoint) so Tables.eventsStream can re-probe and take the " +
+          "ns->us truncation path; no data was processed under the " +
+          "wrong unit (the source fails per file, it never mis-scales)", e)
+    else e
+  }
 
   private def isNanosFooter(e: Exception): Boolean =
     e.getMessage != null &&

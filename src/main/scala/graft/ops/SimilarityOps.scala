@@ -634,8 +634,12 @@ object SimilarityOps {
     val md = e.agg(count(lit(1)).as("n"),
       avg(pqDistortion(subDim, codebooks)).as("mean_d2")).head()
     if (md.getLong(0) > 0L)
-      Seq((md.getLong(0), md.getDouble(1))).toDF("n", "mean_d2")
-        .coalesce(1).write.mode("append").parquet(s"$path/merge_log")
+      // recovery-first append: closes the crash-window fresh-row loss
+      // (Compaction.sidecarAppend doc)
+      graft.engine.Compaction.sidecarAppend(s"$path/merge_log") { log =>
+        Seq((md.getLong(0), md.getDouble(1))).toDF("n", "mean_d2")
+          .coalesce(1).write.mode("append").parquet(log)
+      }
   }
 
   /** Query a stored IVF-PQ index: rank the (tiny, memoized) centroid
@@ -748,8 +752,11 @@ object SimilarityOps {
     val m = nv.agg(count(lit(1)).as("n"),
       avg(assignedDist2(col("v"), cents)).as("mean_d2")).head()
     if (m.getLong(0) > 0L)
-      Seq((m.getLong(0), m.getDouble(1))).toDF("n", "mean_d2")
-        .coalesce(1).write.mode("append").parquet(s"$path/merge_log")
+      // recovery-first append (Compaction.sidecarAppend doc)
+      graft.engine.Compaction.sidecarAppend(s"$path/merge_log") { log =>
+        Seq((m.getLong(0), m.getDouble(1))).toDF("n", "mean_d2")
+          .coalesce(1).write.mode("append").parquet(log)
+      }
   }
 
   /** The retrain decision [[mergeIvfIndex]]'s doc defers: compare the
@@ -763,6 +770,10 @@ object SimilarityOps {
     * been merged yet. */
   def shouldRetrain(spark: org.apache.spark.sql.SparkSession, path: String,
                     threshold: Double = 2.0): Boolean = {
+    // advisory read, but recover first: in the crash window the live
+    // dir may be partial while tmp holds the full copy — reading the
+    // recovered log costs two existence probes and never understates
+    graft.engine.Compaction.recoverSidecar(s"$path/merge_log")
     if (!new java.io.File(s"$path/merge_log").exists()) return false
     val merged = spark.read.parquet(s"$path/merge_log")
       .agg(sum("n").cast("long").as("n"),
@@ -1040,8 +1051,11 @@ object SimilarityOps {
       avg(pqDistortion(subDim, codebooks)).as("mean_d2")).head()
     if (md.getLong(0) > 0L) {
       import spark.implicits._
-      Seq((md.getLong(0), md.getDouble(1))).toDF("n", "mean_d2")
-        .coalesce(1).write.mode("append").parquet(s"$path/merge_log")
+      // recovery-first append (Compaction.sidecarAppend doc)
+      graft.engine.Compaction.sidecarAppend(s"$path/merge_log") { log =>
+        Seq((md.getLong(0), md.getDouble(1))).toDF("n", "mean_d2")
+          .coalesce(1).write.mode("append").parquet(log)
+      }
     }
   }
 

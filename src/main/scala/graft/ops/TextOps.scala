@@ -321,10 +321,21 @@ object TextOps {
         |    concat(slice(acc, 1, size(acc) - 1),
         |           array(concat(element_at(acc, -1), x))),
         |    concat(acc, array(x))))""".stripMargin)
-    var syms = Caches.ensureCached(bpeVocab(docs).select(
+    // The per-round working set is materialized with an EAGER
+    // localCheckpoint, NOT a cache chain: checkpointing truncates
+    // lineage, so the analyzed plan stays O(1)-deep however many rules
+    // run (a k-long chain of cached fold projections grows Catalyst
+    // analysis time linearly and holds k vocab-sized cache entries —
+    // the r14 shape, fine at k=3, hopeless at a realistic 32k-merge
+    // vocabulary), and releasing the previous round's blocks keeps
+    // block-manager usage at ~2 working sets regardless of k.
+    // bench/SCALE_POINT.md's rule-axis campaign measures this loop at
+    // k=16/64/256: per-round wall time is flat in k (corpus-bounded),
+    // total train time linear.
+    var syms = bpeVocab(docs).select(
       expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
         .as("syms"),
-      col("tf")))
+      col("tf")).localCheckpoint(true)
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -343,43 +354,87 @@ object TextOps {
         val (pa, pb, cnt) =
           (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         learned += ((r.toLong, pa, pb, cnt))
-        syms = Caches.ensureCached(
-          syms.crossJoin(broadcast(Seq((pa, pb)).toDF("p1", "p2")))
-            .select(mergeFold.as("syms"), col("tf")))
+        val next = syms.crossJoin(broadcast(Seq((pa, pb)).toDF("p1", "p2")))
+          .select(mergeFold.as("syms"), col("tf"))
+          .localCheckpoint(true)
+        Caches.releaseCheckpoint(syms)
+        syms = next
         r += 1
       }
     }
+    Caches.releaseCheckpoint(syms)
     learned.toSeq
+  }
+
+  /** Each distinct word's symbol array after replaying ALL learned
+    * merge rules, in rule order — the shared vocab-sized half of both
+    * encode paths, and the piece whose SHAPE decides whether the
+    * tokenizer survives a real vocabulary.
+    *
+    * The rules are applied from a broadcast RULE TABLE inside ONE
+    * expression: an outer `aggregate` over the sorted rule array drives
+    * the same greedy left-to-right inner fold the trainer applies, so
+    * the analyzed plan holds exactly one projection whatever k is. The
+    * r14 shape — one chained fold projection per rule — was semantically
+    * identical but structurally k-deep: at the tested k=3 harmless, at
+    * a realistic 32k-merge vocabulary Catalyst analysis alone grows
+    * linearly past usable (and the expression tree with it). Here k
+    * lives in DATA (one broadcast one-row array), not in the plan;
+    * bench/SCALE_POINT.md's rule-axis campaign measures encode wall
+    * time ~linear in k at k=16/64/256 with flat plan-analysis time.
+    *
+    * Per-rule work per word is one `exists` probe (O(len), no
+    * allocation) plus the rebuild fold only for words the rule actually
+    * touches — the probe-then-fold split matters at large k, where
+    * almost every (word, rule) pair is a miss. Rule literals never
+    * enter SQL text ([[normWords]] output is [a-z0-9]+ anyway — this
+    * removes the escaping question entirely). */
+  private def bpeEncodedVocab(docs: DataFrame, rules: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ruleTab: Seq[(Long, String, String)] =
+      bpeTrain(docs, rules).orderBy("rule_no").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    // one row, one array<struct<rule_no,p1,p2>> sorted by rule_no
+    // (array_sort on structs orders by leading field — collect_list
+    // alone has no order guarantee)
+    val ruleRow = ruleTab.toDF("rule_no", "p1", "p2")
+      .agg(array_sort(collect_list(struct(col("rule_no"), col("p1"),
+        col("p2")))).as("_rules"))
+    bpeVocab(docs)
+      .select(col("word"), expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        .as("syms"))
+      .crossJoin(broadcast(ruleRow))
+      .select(col("word"), expr(
+        """aggregate(
+          |  _rules,
+          |  syms,
+          |  (ss, r) -> IF(size(ss) < 2, ss,
+          |    IF(NOT exists(sequence(1, size(ss) - 1),
+          |         i -> element_at(ss, i) = r.p1
+          |              AND element_at(ss, i + 1) = r.p2),
+          |      ss,
+          |      aggregate(
+          |        slice(ss, 2, size(ss) - 1),
+          |        array(element_at(ss, 1)),
+          |        (acc, x) -> IF(element_at(acc, -1) = r.p1 AND x = r.p2,
+          |          concat(slice(acc, 1, size(acc) - 1),
+          |                 array(concat(element_at(acc, -1), x))),
+          |          concat(acc, array(x)))))))""".stripMargin).as("syms"))
   }
 
   /** ENCODE with the trained rules — the apply side of [[bpeTrain]],
     * closing the tokenizer loop (train → encode): each distinct word is
-    * segmented by replaying the k merge rules in order (one fold
-    * projection per rule — separate projections, so Catalyst keeps the
-    * intermediate symbol arrays instead of inlining a 3^k expression
-    * blowup, the same CollapseProject behavior [[DedupOps.shingleArrays]]
-    * documents), then per-doc token counts come from the tf-weighted
-    * join — the corpus is never re-folded per document. The
-    * words-per-BPE-token ratio this yields is the standard
-    * tokenizer-compression quality metric. */
+    * segmented by the single-expression rule replay
+    * ([[bpeEncodedVocab]] — plan depth O(1) in the rule count), then
+    * per-doc token counts come from the tf-weighted join — the corpus
+    * is never re-folded per document. The words-per-BPE-token ratio
+    * this yields is the standard tokenizer-compression quality
+    * metric. */
   def bpeEncodeStats(docs: DataFrame, rules: Int = 3): DataFrame = {
-    val ruleTab = bpeTrain(docs, rules).orderBy("rule_no").collect()
-      .map(r => (r.getString(1), r.getString(2)))
-    var enc = bpeVocab(docs).select(col("word"), expr(
-      "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
-      .as("syms"))
-    for ((p1, p2) <- ruleTab) {
-      // normWords output is [a-z0-9]+ so the literals embed safely
-      enc = enc.withColumn("syms", expr(
-        s"""aggregate(
-           |  slice(syms, 2, size(syms) - 1),
-           |  array(element_at(syms, 1)),
-           |  (acc, x) -> IF(element_at(acc, -1) = '$p1' AND x = '$p2',
-           |    concat(slice(acc, 1, size(acc) - 1),
-           |           array(concat(element_at(acc, -1), x))),
-           |    concat(acc, array(x))))""".stripMargin))
-    }
-    val encSize = enc.select(col("word"), size(col("syms")).cast("long").as("n_sym"))
+    val encSize = bpeEncodedVocab(docs, rules)
+      .select(col("word"), size(col("syms")).cast("long").as("n_sym"))
     docs.select(col("doc_id"), explode(normWords(col("text"))).as("word"))
       .filter(col("word") =!= "")
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
@@ -411,20 +466,7 @@ object TextOps {
     import spark.implicits._
     val ruleTab = bpeTrain(docs, rules).orderBy("rule_no").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-    var enc = bpeVocab(docs).select(col("word"), expr(
-      "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
-      .as("syms"))
-    for ((_, p1, p2) <- ruleTab) {
-      // normWords output is [a-z0-9]+ so the literals embed safely
-      enc = enc.withColumn("syms", expr(
-        s"""aggregate(
-           |  slice(syms, 2, size(syms) - 1),
-           |  array(element_at(syms, 1)),
-           |  (acc, x) -> IF(element_at(acc, -1) = '$p1' AND x = '$p2',
-           |    concat(slice(acc, 1, size(acc) - 1),
-           |           array(concat(element_at(acc, -1), x))),
-           |    concat(acc, array(x))))""".stripMargin))
-    }
+    val enc = bpeEncodedVocab(docs, rules)
     val baseChars = bpeVocab(docs).select(explode(expr(
       "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
       .as("tok")).distinct().collect().map(_.getString(0)).sorted

@@ -1782,6 +1782,40 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE single-expression rule replay matches a driver-side " +
+    "reference encoder at k=8") {
+    // the encode replays ALL rules in ONE nested-aggregate expression
+    // (plan depth O(1) in k, the 100 TB shape) — pin its semantics at a
+    // k beyond the hand-derived cases against an independent Scala
+    // implementation of the same greedy left-to-right merge
+    def refEncode(word: String, rules: Seq[(String, String)]): Seq[String] =
+      rules.foldLeft(word.map(_.toString): Seq[String]) { case (syms, (p1, p2)) =>
+        syms.tail.foldLeft(Seq(syms.head)) { (acc, x) =>
+          if (acc.last == p1 && x == p2) acc.init :+ (acc.last + x)
+          else acc :+ x
+        }
+      }
+    val d = docs.limit(40)
+    val k = 8
+    val rules = TextOps.bpeTrain(d, k).orderBy("rule_no").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(rules.length === k) // corpus is rich enough to learn all 8
+    val words = d.select(explode(TextOps.normWords($"text")).as("w"))
+      .filter($"w" =!= "").distinct().as[String].collect()
+    val expected = words.map(w => w -> refEncode(w, rules).length).toMap
+    // per-doc stats derive from the same per-word encode lengths
+    val got = TextOps.bpeEncodeStats(d, k).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val docWords = d.select($"doc_id", explode(TextOps.normWords($"text")).as("w"))
+      .filter($"w" =!= "").collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.map(r => expected(r.getString(1)).toLong).sum
+      }
+    docWords.foreach { case (id, nb) =>
+      assert(got(id) === nb, s"doc $id")
+    }
+  }
+
   test("source KL: zero on itself, ln 2 on a disjoint half-half mixture") {
     // one source == the corpus → every term ln(1) = 0
     val one = Seq((0L, "x y z", "s1"), (1L, "x y", "s1"))

@@ -66,6 +66,50 @@ class SessionSpec extends AnyFunSuite {
     assert(st2.isStreaming && st2.schema("ts").dataType === TimestampType)
   }
 
+  test("empty-dir stream start: ns files arriving later fail loudly " +
+    "with the restart hint, and a probe wait re-probes instead") {
+    import java.nio.file.{Files => JF, Paths => JP, StandardCopyOption}
+    val nsFile = JP.get("src/test/resources/events_ns/events.parquet")
+    assert(JF.isRegularFile(nsFile), "committed single-file ns fixture")
+
+    // 1. empty at start -> micros assumed and REMEMBERED
+    val dir = JF.createTempDirectory("ev_ns_late").toString
+    val st = Tables.eventsStream(spark, dir)
+    assert(Tables.assumedUnit(dir))
+    // the late files carry TIMESTAMP(NANOS): the stream must fail (per
+    // file, never mis-scale) and the translated error must carry the fix
+    JF.copy(nsFile, JP.get(dir, "part-ns.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val q = st.writeStream.format("noop")
+      .option("checkpointLocation", JF.createTempDirectory("ev_ns_ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val raw = intercept[Throwable] { q.awaitTermination() }
+    val explained = Tables.explainStreamFailure(dir, raw)
+    assert(explained.isInstanceOf[IllegalStateException])
+    assert(explained.getMessage.contains("Restart the stream"))
+    // an unrelated failure passes through untouched
+    val other = new RuntimeException("boom")
+    assert(Tables.explainStreamFailure(dir, other) eq other)
+
+    // 2. same race with a probe wait: the file lands mid-wait, the
+    // loader re-probes and takes the ns truncation path — no assumption
+    val dir2 = JF.createTempDirectory("ev_ns_wait").toString
+    val writer = new Thread(() => {
+      Thread.sleep(300)
+      JF.copy(nsFile, JP.get(dir2, "part-ns.parquet"),
+        StandardCopyOption.REPLACE_EXISTING); ()
+    })
+    writer.start()
+    val st2 = Tables.eventsStream(spark, dir2, probeWaitMs = 5000)
+    writer.join()
+    assert(!Tables.assumedUnit(dir2))
+    assert(st2.schema("ts").dataType === TimestampType)
+    // and a restart on dir 1 (files now present) clears the assumption
+    val st3 = Tables.eventsStream(spark, dir)
+    assert(!Tables.assumedUnit(dir) &&
+      st3.schema("ts").dataType === TimestampType)
+  }
+
   test("session memos are LRU-bounded") {
     val m = graft.engine.Caches.sessionMemo[(String, Int), Int](maxEntries = 3)
     (1 to 4).foreach(i => m.putIfAbsent(("sid", i), i))

@@ -181,6 +181,43 @@ class StoredIndexesSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp)))
   }
 
+  test("sidecar crash recovery: a fresh drift row appended after the " +
+    "crash survives the next tick (recovery-first append)") {
+    // the r14 loss window: crash mid-collapse (tmp complete, live
+    // partial) -> stream restarts and appends a FRESH drift row -> next
+    // tick recovers from tmp. With bare appends the fresh row landed in
+    // the doomed live dir and vanished; sidecarAppend completes the
+    // recovery BEFORE appending, so the row must survive.
+    val e = Tables.embeddings(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("cmp_mlog_fresh").toString
+    SimilarityOps.buildIvfIndex(e.filter($"vec_id" % 8 === 0L), path)
+    (1L to 6L).foreach { r =>
+      SimilarityOps.mergeIvfIndex(e.filter($"vec_id" % 8 === r), path)
+    }
+    val log = s"$path/merge_log"
+    val preCrash = spark.read.parquet(log)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    // crash window: rewrite committed, deleteRec(live) died midway
+    val tmp = log + "._collapse"
+    spark.read.parquet(log).coalesce(1).write.parquet(tmp)
+    val liveFiles = new java.io.File(log).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    liveFiles.take(liveFiles.length / 2).foreach(f => assert(f.delete()))
+    // restarted stream appends fresh drift (merge #7) through the
+    // recovery-first path
+    SimilarityOps.mergeIvfIndex(e.filter($"vec_id" % 8 === 7L), path)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp)),
+      "the append must have completed the pending recovery")
+    // the next maintenance tick must keep ALL SEVEN rows
+    Compaction.maintainIndex(spark, path, "ivf", maxFilesPerPartition = 4)
+    val after = spark.read.parquet(log)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(after.length === preCrash.length + 1,
+      "the fresh post-crash drift row must survive the tick")
+    assert(preCrash.forall(after.contains),
+      "recovery must also have restored the full pre-crash history")
+  }
+
   test("sidecar crash recovery: a sole-survivor tmp without _SUCCESS is " +
     "adopted, never deleted") {
     // the marker-less window: a committer with marksuccessfuljobs=false
