@@ -1033,6 +1033,22 @@ object SparkEntry {
       Multimodal.resizeNearest(Tables.documents(s, dir))
         .orderBy("doc_id")),
 
+    // REAL codec round-trip: per-doc synthetic PNG bytes (closed-form
+    // raster, executor-side encode) parsed back by JDK ImageIO; the
+    // oracle recomputes dimensions + exact channel sums from the
+    // generator formula alone — PNG is lossless, so equality is exact
+    "multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodePng(Multimodal.encodePng(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
+
+    // decode + nearest-neighbor resize over the REAL decoded raster
+    // (4x4 target): same index map as multimodal_resize, applied to
+    // genuinely decoded pixels; oracle replays formula + index math
+    "multimodal_decode_resize" -> ((s, dir) =>
+      Multimodal.decodeResizePng(
+        Multimodal.encodePng(Tables.documents(s, dir)), 4, 4)
+        .orderBy("doc_id")),
+
     // ── North-star: deterministic sampling / splitting / packing ──────
     "sample_hash_split" -> ((s, dir) =>
       SamplingOps.hashSplit(Tables.documents(s, dir), "doc_id")
@@ -3003,6 +3019,36 @@ object SparkEntry {
         |                          for i in range(0, 64)], '') AS r
         |  FROM (SELECT doc_id, rpad(text, 1024, ' ') AS img FROM documents))
         |ORDER BY doc_id""".stripMargin,
+
+    // the decode ran a REAL codec (ImageIO) over real PNG bytes; the
+    // oracle never needs one — the synthetic raster is closed-form in
+    // (x, y, doc_id) and PNG is lossless, so dimensions and exact
+    // integer channel sums recompute from the formula
+    "multimodal_decode" ->
+      """WITH g AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+        |                  8 + (3 * doc_id) % 9 AS h FROM documents),
+        |px AS (SELECT doc_id, w, h, i % w AS x, i // w AS y
+        |       FROM g, LATERAL unnest(range(0, w * h)) AS t(i))
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(sum((7*x + 13*y + doc_id) % 256) AS BIGINT) AS sum_r,
+        |       CAST(sum((11*x + 3*y + 2*doc_id) % 256) AS BIGINT) AS sum_g,
+        |       CAST(sum((5*x + 17*y + 3*doc_id) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // resized-target pixel (tx, ty) reads source (tx*w//4, ty*h//4) —
+    // the identical integer index map the JVM resize applies to the
+    // decoded raster
+    "multimodal_decode_resize" ->
+      """WITH g AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+        |                  8 + (3 * doc_id) % 9 AS h FROM documents),
+        |px AS (SELECT doc_id, ((i % 4) * w) // 4 AS x,
+        |              ((i // 4) * h) // 4 AS y
+        |       FROM g, LATERAL unnest(range(0, 16)) AS t(i))
+        |SELECT doc_id, CAST(4 AS INT) AS rwidth, CAST(4 AS INT) AS rheight,
+        |       CAST(sum((7*x + 13*y + doc_id) % 256) AS BIGINT) AS rsum_r,
+        |       CAST(sum((11*x + 3*y + 2*doc_id) % 256) AS BIGINT) AS rsum_g,
+        |       CAST(sum((5*x + 17*y + 3*doc_id) % 256) AS BIGINT) AS rsum_b
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "scd2_rebuild" ->
       s"""WITH ${dimSql("events")}

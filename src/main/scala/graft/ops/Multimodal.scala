@@ -8,11 +8,17 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, processed by per-partition batch UDFs.
   *
-  * The container has no image/audio codecs, so [[decodeStub]] is a
-  * clearly-marked deterministic fake; the Spark-side plumbing — binary
-  * schema, partition-batched processing, metadata struct output — is real
-  * and is what matters at 100 TB (decode cost dominates, so the operator
-  * must be a narrow per-partition map with no shuffle, which this is).
+  * IMAGE decode is REAL as of r15: [[decodePng]]/[[decodeResizePng]] run
+  * `javax.imageio.ImageIO` (in the JDK — no new jars) over actual PNG
+  * bytes, oracled exactly via the closed-form [[syntheticPng]] fixtures
+  * (PNG is lossless, so per-channel pixel sums recompute from the
+  * generator formula on the DuckDB side). Audio/video codecs remain out
+  * of the container, so [[decodeStub]] stays as the clearly-marked
+  * deterministic fake for those modalities; the Spark-side plumbing —
+  * binary schema, partition-batched processing, metadata struct output —
+  * is identical and is what matters at 100 TB (decode cost dominates, so
+  * the operator must be a narrow per-partition map with no shuffle,
+  * which every decode here is).
   */
 object Multimodal {
 
@@ -60,6 +66,146 @@ object Multimodal {
   def decodePipeline(spark: SparkSession, docs: DataFrame): DataFrame =
     decodeStub(spark,
       docs.select(col("doc_id"), col("text").cast("binary").as("payload")))
+
+  /** Deterministic synthetic PNG: a `w`×`h` RGB raster whose channel
+    * values are closed-form in (x, y, id) —
+    * r=(7x+13y+id)%256, g=(11x+3y+2id)%256, b=(5x+17y+3id)%256 —
+    * PNG-encoded (lossless, so a decode recovers the EXACT pixels and
+    * the DuckDB oracle can recompute any pixel statistic from the
+    * formula alone, no codec on the oracle side). This is the fixture
+    * generator that lets the REAL decode below be hash-oracled. */
+  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((7L * x + 13L * y + id) % 256L).toInt
+        val g = ((11L * x + 3L * y + 2L * id) % 256L).toInt
+        val b = ((5L * x + 17L * y + 3L * id) % 256L).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** The per-doc synthetic image dimensions every PNG query shares:
+    * width 8+id%9, height 8+(3·id)%9 — both in [8,16], closed-form so
+    * the oracle derives them from doc_id alone. */
+  private def dims(id: Long): (Int, Int) =
+    (8 + (id % 9L).toInt, 8 + ((3L * id) % 9L).toInt)
+
+  /** docs → (doc_id, payload) with REAL PNG bytes ([[syntheticPng]]),
+    * generated per partition on the executors — the corpus-sized encode
+    * never funnels through the driver. */
+  def encodePng(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val enc = RowEncoder.encoderFor(schema)
+    docs.select(col("doc_id").cast("long"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (w, h) = dims(id)
+          Row(id, syntheticPng(id, w, h))
+        }
+      }(enc)
+  }
+
+  /** Output schema of the REAL decode: dimensions plus exact per-channel
+    * integer pixel sums (sums, not means — integer-exact on any engine,
+    * no IEEE division to match). */
+  val decodedPngSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType)))
+
+  /** REAL image decode — `javax.imageio.ImageIO` (in the JDK, zero new
+    * jars) parses actual PNG bytes back to a raster; the operator emits
+    * dimensions and exact per-channel pixel sums. This retires the r14
+    * "decode is an honest stub" caveat: the bytes on the wire are a
+    * real codec's output and the decode is a real codec's parse. The
+    * Spark shape is unchanged — a narrow per-partition map, no shuffle,
+    * decode cost dominating exactly as at 100 TB (swap
+    * [[syntheticPng]]-fed payloads for a binary-file source and nothing
+    * else moves). Undecodable bytes fail loudly (a training pipeline
+    * quarantines them upstream; silently skipping would understate
+    * corpus size). */
+  def decodePng(withPayload: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(decodedPngSchema)
+    withPayload.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          require(img != null, s"decodePng: doc $id is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, w, h, sr, sg, sb)
+        }
+      }(enc)
+  }
+
+  /** Decode + nearest-neighbor resize over REAL pixels, one partition
+    * batch: ImageIO parse, then target pixel (tx, ty) reads source
+    * (⌊tx·w/tw⌋, ⌊ty·h/th⌋) — the same exact integer access pattern as
+    * [[resizeNearest]], now applied to decoded rasters. Emits the
+    * resized dimensions and exact per-channel sums of the RESIZED
+    * image, which the oracle recomputes pixel-by-pixel from the
+    * [[syntheticPng]] formula + the index map (PNG is lossless, so
+    * equality is exact, not approximate). */
+  def decodeResizePng(withPayload: DataFrame, tw: Int, th: Int): DataFrame = {
+    require(tw > 0 && th > 0, s"decodeResizePng: target ${tw}x$th")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("rwidth", IntegerType),
+      StructField("rheight", IntegerType),
+      StructField("rsum_r", LongType),
+      StructField("rsum_g", LongType),
+      StructField("rsum_b", LongType)))
+    val enc = RowEncoder.encoderFor(schema)
+    withPayload.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          require(img != null, s"decodeResizePng: doc $id not decodable")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var ty = 0
+          while (ty < th) {
+            var tx = 0
+            while (tx < tw) {
+              val p = img.getRGB(tx * w / tw, ty * h / th)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              tx += 1
+            }
+            ty += 1
+          }
+          Row(id, tw, th, sr, sg, sb)
+        }
+      }(enc)
+  }
 
   /** Nearest-neighbor resize — the remaining multimodal verb beside
     * decode / feature-extract / frame-sample. The "image" is the stub

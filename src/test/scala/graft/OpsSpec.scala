@@ -421,6 +421,46 @@ class OpsSpec extends AnyFunSuite {
     assert(a.forall(r => r.getInt(1) >= 16 && r.getInt(2) >= 16))
   }
 
+  test("PNG decode is a REAL codec round-trip: hand-computed pixels, " +
+    "exact sums, fail-loud on junk bytes") {
+    // hand-check one raster: id=0, 2x2 -> r(x,y)=7x+13y, g=11x+3y,
+    // b=5x+17y; sums r: 0+7+13+20=40, g: 0+11+3+14=28, b: 0+5+17+22=44
+    val png = Multimodal.syntheticPng(0L, 2, 2)
+    assert(png.take(4).map(_ & 0xff).toSeq === Seq(0x89, 'P', 'N', 'G'),
+      "payload must be a real PNG bitstream")
+    val one = Multimodal.decodePng(
+      Seq((0L, png)).toDF("doc_id", "payload")).head()
+    assert((one.getInt(1), one.getInt(2)) === ((2, 2)))
+    assert((one.getLong(3), one.getLong(4), one.getLong(5)) ===
+      ((40L, 28L, 44L)))
+    // corpus path: encode on executors, decode recovers the formula's
+    // dimensions for every doc
+    val out = Multimodal.decodePng(Multimodal.encodePng(docs.limit(30)))
+      .collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === 8 + (id % 9).toInt, s"doc $id width")
+      assert(r.getInt(2) === 8 + ((3 * id) % 9).toInt, s"doc $id height")
+    }
+    // resize agrees with a driver-side replay of the index map
+    val rs = Multimodal.decodeResizePng(
+      Seq((5L, Multimodal.syntheticPng(5L, 8, 8))).toDF("doc_id", "payload"),
+      4, 4).head()
+    var (er, eg, eb) = (0L, 0L, 0L)
+    for (ty <- 0 until 4; tx <- 0 until 4) {
+      val (x, y) = (tx * 8 / 4, ty * 8 / 4)
+      er += (7 * x + 13 * y + 5) % 256
+      eg += (11 * x + 3 * y + 10) % 256
+      eb += (5 * x + 17 * y + 15) % 256
+    }
+    assert((rs.getLong(3), rs.getLong(4), rs.getLong(5)) === ((er, eg, eb)))
+    // junk bytes fail loudly, never silently skip
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val e = intercept[Throwable] { Multimodal.decodePng(junk).count() }
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+      .exists(t => String.valueOf(t.getMessage).contains("not a decodable")))
+  }
+
   test("native graft_l2sq is bit-identical to the higher-order-function fold") {
     graft.functions.VectorExpressions.register(spark)
     val e = Tables.embeddings(spark, sfDir)
