@@ -49,13 +49,23 @@ object ScalePoint {
   // full tokenization pass (bpe_encode_ids — corpus-linear explode +
   // vocab join) and the memorization audit (ngram_hotspots — one
   // shingle-keyed partial-agg shuffle).
+  // r15 adds the embedding family, previously excluded because naive
+  // replication manufactures exact duplicates. The honest construction
+  // mirrors the text cipher: replica i applies a seeded coordinate
+  // PERMUTATION + SIGN FLIPS to every vector — an orthogonal transform,
+  // so every intra-replica cosine/L2 relation (near-dup pairs, cluster
+  // structure, centroid distances) is preserved exactly, while
+  // cross-replica dot products decorrelate like independent vectors:
+  // 10× corpus, same per-replica geometry, no manufactured duplicates.
   private val Queries =
     Seq("dedup_incremental", "text_bm25_batch_topk", "text_containment",
       "lm_bigram_score", "bpe_merge_step", "bpe_encode_ids",
-      "ngram_hotspots")
+      "ngram_hotspots",
+      "semdedup", "ann_ivf_stored_topk", "embedding_near_dup_lsh")
 
   private def buildScaled(spark: SparkSession, baseDir: String,
                           outDir: String): Unit = {
+    buildScaledEmbeddings(spark, baseDir, outDir)
     if (Files.exists(Paths.get(s"$outDir/documents.parquet"))) return
     Files.createDirectories(Paths.get(outDir))
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
@@ -93,6 +103,45 @@ object ScalePoint {
           Files.createSymbolicLink(tgt, p.toAbsolutePath)
       }
     } finally stream.close()
+  }
+
+  /** Replica-keyed orthogonal transform of the embeddings table: replica
+    * i permutes the 64 coordinates by a seeded shuffle and flips seeded
+    * signs (replica 0 = original). Orthogonal ⇒ intra-replica geometry
+    * preserved EXACTLY (up to float summation order); cross-replica
+    * cosines decorrelate. vec_id += i·10⁷ keeps the workload predicates'
+    * selectivity (the `% 4` stored-index subset, the `% 97`-style
+    * batches), the same shift as the text replicas. Replaces a possible
+    * pre-existing symlink (earlier harness versions linked embeddings
+    * through unscaled). */
+  private def buildScaledEmbeddings(spark: SparkSession, baseDir: String,
+                                    outDir: String): Unit = {
+    val tgt = Paths.get(s"$outDir/embeddings.parquet")
+    if (Files.exists(tgt) && !Files.isSymbolicLink(tgt)) return
+    Files.createDirectories(Paths.get(outDir))
+    Files.deleteIfExists(tgt)
+    val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val dim = 64
+    def permSigns(rep: Int): (Seq[Int], Seq[Float]) = {
+      val rnd = new scala.util.Random(0xe3b0c4 + rep)
+      val p = rnd.shuffle((0 until dim).toList)
+      val s = Seq.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+      (p, s)
+    }
+    val embByRep = (1 until Replicas).foldLeft(
+      when(col("_rep") === 0, col("embedding"))) { (acc, i) =>
+      val (p, s) = permSigns(i)
+      acc.when(col("_rep") === i, array((0 until dim).map(k =>
+        element_at(col("embedding"), p(k) + 1) * lit(s(k))): _*))
+    }
+    base
+      .crossJoin(spark.range(Replicas).select(col("id").cast("int").as("_rep")))
+      .select(
+        (col("vec_id") + col("_rep").cast("long") * lit(10000000L)).as("vec_id"),
+        embByRep.as("embedding"),
+        col("label"))
+      .repartition(32).write.mode("overwrite")
+      .parquet(tgt.toString)
   }
 
   private def time(body: => Long): (Double, Long) = {

@@ -531,6 +531,120 @@ object CdcStream {
     ()
   }
 
+  /** Streaming maintenance for the VERSIONED SNAPSHOT and its derived
+    * layout artifacts — the z-ordered OPTIMIZE publish and the verified
+    * shard export get the same between-batches lifecycle the stored
+    * indexes have, closing the r14 gap where both had batch-only verbs.
+    *
+    * Per micro-batch: the batch's document rows are unioned into the
+    * current snapshot and published as the next version
+    * ([[SnapshotStore.publish]] — the store's atomic commit unit),
+    * exactly once under the (stream, batch-id) ledger ([[absorbOnce]]).
+    * Every `optimizeEvery` batches, AFTER the batch commits and
+    * ledgers, [[optimizeSnapshotTick]] runs:
+    *
+    *  1. OPTIMIZE — re-publish the current version z-ordered on
+    *     (`a`, `b`) ([[SnapshotStore.publishZOrdered]], `numFiles`
+    *     range partitions): answers unchanged, 2-D box scans pruned;
+    *  2. retention — [[SnapshotStore.vacuum]] to `keepVersions`;
+    *  3. export — re-materialize the shard export from the optimized
+    *     snapshot under the write → re-read → manifest-compare publish
+    *     protocol (the ExportSpec loop); a mismatch raises BEFORE the
+    *     export is treated as published.
+    *
+    * Crash safety mirrors the index families: a crash before the ledger
+    * append replays the absorb (the ledger makes the re-publish a
+    * no-op); a crash inside the tick re-runs only the tick, whose verbs
+    * are idempotent at the answer level — a replayed OPTIMIZE publishes
+    * another version with identical content behind the atomic pointer,
+    * vacuum re-evaluates, and the export rewrite re-verifies.
+    *
+    * Scale posture: per-batch publish re-writes the current snapshot
+    * (the SCD2 stream's deliberate SnapshotStore formulation — at
+    * 100 TB the snapshot is date-partitioned and only touched
+    * partitions rewrite); the z-sort's full range shuffle is paid only
+    * at the OPTIMIZE cadence, and the export here rewrites all shards —
+    * a production cadence exports only the shards the corpus diff
+    * invalidated (Curation.corpusDiff's stable-bucket keying exists for
+    * exactly that). */
+  def snapshotAbsorbStream(spark: SparkSession, inGlob: String,
+                           checkpointDir: String, schema: StructType,
+                           storeRoot: String, a: String, b: String,
+                           tie: String, numFiles: Int = 8,
+                           optimizeEvery: Int = 0, keepVersions: Int = 3,
+                           exportPath: Option[String] = None,
+                           tokensPerShard: Long = 0L): StreamingQuery = {
+    require(exportPath.isEmpty || tokensPerShard > 0L,
+      "snapshotAbsorbStream: an export path needs tokensPerShard > 0")
+    absorbedHighWater.remove((storeRoot, checkpointDir))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .json(inGlob)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        snapshotAbsorb(spark, batch, id, storeRoot, checkpointDir)
+        if (optimizeEvery > 0 && id > 0 && id % optimizeEvery == 0)
+          optimizeSnapshotTick(spark, storeRoot, a, b, tie, numFiles,
+            keepVersions, exportPath, tokensPerShard)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** One snapshot-absorb micro-batch — public for replay testing. */
+  def snapshotAbsorb(spark: SparkSession, batch: DataFrame, id: Long,
+                     storeRoot: String, streamId: String): Unit = {
+    if (!batch.isEmpty) absorbOnce(spark, storeRoot, streamId, id) {
+      val store = new SnapshotStore(spark, storeRoot)
+      val next = store.read() match {
+        case Some(cur) => cur.unionByName(batch)
+        case None      => batch
+      }
+      store.publish(next)
+      ()
+    }
+    ()
+  }
+
+  /** The snapshot OPTIMIZE + export maintenance tick — public so a
+    * quiesced deployment (or a replay test) can run it directly. MUST
+    * not run concurrently with an absorb on `storeRoot` (the
+    * single-writer discipline every maintenance verb shares);
+    * [[snapshotAbsorbStream]] calls it between batches. */
+  def optimizeSnapshotTick(spark: SparkSession, storeRoot: String,
+                           a: String, b: String, tie: String,
+                           numFiles: Int, keepVersions: Int,
+                           exportPath: Option[String],
+                           tokensPerShard: Long): Unit = {
+    val store = new SnapshotStore(spark, storeRoot)
+    store.read().foreach { cur =>
+      store.publishZOrdered(cur, a, b, tie, numFiles)
+      store.vacuum(keepVersions)
+      exportPath.foreach { p =>
+        import graft.ops.SamplingOps
+        val snap = store.read().get
+        SamplingOps.writeShards(snap, tokensPerShard, p)
+        // publish-time verification: the re-read export must reproduce
+        // the planning manifest byte-for-byte (the ExportSpec protocol)
+        def rows(df: DataFrame) = df
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getString(5)))
+          .sortBy(_._1).toSeq
+        val planned = rows(SamplingOps.shardManifest(snap, tokensPerShard))
+        val reread = rows(SamplingOps.manifestOf(
+          spark.read.parquet(p).select("doc_id", "n_tokens", "shard_id")))
+        if (planned != reread)
+          throw new IllegalStateException(
+            s"shard export at $p failed publish-time verification " +
+              "(re-read manifest differs from the planning manifest) — " +
+              "the export must not be consumed")
+      }
+    }
+  }
+
   /** Streaming exact dedup — A3's streaming twin: drop re-deliveries of
     * the same `idCol` arriving within the watermark delay, turning an
     * at-least-once file/log source into exactly-once rows before the
