@@ -634,8 +634,11 @@ object CdcStream {
             r.getLong(3), r.getLong(4), r.getString(5)))
           .sortBy(_._1).toSeq
         val planned = rows(SamplingOps.shardManifest(snap, tokensPerShard))
+        // partition-dir column inference types shard_id as INT on
+        // re-read — normalize before the manifest compare
         val reread = rows(SamplingOps.manifestOf(
-          spark.read.parquet(p).select("doc_id", "n_tokens", "shard_id")))
+          spark.read.parquet(p).select(col("doc_id"), col("n_tokens"),
+            col("shard_id").cast("long").as("shard_id"))))
         if (planned != reread)
           throw new IllegalStateException(
             s"shard export at $p failed publish-time verification " +

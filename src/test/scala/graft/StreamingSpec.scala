@@ -265,6 +265,82 @@ class StreamingSpec extends AnyFunSuite {
     assert(est() === Map("click" -> 4L, "view" -> 1L))
   }
 
+  test("streaming snapshot OPTIMIZE + export: absorb exactly once, " +
+    "z-order tick + verified export, crash replay consistent") {
+    import graft.engine.SnapshotStore
+    import graft.ops.SamplingOps
+    import org.apache.spark.sql.types.StructType
+    val in = Files.createTempDirectory("snap_in").toString
+    val ckpt = Files.createTempDirectory("snap_ckpt").toString
+    val root = Files.createTempDirectory("snap_store").toString + "/docs"
+    val exp = Files.createTempDirectory("snap_exp").toString + "/shards"
+    val batches = Seq(
+      Seq((1L, "alpha beta gamma delta", 22), (2L, "epsilon zeta", 12)),
+      Seq((3L, "eta theta iota kappa", 20)),
+      Seq((4L, "lambda mu nu xi omicron", 23), (5L, "pi rho", 6)),
+      Seq((6L, "sigma tau upsilon", 17)))
+    batches.zipWithIndex.foreach { case (docs, i) =>
+      val f = java.nio.file.Paths.get(in, f"docs_$i%03d.json")
+      Files.writeString(f, docs.map { case (id, t, nc) =>
+        s"""{"doc_id":$id,"text":"$t","n_chars":$nc}""" }
+        .mkString("", "\n", "\n"))
+      Files.setLastModifiedTime(f, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() - (600 - i * 60) * 1000L))
+    }
+    val schema = new StructType().add("doc_id", "long")
+      .add("text", "string").add("n_chars", "int")
+    val q = CdcStream.snapshotAbsorbStream(spark, s"$in/docs_*.json", ckpt,
+      schema, root, a = "n_chars", b = "doc_id", tie = "doc_id",
+      numFiles = 2, optimizeEvery = 2, keepVersions = 2,
+      exportPath = Some(exp), tokensPerShard = 6L)
+    q.awaitTermination()
+    val store = new SnapshotStore(spark, root)
+    def ids() = store.read().get.select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids() === (1L to 6L), "snapshot = union of every batch")
+    // the optimize tick ran (at batch id 2): versions were vacuumed to
+    // the retention bound
+    assert(store.versions().size <= 3,
+      s"vacuum must bound versions, got ${store.versions()}")
+    // crash BEFORE checkpoint commit: the batch re-delivers with the
+    // same id — the ledger makes the re-publish a no-op
+    val vBefore = store.versions().size
+    val replay = spark.read.schema(schema).json(s"$in/docs_001.json")
+    CdcStream.snapshotAbsorb(spark, replay, 1L, root, ckpt)
+    assert(store.versions().size === vBefore && ids() === (1L to 6L),
+      "replaying an absorbed batch id must publish nothing")
+    // crash INSIDE the maintenance tick: the re-run (restart path) is
+    // answer-idempotent — same rows, export still verifies
+    CdcStream.optimizeSnapshotTick(spark, root, "n_chars", "doc_id",
+      "doc_id", 2, 2, Some(exp), 6L)
+    assert(ids() === (1L to 6L), "a replayed tick must not change answers")
+    // the tick's OPTIMIZE publish is the current version now: z-ordered
+    // into the numFiles range partitions
+    val curDir = s"$root/v${store.currentVersion().get}"
+    val zFiles = new java.io.File(curDir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(zFiles <= 2, s"OPTIMIZE publish must respect numFiles, got $zFiles")
+    // the tick re-exported from the final snapshot — the export was
+    // verified at publish time inside the tick; independently re-verify
+    def mrows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).sortBy(_._1).toSeq
+    assert(mrows(SamplingOps.manifestOf(spark.read.parquet(exp)
+        .select($"doc_id", $"n_tokens", $"shard_id".cast("long"))))
+      === mrows(SamplingOps.shardManifest(store.read().get, 6L)),
+      "exported shards must reproduce the planning manifest")
+    // restart with a NEW batch: same checkpoint, only the new file runs
+    val late = java.nio.file.Paths.get(in, "docs_004.json")
+    Files.writeString(late, s"""{"doc_id":7,"text":"phi chi psi","n_chars":11}\n""")
+    val q2 = CdcStream.snapshotAbsorbStream(spark, s"$in/docs_*.json", ckpt,
+      schema, root, a = "n_chars", b = "doc_id", tie = "doc_id",
+      numFiles = 2, optimizeEvery = 2, keepVersions = 2,
+      exportPath = Some(exp), tokensPerShard = 6L)
+    q2.awaitTermination()
+    assert(ids() === (1L to 7L),
+      "the restarted stream must absorb exactly the new batch")
+  }
+
   test("vocab view retraction: CDC DELETE nets counts out, replays no-op, " +
     "unmatched retraction fails the compaction") {
     import graft.ops.TextOps
