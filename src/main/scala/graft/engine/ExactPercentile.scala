@@ -279,8 +279,20 @@ object ExactPercentile {
       val pos = p * (ng - 1)
       Seq(base + math.floor(pos).toLong + 1L, base + math.ceil(pos).toLong + 1L)
     }.distinct
-    val picked = ranked
-      .filter(col("_rn").isin(wanted.toSeq: _*))
+    // pick 2 interpolation rows per group: an In-list is fine for a
+    // handful of groups, but at thousands it becomes a giant codegen'd
+    // predicate evaluated per row — past a small threshold, route
+    // through a broadcast semi-join on the rank instead (hash probe per
+    // row, constant-size plan)
+    val spark0 = vals.sparkSession
+    import spark0.implicits._
+    val pickedDf =
+      if (wanted.length <= 64)
+        ranked.filter(col("_rn").isin(wanted.toSeq: _*))
+      else
+        ranked.join(broadcast(wanted.toSeq.toDF("_rn")), Seq("_rn"),
+          "left_semi")
+    val picked = pickedDf
       .select(col("_rn"), col("_v"))
       .collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
