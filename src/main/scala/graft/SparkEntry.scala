@@ -1169,6 +1169,13 @@ object SparkEntry {
     "bpe_encode_stats" -> ((s, dir) =>
       TextOps.bpeEncodeStats(Tables.documents(s, dir), 3).orderBy("doc_id")),
 
+    // encode against the STORED tokenizer artifact (rules + ids frozen
+    // at build time; UNK surfaced, zero here since the corpus IS the
+    // build corpus) — bit-identical to bpe_encode_ids plus n_unk = 0
+    "bpe_encode_stored" -> ((s, dir) =>
+      TextOps.bpeEncodeIdsStored(s, Tables.documents(s, dir),
+        storedTokenizerPath(s, dir)).orderBy("doc_id")),
+
     // per-source KL(source ‖ corpus) over unigram distributions — the
     // drifted-source dashboard number; 6-dp terms DECIMAL-summed
     "source_kl" -> ((s, dir) =>
@@ -1683,6 +1690,11 @@ object SparkEntry {
         "event_type", "user_id", p)
       Stats.mergeDistinctView(e.filter(col("event_id") % 3 === 2),
         "event_type", "user_id", p)
+    }
+
+  private def storedTokenizerPath(s: SparkSession, dir: String): String =
+    engine.StoredIndexes.ensure("bpe_tok", dir) { p =>
+      TextOps.buildTokenizer(Tables.documents(s, dir), 3, p)
     }
 
   private def mergedVocabPath(s: SparkSession, dir: String): String =
@@ -2218,6 +2230,35 @@ object SparkEntry {
          |tid AS (SELECT doc_id, wpos, spos, id
          |        FROM wsym JOIN ids USING (tok))
          |SELECT doc_id, count(*) AS n_bpe_tokens,
+         |       md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY wpos, spos)) AS ids_sig
+         |FROM tid GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the stored-tokenizer encode over the build corpus: identical id
+    // stream (frozen rules/ids == the inline derivation) plus a zero
+    // UNK count
+    "bpe_encode_stored" ->
+      s"""WITH ${bpeChainSql(3, keepWord = true)},
+         |base AS (SELECT DISTINCT substr(word, i, 1) AS tok
+         |         FROM vocab, LATERAL unnest(range(1, length(word) + 1)) AS tb(i)),
+         |bn AS (SELECT count(*) AS nb FROM base),
+         |bid AS (SELECT tok, row_number() OVER (ORDER BY tok) - 1 AS id FROM base),
+         |rid AS (SELECT a || b AS tok, nb + rule_no - 1 AS id
+         |        FROM (SELECT 1 AS rule_no, a, b FROM r1
+         |              UNION ALL SELECT 2, a, b FROM r2
+         |              UNION ALL SELECT 3, a, b FROM r3), bn),
+         |ids AS (SELECT tok, CAST(min(id) AS BIGINT) AS id
+         |        FROM (SELECT * FROM bid UNION ALL SELECT * FROM rid)
+         |        GROUP BY tok),
+         |seq AS (SELECT doc_id, i AS wpos, w[i] AS word
+         |        FROM words, LATERAL unnest(range(1, len(w) + 1)) AS ts(i)
+         |        WHERE w[i] <> ''),
+         |wsym AS (SELECT doc_id, wpos, j AS spos, syms[j] AS tok
+         |         FROM seq JOIN v3 USING (word),
+         |              LATERAL unnest(range(1, len(syms) + 1)) AS tu(j)),
+         |tid AS (SELECT doc_id, wpos, spos, id
+         |        FROM wsym JOIN ids USING (tok))
+         |SELECT doc_id, count(*) AS n_bpe_tokens,
+         |       CAST(0 AS BIGINT) AS n_unk,
          |       md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY wpos, spos)) AS ids_sig
          |FROM tid GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 

@@ -313,14 +313,22 @@ object TextOps {
                                rules: Int): Seq[(Long, String, String, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // probe-then-fold, as in the encode replay: most words don't
+    // contain the round's pair, and the `exists` probe rejects them
+    // with an allocation-free scan instead of rebuilding their array
     val mergeFold = expr(
-      """aggregate(
-        |  slice(syms, 2, size(syms) - 1),
-        |  array(element_at(syms, 1)),
-        |  (acc, x) -> IF(element_at(acc, -1) = p1 AND x = p2,
-        |    concat(slice(acc, 1, size(acc) - 1),
-        |           array(concat(element_at(acc, -1), x))),
-        |    concat(acc, array(x))))""".stripMargin)
+      """IF(size(syms) < 2, syms,
+        |  IF(NOT exists(sequence(1, size(syms) - 1),
+        |       i -> element_at(syms, i) = p1
+        |            AND element_at(syms, i + 1) = p2),
+        |    syms,
+        |    aggregate(
+        |      slice(syms, 2, size(syms) - 1),
+        |      array(element_at(syms, 1)),
+        |      (acc, x) -> IF(element_at(acc, -1) = p1 AND x = p2,
+        |        concat(slice(acc, 1, size(acc) - 1),
+        |               array(concat(element_at(acc, -1), x))),
+        |        concat(acc, array(x))))))""".stripMargin)
     // The per-round working set is materialized with an EAGER
     // localCheckpoint, NOT a cache chain: checkpointing truncates
     // lineage, so the analyzed plan stays O(1)-deep however many rules
@@ -389,12 +397,18 @@ object TextOps {
     * almost every (word, rule) pair is a miss. Rule literals never
     * enter SQL text ([[normWords]] output is [a-z0-9]+ anyway — this
     * removes the escaping question entirely). */
-  private def bpeEncodedVocab(docs: DataFrame, rules: Int): DataFrame = {
+  private def bpeEncodedVocab(docs: DataFrame, rules: Int): DataFrame =
+    bpeEncodedVocabOf(docs, collectRules(bpeTrain(docs, rules)))
+
+  /** The sorted driver-side rule table of a trained-rules DataFrame. */
+  private def collectRules(df: DataFrame): Seq[(Long, String, String)] =
+    df.orderBy("rule_no").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  private def bpeEncodedVocabOf(docs: DataFrame,
+      ruleTab: Seq[(Long, String, String)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ruleTab: Seq[(Long, String, String)] =
-      bpeTrain(docs, rules).orderBy("rule_no").collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
     // one row, one array<struct<rule_no,p1,p2>> sorted by rule_no
     // (array_sort on structs orders by leading field — collect_list
     // alone has no order guarantee)
@@ -462,11 +476,19 @@ object TextOps {
     * (alphabet + rules)-row table and a per-doc sorted-struct fold.
     * Documents with no normalized words drop out (nothing to encode). */
   def bpeEncodeIds(docs: DataFrame, rules: Int = 3): DataFrame = {
+    val ruleTab = collectRules(bpeTrain(docs, rules))
+    bpeIdStream(docs, bpeEncodedVocabOf(docs, ruleTab),
+      bpeIdTable(docs, ruleTab), withUnk = false)
+  }
+
+  /** The token→id vocabulary table the standard BPE scheme assigns: the
+    * sorted base alphabet takes 0..B−1, each learned rule's merged token
+    * takes B+rule−1; a string two parses both produce keeps its smallest
+    * id. Driver-side (alphabet + rules is control-plane-sized). */
+  private def bpeIdTable(docs: DataFrame,
+      ruleTab: Seq[(Long, String, String)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ruleTab = bpeTrain(docs, rules).orderBy("rule_no").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-    val enc = bpeEncodedVocab(docs, rules)
     val baseChars = bpeVocab(docs).select(explode(expr(
       "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
       .as("tok")).distinct().collect().map(_.getString(0)).sorted
@@ -474,23 +496,105 @@ object TextOps {
     val idRows = baseChars.zipWithIndex
       .map { case (t, i) => (t, i.toLong) } ++
       ruleTab.map { case (r, p1, p2) => (p1 + p2, nb + r - 1) }
-    val ids = idRows.groupBy(_._1)
+    idRows.groupBy(_._1)
       .map { case (t, xs) => (t, xs.map(_._2).min) }.toSeq.toDF("tok", "id")
-    docs.select(col("doc_id"),
+  }
+
+  /** The per-doc id-stream aggregate both encode paths share: word
+    * positions → fold-encoded symbols → id lookup against the broadcast
+    * vocabulary → exact token count + md5 signature of the ordered id
+    * sequence. `withUnk = true` (the STORED-tokenizer path, where the
+    * corpus may carry symbols the build corpus never saw) left-joins
+    * the vocabulary, maps unseen tokens to id −1 (the UNK convention)
+    * and reports their count — silently dropping them would corrupt
+    * both the count and the signature. */
+  private def bpeIdStream(docs: DataFrame, enc: DataFrame, ids: DataFrame,
+                          withUnk: Boolean): DataFrame = {
+    val toks = docs.select(col("doc_id"),
         posexplode(normWords(col("text"))).as(Seq("wpos", "word")))
       .filter(col("word") =!= "")
       .join(enc, "word")
       .select(col("doc_id"), col("wpos"),
         posexplode(col("syms")).as(Seq("spos", "tok")))
-      .join(broadcast(ids), "tok")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bpe_tokens"),
-        md5(concat_ws(",",
-          transform(
-            array_sort(collect_list(struct(col("wpos"), col("spos"),
-              col("id")))),
-            s => s.getField("id").cast("string")))).as("ids_sig"))
+    val withIds =
+      if (withUnk)
+        toks.join(broadcast(ids), Seq("tok"), "left")
+          .withColumn("id", coalesce(col("id"), lit(-1L)))
+      else toks.join(broadcast(ids), "tok")
+    val sig = md5(concat_ws(",",
+      transform(
+        array_sort(collect_list(struct(col("wpos"), col("spos"),
+          col("id")))),
+        s => s.getField("id").cast("string")))).as("ids_sig")
+    if (withUnk)
+      withIds.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bpe_tokens"),
+          sum(when(col("id") === -1L, 1L).otherwise(0L)).cast("long")
+            .as("n_unk"), sig)
+    else
+      withIds.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bpe_tokens"), sig)
   }
+
+  /** Persist a trained tokenizer as a STORED ARTIFACT — the missing
+    * lifecycle half of the BPE loop and the thing a production pipeline
+    * actually ships: training is paid ONCE on a (sampled) build corpus,
+    * then any amount of data — 100 TB, a streaming feed, another
+    * cluster — encodes against the frozen `rules` + `ids` tables with
+    * no training pass at all, the same build-once/read-many posture as
+    * every other stored family here. Both tables are control-plane
+    * tiny (|alphabet| + k rows), written single-file behind the usual
+    * versioned-table verbs ([[graft.engine.Compaction.seedBase]] /
+    * `resolve`). Frozen means frozen: documents arriving after the
+    * build may carry symbols the build corpus never produced — the
+    * stored encode surfaces them as UNK (id −1) counts, and
+    * [[shouldRetrainTokenizer]] turns the accumulated UNK mass into
+    * the retrain decision, mirroring the IVF family's drift signal. */
+  def buildTokenizer(docs: DataFrame, rules: Int, path: String): Unit = {
+    val trained = bpeTrain(docs, rules)
+    trained.coalesce(1).write.mode("overwrite").parquet(s"$path/rules")
+    graft.engine.Compaction.seedBase(s"$path/rules")
+    bpeIdTable(docs, collectRules(trained))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/ids")
+    graft.engine.Compaction.seedBase(s"$path/ids")
+  }
+
+  /** ENCODE against a stored tokenizer — [[bpeEncodeIds]]'s production
+    * twin: rules and vocabulary come from the frozen artifact (no
+    * corpus pass beyond the tokenization itself), and tokens outside
+    * the stored vocabulary map to UNK (id −1) with a per-doc `n_unk`
+    * count. Bit-identical to the inline encode when the corpus is the
+    * build corpus (zero UNKs — the oracle's contract). */
+  def bpeEncodeIdsStored(spark: org.apache.spark.sql.SparkSession,
+                         docs: DataFrame, path: String): DataFrame = {
+    val ruleTab = collectRules(spark.read.parquet(
+      graft.engine.Compaction.resolve(s"$path/rules")))
+    val ids = spark.read.parquet(
+      graft.engine.Compaction.resolve(s"$path/ids"))
+    bpeIdStream(docs, bpeEncodedVocabOf(docs, ruleTab), ids, withUnk = true)
+  }
+
+  /** Fraction of the corpus's BPE token stream that maps to UNK under
+    * the stored tokenizer — one aggregate row over the stored encode.
+    * 0.0 on the build corpus by construction; drifting input (new
+    * scripts, new alphabets) pushes it up. */
+  def tokenizerUnkRate(spark: org.apache.spark.sql.SparkSession,
+                       docs: DataFrame, path: String): Double = {
+    val r = bpeEncodeIdsStored(spark, docs, path)
+      .agg(sum("n_unk").cast("double").as("u"),
+        sum("n_bpe_tokens").cast("double").as("t")).head()
+    if (r.isNullAt(1) || r.getDouble(1) == 0.0) 0.0
+    else r.getDouble(0) / r.getDouble(1)
+  }
+
+  /** The tokenizer's retrain decision — the drift signal the frozen
+    * artifact defers, mirroring [[SimilarityOps.shouldRetrain]]'s
+    * shape: true when the UNK mass of `docs` under the stored
+    * tokenizer exceeds `threshold`. */
+  def shouldRetrainTokenizer(spark: org.apache.spark.sql.SparkSession,
+                             docs: DataFrame, path: String,
+                             threshold: Double = 0.01): Boolean =
+    tokenizerUnkRate(spark, docs, path) > threshold
 
   /** Per-word partial counts of one corpus subset — the unit the stored
     * vocabulary view appends per merge. */

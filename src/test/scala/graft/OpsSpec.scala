@@ -1856,6 +1856,39 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stored tokenizer: frozen artifact encodes bit-identically, " +
+    "surfaces UNK on drifted input, trips the retrain signal") {
+    val path = java.nio.file.Files.createTempDirectory("graft_tok").toString
+    val build = docs.limit(40)
+    TextOps.buildTokenizer(build, 4, path)
+    // on the build corpus the stored encode IS the inline encode (plus
+    // a zero UNK count) — frozen rules/ids equal the inline derivation
+    val stored = TextOps.bpeEncodeIdsStored(spark, build, path)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val inline = TextOps.bpeEncodeIds(build, 4).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(stored.map(t => (t._1, t._2, t._4)).toSeq === inline.toSeq)
+    assert(stored.forall(_._3 === 0L), "build corpus has no UNKs")
+    assert(TextOps.tokenizerUnkRate(spark, build, path) === 0.0)
+    assert(!TextOps.shouldRetrainTokenizer(spark, build, path))
+    // drifted input: digits never occurred in the build corpus (the
+    // letter-only docs), so every digit symbol is UNK (id -1), counted,
+    // never dropped — the signature still covers the full stream
+    val letteronly = Seq((900L, "alpha beta")).toDF("doc_id", "text")
+    TextOps.buildTokenizer(letteronly, 2, path + "2")
+    val drifted = Seq((901L, "alpha 77 beta")).toDF("doc_id", "text")
+    val d = TextOps.bpeEncodeIdsStored(spark, drifted, path + "2").head()
+    assert(d.getLong(2) === 2L, "both digit symbols must count as UNK")
+    assert(d.getLong(1) >= d.getLong(2), "UNKs are part of the stream")
+    val rate = TextOps.tokenizerUnkRate(spark, drifted, path + "2")
+    assert(rate > 0.0 && rate < 1.0)
+    assert(TextOps.shouldRetrainTokenizer(spark, drifted, path + "2",
+      threshold = 0.01), "2 UNK symbols must trip a 1% threshold")
+    assert(!TextOps.shouldRetrainTokenizer(spark, drifted, path + "2",
+      threshold = 0.9), "threshold is the caller's knob")
+  }
+
   test("source KL: zero on itself, ln 2 on a disjoint half-half mixture") {
     // one source == the corpus → every term ln(1) = 0
     val one = Seq((0L, "x y z", "s1"), (1L, "x y", "s1"))
