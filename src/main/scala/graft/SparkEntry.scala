@@ -1157,6 +1157,14 @@ object SparkEntry {
     "bpe_train" -> ((s, dir) =>
       TextOps.bpeTrain(Tables.documents(s, dir), 3).orderBy("rule_no")),
 
+    // the production trainer: the merge loop's word counts come from
+    // the incrementally-maintained stored vocab view — NO corpus pass;
+    // bit-identical to the inline trainer because the view covers the
+    // corpus (distributivity), so it shares bpe_train's oracle
+    "bpe_train_from_view" -> ((s, dir) =>
+      TextOps.bpeTrainFromVocab(s, mergedVocabPath(s, dir), 3)
+        .orderBy("rule_no")),
+
     // the tokenizer's final output: per-doc token-ID sequences (sorted
     // alphabet 0..B-1, then rules in order) summarized as exact count +
     // md5 id-stream signature; the fold runs once per distinct word
@@ -2173,7 +2181,15 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+  def oracleSql: Map[String, String] = {
+    val m = oracleSqlOverlay
+    // from-view trainer: bit-identical to the inline trainer (the view
+    // covers the corpus), so it shares bpe_train's oracle — resolved
+    // AFTER the overlay map exists since both live there
+    m + ("bpe_train_from_view" -> m("bpe_train"))
+  }
+
+  private def oracleSqlOverlay: Map[String, String] = oracleSqlBase ++ Map(
     // the stored-index read paths replay their inline twins bit-for-bit
     // (same training, same scoring folds), so they share oracles
     "ann_ivf_stored_topk" -> oracleSqlBase("ann_ivf_kmeans_topk"),

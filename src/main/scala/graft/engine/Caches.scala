@@ -112,8 +112,14 @@ object Caches {
     private[Caches] def evictSession(sid: String): Int = map.synchronized {
       val it = map.keySet().iterator()
       var n = 0
-      while (it.hasNext)
-        if (it.next().productElement(0) == sid) { it.remove(); n += 1 }
+      while (it.hasNext) it.next().productElement(0) match {
+        // keys may namespace-suffix the session id ("sid|view:...") so
+        // unrelated hash spaces can share one memo — both forms belong
+        // to the session and both evict with it
+        case s: String if s == sid || s.startsWith(sid + "|") =>
+          it.remove(); n += 1
+        case _ =>
+      }
       n
     }
   }

@@ -200,8 +200,15 @@ object TextOps {
     * view covers the corpus (the vocab view's distributivity); the
     * negative-net guard is the view read's, via the same re-sum. */
   def bpePairCountsStored(spark: org.apache.spark.sql.SparkSession,
-                          path: String, topK: Int = 30): DataFrame = {
-    val vocab = spark.read
+                          path: String, topK: Int = 30): DataFrame =
+    bpePairCountsOf(storedVocab(spark, path), topK)
+
+  /** The (word, tf) vocabulary as the STORED VIEW answers it: re-summed
+    * partials with the negative-net retraction guard. Every from-view
+    * training path shares this read. */
+  private def storedVocab(spark: org.apache.spark.sql.SparkSession,
+                          path: String): DataFrame =
+    spark.read
       .parquet(graft.engine.Compaction.resolve(s"$path/counts"))
       .groupBy("word").agg(sum("tf").as("tf"))
       .withColumn("_ok", when(col("tf") >= 0L, lit(true))
@@ -209,8 +216,6 @@ object TextOps {
           lit("vocab view: word '"), col("word"),
           lit("' netted negative counts — retraction without a matching absorb")))))
       .filter(col("_ok") && col("tf") > 0L).drop("_ok")
-    bpePairCountsOf(vocab, topK)
-  }
 
   /** BPE tokenizer training, step 2: APPLY the argmax merge of
     * [[bpePairCounts]] and recount — one real iteration of the merge
@@ -306,12 +311,80 @@ object TextOps {
       .toDF("rule_no", "p1", "p2", "cnt")
   }
 
+  /** [[bpeTrain]] over the STORED VOCABULARY VIEW — the production
+    * trainer: the merge loop's word counts come from the incrementally
+    * maintained view (absorbed/retracted by the stream), so training a
+    * tokenizer at 100 TB touches NO corpus data at all — every round is
+    * O(view). Bit-identical to the inline trainer when the view covers
+    * the corpus (the view's distributivity, same contract as
+    * [[bpePairCountsStored]]). Memoized per (session, view content
+    * signature, k): the signature covers the resolved counts dir's file
+    * listing, so an absorb between calls invalidates the memo — a path
+    * string alone would serve stale rules. */
+  def bpeTrainFromVocab(spark: org.apache.spark.sql.SparkSession,
+                        viewPath: String, rules: Int = 3): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    // sid carries a namespace suffix so a view-signature hash can never
+    // collide with an inline corpus semanticHash in the shared memo
+    val key = (Caches.sessionId(spark) + s"|view:$viewPath",
+      countsSignature(viewPath).hashCode, rules)
+    bpeTrainMemo.getOrElseUpdate(key,
+      bpeTrainLoop(storedVocab(spark, viewPath), rules))
+      .toDF("rule_no", "p1", "p2", "cnt")
+  }
+
+  /** [[buildTokenizer]] from the stored view: rules AND the id
+    * vocabulary derive from the view's word counts — the complete
+    * no-corpus-pass tokenizer refresh a drifted [[shouldRetrainTokenizer]]
+    * signal triggers. */
+  def buildTokenizerFromView(spark: org.apache.spark.sql.SparkSession,
+                             viewPath: String, rules: Int,
+                             tokPath: String): Unit = {
+    val trained = bpeTrainFromVocab(spark, viewPath, rules)
+    trained.coalesce(1).write.mode("overwrite").parquet(s"$tokPath/rules")
+    graft.engine.Compaction.seedBase(s"$tokPath/rules")
+    bpeIdTableOf(storedVocab(spark, viewPath), collectRules(trained))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tokPath/ids")
+    graft.engine.Compaction.seedBase(s"$tokPath/ids")
+  }
+
+  /** Content signature of the view's resolved counts dir (file name,
+    * size, mtime — the [[SimilarityOps]] control-plane-memo rule):
+    * changes whenever an absorb/retract/compaction lands. */
+  private def countsSignature(viewPath: String): String = {
+    val dir = java.nio.file.Paths
+      .get(graft.engine.Compaction.resolve(s"$viewPath/counts"))
+    if (!java.nio.file.Files.exists(dir)) return "<missing>"
+    val s = java.nio.file.Files.list(dir)
+    try {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      s.forEach { f =>
+        val sz = try java.nio.file.Files.size(f)
+          catch { case _: java.io.IOException => -1L }
+        val mt = try java.nio.file.Files
+            .getLastModifiedTime(f).toMillis
+          catch { case _: java.io.IOException => -1L }
+        buf += s"${f.getFileName}:$sz:$mt"
+      }
+      buf.sorted.mkString("|")
+    } finally s.close()
+  }
+
   private val bpeTrainMemo = graft.engine.Caches
     .sessionMemo[(String, Int, Int), Seq[(Long, String, String, Long)]]()
 
   private def bpeTrainUncached(docs: DataFrame,
-                               rules: Int): Seq[(Long, String, String, Long)] = {
-    val spark = docs.sparkSession
+                               rules: Int): Seq[(Long, String, String, Long)] =
+    bpeTrainLoop(bpeVocab(docs), rules)
+
+  /** The full k-rule merge loop over an EXPLICIT (word, tf) vocabulary —
+    * the engine of [[bpeTrain]] (inline: the corpus's own vocab) and
+    * [[bpeTrainFromVocab]] (production: the incrementally-maintained
+    * stored view, NO corpus pass at all). */
+  private def bpeTrainLoop(vocab: DataFrame,
+                           rules: Int): Seq[(Long, String, String, Long)] = {
+    val spark = vocab.sparkSession
     import spark.implicits._
     // probe-then-fold, as in the encode replay: most words don't
     // contain the round's pair, and the `exists` probe rejects them
@@ -340,7 +413,7 @@ object TextOps {
     // bench/SCALE_POINT.md's rule-axis campaign measures this loop at
     // k=16/64/256: per-round wall time is flat in k (corpus-bounded),
     // total train time linear.
-    var syms = bpeVocab(docs).select(
+    var syms = vocab.select(
       expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
         .as("syms"),
       col("tf")).localCheckpoint(true)
@@ -486,10 +559,14 @@ object TextOps {
     * takes B+rule−1; a string two parses both produce keeps its smallest
     * id. Driver-side (alphabet + rules is control-plane-sized). */
   private def bpeIdTable(docs: DataFrame,
+      ruleTab: Seq[(Long, String, String)]): DataFrame =
+    bpeIdTableOf(bpeVocab(docs), ruleTab)
+
+  private def bpeIdTableOf(vocab: DataFrame,
       ruleTab: Seq[(Long, String, String)]): DataFrame = {
-    val spark = docs.sparkSession
+    val spark = vocab.sparkSession
     import spark.implicits._
-    val baseChars = bpeVocab(docs).select(explode(expr(
+    val baseChars = vocab.select(explode(expr(
       "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
       .as("tok")).distinct().collect().map(_.getString(0)).sorted
     val nb = baseChars.length.toLong

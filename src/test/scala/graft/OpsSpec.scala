@@ -1889,6 +1889,44 @@ class OpsSpec extends AnyFunSuite {
       threshold = 0.9), "threshold is the caller's knob")
   }
 
+  test("from-view trainer: no corpus pass, inline-identical, and the " +
+    "memo invalidates when the view absorbs") {
+    val view = java.nio.file.Files.createTempDirectory("graft_tvv").toString
+    val tok = java.nio.file.Files.createTempDirectory("graft_tvt").toString
+    val d = docs.limit(40)
+    // view covering the corpus via build + merge (the distributivity
+    // contract) — the trainer over it must equal the inline trainer
+    TextOps.buildVocabIndex(d.filter($"doc_id" % 2 === 0), view)
+    TextOps.mergeVocabIndex(d.filter($"doc_id" % 2 =!= 0), view)
+    def rules(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rule_no").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+    assert(rules(TextOps.bpeTrainFromVocab(spark, view, 4))
+      === rules(TextOps.bpeTrain(d, 4)))
+    // the full no-corpus-pass refresh: tokenizer built FROM the view
+    // encodes identically to the inline artifact
+    TextOps.buildTokenizerFromView(spark, view, 4, tok)
+    val stored = TextOps.bpeEncodeIdsStored(spark, d, tok)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val inline = TextOps.bpeEncodeIds(d, 4).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(stored.map(t => (t._1, t._2, t._4)).toSeq === inline.toSeq)
+    assert(stored.forall(_._3 === 0L))
+    // memo invalidation: an absorb changes the view's content signature,
+    // so the next training run sees the NEW counts (a path-keyed memo
+    // would serve the stale rules)
+    val before = rules(TextOps.bpeTrainFromVocab(spark, view, 1))
+    val skew = Seq.tabulate(80)(i =>
+      (5000L + i, "zq zq zq zq zq zq zq zq")).toDF("doc_id", "text")
+    TextOps.mergeVocabIndex(skew, view)
+    val after = rules(TextOps.bpeTrainFromVocab(spark, view, 1))
+    assert(after.head._2 === "z" && after.head._3 === "q",
+      s"the dominant pair after the absorb must win, got $after")
+    assert(before !== after)
+  }
+
   test("source KL: zero on itself, ln 2 on a disjoint half-half mixture") {
     // one source == the corpus → every term ln(1) = 0
     val one = Seq((0L, "x y z", "s1"), (1L, "x y", "s1"))
