@@ -458,6 +458,63 @@ object CdcStream {
       .start()
   }
 
+  /** [[vocabAbsorbStream]] plus the TOKENIZER lifecycle — the complete
+    * streaming loop a production corpus runs: each batch's word counts
+    * absorb into the vocab view exactly once (the ledger protocol), and
+    * every `retrainEvery` batches the tick measures the BATCH's UNK
+    * mass under the stored tokenizer
+    * ([[graft.ops.TextOps.shouldRetrainTokenizer]] — data that drifted
+    * from the build corpus pushes it up) and, when it trips (or no
+    * tokenizer exists yet), refreshes the artifact FROM THE VIEW
+    * ([[graft.ops.TextOps.buildTokenizerFromView]] — no corpus pass;
+    * the view the stream itself maintains IS the training input). The
+    * retrain runs between batches under the single-writer discipline,
+    * is idempotent (a replayed tick rebuilds the same artifact from the
+    * same view), and readers switch atomically via the artifact's
+    * versioned-table pointers. */
+  def vocabTokenizerStream(spark: SparkSession, inGlob: String,
+                           checkpointDir: String, schema: StructType,
+                           viewPath: String, tokPath: String,
+                           rules: Int = 3,
+                           retrainEvery: Int = 1,
+                           unkThreshold: Double = 0.01,
+                           maintainEvery: Int = 0,
+                           maintainMaxFiles: Int = 8): StreamingQuery = {
+    absorbedHighWater.remove((viewPath, checkpointDir))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .json(inGlob)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        vocabAbsorb(spark, batch, id, viewPath, checkpointDir)
+        if (retrainEvery > 0 && id % retrainEvery == 0)
+          maintainTokenizer(spark, viewPath, tokPath, batch, rules,
+            unkThreshold)
+        if (maintainEvery > 0 && id > 0 && id % maintainEvery == 0)
+          maintainStreamedIndex(spark, viewPath, "vocab", maintainMaxFiles)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** One tokenizer-maintenance tick: retrain from the view if no
+    * artifact exists yet or `sample`'s UNK mass under the stored
+    * artifact exceeds `unkThreshold`. Returns true if a retrain ran.
+    * Public for direct tick testing; single-writer discipline. */
+  def maintainTokenizer(spark: SparkSession, viewPath: String,
+                        tokPath: String, sample: DataFrame, rules: Int,
+                        unkThreshold: Double): Boolean = {
+    import graft.ops.TextOps
+    val missing = !java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$tokPath/rules"))
+    val due = missing || (!sample.isEmpty &&
+      TextOps.shouldRetrainTokenizer(spark, sample, tokPath, unkThreshold))
+    if (due) TextOps.buildTokenizerFromView(spark, viewPath, rules, tokPath)
+    due
+  }
+
   /** One vocab-absorb micro-batch — public for direct replay testing.
     *
     * Op-aware: a batch carrying an `op` column routes `op = 'DELETE'`

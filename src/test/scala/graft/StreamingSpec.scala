@@ -265,6 +265,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(est() === Map("click" -> 4L, "view" -> 1L))
   }
 
+  test("streaming tokenizer lifecycle: absorb -> drift detect -> " +
+    "retrain from the view the stream itself maintains") {
+    import graft.ops.TextOps
+    import org.apache.spark.sql.types.StructType
+    val in = Files.createTempDirectory("tk_in").toString
+    val ckpt = Files.createTempDirectory("tk_ckpt").toString
+    val view = Files.createTempDirectory("tk_view").toString
+    val tok = Files.createTempDirectory("tk_tok").toString + "/tok"
+    TextOps.buildVocabIndex(
+      Seq((0L, "alpha beta alpha")).toDF("doc_id", "text"), view)
+    val batches = Seq(
+      Seq((1L, "alpha beta gamma alpha beta")),   // letters: seeds the artifact
+      Seq((2L, "beta gamma delta")),              // letters: no drift, no retrain
+      Seq((3L, "zq77 zq77 zq77 zq77 epsilon")))   // digits: UNK mass -> retrain
+    batches.zipWithIndex.foreach { case (docs, i) =>
+      val f = java.nio.file.Paths.get(in, f"docs_$i%03d.json")
+      Files.writeString(f, docs.map { case (id, t) =>
+        s"""{"doc_id":$id,"text":"$t"}""" }.mkString("", "\n", "\n"))
+      Files.setLastModifiedTime(f, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() - (600 - i * 60) * 1000L))
+    }
+    val schema = new StructType().add("doc_id", "long").add("text", "string")
+    val q = CdcStream.vocabTokenizerStream(spark, s"$in/docs_*.json", ckpt,
+      schema, view, tok, rules = 2, retrainEvery = 1, unkThreshold = 0.05)
+    q.awaitTermination()
+    // the final artifact was retrained AFTER the drifted batch absorbed
+    // into the view, so the drifted vocabulary is covered: zero UNKs
+    val drifted = Seq((100L, "zq77 zq77")).toDF("doc_id", "text")
+    assert(TextOps.tokenizerUnkRate(spark, drifted, tok) === 0.0,
+      "the post-drift retrain must cover the new symbols")
+    // and a sample matching the view trips nothing further
+    assert(!CdcStream.maintainTokenizer(spark, view, tok, drifted, 2, 0.05),
+      "no drift -> no retrain")
+    // genuinely novel symbols still register as drift against the
+    // refreshed artifact (the signal stays live after a retrain)
+    val novel = Seq((101L, "xx xx xx xx")).toDF("doc_id", "text")
+    assert(TextOps.tokenizerUnkRate(spark, novel, tok) > 0.0)
+  }
+
   test("streaming snapshot OPTIMIZE + export: absorb exactly once, " +
     "z-order tick + verified export, crash replay consistent") {
     import graft.engine.SnapshotStore
