@@ -1041,6 +1041,16 @@ object SparkEntry {
       Multimodal.decodePng(Multimodal.encodePng(Tables.documents(s, dir)))
         .orderBy("doc_id")),
 
+    // image-corpus dedup: 64-bit perceptual hash (aHash) of the REAL
+    // decoded rasters, paired by the SAME banded candidate join the
+    // text SimHash uses (hashPairs64) — O(images x bands), never
+    // all-pairs; the oracle recomputes hash, bands, and exact Hamming
+    // from the raster formula
+    "multimodal_phash_pairs" -> ((s, dir) =>
+      DedupOps.hashPairs64(
+        Multimodal.imageAHash(Multimodal.encodePng(Tables.documents(s, dir))),
+        "ahash", maxDist = 2).orderBy("doc_a", "doc_b")),
+
     // decode + nearest-neighbor resize over the REAL decoded raster
     // (4x4 target): same index map as multimodal_resize, applied to
     // genuinely decoded pixels; oracle replays formula + index math
@@ -3106,6 +3116,34 @@ object SparkEntry {
         |       CAST(sum((11*x + 3*y + 2*doc_id) % 256) AS BIGINT) AS rsum_g,
         |       CAST(sum((5*x + 17*y + 3*doc_id) % 256) AS BIGINT) AS rsum_b
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "multimodal_phash_pairs" ->
+      """WITH g AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+        |                  8 + (3 * doc_id) % 9 AS h FROM documents),
+        |cell AS (SELECT doc_id, i, ((i % 8) * w) // 8 AS sx,
+        |                ((i // 8) * h) // 8 AS sy
+        |         FROM g, LATERAL unnest(range(0, 64)) AS t(i)),
+        |gr AS (SELECT doc_id, i,
+        |              ((7*sx + 13*sy + doc_id) % 256
+        |               + (11*sx + 3*sy + 2*doc_id) % 256
+        |               + (5*sx + 17*sy + 3*doc_id) % 256) // 3 AS gray
+        |       FROM cell),
+        |m AS (SELECT doc_id, sum(gray) // 64 AS mean FROM gr GROUP BY doc_id),
+        |sk AS (SELECT gr.doc_id,
+        |              CAST(sum(CASE WHEN gray > mean THEN
+        |                CASE WHEN i = 63 THEN -9223372036854775807 - 1
+        |                     ELSE (1::BIGINT << i) END ELSE 0 END) AS BIGINT) AS sh
+        |       FROM gr JOIN m USING (doc_id) GROUP BY gr.doc_id),
+        |bands AS (SELECT doc_id, sh, b, (sh >> (b * 16)) & 65535 AS bv
+        |          FROM sk, LATERAL unnest(range(0, 4)) AS t(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sh AS sha,
+        |                b.doc_id AS doc_b, b.sh AS shb
+        |         FROM bands a JOIN bands b
+        |           ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |       CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(sha, shb)) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "scd2_rebuild" ->
       s"""WITH ${dimSql("events")}

@@ -450,22 +450,34 @@ object DedupOps {
     * widen further (e.g. 8 bands × 8 of 16 bits chosen per doc) to keep
     * expected occupancy bounded. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
-                   bands: Int = 4, bandBits: Int = 16): DataFrame = {
+                   bands: Int = 4, bandBits: Int = 16): DataFrame =
+    hashPairs64(Caches.ensureCached(simhashLong(docs)), "sh",
+      maxDist, bands, bandBits)
+
+  /** Near-duplicate pairs over ANY 64-bit signature table — the banded
+    * candidate join + exact Hamming verify factored out of
+    * [[simhashPairs]], reusable by every 64-bit sketch (text SimHash,
+    * image perceptual hash): two rows pair when some `bandBits`-wide
+    * band of their signatures matches exactly (recall guaranteed for
+    * maxDist < bands by pigeonhole), then the exact `bit_count(xor)`
+    * filter keeps real neighbors. O(rows × bands) candidate keys —
+    * never an all-pairs join. `sk` must carry (doc_id, `hashCol`). */
+  def hashPairs64(sk: DataFrame, hashCol: String, maxDist: Int,
+                  bands: Int = 4, bandBits: Int = 16): DataFrame = {
     require(bands * bandBits == 64, "bands × bandBits must tile the 64-bit sketch")
     require(maxDist < bands,
       s"$bands bands guarantee recall only for maxDist <= ${bands - 1}")
     val mask = (1L << bandBits) - 1
-    val sk = Caches.ensureCached(simhashLong(docs))
-    val banded = sk.select(col("doc_id"), col("sh"),
+    val banded = sk.select(col("doc_id"), col(hashCol).as("_sh"),
       posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> shiftright(sh, b * $bandBits) & ${mask}L)"))
+        s"transform(sequence(0, ${bands - 1}), b -> shiftright($hashCol, b * $bandBits) & ${mask}L)"))
         .as(Seq("band", "bv")))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("a.sh").as("_sha"),
-        col("b.doc_id").as("doc_b"), col("b.sh").as("_shb"))
+      .select(col("a.doc_id").as("doc_a"), col("a._sh").as("_sha"),
+        col("b.doc_id").as("doc_b"), col("b._sh").as("_shb"))
       .distinct()
       .select(col("doc_a"), col("doc_b"),
         expr("cast(bit_count(_sha ^ _shb) as bigint)").as("hamming"))

@@ -207,6 +207,52 @@ object Multimodal {
       }(enc)
   }
 
+  /** 64-bit perceptual hash (aHash) of REAL decoded images — the image
+    * twin of the text SimHash, and the signature image-corpus dedup
+    * keys on: decode (ImageIO), nearest-neighbor resample to the 8×8
+    * grid (the same exact integer index map as [[decodeResizePng]]),
+    * integer grayscale `(r+g+b) div 3` per cell, threshold at the
+    * integer mean `sum div 64`, pack bit i (cell y·8+x) when
+    * `gray > mean`. Every step is integer-exact, so the DuckDB oracle
+    * recomputes the hash from the [[syntheticPng]] formula with no
+    * codec — and the hash feeds straight into
+    * [[graft.ops.DedupOps.hashPairs64]]'s banded candidate join for
+    * near-duplicate pairs at scale (O(images × bands), never
+    * all-pairs). */
+  def imageAHash(withPayload: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ahash", LongType)))
+    val enc = RowEncoder.encoderFor(schema)
+    withPayload.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          require(img != null, s"imageAHash: doc $id is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val gray = new Array[Long](64)
+          var sum = 0L
+          var i = 0
+          while (i < 64) {
+            val (x, y) = (i % 8, i / 8)
+            val p = img.getRGB(x * w / 8, y * h / 8)
+            gray(i) = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3L
+            sum += gray(i)
+            i += 1
+          }
+          val mean = sum / 64L
+          var hash = 0L
+          i = 0
+          while (i < 64) {
+            if (gray(i) > mean) hash |= (1L << i)
+            i += 1
+          }
+          Row(id, hash)
+        }
+      }(enc)
+  }
+
   /** Nearest-neighbor resize — the remaining multimodal verb beside
     * decode / feature-extract / frame-sample. The "image" is the stub
     * pixel source consistent with [[decodeStub]]'s posture: the payload

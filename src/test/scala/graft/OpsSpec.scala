@@ -461,6 +461,27 @@ class OpsSpec extends AnyFunSuite {
       .exists(t => String.valueOf(t.getMessage).contains("not a decodable")))
   }
 
+  test("image aHash: raster-identical images collide, banded pairs " +
+    "find them without an all-pairs join") {
+    // the synthetic raster is mod-256 in id: ids 256 apart produce
+    // byte-identical images -> identical hashes -> a hamming-0 pair
+    val twins = Seq(
+      (1L, Multimodal.syntheticPng(1L, 8, 8)),
+      (257L, Multimodal.syntheticPng(257L, 8, 8)),
+      (9L, Multimodal.syntheticPng(9L, 16, 12))) // a different raster
+      .toDF("doc_id", "payload")
+    val sk = Multimodal.imageAHash(twins)
+    val hashes = sk.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) === hashes(257L), "identical rasters, identical hash")
+    val pairs = DedupOps.hashPairs64(sk, "ahash", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((1L, 257L, 0L)), s"twin pair must surface: ${pairs.toSeq}")
+    // determinism across partitionings (the mapPartitions is per-row pure)
+    val again = Multimodal.imageAHash(twins.repartition(3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === hashes)
+  }
+
   test("native graft_l2sq is bit-identical to the higher-order-function fold") {
     graft.functions.VectorExpressions.register(spark)
     val e = Tables.embeddings(spark, sfDir)
