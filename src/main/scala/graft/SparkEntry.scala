@@ -1051,6 +1051,15 @@ object SparkEntry {
         Multimodal.imageAHash(Multimodal.encodePng(Tables.documents(s, dir))),
         "ahash", maxDist = 2).orderBy("doc_a", "doc_b")),
 
+    // REAL audio codec round-trip: closed-form sawtooth PCM, WAV
+    // container, decoded back by javax.sound.sampled; per-window exact
+    // integer energy + zero-crossing features the oracle recomputes
+    // from the waveform formula
+    "multimodal_audio_features" -> ((s, dir) =>
+      Multimodal.decodeWavFeatures(
+        Multimodal.encodeWav(Tables.documents(s, dir)))
+        .orderBy("doc_id", "win")),
+
     // decode + nearest-neighbor resize over the REAL decoded raster
     // (4x4 target): same index map as multimodal_resize, applied to
     // genuinely decoded pixels; oracle replays formula + index math
@@ -3116,6 +3125,24 @@ object SparkEntry {
         |       CAST(sum((11*x + 3*y + 2*doc_id) % 256) AS BIGINT) AS rsum_g,
         |       CAST(sum((5*x + 17*y + 3*doc_id) % 256) AS BIGINT) AS rsum_b
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "multimodal_audio_features" ->
+      """WITH g AS (SELECT doc_id, 800 + (doc_id % 5) * 160 AS n
+        |           FROM documents),
+        |s AS (SELECT doc_id, i,
+        |             ((i * 37 + doc_id * 101) % 2048) - 1024 AS v,
+        |             i // 256 AS win
+        |      FROM g, LATERAL unnest(range(0, n)) AS t(i)),
+        |z AS (SELECT doc_id, win, i, v,
+        |             lag(v) OVER (PARTITION BY doc_id, win ORDER BY i) AS pv
+        |      FROM s)
+        |SELECT doc_id, CAST(win AS BIGINT) AS win,
+        |       CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(sum(v * v) AS BIGINT) AS energy,
+        |       CAST(sum(CASE WHEN pv IS NOT NULL
+        |                     AND ((v >= 0) <> (pv >= 0))
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |FROM z GROUP BY doc_id, win ORDER BY doc_id, win""".stripMargin,
 
     "multimodal_phash_pairs" ->
       """WITH g AS (SELECT doc_id, 8 + doc_id % 9 AS w,

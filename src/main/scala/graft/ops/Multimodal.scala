@@ -253,6 +253,99 @@ object Multimodal {
       }(enc)
   }
 
+  /** Deterministic synthetic WAV: `n` samples of a 16-bit mono PCM
+    * sawtooth, sample i = `((i·37 + id·101) % 2048) − 1024` — pure
+    * integer, so every downstream feature recomputes in closed form on
+    * the oracle side (no trig: libm `sin` is not bit-portable across
+    * engines). The RIFF/PCM container is written by hand (it is a
+    * 44-byte header + raw samples); the REAL-codec half of the round
+    * trip is the DECODE, which goes through `javax.sound.sampled`. */
+  def syntheticWav(id: Long, n: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    def le32(v: Int): Unit = { d.write(v); d.write(v >> 8); d.write(v >> 16); d.write(v >> 24) }
+    def le16(v: Int): Unit = { d.write(v); d.write(v >> 8) }
+    d.writeBytes("RIFF"); le32(36 + n * 2); d.writeBytes("WAVE")
+    d.writeBytes("fmt "); le32(16); le16(1); le16(1) // PCM, mono
+    le32(sampleRate); le32(sampleRate * 2); le16(2); le16(16)
+    d.writeBytes("data"); le32(n * 2)
+    var i = 0
+    while (i < n) {
+      le16((((i * 37L + id * 101L) % 2048L) - 1024L).toInt & 0xffff)
+      i += 1
+    }
+    bos.toByteArray
+  }
+
+  /** docs → (doc_id, payload) with real WAV bytes; sample count
+    * `800 + (id % 5)·160` — closed-form so the oracle derives it. */
+  def encodeWav(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val enc = RowEncoder.encoderFor(schema)
+    docs.select(col("doc_id").cast("long"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, syntheticWav(id, 800 + (id % 5L).toInt * 160))
+        }
+      }(enc)
+  }
+
+  /** REAL audio decode — `javax.sound.sampled.AudioSystem` (in the JDK,
+    * zero new jars) parses the WAV container/PCM stream back to frames;
+    * the operator emits per-WINDOW features over `window`-sample hops:
+    * exact energy (sum of squared samples — a long, no IEEE averaging
+    * to match) and the zero-crossing count (sign changes window-local,
+    * the classic voiced/unvoiced cue). One row per (doc, window);
+    * trailing partial windows are kept with their actual length. The
+    * audio twin of [[decodePng]]: narrow per-partition map, no shuffle,
+    * decode cost dominant; undecodable bytes fail loudly. */
+  def decodeWavFeatures(withPayload: DataFrame, window: Int = 256): DataFrame = {
+    require(window > 0, s"decodeWavFeatures: window $window")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("win", LongType),
+      StructField("n_samples", LongType),
+      StructField("energy", LongType),
+      StructField("zero_crossings", LongType)))
+    val enc = RowEncoder.encoderFor(schema)
+    withPayload.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val fmt = in.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"decodeWavFeatures: doc $id is not 16-bit mono PCM")
+          val bytes = in.readAllBytes()
+          in.close()
+          val n = bytes.length / 2
+          def sample(i: Int): Int = {
+            val lo = bytes(2 * i) & 0xff
+            val hi = bytes(2 * i + 1).toInt
+            (hi << 8) | lo
+          }
+          (0 until n by window).map { start =>
+            val end = math.min(start + window, n)
+            var energy = 0L
+            var zc = 0L
+            var prev = 0
+            var i = start
+            while (i < end) {
+              val s = sample(i)
+              energy += s.toLong * s.toLong
+              if (i > start && ((s >= 0) != (prev >= 0))) zc += 1
+              prev = s
+              i += 1
+            }
+            Row(id, (start / window).toLong, (end - start).toLong, energy, zc)
+          }
+        }
+      }(enc)
+  }
+
   /** Nearest-neighbor resize — the remaining multimodal verb beside
     * decode / feature-extract / frame-sample. The "image" is the stub
     * pixel source consistent with [[decodeStub]]'s posture: the payload

@@ -482,6 +482,38 @@ class OpsSpec extends AnyFunSuite {
     assert(again === hashes)
   }
 
+  test("WAV decode is a REAL codec round-trip: hand-computed window " +
+    "features, trailing partial window, fail-loud on junk") {
+    // id=0: samples i -> (37i % 2048) - 1024; hand-check a 6-sample clip
+    // with window 4: win0 = i 0..3, win1 (partial) = i 4..5
+    val wav = Multimodal.syntheticWav(0L, 6)
+    assert(new String(wav.take(4), "ASCII") === "RIFF", "real WAV container")
+    val out = Multimodal.decodeWavFeatures(
+      Seq((0L, wav)).toDF("doc_id", "payload"), window = 4)
+      .orderBy("win").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val s = (0 until 6).map(i => (i * 37 % 2048) - 1024)
+    def feat(xs: Seq[Int]) = (
+      xs.map(x => x.toLong * x).sum,
+      xs.sliding(2).count(p => p.length == 2 && (p(0) >= 0) != (p(1) >= 0)).toLong)
+    val (e0, z0) = feat(s.take(4)); val (e1, z1) = feat(s.drop(4))
+    assert(out.toSeq === Seq((0L, 4L, e0, z0), (1L, 2L, e1, z1)))
+    // corpus path: one row per (doc, window), sample counts derive from
+    // the closed-form length
+    val rows = Multimodal.decodeWavFeatures(
+      Multimodal.encodeWav(docs.limit(10))).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (id, ws) =>
+      val n = 800 + (id % 5) * 160
+      assert(ws.map(_.getLong(2)).sum === n, s"doc $id total samples")
+    }
+    // junk fails loudly — silent skips would understate the corpus
+    val e = intercept[Throwable] {
+      Multimodal.decodeWavFeatures(
+        Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")).count()
+    }
+    assert(e != null)
+  }
+
   test("native graft_l2sq is bit-identical to the higher-order-function fold") {
     graft.functions.VectorExpressions.register(spark)
     val e = Tables.embeddings(spark, sfDir)
