@@ -1051,6 +1051,17 @@ object SparkEntry {
         Multimodal.imageAHash(Multimodal.encodePng(Tables.documents(s, dir))),
         "ahash", maxDist = 2).orderBy("doc_a", "doc_b")),
 
+    // the image-dedup INCREMENTAL screen: new images probe the stored
+    // banded aHash index (built over the % 4 < 3 subset) — the
+    // ingestion question "near-dup of anything ever seen", index never
+    // shuffled, batch broadcast-probed
+    "multimodal_phash_incremental" -> ((s, dir) =>
+      DedupOps.queryHashIndex(s,
+        Multimodal.imageAHash(Multimodal.encodePng(
+          Tables.documents(s, dir).filter(expr("doc_id % 4 = 3")))),
+        ahashIdxPath(s, dir), maxDist = 2)
+        .orderBy("doc_new", "doc_old")),
+
     // REAL audio codec round-trip: closed-form sawtooth PCM, WAV
     // container, decoded back by javax.sound.sampled; per-window exact
     // integer energy + zero-crossing features the oracle recomputes
@@ -1717,6 +1728,13 @@ object SparkEntry {
         "event_type", "user_id", p)
       Stats.mergeDistinctView(e.filter(col("event_id") % 3 === 2),
         "event_type", "user_id", p)
+    }
+
+  private def ahashIdxPath(s: SparkSession, dir: String): String =
+    engine.StoredIndexes.ensure("ahash_idx", dir) { p =>
+      DedupOps.buildHashIndex(
+        Multimodal.imageAHash(Multimodal.encodePng(
+          Tables.documents(s, dir).filter(expr("doc_id % 4 < 3")))), p)
     }
 
   private def storedTokenizerPath(s: SparkSession, dir: String): String =
@@ -3143,6 +3161,35 @@ object SparkEntry {
         |                     AND ((v >= 0) <> (pv >= 0))
         |                THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
         |FROM z GROUP BY doc_id, win ORDER BY doc_id, win""".stripMargin,
+
+    "multimodal_phash_incremental" ->
+      """WITH g AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+        |                  8 + (3 * doc_id) % 9 AS h FROM documents),
+        |cell AS (SELECT doc_id, i, ((i % 8) * w) // 8 AS sx,
+        |                ((i // 8) * h) // 8 AS sy
+        |         FROM g, LATERAL unnest(range(0, 64)) AS t(i)),
+        |gr AS (SELECT doc_id, i,
+        |              ((7*sx + 13*sy + doc_id) % 256
+        |               + (11*sx + 3*sy + 2*doc_id) % 256
+        |               + (5*sx + 17*sy + 3*doc_id) % 256) // 3 AS gray
+        |       FROM cell),
+        |m AS (SELECT doc_id, sum(gray) // 64 AS mean FROM gr GROUP BY doc_id),
+        |sk AS (SELECT gr.doc_id,
+        |              CAST(sum(CASE WHEN gray > mean THEN
+        |                CASE WHEN i = 63 THEN -9223372036854775807 - 1
+        |                     ELSE (1::BIGINT << i) END ELSE 0 END) AS BIGINT) AS sh
+        |       FROM gr JOIN m USING (doc_id) GROUP BY gr.doc_id),
+        |bands AS (SELECT doc_id, sh, b, (sh >> (b * 16)) & 65535 AS bv
+        |          FROM sk, LATERAL unnest(range(0, 4)) AS t(b)),
+        |cand AS (SELECT DISTINCT p.doc_id AS doc_new, p.sh AS sn,
+        |                s.doc_id AS doc_old, s.sh AS so
+        |         FROM bands p JOIN bands s
+        |           ON p.b = s.b AND p.bv = s.bv
+        |         WHERE p.doc_id % 4 = 3 AND s.doc_id % 4 < 3)
+        |SELECT doc_new, doc_old,
+        |       CAST(bit_count(xor(sn, so)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(sn, so)) <= 2
+        |ORDER BY doc_new, doc_old""".stripMargin,
 
     "multimodal_phash_pairs" ->
       """WITH g AS (SELECT doc_id, 8 + doc_id % 9 AS w,

@@ -349,10 +349,18 @@ object Compaction {
           .agg(hll_union_agg(col("sketch")).as("sketch"))
           .repartition(col("grp")).sortWithinPartitions("grp"),
         maxFilesPerPartition = maxFilesPerPartition)
+    case "ahash" => // banded 64-bit-signature index: the rewrite drops
+      // the exact-duplicate band rows replayed merges can leave (the
+      // natural key IS the whole row) and re-clusters by bucket
+      compactTable(spark, s"$path/bands",
+        df => df.dropDuplicates("band", "bv", "doc_id")
+          .repartition(col("band"), col("bv"))
+          .sortWithinPartitions("band", "bv", "doc_id"),
+        maxFilesPerPartition = maxFilesPerPartition)
     case other =>
       throw new IllegalArgumentException(
         s"compactIndex: unknown index kind '$other' " +
-          "(expected ivf | pq | ivfpq | vocab | bm25 | fingerprint | hll)")
+          "(expected ivf | pq | ivfpq | vocab | bm25 | fingerprint | hll | ahash)")
   }
 
   /** One scheduled-maintenance tick for any stored-index family:
@@ -483,9 +491,10 @@ object Compaction {
     case "bm25"        => Seq(s"$path/postings")
     case "fingerprint" => Seq(s"$path/postings", s"$path/sizes")
     case "hll"         => Seq(s"$path/sketches")
+    case "ahash"       => Seq(s"$path/bands")
     case other =>
       throw new IllegalArgumentException(
         s"vacuumIndex: unknown index kind '$other' " +
-          "(expected ivf | pq | ivfpq | vocab | bm25 | fingerprint | hll)")
+          "(expected ivf | pq | ivfpq | vocab | bm25 | fingerprint | hll | ahash)")
   }).flatMap(vacuum)
 }

@@ -484,6 +484,84 @@ object DedupOps {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** STORED 64-bit-signature index — the incremental-screen lifecycle
+    * for [[hashPairs64]]-style sketches (text SimHash, image aHash):
+    * where the inline pair join answers "which pairs exist in THIS
+    * corpus", the stored index answers the ingestion question "is this
+    * NEW item a near-dup of anything ever seen" without touching old
+    * data. Layout: one `bands` table of (band, bv, doc_id, sig) rows —
+    * `bands`-per-item fan-out, clustered by (band, bv) so a probe's
+    * bucket keys co-locate. Merge APPENDS the batch's band rows
+    * (O(|batch|·bands), old files untouched, concurrent readers
+    * consistent); the probe broadcast-joins the (small) batch against
+    * the stored table — the index itself NEVER shuffles, the
+    * [[queryFingerprintIndex]] posture. Exact-duplicate band rows left
+    * by replayed merges are dropped at candidate level and removed
+    * permanently by the `ahash` compaction kind. */
+  def buildHashIndex(sk: DataFrame, path: String,
+                     bands: Int = 4, bandBits: Int = 16): Unit = {
+    val spark = sk.sparkSession
+    import spark.implicits._
+    require(bands * bandBits == 64, "bands × bandBits must tile the 64-bit sketch")
+    Seq((bands, bandBits)).toDF("bands", "band_bits")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    bandRows(sk, bands, bandBits)
+      .repartition(col("band"), col("bv"))
+      .sortWithinPartitions("band", "bv", "doc_id")
+      .write.mode("overwrite").parquet(s"$path/bands")
+    Compaction.seedBase(s"$path/bands")
+  }
+
+  /** Append one doc-id-disjoint batch — O(|batch|·bands). */
+  def mergeHashIndex(skNew: DataFrame, path: String): Unit = {
+    val (bands, bandBits) = hashIndexMeta(skNew.sparkSession, path)
+    Compaction.guardedAppend(s"$path/bands") { live =>
+      bandRows(skNew, bands, bandBits)
+        .coalesce(1).write.mode("append").parquet(live)
+    }
+  }
+
+  /** Screen a batch of signatures against the stored index: candidates
+    * from the banded broadcast probe, verified by exact Hamming ≤
+    * `maxDist`. Returns (doc_new, doc_old, hamming); candidate-level
+    * distinct absorbs both replay-duplicated index rows and multi-band
+    * matches. */
+  def queryHashIndex(spark: org.apache.spark.sql.SparkSession,
+                     batch: DataFrame, path: String,
+                     maxDist: Int): DataFrame = {
+    val (bands, bandBits) = hashIndexMeta(spark, path)
+    require(maxDist < bands,
+      s"$bands bands guarantee recall only for maxDist <= ${bands - 1}")
+    val stored = spark.read.parquet(Compaction.resolve(s"$path/bands"))
+    val probe = bandRows(batch, bands, bandBits)
+      .withColumnRenamed("doc_id", "doc_new")
+      .withColumnRenamed("sig", "_sn")
+    stored.join(broadcast(probe), Seq("band", "bv"))
+      .filter(col("doc_id") =!= col("doc_new"))
+      .select(col("doc_new"), col("doc_id").as("doc_old"),
+        col("_sn"), col("sig"))
+      .distinct()
+      .select(col("doc_new"), col("doc_old"),
+        expr("cast(bit_count(_sn ^ sig) as bigint)").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  private def hashIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                            path: String): (Int, Int) = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    (m.getInt(0), m.getInt(1))
+  }
+
+  private def bandRows(sk: DataFrame, bands: Int, bandBits: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    val hashCol = sk.columns.filterNot(_ == "doc_id").head
+    sk.select(col("doc_id"), col(hashCol).as("sig"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> shiftright($hashCol, b * $bandBits) & ${mask}L)"))
+        .as(Seq("band", "bv")))
+      .select(col("band"), col("bv"), col("doc_id"), col("sig"))
+  }
+
   /** Chunk-level exact dedup — the paragraph-dedup pass (CCNet-style)
     * adapted to a delimiter-free corpus: each doc is cut into
     * non-overlapping `chunkWords`-word windows, each chunk hashed, and a

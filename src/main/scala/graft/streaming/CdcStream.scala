@@ -428,6 +428,70 @@ object CdcStream {
     ()
   }
 
+  /** Streaming IMAGE dedup — [[dedupScreenStream]]'s multimodal twin:
+    * each micro-batch of (doc_id, payload) rows carrying REAL image
+    * bytes is (1) decoded and signature-hashed
+    * ([[graft.ops.Multimodal.imageAHash]] — the narrow per-partition
+    * codec pass), (2) SCREENED against the stored banded hash index
+    * ([[graft.ops.DedupOps.queryHashIndex]] — the batch broadcast-probes
+    * the index's (band, bv) buckets; the index never shuffles), hits to
+    * `onHits`, then (3) ABSORBED ([[graft.ops.DedupOps.mergeHashIndex]]
+    * — O(|batch|·bands) band-row appends) under the same (stream,
+    * batch-id) ledger protocol as every absorb family, so later batches
+    * screen against this one and replays are exactly-once. The
+    * maintenance tick runs the `ahash` compaction (drops replay-
+    * duplicated band rows, re-clusters buckets). Payloads arrive
+    * base64-coded in the JSON batch files (the file-stream transport;
+    * a production feed reads a binary-file source instead — only the
+    * payload column's provenance changes). */
+  def imageScreenStream(spark: SparkSession, inGlob: String,
+                        checkpointDir: String, schema: StructType,
+                        indexPath: String, maxDist: Int,
+                        onHits: (DataFrame, Long) => Unit,
+                        maintainEvery: Int = 0,
+                        maintainMaxFiles: Int = 8): StreamingQuery = {
+    absorbedHighWater.remove((indexPath, checkpointDir))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .json(inGlob)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        imageScreenAndAbsorb(spark, batch, id, indexPath, checkpointDir,
+          maxDist, onHits)
+        if (maintainEvery > 0 && id > 0 && id % maintainEvery == 0)
+          maintainStreamedIndex(spark, indexPath, "ahash", maintainMaxFiles)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** One image screen-and-absorb micro-batch — public for direct replay
+    * testing. `batch` carries (doc_id, payload base64-string-or-binary);
+    * the aHash is computed ONCE per batch and cached for the batch's
+    * scope (screen + absorb share it), released at batch end. */
+  def imageScreenAndAbsorb(spark: SparkSession, batch: DataFrame, id: Long,
+                           indexPath: String, streamId: String,
+                           maxDist: Int,
+                           onHits: (DataFrame, Long) => Unit): Unit = {
+    if (!batch.isEmpty) graft.engine.Caches.withCached {
+      val payload =
+        if (batch.schema("payload").dataType ==
+            org.apache.spark.sql.types.StringType)
+          batch.select(col("doc_id"), unbase64(col("payload")).as("payload"))
+        else batch.select(col("doc_id"), col("payload"))
+      val sk = graft.engine.Caches.ensureCached(
+        graft.ops.Multimodal.imageAHash(payload))
+      onHits(graft.ops.DedupOps.queryHashIndex(spark, sk, indexPath,
+        maxDist), id)
+      absorbOnce(spark, indexPath, streamId, id) {
+        graft.ops.DedupOps.mergeHashIndex(sk, indexPath)
+      }
+    }
+    ()
+  }
+
   /** Streaming incremental-view maintenance for the vocabulary
     * aggregate: each document micro-batch's per-word partial counts are
     * absorbed into the stored view ([[graft.ops.TextOps.mergeVocabIndex]])

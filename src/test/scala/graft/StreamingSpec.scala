@@ -265,6 +265,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(est() === Map("click" -> 4L, "view" -> 1L))
   }
 
+  test("streaming image dedup: real decode, stored-index screen, " +
+    "cross-batch absorb, ledger replay no-op") {
+    import graft.ops.{DedupOps, Multimodal}
+    import graft.engine.Compaction
+    import org.apache.spark.sql.types.StructType
+    val in = Files.createTempDirectory("img_in").toString
+    val ckpt = Files.createTempDirectory("img_ckpt").toString
+    val idx = Files.createTempDirectory("img_idx").toString
+    // index two distinct rasters (id 1, 9)
+    val base = Seq(
+      (1L, Multimodal.syntheticPng(1L, 8, 8)),
+      (9L, Multimodal.syntheticPng(9L, 16, 12))).toDF("doc_id", "payload")
+    DedupOps.buildHashIndex(Multimodal.imageAHash(base), idx)
+    def jline(id: Long, png: Array[Byte]) = {
+      val b64 = java.util.Base64.getEncoder.encodeToString(png)
+      s"""{"doc_id":$id,"payload":"$b64"}"""
+    }
+    // batch 0: a raster-identical twin of indexed id 1 (id 257 — mod-256
+    // collision) + a genuinely fresh raster; batch 1: a twin of batch
+    // 0's FRESH raster — catching it needs batch 0 absorbed
+    val f0 = java.nio.file.Paths.get(in, "img_000.json")
+    Files.writeString(f0,
+      jline(257, Multimodal.syntheticPng(257L, 8, 8)) + "\n" +
+        jline(300, Multimodal.syntheticPng(300L, 12, 12)) + "\n")
+    Files.setLastModifiedTime(f0, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 60000))
+    Files.writeString(java.nio.file.Paths.get(in, "img_001.json"),
+      jline(556, Multimodal.syntheticPng(300L, 12, 12)) + "\n")
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val schema = new StructType().add("doc_id", "long").add("payload", "string")
+    val q = CdcStream.imageScreenStream(spark, s"$in/img_*.json", ckpt,
+      schema, idx, maxDist = 0,
+      (df, _) => hits ++= df
+        .select("doc_new", "doc_old", "hamming")
+        .as[(Long, Long, Long)].collect(),
+      maintainEvery = 1, maintainMaxFiles = 1)
+    q.awaitTermination()
+    val all = hits.toSet
+    assert(all.contains((257L, 1L, 0L)), "twin of an indexed raster")
+    assert(all.contains((556L, 300L, 0L)),
+      "batch 1 must screen against batch 0's absorbed raster")
+    assert(!all.exists(_._1 == 300L), "the fresh raster must not fire")
+    // replaying an absorbed batch id appends nothing (ledger no-op)
+    val bandRowsNow = spark.read
+      .parquet(Compaction.resolve(s"$idx/bands")).count()
+    val replayed = spark.read.schema(schema).json(s"$in/img_001.json")
+    CdcStream.imageScreenAndAbsorb(spark, replayed, 1L, idx, ckpt, 0,
+      (df, _) => { df.count(); () })
+    assert(spark.read.parquet(Compaction.resolve(s"$idx/bands")).count()
+      === bandRowsNow, "replay must not duplicate band rows")
+    // the maintenance tick collapsed the per-merge appends
+    assert(Compaction.filesPerPartition(s"$idx/bands").values.sum <= 2,
+      "ahash compaction must bound the band-table file debt")
+  }
+
   test("streaming tokenizer lifecycle: absorb -> drift detect -> " +
     "retrain from the view the stream itself maintains") {
     import graft.ops.TextOps
