@@ -57,11 +57,18 @@ object ScalePoint {
   // structure, centroid distances) is preserved exactly, while
   // cross-replica dot products decorrelate like independent vectors:
   // 10× corpus, same per-replica geometry, no manufactured duplicates.
+  // The r15 multimodal additions ride the same replica construction
+  // for free: payloads derive from doc_id, and the replica shift moves
+  // id % 256 and the (w, h) formula, so replica rasters/waveforms are
+  // genuinely distinct — 10x docs means 10x real codec work, 10x index,
+  // 10x probes.
   private val Queries =
     Seq("dedup_incremental", "text_bm25_batch_topk", "text_containment",
       "lm_bigram_score", "bpe_merge_step", "bpe_encode_ids",
       "ngram_hotspots",
-      "semdedup", "ann_ivf_stored_topk", "embedding_near_dup_lsh")
+      "semdedup", "ann_ivf_stored_topk", "embedding_near_dup_lsh",
+      "multimodal_decode", "multimodal_phash_incremental",
+      "multimodal_audio_features")
 
   private def buildScaled(spark: SparkSession, baseDir: String,
                           outDir: String): Unit = {

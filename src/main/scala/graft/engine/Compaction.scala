@@ -469,6 +469,21 @@ object Compaction {
     }
   }
 
+  /** The authoritative data dir of a sidecar WITHOUT mutating anything:
+    * a marked-complete `._collapse` tmp is authoritative (the crash
+    * window's one full copy), else the live dir if present. Pure — the
+    * read-side companion to [[recoverSidecar]] for advisory readers
+    * (retrain signals, monitors) that must NOT join the single-writer
+    * protocol: a reader that ran recovery could delete a collapse's
+    * in-flight tmp dir out from under the maintenance tick. Returns
+    * None when neither copy exists. */
+  def sidecarReadPath(dir: String): Option[String] = {
+    val tmp = dir + "._collapse"
+    if (Files.exists(Paths.get(tmp, "_SUCCESS"))) Some(tmp)
+    else if (Files.exists(Paths.get(dir))) Some(dir)
+    else None
+  }
+
   /** Append to an UNVERSIONED advisory sidecar (the IVF/PQ `merge_log`),
     * recovery-first: completing any pending collapse recovery BEFORE
     * the append is what closes the fresh-rows loss window

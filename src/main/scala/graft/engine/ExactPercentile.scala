@@ -64,12 +64,18 @@ object ExactPercentile {
       .select(value.cast("double").as("_v"), tieBreak.as("_tb"))
     val sid = Caches.sessionId(df.sparkSession)
     val hash = vals.semanticHash()
-    val missing = ps.distinct.filterNot(p => cutMemo.contains((sid, hash, p)))
-    if (missing.nonEmpty)
-      computeCuts(vals, missing).foreach { case (p, c) =>
-        cutMemo.putIfAbsent((sid, hash, p), c)
-      }
-    ps.distinct.map(p => p -> cutMemo((sid, hash, p))).toMap
+    // snapshot the cached entries FIRST and answer from snapshot ∪
+    // computed — never a trailing memo read, which could throw if the
+    // LRU evicted between the probe and the read under concurrent
+    // sessions (the exact service-mode scenario the bound serves)
+    val cached = ps.distinct
+      .flatMap(p => cutMemo.get((sid, hash, p)).map(p -> _)).toMap
+    val missing = ps.distinct.filterNot(cached.contains)
+    val computed =
+      if (missing.isEmpty) Map.empty[Double, Option[Double]]
+      else computeCuts(vals, missing)
+    computed.foreach { case (p, c) => cutMemo.putIfAbsent((sid, hash, p), c) }
+    cached ++ computed
   }
 
   private val cutMemo =
@@ -115,13 +121,18 @@ object ExactPercentile {
         tieBreak.as("_tb"))
     val sid = Caches.sessionId(df.sparkSession)
     val hash = vals.semanticHash()
-    val missing = ps.distinct
-      .filterNot(p => weightedMemo.contains((sid, hash, p._1, p._2)))
-    if (missing.nonEmpty)
-      computeWeightedCuts(vals, missing).foreach { case (p, c) =>
-        weightedMemo.putIfAbsent((sid, hash, p._1, p._2), c)
-      }
-    ps.distinct.map(p => p -> weightedMemo((sid, hash, p._1, p._2))).toMap
+    // snapshot-then-compute, as in [[cuts]]: eviction-safe under the LRU
+    val cached = ps.distinct
+      .flatMap(p => weightedMemo.get((sid, hash, p._1, p._2)).map(p -> _))
+      .toMap
+    val missing = ps.distinct.filterNot(cached.contains)
+    val computed =
+      if (missing.isEmpty) Map.empty[(Long, Long), Option[(Double, Long)]]
+      else computeWeightedCuts(vals, missing)
+    computed.foreach { case (p, c) =>
+      weightedMemo.putIfAbsent((sid, hash, p._1, p._2), c)
+    }
+    cached ++ computed
   }
 
   private val weightedMemo =
@@ -199,9 +210,15 @@ object ExactPercentile {
       s"groupedWeightedCuts: totalWeight($w) x den($den) overflows the " +
         "exact integer comparison — reduce den or rescale the weights")
     // one bounded row per group: the group's base (exclusive mass at its
-    // first row) and total mass
+    // first row) and total mass. Cardinality-guard it BEFORE the
+    // broadcast below driver-collects it — checking only at the winners
+    // collect would OOM the driver first (the broadcast IS a collect)
     val metas = ranked.groupBy("_g")
       .agg(min(col("_cum")).as("_base"), sum(col("_w")).as("_gw"))
+    val nGroups = metas.limit(Caches.MaxDriverGroups + 1).count()
+    require(nGroups <= Caches.MaxDriverGroups,
+      s"groupedWeightedCuts: over ${Caches.MaxDriverGroups} groups — " +
+        "the group column is not bounded control-plane data")
     val spark = vals.sparkSession
     import spark.implicits._
     // winner per group: the minimal (value, tie) among rows whose

@@ -554,6 +554,12 @@ object DedupOps {
 
   private def bandRows(sk: DataFrame, bands: Int, bandBits: Int): DataFrame = {
     val mask = (1L << bandBits) - 1
+    // exactly (doc_id, <signature>): silently picking "the first other
+    // column" of a wider frame would index the wrong column with no
+    // error — the caller projects before handing the table over
+    require(sk.columns.length == 2 && sk.columns.contains("doc_id"),
+      s"hash index expects exactly (doc_id, <signature>) columns, " +
+        s"got ${sk.columns.mkString("(", ", ", ")")}")
     val hashCol = sk.columns.filterNot(_ == "doc_id").head
     sk.select(col("doc_id"), col(hashCol).as("sig"),
       posexplode(expr(

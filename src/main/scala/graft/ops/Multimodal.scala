@@ -312,13 +312,44 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(schema)
     withPayload.select(col("doc_id").cast("long"), col("payload"))
       .mapPartitions { rows =>
+        // provider lookup hoisted to ONCE per partition:
+        // AudioSystem.getAudioInputStream re-scans every registered
+        // AudioFileReader SPI per call (with mark/reset probing), which
+        // the 10x scale point measured as a super-linear wall under 32
+        // concurrent decode threads — the codec parse itself is the
+        // same real reader either way
+        val readers = {
+          val it = java.util.ServiceLoader.load(
+            classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[javax.sound.sampled.spi.AudioFileReader]
+          while (it.hasNext) buf += it.next()
+          buf.toList
+        }
+        def open(id: Long,
+                 bytes: Array[Byte]): javax.sound.sampled.AudioInputStream =
+          readers.iterator.flatMap { rd =>
+            try Some(rd.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes)))
+            catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException =>
+                None
+            }
+          }.nextOption().getOrElse(throw new IllegalArgumentException(
+            s"decodeWavFeatures: doc $id is not decodable audio"))
         rows.flatMap { r =>
           val id = r.getLong(0)
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val in = open(id, r.getAs[Array[Byte]](1))
           val fmt = in.getFormat
-          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
-            s"decodeWavFeatures: doc $id is not 16-bit mono PCM")
+          // encoding AND byte order, not just width/channels: big-endian
+          // (AIFF) or unsigned PCM passes a width check and then decodes
+          // to silently wrong samples — fail loudly instead
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            !fmt.isBigEndian,
+            s"decodeWavFeatures: doc $id is not 16-bit mono little-endian " +
+              s"signed PCM (got $fmt)")
           val bytes = in.readAllBytes()
           in.close()
           val n = bytes.length / 2

@@ -770,12 +770,17 @@ object SimilarityOps {
     * been merged yet. */
   def shouldRetrain(spark: org.apache.spark.sql.SparkSession, path: String,
                     threshold: Double = 2.0): Boolean = {
-    // advisory read, but recover first: in the crash window the live
-    // dir may be partial while tmp holds the full copy — reading the
-    // recovered log costs two existence probes and never understates
-    graft.engine.Compaction.recoverSidecar(s"$path/merge_log")
-    if (!new java.io.File(s"$path/merge_log").exists()) return false
-    val merged = spark.read.parquet(s"$path/merge_log")
+    // advisory read, crash-window-aware but PURE: a marked-complete
+    // collapse tmp is authoritative, else the live dir. A reader must
+    // never run recovery itself — that would delete an in-flight tmp
+    // out from under the maintenance tick (readers are outside the
+    // single-writer protocol by design)
+    val logDir = graft.engine.Compaction
+      .sidecarReadPath(s"$path/merge_log") match {
+      case Some(d) => d
+      case None    => return false
+    }
+    val merged = spark.read.parquet(logDir)
       .agg(sum("n").cast("long").as("n"),
         sum(col("mean_d2") * col("n").cast("double")).as("w")).head()
     if (merged.isNullAt(0) || merged.getLong(0) == 0L) return false

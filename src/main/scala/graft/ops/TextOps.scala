@@ -342,11 +342,11 @@ object TextOps {
                              viewPath: String, rules: Int,
                              tokPath: String): Unit = {
     val trained = bpeTrainFromVocab(spark, viewPath, rules)
-    trained.coalesce(1).write.mode("overwrite").parquet(s"$tokPath/rules")
-    graft.engine.Compaction.seedBase(s"$tokPath/rules")
-    bpeIdTableOf(storedVocab(spark, viewPath), collectRules(trained))
-      .coalesce(1).write.mode("overwrite").parquet(s"$tokPath/ids")
-    graft.engine.Compaction.seedBase(s"$tokPath/ids")
+    publishTokenizer(tokPath) { dir =>
+      trained.coalesce(1).write.parquet(s"$dir/rules")
+      bpeIdTableOf(storedVocab(spark, viewPath), collectRules(trained))
+        .coalesce(1).write.parquet(s"$dir/ids")
+    }
   }
 
   /** Content signature of the view's resolved counts dir (file name,
@@ -620,21 +620,71 @@ object TextOps {
     * cluster — encodes against the frozen `rules` + `ids` tables with
     * no training pass at all, the same build-once/read-many posture as
     * every other stored family here. Both tables are control-plane
-    * tiny (|alphabet| + k rows), written single-file behind the usual
-    * versioned-table verbs ([[graft.engine.Compaction.seedBase]] /
-    * `resolve`). Frozen means frozen: documents arriving after the
+    * tiny (|alphabet| + k rows), written single-file into one `_v{N}`
+    * dir behind an atomic `_CURRENT` pointer ([[publishTokenizer]]) —
+    * rules and ids switch TOGETHER, never a new rule table against an
+    * old id table. Frozen means frozen: documents arriving after the
     * build may carry symbols the build corpus never produced — the
     * stored encode surfaces them as UNK (id −1) counts, and
     * [[shouldRetrainTokenizer]] turns the accumulated UNK mass into
     * the retrain decision, mirroring the IVF family's drift signal. */
   def buildTokenizer(docs: DataFrame, rules: Int, path: String): Unit = {
     val trained = bpeTrain(docs, rules)
-    trained.coalesce(1).write.mode("overwrite").parquet(s"$path/rules")
-    graft.engine.Compaction.seedBase(s"$path/rules")
-    bpeIdTable(docs, collectRules(trained))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/ids")
-    graft.engine.Compaction.seedBase(s"$path/ids")
+    publishTokenizer(path) { dir =>
+      trained.coalesce(1).write.parquet(s"$dir/rules")
+      bpeIdTable(docs, collectRules(trained))
+        .coalesce(1).write.parquet(s"$dir/ids")
+    }
   }
+
+  /** Atomic tokenizer publish — the artifact is TWO tables (rules, ids)
+    * that must switch together: an in-place overwrite would expose a
+    * reader to a new rule table against an old id table (silently wrong
+    * token ids) or a mid-delete missing path. Both tables are written
+    * fully into a fresh `_v{N}` dir, then one `_CURRENT` pointer moves
+    * atomically — the [[graft.engine.SnapshotStore]] protocol at
+    * artifact granularity. Versions older than the previous one are
+    * dropped after the publish (readers planned against the prior
+    * version finish their scans; the keep-2 posture of the snapshot
+    * vacuum). */
+  private def publishTokenizer(path: String)(write: String => Unit): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    Files.createDirectories(Paths.get(path))
+    val next = tokenizerVersion(path).getOrElse(-1L) + 1L
+    write(s"$path/_v$next")
+    val tmp = Paths.get(path, s"_CURRENT.tmp$next")
+    Files.writeString(tmp, next.toString)
+    Files.move(tmp, Paths.get(path, "_CURRENT"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val s0 = Files.list(Paths.get(path))
+    try s0.forEach { d =>
+      val name = d.getFileName.toString
+      if (name.startsWith("_v") &&
+          name.drop(2).toLongOption.exists(_ < next - 1L)) {
+        val walk = Files.walk(d)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { Files.deleteIfExists(f); () })
+        finally walk.close()
+      }
+    } finally s0.close()
+  }
+
+  private def tokenizerVersion(path: String): Option[Long] = {
+    val p = java.nio.file.Paths.get(path, "_CURRENT")
+    if (java.nio.file.Files.exists(p))
+      Some(java.nio.file.Files.readString(p).trim.toLong)
+    else None
+  }
+
+  /** True once [[buildTokenizer]]/[[buildTokenizerFromView]] has
+    * published an artifact at `path`. */
+  def tokenizerExists(path: String): Boolean =
+    tokenizerVersion(path).isDefined
+
+  private def tokenizerLiveDir(path: String): String =
+    tokenizerVersion(path).map(v => s"$path/_v$v").getOrElse(
+      throw new IllegalStateException(
+        s"no tokenizer artifact published at $path — build one first"))
 
   /** ENCODE against a stored tokenizer — [[bpeEncodeIds]]'s production
     * twin: rules and vocabulary come from the frozen artifact (no
@@ -644,10 +694,9 @@ object TextOps {
     * build corpus (zero UNKs — the oracle's contract). */
   def bpeEncodeIdsStored(spark: org.apache.spark.sql.SparkSession,
                          docs: DataFrame, path: String): DataFrame = {
-    val ruleTab = collectRules(spark.read.parquet(
-      graft.engine.Compaction.resolve(s"$path/rules")))
-    val ids = spark.read.parquet(
-      graft.engine.Compaction.resolve(s"$path/ids"))
+    val live = tokenizerLiveDir(path)
+    val ruleTab = collectRules(spark.read.parquet(s"$live/rules"))
+    val ids = spark.read.parquet(s"$live/ids")
     bpeIdStream(docs, bpeEncodedVocabOf(docs, ruleTab), ids, withUnk = true)
   }
 

@@ -571,8 +571,7 @@ object CdcStream {
                         tokPath: String, sample: DataFrame, rules: Int,
                         unkThreshold: Double): Boolean = {
     import graft.ops.TextOps
-    val missing = !java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$tokPath/rules"))
+    val missing = !TextOps.tokenizerExists(tokPath)
     val due = missing || (!sample.isEmpty &&
       TextOps.shouldRetrainTokenizer(spark, sample, tokPath, unkThreshold))
     if (due) TextOps.buildTokenizerFromView(spark, viewPath, rules, tokPath)
@@ -673,12 +672,17 @@ object CdcStream {
     *     protocol (the ExportSpec loop); a mismatch raises BEFORE the
     *     export is treated as published.
     *
-    * Crash safety mirrors the index families: a crash before the ledger
-    * append replays the absorb (the ledger makes the re-publish a
-    * no-op); a crash inside the tick re-runs only the tick, whose verbs
-    * are idempotent at the answer level — a replayed OPTIMIZE publishes
-    * another version with identical content behind the atomic pointer,
-    * vacuum re-evaluates, and the export rewrite re-verifies.
+    * Crash safety: a crash BEFORE the publish replays the absorb and
+    * the ledger check skips nothing real; a crash AFTER the publish but
+    * BEFORE the ledger append re-delivers the batch against a snapshot
+    * that already contains it — which is why [[snapshotAbsorb]]'s union
+    * is KEYED (anti-join on `key`), making the replayed merge publish a
+    * content-identical version instead of baking duplicates into every
+    * later version and export. A crash inside the tick re-runs only the
+    * tick, whose verbs are idempotent at the answer level — a replayed
+    * OPTIMIZE publishes another version with identical content behind
+    * the atomic pointer, vacuum re-evaluates, and the export rewrite
+    * re-verifies.
     *
     * Scale posture: per-batch publish re-writes the current snapshot
     * (the SCD2 stream's deliberate SnapshotStore formulation — at
@@ -694,7 +698,8 @@ object CdcStream {
                            tie: String, numFiles: Int = 8,
                            optimizeEvery: Int = 0, keepVersions: Int = 3,
                            exportPath: Option[String] = None,
-                           tokensPerShard: Long = 0L): StreamingQuery = {
+                           tokensPerShard: Long = 0L,
+                           key: String = "doc_id"): StreamingQuery = {
     require(exportPath.isEmpty || tokensPerShard > 0L,
       "snapshotAbsorbStream: an export path needs tokensPerShard > 0")
     absorbedHighWater.remove((storeRoot, checkpointDir))
@@ -705,7 +710,7 @@ object CdcStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        snapshotAbsorb(spark, batch, id, storeRoot, checkpointDir)
+        snapshotAbsorb(spark, batch, id, storeRoot, checkpointDir, key)
         if (optimizeEvery > 0 && id > 0 && id % optimizeEvery == 0)
           optimizeSnapshotTick(spark, storeRoot, a, b, tie, numFiles,
             keepVersions, exportPath, tokensPerShard)
@@ -714,13 +719,25 @@ object CdcStream {
       .start()
   }
 
-  /** One snapshot-absorb micro-batch — public for replay testing. */
+  /** One snapshot-absorb micro-batch — public for replay testing.
+    *
+    * The union is keyed, not blind: rows whose `key` already exists in
+    * the current snapshot are dropped before the publish. The ledger
+    * alone cannot make this verb replay-safe — a crash AFTER the
+    * publish but BEFORE the ledger append re-delivers the batch, and
+    * unlike the index families (whose compaction dedups on a natural
+    * key) a blind union would bake the duplicates into version N+2 and
+    * every export after it. With the anti-join, the replayed merge
+    * publishes a content-identical version — idempotent at the answer
+    * level, the same posture as the OPTIMIZE tick. */
   def snapshotAbsorb(spark: SparkSession, batch: DataFrame, id: Long,
-                     storeRoot: String, streamId: String): Unit = {
+                     storeRoot: String, streamId: String,
+                     key: String = "doc_id"): Unit = {
     if (!batch.isEmpty) absorbOnce(spark, storeRoot, streamId, id) {
       val store = new SnapshotStore(spark, storeRoot)
       val next = store.read() match {
-        case Some(cur) => cur.unionByName(batch)
+        case Some(cur) => cur.unionByName(
+          batch.join(cur.select(key), Seq(key), "left_anti"))
         case None      => batch
       }
       store.publish(next)

@@ -1940,6 +1940,15 @@ class OpsSpec extends AnyFunSuite {
       threshold = 0.01), "2 UNK symbols must trip a 1% threshold")
     assert(!TextOps.shouldRetrainTokenizer(spark, drifted, path + "2",
       threshold = 0.9), "threshold is the caller's knob")
+    // retraining REPUBLISHES behind the atomic pointer: rules and ids
+    // switch together, a reader never sees a mixed or missing artifact
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path + "2", "_CURRENT")))
+    TextOps.buildTokenizer(drifted, 1, path + "2") // the "retrain"
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path + "2", "_CURRENT")).trim === "1")
+    assert(TextOps.tokenizerUnkRate(spark, drifted, path + "2") === 0.0,
+      "readers must see the republished artifact")
   }
 
   test("from-view trainer: no corpus pass, inline-identical, and the " +

@@ -403,6 +403,16 @@ class StreamingSpec extends AnyFunSuite {
     CdcStream.snapshotAbsorb(spark, replay, 1L, root, ckpt)
     assert(store.versions().size === vBefore && ids() === (1L to 6L),
       "replaying an absorbed batch id must publish nothing")
+    // the OTHER crash window — publish succeeded, ledger append did NOT
+    // (simulated with a fresh stream id + batch id, so neither the
+    // ledger nor the real stream's high-water is touched): the keyed
+    // union must publish a content-identical version instead of
+    // duplicating the batch's rows
+    CdcStream.snapshotAbsorb(spark, replay, 0L, root, "crash-sim")
+    assert(ids() === (1L to 6L),
+      "a replayed merge against a snapshot already containing the batch " +
+        "must not duplicate rows (keyed union)")
+    assert(store.read().get.count() === 6L)
     // crash INSIDE the maintenance tick: the re-run (restart path) is
     // answer-idempotent — same rows, export still verifies
     CdcStream.optimizeSnapshotTick(spark, root, "n_chars", "doc_id",
