@@ -212,9 +212,11 @@ object ExactPercentile {
     // one bounded row per group: the group's base (exclusive mass at its
     // first row) and total mass. Cardinality-guard it BEFORE the
     // broadcast below driver-collects it — checking only at the winners
-    // collect would OOM the driver first (the broadcast IS a collect)
+    // collect would OOM the driver first (the broadcast IS a collect).
+    // Persisted so the guard's count and the broadcast share ONE
+    // aggregation pass over the ranked table.
     val metas = ranked.groupBy("_g")
-      .agg(min(col("_cum")).as("_base"), sum(col("_w")).as("_gw"))
+      .agg(min(col("_cum")).as("_base"), sum(col("_w")).as("_gw")).persist()
     val nGroups = metas.limit(Caches.MaxDriverGroups + 1).count()
     require(nGroups <= Caches.MaxDriverGroups,
       s"groupedWeightedCuts: over ${Caches.MaxDriverGroups} groups — " +
@@ -236,13 +238,10 @@ object ExactPercentile {
       .limit(Caches.MaxDriverGroups + 1)
       .collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
-    // cardinality guard: one winner row per group is bounded control-
-    // plane data only while the group column is a real stratum — a row
-    // key here must raise, not OOM the driver (the limit above bounds
-    // the collect itself, so the check costs nothing)
-    require(winners.length <= Caches.MaxDriverGroups,
-      s"groupedWeightedCuts: over ${Caches.MaxDriverGroups} groups — " +
-        "the group column is not bounded control-plane data")
+    metas.unpersist(false)
+    // backstop only: the metas guard above already bounds the group
+    // count, so this limit can't truncate real data — it just caps the
+    // collect's driver memory if that invariant ever breaks
     winners.sortBy(_._1).toSeq
   }
 

@@ -774,15 +774,29 @@ object SimilarityOps {
     // collapse tmp is authoritative, else the live dir. A reader must
     // never run recovery itself — that would delete an in-flight tmp
     // out from under the maintenance tick (readers are outside the
-    // single-writer protocol by design)
-    val logDir = graft.engine.Compaction
-      .sidecarReadPath(s"$path/merge_log") match {
-      case Some(d) => d
+    // single-writer protocol by design). The resolve→read pair is
+    // inherently racy against a concurrent tick (the resolved dir can
+    // move mid-scan), so the read re-resolves once on a path failure
+    // and otherwise answers "no signal" — an advisory reader returns an
+    // answer, it never crashes the caller over a maintenance race.
+    def readLog(): Option[org.apache.spark.sql.Row] =
+      graft.engine.Compaction.sidecarReadPath(s"$path/merge_log").map { d =>
+        spark.read.parquet(d)
+          .agg(sum("n").cast("long").as("n"),
+            sum(col("mean_d2") * col("n").cast("double")).as("w")).head()
+      }
+    val merged = (try readLog() catch {
+      case _: org.apache.spark.sql.AnalysisException | _: java.io.IOException |
+          _: org.apache.spark.SparkException =>
+        try readLog() catch {
+          case _: org.apache.spark.sql.AnalysisException |
+              _: java.io.IOException | _: org.apache.spark.SparkException =>
+            None
+        }
+    }) match {
+      case Some(r) => r
       case None    => return false
     }
-    val merged = spark.read.parquet(logDir)
-      .agg(sum("n").cast("long").as("n"),
-        sum(col("mean_d2") * col("n").cast("double")).as("w")).head()
     if (merged.isNullAt(0) || merged.getLong(0) == 0L) return false
     val mergeMean = merged.getDouble(1) / merged.getLong(0).toDouble
     val buildMean = spark.read.parquet(s"$path/meta").head().getDouble(1)

@@ -649,8 +649,19 @@ object TextOps {
     * vacuum). */
   private def publishTokenizer(path: String)(write: String => Unit): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    def deleteRec(d: java.nio.file.Path): Unit = {
+      val walk = Files.walk(d)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Files.deleteIfExists(f); () })
+      finally walk.close()
+    }
     Files.createDirectories(Paths.get(path))
     val next = tokenizerVersion(path).getOrElse(-1L) + 1L
+    // self-heal: a `_v$next` dir can only be the orphan of a publish
+    // that crashed before its pointer move (the pointer never named
+    // it) — remove it so the retry isn't wedged by ErrorIfExists
+    val target = Paths.get(path, s"_v$next")
+    if (Files.exists(target)) deleteRec(target)
     write(s"$path/_v$next")
     val tmp = Paths.get(path, s"_CURRENT.tmp$next")
     Files.writeString(tmp, next.toString)
@@ -659,13 +670,11 @@ object TextOps {
     val s0 = Files.list(Paths.get(path))
     try s0.forEach { d =>
       val name = d.getFileName.toString
+      // retention: versions older than the previous one, plus pointer
+      // tmp files a crash between write and move left behind
       if (name.startsWith("_v") &&
-          name.drop(2).toLongOption.exists(_ < next - 1L)) {
-        val walk = Files.walk(d)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => { Files.deleteIfExists(f); () })
-        finally walk.close()
-      }
+          name.drop(2).toLongOption.exists(_ < next - 1L)) deleteRec(d)
+      else if (name.startsWith("_CURRENT.tmp")) Files.deleteIfExists(d)
     } finally s0.close()
   }
 
@@ -679,12 +688,19 @@ object TextOps {
   /** True once [[buildTokenizer]]/[[buildTokenizerFromView]] has
     * published an artifact at `path`. */
   def tokenizerExists(path: String): Boolean =
-    tokenizerVersion(path).isDefined
+    tokenizerVersion(path).isDefined ||
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "rules"))
 
   private def tokenizerLiveDir(path: String): String =
-    tokenizerVersion(path).map(v => s"$path/_v$v").getOrElse(
-      throw new IllegalStateException(
-        s"no tokenizer artifact published at $path — build one first"))
+    tokenizerVersion(path).map(v => s"$path/_v$v").getOrElse {
+      // legacy layout tolerance: an artifact written by the pre-pointer
+      // builds (plain rules/ + ids/ dirs) still reads — the next
+      // publish switches it to the versioned layout
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path, "rules")))
+        path
+      else throw new IllegalStateException(
+        s"no tokenizer artifact published at $path — build one first")
+    }
 
   /** ENCODE against a stored tokenizer — [[bpeEncodeIds]]'s production
     * twin: rules and vocabulary come from the frozen artifact (no

@@ -675,10 +675,11 @@ object CdcStream {
     * Crash safety: a crash BEFORE the publish replays the absorb and
     * the ledger check skips nothing real; a crash AFTER the publish but
     * BEFORE the ledger append re-delivers the batch against a snapshot
-    * that already contains it — which is why [[snapshotAbsorb]]'s union
-    * is KEYED (anti-join on `key`), making the replayed merge publish a
-    * content-identical version instead of baking duplicates into every
-    * later version and export. A crash inside the tick re-runs only the
+    * that already contains it — which is why [[snapshotAbsorb]]'s merge
+    * is a keyed last-write-wins UPSERT, making the replayed merge
+    * publish a content-identical version (and a genuine update land its
+    * new content) instead of baking duplicates into every later version
+    * and export. A crash inside the tick re-runs only the
     * tick, whose verbs are idempotent at the answer level — a replayed
     * OPTIMIZE publishes another version with identical content behind
     * the atomic pointer, vacuum re-evaluates, and the export rewrite
@@ -721,24 +722,25 @@ object CdcStream {
 
   /** One snapshot-absorb micro-batch — public for replay testing.
     *
-    * The union is keyed, not blind: rows whose `key` already exists in
-    * the current snapshot are dropped before the publish. The ledger
-    * alone cannot make this verb replay-safe — a crash AFTER the
-    * publish but BEFORE the ledger append re-delivers the batch, and
-    * unlike the index families (whose compaction dedups on a natural
-    * key) a blind union would bake the duplicates into version N+2 and
-    * every export after it. With the anti-join, the replayed merge
-    * publishes a content-identical version — idempotent at the answer
-    * level, the same posture as the OPTIMIZE tick. */
+    * The merge is a LAST-WRITE-WINS UPSERT on `key`, not a blind union:
+    * current rows whose key appears in the batch are replaced by the
+    * batch's rows. That one shape covers both hazards at once — a
+    * legitimate re-delivery of an UPDATED document lands its new
+    * content (a key-presence filter would silently discard it), and a
+    * crash-replayed batch (published but not yet ledgered — the window
+    * the ledger cannot close by itself) replaces its own rows with
+    * identical content, publishing a content-identical version instead
+    * of baking duplicates into every later version and export. */
   def snapshotAbsorb(spark: SparkSession, batch: DataFrame, id: Long,
                      storeRoot: String, streamId: String,
                      key: String = "doc_id"): Unit = {
     if (!batch.isEmpty) absorbOnce(spark, storeRoot, streamId, id) {
       val store = new SnapshotStore(spark, storeRoot)
       val next = store.read() match {
-        case Some(cur) => cur.unionByName(
-          batch.join(cur.select(key), Seq(key), "left_anti"))
-        case None      => batch
+        case Some(cur) =>
+          cur.join(batch.select(key), Seq(key), "left_anti")
+            .unionByName(batch)
+        case None => batch
       }
       store.publish(next)
       ()

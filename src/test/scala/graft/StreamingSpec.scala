@@ -411,8 +411,17 @@ class StreamingSpec extends AnyFunSuite {
     CdcStream.snapshotAbsorb(spark, replay, 0L, root, "crash-sim")
     assert(ids() === (1L to 6L),
       "a replayed merge against a snapshot already containing the batch " +
-        "must not duplicate rows (keyed union)")
+        "must not duplicate rows (keyed upsert)")
     assert(store.read().get.count() === 6L)
+    // and the upsert's other half: a genuine UPDATE to an existing key
+    // lands its new content (a key-presence filter would drop it)
+    val upd = Seq((3L, "eta theta iota kappa REVISED", 28))
+      .toDF("doc_id", "text", "n_chars")
+    CdcStream.snapshotAbsorb(spark, upd, 1L, root, "update-sim")
+    assert(store.read().get.filter($"doc_id" === 3L)
+      .select("text").head().getString(0).endsWith("REVISED"),
+      "an updated document must replace its old content")
+    assert(store.read().get.count() === 6L, "update, not append")
     // crash INSIDE the maintenance tick: the re-run (restart path) is
     // answer-idempotent — same rows, export still verifies
     CdcStream.optimizeSnapshotTick(spark, root, "n_chars", "doc_id",
