@@ -38,4 +38,31 @@ object TypedApi {
       }
       .map(_._2)
   }
+
+  /** The documents table row (FIXTURES.md schema). */
+  final case class Document(doc_id: Long, text: String, lang: String,
+                            source: String, n_chars: Int)
+
+  def documents(spark: SparkSession, dir: String): Dataset[Document] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).as[Document]
+  }
+
+  /** A decoded-image stats row ([[graft.ops.Multimodal.decodePng]]'s
+    * output schema) — the typed handle a curation rule over real pixel
+    * statistics plugs into. */
+  final case class DecodedImage(doc_id: Long, width: Int, height: Int,
+                                sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL-decode pipeline with a typed tail: the untyped codegen'd
+    * operators do the heavy work (encode, ImageIO parse), and the
+    * result surfaces as `Dataset[DecodedImage]` for compile-time-checked
+    * business rules — e.g. `filter(_.width >= minW)` survives a schema
+    * refactor where a string column name would fail at runtime. */
+  def decodedImages(spark: SparkSession, dir: String): Dataset[DecodedImage] = {
+    import spark.implicits._
+    graft.ops.Multimodal.decodePng(
+      graft.ops.Multimodal.encodePng(Tables.documents(spark, dir)))
+      .as[DecodedImage]
+  }
 }

@@ -939,6 +939,18 @@ class OpsSpec extends AnyFunSuite {
     assert(typed === untyped)
   }
 
+  test("typed decodedImages matches the untyped decode and carries " +
+    "compile-time field access") {
+    val typed = TypedApi.decodedImages(spark, sfDir)
+      .filter(_.width >= 12) // the typed rule the surface exists for
+      .collect().map(i => i.doc_id -> ((i.width, i.sum_r))).toMap
+    val untyped = graft.ops.Multimodal.decodePng(
+      graft.ops.Multimodal.encodePng(Tables.documents(spark, sfDir)))
+      .filter($"width" >= 12)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(3)))).toMap
+    assert(typed === untyped && typed.nonEmpty)
+  }
+
   test("language ID picks the language with most stopword hits") {
     val d = Seq(
       (1L, "le chat et la porte et les arbres", "fr"),
