@@ -197,7 +197,8 @@ object Compaction {
   def compactTable(spark: SparkSession, table: String,
                    layout: DataFrame => DataFrame,
                    partitionBy: Seq[String] = Nil,
-                   maxFilesPerPartition: Int = 8): Boolean = {
+                   maxFilesPerPartition: Int = 8,
+                   force: Boolean = false): Boolean = {
     val counts = filesPerPartition(table)
     // debt is PER PARTITION against that partition's published count
     // (new partitions debit from 0): a single large partition must not
@@ -210,7 +211,11 @@ object Compaction {
     val inDebt = counts.exists { case (part, n) =>
       n - base.getOrElse(part, 0) > maxFilesPerPartition
     }
-    if (!inDebt) return false
+    // `force` bypasses the debt trigger — for rewrites with their own
+    // SLA (pending tombstones), where "not enough small files yet" is
+    // not a reason to defer a deletion
+    if (!force && !inDebt) return false
+    if (counts.isEmpty) return false // nothing to rewrite, even forced
     val live = resolve(table)
     val next = currentVersion(table).getOrElse(-1L) + 1L
     val nextDir = s"$table/_v$next"
@@ -351,12 +356,33 @@ object Compaction {
         maxFilesPerPartition = maxFilesPerPartition)
     case "ahash" => // banded 64-bit-signature index: the rewrite drops
       // the exact-duplicate band rows replayed merges can leave (the
-      // natural key IS the whole row) and re-clusters by bucket
-      compactTable(spark, s"$path/bands",
-        df => df.dropDuplicates("band", "bv", "doc_id")
-          .repartition(col("band"), col("bv"))
-          .sortWithinPartitions("band", "bv", "doc_id"),
-        maxFilesPerPartition = maxFilesPerPartition)
+      // natural key IS the whole row), drops TOMBSTONED rows (making
+      // the logical deletes physical), and re-clusters by bucket.
+      // Pending tombstones FORCE the rewrite (threshold 0): deletion
+      // has an SLA that file debt does not. Clearing the served
+      // tombstones after the pointer swap is crash-safe: if the clear
+      // is lost, the tombstones re-apply against rows that no longer
+      // exist — a no-op — and the single-writer schedule means no new
+      // tombstone can land between the rewrite and the clear.
+      val tombDir = s"$path/tombstones"
+      val tomb: Option[DataFrame] =
+        if (!Files.exists(Paths.get(tombDir))) None
+        else Some(spark.read.parquet(resolve(tombDir))
+          .select(col("doc_id")).distinct())
+      val rewrote = compactTable(spark, s"$path/bands",
+        df => {
+          val kept = tomb match {
+            case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")
+            case None    => df
+          }
+          kept.dropDuplicates("band", "bv", "doc_id")
+            .repartition(col("band"), col("bv"))
+            .sortWithinPartitions("band", "bv", "doc_id")
+        },
+        maxFilesPerPartition = maxFilesPerPartition,
+        force = tomb.isDefined)
+      if (rewrote && tomb.isDefined) deleteRec(Paths.get(tombDir))
+      rewrote
     case other =>
       throw new IllegalArgumentException(
         s"compactIndex: unknown index kind '$other' " +

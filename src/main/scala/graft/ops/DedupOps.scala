@@ -512,13 +512,51 @@ object DedupOps {
     Compaction.seedBase(s"$path/bands")
   }
 
-  /** Append one doc-id-disjoint batch — O(|batch|·bands). */
+  /** Append one doc-id-disjoint batch — O(|batch|·bands). Fails loudly
+    * if any id in the batch carries an unserved tombstone: re-inserting
+    * a deleted id before the compaction tick has cleared it would be
+    * silently re-screened out by the tombstone ([[tombstoneHashIndex]]);
+    * run the tick (physical deletion) first, then re-insert. */
   def mergeHashIndex(skNew: DataFrame, path: String): Unit = {
-    val (bands, bandBits) = hashIndexMeta(skNew.sparkSession, path)
+    val spark = skNew.sparkSession
+    val (bands, bandBits) = hashIndexMeta(spark, path)
+    hashTombstones(spark, path).foreach { t =>
+      val clash = skNew.join(broadcast(t), Seq("doc_id"), "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        s"mergeHashIndex: batch re-inserts tombstoned doc ids at $path — " +
+          "run the ahash maintenance tick (physical deletion) before " +
+          "re-inserting a deleted id")
+    }
     Compaction.guardedAppend(s"$path/bands") { live =>
       bandRows(skNew, bands, bandBits)
         .coalesce(1).write.mode("append").parquet(live)
     }
+  }
+
+  /** DELETE from the banded hash index — the right-to-be-forgotten verb
+    * for an append-only store, the LSM way: deletion APPENDS (doc_id)
+    * tombstone rows (O(|ids|), old files untouched, a writer verb under
+    * the same single-writer schedule as merges). Effect is immediate at
+    * the query layer — [[queryHashIndex]] screens candidates against
+    * the tombstone set — and physical at the next `ahash` compaction,
+    * which rewrites the band table without the tombstoned rows and
+    * clears the served tombstones. `ids` carries one id column. */
+  def tombstoneHashIndex(ids: DataFrame, path: String): Unit =
+    Compaction.guardedAppend(s"$path/tombstones") { live =>
+      ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+        .coalesce(1).write.mode("append").parquet(live)
+    }
+
+  /** The live tombstone set, if any — shared by the probe (screen), the
+    * merge (re-insert guard), and the compaction (physical delete). */
+  private[graft] def hashTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val dir = s"$path/tombstones"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) None
+    else Some(spark.read.parquet(Compaction.resolve(dir))
+      .select(col("doc_id")).distinct())
   }
 
   /** Screen a batch of signatures against the stored index: candidates
@@ -532,7 +570,13 @@ object DedupOps {
     val (bands, bandBits) = hashIndexMeta(spark, path)
     require(maxDist < bands,
       s"$bands bands guarantee recall only for maxDist <= ${bands - 1}")
-    val stored = spark.read.parquet(Compaction.resolve(s"$path/bands"))
+    val stored0 = spark.read.parquet(Compaction.resolve(s"$path/bands"))
+    // tombstone screen: deleted items stop matching IMMEDIATELY, before
+    // the compaction makes the deletion physical
+    val stored = hashTombstones(spark, path) match {
+      case Some(t) => stored0.join(broadcast(t), Seq("doc_id"), "left_anti")
+      case None    => stored0
+    }
     val probe = bandRows(batch, bands, bandBits)
       .withColumnRenamed("doc_id", "doc_new")
       .withColumnRenamed("sig", "_sn")

@@ -736,11 +736,26 @@ object CdcStream {
                      key: String = "doc_id"): Unit = {
     if (!batch.isEmpty) absorbOnce(spark, storeRoot, streamId, id) {
       val store = new SnapshotStore(spark, storeRoot)
+      // op-aware: a batch carrying an `op` column routes op='DELETE'
+      // keys to REMOVAL — the right-to-be-forgotten flow a training
+      // corpus must support; the delete record needs only the key.
+      // Upserts and deletes land in ONE published version (and one
+      // ledger entry), so a replayed mixed batch re-applies neither
+      // half. Deleting an absent key is a no-op, as in SQL DELETE.
+      val (upserts, deleteKeys) =
+        if (batch.columns.contains("op"))
+          (batch.filter(coalesce(col("op") =!= "DELETE", lit(true)))
+             .drop("op"),
+           Some(batch.filter(col("op") === "DELETE").select(key)))
+        else (batch, None)
       val next = store.read() match {
         case Some(cur) =>
-          cur.join(batch.select(key), Seq(key), "left_anti")
-            .unionByName(batch)
-        case None => batch
+          val victims = deleteKeys match {
+            case Some(d) => upserts.select(key).unionByName(d)
+            case None    => upserts.select(key)
+          }
+          cur.join(victims, Seq(key), "left_anti").unionByName(upserts)
+        case None => upserts
       }
       store.publish(next)
       ()

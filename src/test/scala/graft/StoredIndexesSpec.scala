@@ -181,6 +181,45 @@ class StoredIndexesSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp)))
   }
 
+  test("hash-index tombstones: immediate logical delete, physical at " +
+    "the tick, re-insert guarded until served") {
+    import graft.ops.{DedupOps, Multimodal}
+    val path = java.nio.file.Files.createTempDirectory("hidx_tomb").toString
+    val sk = Multimodal.imageAHash(Seq(
+      (1L, Multimodal.syntheticPng(1L, 8, 8)),
+      (2L, Multimodal.syntheticPng(2L, 12, 10)),
+      (3L, Multimodal.syntheticPng(3L, 10, 14))).toDF("doc_id", "payload"))
+    DedupOps.buildHashIndex(sk, path)
+    // a raster-identical probe of doc 1 (mod-256 twin) matches...
+    val probe = Multimodal.imageAHash(
+      Seq((257L, Multimodal.syntheticPng(257L, 8, 8))).toDF("doc_id", "payload"))
+    def hitIds() = DedupOps.queryHashIndex(spark, probe, path, maxDist = 0)
+      .select("doc_old").collect().map(_.getLong(0)).toSet
+    assert(hitIds() === Set(1L))
+    // ...until doc 1 is tombstoned: the delete screens IMMEDIATELY,
+    // before any rewrite
+    DedupOps.tombstoneHashIndex(Seq(1L).toDF("doc_id"), path)
+    assert(hitIds() === Set.empty[Long],
+      "a tombstoned id must stop matching before the compaction")
+    // re-inserting the deleted id before the tick is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.mergeHashIndex(sk.filter($"doc_id" === 1L), path)
+    }
+    assert(e.getMessage.contains("tombstoned"))
+    // the tick makes the deletion physical (forced rewrite — no file
+    // debt needed) and clears the served tombstones
+    assert(Compaction.maintainIndex(spark, path, "ahash"),
+      "pending tombstones must force the rewrite")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/tombstones")))
+    assert(spark.read.parquet(Compaction.resolve(s"$path/bands"))
+      .filter($"doc_id" === 1L).count() === 0L,
+      "the band rows must be physically gone")
+    // after the tick the id may return (delete + reinsert, CDC-style)
+    DedupOps.mergeHashIndex(sk.filter($"doc_id" === 1L), path)
+    assert(hitIds() === Set(1L))
+  }
+
   test("sidecar crash recovery: a fresh drift row appended after the " +
     "crash survives the next tick (recovery-first append)") {
     // the r14 loss window: crash mid-collapse (tmp complete, live

@@ -422,11 +422,26 @@ class StreamingSpec extends AnyFunSuite {
       .select("text").head().getString(0).endsWith("REVISED"),
       "an updated document must replace its old content")
     assert(store.read().get.count() === 6L, "update, not append")
+    // op-aware DELETE (right-to-be-forgotten): a mixed batch removes
+    // doc 2 and upserts doc 8 in ONE published version
+    val mixed = Seq(
+      (2L, null.asInstanceOf[String], 0, "DELETE"),
+      (8L, "omega", 5, "INSERT")).toDF("doc_id", "text", "n_chars", "op")
+    CdcStream.snapshotAbsorb(spark, mixed, 2L, root, "update-sim")
+    assert(ids() === Seq(1L, 3L, 4L, 5L, 6L, 8L),
+      "the DELETE must remove its key and the INSERT must land")
+    // deleting an absent key is a SQL-DELETE no-op
+    CdcStream.snapshotAbsorb(spark,
+      Seq((99L, null.asInstanceOf[String], 0, "DELETE"))
+        .toDF("doc_id", "text", "n_chars", "op"),
+      3L, root, "update-sim")
+    assert(ids() === Seq(1L, 3L, 4L, 5L, 6L, 8L))
     // crash INSIDE the maintenance tick: the re-run (restart path) is
     // answer-idempotent — same rows, export still verifies
     CdcStream.optimizeSnapshotTick(spark, root, "n_chars", "doc_id",
       "doc_id", 2, 2, Some(exp), 6L)
-    assert(ids() === (1L to 6L), "a replayed tick must not change answers")
+    assert(ids() === Seq(1L, 3L, 4L, 5L, 6L, 8L),
+      "a replayed tick must not change answers")
     // the tick's OPTIMIZE publish is the current version now: z-ordered
     // into the numFiles range partitions
     val curDir = s"$root/v${store.currentVersion().get}"
@@ -450,7 +465,7 @@ class StreamingSpec extends AnyFunSuite {
       numFiles = 2, optimizeEvery = 2, keepVersions = 2,
       exportPath = Some(exp), tokensPerShard = 6L)
     q2.awaitTermination()
-    assert(ids() === (1L to 7L),
+    assert(ids() === Seq(1L, 3L, 4L, 5L, 6L, 7L, 8L),
       "the restarted stream must absorb exactly the new batch")
   }
 
