@@ -335,14 +335,30 @@ object Compaction {
           .repartition(col("term")).sortWithinPartitions("term", "doc_id"),
         maxFilesPerPartition = maxFilesPerPartition)
     case "fingerprint" =>
+      // pending tombstones force BOTH rewrites (deletion SLA) and the
+      // layouts drop the tombstoned ids' rows; tombstones clear only
+      // after both tables rewrote (a partial clear could resurrect a
+      // doc in whichever table kept its rows)
+      val tombDir = s"$path/tombstones"
+      val tomb: Option[DataFrame] =
+        if (!Files.exists(Paths.get(tombDir))) None
+        else Some(spark.read.parquet(resolve(tombDir))
+          .select(col("doc_id")).distinct())
+      def dropTomb(df: DataFrame): DataFrame = tomb match {
+        case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")
+        case None    => df
+      }
       val p = compactTable(spark, s"$path/postings",
-        df => df.dropDuplicates("fp", "doc_id")
+        df => dropTomb(df).dropDuplicates("fp", "doc_id")
           .repartition(col("fp")).sortWithinPartitions("fp", "doc_id"),
-        maxFilesPerPartition = maxFilesPerPartition)
+        maxFilesPerPartition = maxFilesPerPartition,
+        force = tomb.isDefined)
       val s = compactTable(spark, s"$path/sizes",
-        df => df.dropDuplicates("doc_id")
+        df => dropTomb(df).dropDuplicates("doc_id")
           .repartition(col("doc_id")).sortWithinPartitions("doc_id"),
-        maxFilesPerPartition = maxFilesPerPartition)
+        maxFilesPerPartition = maxFilesPerPartition,
+        force = tomb.isDefined)
+      if (tomb.isDefined && p && s) deleteRec(Paths.get(tombDir))
       p || s
     case "hll" => // sketch re-union: like `vocab`, the rewrite CHANGES
       // row counts — per-batch sketch partials collapse to one row per

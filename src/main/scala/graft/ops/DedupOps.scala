@@ -520,7 +520,7 @@ object DedupOps {
   def mergeHashIndex(skNew: DataFrame, path: String): Unit = {
     val spark = skNew.sparkSession
     val (bands, bandBits) = hashIndexMeta(spark, path)
-    hashTombstones(spark, path).foreach { t =>
+    indexTombstones(spark, path).foreach { t =>
       val clash = skNew.join(broadcast(t), Seq("doc_id"), "left_semi")
         .limit(1).count()
       require(clash == 0L,
@@ -548,9 +548,10 @@ object DedupOps {
         .coalesce(1).write.mode("append").parquet(live)
     }
 
-  /** The live tombstone set, if any — shared by the probe (screen), the
-    * merge (re-insert guard), and the compaction (physical delete). */
-  private[graft] def hashTombstones(
+  /** The live tombstone set of ANY stored index rooted at `path`, if
+    * one exists — shared by the probes (screen), the merges (re-insert
+    * guard), and the compactions (physical delete). */
+  private[graft] def indexTombstones(
       spark: org.apache.spark.sql.SparkSession,
       path: String): Option[DataFrame] = {
     val dir = s"$path/tombstones"
@@ -573,7 +574,7 @@ object DedupOps {
     val stored0 = spark.read.parquet(Compaction.resolve(s"$path/bands"))
     // tombstone screen: deleted items stop matching IMMEDIATELY, before
     // the compaction makes the deletion physical
-    val stored = hashTombstones(spark, path) match {
+    val stored = indexTombstones(spark, path) match {
       case Some(t) => stored0.join(broadcast(t), Seq("doc_id"), "left_anti")
       case None    => stored0
     }
@@ -735,9 +736,34 @@ object DedupOps {
     * screening answer. True multi-table atomicity would need a
     * manifest/commit-log layer (Delta-style) this engine deliberately
     * doesn't carry. */
+  /** DELETE from the fingerprint index — [[tombstoneHashIndex]]'s twin
+    * for the flagship dedup family: appended (doc_id) tombstones screen
+    * the probe immediately, the forced `fingerprint` compaction drops
+    * the ids' postings and sizes rows physically and clears the served
+    * tombstones. The `dfs`/`hot` tables are NOT adjusted (they feed
+    * only the advisory df caps and the frozen hot list, which may
+    * overstate until the next rebuild — the same advisory posture as
+    * hotListDrift). */
+  def tombstoneFingerprintIndex(ids: DataFrame, path: String): Unit =
+    Compaction.guardedAppend(s"$path/tombstones") { live =>
+      ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+        .coalesce(1).write.mode("append").parquet(live)
+    }
+
   def mergeFingerprintIndex(newDocs: DataFrame, path: String, k: Int = 8,
                             w: Int = 4): Unit = {
     val spark = newDocs.sparkSession
+    // re-insert guard, as in mergeHashIndex: a tombstoned id must stay
+    // gone until the tick serves the deletion, or the tombstone would
+    // silently re-screen the fresh rows
+    indexTombstones(spark, path).foreach { t =>
+      val clash = newDocs.select(col("doc_id"))
+        .join(broadcast(t), Seq("doc_id"), "left_semi").limit(1).count()
+      require(clash == 0L,
+        s"mergeFingerprintIndex: batch re-inserts tombstoned doc ids at " +
+          s"$path — run the fingerprint maintenance tick (physical " +
+          "deletion) before re-inserting a deleted id")
+    }
     val ex = winnowExploded(newDocs, k, w)
     // empty change batch (or all docs below the winnow length floor):
     // leave every artifact untouched instead of rewriting dfs in place
@@ -812,7 +838,14 @@ object DedupOps {
       winnowExploded(newDocs, k, w)
         .join(spark.read.parquet(s"$path/hot"), Seq("fp"), "left_anti"))
     val feedSizes = feed.groupBy("doc_id").agg(count(lit(1)).as("nn"))
-    val cand = spark.read.parquet(Compaction.resolve(s"$path/postings")).as("i")
+    val postings0 = spark.read.parquet(Compaction.resolve(s"$path/postings"))
+    // tombstone screen (scan-time broadcast anti-join, the index never
+    // shuffles): deleted docs stop matching before the physical rewrite
+    val postings = indexTombstones(spark, path) match {
+      case Some(t) => postings0.join(broadcast(t), Seq("doc_id"), "left_anti")
+      case None    => postings0
+    }
+    val cand = postings.as("i")
       .join(maybeBroadcast(feed.as("f")), col("i.fp") === col("f.fp"))
       // candidate-level dedup: (doc, fp) is unique per doc by
       // construction (winnowFps emits a distinct set), so this is a

@@ -154,6 +154,41 @@ class StoredIndexesSpec extends AnyFunSuite {
     assert(parquetFiles(s"$path/merge_log") === 1)
   }
 
+  test("fingerprint tombstones: immediate screen, forced physical " +
+    "rewrite across BOTH tables, guarded re-insert") {
+    val path = java.nio.file.Files.createTempDirectory("fp_tomb").toString
+    def doc(id: Long, tag: String) =
+      (id, (1 to 50).map(j => s"$tag$j").mkString(" "))
+    DedupOps.buildFingerprintIndex(
+      Seq(doc(1, "ta"), doc(2, "tb")).toDF("doc_id", "text"), path)
+    val probe = Seq(doc(99, "ta")).toDF("doc_id", "text") // near-dup of 1
+    def hits() = DedupOps.queryFingerprintIndex(spark, path, probe)
+      .select("doc_old").collect().map(_.getLong(0)).toSet
+    assert(hits() === Set(1L))
+    DedupOps.tombstoneFingerprintIndex(Seq(1L).toDF("doc_id"), path)
+    assert(hits() === Set.empty[Long],
+      "a tombstoned doc must stop matching before the rewrite")
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.mergeFingerprintIndex(
+        Seq(doc(1, "ta")).toDF("doc_id", "text"), path)
+    }
+    assert(e.getMessage.contains("tombstoned"))
+    // forced rewrite (fresh build has zero file debt) + tombstone clear
+    assert(Compaction.compactIndex(spark, path, "fingerprint"),
+      "pending tombstones must force the rewrite")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/tombstones")))
+    assert(spark.read.parquet(Compaction.resolve(s"$path/postings"))
+      .filter($"doc_id" === 1L).count() === 0L)
+    assert(spark.read.parquet(Compaction.resolve(s"$path/sizes"))
+      .filter($"doc_id" === 1L).count() === 0L,
+      "BOTH tables must drop the tombstoned id")
+    // delete + reinsert, CDC-style, now lands
+    DedupOps.mergeFingerprintIndex(
+      Seq(doc(1, "ta")).toDF("doc_id", "text"), path)
+    assert(hits() === Set(1L))
+  }
+
   test("sidecar crash recovery: a partial live dir never wins over a " +
     "completed rewrite") {
     val e = Tables.embeddings(spark, sfDir)
