@@ -257,15 +257,40 @@ object CdcStream {
     // long-running stream stays flat (one batch's caches at a time).
     // `onHits` must therefore consume its DataFrame eagerly.
     if (!batch.isEmpty) graft.engine.Caches.withCached {
-      onHits(
-        graft.ops.DedupOps.queryFingerprintIndex(spark, indexPath, batch),
-        id)
+      // op-aware: op='DELETE' rows (key only) route to the tombstone
+      // verb — the CDC deletion path, end-to-end in the stream. One
+      // batch must not DELETE and re-INSERT the same id (the fresh
+      // tombstone would screen the batch's own new rows): that update
+      // arrives as delete in batch N, insert after the tick — raise.
+      val (adds, dels) = splitOps(batch)
+      dels.foreach { d =>
+        require(adds.join(d, Seq("doc_id"), "left_semi").limit(1).count() == 0L,
+          "screenAndAbsorb: a batch may not DELETE and re-INSERT the " +
+            "same doc_id (tombstones apply to the whole index, " +
+            "including this batch's merge) — split across batches")
+      }
+      if (!adds.isEmpty)
+        onHits(
+          graft.ops.DedupOps.queryFingerprintIndex(spark, indexPath, adds),
+          id)
       absorbOnce(spark, indexPath, streamId, id) {
-        graft.ops.DedupOps.mergeFingerprintIndex(batch, indexPath)
+        dels.foreach(d =>
+          graft.ops.DedupOps.tombstoneFingerprintIndex(d, indexPath))
+        if (!adds.isEmpty)
+          graft.ops.DedupOps.mergeFingerprintIndex(adds, indexPath)
       }
     }
     ()
   }
+
+  /** Split an op-aware batch into (upserts-without-op, Some(delete-key
+    * table)) — or (batch, None) when no `op` column rides along. */
+  private def splitOps(batch: DataFrame): (DataFrame, Option[DataFrame]) =
+    if (batch.columns.contains("op")) {
+      val dels = batch.filter(col("op") === "DELETE").select("doc_id")
+      (batch.filter(coalesce(col("op") =!= "DELETE", lit(true))).drop("op"),
+        if (dels.isEmpty) None else Some(dels))
+    } else (batch, None)
 
   /** Apply `merge` exactly once per (index, stream, micro-batch id) —
     * the ledger replay protocol [[screenAndAbsorb]] established,
@@ -476,17 +501,31 @@ object CdcStream {
                            maxDist: Int,
                            onHits: (DataFrame, Long) => Unit): Unit = {
     if (!batch.isEmpty) graft.engine.Caches.withCached {
-      val payload =
-        if (batch.schema("payload").dataType ==
-            org.apache.spark.sql.types.StringType)
-          batch.select(col("doc_id"), unbase64(col("payload")).as("payload"))
-        else batch.select(col("doc_id"), col("payload"))
-      val sk = graft.engine.Caches.ensureCached(
-        graft.ops.Multimodal.imageAHash(payload))
-      onHits(graft.ops.DedupOps.queryHashIndex(spark, sk, indexPath,
-        maxDist), id)
+      // op-aware like [[screenAndAbsorb]]: DELETE rows carry the key
+      // only (no payload to decode); same one-batch delete∩insert rule
+      val (adds, dels) = splitOps(batch)
+      dels.foreach { d =>
+        require(adds.join(d, Seq("doc_id"), "left_semi").limit(1).count() == 0L,
+          "imageScreenAndAbsorb: a batch may not DELETE and re-INSERT " +
+            "the same doc_id — split across batches")
+      }
+      val sk =
+        if (adds.isEmpty) None
+        else {
+          val payload =
+            if (adds.schema("payload").dataType ==
+                org.apache.spark.sql.types.StringType)
+              adds.select(col("doc_id"), unbase64(col("payload")).as("payload"))
+            else adds.select(col("doc_id"), col("payload"))
+          Some(graft.engine.Caches.ensureCached(
+            graft.ops.Multimodal.imageAHash(payload)))
+        }
+      sk.foreach(k => onHits(
+        graft.ops.DedupOps.queryHashIndex(spark, k, indexPath, maxDist), id))
       absorbOnce(spark, indexPath, streamId, id) {
-        graft.ops.DedupOps.mergeHashIndex(sk, indexPath)
+        dels.foreach(d =>
+          graft.ops.DedupOps.tombstoneHashIndex(d, indexPath))
+        sk.foreach(k => graft.ops.DedupOps.mergeHashIndex(k, indexPath))
       }
     }
     ()

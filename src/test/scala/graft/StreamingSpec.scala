@@ -285,16 +285,31 @@ class StreamingSpec extends AnyFunSuite {
     // batch 0: a raster-identical twin of indexed id 1 (id 257 — mod-256
     // collision) + a genuinely fresh raster; batch 1: a twin of batch
     // 0's FRESH raster — catching it needs batch 0 absorbed
+    def mtime(name: String, agoMs: Long): Unit =
+      Files.setLastModifiedTime(java.nio.file.Paths.get(in, name),
+        java.nio.file.attribute.FileTime
+          .fromMillis(System.currentTimeMillis() - agoMs))
     val f0 = java.nio.file.Paths.get(in, "img_000.json")
     Files.writeString(f0,
       jline(257, Multimodal.syntheticPng(257L, 8, 8)) + "\n" +
         jline(300, Multimodal.syntheticPng(300L, 12, 12)) + "\n")
-    Files.setLastModifiedTime(f0, java.nio.file.attribute.FileTime
-      .fromMillis(System.currentTimeMillis() - 60000))
+    mtime("img_000.json", 120000)
     Files.writeString(java.nio.file.Paths.get(in, "img_001.json"),
       jline(556, Multimodal.syntheticPng(300L, 12, 12)) + "\n")
+    mtime("img_001.json", 90000)
+    // batch 2: CDC DELETEs for the raster-300 twins (both absorbed
+    // ids), key-only rows; batch 3: a fresh id with that same raster —
+    // it must NOT hit anything once the deletes are served
+    Files.writeString(java.nio.file.Paths.get(in, "img_002.json"),
+      """{"doc_id":300,"payload":null,"op":"DELETE"}""" + "\n" +
+        """{"doc_id":556,"payload":null,"op":"DELETE"}""" + "\n")
+    mtime("img_002.json", 60000)
+    Files.writeString(java.nio.file.Paths.get(in, "img_003.json"),
+      jline(700, Multimodal.syntheticPng(300L, 12, 12)) + "\n")
+    mtime("img_003.json", 30000)
     val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-    val schema = new StructType().add("doc_id", "long").add("payload", "string")
+    val schema = new StructType().add("doc_id", "long")
+      .add("payload", "string").add("op", "string")
     val q = CdcStream.imageScreenStream(spark, s"$in/img_*.json", ckpt,
       schema, idx, maxDist = 0,
       (df, _) => hits ++= df
@@ -307,6 +322,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.contains((556L, 300L, 0L)),
       "batch 1 must screen against batch 0's absorbed raster")
     assert(!all.exists(_._1 == 300L), "the fresh raster must not fire")
+    // the CDC DELETE batch removed both raster-300 ids before batch 3
+    // screened — the same raster no longer matches anything
+    assert(!all.exists(_._1 == 700L),
+      "a raster whose twins were DELETEd must not hit")
     // replaying an absorbed batch id appends nothing (ledger no-op)
     val bandRowsNow = spark.read
       .parquet(Compaction.resolve(s"$idx/bands")).count()
