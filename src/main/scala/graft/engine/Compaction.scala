@@ -337,28 +337,26 @@ object Compaction {
     case "fingerprint" =>
       // pending tombstones force BOTH rewrites (deletion SLA) and the
       // layouts drop the tombstoned ids' rows; tombstones clear only
-      // after both tables rewrote (a partial clear could resurrect a
-      // doc in whichever table kept its rows)
-      val tombDir = s"$path/tombstones"
-      val tomb: Option[DataFrame] =
-        if (!Files.exists(Paths.get(tombDir))) None
-        else Some(spark.read.parquet(resolve(tombDir))
-          .select(col("doc_id")).distinct())
-      def dropTomb(df: DataFrame): DataFrame = tomb match {
-        case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")
-        case None    => df
-      }
+      // after both tables are SERVED — rewrote, or empty (a table with
+      // zero live files holds nothing to screen; treating it as
+      // unserved would leave tombstones pending forever and wedge
+      // every future re-insert)
+      val tomb = pendingTombstones(spark, path)
+      def served(table: String, rewrote: Boolean): Boolean =
+        rewrote || filesPerPartition(table).isEmpty
       val p = compactTable(spark, s"$path/postings",
-        df => dropTomb(df).dropDuplicates("fp", "doc_id")
+        df => dropTombstoned(df, tomb).dropDuplicates("fp", "doc_id")
           .repartition(col("fp")).sortWithinPartitions("fp", "doc_id"),
         maxFilesPerPartition = maxFilesPerPartition,
         force = tomb.isDefined)
       val s = compactTable(spark, s"$path/sizes",
-        df => dropTomb(df).dropDuplicates("doc_id")
+        df => dropTombstoned(df, tomb).dropDuplicates("doc_id")
           .repartition(col("doc_id")).sortWithinPartitions("doc_id"),
         maxFilesPerPartition = maxFilesPerPartition,
         force = tomb.isDefined)
-      if (tomb.isDefined && p && s) deleteRec(Paths.get(tombDir))
+      if (tomb.isDefined && served(s"$path/postings", p) &&
+          served(s"$path/sizes", s))
+        deleteRec(Paths.get(s"$path/tombstones"))
       p || s
     case "hll" => // sketch re-union: like `vocab`, the rewrite CHANGES
       // row counts — per-batch sketch partials collapse to one row per
@@ -380,30 +378,43 @@ object Compaction {
       // is lost, the tombstones re-apply against rows that no longer
       // exist — a no-op — and the single-writer schedule means no new
       // tombstone can land between the rewrite and the clear.
-      val tombDir = s"$path/tombstones"
-      val tomb: Option[DataFrame] =
-        if (!Files.exists(Paths.get(tombDir))) None
-        else Some(spark.read.parquet(resolve(tombDir))
-          .select(col("doc_id")).distinct())
+      val tomb = pendingTombstones(spark, path)
       val rewrote = compactTable(spark, s"$path/bands",
-        df => {
-          val kept = tomb match {
-            case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")
-            case None    => df
-          }
-          kept.dropDuplicates("band", "bv", "doc_id")
-            .repartition(col("band"), col("bv"))
-            .sortWithinPartitions("band", "bv", "doc_id")
-        },
+        df => dropTombstoned(df, tomb)
+          .dropDuplicates("band", "bv", "doc_id")
+          .repartition(col("band"), col("bv"))
+          .sortWithinPartitions("band", "bv", "doc_id"),
         maxFilesPerPartition = maxFilesPerPartition,
         force = tomb.isDefined)
-      if (rewrote && tomb.isDefined) deleteRec(Paths.get(tombDir))
+      // served when rewrote OR the band table is empty (nothing to
+      // screen) — same wedge-avoidance as the fingerprint clear
+      if (tomb.isDefined &&
+          (rewrote || filesPerPartition(s"$path/bands").isEmpty))
+        deleteRec(Paths.get(s"$path/tombstones"))
       rewrote
     case other =>
       throw new IllegalArgumentException(
         s"compactIndex: unknown index kind '$other' " +
           "(expected ivf | pq | ivfpq | vocab | bm25 | fingerprint | hll | ahash)")
   }
+
+  /** The pending tombstone set of the index at `path`, if any — one
+    * shared reader for every family's compaction and for callers
+    * deciding whether a deletion still needs serving. */
+  def pendingTombstones(spark: SparkSession,
+                        path: String): Option[DataFrame] = {
+    val dir = s"$path/tombstones"
+    if (!Files.exists(Paths.get(dir))) None
+    else Some(spark.read.parquet(resolve(dir))
+      .select(col("doc_id")).distinct())
+  }
+
+  private def dropTombstoned(df: DataFrame,
+                             tomb: Option[DataFrame]): DataFrame =
+    tomb match {
+      case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")
+      case None    => df
+    }
 
   /** One scheduled-maintenance tick for any stored-index family:
     * vacuum first (reclaims versions superseded by the PREVIOUS tick —

@@ -543,6 +543,12 @@ object DedupOps {
     * which rewrites the band table without the tombstoned rows and
     * clears the served tombstones. `ids` carries one id column. */
   def tombstoneHashIndex(ids: DataFrame, path: String): Unit =
+    tombstoneIndex(ids, path)
+
+  /** The one tombstone WRITE verb both families share (the read side is
+    * [[indexTombstones]]) — a protocol fix lands once, for every
+    * tombstoning family. */
+  private def tombstoneIndex(ids: DataFrame, path: String): Unit =
     Compaction.guardedAppend(s"$path/tombstones") { live =>
       ids.select(col(ids.columns.head).cast("long").as("doc_id"))
         .coalesce(1).write.mode("append").parquet(live)
@@ -553,12 +559,8 @@ object DedupOps {
     * guard), and the compactions (physical delete). */
   private[graft] def indexTombstones(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): Option[DataFrame] = {
-    val dir = s"$path/tombstones"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) None
-    else Some(spark.read.parquet(Compaction.resolve(dir))
-      .select(col("doc_id")).distinct())
-  }
+      path: String): Option[DataFrame] =
+    Compaction.pendingTombstones(spark, path)
 
   /** Screen a batch of signatures against the stored index: candidates
     * from the banded broadcast probe, verified by exact Hamming ≤
@@ -745,10 +747,7 @@ object DedupOps {
     * overstate until the next rebuild — the same advisory posture as
     * hotListDrift). */
   def tombstoneFingerprintIndex(ids: DataFrame, path: String): Unit =
-    Compaction.guardedAppend(s"$path/tombstones") { live =>
-      ids.select(col(ids.columns.head).cast("long").as("doc_id"))
-        .coalesce(1).write.mode("append").parquet(live)
-    }
+    tombstoneIndex(ids, path)
 
   def mergeFingerprintIndex(newDocs: DataFrame, path: String, k: Int = 8,
                             w: Int = 4): Unit = {

@@ -258,29 +258,58 @@ object CdcStream {
     // `onHits` must therefore consume its DataFrame eagerly.
     if (!batch.isEmpty) graft.engine.Caches.withCached {
       // op-aware: op='DELETE' rows (key only) route to the tombstone
-      // verb — the CDC deletion path, end-to-end in the stream. One
-      // batch must not DELETE and re-INSERT the same id (the fresh
-      // tombstone would screen the batch's own new rows): that update
-      // arrives as delete in batch N, insert after the tick — raise.
+      // verb — the CDC deletion path, end-to-end in the stream. The
+      // delete→re-insert UPDATE (same batch or a later one) is handled
+      // by serving pending deletions inline: when the batch's merge
+      // collides with a tombstone, the maintenance tick runs first
+      // (between batches — the single-writer-safe moment), physically
+      // removing the old rows and clearing the tombstones, and only
+      // then does the merge land. Raising instead would crash-loop the
+      // stream: the checkpointed batch replays identically forever and
+      // the scheduled tick can never run behind a failing batch.
       val (adds, dels) = splitOps(batch)
-      dels.foreach { d =>
-        require(adds.join(d, Seq("doc_id"), "left_semi").limit(1).count() == 0L,
-          "screenAndAbsorb: a batch may not DELETE and re-INSERT the " +
-            "same doc_id (tombstones apply to the whole index, " +
-            "including this batch's merge) — split across batches")
+      val hasAdds = !adds.isEmpty
+      if (hasAdds) {
+        val raw = graft.ops.DedupOps.queryFingerprintIndex(
+          spark, indexPath, adds)
+        // hits against docs this very batch deletes are not real
+        // duplicates — the pair's doc_old is gone the moment the batch
+        // commits; screen them out before the sink sees them
+        val hits = dels match {
+          case Some(d) => raw.join(
+            d.withColumnRenamed("doc_id", "doc_old"),
+            Seq("doc_old"), "left_anti")
+          case None => raw
+        }
+        onHits(hits, id)
       }
-      if (!adds.isEmpty)
-        onHits(
-          graft.ops.DedupOps.queryFingerprintIndex(spark, indexPath, adds),
-          id)
       absorbOnce(spark, indexPath, streamId, id) {
         dels.foreach(d =>
           graft.ops.DedupOps.tombstoneFingerprintIndex(d, indexPath))
-        if (!adds.isEmpty)
+        if (hasAdds) {
+          serveTombstonesIfClashing(spark, indexPath, "fingerprint", adds)
           graft.ops.DedupOps.mergeFingerprintIndex(adds, indexPath)
+        }
       }
     }
     ()
+  }
+
+  /** Run the family's maintenance tick iff the batch about to merge
+    * collides with a pending tombstone — the inline deletion-serve that
+    * makes the CDC delete→re-insert update safe in a stream. Replay-
+    * safe: a re-run re-forces an idempotent rewrite. */
+  private def serveTombstonesIfClashing(spark: SparkSession,
+                                        indexPath: String, kind: String,
+                                        adds: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.broadcast
+    val clash = graft.engine.Compaction
+      .pendingTombstones(spark, indexPath).exists { t =>
+        adds.select(col("doc_id"))
+          .join(broadcast(t), Seq("doc_id"), "left_semi")
+          .limit(1).count() > 0L
+      }
+    if (clash) maintainStreamedIndex(spark, indexPath, kind)
   }
 
   /** Split an op-aware batch into (upserts-without-op, Some(delete-key
@@ -501,14 +530,9 @@ object CdcStream {
                            maxDist: Int,
                            onHits: (DataFrame, Long) => Unit): Unit = {
     if (!batch.isEmpty) graft.engine.Caches.withCached {
-      // op-aware like [[screenAndAbsorb]]: DELETE rows carry the key
-      // only (no payload to decode); same one-batch delete∩insert rule
+      // op-aware like [[screenAndAbsorb]], same inline deletion-serve:
+      // DELETE rows carry the key only (no payload to decode)
       val (adds, dels) = splitOps(batch)
-      dels.foreach { d =>
-        require(adds.join(d, Seq("doc_id"), "left_semi").limit(1).count() == 0L,
-          "imageScreenAndAbsorb: a batch may not DELETE and re-INSERT " +
-            "the same doc_id — split across batches")
-      }
       val sk =
         if (adds.isEmpty) None
         else {
@@ -520,12 +544,24 @@ object CdcStream {
           Some(graft.engine.Caches.ensureCached(
             graft.ops.Multimodal.imageAHash(payload)))
         }
-      sk.foreach(k => onHits(
-        graft.ops.DedupOps.queryHashIndex(spark, k, indexPath, maxDist), id))
+      sk.foreach { k =>
+        val raw = graft.ops.DedupOps.queryHashIndex(spark, k, indexPath,
+          maxDist)
+        val hits = dels match {
+          case Some(d) => raw.join(
+            d.withColumnRenamed("doc_id", "doc_old"),
+            Seq("doc_old"), "left_anti")
+          case None => raw
+        }
+        onHits(hits, id)
+      }
       absorbOnce(spark, indexPath, streamId, id) {
         dels.foreach(d =>
           graft.ops.DedupOps.tombstoneHashIndex(d, indexPath))
-        sk.foreach(k => graft.ops.DedupOps.mergeHashIndex(k, indexPath))
+        sk.foreach { k =>
+          serveTombstonesIfClashing(spark, indexPath, "ahash", k)
+          graft.ops.DedupOps.mergeHashIndex(k, indexPath)
+        }
       }
     }
     ()

@@ -307,6 +307,14 @@ class StreamingSpec extends AnyFunSuite {
     Files.writeString(java.nio.file.Paths.get(in, "img_003.json"),
       jline(700, Multimodal.syntheticPng(300L, 12, 12)) + "\n")
     mtime("img_003.json", 30000)
+    // batch 4: the CDC UPDATE shape — DELETE and re-INSERT of the SAME
+    // id in one batch (the Debezium-style transaction file); the stream
+    // must serve the deletion inline (forced tick) and land the new
+    // raster, never crash-loop
+    Files.writeString(java.nio.file.Paths.get(in, "img_004.json"),
+      """{"doc_id":257,"payload":null,"op":"DELETE"}""" + "\n" +
+        jline(257, Multimodal.syntheticPng(900L, 9, 9)) + "\n")
+    mtime("img_004.json", 15000)
     val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     val schema = new StructType().add("doc_id", "long")
       .add("payload", "string").add("op", "string")
@@ -326,6 +334,18 @@ class StreamingSpec extends AnyFunSuite {
     // screened — the same raster no longer matches anything
     assert(!all.exists(_._1 == 700L),
       "a raster whose twins were DELETEd must not hit")
+    // the same-batch UPDATE landed: 257 now carries the raster-900
+    // image (its twin matches), and its OLD raster no longer does
+    val newProbe = Multimodal.imageAHash(Seq(
+      (1156L, Multimodal.syntheticPng(900L, 9, 9))).toDF("doc_id", "payload"))
+    assert(DedupOps.queryHashIndex(spark, newProbe, idx, 0)
+      .select("doc_old").collect().map(_.getLong(0)).toSet === Set(257L),
+      "the updated raster must be screenable")
+    val oldProbe = Multimodal.imageAHash(Seq(
+      (1157L, Multimodal.syntheticPng(257L, 8, 8))).toDF("doc_id", "payload"))
+    assert(!DedupOps.queryHashIndex(spark, oldProbe, idx, 0)
+      .select("doc_old").collect().map(_.getLong(0)).contains(257L),
+      "the update's old raster must be gone for 257")
     // replaying an absorbed batch id appends nothing (ledger no-op)
     val bandRowsNow = spark.read
       .parquet(Compaction.resolve(s"$idx/bands")).count()
