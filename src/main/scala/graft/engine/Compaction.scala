@@ -412,8 +412,13 @@ object Compaction {
   private def dropTombstoned(df: DataFrame,
                              tomb: Option[DataFrame]): DataFrame =
     tomb match {
-      case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")
-      case None    => df
+      // size-guarded (Skew.maybeBroadcast): steady-state tombstone sets
+      // broadcast, but a mass purge (delete a whole source in one
+      // batch) can exceed the broadcast threshold — the rewrite then
+      // falls back to a shuffle anti-join instead of a driver OOM
+      case Some(t) =>
+        df.join(Skew.maybeBroadcast(t), Seq("doc_id"), "left_anti")
+      case None => df
     }
 
   /** One scheduled-maintenance tick for any stored-index family:

@@ -113,13 +113,26 @@ object Tables {
         // translation of a later unit mismatch
         val deadline = System.nanoTime + probeWaitMs * 1000000L
         var ready = false
+        // only "no files yet" (schema-inference failure) is the
+        // retryable not-ready signal; any OTHER error repeating across
+        // two consecutive probes (a persistent permissions/IO fault) is
+        // terminal — retrying it would silently burn the whole wait
+        // budget and then mask the real fault behind an assumed schema
+        var lastOther: Exception = null
         while (!ready && System.nanoTime < deadline) {
           Thread.sleep(50)
           ready = try {
-            spark.read.parquet(dir).schema; true
+            spark.read.parquet(dir).schema
+            lastOther = null; true
           } catch {
             case e2: Exception if isNanosFooter(e2) => true
-            case _: Exception => false
+            case e2: Exception if String.valueOf(e2.getMessage)
+                .contains("Unable to infer schema") =>
+              lastOther = null; false
+            case e2: Exception =>
+              if (lastOther != null &&
+                  lastOther.getClass == e2.getClass) throw e2
+              lastOther = e2; false
           }
         }
         if (ready) eventsStream(spark, dir, 0L)

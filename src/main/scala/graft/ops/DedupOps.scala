@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.engine.{Caches, Compaction}
+import graft.engine.{Caches, Compaction, Skew}
 
 /** Document deduplication for training-data pipelines: exact (hash
   * groups), n-gram Jaccard (shingle self-join), MinHash+LSH (banded
@@ -521,7 +521,7 @@ object DedupOps {
     val spark = skNew.sparkSession
     val (bands, bandBits) = hashIndexMeta(spark, path)
     indexTombstones(spark, path).foreach { t =>
-      val clash = skNew.join(broadcast(t), Seq("doc_id"), "left_semi")
+      val clash = skNew.join(Skew.maybeBroadcast(t), Seq("doc_id"), "left_semi")
         .limit(1).count()
       require(clash == 0L,
         s"mergeHashIndex: batch re-inserts tombstoned doc ids at $path — " +
@@ -576,14 +576,20 @@ object DedupOps {
     val stored0 = spark.read.parquet(Compaction.resolve(s"$path/bands"))
     // tombstone screen: deleted items stop matching IMMEDIATELY, before
     // the compaction makes the deletion physical
+    // size-guarded broadcasts ([[graft.engine.Skew.maybeBroadcast]]):
+    // steady-state tombstone sets and probe batches are megabytes and
+    // ride the no-index-shuffle fast path, but a mass purge (delete a
+    // whole source) or an oversized replay batch must fall back to
+    // planner strategy instead of a forced driver-side broadcast OOM
     val stored = indexTombstones(spark, path) match {
-      case Some(t) => stored0.join(broadcast(t), Seq("doc_id"), "left_anti")
-      case None    => stored0
+      case Some(t) =>
+        stored0.join(Skew.maybeBroadcast(t), Seq("doc_id"), "left_anti")
+      case None => stored0
     }
     val probe = bandRows(batch, bands, bandBits)
       .withColumnRenamed("doc_id", "doc_new")
       .withColumnRenamed("sig", "_sn")
-    stored.join(broadcast(probe), Seq("band", "bv"))
+    stored.join(Skew.maybeBroadcast(probe), Seq("band", "bv"))
       .filter(col("doc_id") =!= col("doc_new"))
       .select(col("doc_new"), col("doc_id").as("doc_old"),
         col("_sn"), col("sig"))
@@ -757,7 +763,8 @@ object DedupOps {
     // silently re-screen the fresh rows
     indexTombstones(spark, path).foreach { t =>
       val clash = newDocs.select(col("doc_id"))
-        .join(broadcast(t), Seq("doc_id"), "left_semi").limit(1).count()
+        .join(Skew.maybeBroadcast(t), Seq("doc_id"), "left_semi")
+        .limit(1).count()
       require(clash == 0L,
         s"mergeFingerprintIndex: batch re-inserts tombstoned doc ids at " +
           s"$path — run the fingerprint maintenance tick (physical " +
@@ -841,8 +848,11 @@ object DedupOps {
     // tombstone screen (scan-time broadcast anti-join, the index never
     // shuffles): deleted docs stop matching before the physical rewrite
     val postings = indexTombstones(spark, path) match {
-      case Some(t) => postings0.join(broadcast(t), Seq("doc_id"), "left_anti")
-      case None    => postings0
+      // size-guarded: a mass purge's tombstone set must not force a
+      // driver broadcast — planner strategy handles the oversized case
+      case Some(t) =>
+        postings0.join(maybeBroadcast(t), Seq("doc_id"), "left_anti")
+      case None => postings0
     }
     val cand = postings.as("i")
       .join(maybeBroadcast(feed.as("f")), col("i.fp") === col("f.fp"))

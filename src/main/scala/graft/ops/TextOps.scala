@@ -325,10 +325,13 @@ object TextOps {
                         viewPath: String, rules: Int = 3): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
-    // sid carries a namespace suffix so a view-signature hash can never
-    // collide with an inline corpus semanticHash in the shared memo
-    val key = (Caches.sessionId(spark) + s"|view:$viewPath",
-      countsSignature(viewPath).hashCode, rules)
+    // the FULL signature string rides in the key's string component (a
+    // 32-bit hashCode of it could collide across two view states and
+    // silently serve a stale rule table); the `|view:` namespace keeps
+    // it disjoint from inline-corpus semanticHash keys in the shared
+    // memo, and the key stays control-plane tiny (one file listing)
+    val key = (Caches.sessionId(spark) +
+      s"|view:$viewPath|sig:${countsSignature(viewPath)}", 0, rules)
     bpeTrainMemo.getOrElseUpdate(key,
       bpeTrainLoop(storedVocab(spark, viewPath), rules))
       .toDF("rule_no", "p1", "p2", "cnt")

@@ -302,11 +302,11 @@ object CdcStream {
   private def serveTombstonesIfClashing(spark: SparkSession,
                                         indexPath: String, kind: String,
                                         adds: DataFrame): Unit = {
-    import org.apache.spark.sql.functions.broadcast
     val clash = graft.engine.Compaction
       .pendingTombstones(spark, indexPath).exists { t =>
         adds.select(col("doc_id"))
-          .join(broadcast(t), Seq("doc_id"), "left_semi")
+          .join(graft.engine.Skew.maybeBroadcast(t), Seq("doc_id"),
+            "left_semi")
           .limit(1).count() > 0L
       }
     if (clash) maintainStreamedIndex(spark, indexPath, kind)
@@ -857,19 +857,25 @@ object CdcStream {
         val snap = store.read().get
         SamplingOps.writeShards(snap, tokensPerShard, p)
         // publish-time verification: the re-read export must reproduce
-        // the planning manifest byte-for-byte (the ExportSpec protocol)
-        def rows(df: DataFrame) = df
-          .collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-            r.getLong(3), r.getLong(4), r.getString(5)))
-          .sortBy(_._1).toSeq
-        val planned = rows(SamplingOps.shardManifest(snap, tokensPerShard))
+        // the planning manifest row-for-row. Compared DISTRIBUTIVELY
+        // (two multiset differences, each short-circuited at the first
+        // witness row) — a small tokensPerShard over a large snapshot
+        // makes the manifest row count unbounded, so collecting both
+        // sides to the driver is the OOM class the MaxDriverGroups
+        // posture exists to prevent
+        val cols = Seq("shard_id", "n_docs", "n_tokens", "first_doc",
+          "last_doc", "content_hash").map(col)
+        val planned =
+          SamplingOps.shardManifest(snap, tokensPerShard).select(cols: _*)
         // partition-dir column inference types shard_id as INT on
         // re-read — normalize before the manifest compare
-        val reread = rows(SamplingOps.manifestOf(
+        val reread = SamplingOps.manifestOf(
           spark.read.parquet(p).select(col("doc_id"), col("n_tokens"),
-            col("shard_id").cast("long").as("shard_id"))))
-        if (planned != reread)
+            col("shard_id").cast("long").as("shard_id"))).select(cols: _*)
+        val mismatch =
+          planned.exceptAll(reread).limit(1).count() > 0L ||
+            reread.exceptAll(planned).limit(1).count() > 0L
+        if (mismatch)
           throw new IllegalStateException(
             s"shard export at $p failed publish-time verification " +
               "(re-read manifest differs from the planning manifest) — " +

@@ -48,13 +48,18 @@ final class GracefulShutdown {
     val drained = !query.status.isTriggerActive
     query.stop()
     cleanup()
-    // session-memo teardown: the stream's session owns derived-constant
-    // memo entries (adaptive caps, centroids, cuts) keyed by its
-    // sessionId — drop them here so a service cycling streams stays
-    // flat (the memos are also LRU-bounded; this makes release
-    // deterministic rather than pressure-driven)
-    try graft.engine.Caches.evictSession(query.sparkSession)
-    catch { case e: Throwable => synchronized { failures += e } }
+    // session-memo teardown: the session's derived-constant memo
+    // entries (adaptive caps, centroids, cuts) are released only when
+    // this stop leaves NO active stream on the session — a multi-stream
+    // service stopping one query must not silently evict the memos its
+    // other still-running streams are warm on (they'd recompute, a
+    // quiet performance regression). The memos are also LRU-bounded;
+    // this makes full-teardown release deterministic rather than
+    // pressure-driven.
+    try {
+      if (query.sparkSession.streams.active.isEmpty)
+        graft.engine.Caches.evictSession(query.sparkSession)
+    } catch { case e: Throwable => synchronized { failures += e } }
     drained
   }
 

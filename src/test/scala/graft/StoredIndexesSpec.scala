@@ -699,4 +699,35 @@ class StoredIndexesSpec extends AnyFunSuite {
     StoredIndexes.ensure("spec_fail", "/spec/corpus")(_ => calls.incrementAndGet())
     assert(calls.get() === 2)
   }
+
+  test("hash-index probe broadcast is size-guarded: with broadcasting " +
+    "disabled the probe falls back to a shuffle join, same answers") {
+    import graft.ops.{DedupOps, Multimodal}
+    val path = java.nio.file.Files.createTempDirectory("hidx_guard").toString
+    val sk = Multimodal.imageAHash(Seq(
+      (1L, Multimodal.syntheticPng(1L, 8, 8)),
+      (2L, Multimodal.syntheticPng(2L, 12, 10))).toDF("doc_id", "payload"))
+    DedupOps.buildHashIndex(sk, path)
+    DedupOps.tombstoneHashIndex(Seq(2L).toDF("doc_id"), path)
+    val probe = Multimodal.imageAHash(
+      Seq((257L, Multimodal.syntheticPng(257L, 8, 8))).toDF("doc_id", "payload"))
+    def hits() = DedupOps.queryHashIndex(spark, probe, path, maxDist = 0)
+    val withBc = hits()
+    assert(withBc.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "default config: the tiny probe (and tombstone screen) broadcast")
+    val expected = withBc.select("doc_old").collect().map(_.getLong(0)).toSet
+    assert(expected === Set(1L))
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val guarded = hits()
+      assert(!guarded.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "an oversized probe/tombstone set must NOT be forced into a " +
+          "driver broadcast — the guard falls back to planner strategy")
+      assert(guarded.select("doc_old").collect().map(_.getLong(0)).toSet
+        === expected, "the fallback plan must give identical answers")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
 }
