@@ -291,23 +291,45 @@ object Compaction {
     * Returns true if any table was rewritten. */
   def compactIndex(spark: SparkSession, path: String, kind: String,
                    maxFilesPerPartition: Int = 8): Boolean = kind match {
+    // The three ANN kinds share the fingerprint/ahash deletion
+    // protocol, keyed by vec_id: pending tombstones FORCE the rewrite
+    // (deletion has an SLA that file debt does not), the layout drops
+    // the tombstoned vectors' rows (making the logical deletes
+    // physical), and the served tombstones clear after the pointer
+    // swap. The advisory side tables (meta distortion, merge_log drift)
+    // are NOT adjusted — same posture as the fingerprint family's dfs.
     case "ivf" =>
-      compactTable(spark, s"$path/assignments",
-        df => df.dropDuplicates("vec_id")
+      val tomb = pendingTombstones(spark, path, "vec_id")
+      val rewrote = compactTable(spark, s"$path/assignments",
+        df => dropTombstoned(df, tomb, "vec_id").dropDuplicates("vec_id")
           .repartition(col("cluster")).sortWithinPartitions("vec_id"),
         partitionBy = Seq("cluster"),
-        maxFilesPerPartition = maxFilesPerPartition)
+        maxFilesPerPartition = maxFilesPerPartition,
+        force = tomb.isDefined)
+      clearServedTombstones(path, tomb,
+        rewrote || filesPerPartition(s"$path/assignments").isEmpty)
+      rewrote
     case "pq" =>
-      compactTable(spark, s"$path/codes",
-        df => df.dropDuplicates("vec_id")
+      val tomb = pendingTombstones(spark, path, "vec_id")
+      val rewrote = compactTable(spark, s"$path/codes",
+        df => dropTombstoned(df, tomb, "vec_id").dropDuplicates("vec_id")
           .repartition(col("vec_id")).sortWithinPartitions("vec_id"),
-        maxFilesPerPartition = maxFilesPerPartition)
+        maxFilesPerPartition = maxFilesPerPartition,
+        force = tomb.isDefined)
+      clearServedTombstones(path, tomb,
+        rewrote || filesPerPartition(s"$path/codes").isEmpty)
+      rewrote
     case "ivfpq" => // cluster-partitioned code table: the IVF recipe on codes
-      compactTable(spark, s"$path/codes",
-        df => df.dropDuplicates("vec_id")
+      val tomb = pendingTombstones(spark, path, "vec_id")
+      val rewrote = compactTable(spark, s"$path/codes",
+        df => dropTombstoned(df, tomb, "vec_id").dropDuplicates("vec_id")
           .repartition(col("cluster")).sortWithinPartitions("vec_id"),
         partitionBy = Seq("cluster"),
-        maxFilesPerPartition = maxFilesPerPartition)
+        maxFilesPerPartition = maxFilesPerPartition,
+        force = tomb.isDefined)
+      clearServedTombstones(path, tomb,
+        rewrote || filesPerPartition(s"$path/codes").isEmpty)
+      rewrote
     case "vocab" => // distributive-aggregate re-sum: the one recipe whose
       // rewrite CHANGES row counts — per-batch partials collapse back
       // toward one row per word, which is sound exactly because the
@@ -330,10 +352,20 @@ object Compaction {
           .repartition(col("word")).sortWithinPartitions("word"),
         maxFilesPerPartition = maxFilesPerPartition)
     case "bm25" =>
-      compactTable(spark, s"$path/postings",
-        df => df.dropDuplicates("term", "doc_id")
+      // deletion-aware like the fingerprint kind: tombstoned docs'
+      // postings drop physically here (the lexicon/stats adjustments
+      // already happened exactly at retract time — TextOps
+      // .retractBm25Index — so the rewrite only has to serve the
+      // posting rows), and the served tombstones clear after the swap
+      val tomb = pendingTombstones(spark, path)
+      val rewrote = compactTable(spark, s"$path/postings",
+        df => dropTombstoned(df, tomb).dropDuplicates("term", "doc_id")
           .repartition(col("term")).sortWithinPartitions("term", "doc_id"),
-        maxFilesPerPartition = maxFilesPerPartition)
+        maxFilesPerPartition = maxFilesPerPartition,
+        force = tomb.isDefined)
+      clearServedTombstones(path, tomb,
+        rewrote || filesPerPartition(s"$path/postings").isEmpty)
+      rewrote
     case "fingerprint" =>
       // pending tombstones force BOTH rewrites (deletion SLA) and the
       // layouts drop the tombstoned ids' rows; tombstones clear only
@@ -354,9 +386,8 @@ object Compaction {
           .repartition(col("doc_id")).sortWithinPartitions("doc_id"),
         maxFilesPerPartition = maxFilesPerPartition,
         force = tomb.isDefined)
-      if (tomb.isDefined && served(s"$path/postings", p) &&
-          served(s"$path/sizes", s))
-        deleteRec(Paths.get(s"$path/tombstones"))
+      clearServedTombstones(path, tomb,
+        served(s"$path/postings", p) && served(s"$path/sizes", s))
       p || s
     case "hll" => // sketch re-union: like `vocab`, the rewrite CHANGES
       // row counts — per-batch sketch partials collapse to one row per
@@ -386,11 +417,8 @@ object Compaction {
           .sortWithinPartitions("band", "bv", "doc_id"),
         maxFilesPerPartition = maxFilesPerPartition,
         force = tomb.isDefined)
-      // served when rewrote OR the band table is empty (nothing to
-      // screen) — same wedge-avoidance as the fingerprint clear
-      if (tomb.isDefined &&
-          (rewrote || filesPerPartition(s"$path/bands").isEmpty))
-        deleteRec(Paths.get(s"$path/tombstones"))
+      clearServedTombstones(path, tomb,
+        rewrote || filesPerPartition(s"$path/bands").isEmpty)
       rewrote
     case other =>
       throw new IllegalArgumentException(
@@ -398,28 +426,58 @@ object Compaction {
           "(expected ivf | pq | ivfpq | vocab | bm25 | fingerprint | hll | ahash)")
   }
 
+  /** The one tombstone WRITE verb every stored-index family shares —
+    * deletion as an LSM-style APPEND of key rows (O(|ids|), previously
+    * written files untouched, a writer verb under the same single-writer
+    * schedule as merges): the probes screen against the set immediately
+    * ([[pendingTombstones]]), the family's compaction makes the
+    * deletion physical and clears the served set. `ids`'s FIRST column
+    * carries the keys; `keyCol` names the index's key (`doc_id` for the
+    * text/image families, `vec_id` for the ANN families) so the readers
+    * join on the right column. */
+  def appendTombstones(ids: DataFrame, path: String,
+                       keyCol: String = "doc_id"): Unit =
+    guardedAppend(s"$path/tombstones") { live =>
+      ids.select(col(ids.columns.head).cast("long").as(keyCol))
+        .coalesce(1).write.mode("append").parquet(live)
+    }
+
   /** The pending tombstone set of the index at `path`, if any — one
     * shared reader for every family's compaction and for callers
-    * deciding whether a deletion still needs serving. */
-  def pendingTombstones(spark: SparkSession,
-                        path: String): Option[DataFrame] = {
+    * deciding whether a deletion still needs serving. `keyCol` must
+    * match the name the family's [[appendTombstones]] writes. */
+  def pendingTombstones(spark: SparkSession, path: String,
+                        keyCol: String = "doc_id"): Option[DataFrame] = {
     val dir = s"$path/tombstones"
     if (!Files.exists(Paths.get(dir))) None
     else Some(spark.read.parquet(resolve(dir))
-      .select(col("doc_id")).distinct())
+      .select(col(keyCol)).distinct())
   }
 
-  private def dropTombstoned(df: DataFrame,
-                             tomb: Option[DataFrame]): DataFrame =
+  private def dropTombstoned(df: DataFrame, tomb: Option[DataFrame],
+                             keyCol: String = "doc_id"): DataFrame =
     tomb match {
       // size-guarded (Skew.maybeBroadcast): steady-state tombstone sets
       // broadcast, but a mass purge (delete a whole source in one
       // batch) can exceed the broadcast threshold — the rewrite then
       // falls back to a shuffle anti-join instead of a driver OOM
       case Some(t) =>
-        df.join(Skew.maybeBroadcast(t), Seq("doc_id"), "left_anti")
+        df.join(Skew.maybeBroadcast(t), Seq(keyCol), "left_anti")
       case None => df
     }
+
+  /** The shared tombstone epilogue of a deletion-aware compaction kind:
+    * clear the served tombstones once every rewritten table has either
+    * been rewritten or holds nothing to screen (a table with zero live
+    * files; treating it as unserved would leave tombstones pending
+    * forever and wedge every future re-insert). Crash-safe: a lost
+    * clear re-applies the tombstones against rows that no longer exist
+    * — a no-op — and the single-writer schedule means no new tombstone
+    * lands between the rewrite and the clear. */
+  private def clearServedTombstones(path: String, tomb: Option[DataFrame],
+                                    served: Boolean): Unit =
+    if (tomb.isDefined && served)
+      deleteRec(Paths.get(s"$path/tombstones"))
 
   /** One scheduled-maintenance tick for any stored-index family:
     * vacuum first (reclaims versions superseded by the PREVIOUS tick —

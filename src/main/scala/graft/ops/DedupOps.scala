@@ -545,14 +545,12 @@ object DedupOps {
   def tombstoneHashIndex(ids: DataFrame, path: String): Unit =
     tombstoneIndex(ids, path)
 
-  /** The one tombstone WRITE verb both families share (the read side is
-    * [[indexTombstones]]) — a protocol fix lands once, for every
-    * tombstoning family. */
+  /** The tombstone WRITE verb both doc-keyed families share (the read
+    * side is [[indexTombstones]]) — delegates to the engine-wide
+    * protocol verb so a fix lands once, for every tombstoning family
+    * (including the vec_id-keyed ANN indexes). */
   private def tombstoneIndex(ids: DataFrame, path: String): Unit =
-    Compaction.guardedAppend(s"$path/tombstones") { live =>
-      ids.select(col(ids.columns.head).cast("long").as("doc_id"))
-        .coalesce(1).write.mode("append").parquet(live)
-    }
+    Compaction.appendTombstones(ids, path)
 
   /** The live tombstone set of ANY stored index rooted at `path`, if
     * one exists — shared by the probes (screen), the merges (re-insert

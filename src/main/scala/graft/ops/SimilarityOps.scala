@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.engine.{Caches, Compaction}
+import graft.engine.{Caches, Compaction, Skew}
 import graft.functions.VectorExpressions
 
 /** Embedding similarity search: brute-force cosine top-k (the exactness
@@ -614,6 +614,7 @@ object SimilarityOps {
     val spark = newVecs.sparkSession
     VectorExpressions.register(spark)
     import spark.implicits._
+    requireNoAnnTombClash(newVecs, path, "mergeIvfPqIndex")
     val cents: Seq[Seq[Double]] = storedCentroids(spark, path).map(_._2)
     val cb = storedCodebooks(spark, path)
     val m = cb.map(_._1).max + 1
@@ -670,8 +671,9 @@ object SimilarityOps {
         qSub.zip(c).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
       }
     }
-    val codes = spark.read.parquet(Compaction.resolve(s"$path/codes"))
-      .filter(col("cluster").isin(cells: _*)) // → PartitionFilters, pruned scan
+    val codes = screenAnnTombstones(spark, path,
+      spark.read.parquet(Compaction.resolve(s"$path/codes"))
+        .filter(col("cluster").isin(cells: _*))) // → PartitionFilters, pruned
     val kept =
       if (excludeIds.isEmpty) codes
       else codes.filter(!col("vec_id").isin(excludeIds: _*))
@@ -720,6 +722,54 @@ object SimilarityOps {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** DELETE from a stored ANN index — IVF, PQ, and IVF-PQ all share
+    * this vec_id-keyed verb (each index root keeps its own tombstone
+    * set): the right-to-be-forgotten path for vectors, the same LSM
+    * protocol as the fingerprint/aHash text indexes — deletion APPENDS
+    * (vec_id) tombstone rows (O(|ids|), previously written cell/code
+    * files untouched, a writer verb under the single-writer schedule as
+    * merges). Effect is immediate at the query layer — every stored
+    * probe screens its scan against the set — and physical at the
+    * family's next compaction tick (`ivf`/`pq`/`ivfpq` kinds), which
+    * rewrites the scan table without the tombstoned vectors and clears
+    * the served tombstones. The advisory side tables (meta distortion,
+    * merge_log drift) are NOT adjusted: they feed only the retrain
+    * signal, which may overstate until the next rebuild — the same
+    * posture as the fingerprint family's dfs table. `ids` carries the
+    * vec ids in its first column. */
+  def tombstoneAnnIndex(ids: DataFrame, path: String): Unit =
+    Compaction.appendTombstones(ids, path, "vec_id")
+
+  /** Tombstone screen for a stored ANN scan table — deleted vectors
+    * stop matching IMMEDIATELY, before the physical rewrite. The
+    * broadcast is size-guarded: a mass purge's tombstone set falls back
+    * to a shuffle anti-join instead of a forced driver broadcast. */
+  private def screenAnnTombstones(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, scan: DataFrame): DataFrame =
+    Compaction.pendingTombstones(spark, path, "vec_id") match {
+      case Some(t) =>
+        scan.join(Skew.maybeBroadcast(t), Seq("vec_id"), "left_anti")
+      case None => scan
+    }
+
+  /** Re-insert guard shared by the three ANN merges (mergeHashIndex's
+    * twin): a tombstoned vec id must stay gone until the tick serves
+    * the deletion physically, or the standing tombstone would silently
+    * re-screen the freshly merged rows. Fail loudly BEFORE any append
+    * so the caller replays the batch after running the tick. */
+  private def requireNoAnnTombClash(newVecs: DataFrame, path: String,
+                                    verb: String): Unit =
+    Compaction.pendingTombstones(newVecs.sparkSession, path, "vec_id")
+      .foreach { t =>
+        val clash = newVecs.select(col("vec_id"))
+          .join(Skew.maybeBroadcast(t), Seq("vec_id"), "left_semi")
+          .limit(1).count()
+        require(clash == 0L,
+          s"$verb: batch re-inserts tombstoned vec ids at $path — run " +
+            "the index maintenance tick (physical deletion) before " +
+            "re-inserting a deleted id")
+      }
+
   /** Incremental stored-IVF maintenance — the CDC×ANN composition: new
     * vectors arriving after the index build are assigned to the EXISTING
     * centroids (read back from the index, a tiny control-plane collect)
@@ -734,6 +784,7 @@ object SimilarityOps {
     val spark = newVecs.sparkSession
     import spark.implicits._
     VectorExpressions.register(spark)
+    requireNoAnnTombClash(newVecs, path, "mergeIvfIndex")
     // frozen build-time centroids via the same memo the query path uses
     // (one collect per process, not one per merged batch)
     val cents: Seq[Seq[Double]] = storedCentroids(spark, path).map(_._2)
@@ -891,8 +942,11 @@ object SimilarityOps {
     val cells = storedCentroids(spark, path)
       .map { case (cl, c) => (l2sqLocal(c, queryVec), cl) }
       .sorted.take(nprobe).map(_._2)
-    val scan = spark.read.parquet(Compaction.resolve(s"$path/assignments"))
-      .filter(col("cluster").isin(cells: _*)) // → PartitionFilters, pruned scan
+    // tombstone screen first: deleted vectors stop matching before the
+    // compaction makes the deletion physical
+    val scan = screenAnnTombstones(spark, path,
+      spark.read.parquet(Compaction.resolve(s"$path/assignments"))
+        .filter(col("cluster").isin(cells: _*))) // → PartitionFilters, pruned
     val kept =
       if (excludeIds.isEmpty) scan
       else scan.filter(!col("vec_id").isin(excludeIds: _*))
@@ -950,7 +1004,8 @@ object SimilarityOps {
       .select(col("q_id"), col("qv"),
         sqrt(call_function("graft_dot", col("qv"), col("qv"))).as("qn"),
         col("cluster"))
-    val scan = spark.read.parquet(Compaction.resolve(s"$path/assignments"))
+    val scan = screenAnnTombstones(spark, path,
+      spark.read.parquet(Compaction.resolve(s"$path/assignments")))
     scan.join(broadcast(probed), "cluster") // partition-column join → DPP
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
@@ -1041,6 +1096,7 @@ object SimilarityOps {
   def mergePqIndex(newVecs: DataFrame, path: String): Unit = {
     val spark = newVecs.sparkSession
     VectorExpressions.register(spark)
+    requireNoAnnTombClash(newVecs, path, "mergePqIndex")
     // frozen codebooks via the same memo the query paths use (one
     // collect per process, not one per merged batch)
     val cb = storedCodebooks(spark, path)
@@ -1129,7 +1185,8 @@ object SimilarityOps {
         qSub.zip(c).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
       }
     }
-    val codes = spark.read.parquet(Compaction.resolve(s"$path/codes"))
+    val codes = screenAnnTombstones(spark, path,
+      spark.read.parquet(Compaction.resolve(s"$path/codes")))
     val kept =
       if (excludeIds.isEmpty) codes
       else codes.filter(!col("vec_id").isin(excludeIds: _*))
@@ -1173,7 +1230,8 @@ object SimilarityOps {
           typedlit(centroid((s, j)): Seq[Double]))): _*).as(s"dt_$s")
     }
     val qt = q.select(col("q_id") +: dtCols: _*)
-    val codes = spark.read.parquet(Compaction.resolve(s"$path/codes"))
+    val codes = screenAnnTombstones(spark, path,
+      spark.read.parquet(Compaction.resolve(s"$path/codes")))
     val adc = (0 until m)
       .map(s => element_at(col(s"dt_$s"), col(s"code_$s") + 1))
       .reduce(_ + _)
@@ -1226,7 +1284,8 @@ object SimilarityOps {
       .filter(col("_rn") <= nprobe)
       .select(col("q_id"), col("cluster"))
       .join(qt, "q_id")
-    val codes = spark.read.parquet(Compaction.resolve(s"$path/codes"))
+    val codes = screenAnnTombstones(spark, path,
+      spark.read.parquet(Compaction.resolve(s"$path/codes")))
     val adc = (0 until m)
       .map(s => element_at(col(s"dt_$s"), col(s"code_$s") + 1))
       .reduce(_ + _)

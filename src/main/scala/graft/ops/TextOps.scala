@@ -1424,6 +1424,19 @@ object TextOps {
     * silent re-add). */
   def mergeBm25Index(newDocs: DataFrame, path: String): Unit = {
     val spark = newDocs.sparkSession
+    // re-insert guard (the mergeHashIndex twin): a tombstoned doc must
+    // stay gone until the bm25 tick serves the deletion physically, or
+    // the standing tombstone would silently re-screen the fresh postings
+    Compaction.pendingTombstones(spark, path).foreach { t =>
+      val clash = newDocs.select(col("doc_id"))
+        .join(graft.engine.Skew.maybeBroadcast(t), Seq("doc_id"),
+          "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        s"mergeBm25Index: batch re-inserts tombstoned doc ids at $path — " +
+          "run the bm25 maintenance tick (physical deletion) before " +
+          "re-inserting a deleted id")
+    }
     val words = newDocs.select(col("doc_id"), normWords(col("text")).as("w"))
     val add = words
       .agg(count(lit(1)).as("n_docs"), sum(size(col("w")).cast("long")).as("sum_dl"))
@@ -1456,6 +1469,94 @@ object TextOps {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Retract previously-indexed documents from the stored BM25 index —
+    * the CDC DELETE path for keyword retrieval, completing the
+    * build/merge/query/DELETE lifecycle the ANN and fingerprint
+    * families have. Three coordinated moves, O(|deleted| + |vocabulary|)
+    * and never a stored-postings rescan:
+    *
+    *  - `postings`: deletion APPENDS (doc_id) tombstones (the LSM
+    *    protocol every stored index shares — [[Compaction
+    *    .appendTombstones]]); both query paths screen their postings
+    *    scan against the set IMMEDIATELY, and the `bm25` compaction
+    *    kind makes the deletion physical and clears the served set;
+    *  - `lexicon`: the deleted docs' per-term df is SUBTRACTED (rewrite
+    *    from O(|vocab| + |deleted vocab|) inputs, the merge's own
+    *    shape). A term netting negative — a retraction that was never
+    *    absorbed, or absorbed with different text — raises loudly
+    *    instead of publishing a corrupt lexicon (the vocab-view
+    *    contract);
+    *  - `stats`: n_docs/sum_dl subtract the deleted docs' exact counts.
+    *
+    * Because every operand is adjusted exactly (long arithmetic), the
+    * stored scores after a retraction are bit-identical to an index
+    * rebuilt on the remaining corpus — which is what the oracle
+    * replays. The delete record must carry the full row image (text),
+    * the CDC delete-capture contract (reference: the BEFORE DELETE
+    * trigger snapshots the row, src/cdc/log_extractor.py:290-334);
+    * replay protection is the caller's (stream, batch-id) ledger. */
+  def retractBm25Index(deletedDocs: DataFrame, path: String): Unit = {
+    val spark = deletedDocs.sparkSession
+    val words = deletedDocs.select(col("doc_id"), normWords(col("text")).as("w"))
+    val del = words
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("w")).cast("long")).as("sum_dl"))
+      .head()
+    if (del.getLong(0) == 0L) return
+    // tombstones first: the screen takes effect even if a crash stops
+    // the lexicon/stats adjustment (the ledger replays the whole batch)
+    Compaction.appendTombstones(deletedDocs.select(col("doc_id")), path)
+    val delDf = Caches.ensureCached(words
+      .select(col("doc_id"), explode(array_distinct(col("w"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("ddf")))
+    val lex = spark.read.parquet(s"$path/lexicon")
+    // a retracted term ABSENT from the lexicon is a retraction that was
+    // never absorbed (its absorb would have written df >= 1) — the
+    // df-underflow guard below can't see it (there is no row to net
+    // negative), so detect it explicitly rather than publish silently
+    val phantom = delDf.join(lex, Seq("term"), "left_anti")
+      .select("term").limit(1).collect()
+    require(phantom.isEmpty,
+      s"bm25 index: retraction carries term '${phantom.headOption
+        .map(_.getString(0)).getOrElse("")}' that the lexicon has never " +
+        s"absorbed at $path — retraction without a matching absorb")
+    val newLex = lex
+      .join(delDf, Seq("term"), "left")
+      .select(col("term"),
+        (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+      .withColumn("_ok",
+        when(col("df") >= 0L, lit(true))
+          .otherwise(raise_error(concat(
+            lit("bm25 index: term '"), col("term"),
+            lit("' netted negative df — retraction without a matching " +
+              "absorb (or with different text)")))))
+      .filter(col("_ok") && col("df") > 0L).drop("_ok")
+      // materialize before overwriting the lexicon path the plan reads
+      .localCheckpoint(true)
+    newLex.write.mode("overwrite").parquet(s"$path/lexicon")
+    val old = spark.read.parquet(s"$path/stats").head()
+    val (n2, dl2) = (old.getLong(0) - del.getLong(0),
+      old.getLong(1) - del.getLong(1))
+    require(n2 >= 0L && dl2 >= 0L,
+      s"bm25 index: retraction nets negative corpus stats at $path — " +
+        "more docs/tokens retracted than were ever absorbed")
+    import spark.implicits._
+    Seq((n2, dl2)).toDF("n_docs", "sum_dl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Tombstone screen for the stored postings scan — deleted docs stop
+    * scoring IMMEDIATELY, before the physical rewrite. Size-guarded
+    * broadcast: a mass purge falls back to a shuffle anti-join. */
+  private def screenBm25Tombstones(spark: org.apache.spark.sql.SparkSession,
+                                   path: String,
+                                   postings: DataFrame): DataFrame =
+    Compaction.pendingTombstones(spark, path) match {
+      case Some(t) => postings.join(graft.engine.Skew.maybeBroadcast(t),
+        Seq("doc_id"), "left_anti")
+      case None => postings
+    }
+
   /** Query a stored BM25 index: probe the postings for the query's terms
     * (pushed-down term filter — the scan touches only matching row
     * groups, never the corpus), pivot the ≤ |terms| posting rows per doc
@@ -1473,7 +1574,8 @@ object TextOps {
       .filter(col("term").isin(terms: _*))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val stats = spark.read.parquet(s"$path/stats")
-    val hits = spark.read.parquet(Compaction.resolve(s"$path/postings"))
+    val hits = screenBm25Tombstones(spark, path,
+      spark.read.parquet(Compaction.resolve(s"$path/postings")))
       .filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "dl").pivot("term", terms).agg(first(col("tf")))
       .na.fill(0, terms)
@@ -1533,7 +1635,8 @@ object TextOps {
       idf * ((tfD * lit(2.2)) /
         (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))))
     }
-    spark.read.parquet(Compaction.resolve(s"$path/postings"))
+    screenBm25Tombstones(spark, path,
+      spark.read.parquet(Compaction.resolve(s"$path/postings")))
       .join(broadcast(qdf), "term") // ONE scan serves every query
       .crossJoin(broadcast(stats))
       .select(col("q_id"), col("doc_id"),

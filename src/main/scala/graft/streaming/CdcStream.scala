@@ -301,22 +301,25 @@ object CdcStream {
     * safe: a re-run re-forces an idempotent rewrite. */
   private def serveTombstonesIfClashing(spark: SparkSession,
                                         indexPath: String, kind: String,
-                                        adds: DataFrame): Unit = {
+                                        adds: DataFrame,
+                                        key: String = "doc_id"): Unit = {
     val clash = graft.engine.Compaction
-      .pendingTombstones(spark, indexPath).exists { t =>
-        adds.select(col("doc_id"))
-          .join(graft.engine.Skew.maybeBroadcast(t), Seq("doc_id"),
-            "left_semi")
+      .pendingTombstones(spark, indexPath, key).exists { t =>
+        adds.select(col(key))
+          .join(graft.engine.Skew.maybeBroadcast(t), Seq(key), "left_semi")
           .limit(1).count() > 0L
       }
     if (clash) maintainStreamedIndex(spark, indexPath, kind)
   }
 
   /** Split an op-aware batch into (upserts-without-op, Some(delete-key
-    * table)) — or (batch, None) when no `op` column rides along. */
-  private def splitOps(batch: DataFrame): (DataFrame, Option[DataFrame]) =
+    * table)) — or (batch, None) when no `op` column rides along. `key`
+    * names the family's id column (`doc_id` / `vec_id`); a DELETE row
+    * carries the key only. */
+  private def splitOps(batch: DataFrame,
+                       key: String = "doc_id"): (DataFrame, Option[DataFrame]) =
     if (batch.columns.contains("op")) {
-      val dels = batch.filter(col("op") === "DELETE").select("doc_id")
+      val dels = batch.filter(col("op") === "DELETE").select(key)
       (batch.filter(coalesce(col("op") =!= "DELETE", lit(true))).drop("op"),
         if (dels.isEmpty) None else Some(dels))
     } else (batch, None)
@@ -405,19 +408,42 @@ object CdcStream {
 
   /** One ANN screen-and-absorb micro-batch — public for direct replay
     * testing, like [[screenAndAbsorb]]. The screen is read-only and
-    * always re-run; the merge is applied once per (streamId, id). */
+    * always re-run; the merge is applied once per (streamId, id).
+    *
+    * Op-aware like the text family: op='DELETE' rows (vec_id only)
+    * route to [[graft.ops.SimilarityOps.tombstoneAnnIndex]] — the
+    * right-to-be-forgotten path for vectors, under the SAME ledger
+    * entry as the batch's merge, with the same inline deletion-serve
+    * for the delete→re-insert update (the tick runs between batches
+    * when the merge collides with a pending tombstone; raising would
+    * crash-loop the checkpointed batch). */
   def annScreenAndAbsorb(spark: SparkSession, batch: DataFrame, id: Long,
                          indexPath: String, streamId: String,
                          topK: Int, minCosine: Double, nprobe: Int,
                          onHits: (DataFrame, Long) => Unit): Unit = {
     if (!batch.isEmpty) graft.engine.Caches.withCached {
-      onHits(
-        graft.ops.SimilarityOps.queryIvfIndexBatch(spark, indexPath,
-          batch, topK, nprobe)
-          .filter(org.apache.spark.sql.functions.col("cosine") >= minCosine),
-        id)
+      val (adds, dels) = splitOps(batch, "vec_id")
+      val hasAdds = !adds.isEmpty
+      if (hasAdds) {
+        val raw = graft.ops.SimilarityOps.queryIvfIndexBatch(spark,
+          indexPath, adds, topK, nprobe)
+          .filter(org.apache.spark.sql.functions.col("cosine") >= minCosine)
+        // hits against vectors this very batch deletes are not real
+        // matches — the indexed vector is gone the moment the batch
+        // commits; screen them out before the sink sees them
+        val hits = dels match {
+          case Some(d) => raw.join(d, Seq("vec_id"), "left_anti")
+          case None    => raw
+        }
+        onHits(hits, id)
+      }
       absorbOnce(spark, indexPath, streamId, id) {
-        graft.ops.SimilarityOps.mergeIvfIndex(batch, indexPath)
+        dels.foreach(d =>
+          graft.ops.SimilarityOps.tombstoneAnnIndex(d, indexPath))
+        if (hasAdds) {
+          serveTombstonesIfClashing(spark, indexPath, "ivf", adds, "vec_id")
+          graft.ops.SimilarityOps.mergeIvfIndex(adds, indexPath)
+        }
       }
     }
     ()
@@ -470,13 +496,27 @@ object CdcStream {
                            topK: Int, maxAdc: Double, nprobe: Int,
                            onHits: (DataFrame, Long) => Unit): Unit = {
     if (!batch.isEmpty) graft.engine.Caches.withCached {
-      onHits(
-        graft.ops.SimilarityOps.queryIvfPqIndexBatch(spark, indexPath,
-          batch, topK, nprobe)
-          .filter(org.apache.spark.sql.functions.col("adc_dist") <= maxAdc),
-        id)
+      // op-aware like [[annScreenAndAbsorb]], same inline deletion-serve
+      val (adds, dels) = splitOps(batch, "vec_id")
+      val hasAdds = !adds.isEmpty
+      if (hasAdds) {
+        val raw = graft.ops.SimilarityOps.queryIvfPqIndexBatch(spark,
+          indexPath, adds, topK, nprobe)
+          .filter(org.apache.spark.sql.functions.col("adc_dist") <= maxAdc)
+        val hits = dels match {
+          case Some(d) => raw.join(d, Seq("vec_id"), "left_anti")
+          case None    => raw
+        }
+        onHits(hits, id)
+      }
       absorbOnce(spark, indexPath, streamId, id) {
-        graft.ops.SimilarityOps.mergeIvfPqIndex(batch, indexPath)
+        dels.foreach(d =>
+          graft.ops.SimilarityOps.tombstoneAnnIndex(d, indexPath))
+        if (hasAdds) {
+          serveTombstonesIfClashing(spark, indexPath, "ivfpq", adds,
+            "vec_id")
+          graft.ops.SimilarityOps.mergeIvfPqIndex(adds, indexPath)
+        }
       }
     }
     ()
@@ -672,6 +712,65 @@ object CdcStream {
           if (!adds.isEmpty) graft.ops.TextOps.mergeVocabIndex(adds, viewPath)
           if (!dels.isEmpty) graft.ops.TextOps.retractVocabIndex(dels, viewPath)
         } else graft.ops.TextOps.mergeVocabIndex(batch, viewPath)
+      }
+    }
+    ()
+  }
+
+  /** Streaming incremental maintenance for the stored BM25 inverted
+    * index — the keyword-retrieval absorb loop: each document
+    * micro-batch's postings are merged
+    * ([[graft.ops.TextOps.mergeBm25Index]]) exactly once under the
+    * (stream, batch-id) ledger protocol, and `op='DELETE'` rows (which
+    * carry the full row image, the CDC delete-capture contract) route
+    * through [[graft.ops.TextOps.retractBm25Index]] — tombstoned
+    * postings stop scoring immediately, lexicon/stats adjust exactly,
+    * and the `bm25` maintenance tick makes deletions physical. The
+    * delete→re-insert update is served inline like every absorb family
+    * ([[serveTombstonesIfClashing]]). */
+  def bm25AbsorbStream(spark: SparkSession, inGlob: String,
+                       checkpointDir: String, schema: StructType,
+                       indexPath: String,
+                       maintainEvery: Int = 0,
+                       maintainMaxFiles: Int = 8): StreamingQuery = {
+    absorbedHighWater.remove((indexPath, checkpointDir))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .json(inGlob)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        bm25Absorb(spark, batch, id, indexPath, checkpointDir)
+        if (maintainEvery > 0 && id > 0 && id % maintainEvery == 0)
+          maintainStreamedIndex(spark, indexPath, "bm25", maintainMaxFiles)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** One BM25 absorb micro-batch — public for direct replay testing.
+    * Retraction runs BEFORE the merge (tombstone first, then serve the
+    * clash if this very batch re-inserts a deleted doc), both halves
+    * under ONE ledger entry so a replayed mixed batch re-applies
+    * neither. */
+  def bm25Absorb(spark: SparkSession, batch: DataFrame, id: Long,
+                 indexPath: String, streamId: String): Unit = {
+    if (!batch.isEmpty) graft.engine.Caches.withCached {
+      absorbOnce(spark, indexPath, streamId, id) {
+        if (batch.columns.contains("op")) {
+          // the retract needs the full row image, so DELETE rows keep
+          // every column (unlike the key-only splitOps families)
+          val adds = batch
+            .filter(coalesce(col("op") =!= "DELETE", lit(true))).drop("op")
+          val dels = batch.filter(col("op") === "DELETE").drop("op")
+          if (!dels.isEmpty)
+            graft.ops.TextOps.retractBm25Index(dels, indexPath)
+          if (!adds.isEmpty) {
+            serveTombstonesIfClashing(spark, indexPath, "bm25", adds)
+            graft.ops.TextOps.mergeBm25Index(adds, indexPath)
+          }
+        } else graft.ops.TextOps.mergeBm25Index(batch, indexPath)
       }
     }
     ()

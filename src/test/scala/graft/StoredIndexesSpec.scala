@@ -700,6 +700,120 @@ class StoredIndexesSpec extends AnyFunSuite {
     assert(calls.get() === 2)
   }
 
+  test("ANN tombstones (IVF/PQ/IVFPQ): immediate logical delete on every " +
+    "stored probe, physical at the tick, re-insert guarded until served") {
+    def baseVec(i: Int): Seq[Double] =
+      Seq.tabulate(4)(j => if (j == i % 4) 1.0 + i else 0.01 * (j + 1))
+    val base = (0 until 12).map(i => (i.toLong, baseVec(i)))
+      .toDF("vec_id", "embedding")
+    val qv = baseVec(2)
+
+    // IVF — the full lifecycle
+    val ivf = java.nio.file.Files.createTempDirectory("ivf_tomb").toString
+    SimilarityOps.buildIvfIndex(base, ivf, k = 4, iters = 2)
+    def ivfTop() = SimilarityOps.queryIvfIndex(spark, ivf, qv, 3, nprobe = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ivfTop().contains(2L))
+    SimilarityOps.tombstoneAnnIndex(Seq(2L).toDF("vec_id"), ivf)
+    assert(!ivfTop().contains(2L),
+      "a tombstoned vector must stop matching before the compaction")
+    // the batch probe screens too
+    val probeQ = Seq((100L, qv)).toDF("vec_id", "embedding")
+    assert(!SimilarityOps.queryIvfIndexBatch(spark, ivf, probeQ, 3)
+      .select("vec_id").collect().map(_.getLong(0)).contains(2L))
+    // re-inserting the deleted id before the tick is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.mergeIvfIndex(base.filter($"vec_id" === 2L), ivf)
+    }
+    assert(e.getMessage.contains("tombstoned"))
+    // the tick makes the deletion physical and clears the tombstones
+    assert(Compaction.maintainIndex(spark, ivf, "ivf"),
+      "pending tombstones must force the rewrite")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$ivf/tombstones")))
+    assert(spark.read.parquet(Compaction.resolve(s"$ivf/assignments"))
+      .filter($"vec_id" === 2L).count() === 0L,
+      "the assignment rows must be physically gone")
+    // after the tick the id may return (delete + reinsert, CDC-style)
+    SimilarityOps.mergeIvfIndex(base.filter($"vec_id" === 2L), ivf)
+    assert(ivfTop().contains(2L))
+
+    // PQ + IVFPQ — screen and physical delete on the code tables
+    val pq = java.nio.file.Files.createTempDirectory("pq_tomb").toString
+    SimilarityOps.buildPqIndex(base, pq, m = 2, ksub = 4)
+    SimilarityOps.tombstoneAnnIndex(Seq(2L).toDF("vec_id"), pq)
+    assert(!SimilarityOps.queryPqIndex(spark, pq, qv, 3)
+      .select("vec_id").collect().map(_.getLong(0)).contains(2L))
+    assert(Compaction.maintainIndex(spark, pq, "pq"))
+    assert(spark.read.parquet(Compaction.resolve(s"$pq/codes"))
+      .filter($"vec_id" === 2L).count() === 0L)
+    val ivfpq = java.nio.file.Files.createTempDirectory("ivfpq_tomb").toString
+    SimilarityOps.buildIvfPqIndex(base, ivfpq, k = 4, m = 2, ksub = 4)
+    SimilarityOps.tombstoneAnnIndex(Seq(2L).toDF("vec_id"), ivfpq)
+    assert(!SimilarityOps.queryIvfPqIndex(spark, ivfpq, qv, 3, nprobe = 4)
+      .select("vec_id").collect().map(_.getLong(0)).contains(2L))
+    assert(Compaction.maintainIndex(spark, ivfpq, "ivfpq"))
+    assert(spark.read.parquet(Compaction.resolve(s"$ivfpq/codes"))
+      .filter($"vec_id" === 2L).count() === 0L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$ivfpq/tombstones")))
+  }
+
+  test("BM25 retraction: scores equal a rebuild on the remaining corpus, " +
+    "postings physical at the tick, double-retract raises") {
+    def doc(id: Long, words: String) = (id, words)
+    val docs = Seq(
+      doc(1L, "spark join window spark " + (1 to 30).map("w" + _).mkString(" ")),
+      doc(2L, "spark spark unique2only join " + (1 to 20).map("x" + _).mkString(" ")),
+      doc(3L, "window join " + (1 to 25).map("y" + _).mkString(" ")),
+      doc(4L, "spark window " + (1 to 15).map("z" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("bm25_tomb").toString
+    TextOps.buildBm25Index(docs, path)
+    val terms = Seq("spark", "join", "window")
+    def stored() = TextOps.queryBm25Index(spark, path, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored().map(_._1).contains(2L))
+    // retract doc 2 (full row image, the CDC delete-capture contract)
+    TextOps.retractBm25Index(docs.filter($"doc_id" === 2L), path)
+    // stored scores now bit-identical to an index REBUILT on {1,3,4}
+    val rebuilt = java.nio.file.Files.createTempDirectory("bm25_rebuild").toString
+    TextOps.buildBm25Index(docs.filter($"doc_id" =!= 2L), rebuilt)
+    assert(stored() === TextOps.queryBm25Index(spark, rebuilt, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+      "retraction must adjust tf/df/dl/n_docs/sum_dl exactly")
+    // the batch probe screens too
+    val qt = Seq((900L, "spark"), (900L, "unique2only")).toDF("q_id", "term")
+    assert(!TextOps.queryBm25IndexBatch(spark, path, qt, 10)
+      .select("doc_id").collect().map(_.getLong(0)).contains(2L))
+    // re-inserting before the tick is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      TextOps.mergeBm25Index(docs.filter($"doc_id" === 2L), path)
+    }
+    assert(e.getMessage.contains("tombstoned"))
+    // tick: physical deletion + tombstone clear, answers unchanged
+    val before = stored()
+    assert(Compaction.maintainIndex(spark, path, "bm25"))
+    assert(spark.read.parquet(Compaction.resolve(s"$path/postings"))
+      .filter($"doc_id" === 2L).count() === 0L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/tombstones")))
+    assert(stored() === before)
+    // re-insert after the tick: back to the full-corpus scores
+    TextOps.mergeBm25Index(docs.filter($"doc_id" === 2L), path)
+    val full = java.nio.file.Files.createTempDirectory("bm25_full").toString
+    TextOps.buildBm25Index(docs, full)
+    assert(stored() === TextOps.queryBm25Index(spark, full, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // retract once more, then AGAIN: the unabsorbed second retraction
+    // nets doc 2's unique term negative and must raise, not publish
+    TextOps.retractBm25Index(docs.filter($"doc_id" === 2L), path)
+    val corrupt = intercept[Exception] {
+      TextOps.retractBm25Index(docs.filter($"doc_id" === 2L), path)
+    }
+    assert(String.valueOf(corrupt.getMessage).contains("absorb"))
+  }
+
   test("hash-index probe broadcast is size-guarded: with broadcasting " +
     "disabled the probe falls back to a shuffle join, same answers") {
     import graft.ops.{DedupOps, Multimodal}

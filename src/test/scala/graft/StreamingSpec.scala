@@ -1005,4 +1005,127 @@ class StreamingSpec extends AnyFunSuite {
     q2.awaitTermination()
     assert(store.currentVersion().get === 2L)
   }
+
+  test("ANN stream CDC DELETE: tombstone routes under the batch ledger, " +
+    "delete+reinsert update serves inline") {
+    import graft.ops.SimilarityOps
+    import graft.engine.Compaction
+    val idx = Files.createTempDirectory("annd_idx").toString
+    val ckpt = Files.createTempDirectory("annd_ckpt").toString
+    def baseVec(i: Int): Seq[Double] =
+      Seq.tabulate(4)(j => if (j == i % 4) 1.0 + i else 0.01 * (j + 1))
+    val base = (0 until 10).map(i => (i.toLong, baseVec(i)))
+      .toDF("vec_id", "embedding")
+    SimilarityOps.buildIvfIndex(base, idx)
+    // batch 0 (op-aware): DELETE indexed vec 2 + INSERT an exact copy of
+    // it — the hit against the just-deleted vector must be screened out
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val b0 = Seq((100L, baseVec(2), "I"),
+      (2L, null.asInstanceOf[Seq[Double]], "DELETE"))
+      .toDF("vec_id", "embedding", "op")
+    CdcStream.annScreenAndAbsorb(spark, b0, 0L, idx, ckpt, 3, 0.999, 1,
+      (df, _) => hits ++= df.select("q_id", "vec_id").as[(Long, Long)].collect())
+    assert(!hits.exists(_._2 == 2L),
+      "a hit against a vector this very batch deletes is not a real match")
+    // the deletion is live immediately: the stored probe skips vec 2
+    assert(!SimilarityOps.queryIvfIndex(spark, idx, baseVec(2), 3)
+      .select("vec_id").collect().map(_.getLong(0)).contains(2L))
+    // batch 1: the CDC UPDATE shape — vec 2 returns. The merge collides
+    // with its pending tombstone, so the inline serve runs the tick
+    // (physical delete + clear) and the merge lands cleanly.
+    val b1 = Seq((2L, baseVec(2), "I")).toDF("vec_id", "embedding", "op")
+    CdcStream.annScreenAndAbsorb(spark, b1, 1L, idx, ckpt, 3, 0.999, 1,
+      (_, _) => ())
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$idx/tombstones")))
+    val asg = spark.read.parquet(Compaction.resolve(s"$idx/assignments"))
+    assert(asg.filter($"vec_id" === 2L).count() === 1L,
+      "exactly one assignment row for the re-inserted id")
+    assert(SimilarityOps.queryIvfIndex(spark, idx, baseVec(2), 3)
+      .select("vec_id").collect().map(_.getLong(0)).contains(2L))
+    // replaying an absorbed batch id is a no-op (ledger protocol)
+    val n = asg.count()
+    CdcStream.annScreenAndAbsorb(spark, b1, 1L, idx, ckpt, 3, 0.999, 1,
+      (_, _) => ())
+    assert(spark.read.parquet(Compaction.resolve(s"$idx/assignments"))
+      .count() === n)
+  }
+
+  test("streaming BM25 absorb: merge + retract under one ledger entry, " +
+    "replay no-ops, scores equal the remaining corpus") {
+    import graft.ops.TextOps
+    import graft.engine.Compaction
+    val idx = Files.createTempDirectory("bmd_idx").toString
+    val ckpt = Files.createTempDirectory("bmd_ckpt").toString
+    val mk = Map(
+      1L -> ("spark join window " + (1 to 30).map("w" + _).mkString(" ")),
+      2L -> ("spark spark join " + (1 to 20).map("x" + _).mkString(" ")),
+      3L -> ("window join " + (1 to 25).map("y" + _).mkString(" ")),
+      4L -> ("spark window " + (1 to 15).map("z" + _).mkString(" ")))
+    val docs = mk.toSeq.sortBy(_._1).toDF("doc_id", "text")
+    TextOps.buildBm25Index(docs.filter($"doc_id" <= 3L), idx)
+    // batch 1 (op-aware, ONE ledger entry): DELETE doc 2 with its full
+    // row image + INSERT doc 4
+    val b1 = Seq((4L, mk(4L), "I"), (2L, mk(2L), "DELETE"))
+      .toDF("doc_id", "text", "op")
+    CdcStream.bm25Absorb(spark, b1, 1L, idx, ckpt)
+    val terms = Seq("spark", "join", "window")
+    def stored() = TextOps.queryBm25Index(spark, idx, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rebuilt = Files.createTempDirectory("bmd_rebuild").toString
+    TextOps.buildBm25Index(docs.filter($"doc_id" =!= 2L), rebuilt)
+    val expected = TextOps.queryBm25Index(spark, rebuilt, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored() === expected,
+      "the absorbed merge+retract must equal a rebuild on {1,3,4}")
+    // crash replay of the same mixed batch re-applies NEITHER half
+    CdcStream.bm25Absorb(spark, b1, 1L, idx, ckpt)
+    assert(stored() === expected, "a replayed mixed batch must no-op")
+    assert(spark.read.parquet(Compaction.resolve(s"$idx/_ledger"))
+      .count() === 1L)
+    // the tick serves the deletion physically
+    assert(Compaction.maintainIndex(spark, idx, "bm25"))
+    assert(spark.read.parquet(Compaction.resolve(s"$idx/postings"))
+      .filter($"doc_id" === 2L).count() === 0L)
+    assert(stored() === expected)
+  }
+
+  test("mass purge: deleting a whole corpus slice through the stream " +
+    "completes without a forced driver broadcast") {
+    import graft.ops.DedupOps
+    import graft.engine.Compaction
+    val idx = Files.createTempDirectory("purge_idx").toString
+    val ckpt = Files.createTempDirectory("purge_ckpt").toString
+    def body(i: Long) = (1 to 50).map(j => s"p${i}w$j").mkString(" ")
+    val docs = (0L until 30L).map(i => (i, body(i))).toDF("doc_id", "text")
+    DedupOps.buildFingerprintIndex(docs, idx)
+    // the purge batch: every doc_id % 3 == 0 — a third of the corpus in
+    // one DELETE batch. With broadcasting disabled, every tombstone
+    // screen/guard in the path must fall back to planner strategy (the
+    // maybeBroadcast guard) instead of forcing a driver broadcast.
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val purge = (0L until 30L by 3L)
+        .map(i => (i, null.asInstanceOf[String], "DELETE"))
+        .toDF("doc_id", "text", "op")
+      CdcStream.screenAndAbsorb(spark, purge, 0L, idx, ckpt, (_, _) => ())
+      // deletion live immediately: a near-dup of a purged doc is silent
+      val probeDel = Seq((900L, body(0L) + " tail")).toDF("doc_id", "text")
+      assert(DedupOps.queryFingerprintIndex(spark, idx, probeDel)
+        .count() === 0L)
+      // ...while a near-dup of a kept doc still fires
+      val probeKept = Seq((901L, body(1L) + " tail")).toDF("doc_id", "text")
+      assert(DedupOps.queryFingerprintIndex(spark, idx, probeKept)
+        .filter($"doc_old" === 1L).count() === 1L)
+      // the tick makes the purge physical under the same disabled-
+      // broadcast config and clears the served tombstones
+      assert(Compaction.maintainIndex(spark, idx, "fingerprint"))
+      assert(spark.read.parquet(Compaction.resolve(s"$idx/postings"))
+        .filter($"doc_id" % 3 === 0L).count() === 0L)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$idx/tombstones")))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
 }
+
