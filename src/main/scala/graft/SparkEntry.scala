@@ -898,6 +898,15 @@ object SparkEntry {
       SimilarityOps.queryIvfIndex(s, storedIvfPath(s, dir),
         queryEmbedding(s, dir, 0L), 10, nprobe = 1, excludeIds = Seq(0L))),
 
+    // the stored-ANN probe AFTER a right-to-be-forgotten deletion: the
+    // vec_id % 7 = 3 slice is tombstoned at index-ensure time and the
+    // probe's tombstone screen drops it from the assignment scan
+    // IMMEDIATELY (no compaction tick has run) — the oracle replays the
+    // same training and excludes the deleted ids from candidacy only
+    "ann_ivf_deleted_topk" -> ((s, dir) =>
+      SimilarityOps.queryIvfIndex(s, deletedIvfPath(s, dir),
+        queryEmbedding(s, dir, 0L), 10, nprobe = 1, excludeIds = Seq(0L))),
+
     "ann_pq_stored_topk" -> ((s, dir) =>
       SimilarityOps.queryPqIndex(s, storedPqPath(s, dir),
         queryEmbedding(s, dir, 0L), 10, excludeIds = Seq(0L))),
@@ -975,6 +984,14 @@ object SparkEntry {
     // that oracle
     "text_bm25_stored_topk" -> ((s, dir) =>
       TextOps.queryBm25Index(s, storedBm25Path(s, dir), BmTerms, 10)),
+
+    // the stored-BM25 probe AFTER a retraction: the doc_id % 13 = 5
+    // slice is retracted at index-ensure time (postings tombstoned,
+    // lexicon df and corpus stats subtracted exactly) — stored scores
+    // are bit-identical to an index REBUILT on the remaining corpus,
+    // which is exactly what the oracle computes
+    "text_bm25_retract_topk" -> ((s, dir) =>
+      TextOps.queryBm25Index(s, retractedBm25Path(s, dir), BmTerms, 10)),
 
     // Incremental stored-BM25 maintenance — the CDC×retrieval
     // composition for keywords, mirroring ann_ivf_merged_topk: the index
@@ -1061,6 +1078,16 @@ object SparkEntry {
           Tables.documents(s, dir).filter(expr("doc_id % 4 = 3")))),
         ahashIdxPath(s, dir), maxDist = 2)
         .orderBy("doc_new", "doc_old")),
+
+    // REAL multi-frame container round-trip: per-doc animated GIF
+    // (2-5 frames, indexed-gray palette so the palette codec is
+    // lossless) written AND parsed by JDK ImageIO; one row per decoded
+    // frame with dimensions + exact integer gray sum, all recomputed by
+    // the oracle from the frame formula alone
+    "multimodal_gif_frames" -> ((s, dir) =>
+      Multimodal.decodeGifFrames(
+        Multimodal.encodeGif(Tables.documents(s, dir)))
+        .orderBy("doc_id", "frame_no")),
 
     // REAL audio codec round-trip: closed-form sawtooth PCM, WAV
     // container, decoded back by javax.sound.sampled; per-window exact
@@ -1613,6 +1640,9 @@ object SparkEntry {
     stage("ann_indexes") {
       storedIvfPath(s, dir); storedPqPath(s, dir)
       storedIvfPqPath(s, dir)
+      // the deletion read-path's own root (build + tombstone) — setup
+      // cost like its ivf_idx twin, so the query times the pure probe
+      deletedIvfPath(s, dir)
       ()
     }
       }),
@@ -1632,6 +1662,9 @@ object SparkEntry {
     stage("text_indexes") {
       storedBm25Path(s, dir); mergedBm25Path(s, dir)
       dedupIdxPath(s, dir); mergedVocabPath(s, dir)
+      // the retraction read-path's own root (build + retract) — setup
+      // cost like its bm25_idx twin, so the query times the pure probe
+      retractedBm25Path(s, dir)
       ()
     }
       }))
@@ -1718,6 +1751,27 @@ object SparkEntry {
   private def storedBm25Path(s: SparkSession, dir: String): String =
     engine.StoredIndexes.ensure("bm25_idx", dir)(p =>
       TextOps.buildBm25Index(Tables.documents(s, dir), p))
+
+  /** Stored BM25 index with a retraction applied — its own root (the
+    * deletion must not leak into the other stored-BM25 queries). */
+  private def retractedBm25Path(s: SparkSession, dir: String): String =
+    engine.StoredIndexes.ensure("bm25_del", dir) { p =>
+      val docs = Tables.documents(s, dir)
+      TextOps.buildBm25Index(docs, p)
+      TextOps.retractBm25Index(docs.filter(expr("doc_id % 13 = 5")), p)
+    }
+
+  /** Stored IVF index with a tombstoned slice — its own root, pending
+    * tombstones left UNSERVED so the probe exercises the logical-delete
+    * screen (the compaction tick's physical path is spec-covered). */
+  private def deletedIvfPath(s: SparkSession, dir: String): String =
+    engine.StoredIndexes.ensure("ivf_del", dir) { p =>
+      SimilarityOps.buildIvfIndex(Tables.embeddings(s, dir), p,
+        P.KmK, P.KmIters)
+      SimilarityOps.tombstoneAnnIndex(
+        Tables.embeddings(s, dir).filter(expr("vec_id % 7 = 3"))
+          .select("vec_id"), p)
+    }
 
   private def distinctViewPath(s: SparkSession, dir: String): String =
     engine.StoredIndexes.ensure("distinct_view", dir) { p =>
@@ -1994,8 +2048,13 @@ object SparkEntry {
        |    FROM e, c$iters c) WHERE rn = 1)""".stripMargin
   }
 
-  private def ivfKmeansOracleSql(trainPred: Option[String]): String = {
+  private def ivfKmeansOracleSql(trainPred: Option[String],
+                                 delPred: Option[String] = None): String = {
     val iters = 2
+    // delPred models a tombstoned-id set: deletion screens the
+    // ASSIGNMENT scan only — centroids stay frozen at build time and the
+    // probed cell is chosen against them, exactly as the stored probe
+    val del = delPred.map(p => s" AND NOT ($p)").getOrElse("")
     s"""${ivfFinCtes(trainPred, iters)},
        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
        |best AS (
@@ -2004,7 +2063,7 @@ object SparkEntry {
        |SELECT f.vec_id, CAST(f.cl AS BIGINT) AS cluster,
        |       round(${cosSql("f.v", "qv")}, 6) AS cosine
        |FROM fin f JOIN best USING (cl), q
-       |WHERE f.vec_id <> 0
+       |WHERE f.vec_id <> 0$del
        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
   }
 
@@ -2232,6 +2291,15 @@ object SparkEntry {
     "ann_ivf_stored_topk" -> oracleSqlBase("ann_ivf_kmeans_topk"),
     "ann_pq_stored_topk" -> oracleSqlBase("ann_pq_topk"),
     "ann_ivfpq_stored_topk" -> oracleSqlBase("ann_ivfpq_topk"),
+
+    // right-to-be-forgotten read paths: the stored index AFTER a
+    // deletion — the ANN probe screens its tombstones (centroids stay
+    // frozen, only the assignment scan loses the deleted ids), the BM25
+    // retraction adjusts tf/df/dl/n_docs exactly, so each oracle is the
+    // REBUILD on the remaining corpus
+    "ann_ivf_deleted_topk" ->
+      ivfKmeansOracleSql(None, delPred = Some("vec_id % 7 = 3")),
+    "text_bm25_retract_topk" -> bm25OracleSql("doc_id % 13 <> 5"),
     "vocab_merged_topk" -> oracleSqlBase("vocab_topk"),
     "lm_score_stored" -> oracleSqlBase("lm_score"),
     "bpe_pairs_stored" -> oracleSqlBase("bpe_pair_counts"),
@@ -3143,6 +3211,25 @@ object SparkEntry {
         |       CAST(sum((11*x + 3*y + 2*doc_id) % 256) AS BIGINT) AS rsum_g,
         |       CAST(sum((5*x + 17*y + 3*doc_id) % 256) AS BIGINT) AS rsum_b
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the decode ran a REAL animated-GIF parse (ImageIO sequence reader)
+    // over real container bytes; the indexed-gray palette makes the
+    // codec lossless, so per-frame dims + exact gray sums recompute from
+    // the (x, y, doc_id, frame) formula
+    "multimodal_gif_frames" ->
+      """WITH g AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+        |                  8 + (3 * doc_id) % 9 AS h,
+        |                  2 + doc_id % 4 AS n FROM documents),
+        |fr AS (SELECT doc_id, w, h, f
+        |       FROM g, LATERAL unnest(range(0, n)) AS t(f)),
+        |px AS (SELECT doc_id, w, h, f, i % w AS x, i // w AS y
+        |       FROM fr, LATERAL unnest(range(0, w * h)) AS t(i))
+        |SELECT doc_id, CAST(f AS INT) AS frame_no, CAST(w AS INT) AS width,
+        |       CAST(h AS INT) AS height,
+        |       CAST(sum((7*x + 13*y + doc_id + 19*f) % 256) AS BIGINT)
+        |         AS sum_gray
+        |FROM px GROUP BY doc_id, f, w, h
+        |ORDER BY doc_id, frame_no""".stripMargin,
 
     "multimodal_audio_features" ->
       """WITH g AS (SELECT doc_id, 800 + (doc_id % 5) * 160 AS n
@@ -4135,14 +4222,22 @@ object SparkEntry {
     // mirror of [[TextOps.bm25TopK]] (terms spark/join/window, k1=1.2,
     // b=0.75 pre-folded as 2.2 / 0.25 / 0.75; rational idf — no log, so
     // every op is an exact-rounded IEEE step in identical order)
-    "text_bm25_topk" ->
+    "text_bm25_topk" -> bm25OracleSql("TRUE"),
+  )
+
+  /** The BM25 oracle over the corpus restricted to `pred` — "TRUE" is
+    * the inline/stored/merged twins' full corpus; a deletion predicate
+    * models a retraction (the stored index after [[TextOps
+    * .retractBm25Index]] scores bit-identically to a rebuild on the
+    * remaining corpus, so the oracle IS the rebuild). */
+  private def bm25OracleSql(pred: String): String =
       s"""WITH $wordsSql,
          |tf AS (
          |  SELECT doc_id, len(w) AS dl,
          |         len(list_filter(w, x -> x = 'spark')) AS tf_0,
          |         len(list_filter(w, x -> x = 'join')) AS tf_1,
          |         len(list_filter(w, x -> x = 'window')) AS tf_2
-         |  FROM words),
+         |  FROM words WHERE $pred),
          |stats AS (
          |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
          |         CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
@@ -4162,6 +4257,5 @@ object SparkEntry {
          |       AS bm25
          |FROM tf, stats
          |WHERE tf_0 + tf_1 + tf_2 > 0
-         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
-  )
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
 }

@@ -377,6 +377,121 @@ object Multimodal {
       }(enc)
   }
 
+  /** Deterministic synthetic animated GIF — the MULTI-FRAME container
+    * fixture: `n` frames of a `w`×`h` grayscale raster, frame `f` pixel
+    * (x, y) = `(7x + 13y + id + 19f) % 256`. Written through the JDK
+    * ImageIO GIF writer's sequence API (a real animated-GIF encoder, no
+    * new jars) over an explicit 256-gray `IndexColorModel` — the raster
+    * IS its own palette, so the palette-quantizing codec stores every
+    * pixel EXACTLY and the round trip is lossless: the DuckDB oracle
+    * recomputes any per-frame statistic from the formula alone, the same
+    * contract as [[syntheticPng]].
+    *
+    * Minimum raster 5×5: the JDK GIF writer measurably corrupts smaller
+    * frames (a size sweep found 2×2–4×4 losing w·h−w pixels on the
+    * round trip; 5×5 and up are exact) — refuse them rather than let a
+    * caller ship bytes whose decode silently disagrees with the
+    * formula. The production [[dims]] range is [8, 16]. */
+  def syntheticGif(id: Long, w: Int, h: Int, n: Int): Array[Byte] = {
+    require(w >= 5 && h >= 5,
+      s"syntheticGif: ${w}x$h below the JDK GIF writer's 5x5 exactness floor")
+    val grays = Array.tabulate[Byte](256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val bos = new java.io.ByteArrayOutputStream()
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.prepareWriteSequence(null)
+    var f = 0
+    while (f < n) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0,
+            ((7L * x + 13L * y + id + 19L * f) % 256L).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    wr.endWriteSequence()
+    ios.close()
+    wr.dispose()
+    bos.toByteArray
+  }
+
+  /** docs → (doc_id, payload) with real animated-GIF bytes: the shared
+    * [[dims]] raster size and `2 + id % 4` frames (2–5, closed-form so
+    * the oracle derives the frame count from doc_id alone). Executor-side
+    * encode, like [[encodePng]]. */
+  def encodeGif(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val enc = RowEncoder.encoderFor(schema)
+    docs.select(col("doc_id").cast("long"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (w, h) = dims(id)
+          Row(id, syntheticGif(id, w, h, 2 + (id % 4L).toInt))
+        }
+      }(enc)
+  }
+
+  /** REAL multi-frame container decode — the frame-sampling verb over an
+    * actual animated-media codec, retiring the last synthetic-grid
+    * multimodal stub: the JDK ImageIO GIF reader parses the container,
+    * `getNumImages` walks the frame directory, and every frame decodes
+    * to its raster, one output row per (doc, frame) with the exact
+    * integer gray sum. The Spark shape is what matters at 100 TB and is
+    * identical to a video frame-sampler's: a narrow per-partition
+    * flatMap (decode fans OUT rows, never shuffles), decode cost
+    * dominant, undecodable bytes failing loudly. */
+  def decodeGifFrames(withPayload: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_no", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sum_gray", LongType)))
+    val enc = RowEncoder.encoderFor(schema)
+    withPayload.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        // reader hoisted ONCE per partition (the decodeWavFeatures SPI
+        // lesson: per-row provider scans measured 17x super-linear under
+        // 32 threads); setInput resets the reader per payload
+        val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))))
+          val n = rd.getNumImages(true)
+          require(n > 0, s"decodeGifFrames: doc $id is not a decodable GIF")
+          (0 until n).map { f =>
+            val img = rd.read(f)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                sum += (img.getRGB(x, y) & 0xff).toLong
+                x += 1
+              }
+              y += 1
+            }
+            Row(id, f, w, h, sum)
+          }
+        }
+      }(enc)
+  }
+
   /** Nearest-neighbor resize — the remaining multimodal verb beside
     * decode / feature-extract / frame-sample. The "image" is the stub
     * pixel source consistent with [[decodeStub]]'s posture: the payload

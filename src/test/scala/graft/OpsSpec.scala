@@ -461,6 +461,45 @@ class OpsSpec extends AnyFunSuite {
       .exists(t => String.valueOf(t.getMessage).contains("not a decodable")))
   }
 
+  test("multi-frame GIF round-trip: a REAL animated-GIF encode/decode " +
+    "recovers every frame's exact pixels, fail-loud on junk") {
+    // hand-check: id=0, 5x5, 3 frames -> v(x,y,f) = (7x+13y+19f)%256,
+    // no mod wrap at this size; f0 = Σ(7x+13y) = 5·70 + 65·10 = 1000,
+    // each later frame adds 19·25
+    val gif = Multimodal.syntheticGif(0L, 5, 5, 3)
+    assert(gif.take(4).map(_.toChar).mkString === "GIF8",
+      "payload must be a real GIF bitstream")
+    val rows = Multimodal.decodeGifFrames(
+      Seq((0L, gif)).toDF("doc_id", "payload"))
+      .orderBy("frame_no").collect()
+    assert(rows.length === 3, "all three frames must decode")
+    assert(rows.map(_.getLong(4)).toSeq === Seq(1000L, 1475L, 1950L))
+    rows.foreach(r => assert((r.getInt(2), r.getInt(3)) === ((5, 5))))
+    // below the JDK writer's 5x5 exactness floor the encoder refuses
+    // (the sweep measured 2x2-4x4 losing pixels on the round trip)
+    intercept[IllegalArgumentException] {
+      Multimodal.syntheticGif(0L, 4, 4, 1)
+    }
+    // corpus path: executor-side encode, decoded frame count follows
+    // the 2 + id % 4 generator formula for every doc
+    val out = Multimodal.decodeGifFrames(
+      Multimodal.encodeGif(docs.limit(20)))
+      .groupBy("doc_id").count().collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) === 2 + (r.getLong(0) % 4),
+        s"doc ${r.getLong(0)} frame count")
+    }
+    // junk bytes fail loudly, never silently skip
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val e = intercept[Throwable] {
+      Multimodal.decodeGifFrames(junk).count()
+    }
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+      .exists(t => String.valueOf(t.getMessage).contains("not a decodable")
+        || t.isInstanceOf[java.io.IOException]))
+  }
+
   test("image aHash: raster-identical images collide, banded pairs " +
     "find them without an all-pairs join") {
     // the synthetic raster is mod-256 in id: ids 256 apart produce
