@@ -907,6 +907,16 @@ object SparkEntry {
       SimilarityOps.queryIvfIndex(s, deletedIvfPath(s, dir),
         queryEmbedding(s, dir, 0L), 10, nprobe = 1, excludeIds = Seq(0L))),
 
+    // the stored-ANN probe AFTER a drift-triggered RETRAIN: the index
+    // was BUILT on a 4/5 subset, absorbed the remainder as a merge
+    // against frozen centroids, then retrained on its own live set —
+    // k-means init is the k lowest vec_ids of the SET (not arrival
+    // order), so the retrained index is bit-identical to a fresh build
+    // on the full corpus, which is exactly what the oracle replays
+    "ann_ivf_retrained_topk" -> ((s, dir) =>
+      SimilarityOps.queryIvfIndex(s, retrainedIvfPath(s, dir),
+        queryEmbedding(s, dir, 0L), 10, nprobe = 1, excludeIds = Seq(0L))),
+
     "ann_pq_stored_topk" -> ((s, dir) =>
       SimilarityOps.queryPqIndex(s, storedPqPath(s, dir),
         queryEmbedding(s, dir, 0L), 10, excludeIds = Seq(0L))),
@@ -1643,6 +1653,9 @@ object SparkEntry {
       // the deletion read-path's own root (build + tombstone) — setup
       // cost like its ivf_idx twin, so the query times the pure probe
       deletedIvfPath(s, dir)
+      // the retrain read-path's root (build + merge + retrain) — same
+      // posture: the query times the pure probe of the retrained index
+      retrainedIvfPath(s, dir)
       ()
     }
       }),
@@ -1771,6 +1784,21 @@ object SparkEntry {
       SimilarityOps.tombstoneAnnIndex(
         Tables.embeddings(s, dir).filter(expr("vec_id % 7 = 3"))
           .select("vec_id"), p)
+    }
+
+  /** Stored IVF index taken through the full churn lifecycle — build on
+    * a subset, merge the drifting remainder against frozen centroids,
+    * then RETRAIN on the index's own live set (atomic republish, drift
+    * log reset). Its own root; the retrained state is bit-identical to
+    * a fresh build on the full corpus (deterministic k-means over the
+    * SET), which the `ann_ivf_kmeans_topk` oracle already replays. */
+  private def retrainedIvfPath(s: SparkSession, dir: String): String =
+    engine.StoredIndexes.ensure("ivf_retrain", dir) { p =>
+      val e = Tables.embeddings(s, dir)
+      SimilarityOps.buildIvfIndex(e.filter(expr("vec_id % 5 != 0")), p,
+        P.KmK, P.KmIters)
+      SimilarityOps.mergeIvfIndex(e.filter(expr("vec_id % 5 = 0")), p)
+      SimilarityOps.retrainIvfIndex(s, p, P.KmK, P.KmIters)
     }
 
   private def distinctViewPath(s: SparkSession, dir: String): String =
@@ -2299,6 +2327,10 @@ object SparkEntry {
     // REBUILD on the remaining corpus
     "ann_ivf_deleted_topk" ->
       ivfKmeansOracleSql(None, delPred = Some("vec_id % 7 = 3")),
+    // build-subset → merge → retrain ≡ fresh full-corpus training
+    // (deterministic k-means over the set), so the oracle is the same
+    // unrolled-CTE replay the inline trained probe uses
+    "ann_ivf_retrained_topk" -> oracleSqlBase("ann_ivf_kmeans_topk"),
     "text_bm25_retract_topk" -> bm25OracleSql("doc_id % 13 <> 5"),
     "vocab_merged_topk" -> oracleSqlBase("vocab_topk"),
     "lm_score_stored" -> oracleSqlBase("lm_score"),

@@ -198,7 +198,8 @@ object Compaction {
                    layout: DataFrame => DataFrame,
                    partitionBy: Seq[String] = Nil,
                    maxFilesPerPartition: Int = 8,
-                   force: Boolean = false): Boolean = {
+                   force: Boolean = false,
+                   beforePublish: String => Unit = _ => ()): Boolean = {
     val counts = filesPerPartition(table)
     // debt is PER PARTITION against that partition's published count
     // (new partitions debit from 0): a single large partition must not
@@ -222,6 +223,11 @@ object Compaction {
     val w = layout(spark.read.parquet(live)).write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(nextDir)
+    // `beforePublish` runs with the complete-but-unpublished version
+    // dir: the hook a family uses to carry version-scoped sidecars
+    // (IVF's `_centroids`) into the new version BEFORE the swap makes
+    // it live — a reader must never see a version missing its sidecar
+    beforePublish(nextDir)
     // record the fresh layout's per-partition counts BEFORE publishing:
     // they become the next trigger's debt baseline
     writeBase(nextDir, countParquet(Paths.get(nextDir)))
@@ -230,6 +236,29 @@ object Compaction {
     Files.move(tmp, pointer(table), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     true
+  }
+
+  /** Publish a WHOLLY NEW version of `table` under the same versioned
+    * pointer protocol as [[compactTable]], with the caller producing the
+    * version dir's contents: `write` receives the allocated (not yet
+    * live) version dir and writes everything the version holds — data
+    * files AND any `_`-prefixed sidecars (invisible to Spark's listing
+    * and to the debt counter). The pointer swap is the single atomic
+    * publication point, so multi-table state that must change TOGETHER
+    * (an ANN retrain's centroids + the assignments computed against
+    * them) rides one version dir and can never be observed torn. A
+    * crash before the swap leaves the old version fully live; the
+    * orphan dir is reclaimed by the next [[vacuum]]. Single-writer,
+    * like every Compaction verb. */
+  def publishVersion(table: String)(write: String => Unit): Unit = {
+    val next = currentVersion(table).getOrElse(-1L) + 1L
+    val nextDir = s"$table/_v$next"
+    write(nextDir)
+    writeBase(nextDir, countParquet(Paths.get(nextDir)))
+    val tmp = Paths.get(table, s"_CURRENT.tmp$next")
+    Files.writeString(tmp, next.toString)
+    Files.move(tmp, pointer(table), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Remove superseded data: version dirs older than the published one
@@ -266,6 +295,46 @@ object Compaction {
     finally stream.close()
   }
 
+  private def copyRec(src: Path, dst: Path): Unit = {
+    val stream = Files.walk(src)
+    try {
+      val it = stream.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val t = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else {
+          Files.createDirectories(t.getParent)
+          Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    } finally stream.close()
+  }
+
+  /** Drop `path`'s ENTIRE pending-tombstone set — for rewrites that
+    * just served every deletion physically in one shot (an index
+    * RETRAIN republishes the whole scan table from the screened live
+    * set). Single-writer, like [[appendTombstones]]: safe only because
+    * no concurrent deleter can append between the rewrite's screen and
+    * this clear. */
+  def clearTombstones(path: String): Unit = {
+    val t = Paths.get(s"$path/tombstones")
+    if (Files.exists(t)) deleteRec(t)
+  }
+
+  /** Reset an advisory sidecar (the IVF/PQ `merge_log`) to empty — the
+    * drift ledger restarts from zero after a retrain republishes the
+    * index (accumulated drift was measured against centroids that no
+    * longer exist). Removes the live dir AND any `._collapse` tmp so a
+    * crashed collapse can't resurrect pre-retrain rows. Single-writer,
+    * like every sidecar verb. */
+  def sidecarReset(dir: String): Unit = {
+    val tmp = Paths.get(dir + "._collapse")
+    if (Files.exists(tmp)) deleteRec(tmp)
+    val live = Paths.get(dir)
+    if (Files.exists(live)) deleteRec(live)
+  }
+
   /** Compact one stored index in place — the maintenance verb a
     * deployment schedules beside its merges. `kind` picks the family's
     * layout (the same shuffle + within-partition sort its BUILD writes,
@@ -300,12 +369,21 @@ object Compaction {
     // are NOT adjusted — same posture as the fingerprint family's dfs.
     case "ivf" =>
       val tomb = pendingTombstones(spark, path, "vec_id")
+      // a retrained index keeps its centroids INSIDE the assignments
+      // version dir (SimilarityOps.retrainIvfIndex) — the compaction
+      // rewrite must carry that sidecar into the version it publishes,
+      // BEFORE the swap, or the post-compaction reader would fall back
+      // to the stale pre-retrain `centroids` table
+      val liveCents = Paths.get(resolve(s"$path/assignments"), "_centroids")
       val rewrote = compactTable(spark, s"$path/assignments",
         df => dropTombstoned(df, tomb, "vec_id").dropDuplicates("vec_id")
           .repartition(col("cluster")).sortWithinPartitions("vec_id"),
         partitionBy = Seq("cluster"),
         maxFilesPerPartition = maxFilesPerPartition,
-        force = tomb.isDefined)
+        force = tomb.isDefined,
+        beforePublish = nextDir =>
+          if (Files.exists(liveCents))
+            copyRec(liveCents, Paths.get(nextDir, "_centroids")))
       clearServedTombstones(path, tomb,
         rewrote || filesPerPartition(s"$path/assignments").isEmpty)
       rewrote

@@ -810,6 +810,77 @@ object SimilarityOps {
       }
   }
 
+  /** RETRAIN a stored IVF index in place — the action
+    * [[shouldRetrain]]'s signal calls for, completing the index's churn
+    * lifecycle (build → merge drift → signal → retrain), the ANN twin
+    * of the tokenizer's drift→retrain tick. IVF is self-retrainable:
+    * the assignments table stores every live vector verbatim, so the
+    * rebuild needs no corpus access — it re-trains Lloyd's k-means on
+    * the index's own screened live set (pending tombstones dropped,
+    * replay duplicates healed) and republishes.
+    *
+    * Atomicity is the crux: centroids and the assignments computed
+    * against them must never be observable torn (a probe ranks cells
+    * against the centroid table, then scans assignment partitions — a
+    * new-centroids/old-assignments mix answers WRONG, not slow). Both
+    * therefore ride ONE [[graft.engine.Compaction.publishVersion]]
+    * version dir — the fresh cell-partitioned assignments plus the new
+    * centroid table as a `_centroids` sidecar (underscore: invisible to
+    * Spark's listing and the debt counter) — and the single atomic
+    * pointer swap publishes them together. [[storedCentroids]] prefers
+    * the live version's sidecar; the `ivf` compaction kind carries it
+    * into every later version before its own swap. A crash before the
+    * swap leaves the old index fully live; after it, the post-swap
+    * bookkeeping (tombstone clear, drift-log reset, meta/compat
+    * rewrites) is advisory and self-heals — the retrain is
+    * deterministic on the live SET (k-means init is the k lowest
+    * vec_ids, not arrival order), so re-running it after any crash
+    * converges to the identical index. That determinism also makes the
+    * retrained index bit-identical to a fresh [[buildIvfIndex]] on the
+    * same live set — the oracle contract.
+    *
+    * Scale shape: one distributed pass per Lloyd's iteration plus one
+    * rewrite shuffle keyed by cell — O(corpus), the cost a retrain
+    * inherently is, scheduled (drift-gated, between stream batches),
+    * never per-merge. `k` ≤ 0 keeps the index's current cell count. */
+  def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, k: Int = 0, iters: Int = 2): Unit = {
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    val kk = if (k > 0) k else storedCentroids(spark, path).length
+    val tomb = Compaction.pendingTombstones(spark, path, "vec_id")
+    val live0 = spark.read.parquet(Compaction.resolve(s"$path/assignments"))
+    val vecs = Caches.ensureCached((tomb match {
+      case Some(t) => live0.join(Skew.maybeBroadcast(t), Seq("vec_id"), "left_anti")
+      case None    => live0
+    }).select(col("vec_id"), col("v")).dropDuplicates("vec_id"))
+    val cents = kmeansCentroids(vecs, kk, iters)
+    Compaction.publishVersion(s"$path/assignments") { nextDir =>
+      vecs.withColumn("cluster", assignCluster(col("v"), cents).cast("long"))
+        .repartition(col("cluster")).sortWithinPartitions("vec_id")
+        .write.partitionBy("cluster").mode("overwrite").parquet(nextDir)
+      cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+        .toDF("cluster", "c")
+        .coalesce(1).write.mode("overwrite").parquet(s"$nextDir/_centroids")
+    }
+    // ---- published; everything below is advisory and self-healing ----
+    // tombstones were served physically by the republish
+    Compaction.clearTombstones(path)
+    // drift restarts from zero: the log measured against dead centroids
+    Compaction.sidecarReset(s"$path/merge_log")
+    // the new regime's quality yardstick for the NEXT drift cycle
+    val m = vecs.agg(count(lit(1)).as("n"),
+      avg(assignedDist2(col("v"), cents)).as("mean_d2")).head()
+    Seq((m.getLong(0), m.getDouble(1))).toDF("n", "mean_d2")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // compat copy for external readers of the plain layout; the engine's
+    // own reader prefers the versioned sidecar
+    cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toDF("cluster", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    storedCentroidMemo.remove(s"$path/centroids")
+  }
+
   /** The retrain decision [[mergeIvfIndex]]'s doc defers: compare the
     * merged batches' weighted-mean quantization error against the build
     * corpus's (both stored with the index — this reads two tiny tables,
@@ -910,12 +981,24 @@ object SimilarityOps {
     .empty[String, (String, IndexedSeq[(Long, IndexedSeq[Double])])]
 
   private def storedCentroids(spark: org.apache.spark.sql.SparkSession,
-                              path: String): IndexedSeq[(Long, IndexedSeq[Double])] =
-    memoizedControlPlane(s"$path/centroids", storedCentroidMemo) {
-      spark.read.parquet(s"$path/centroids").orderBy("cluster")
+                              path: String): IndexedSeq[(Long, IndexedSeq[Double])] = {
+    // a retrained index's centroids live INSIDE the published
+    // assignments version (`_centroids` sidecar — one atomic swap for
+    // both, see retrainIvfIndex); prefer that copy, fall back to the
+    // build-time plain table for never-retrained indexes (and for the
+    // PQ/IVFPQ roots, which have no assignments table at all). The memo
+    // keys on the RESOLVED dir, so a retrain's new version dir is a
+    // fresh key and the signature check does the rest.
+    val versioned = java.nio.file.Paths.get(
+      Compaction.resolve(s"$path/assignments"), "_centroids")
+    val dir = if (java.nio.file.Files.exists(versioned)) versioned.toString
+              else s"$path/centroids"
+    memoizedControlPlane(dir, storedCentroidMemo) {
+      spark.read.parquet(dir).orderBy("cluster")
         .collect().toIndexedSeq
         .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
     }
+  }
 
   /** Driver-side squared L2 — the same left-to-right fold as the
     * codegen'd `graft_l2sq` kernel (and the oracle's `list_reduce`), so

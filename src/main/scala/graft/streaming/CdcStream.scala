@@ -376,17 +376,30 @@ object CdcStream {
     * `maintainEvery` = N > 0 runs the IVF maintenance tick
     * ([[graft.engine.Compaction.maintainIndex]] + ledger compaction)
     * every N batches inside the trigger loop — single-writer by
-    * construction, like the fingerprint stream's tick. Centroid drift
-    * stays a scheduled-rebuild decision
-    * ([[graft.ops.SimilarityOps.shouldRetrain]]); this stream never
-    * retrains. */
+    * construction, like the fingerprint stream's tick.
+    *
+    * `retrainEvery` = N > 0 additionally CHECKS the centroid-drift
+    * signal every N batches and, when it trips, RETRAINS the index
+    * between batches ([[graft.ops.SimilarityOps.retrainIvfIndex]] —
+    * atomic republish, drift log reset) — the ANN twin of the
+    * tokenizer stream's UNK-drift retrain, closing the churn lifecycle
+    * (build → merge drift → signal → retrain) inside the stream that
+    * feeds the churn. The retrain is deterministic on the live vector
+    * set and self-healing, so a crash mid-tick replays safely; it is
+    * gated on [[graft.ops.SimilarityOps.shouldRetrain]], so a stream
+    * whose feed matches the indexed distribution never pays the
+    * O(corpus) rebuild. 0 (default) keeps drift a scheduled-rebuild
+    * decision outside the stream, the prior posture. */
   def annScreenStream(spark: SparkSession, inGlob: String,
                       checkpointDir: String, schema: StructType,
                       indexPath: String, topK: Int, minCosine: Double,
                       onHits: (DataFrame, Long) => Unit,
                       nprobe: Int = 1,
                       maintainEvery: Int = 0,
-                      maintainMaxFiles: Int = 8): StreamingQuery = {
+                      maintainMaxFiles: Int = 8,
+                      retrainEvery: Int = 0,
+                      retrainThreshold: Double = 2.0,
+                      retrainIters: Int = 2): StreamingQuery = {
     // re-seed the replay memo at stream start (same reason as
     // dedupScreenStream: the index may have been rebuilt at this path)
     absorbedHighWater.remove((indexPath, checkpointDir))
@@ -401,6 +414,11 @@ object CdcStream {
           topK, minCosine, nprobe, onHits)
         if (maintainEvery > 0 && id > 0 && id % maintainEvery == 0)
           maintainStreamedIndex(spark, indexPath, "ivf", maintainMaxFiles)
+        if (retrainEvery > 0 && id > 0 && id % retrainEvery == 0 &&
+            graft.ops.SimilarityOps.shouldRetrain(spark, indexPath,
+              retrainThreshold))
+          graft.ops.SimilarityOps.retrainIvfIndex(spark, indexPath,
+            iters = retrainIters)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -460,7 +478,11 @@ object CdcStream {
     * screens at its quantization distortion, not 0 — size the threshold
     * from the index's meta distortion). Codebook drift stays a
     * scheduled-rebuild decision (shouldRetrainPq); this stream never
-    * retrains. */
+    * retrains — and CANNOT self-retrain the way [[annScreenStream]]
+    * does: PQ codes are lossy (byte codes, no stored vectors), so a
+    * codebook rebuild needs the original corpus, which only the caller
+    * has. Act on shouldRetrainPq with a scheduled buildPqIndex /
+    * buildIvfPqIndex over the source between stream runs. */
   def ivfPqScreenStream(spark: SparkSession, inGlob: String,
                         checkpointDir: String, schema: StructType,
                         indexPath: String, topK: Int, maxAdc: Double,

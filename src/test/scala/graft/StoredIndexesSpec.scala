@@ -759,6 +759,70 @@ class StoredIndexesSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$ivfpq/tombstones")))
   }
 
+  test("IVF retrain: drift signal clears, probes equal a fresh build on " +
+    "the live set, tombstones served, centroids survive later compaction") {
+    def vec(i: Int, shift: Double): Seq[Double] =
+      Seq.tabulate(4)(j => shift + (if (j == i % 4) 1.0 + i else 0.01 * j))
+    // build regime near the origin; the merge feed lands 50 units away —
+    // far from every frozen centroid, so the drift ratio trips
+    val built = (0 until 8).map(i => (i.toLong, vec(i, 0.0)))
+    val drifted = (8 until 16).map(i => (i.toLong, vec(i, 50.0)))
+    val path = java.nio.file.Files.createTempDirectory("ivf_retrain").toString
+    SimilarityOps.buildIvfIndex(built.toDF("vec_id", "embedding"), path,
+      k = 4, iters = 2)
+    SimilarityOps.mergeIvfIndex(drifted.toDF("vec_id", "embedding"), path)
+    assert(SimilarityOps.shouldRetrain(spark, path),
+      "a 50-unit-shifted merge feed must trip the drift signal")
+
+    SimilarityOps.retrainIvfIndex(spark, path, k = 4, iters = 2)
+    assert(!SimilarityOps.shouldRetrain(spark, path),
+      "the retrain must reset the drift ledger")
+    // the retrained index is bit-identical to a FRESH build on the same
+    // live set (k-means is deterministic on the set, not arrival order)
+    val fresh = java.nio.file.Files.createTempDirectory("ivf_fresh").toString
+    SimilarityOps.buildIvfIndex((built ++ drifted).toDF("vec_id", "embedding"),
+      fresh, k = 4, iters = 2)
+    val qv = vec(10, 50.0)
+    def top(p: String) = SimilarityOps.queryIvfIndex(spark, p, qv, 5,
+      nprobe = 1).collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2))).toSeq
+    assert(top(path) === top(fresh),
+      "retrained probe must equal the fresh-build probe bit-for-bit")
+    // the centroid table rode the SAME atomic publish as the assignments
+    val versionedCents = java.nio.file.Paths.get(
+      Compaction.resolve(s"$path/assignments"), "_centroids")
+    assert(java.nio.file.Files.exists(versionedCents),
+      "retrained centroids must live inside the published version dir")
+
+    // a pending tombstone is served physically by the retrain
+    SimilarityOps.tombstoneAnnIndex(Seq(10L).toDF("vec_id"), path)
+    SimilarityOps.retrainIvfIndex(spark, path, k = 4, iters = 2)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/tombstones")),
+      "the retrain republish must clear the served tombstones")
+    assert(spark.read.parquet(Compaction.resolve(s"$path/assignments"))
+      .filter($"vec_id" === 10L).count() === 0L,
+      "the tombstoned vector must be physically gone after the retrain")
+    val afterDelete = top(path)
+    assert(!afterDelete.exists(_._1 == 10L))
+
+    // merges keep flowing and a LATER debt compaction must carry the
+    // versioned centroids forward — a post-compaction probe that fell
+    // back to the stale build-time table would answer wrong, not slow
+    (0 until 4).foreach { b =>
+      SimilarityOps.mergeIvfIndex(
+        Seq((100L + b, vec(100 + b, 50.0))).toDF("vec_id", "embedding"), path)
+    }
+    val beforeCompact = top(path)
+    assert(Compaction.compactIndex(spark, path, "ivf",
+      maxFilesPerPartition = 1), "accumulated merge files must compact")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      Compaction.resolve(s"$path/assignments"), "_centroids")),
+      "compaction must carry the centroid sidecar into the new version")
+    assert(top(path) === beforeCompact,
+      "the probe must be bit-identical across the compaction swap")
+  }
+
   test("BM25 retraction: scores equal a rebuild on the remaining corpus, " +
     "postings physical at the tick, double-retract raises") {
     def doc(id: Long, words: String) = (id, words)

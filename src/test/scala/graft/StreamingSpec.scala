@@ -159,6 +159,72 @@ class StreamingSpec extends AnyFunSuite {
       .count() === 13L, "replaying an absorbed batch must not duplicate")
   }
 
+  test("ANN stream drift retrain: a drifted feed trips the tick, the " +
+    "index retrains between batches to a fresh-build-identical state") {
+    import graft.ops.SimilarityOps
+    import graft.engine.Compaction
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StructType}
+    val in = Files.createTempDirectory("ar_in").toString
+    val ckpt = Files.createTempDirectory("ar_ckpt").toString
+    val idx = Files.createTempDirectory("ar_idx").toString
+    def vec(i: Int, shift: Double): Seq[Double] =
+      Seq.tabulate(4)(j => shift + (if (j == i % 4) 1.0 + i else 0.01 * j))
+    // build regime near the origin; the stream's feed lands 50 units
+    // away — every batch far from every frozen centroid
+    val built = (0 until 8).map(i => (i.toLong, vec(i, 0.0)))
+    SimilarityOps.buildIvfIndex(built.toDF("vec_id", "embedding"), idx,
+      k = 4, iters = 2)
+    def jline(id: Long, v: Seq[Double]) =
+      s"""{"vec_id":$id,"embedding":[${v.mkString(",")}]}"""
+    // batch 0: four drifted vectors; batch 1: an exact copy of one of
+    // them (cross-batch screen) — the retrain tick fires after batch 1
+    val f0 = java.nio.file.Paths.get(in, "vecs_000.json")
+    Files.writeString(f0, (100 until 104)
+      .map(i => jline(i.toLong, vec(i, 50.0))).mkString("\n") + "\n")
+    Files.setLastModifiedTime(f0, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 60000))
+    Files.writeString(java.nio.file.Paths.get(in, "vecs_001.json"),
+      jline(200, vec(100, 50.0)) + "\n")
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val schema = new StructType().add("vec_id", "long")
+      .add("embedding", ArrayType(DoubleType))
+    val q = CdcStream.annScreenStream(spark, s"$in/vecs_*.json", ckpt,
+      schema, idx, topK = 3, minCosine = 0.999,
+      (df, _) => hits ++= df.select("q_id", "vec_id").as[(Long, Long)].collect(),
+      retrainEvery = 1)
+    q.awaitTermination()
+    assert(hits.toSet.contains((200L, 100L)),
+      "the cross-batch copy must be screened before the retrain")
+    // the tick retrained: drift ledger reset, centroids republished
+    // inside the live assignments version
+    assert(!SimilarityOps.shouldRetrain(spark, idx),
+      "the in-stream retrain must have reset the drift signal")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      Compaction.resolve(s"$idx/assignments"), "_centroids")),
+      "retrained centroids must ride the published version dir")
+    // and the retrained index equals a FRESH build on everything the
+    // stream absorbed (13 vectors), bit for bit
+    val fresh = Files.createTempDirectory("ar_fresh").toString
+    val all = built ++ (100 until 104).map(i => (i.toLong, vec(i, 50.0))) ++
+      Seq((200L, vec(100, 50.0)))
+    SimilarityOps.buildIvfIndex(all.toDF("vec_id", "embedding"), fresh,
+      k = 4, iters = 2)
+    val qv = vec(102, 50.0)
+    def top(p: String) = SimilarityOps.queryIvfIndex(spark, p, qv, 5,
+      nprobe = 1).collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2))).toSeq
+    assert(top(idx) === top(fresh),
+      "post-retrain probe must equal the fresh-build probe bit-for-bit")
+    // replaying an absorbed batch against the RETRAINED index is still
+    // a no-op (the ledger survives the republish)
+    val n = spark.read.parquet(Compaction.resolve(s"$idx/assignments")).count()
+    val replayed = spark.read.schema(schema).json(s"$in/vecs_001.json")
+    CdcStream.annScreenAndAbsorb(spark, replayed, 1L, idx, ckpt,
+      3, 0.999, 1, (df, _) => { df.count(); () })
+    assert(spark.read.parquet(Compaction.resolve(s"$idx/assignments"))
+      .count() === n, "replay after retrain must not duplicate")
+  }
+
   test("streaming vocab view: batches absorb exactly once, view equals " +
     "the one-shot aggregate") {
     import graft.ops.TextOps
