@@ -921,6 +921,18 @@ object SparkEntry {
       SimilarityOps.queryPqIndex(s, storedPqPath(s, dir),
         queryEmbedding(s, dir, 0L), 10, excludeIds = Seq(0L))),
 
+    // the stored-PQ probe AFTER a scheduled REBUILD: the index was
+    // BUILT on a 4/5 subset, absorbed the remainder encoded against the
+    // frozen codebooks, then REBUILT from the caller's source corpus
+    // (PQ codes are lossy — unlike IVF the index cannot self-retrain) —
+    // codebooks + codes republish under ONE atomic version swap, and
+    // per-subspace k-means is deterministic on the SET, so the rebuilt
+    // index is bit-identical to a fresh build on the full corpus, which
+    // is exactly what the inline oracle replays
+    "ann_pq_rebuilt_topk" -> ((s, dir) =>
+      SimilarityOps.queryPqIndex(s, rebuiltPqPath(s, dir),
+        queryEmbedding(s, dir, 0L), 10, excludeIds = Seq(0L))),
+
     // Stored IVF-PQ: centroid ranking and the ADC table are pure driver
     // arithmetic over the memoized control-plane tables; the scan reads
     // ONLY the probed cells' code partitions (PartitionFilters) and
@@ -928,6 +940,13 @@ object SparkEntry {
     // it shares that oracle
     "ann_ivfpq_stored_topk" -> ((s, dir) =>
       SimilarityOps.queryIvfPqIndex(s, storedIvfPqPath(s, dir),
+        queryEmbedding(s, dir, 0L), 10, nprobe = 2, excludeIds = Seq(0L))),
+
+    // the composite's rebuild read path: BOTH control planes (centroids
+    // AND codebooks) plus the codes assigned/encoded against them ride
+    // one published version — the probe can never see them torn
+    "ann_ivfpq_rebuilt_topk" -> ((s, dir) =>
+      SimilarityOps.queryIvfPqIndex(s, rebuiltIvfPqPath(s, dir),
         queryEmbedding(s, dir, 0L), 10, nprobe = 2, excludeIds = Seq(0L))),
 
     // Incremental stored-IVF-PQ maintenance — centroids AND codebooks
@@ -1656,6 +1675,10 @@ object SparkEntry {
       // the retrain read-path's root (build + merge + retrain) — same
       // posture: the query times the pure probe of the retrained index
       retrainedIvfPath(s, dir)
+      // the lossy-code rebuild roots (build + merge + rebuild) — the
+      // queries time the pure probes of the rebuilt indexes
+      rebuiltPqPath(s, dir)
+      rebuiltIvfPqPath(s, dir)
       ()
     }
       }),
@@ -1799,6 +1822,35 @@ object SparkEntry {
         P.KmK, P.KmIters)
       SimilarityOps.mergeIvfIndex(e.filter(expr("vec_id % 5 = 0")), p)
       SimilarityOps.retrainIvfIndex(s, p, P.KmK, P.KmIters)
+    }
+
+  /** Stored PQ index taken through the lossy-code churn lifecycle —
+    * build on a subset, merge the remainder encoded against the frozen
+    * codebooks, then a scheduled REBUILD from the source corpus (PQ
+    * codes are lossy, so unlike IVF the rebuild reads the caller's
+    * corpus; codebooks + codes republish under one atomic version
+    * swap). Its own root; the rebuilt state is bit-identical to a fresh
+    * build on the full corpus — the `ann_pq_topk` oracle replay. */
+  private def rebuiltPqPath(s: SparkSession, dir: String): String =
+    engine.StoredIndexes.ensure("pq_rebuild", dir) { p =>
+      val e = Tables.embeddings(s, dir)
+      SimilarityOps.buildPqIndex(e.filter(expr("vec_id % 5 != 0")), p,
+        P.PqM, P.PqKsub, P.PqIters)
+      SimilarityOps.mergePqIndex(e.filter(expr("vec_id % 5 = 0")), p)
+      SimilarityOps.rebuildPqIndex(e, p, iters = P.PqIters)
+    }
+
+  /** The composite twin: centroids AND codebooks retrain in the
+    * rebuild, and all three tables (both control planes + the codes)
+    * ride one published version. */
+  private def rebuiltIvfPqPath(s: SparkSession, dir: String): String =
+    engine.StoredIndexes.ensure("ivfpq_rebuild", dir) { p =>
+      val e = Tables.embeddings(s, dir)
+      SimilarityOps.buildIvfPqIndex(e.filter(expr("vec_id % 5 != 0")), p,
+        P.KmK, P.KmIters, P.PqM, P.PqKsub, P.PqIters)
+      SimilarityOps.mergeIvfPqIndex(e.filter(expr("vec_id % 5 = 0")), p)
+      SimilarityOps.rebuildIvfPqIndex(e, p, iters = P.KmIters,
+        pqIters = P.PqIters)
     }
 
   private def distinctViewPath(s: SparkSession, dir: String): String =
@@ -2319,6 +2371,11 @@ object SparkEntry {
     "ann_ivf_stored_topk" -> oracleSqlBase("ann_ivf_kmeans_topk"),
     "ann_pq_stored_topk" -> oracleSqlBase("ann_pq_topk"),
     "ann_ivfpq_stored_topk" -> oracleSqlBase("ann_ivfpq_topk"),
+    // build-subset → merge → rebuild-from-source ≡ fresh full-corpus
+    // training (per-subspace k-means is deterministic on the set), so
+    // each rebuilt probe shares its inline twin's training replay
+    "ann_pq_rebuilt_topk" -> oracleSqlBase("ann_pq_topk"),
+    "ann_ivfpq_rebuilt_topk" -> oracleSqlBase("ann_ivfpq_topk"),
 
     // right-to-be-forgotten read paths: the stored index AFTER a
     // deletion — the ANN probe screens its tombstones (centroids stay

@@ -389,22 +389,40 @@ object Compaction {
       rewrote
     case "pq" =>
       val tomb = pendingTombstones(spark, path, "vec_id")
+      // a rebuilt index keeps its codebooks INSIDE the codes version dir
+      // (SimilarityOps.rebuildPqIndex) — carry the sidecar like "ivf"
+      // carries `_centroids`, or the post-compaction reader would fall
+      // back to the stale pre-rebuild `codebooks` table
+      val liveCb = Paths.get(resolve(s"$path/codes"), "_codebooks")
       val rewrote = compactTable(spark, s"$path/codes",
         df => dropTombstoned(df, tomb, "vec_id").dropDuplicates("vec_id")
           .repartition(col("vec_id")).sortWithinPartitions("vec_id"),
         maxFilesPerPartition = maxFilesPerPartition,
-        force = tomb.isDefined)
+        force = tomb.isDefined,
+        beforePublish = nextDir =>
+          if (Files.exists(liveCb))
+            copyRec(liveCb, Paths.get(nextDir, "_codebooks")))
       clearServedTombstones(path, tomb,
         rewrote || filesPerPartition(s"$path/codes").isEmpty)
       rewrote
     case "ivfpq" => // cluster-partitioned code table: the IVF recipe on codes
       val tomb = pendingTombstones(spark, path, "vec_id")
+      // a rebuilt composite keeps BOTH control planes inside the codes
+      // version dir (SimilarityOps.rebuildIvfPqIndex) — carry both
+      val liveCents = Paths.get(resolve(s"$path/codes"), "_centroids")
+      val liveCb = Paths.get(resolve(s"$path/codes"), "_codebooks")
       val rewrote = compactTable(spark, s"$path/codes",
         df => dropTombstoned(df, tomb, "vec_id").dropDuplicates("vec_id")
           .repartition(col("cluster")).sortWithinPartitions("vec_id"),
         partitionBy = Seq("cluster"),
         maxFilesPerPartition = maxFilesPerPartition,
-        force = tomb.isDefined)
+        force = tomb.isDefined,
+        beforePublish = { nextDir =>
+          if (Files.exists(liveCents))
+            copyRec(liveCents, Paths.get(nextDir, "_centroids"))
+          if (Files.exists(liveCb))
+            copyRec(liveCb, Paths.get(nextDir, "_codebooks"))
+        })
       clearServedTombstones(path, tomb,
         rewrote || filesPerPartition(s"$path/codes").isEmpty)
       rewrote

@@ -643,6 +643,100 @@ object SimilarityOps {
       }
   }
 
+  /** Scheduled REBUILD of a stored IVF-PQ index from the caller's source
+    * corpus — the action [[shouldRetrainPq]]'s signal calls for on the
+    * composite. PQ codes are lossy (byte codes, no stored vectors), so
+    * unlike [[retrainIvfIndex]] the index cannot self-retrain: the
+    * caller passes the source of truth (e.g. the snapshot store's
+    * current view), and this verb makes the rebuild SAFE where a bare
+    * [[buildIvfPqIndex]] is not:
+    *
+    *  - pending tombstones screen the source (a deleted doc whose row
+    *    still rides the caller's corpus stays dead) and are served
+    *    physically by the republish; replay duplicates heal
+    *    (`dropDuplicates` on vec_id);
+    *  - centroids, codebooks, and the codes assigned/encoded against
+    *    them publish ATOMICALLY: all three ride ONE
+    *    [[graft.engine.Compaction.publishVersion]] version dir (the
+    *    cell-partitioned codes plus `_centroids` and `_codebooks`
+    *    sidecars — the [[retrainIvfIndex]] pattern) and the single
+    *    pointer swap publishes them together. [[buildIvfPqIndex]]'s
+    *    three sequential overwrites expose every torn combination to a
+    *    concurrent probe (new centroids with old codes ranks cells
+    *    against the wrong table; new codebooks with old codes scores
+    *    garbage ADC) — fine for a first build with no readers, wrong
+    *    for in-place maintenance;
+    *  - the drift ledger resets and the meta distortion re-baselines
+    *    for the next [[shouldRetrainPq]] cycle.
+    *
+    * Deterministic on the screened source SET (k-means init is the k
+    * lowest vec_ids, per subspace likewise), so the rebuilt index is
+    * bit-identical to a fresh [[buildIvfPqIndex]] on that set — the
+    * oracle contract. `k`/`m`/`ksub` ≤ 0 keep the index's current
+    * geometry. Cost is O(corpus) — what a rebuild inherently is —
+    * scheduled (signal-gated, between stream batches), never per-merge. */
+  def rebuildIvfPqIndex(embeddings: DataFrame, path: String,
+                        k: Int = 0, iters: Int = 2,
+                        m: Int = 0, ksub: Int = 0, pqIters: Int = 1): Unit = {
+    val spark = embeddings.sparkSession
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    val kk = if (k > 0) k else storedCentroids(spark, path).length
+    val cb0 = if (m > 0 && ksub > 0) Array.empty[(Int, Int, IndexedSeq[Double])]
+              else storedCodebooks(spark, path)
+    val mm = if (m > 0) m else cb0.map(_._1).max + 1
+    val ks = if (ksub > 0) ksub else cb0.map(_._2).max + 1
+    val tomb = Compaction.pendingTombstones(spark, path, "vec_id")
+    val src = embeddings
+      .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+    val e = Caches.ensureCached((tomb match {
+      case Some(t) => src.join(Skew.maybeBroadcast(t), Seq("vec_id"), "left_anti")
+      case None    => src
+    }).dropDuplicates("vec_id"))
+    val dims = embeddingDims(e)
+    require(dims % mm == 0,
+      s"rebuildIvfPqIndex: embedding dims ($dims) must be divisible by m ($mm)")
+    val subDim = dims / mm
+    val cents = kmeansCentroids(e, kk, iters)
+    val codebooks = pqCodebooks(e, mm, subDim, ks, pqIters)
+    Compaction.publishVersion(s"$path/codes") { nextDir =>
+      e.withColumn("cluster", assignCluster(col("v"), cents).cast("long"))
+        .select(Seq(col("vec_id"), col("cluster")) ++
+          pqCodeCols(codebooks, subDim): _*)
+        .repartition(col("cluster")).sortWithinPartitions("vec_id")
+        .write.partitionBy("cluster").mode("overwrite").parquet(nextDir)
+      cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+        .toDF("cluster", "c")
+        .coalesce(1).write.mode("overwrite").parquet(s"$nextDir/_centroids")
+      codebooks.zipWithIndex
+        .flatMap { case (cb, s) => cb.zipWithIndex.map { case (c, j) => (s, j, c) } }
+        .toDF("subspace", "cl", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$nextDir/_codebooks")
+    }
+    // ---- published; everything below is advisory and self-healing ----
+    // tombstones were served physically by the republish
+    Compaction.clearTombstones(path)
+    // drift restarts from zero: the log measured against dead control
+    // planes
+    Compaction.sidecarReset(s"$path/merge_log")
+    // the new regime's quality yardstick for the NEXT drift cycle
+    val md = e.agg(count(lit(1)).as("n"),
+      avg(pqDistortion(subDim, codebooks)).as("mean_d2")).head()
+    Seq((md.getLong(0), md.getDouble(1))).toDF("n", "mean_d2")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // compat copies for external readers of the plain layout; the
+    // engine's own readers prefer the versioned sidecars
+    cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toDF("cluster", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    storedCentroidMemo.remove(s"$path/centroids")
+    codebooks.zipWithIndex
+      .flatMap { case (cb, s) => cb.zipWithIndex.map { case (c, j) => (s, j, c) } }
+      .toDF("subspace", "cl", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    storedCodebookMemo.remove(s"$path/codebooks")
+  }
+
   /** Query a stored IVF-PQ index: rank the (tiny, memoized) centroid
     * table driver-side for the query's `nprobe` cells, build the
     * m × ksub ADC table from the memoized codebooks — both pure driver
@@ -989,10 +1083,16 @@ object SimilarityOps {
     // PQ/IVFPQ roots, which have no assignments table at all). The memo
     // keys on the RESOLVED dir, so a retrain's new version dir is a
     // fresh key and the signature check does the rest.
-    val versioned = java.nio.file.Paths.get(
+    val fromAssignments = java.nio.file.Paths.get(
       Compaction.resolve(s"$path/assignments"), "_centroids")
-    val dir = if (java.nio.file.Files.exists(versioned)) versioned.toString
-              else s"$path/centroids"
+    // an IVF-PQ index has no assignments table — its REBUILT centroids
+    // ride the codes version dir instead (rebuildIvfPqIndex)
+    val fromCodes = java.nio.file.Paths.get(
+      Compaction.resolve(s"$path/codes"), "_centroids")
+    val dir =
+      if (java.nio.file.Files.exists(fromAssignments)) fromAssignments.toString
+      else if (java.nio.file.Files.exists(fromCodes)) fromCodes.toString
+      else s"$path/centroids"
     memoizedControlPlane(dir, storedCentroidMemo) {
       spark.read.parquet(dir).orderBy("cluster")
         .collect().toIndexedSeq
@@ -1229,6 +1329,59 @@ object SimilarityOps {
                       threshold: Double = 2.0): Boolean =
     shouldRetrain(spark, path, threshold)
 
+  /** Scheduled REBUILD of a stored PQ index from the caller's source
+    * corpus — the flat-index sibling of [[rebuildIvfPqIndex]] (one
+    * control-plane sidecar instead of two; the full contract — caller
+    * supplies the corpus because codes are lossy, tombstones screen the
+    * source and are served physically, codebooks + codes publish under
+    * ONE atomic version swap, drift ledger and meta re-baseline — is
+    * documented there). Deterministic on the screened source SET, so
+    * the rebuilt index is bit-identical to a fresh [[buildPqIndex]] on
+    * that set. `m`/`ksub` ≤ 0 keep the index's current geometry. */
+  def rebuildPqIndex(embeddings: DataFrame, path: String,
+                     m: Int = 0, ksub: Int = 0, iters: Int = 1): Unit = {
+    val spark = embeddings.sparkSession
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    val cb0 = if (m > 0 && ksub > 0) Array.empty[(Int, Int, IndexedSeq[Double])]
+              else storedCodebooks(spark, path)
+    val mm = if (m > 0) m else cb0.map(_._1).max + 1
+    val ks = if (ksub > 0) ksub else cb0.map(_._2).max + 1
+    val tomb = Compaction.pendingTombstones(spark, path, "vec_id")
+    val src = embeddings
+      .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+    val e = Caches.ensureCached((tomb match {
+      case Some(t) => src.join(Skew.maybeBroadcast(t), Seq("vec_id"), "left_anti")
+      case None    => src
+    }).dropDuplicates("vec_id"))
+    val dims = embeddingDims(e)
+    require(dims % mm == 0,
+      s"rebuildPqIndex: embedding dims ($dims) must be divisible by m ($mm)")
+    val subDim = dims / mm
+    val codebooks = pqCodebooks(e, mm, subDim, ks, iters)
+    Compaction.publishVersion(s"$path/codes") { nextDir =>
+      e.select(col("vec_id") +: pqCodeCols(codebooks, subDim): _*)
+        .repartition(col("vec_id")).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").parquet(nextDir)
+      codebooks.zipWithIndex
+        .flatMap { case (cb, s) => cb.zipWithIndex.map { case (c, j) => (s, j, c) } }
+        .toDF("subspace", "cl", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$nextDir/_codebooks")
+    }
+    // ---- published; everything below is advisory and self-healing ----
+    Compaction.clearTombstones(path)
+    Compaction.sidecarReset(s"$path/merge_log")
+    val md = e.agg(count(lit(1)).as("n"),
+      avg(pqDistortion(subDim, codebooks)).as("mean_d2")).head()
+    Seq((md.getLong(0), md.getDouble(1))).toDF("n", "mean_d2")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    codebooks.zipWithIndex
+      .flatMap { case (cb, s) => cb.zipWithIndex.map { case (c, j) => (s, j, c) } }
+      .toDF("subspace", "cl", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    storedCodebookMemo.remove(s"$path/codebooks")
+  }
+
   /** Query a stored PQ index: read the (tiny) codebook table, build the
     * query's m × ksub distance table with the same left-to-right
     * squared-L2 fold as [[graft.functions.SquaredL2]] (driver doubles are
@@ -1243,12 +1396,23 @@ object SimilarityOps {
     .empty[String, (String, Array[(Int, Int, IndexedSeq[Double])])]
 
   private def storedCodebooks(spark: org.apache.spark.sql.SparkSession,
-                              path: String): Array[(Int, Int, IndexedSeq[Double])] =
-    memoizedControlPlane(s"$path/codebooks", storedCodebookMemo) {
-      spark.read.parquet(s"$path/codebooks")
+                              path: String): Array[(Int, Int, IndexedSeq[Double])] = {
+    // a REBUILT index's codebooks live INSIDE the published codes
+    // version (`_codebooks` sidecar — one atomic swap for codebooks and
+    // the codes encoded against them, see rebuildPqIndex); prefer that
+    // copy, fall back to the build-time plain table for never-rebuilt
+    // indexes. The memo keys on the RESOLVED dir, so a rebuild's new
+    // version dir is a fresh key and the signature check does the rest.
+    val versioned = java.nio.file.Paths.get(
+      Compaction.resolve(s"$path/codes"), "_codebooks")
+    val dir = if (java.nio.file.Files.exists(versioned)) versioned.toString
+              else s"$path/codebooks"
+    memoizedControlPlane(dir, storedCodebookMemo) {
+      spark.read.parquet(dir)
         .collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toIndexedSeq))
     }
+  }
 
   def queryPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                    queryVec: Seq[Double], topK: Int,

@@ -476,20 +476,34 @@ object CdcStream {
     * the `ivfpq` compaction kind. ADC is a DISTANCE, so hits are rows
     * with `adc_dist <= maxAdc` (note an exact copy of an indexed vector
     * screens at its quantization distortion, not 0 — size the threshold
-    * from the index's meta distortion). Codebook drift stays a
-    * scheduled-rebuild decision (shouldRetrainPq); this stream never
-    * retrains — and CANNOT self-retrain the way [[annScreenStream]]
-    * does: PQ codes are lossy (byte codes, no stored vectors), so a
-    * codebook rebuild needs the original corpus, which only the caller
-    * has. Act on shouldRetrainPq with a scheduled buildPqIndex /
-    * buildIvfPqIndex over the source between stream runs. */
+    * from the index's meta distortion).
+    *
+    * Codebook drift: this stream CANNOT self-retrain the way
+    * [[annScreenStream]] does — PQ codes are lossy (byte codes, no
+    * stored vectors), so a rebuild needs the original corpus, which
+    * only the caller has. `rebuildEvery` = N > 0 closes the lifecycle
+    * with that honesty intact: the caller supplies `rebuildFrom`, a
+    * reader of its source of truth (e.g. the snapshot store's current
+    * view — which the absorbed batches also land in), and every N
+    * batches the tick checks [[graft.ops.SimilarityOps.shouldRetrainPq]]
+    * and, when it trips, rebuilds between batches via
+    * [[graft.ops.SimilarityOps.rebuildIvfPqIndex]] (atomic republish of
+    * centroids + codebooks + codes under one version swap, tombstones
+    * served, drift log reset). 0 (default) keeps drift a
+    * scheduled-rebuild decision outside the stream, the prior posture. */
   def ivfPqScreenStream(spark: SparkSession, inGlob: String,
                         checkpointDir: String, schema: StructType,
                         indexPath: String, topK: Int, maxAdc: Double,
                         onHits: (DataFrame, Long) => Unit,
                         nprobe: Int = 2,
                         maintainEvery: Int = 0,
-                        maintainMaxFiles: Int = 8): StreamingQuery = {
+                        maintainMaxFiles: Int = 8,
+                        rebuildEvery: Int = 0,
+                        rebuildThreshold: Double = 2.0,
+                        rebuildFrom: SparkSession => DataFrame = null): StreamingQuery = {
+    require(rebuildEvery <= 0 || rebuildFrom != null,
+      "ivfPqScreenStream: rebuildEvery > 0 needs rebuildFrom — PQ codes " +
+        "are lossy, the rebuild must read the caller's source corpus")
     // re-seed the replay memo at stream start (same reason as
     // dedupScreenStream: the index may have been rebuilt at this path)
     absorbedHighWater.remove((indexPath, checkpointDir))
@@ -504,6 +518,11 @@ object CdcStream {
           topK, maxAdc, nprobe, onHits)
         if (maintainEvery > 0 && id > 0 && id % maintainEvery == 0)
           maintainStreamedIndex(spark, indexPath, "ivfpq", maintainMaxFiles)
+        if (rebuildEvery > 0 && id > 0 && id % rebuildEvery == 0 &&
+            graft.ops.SimilarityOps.shouldRetrainPq(spark, indexPath,
+              rebuildThreshold))
+          graft.ops.SimilarityOps.rebuildIvfPqIndex(rebuildFrom(spark),
+            indexPath)
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -823,6 +823,121 @@ class StoredIndexesSpec extends AnyFunSuite {
       "the probe must be bit-identical across the compaction swap")
   }
 
+  test("PQ rebuild: drift signal clears, probe equals a fresh build on the " +
+    "screened corpus, tombstones served, codebooks survive compaction") {
+    def vec(i: Int, shift: Double): Seq[Double] =
+      Seq.tabulate(4)(j => shift + (if (j == i % 4) 1.0 + i else 0.01 * j))
+    val built = (0 until 8).map(i => (i.toLong, vec(i, 0.0)))
+    val drifted = (8 until 16).map(i => (i.toLong, vec(i, 50.0)))
+    val all = built ++ drifted
+    val path = java.nio.file.Files.createTempDirectory("pq_rebuild").toString
+    SimilarityOps.buildPqIndex(built.toDF("vec_id", "embedding"), path,
+      m = 2, ksub = 4)
+    SimilarityOps.mergePqIndex(drifted.toDF("vec_id", "embedding"), path)
+    assert(SimilarityOps.shouldRetrainPq(spark, path),
+      "a 50-unit-shifted merge feed must trip the rebuild signal")
+
+    // tombstone BEFORE the rebuild: the caller's source corpus still
+    // carries the deleted row — the rebuild must screen it out and
+    // serve the tombstone physically in the same republish
+    SimilarityOps.tombstoneAnnIndex(Seq(10L).toDF("vec_id"), path)
+    SimilarityOps.rebuildPqIndex(all.toDF("vec_id", "embedding"), path)
+    assert(!SimilarityOps.shouldRetrainPq(spark, path),
+      "the rebuild must reset the drift ledger")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/tombstones")),
+      "the rebuild republish must clear the served tombstones")
+    assert(spark.read.parquet(Compaction.resolve(s"$path/codes"))
+      .filter($"vec_id" === 10L).count() === 0L,
+      "the tombstoned vector must not survive a rebuild whose source " +
+        "corpus still carries it")
+    // codebooks rode the SAME atomic publish as the codes
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      Compaction.resolve(s"$path/codes"), "_codebooks")),
+      "rebuilt codebooks must live inside the published version dir")
+
+    // bit-identical to a FRESH build on the screened set (per-subspace
+    // k-means is deterministic on the set, not arrival order)
+    val fresh = java.nio.file.Files.createTempDirectory("pq_fresh").toString
+    SimilarityOps.buildPqIndex(
+      all.filterNot(_._1 == 10L).toDF("vec_id", "embedding"), fresh,
+      m = 2, ksub = 4)
+    val qv = vec(10, 50.0)
+    def top(p: String) = SimilarityOps.queryPqIndex(spark, p, qv, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(path) === top(fresh),
+      "rebuilt probe must equal the fresh-build probe bit-for-bit")
+
+    // merges keep flowing against the REBUILT codebooks, and a later
+    // debt compaction must carry the codebook sidecar forward
+    (0 until 4).foreach { b =>
+      SimilarityOps.mergePqIndex(
+        Seq((100L + b, vec(100 + b, 50.0))).toDF("vec_id", "embedding"), path)
+    }
+    val beforeCompact = top(path)
+    assert(Compaction.compactIndex(spark, path, "pq",
+      maxFilesPerPartition = 1), "accumulated merge files must compact")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      Compaction.resolve(s"$path/codes"), "_codebooks")),
+      "compaction must carry the codebook sidecar into the new version")
+    assert(top(path) === beforeCompact,
+      "the probe must be bit-identical across the compaction swap")
+  }
+
+  test("IVF-PQ rebuild: both control planes republish atomically, probe " +
+    "equals a fresh build, sidecars survive compaction") {
+    def vec(i: Int, shift: Double): Seq[Double] =
+      Seq.tabulate(4)(j => shift + (if (j == i % 4) 1.0 + i else 0.01 * j))
+    val built = (0 until 8).map(i => (i.toLong, vec(i, 0.0)))
+    val drifted = (8 until 16).map(i => (i.toLong, vec(i, 50.0)))
+    val all = built ++ drifted
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_rebuild").toString
+    SimilarityOps.buildIvfPqIndex(built.toDF("vec_id", "embedding"), path,
+      k = 4, m = 2, ksub = 4)
+    SimilarityOps.mergeIvfPqIndex(drifted.toDF("vec_id", "embedding"), path)
+    assert(SimilarityOps.shouldRetrainPq(spark, path))
+
+    SimilarityOps.tombstoneAnnIndex(Seq(10L).toDF("vec_id"), path)
+    SimilarityOps.rebuildIvfPqIndex(all.toDF("vec_id", "embedding"), path)
+    assert(!SimilarityOps.shouldRetrainPq(spark, path))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/tombstones")))
+    assert(spark.read.parquet(Compaction.resolve(s"$path/codes"))
+      .filter($"vec_id" === 10L).count() === 0L)
+    val verDir = Compaction.resolve(s"$path/codes")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(verDir, "_centroids")) &&
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(verDir, "_codebooks")),
+      "BOTH rebuilt control planes must ride the published version dir")
+
+    val fresh = java.nio.file.Files.createTempDirectory("ivfpq_fresh").toString
+    SimilarityOps.buildIvfPqIndex(
+      all.filterNot(_._1 == 10L).toDF("vec_id", "embedding"), fresh,
+      k = 4, m = 2, ksub = 4)
+    val qv = vec(10, 50.0)
+    def top(p: String) = SimilarityOps.queryIvfPqIndex(spark, p, qv, 5,
+      nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(top(path) === top(fresh),
+      "rebuilt probe must equal the fresh-build probe bit-for-bit")
+
+    (0 until 4).foreach { b =>
+      SimilarityOps.mergeIvfPqIndex(
+        Seq((100L + b, vec(100 + b, 50.0))).toDF("vec_id", "embedding"), path)
+    }
+    val beforeCompact = top(path)
+    assert(Compaction.compactIndex(spark, path, "ivfpq",
+      maxFilesPerPartition = 1))
+    val verDir2 = Compaction.resolve(s"$path/codes")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(verDir2, "_centroids")) &&
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(verDir2, "_codebooks")),
+      "compaction must carry both sidecars into the new version")
+    assert(top(path) === beforeCompact)
+  }
+
   test("BM25 retraction: scores equal a rebuild on the remaining corpus, " +
     "postings physical at the tick, double-retract raises") {
     def doc(id: Long, words: String) = (id, words)

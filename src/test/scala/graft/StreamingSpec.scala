@@ -694,6 +694,75 @@ class StreamingSpec extends AnyFunSuite {
       .count() === 13L, "replaying an absorbed batch must not duplicate")
   }
 
+  test("IVF-PQ stream drift rebuild: a drifted feed trips the tick, the " +
+    "index rebuilds from the caller's source to a fresh-build state") {
+    import graft.ops.SimilarityOps
+    import graft.engine.Compaction
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StructType}
+    val in = Files.createTempDirectory("pr_in").toString
+    val ckpt = Files.createTempDirectory("pr_ckpt").toString
+    val idx = Files.createTempDirectory("pr_idx").toString
+    def vec(i: Int, shift: Double): Seq[Double] =
+      Seq.tabulate(4)(j => shift + (if (j == i % 4) 1.0 + i else 0.01 * j))
+    // build regime near the origin; the stream's feed lands 50 units
+    // away — every batch quantizes badly against the frozen codebooks
+    val built = (0 until 8).map(i => (i.toLong, vec(i, 0.0)))
+    SimilarityOps.buildIvfPqIndex(built.toDF("vec_id", "embedding"), idx,
+      k = 4, m = 2, ksub = 4)
+    def jline(id: Long, v: Seq[Double]) =
+      s"""{"vec_id":$id,"embedding":[${v.mkString(",")}]}"""
+    val streamed = (100 until 104).map(i => (i.toLong, vec(i, 50.0))) ++
+      Seq((200L, vec(104, 50.0)))
+    val f0 = java.nio.file.Paths.get(in, "vecs_000.json")
+    Files.writeString(f0, streamed.take(4)
+      .map { case (id, v) => jline(id, v) }.mkString("\n") + "\n")
+    Files.setLastModifiedTime(f0, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 60000))
+    Files.writeString(java.nio.file.Paths.get(in, "vecs_001.json"),
+      jline(200L, vec(104, 50.0)) + "\n")
+    val schema = new StructType().add("vec_id", "long")
+      .add("embedding", ArrayType(DoubleType))
+    // the caller's source of truth: everything it ever fed (build +
+    // stream) — exactly what a snapshot-store current view would hold.
+    // PQ codes are lossy, so the rebuild MUST read this, not the index.
+    val all = built ++ streamed
+    val q = CdcStream.ivfPqScreenStream(spark, s"$in/vecs_*.json", ckpt,
+      schema, idx, topK = 3, maxAdc = 1e-6,
+      (df, _) => { df.count(); () },
+      rebuildEvery = 1,
+      rebuildFrom = s => { import s.implicits._
+        all.toDF("vec_id", "embedding") })
+    q.awaitTermination()
+    // the tick rebuilt: drift ledger reset, both control planes
+    // republished inside the live codes version
+    assert(!SimilarityOps.shouldRetrainPq(spark, idx),
+      "the in-stream rebuild must have reset the drift signal")
+    val verDir = Compaction.resolve(s"$idx/codes")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(verDir, "_centroids")) &&
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(verDir, "_codebooks")),
+      "rebuilt control planes must ride the published version dir")
+    // and the rebuilt index equals a FRESH build on the source corpus
+    val fresh = Files.createTempDirectory("pr_fresh").toString
+    SimilarityOps.buildIvfPqIndex(all.toDF("vec_id", "embedding"), fresh,
+      k = 4, m = 2, ksub = 4)
+    val qv = vec(102, 50.0)
+    def top(p: String) = SimilarityOps.queryIvfPqIndex(spark, p, qv, 5,
+      nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(top(idx) === top(fresh),
+      "post-rebuild probe must equal the fresh-build probe bit-for-bit")
+    // replaying an absorbed batch against the REBUILT index is still a
+    // no-op (the ledger survives the republish)
+    val n = spark.read.parquet(Compaction.resolve(s"$idx/codes")).count()
+    val replayed = spark.read.schema(schema).json(s"$in/vecs_001.json")
+    CdcStream.ivfPqScreenAndAbsorb(spark, replayed, 1L, idx, ckpt,
+      3, 1e-6, 2, (df, _) => { df.count(); () })
+    assert(spark.read.parquet(Compaction.resolve(s"$idx/codes"))
+      .count() === n, "replay after rebuild must not duplicate")
+  }
+
   test("maintenance tick beside the stream: files collapse, answers unchanged") {
     import graft.ops.DedupOps
     import graft.engine.Compaction
