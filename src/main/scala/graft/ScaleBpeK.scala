@@ -98,10 +98,14 @@ object ScaleBpeK {
         when(col("_rep") === 0, col("text"))) { (acc, i) =>
         acc.when(col("_rep") === i, translate(col("text"), alphabet, cipher(i)))
       }
+      // replica namespace derived from the corpus itself: a fixed
+      // constant would silently merge distinct replica rows whenever
+      // base doc_ids reach it (larger-sf corpora)
+      val repStride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
       val scaled = docs
         .crossJoin(spark.range(replicas).select(col("id").cast("int").as("_rep")))
         .select(
-          (col("doc_id") + col("_rep").cast("long") * lit(10000000L)).as("doc_id"),
+          (col("doc_id") + col("_rep").cast("long") * lit(repStride)).as("doc_id"),
           textByRep.as("text"))
       val work = java.nio.file.Files
         .createTempDirectory("bpe_k_axis").toString

@@ -335,6 +335,32 @@ object Compaction {
     if (Files.exists(live)) deleteRec(live)
   }
 
+  /** Republish the live BM25 lexicon version with an EMPTY `_applied`
+    * replay-signature log (data and `_stats` carried unchanged) — the
+    * deletion-serving tick's half of the replay contract documented at
+    * `TextOps.publishBm25Side`. No-op for a never-versioned lexicon or
+    * an already-empty log. The republish keeps the swap discipline
+    * (never mutate a published version in place). */
+  private def resetBm25AppliedLog(spark: SparkSession, path: String): Unit = {
+    val lex = s"$path/lexicon"
+    val live = resolve(lex)
+    val appliedDir = Paths.get(live, "_applied")
+    if (!Files.exists(appliedDir)) return
+    if (spark.read.parquet(appliedDir.toString).isEmpty) return
+    val stats = Paths.get(live, "_stats")
+    // materialize the carried data before writing under the same root
+    val data = spark.read.parquet(live).localCheckpoint(true)
+    publishVersion(lex) { dir =>
+      data.write.mode("overwrite").parquet(dir)
+      if (Files.exists(stats)) copyRec(stats, Paths.get(dir, "_stats"))
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("sig",
+            org.apache.spark.sql.types.StringType))))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/_applied")
+    }
+  }
+
   /** Compact one stored index in place — the maintenance verb a
     * deployment schedules beside its merges. `kind` picks the family's
     * layout (the same shuffle + within-partition sort its BUILD writes,
@@ -358,6 +384,34 @@ object Compaction {
     * Compaction is the scheduled verb that heals it: duplicates are
     * identical rows, so keeping any one of them is deterministic.
     * Returns true if any table was rewritten. */
+  // The shared ANN-kind rewrite (ivf/pq/ivfpq differ only in scan
+  // table, layout, and sidecar list): pending vec_id tombstones FORCE
+  // the rewrite, the layout drops the tombstoned rows and heals replay
+  // duplicates, the version-scoped control-plane sidecars carry into
+  // the new version before its swap, and the served tombstones clear
+  // after it.
+  private def compactAnnTable(spark: SparkSession, path: String,
+                              table: String,
+                              layout: DataFrame => DataFrame,
+                              partitionBy: Seq[String],
+                              sidecars: Seq[String],
+                              maxFilesPerPartition: Int): Boolean = {
+    val tomb = pendingTombstones(spark, path, "vec_id")
+    val live = sidecars.map(s => (Paths.get(resolve(table), s), s))
+    val rewrote = compactTable(spark, table,
+      df => layout(dropTombstoned(df, tomb, "vec_id")
+        .dropDuplicates("vec_id")),
+      partitionBy = partitionBy,
+      maxFilesPerPartition = maxFilesPerPartition,
+      force = tomb.isDefined,
+      beforePublish = nextDir => live.foreach { case (src, name) =>
+        if (Files.exists(src)) copyRec(src, Paths.get(nextDir, name))
+      })
+    clearServedTombstones(path, tomb,
+      rewrote || filesPerPartition(table).isEmpty)
+    rewrote
+  }
+
   def compactIndex(spark: SparkSession, path: String, kind: String,
                    maxFilesPerPartition: Int = 8): Boolean = kind match {
     // The three ANN kinds share the fingerprint/ahash deletion
@@ -367,65 +421,28 @@ object Compaction {
     // physical), and the served tombstones clear after the pointer
     // swap. The advisory side tables (meta distortion, merge_log drift)
     // are NOT adjusted — same posture as the fingerprint family's dfs.
+    // One recipe, three layouts: a retrained/rebuilt index keeps its
+    // control planes INSIDE the scan table's version dir
+    // (SimilarityOps.retrainIvfIndex / rebuildPqIndex /
+    // rebuildIvfPqIndex) — the rewrite must carry those sidecars into
+    // the version it publishes, BEFORE the swap, or the post-compaction
+    // reader would fall back to the stale build-time tables.
     case "ivf" =>
-      val tomb = pendingTombstones(spark, path, "vec_id")
-      // a retrained index keeps its centroids INSIDE the assignments
-      // version dir (SimilarityOps.retrainIvfIndex) — the compaction
-      // rewrite must carry that sidecar into the version it publishes,
-      // BEFORE the swap, or the post-compaction reader would fall back
-      // to the stale pre-retrain `centroids` table
-      val liveCents = Paths.get(resolve(s"$path/assignments"), "_centroids")
-      val rewrote = compactTable(spark, s"$path/assignments",
-        df => dropTombstoned(df, tomb, "vec_id").dropDuplicates("vec_id")
-          .repartition(col("cluster")).sortWithinPartitions("vec_id"),
-        partitionBy = Seq("cluster"),
-        maxFilesPerPartition = maxFilesPerPartition,
-        force = tomb.isDefined,
-        beforePublish = nextDir =>
-          if (Files.exists(liveCents))
-            copyRec(liveCents, Paths.get(nextDir, "_centroids")))
-      clearServedTombstones(path, tomb,
-        rewrote || filesPerPartition(s"$path/assignments").isEmpty)
-      rewrote
+      compactAnnTable(spark, path, s"$path/assignments",
+        _.repartition(col("cluster")).sortWithinPartitions("vec_id"),
+        partitionBy = Seq("cluster"), sidecars = Seq("_centroids"),
+        maxFilesPerPartition)
     case "pq" =>
-      val tomb = pendingTombstones(spark, path, "vec_id")
-      // a rebuilt index keeps its codebooks INSIDE the codes version dir
-      // (SimilarityOps.rebuildPqIndex) — carry the sidecar like "ivf"
-      // carries `_centroids`, or the post-compaction reader would fall
-      // back to the stale pre-rebuild `codebooks` table
-      val liveCb = Paths.get(resolve(s"$path/codes"), "_codebooks")
-      val rewrote = compactTable(spark, s"$path/codes",
-        df => dropTombstoned(df, tomb, "vec_id").dropDuplicates("vec_id")
-          .repartition(col("vec_id")).sortWithinPartitions("vec_id"),
-        maxFilesPerPartition = maxFilesPerPartition,
-        force = tomb.isDefined,
-        beforePublish = nextDir =>
-          if (Files.exists(liveCb))
-            copyRec(liveCb, Paths.get(nextDir, "_codebooks")))
-      clearServedTombstones(path, tomb,
-        rewrote || filesPerPartition(s"$path/codes").isEmpty)
-      rewrote
+      compactAnnTable(spark, path, s"$path/codes",
+        _.repartition(col("vec_id")).sortWithinPartitions("vec_id"),
+        partitionBy = Nil, sidecars = Seq("_codebooks"),
+        maxFilesPerPartition)
     case "ivfpq" => // cluster-partitioned code table: the IVF recipe on codes
-      val tomb = pendingTombstones(spark, path, "vec_id")
-      // a rebuilt composite keeps BOTH control planes inside the codes
-      // version dir (SimilarityOps.rebuildIvfPqIndex) — carry both
-      val liveCents = Paths.get(resolve(s"$path/codes"), "_centroids")
-      val liveCb = Paths.get(resolve(s"$path/codes"), "_codebooks")
-      val rewrote = compactTable(spark, s"$path/codes",
-        df => dropTombstoned(df, tomb, "vec_id").dropDuplicates("vec_id")
-          .repartition(col("cluster")).sortWithinPartitions("vec_id"),
+      compactAnnTable(spark, path, s"$path/codes",
+        _.repartition(col("cluster")).sortWithinPartitions("vec_id"),
         partitionBy = Seq("cluster"),
-        maxFilesPerPartition = maxFilesPerPartition,
-        force = tomb.isDefined,
-        beforePublish = { nextDir =>
-          if (Files.exists(liveCents))
-            copyRec(liveCents, Paths.get(nextDir, "_centroids"))
-          if (Files.exists(liveCb))
-            copyRec(liveCb, Paths.get(nextDir, "_codebooks"))
-        })
-      clearServedTombstones(path, tomb,
-        rewrote || filesPerPartition(s"$path/codes").isEmpty)
-      rewrote
+        sidecars = Seq("_centroids", "_codebooks"),
+        maxFilesPerPartition)
     case "vocab" => // distributive-aggregate re-sum: the one recipe whose
       // rewrite CHANGES row counts — per-batch partials collapse back
       // toward one row per word, which is sound exactly because the
@@ -459,8 +476,17 @@ object Compaction {
           .repartition(col("term")).sortWithinPartitions("term", "doc_id"),
         maxFilesPerPartition = maxFilesPerPartition,
         force = tomb.isDefined)
-      clearServedTombstones(path, tomb,
-        rewrote || filesPerPartition(s"$path/postings").isEmpty)
+      val served = rewrote || filesPerPartition(s"$path/postings").isEmpty
+      // the `_applied` replay-signature log (TextOps.publishBm25Side)
+      // exists so a crashed-ledger batch's replay skips its second
+      // exact-arithmetic apply; a re-insert of a deleted id is only
+      // legal AFTER this tick (the merge clash guard forces it) and
+      // must not be mistaken for the pre-deletion batch — reset the log
+      // BEFORE the tombstones clear (a crash between the two leaves the
+      // tombstones pending, so re-inserts stay blocked and the ordering
+      // is safe)
+      if (tomb.isDefined && served) resetBm25AppliedLog(spark, path)
+      clearServedTombstones(path, tomb, served)
       rewrote
     case "fingerprint" =>
       // pending tombstones force BOTH rewrites (deletion SLA) and the
@@ -549,6 +575,26 @@ object Compaction {
     else Some(spark.read.parquet(resolve(dir))
       .select(col(keyCol)).distinct())
   }
+
+  /** Fail-loud re-insert guard shared by every stored-index merge: a
+    * tombstoned key must stay GONE until the family's maintenance tick
+    * serves the deletion physically — merging it back early would let
+    * the standing tombstone silently re-screen the fresh rows. The
+    * probe is one size-guarded semi-join against the pending set
+    * ([[graft.engine.Skew.maybeBroadcast]] — a mass purge falls back to
+    * planner strategy). One definition so a protocol fix lands once;
+    * `verb` names the caller in the error. */
+  def requireNoTombClash(rows: DataFrame, path: String, keyCol: String,
+                         verb: String): Unit =
+    pendingTombstones(rows.sparkSession, path, keyCol).foreach { t =>
+      val clash = rows.select(col(keyCol))
+        .join(Skew.maybeBroadcast(t), Seq(keyCol), "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        s"$verb: batch re-inserts tombstoned ${keyCol}s at $path — run " +
+          "the index maintenance tick (physical deletion) before " +
+          "re-inserting a deleted id")
+    }
 
   private def dropTombstoned(df: DataFrame, tomb: Option[DataFrame],
                              keyCol: String = "doc_id"): DataFrame =

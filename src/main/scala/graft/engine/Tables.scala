@@ -114,24 +114,31 @@ object Tables {
         val deadline = System.nanoTime + probeWaitMs * 1000000L
         var ready = false
         // only "no files yet" (schema-inference failure) is the
-        // retryable not-ready signal; any OTHER error repeating across
-        // two consecutive probes (a persistent permissions/IO fault) is
-        // terminal — retrying it would silently burn the whole wait
-        // budget and then mask the real fault behind an assumed schema
+        // retryable not-ready signal; any OTHER error PERSISTING across
+        // consecutive probes for a full second (a permissions/IO fault)
+        // is terminal — retrying it would silently burn the whole wait
+        // budget and then mask the real fault behind an assumed schema.
+        // The full-second horizon (not two 50 ms strikes) matters: a
+        // multi-MB first file lands mid-write without temp+rename and
+        // throws the SAME exception class from back-to-back probes
+        // while perfectly healthy — in-flight writes resolve in well
+        // under a second, persistent faults never do
+        var otherSince = 0L
         var lastOther: Exception = null
         while (!ready && System.nanoTime < deadline) {
           Thread.sleep(50)
           ready = try {
             spark.read.parquet(dir).schema
-            lastOther = null; true
+            otherSince = 0L; lastOther = null; true
           } catch {
             case e2: Exception if isNanosFooter(e2) => true
             case e2: Exception if String.valueOf(e2.getMessage)
                 .contains("Unable to infer schema") =>
-              lastOther = null; false
+              otherSince = 0L; lastOther = null; false
             case e2: Exception =>
-              if (lastOther != null &&
-                  lastOther.getClass == e2.getClass) throw e2
+              if (lastOther != null && lastOther.getClass == e2.getClass) {
+                if (System.nanoTime - otherSince >= 1000000000L) throw e2
+              } else otherSince = System.nanoTime
               lastOther = e2; false
           }
         }

@@ -520,14 +520,7 @@ object DedupOps {
   def mergeHashIndex(skNew: DataFrame, path: String): Unit = {
     val spark = skNew.sparkSession
     val (bands, bandBits) = hashIndexMeta(spark, path)
-    indexTombstones(spark, path).foreach { t =>
-      val clash = skNew.join(Skew.maybeBroadcast(t), Seq("doc_id"), "left_semi")
-        .limit(1).count()
-      require(clash == 0L,
-        s"mergeHashIndex: batch re-inserts tombstoned doc ids at $path — " +
-          "run the ahash maintenance tick (physical deletion) before " +
-          "re-inserting a deleted id")
-    }
+    Compaction.requireNoTombClash(skNew, path, "doc_id", "mergeHashIndex")
     Compaction.guardedAppend(s"$path/bands") { live =>
       bandRows(skNew, bands, bandBits)
         .coalesce(1).write.mode("append").parquet(live)
@@ -756,18 +749,11 @@ object DedupOps {
   def mergeFingerprintIndex(newDocs: DataFrame, path: String, k: Int = 8,
                             w: Int = 4): Unit = {
     val spark = newDocs.sparkSession
-    // re-insert guard, as in mergeHashIndex: a tombstoned id must stay
-    // gone until the tick serves the deletion, or the tombstone would
-    // silently re-screen the fresh rows
-    indexTombstones(spark, path).foreach { t =>
-      val clash = newDocs.select(col("doc_id"))
-        .join(Skew.maybeBroadcast(t), Seq("doc_id"), "left_semi")
-        .limit(1).count()
-      require(clash == 0L,
-        s"mergeFingerprintIndex: batch re-inserts tombstoned doc ids at " +
-          s"$path — run the fingerprint maintenance tick (physical " +
-          "deletion) before re-inserting a deleted id")
-    }
+    // re-insert guard: a tombstoned id must stay gone until the tick
+    // serves the deletion, or the tombstone would silently re-screen
+    // the fresh rows
+    Compaction.requireNoTombClash(newDocs, path, "doc_id",
+      "mergeFingerprintIndex")
     val ex = winnowExploded(newDocs, k, w)
     // empty change batch (or all docs below the winnow length floor):
     // leave every artifact untouched instead of rewriting dfs in place

@@ -469,25 +469,34 @@ object Multimodal {
         val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
         rows.flatMap { r =>
           val id = r.getLong(0)
-          rd.setInput(javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))))
-          val n = rd.getNumImages(true)
-          require(n > 0, s"decodeGifFrames: doc $id is not a decodable GIF")
-          (0 until n).map { f =>
-            val img = rd.read(f)
-            val (w, h) = (img.getWidth, img.getHeight)
-            var sum = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                sum += (img.getRGB(x, y) & 0xff).toLong
-                x += 1
+          // memory-cache stream over the in-heap payload, CLOSED per
+          // payload: ImageIO.createImageInputStream defaults to a
+          // FILE-cache stream (one open fd + one on-disk temp file
+          // each, reclaimed only at JVM exit), which a corpus-scale
+          // decode turns into fd/tmp exhaustion on long-lived executors
+          val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          try {
+            rd.setInput(in)
+            val n = rd.getNumImages(true)
+            require(n > 0, s"decodeGifFrames: doc $id is not a decodable GIF")
+            // strict map: every frame decodes before the stream closes
+            (0 until n).map { f =>
+              val img = rd.read(f)
+              val (w, h) = (img.getWidth, img.getHeight)
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  sum += (img.getRGB(x, y) & 0xff).toLong
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
+              Row(id, f, w, h, sum)
             }
-            Row(id, f, w, h, sum)
-          }
+          } finally in.close()
         }
       }(enc)
   }

@@ -677,7 +677,11 @@ object SimilarityOps {
     * scheduled (signal-gated, between stream batches), never per-merge. */
   def rebuildIvfPqIndex(embeddings: DataFrame, path: String,
                         k: Int = 0, iters: Int = 2,
-                        m: Int = 0, ksub: Int = 0, pqIters: Int = 1): Unit = {
+                        m: Int = 0, ksub: Int = 0,
+                        pqIters: Int = 1): Unit = Caches.withCached {
+    // own scope, like retrainIvfIndex: the screened-source cache is
+    // corpus-sized and the in-stream rebuild tick runs outside any
+    // per-batch scope
     val spark = embeddings.sparkSession
     VectorExpressions.register(spark)
     import spark.implicits._
@@ -853,16 +857,7 @@ object SimilarityOps {
     * so the caller replays the batch after running the tick. */
   private def requireNoAnnTombClash(newVecs: DataFrame, path: String,
                                     verb: String): Unit =
-    Compaction.pendingTombstones(newVecs.sparkSession, path, "vec_id")
-      .foreach { t =>
-        val clash = newVecs.select(col("vec_id"))
-          .join(Skew.maybeBroadcast(t), Seq("vec_id"), "left_semi")
-          .limit(1).count()
-        require(clash == 0L,
-          s"$verb: batch re-inserts tombstoned vec ids at $path — run " +
-            "the index maintenance tick (physical deletion) before " +
-            "re-inserting a deleted id")
-      }
+    Compaction.requireNoTombClash(newVecs, path, "vec_id", verb)
 
   /** Incremental stored-IVF maintenance — the CDC×ANN composition: new
     * vectors arriving after the index build are assigned to the EXISTING
@@ -938,7 +933,12 @@ object SimilarityOps {
     * inherently is, scheduled (drift-gated, between stream batches),
     * never per-merge. `k` ≤ 0 keeps the index's current cell count. */
   def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
-                      path: String, k: Int = 0, iters: Int = 2): Unit = {
+                      path: String, k: Int = 0,
+                      iters: Int = 2): Unit = Caches.withCached {
+    // own scope: the live-set cache below is corpus-sized and this verb
+    // runs from stream ticks OUTSIDE any per-batch withCached scope — an
+    // unscoped entry per drift-triggered retrain accretes for the
+    // stream's lifetime
     VectorExpressions.register(spark)
     import spark.implicits._
     val kk = if (k > 0) k else storedCentroids(spark, path).length
@@ -1339,7 +1339,9 @@ object SimilarityOps {
     * the rebuilt index is bit-identical to a fresh [[buildPqIndex]] on
     * that set. `m`/`ksub` ≤ 0 keep the index's current geometry. */
   def rebuildPqIndex(embeddings: DataFrame, path: String,
-                     m: Int = 0, ksub: Int = 0, iters: Int = 1): Unit = {
+                     m: Int = 0, ksub: Int = 0,
+                     iters: Int = 1): Unit = Caches.withCached {
+    // own scope — see rebuildIvfPqIndex
     val spark = embeddings.sparkSession
     VectorExpressions.register(spark)
     import spark.implicits._

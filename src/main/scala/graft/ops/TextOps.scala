@@ -1430,19 +1430,20 @@ object TextOps {
     * silent re-add). */
   def mergeBm25Index(newDocs: DataFrame, path: String): Unit = {
     val spark = newDocs.sparkSession
-    // re-insert guard (the mergeHashIndex twin): a tombstoned doc must
-    // stay gone until the bm25 tick serves the deletion physically, or
-    // the standing tombstone would silently re-screen the fresh postings
-    Compaction.pendingTombstones(spark, path).foreach { t =>
-      val clash = newDocs.select(col("doc_id"))
-        .join(graft.engine.Skew.maybeBroadcast(t), Seq("doc_id"),
-          "left_semi")
-        .limit(1).count()
-      require(clash == 0L,
-        s"mergeBm25Index: batch re-inserts tombstoned doc ids at $path — " +
-          "run the bm25 maintenance tick (physical deletion) before " +
-          "re-inserting a deleted id")
-    }
+    // crashed-ledger replay: the previous attempt's side-table ADD
+    // committed (its signature rode the same version swap) but the
+    // caller's ledger append did not — skip the whole re-apply. The
+    // postings from that attempt are already appended; a re-append
+    // would be answer-invisible anyway (the pivot's first() and the
+    // tick's dropDuplicates collapse duplicates), but the df/stats ADD
+    // is exact arithmetic and MUST NOT run twice.
+    val sig = batchSignature(newDocs, "merge")
+    val applied = bm25Applied(spark, path)
+    if (applied.contains(sig)) return
+    // re-insert guard: a tombstoned doc must stay gone until the bm25
+    // tick serves the deletion physically, or the standing tombstone
+    // would silently re-screen the fresh postings
+    Compaction.requireNoTombClash(newDocs, path, "doc_id", "mergeBm25Index")
     val words = newDocs.select(col("doc_id"), normWords(col("text")).as("w"))
     val add = words
       .agg(count(lit(1)).as("n_docs"), sum(size(col("w")).cast("long")).as("sum_dl"))
@@ -1462,17 +1463,15 @@ object TextOps {
         .write.mode("append").parquet(live)
     }
     val newDf = postings.groupBy("term").agg(count(lit(1)).as("df"))
-    val mergedLex = spark.read.parquet(s"$path/lexicon")
+    val mergedLex = bm25Lexicon(spark, path)
       .unionByName(newDf)
       .groupBy("term").agg(sum("df").as("df"))
-      // materialize before overwriting the lexicon path the plan reads
+      // materialize before republishing the root the plan reads under
       .localCheckpoint(true)
-    mergedLex.write.mode("overwrite").parquet(s"$path/lexicon")
-    val old = spark.read.parquet(s"$path/stats").head()
-    import spark.implicits._
-    Seq((old.getLong(0) + add.getLong(0), old.getLong(1) + add.getLong(1)))
-      .toDF("n_docs", "sum_dl")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    val old = bm25StatsRow(spark, path)
+    publishBm25Side(spark, path, mergedLex,
+      old.getLong(0) + add.getLong(0), old.getLong(1) + add.getLong(1),
+      applied + sig)
   }
 
   /** Retract previously-indexed documents from the stored BM25 index —
@@ -1499,10 +1498,23 @@ object TextOps {
     * rebuilt on the remaining corpus — which is what the oracle
     * replays. The delete record must carry the full row image (text),
     * the CDC delete-capture contract (reference: the BEFORE DELETE
-    * trigger snapshots the row, src/cdc/log_extractor.py:290-334);
-    * replay protection is the caller's (stream, batch-id) ledger. */
+    * trigger snapshots the row, src/cdc/log_extractor.py:290-334).
+    *
+    * Replay safety: exact subtraction is not naturally idempotent, and
+    * the engine-wide crash protocol is "the ledger replays the whole
+    * batch" — a replay whose previous attempt died AFTER the
+    * adjustment but BEFORE the ledger append must not subtract twice.
+    * The batch's signature therefore commits IN THE SAME version swap
+    * as its effect ([[publishBm25Side]]'s `_applied` log), and a
+    * replayed batch whose signature is already live skips the whole
+    * verb: a byte-identical re-retraction is an idempotent no-op, while
+    * retracting never-absorbed content still fails loudly through the
+    * phantom/negative-net guards. */
   def retractBm25Index(deletedDocs: DataFrame, path: String): Unit = {
     val spark = deletedDocs.sparkSession
+    val sig = batchSignature(deletedDocs, "retract")
+    val applied = bm25Applied(spark, path)
+    if (applied.contains(sig)) return
     val words = deletedDocs.select(col("doc_id"), normWords(col("text")).as("w"))
     val del = words
       .agg(count(lit(1)).as("n_docs"),
@@ -1510,12 +1522,13 @@ object TextOps {
       .head()
     if (del.getLong(0) == 0L) return
     // tombstones first: the screen takes effect even if a crash stops
-    // the lexicon/stats adjustment (the ledger replays the whole batch)
+    // the lexicon/stats adjustment (re-appending them on the replay is
+    // harmless — the screens read through distinct())
     Compaction.appendTombstones(deletedDocs.select(col("doc_id")), path)
     val delDf = Caches.ensureCached(words
       .select(col("doc_id"), explode(array_distinct(col("w"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("ddf")))
-    val lex = spark.read.parquet(s"$path/lexicon")
+    val lex = bm25Lexicon(spark, path)
     // a retracted term ABSENT from the lexicon is a retraction that was
     // never absorbed (its absorb would have written df >= 1) — the
     // df-underflow guard below can't see it (there is no row to net
@@ -1537,18 +1550,99 @@ object TextOps {
             lit("' netted negative df — retraction without a matching " +
               "absorb (or with different text)")))))
       .filter(col("_ok") && col("df") > 0L).drop("_ok")
-      // materialize before overwriting the lexicon path the plan reads
+      // materialize before republishing the root the plan reads under
       .localCheckpoint(true)
-    newLex.write.mode("overwrite").parquet(s"$path/lexicon")
-    val old = spark.read.parquet(s"$path/stats").head()
+    val old = bm25StatsRow(spark, path)
     val (n2, dl2) = (old.getLong(0) - del.getLong(0),
       old.getLong(1) - del.getLong(1))
     require(n2 >= 0L && dl2 >= 0L,
       s"bm25 index: retraction nets negative corpus stats at $path — " +
         "more docs/tokens retracted than were ever absorbed")
+    publishBm25Side(spark, path, newLex, n2, dl2, applied + sig)
+  }
+
+  // ---- BM25 side-table atomicity & replay idempotence ---------------
+  // The lexicon (per-term df), the one-row stats, and the applied-batch
+  // signature log publish as ONE versioned unit: the lexicon table is
+  // the version root, `_stats` and `_applied` ride its version dir as
+  // sidecars (the ANN families' `_centroids`/`_codebooks` pattern), and
+  // the single pointer swap is the atomic commit point of a merge's ADD
+  // or a retraction's SUBTRACT. Without it the two sequential
+  // overwrites expose a torn lexicon/stats pair to a concurrent probe,
+  // and — worse — a batch replayed after a crash between the adjustment
+  // and the caller's ledger append would apply its exact arithmetic
+  // TWICE, permanently corrupting stored scores (nothing re-derives the
+  // lexicon). Postings and tombstone appends stay outside the swap:
+  // both are answer-idempotent on their own (duplicate posting rows
+  // collapse in the query pivot's first() and the tick's
+  // dropDuplicates; tombstones read through distinct()). The bm25
+  // maintenance tick resets `_applied` when it serves tombstones — a
+  // legal re-insert of a deleted id always crosses that tick (the merge
+  // clash guard forces it), so its fresh signature can never be
+  // mistaken for the pre-deletion batch's.
+
+  /** Live lexicon table — the versioned copy once any merge/retraction
+    * has republished it, the flat build-time table before that. */
+  private def bm25Lexicon(spark: org.apache.spark.sql.SparkSession,
+                          path: String): DataFrame =
+    spark.read.parquet(Compaction.resolve(s"$path/lexicon"))
+
+  /** Live (n_docs, sum_dl) — the lexicon version's `_stats` sidecar
+    * once published, the flat build-time table before that. */
+  private def bm25StatsDf(spark: org.apache.spark.sql.SparkSession,
+                          path: String): DataFrame = {
+    val sidecar = java.nio.file.Paths.get(
+      Compaction.resolve(s"$path/lexicon"), "_stats")
+    if (java.nio.file.Files.exists(sidecar))
+      spark.read.parquet(sidecar.toString)
+    else spark.read.parquet(s"$path/stats")
+  }
+
+  private def bm25StatsRow(spark: org.apache.spark.sql.SparkSession,
+                           path: String): org.apache.spark.sql.Row =
+    bm25StatsDf(spark, path).head()
+
+  /** Applied-batch signatures riding the live lexicon version (empty
+    * for a never-merged/never-retracted index). */
+  private def bm25Applied(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Set[String] = {
+    val sidecar = java.nio.file.Paths.get(
+      Compaction.resolve(s"$path/lexicon"), "_applied")
+    if (java.nio.file.Files.exists(sidecar))
+      spark.read.parquet(sidecar.toString)
+        .collect().map(_.getString(0)).toSet
+    else Set.empty
+  }
+
+  /** Order-independent content signature of a change batch: one tiny
+    * aggregate (count + sum of per-row xxhash64 over doc_id and the
+    * text's md5), tagged with the verb so a delete and a re-insert of
+    * the same rows never collide. Deterministic on the batch's content,
+    * which is exactly what a ledger replay re-presents. */
+  private def batchSignature(docs: DataFrame, op: String): String = {
+    // DECIMAL sum: per-row hashes span the full long range, so a plain
+    // long sum overflows (ANSI raise) on batches bigger than a handful
+    val r = docs
+      .select(xxhash64(col("doc_id"), md5(col("text"))).as("h"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("h").cast("decimal(38,0)")).as("hs")).head()
+    val hs = if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString
+    s"$op:${r.getLong(0)}:$hs"
+  }
+
+  /** Publish lexicon + stats + applied-log as one atomic version swap. */
+  private def publishBm25Side(spark: org.apache.spark.sql.SparkSession,
+                              path: String, newLex: DataFrame,
+                              nDocs: Long, sumDl: Long,
+                              applied: Set[String]): Unit = {
     import spark.implicits._
-    Seq((n2, dl2)).toDF("n_docs", "sum_dl")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    Compaction.publishVersion(s"$path/lexicon") { dir =>
+      newLex.write.mode("overwrite").parquet(dir)
+      Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/_stats")
+      applied.toSeq.sorted.toDF("sig")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/_applied")
+    }
   }
 
   /** Tombstone screen for the stored postings scan — deleted docs stop
@@ -1576,10 +1670,10 @@ object TextOps {
   def queryBm25Index(spark: org.apache.spark.sql.SparkSession, path: String,
                      terms: Seq[String], topK: Int = 10): DataFrame = {
     require(terms.nonEmpty, "queryBm25Index needs at least one query term")
-    val dfByTerm = spark.read.parquet(s"$path/lexicon")
+    val dfByTerm = bm25Lexicon(spark, path)
       .filter(col("term").isin(terms: _*))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val stats = spark.read.parquet(s"$path/stats")
+    val stats = bm25StatsDf(spark, path)
     val hits = screenBm25Tombstones(spark, path,
       spark.read.parquet(Compaction.resolve(s"$path/postings")))
       .filter(col("term").isin(terms: _*))
@@ -1631,8 +1725,8 @@ object TextOps {
     // per-(query, term) df: one probe of the tiny lexicon by the batch's
     // term set (inner join — a term the index has never seen matches no
     // postings either, so it can't contribute a candidate row)
-    val qdf = qt.join(spark.read.parquet(s"$path/lexicon"), Seq("term"))
-    val stats = spark.read.parquet(s"$path/stats")
+    val qdf = qt.join(bm25Lexicon(spark, path), Seq("term"))
+    val stats = bm25StatsDf(spark, path)
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val contrib = {
       val tfD = col("tf").cast("double")

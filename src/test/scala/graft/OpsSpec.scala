@@ -1350,11 +1350,20 @@ class OpsSpec extends AnyFunSuite {
     // same per-term df, same corpus stats, bit-identical scores
     val full = Files.createTempDirectory("bm25_full").toString
     TextOps.buildBm25Index(docs, full)
-    def lex(p: String) = spark.read.parquet(s"$p/lexicon")
+    // the merge republishes lexicon+stats as one VERSION under the
+    // lexicon root (atomic swap, replay log) — read the live copy the
+    // way the query paths do, not the stale build-time flat files
+    def liveLex(p: String) =
+      graft.engine.Compaction.resolve(s"$p/lexicon")
+    def lex(p: String) = spark.read.parquet(liveLex(p))
       .as[(String, Long)].collect().toMap
+    def stats(p: String) = {
+      val sidecar = Paths.get(liveLex(p), "_stats")
+      val dir = if (Files.exists(sidecar)) sidecar.toString else s"$p/stats"
+      spark.read.parquet(dir).as[(Long, Long)].head()
+    }
     assert(lex(path) === lex(full))
-    assert(spark.read.parquet(s"$path/stats").as[(Long, Long)].head() ===
-      spark.read.parquet(s"$full/stats").as[(Long, Long)].head())
+    assert(stats(path) === stats(full))
     val got = TextOps.queryBm25Index(spark, path, terms, 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val expected = TextOps.bm25TopK(docs, terms, 10)

@@ -939,7 +939,7 @@ class StoredIndexesSpec extends AnyFunSuite {
   }
 
   test("BM25 retraction: scores equal a rebuild on the remaining corpus, " +
-    "postings physical at the tick, double-retract raises") {
+    "postings physical at the tick, replays idempotent, phantom raises") {
     def doc(id: Long, words: String) = (id, words)
     val docs = Seq(
       doc(1L, "spark join window spark " + (1 to 30).map("w" + _).mkString(" ")),
@@ -982,15 +982,48 @@ class StoredIndexesSpec extends AnyFunSuite {
     TextOps.mergeBm25Index(docs.filter($"doc_id" === 2L), path)
     val full = java.nio.file.Files.createTempDirectory("bm25_full").toString
     TextOps.buildBm25Index(docs, full)
-    assert(stored() === TextOps.queryBm25Index(spark, full, terms, 10)
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
-    // retract once more, then AGAIN: the unabsorbed second retraction
-    // nets doc 2's unique term negative and must raise, not publish
+    val fullScores = TextOps.queryBm25Index(spark, full, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored() === fullScores)
+    // crashed-ledger MERGE replay: re-presenting the same batch (its
+    // signature committed in the side-table swap, the ledger append was
+    // lost) must not double-add df/stats — scores stay full-corpus
+    TextOps.mergeBm25Index(docs.filter($"doc_id" === 2L), path)
+    assert(stored() === fullScores,
+      "a replayed merge must not apply its exact arithmetic twice")
+    // retract once more, then replay the SAME retraction: exact
+    // subtraction is not naturally idempotent, so the replay must skip
+    // via the applied-signature log, not double-subtract
     TextOps.retractBm25Index(docs.filter($"doc_id" === 2L), path)
+    val afterRetract = stored()
+    TextOps.retractBm25Index(docs.filter($"doc_id" === 2L), path)
+    assert(stored() === afterRetract,
+      "a replayed retraction must not subtract twice")
+    // and still bit-identical to the rebuild on the remaining corpus
+    assert(stored() === TextOps.queryBm25Index(spark, rebuilt, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // the fail-loud contract survives the idempotence: retracting
+    // content the index NEVER absorbed is corrupt by contract (phantom
+    // term), a genuinely different batch, not a replay
     val corrupt = intercept[Exception] {
-      TextOps.retractBm25Index(docs.filter($"doc_id" === 2L), path)
+      TextOps.retractBm25Index(
+        Seq((99L, "neverabsorbedterm spark")).toDF("doc_id", "text"), path)
     }
     assert(String.valueOf(corrupt.getMessage).contains("absorb"))
+    // crashed-ledger replay of a DELETE→RE-INSERT cycle: the serving
+    // tick RESETS the signature log between the halves (a legal
+    // re-insert must not be mistaken for the pre-deletion batch), so
+    // the replay re-applies BOTH halves — exact inverses that net out
+    def cycle(): Unit = {
+      TextOps.retractBm25Index(docs.filter($"doc_id" === 3L), path)
+      assert(Compaction.maintainIndex(spark, path, "bm25"))
+      TextOps.mergeBm25Index(docs.filter($"doc_id" === 3L), path)
+    }
+    cycle()
+    val afterCycle = stored()
+    cycle() // the ledgerless re-run
+    assert(stored() === afterCycle,
+      "a replayed delete→re-insert cycle must net out exactly")
   }
 
   test("hash-index probe broadcast is size-guarded: with broadcasting " +
