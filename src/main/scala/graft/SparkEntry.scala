@@ -1675,9 +1675,23 @@ object SparkEntry {
       // the retrain read-path's root (build + merge + retrain) — same
       // posture: the query times the pure probe of the retrained index
       retrainedIvfPath(s, dir)
-      // the lossy-code rebuild roots (build + merge + rebuild) — the
-      // queries time the pure probes of the rebuilt indexes
+      ()
+    }
+      }),
+      // the lossy-code rebuild roots (build-on-subset + merge + rebuild-
+      // from-source): like the merged variants they train their OWN
+      // memos (subset plans, and the rebuild's screened-source plan) —
+      // none of the full-corpus warm-up applies, and their three serial
+      // trainings each were making the ann chain the setup critical
+      // path. The two roots are independent, so each gets its own chain
+      ("pqrebuild", () => {
+    stage("pq_rebuilt_index") {
       rebuiltPqPath(s, dir)
+      ()
+    }
+      }),
+      ("ivfpqrebuild", () => {
+    stage("ivfpq_rebuilt_index") {
       rebuiltIvfPqPath(s, dir)
       ()
     }
