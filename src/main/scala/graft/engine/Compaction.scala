@@ -355,6 +355,8 @@ object Compaction {
       if (Files.exists(stats)) copyRec(stats, Paths.get(dir, "_stats"))
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("seq",
+            org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("sig",
             org.apache.spark.sql.types.StringType))))
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/_applied")
@@ -761,7 +763,10 @@ object Compaction {
     case "ivf"         => Seq(s"$path/assignments")
     case "pq" | "ivfpq" => Seq(s"$path/codes")
     case "vocab"       => Seq(s"$path/counts")
-    case "bm25"        => Seq(s"$path/postings")
+    // the lexicon versions too: every merge/retraction republishes the
+    // side tables as a new lexicon version (publishBm25Side), so a
+    // long-running stream accretes one superseded version dir per batch
+    case "bm25"        => Seq(s"$path/postings", s"$path/lexicon")
     case "fingerprint" => Seq(s"$path/postings", s"$path/sizes")
     case "hll"         => Seq(s"$path/sketches")
     case "ahash"       => Seq(s"$path/bands")

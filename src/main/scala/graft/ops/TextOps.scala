@@ -1438,8 +1438,8 @@ object TextOps {
     // tick's dropDuplicates collapse duplicates), but the df/stats ADD
     // is exact arithmetic and MUST NOT run twice.
     val sig = batchSignature(newDocs, "merge")
-    val applied = bm25Applied(spark, path)
-    if (applied.contains(sig)) return
+    val applied = bm25AppliedRows(spark, path)
+    if (applied.exists(_._2 == sig)) return
     // re-insert guard: a tombstoned doc must stay gone until the bm25
     // tick serves the deletion physically, or the standing tombstone
     // would silently re-screen the fresh postings
@@ -1471,7 +1471,7 @@ object TextOps {
     val old = bm25StatsRow(spark, path)
     publishBm25Side(spark, path, mergedLex,
       old.getLong(0) + add.getLong(0), old.getLong(1) + add.getLong(1),
-      applied + sig)
+      applied, sig)
   }
 
   /** Retract previously-indexed documents from the stored BM25 index —
@@ -1513,8 +1513,8 @@ object TextOps {
   def retractBm25Index(deletedDocs: DataFrame, path: String): Unit = {
     val spark = deletedDocs.sparkSession
     val sig = batchSignature(deletedDocs, "retract")
-    val applied = bm25Applied(spark, path)
-    if (applied.contains(sig)) return
+    val applied = bm25AppliedRows(spark, path)
+    if (applied.exists(_._2 == sig)) return
     val words = deletedDocs.select(col("doc_id"), normWords(col("text")).as("w"))
     val del = words
       .agg(count(lit(1)).as("n_docs"),
@@ -1558,7 +1558,7 @@ object TextOps {
     require(n2 >= 0L && dl2 >= 0L,
       s"bm25 index: retraction nets negative corpus stats at $path — " +
         "more docs/tokens retracted than were ever absorbed")
-    publishBm25Side(spark, path, newLex, n2, dl2, applied + sig)
+    publishBm25Side(spark, path, newLex, n2, dl2, applied, sig)
   }
 
   // ---- BM25 side-table atomicity & replay idempotence ---------------
@@ -1602,16 +1602,26 @@ object TextOps {
                            path: String): org.apache.spark.sql.Row =
     bm25StatsDf(spark, path).head()
 
-  /** Applied-batch signatures riding the live lexicon version (empty
-    * for a never-merged/never-retracted index). */
-  private def bm25Applied(spark: org.apache.spark.sql.SparkSession,
-                          path: String): Set[String] = {
+  /** How many applied-batch signatures the log retains. Replays only
+    * ever re-present the MOST RECENT un-ledgered batch (single-writer:
+    * an older batch's ledger entry landed or the stream halted), and
+    * one absorb batch commits at most two signatures (retract + merge,
+    * with a possible inline-serve reset between) — so a short tail
+    * suffices, and the log stays O(1) instead of growing one row per
+    * merge forever on an append-only feed. */
+  private val Bm25AppliedKeep = 8
+
+  /** Applied-batch (seq, sig) rows riding the live lexicon version,
+    * seq-ascending (empty for a never-merged/never-retracted index). */
+  private def bm25AppliedRows(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Seq[(Long, String)] = {
     val sidecar = java.nio.file.Paths.get(
       Compaction.resolve(s"$path/lexicon"), "_applied")
     if (java.nio.file.Files.exists(sidecar))
       spark.read.parquet(sidecar.toString)
-        .collect().map(_.getString(0)).toSet
-    else Set.empty
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1).toSeq
+    else Nil
   }
 
   /** Order-independent content signature of a change batch: one tiny
@@ -1630,17 +1640,22 @@ object TextOps {
     s"$op:${r.getLong(0)}:$hs"
   }
 
-  /** Publish lexicon + stats + applied-log as one atomic version swap. */
+  /** Publish lexicon + stats + applied-log as one atomic version swap,
+    * appending `newSig` to the log and pruning it to the
+    * [[Bm25AppliedKeep]] most recent signatures. */
   private def publishBm25Side(spark: org.apache.spark.sql.SparkSession,
                               path: String, newLex: DataFrame,
                               nDocs: Long, sumDl: Long,
-                              applied: Set[String]): Unit = {
+                              applied: Seq[(Long, String)],
+                              newSig: String): Unit = {
     import spark.implicits._
+    val nextSeq = applied.lastOption.map(_._1).getOrElse(0L) + 1L
+    val kept = (applied :+ (nextSeq, newSig)).takeRight(Bm25AppliedKeep)
     Compaction.publishVersion(s"$path/lexicon") { dir =>
       newLex.write.mode("overwrite").parquet(dir)
       Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/_stats")
-      applied.toSeq.sorted.toDF("sig")
+      kept.toDF("seq", "sig")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/_applied")
     }
   }

@@ -1024,6 +1024,13 @@ class StoredIndexesSpec extends AnyFunSuite {
     cycle() // the ledgerless re-run
     assert(stored() === afterCycle,
       "a replayed delete→re-insert cycle must net out exactly")
+    // the signature log is O(1), not one row per merge forever: an
+    // append-only feed must not accrete an unbounded driver collect
+    val appliedDir = java.nio.file.Paths.get(
+      Compaction.resolve(s"$path/lexicon"), "_applied")
+    assert(java.nio.file.Files.exists(appliedDir))
+    assert(spark.read.parquet(appliedDir.toString).count() <= 8L,
+      "the applied-signature log must stay pruned to its short tail")
   }
 
   test("hash-index probe broadcast is size-guarded: with broadcasting " +
