@@ -455,7 +455,13 @@ object Compaction {
       // absorbed with different text) — corrupt by contract, so fail
       // loudly instead of publishing it.
       compactTable(spark, s"$path/counts",
-        df => df.groupBy("word")
+        // replay-duplicate heal FIRST (the batch-tagged dedup every
+        // view reader applies — TextOps.vocabPartials), then the
+        // distributive re-sum; the compacted rows carry the reserved
+        // "compacted" tag (at most one such row per word in any live
+        // version, so later dedups never collapse legitimate rows)
+        df => df.dropDuplicates("bsig", "word")
+          .groupBy("word")
           .agg(sum("tf").as("tf"), sum("df").as("df"))
           .withColumn("_ok",
             when(col("tf") >= 0L && col("df") >= 0L, lit(true))
@@ -464,6 +470,7 @@ object Compaction {
                 lit("' netted negative counts — retraction without a " +
                   "matching absorb")))))
           .filter(col("_ok") && col("tf") > 0L).drop("_ok")
+          .withColumn("bsig", lit("compacted"))
           .repartition(col("word")).sortWithinPartitions("word"),
         maxFilesPerPartition = maxFilesPerPartition)
     case "bm25" =>

@@ -208,8 +208,7 @@ object TextOps {
     * training path shares this read. */
   private def storedVocab(spark: org.apache.spark.sql.SparkSession,
                           path: String): DataFrame =
-    spark.read
-      .parquet(graft.engine.Compaction.resolve(s"$path/counts"))
+    vocabView(spark, path)
       .groupBy("word").agg(sum("tf").as("tf"))
       .withColumn("_ok", when(col("tf") >= 0L, lit(true))
         .otherwise(raise_error(concat(
@@ -742,12 +741,29 @@ object TextOps {
     tokenizerUnkRate(spark, docs, path) > threshold
 
   /** Per-word partial counts of one corpus subset — the unit the stored
-    * vocabulary view appends per merge. */
-  private def vocabPartials(docs: DataFrame): DataFrame =
+    * vocabulary view appends per merge. Every partial row carries the
+    * batch's tag (`bsig`): one batch emits one row per word, so
+    * (bsig, word) is unique per batch, and a replayed append lays down
+    * EXACT duplicates that [[vocabView]]'s dedup collapses — unlike the
+    * BM25 side tables there is no version swap to hang a signature log
+    * on (the view is append-only by design), so idempotence rides the
+    * rows themselves. This also heals a crash mid-append that left only
+    * part of a batch's files visible: the replay re-appends the full
+    * batch and dedup keeps one copy of every row. */
+  private def vocabPartials(docs: DataFrame, tag: String): DataFrame =
     docs.select(col("doc_id"), explode(normWords(col("text"))).as("word"))
       .filter(col("word") =!= "")
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
       .groupBy("word").agg(sum("tf").as("tf"), count(lit(1)).as("df"))
+      .withColumn("bsig", lit(tag))
+
+  /** The stored view's partial rows with replay duplicates healed —
+    * EVERY reader (and the `vocab` compaction) must re-sum over this,
+    * never over the raw table. */
+  private def vocabView(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame =
+    spark.read.parquet(graft.engine.Compaction.resolve(s"$path/counts"))
+      .dropDuplicates("bsig", "word")
 
   /** Stored word-count aggregate with incremental maintenance — the
     * MATERIALIZED-VIEW pattern for distributive aggregates, a different
@@ -764,15 +780,24 @@ object TextOps {
     * word — the one compaction recipe where the rewrite CHANGES row
     * counts, sound exactly because the aggregate is distributive. */
   def buildVocabIndex(docs: DataFrame, path: String): Unit = {
-    vocabPartials(docs).write.mode("overwrite").parquet(s"$path/counts")
+    vocabPartials(docs, "build").write.mode("overwrite")
+      .parquet(s"$path/counts")
     graft.engine.Compaction.seedBase(s"$path/counts")
   }
 
-  /** Append one disjoint batch's per-word partials — O(|batch vocab|). */
-  def mergeVocabIndex(newDocs: DataFrame, path: String): Unit =
+  /** Append one disjoint batch's per-word partials — O(|batch vocab|).
+    * `batchTag` identifies the batch for replay healing (streams pass
+    * their stable (stream, batch-id) tag); when omitted it derives from
+    * the batch's content — exact for every contract-respecting caller,
+    * since merging byte-identical doc sets twice already violates the
+    * view's disjointness contract. */
+  def mergeVocabIndex(newDocs: DataFrame, path: String,
+                      batchTag: String = null): Unit = {
+    val tag = Option(batchTag).getOrElse(batchSignature(newDocs, "merge"))
     graft.engine.Compaction.guardedAppend(s"$path/counts") { live =>
-      vocabPartials(newDocs).write.mode("append").parquet(live)
+      vocabPartials(newDocs, tag).write.mode("append").parquet(live)
     }
+  }
 
   /** Retract previously-absorbed documents from the view — the CDC
     * DELETE path: appends the batch's per-word partials NEGATED, so the
@@ -788,20 +813,25 @@ object TextOps {
     * /root/reference/src/cdc/log_extractor.py:290-334). A retraction
     * that was never absorbed (or absorbed with different text) nets
     * some word negative; the `vocab` compaction detects that and raises
-    * instead of publishing a corrupt view. Replay protection is the
-    * caller's (stream, batch-id) ledger, exactly as for merges. */
-  def retractVocabIndex(docs: DataFrame, path: String): Unit =
+    * instead of publishing a corrupt view. Replays heal through the
+    * batch-tagged partial dedup ([[vocabPartials]]), so a crashed-ledger
+    * re-run cannot net the counts out twice. */
+  def retractVocabIndex(docs: DataFrame, path: String,
+                        batchTag: String = null): Unit = {
+    val tag = Option(batchTag).getOrElse(batchSignature(docs, "retract"))
     graft.engine.Compaction.guardedAppend(s"$path/counts") { live =>
-      vocabPartials(docs)
-        .select(col("word"), (-col("tf")).as("tf"), (-col("df")).as("df"))
+      vocabPartials(docs, tag)
+        .select(col("word"), (-col("tf")).as("tf"), (-col("df")).as("df"),
+          col("bsig"))
         .write.mode("append").parquet(live)
     }
+  }
 
   /** Top-K view read: re-sum the stored partials (a partial-aggregated
     * shuffle over |vocab × absorbed batches| rows, not the corpus). */
   def queryVocabTopK(spark: org.apache.spark.sql.SparkSession, path: String,
                      topK: Int): DataFrame =
-    spark.read.parquet(graft.engine.Compaction.resolve(s"$path/counts"))
+    vocabView(spark, path)
       .groupBy("word")
       .agg(sum("tf").as("tf"), sum("df").as("df"))
       // a fully-retracted word nets to ZERO — it has left the corpus and
@@ -832,8 +862,7 @@ object TextOps {
     * without its absorb) raises rather than serving a corrupt LM. */
   def lmScoreStored(spark: org.apache.spark.sql.SparkSession,
                     docs: DataFrame, path: String): DataFrame = {
-    val counts = spark.read
-      .parquet(graft.engine.Compaction.resolve(s"$path/counts"))
+    val counts = vocabView(spark, path)
       .groupBy("word").agg(sum("tf").as("ctf"))
       .withColumn("_ok", when(col("ctf") >= 0L, lit(true))
         .otherwise(raise_error(concat(

@@ -747,12 +747,19 @@ object CdcStream {
                   viewPath: String, streamId: String): Unit = {
     if (!batch.isEmpty) graft.engine.Caches.withCached {
       absorbOnce(spark, viewPath, streamId, id) {
+        // stable (stream, batch-id) tags: a crashed-ledger replay lays
+        // down byte-identical partial rows that the view's batch-tagged
+        // dedup collapses (TextOps.vocabPartials)
+        val tag = s"$streamId#$id"
         if (batch.columns.contains("op")) {
           val adds = batch.filter(coalesce(col("op") =!= "DELETE", lit(true)))
           val dels = batch.filter(col("op") === "DELETE")
-          if (!adds.isEmpty) graft.ops.TextOps.mergeVocabIndex(adds, viewPath)
-          if (!dels.isEmpty) graft.ops.TextOps.retractVocabIndex(dels, viewPath)
-        } else graft.ops.TextOps.mergeVocabIndex(batch, viewPath)
+          if (!adds.isEmpty)
+            graft.ops.TextOps.mergeVocabIndex(adds, viewPath, s"$tag:merge")
+          if (!dels.isEmpty)
+            graft.ops.TextOps.retractVocabIndex(dels, viewPath,
+              s"$tag:retract")
+        } else graft.ops.TextOps.mergeVocabIndex(batch, viewPath, s"$tag:merge")
       }
     }
     ()

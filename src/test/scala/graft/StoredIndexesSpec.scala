@@ -1033,6 +1033,35 @@ class StoredIndexesSpec extends AnyFunSuite {
       "the applied-signature log must stay pruned to its short tail")
   }
 
+  test("vocab view replays: a re-appended batch is healed by the " +
+    "batch-tagged dedup, through reads and the compaction") {
+    import graft.ops.TextOps
+    val path = java.nio.file.Files.createTempDirectory("vv_replay").toString
+    TextOps.buildVocabIndex(
+      Seq((1L, "spark rows table table")).toDF("doc_id", "text"), path)
+    val batch = Seq((2L, "table merge merge")).toDF("doc_id", "text")
+    TextOps.mergeVocabIndex(batch, path)
+    def top() = TextOps.queryVocabTopK(spark, path, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val after = top()
+    // crashed-ledger replay: the same batch re-appends byte-identical
+    // tagged partials — the additive re-sum must not double-count
+    TextOps.mergeVocabIndex(batch, path)
+    assert(top() === after,
+      "a replayed merge's partials must dedup, not double-count")
+    // retraction replays heal the same way
+    TextOps.retractVocabIndex(batch, path)
+    val afterDel = top()
+    TextOps.retractVocabIndex(batch, path)
+    assert(top() === afterDel,
+      "a replayed retraction must not net counts out twice")
+    // the compaction's re-sum applies the same heal before aggregating,
+    // and its compacted rows stay dedup-safe for later reads
+    assert(Compaction.compactIndex(spark, path, "vocab",
+      maxFilesPerPartition = 1))
+    assert(top() === afterDel)
+  }
+
   test("hash-index probe broadcast is size-guarded: with broadcasting " +
     "disabled the probe falls back to a shuffle join, same answers") {
     import graft.ops.{DedupOps, Multimodal}
