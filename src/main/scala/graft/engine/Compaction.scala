@@ -647,7 +647,17 @@ object Compaction {
       // batch; without this the streamed absorb re-accumulates exactly
       // the unbounded small-file debt the tick exists to bound
       case "ivf" | "pq" | "ivfpq" =>
-        collapseSidecar(spark, s"$path/merge_log", maxFilesPerPartition)
+        // the drift signal is distributive — sum(n) and the n-weighted
+        // mean — so the collapse reduces the per-merge rows to ONE
+        // partial instead of only coalescing files: the log stays O(1)
+        // rows on a long-running stream, and shouldRetrain recovers the
+        // identical weighted mean from the single partial
+        collapseSidecar(spark, s"$path/merge_log", maxFilesPerPartition,
+          df => df.agg(
+            sum("n").cast("long").as("n"),
+            (sum(col("mean_d2") * col("n").cast("double")) /
+              sum(col("n").cast("double"))).as("mean_d2"))
+            .filter(col("n").isNotNull))
       case _ => false
     }
     compactIndex(spark, path, kind, maxFilesPerPartition) || logCollapsed
@@ -689,13 +699,15 @@ object Compaction {
     * recovery runs, anything it finds in live beside a marked tmp is by
     * construction pre-crash residue, safe to replace. */
   private def collapseSidecar(spark: SparkSession, dir: String,
-                              maxFiles: Int): Boolean = {
+                              maxFiles: Int,
+                              collapse: DataFrame => DataFrame =
+                                identity): Boolean = {
     val live = Paths.get(dir)
     recoverSidecar(dir)
     if (!Files.exists(live)) return false
     if (filesPerPartition(dir).values.sum <= maxFiles) return false
     val tmp = Paths.get(dir + "._collapse")
-    spark.read.parquet(dir).coalesce(1)
+    collapse(spark.read.parquet(dir)).coalesce(1)
       .write.mode("overwrite").parquet(tmp.toString)
     // the recovery protocol keys off tmp/_SUCCESS: if the committer was
     // configured to skip the marker, deleting live now would leave a

@@ -140,14 +140,23 @@ class StoredIndexesSpec extends AnyFunSuite {
     assert(parquetFiles(s"$path/merge_log") === 6,
       "each merge must have appended one drift file")
     val rowsBefore = spark.read.parquet(s"$path/merge_log")
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val retrainBefore = SimilarityOps.shouldRetrain(spark, path)
     Compaction.maintainIndex(spark, path, "ivf", maxFilesPerPartition = 4)
     assert(parquetFiles(s"$path/merge_log") === 1,
       "the tick must collapse the drift log to one file")
-    assert(spark.read.parquet(s"$path/merge_log")
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
-      === rowsBefore, "collapse must preserve every drift row")
+    // the collapse AGGREGATES (the signal is distributive): one partial
+    // row carrying Σn and the n-weighted mean — O(1) rows on a
+    // long-running stream instead of one per merge forever
+    val collapsed = spark.read.parquet(s"$path/merge_log")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(collapsed.length === 1,
+      "collapse must reduce the per-merge rows to one partial")
+    val n = rowsBefore.map(_._1).sum
+    val wm = rowsBefore.map { case (ni, mi) => mi * ni }.sum / n.toDouble
+    assert(collapsed.head._1 === n &&
+      math.abs(collapsed.head._2 - wm) < 1e-12,
+      "the partial must carry the exact sum and weighted mean")
     assert(SimilarityOps.shouldRetrain(spark, path) === retrainBefore)
     // below the threshold the next tick leaves it alone
     Compaction.maintainIndex(spark, path, "ivf", maxFilesPerPartition = 4)
