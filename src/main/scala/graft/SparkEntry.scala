@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{Caches, Cdc, Scd2, SnapshotStore, Stats, Tables, ZOrder}
-import graft.ops.{Curation, DedupOps, Multimodal, SamplingOps, SimilarityOps, TextOps}
+import graft.ops.{Curation, DedupOps, Multimodal, PurgeAudit, SamplingOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (★ inventory) and §7.
   *
@@ -1092,6 +1092,21 @@ object SparkEntry {
     // text SimHash uses (hashPairs64) — O(images x bands), never
     // all-pairs; the oracle recomputes hash, bands, and exact Hamming
     // from the raster formula
+    // cross-index right-to-be-forgotten certification: one audit table
+    // proving, per stored-index family, that a purged slice is served
+    // NOWHERE in that family (deleted_residual = 0 through the SAME
+    // screened read paths the probes use) while data-derived live/mass
+    // metrics pin the remaining population — the BM25 df_mass row
+    // re-derives the postings-pair count from the LEXICON, so an
+    // inexactly-subtracted side table disagrees with its own postings
+    "purge_audit" -> ((s, dir) =>
+      PurgeAudit.audit(s,
+        deletedFpPath(s, dir), expr("doc_id % 13 = 5"),
+        deletedAhashPath(s, dir), expr("doc_id % 8 = 1"),
+        deletedIvfPath(s, dir), expr("vec_id % 7 = 3"),
+        retractedBm25Path(s, dir), expr("doc_id % 13 = 5"),
+        deletedVocabPath(s, dir))),
+
     "multimodal_phash_pairs" -> ((s, dir) =>
       DedupOps.hashPairs64(
         Multimodal.imageAHash(Multimodal.encodePng(Tables.documents(s, dir))),
@@ -1910,6 +1925,42 @@ object SparkEntry {
       SimilarityOps.buildPqIndex(emb.filter(expr(IvfMergeBuildPred)), p,
         P.PqM, P.PqKsub, P.PqIters)
       SimilarityOps.mergePqIndex(emb.filter(!expr(IvfMergeBuildPred)), p)
+    }
+
+  /** Fingerprint index with a tombstoned slice for the purge audit —
+    * built on the FULL corpus with the corpus-derived adaptive cap (the
+    * same [4,32]-clamped p99.9 the containment oracle replays), then
+    * doc_id % 13 = 5 tombstoned; pending tombstones left unserved so
+    * the audit certifies the logical-delete screen. */
+  private def deletedFpPath(s: SparkSession, dir: String): String =
+    engine.StoredIndexes.ensure("fp_del", dir) { p =>
+      val docs = Tables.documents(s, dir)
+      DedupOps.buildFingerprintIndex(docs, p,
+        maxDf = TextOps.adaptiveMaxDf(docs))
+      DedupOps.tombstoneFingerprintIndex(
+        docs.filter(expr("doc_id % 13 = 5")).select("doc_id"), p)
+    }
+
+  /** Banded aHash index with a tombstoned slice for the purge audit —
+    * same raster subset as `ahash_idx`, its own root (the deletion must
+    * not leak into the incremental-screen queries). */
+  private def deletedAhashPath(s: SparkSession, dir: String): String =
+    engine.StoredIndexes.ensure("ahash_del", dir) { p =>
+      val docs = Tables.documents(s, dir).filter(expr("doc_id % 4 < 3"))
+      DedupOps.buildHashIndex(
+        Multimodal.imageAHash(Multimodal.encodePng(docs)), p)
+      DedupOps.tombstoneHashIndex(
+        docs.filter(expr("doc_id % 8 = 1")).select("doc_id"), p)
+    }
+
+  /** Vocab view with a retracted slice for the purge audit — full-corpus
+    * build, then the doc_id % 13 = 5 docs' counts netted out by the CDC
+    * DELETE path (negated partials, content-keyed). */
+  private def deletedVocabPath(s: SparkSession, dir: String): String =
+    engine.StoredIndexes.ensure("vocab_del", dir) { p =>
+      val docs = Tables.documents(s, dir)
+      TextOps.buildVocabIndex(docs, p)
+      TextOps.retractVocabIndex(docs.filter(expr("doc_id % 13 = 5")), p)
     }
 
   private def dedupIdxPath(s: SparkSession, dir: String): String =
@@ -2845,6 +2896,42 @@ object SparkEntry {
     // mirror of DedupOps.queryFingerprintIndex over the build/feed split:
     // df cap derived from (and frozen to) the INDEXED subset, containment
     // between cross pairs only
+    // the purge-audit oracle IS the remaining corpus: every live/mass
+    // metric recomputed from the parquet tables minus each family's
+    // deleted slice (winnow fps under the same [4,32]-clamped p99.9 cap
+    // as text_containment, tokens under the shared words CTE), and
+    // every deleted_residual pinned to 0 — the Spark side measures the
+    // ACTUAL residual through the production screens, so a broken
+    // deletion path reds this row out
+    "purge_audit" ->
+      s"""WITH $wordsSql,
+         |$winnowFpSql,
+         |ex0 AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+         |dfc AS (SELECT f, count(*) AS d FROM ex0 GROUP BY f),
+         |cap AS (SELECT least(32, greatest(4, CAST(trunc(quantile_cont(d, 0.999)) AS BIGINT))) AS c FROM dfc),
+         |ex AS (SELECT doc_id, f FROM ex0 JOIN dfc USING (f) WHERE d <= (SELECT c FROM cap)),
+         |tok AS (SELECT doc_id, unnest(w) AS word FROM words),
+         |rem_tok AS (SELECT * FROM tok WHERE doc_id % 13 <> 5)
+         |SELECT * FROM (
+         |  SELECT 'ann_ivf' AS family, 'deleted_residual' AS metric, CAST(0 AS BIGINT) AS value
+         |  UNION ALL SELECT 'ann_ivf', 'live_vecs', (SELECT count(*) FROM embeddings WHERE vec_id % 7 <> 3)
+         |  UNION ALL SELECT 'bm25', 'deleted_residual', CAST(0 AS BIGINT)
+         |  UNION ALL SELECT 'bm25', 'df_mass', (SELECT count(*) FROM (SELECT DISTINCT doc_id, word FROM rem_tok))
+         |  UNION ALL SELECT 'bm25', 'live_docs', (SELECT count(DISTINCT doc_id) FROM rem_tok)
+         |  UNION ALL SELECT 'bm25', 'n_docs', (SELECT count(*) FROM documents WHERE doc_id % 13 <> 5)
+         |  UNION ALL SELECT 'bm25', 'postings_pairs', (SELECT count(*) FROM (SELECT DISTINCT doc_id, word FROM rem_tok))
+         |  UNION ALL SELECT 'bm25', 'sum_dl', (SELECT CAST(sum(len(w)) AS BIGINT) FROM words WHERE doc_id % 13 <> 5)
+         |  UNION ALL SELECT 'fingerprint', 'deleted_residual', CAST(0 AS BIGINT)
+         |  UNION ALL SELECT 'fingerprint', 'live_docs', (SELECT count(DISTINCT doc_id) FROM ex WHERE doc_id % 13 <> 5)
+         |  UNION ALL SELECT 'fingerprint', 'postings_pairs', (SELECT count(*) FROM ex WHERE doc_id % 13 <> 5)
+         |  UNION ALL SELECT 'image_ahash', 'band_rows', CAST(4 * (SELECT count(*) FROM documents WHERE doc_id % 4 < 3 AND doc_id % 8 <> 1) AS BIGINT)
+         |  UNION ALL SELECT 'image_ahash', 'deleted_residual', CAST(0 AS BIGINT)
+         |  UNION ALL SELECT 'image_ahash', 'live_docs', (SELECT count(*) FROM documents WHERE doc_id % 4 < 3 AND doc_id % 8 <> 1)
+         |  UNION ALL SELECT 'vocab', 'df_mass', (SELECT count(*) FROM (SELECT DISTINCT doc_id, word FROM rem_tok WHERE word <> ''))
+         |  UNION ALL SELECT 'vocab', 'live_words', (SELECT count(DISTINCT word) FROM rem_tok WHERE word <> '')
+         |  UNION ALL SELECT 'vocab', 'token_mass', (SELECT count(*) FROM rem_tok WHERE word <> '')
+         |) ORDER BY family, metric""".stripMargin,
+
     "dedup_incremental" ->
       s"""WITH $winnowFpSql,
          |ex0 AS (SELECT doc_id, unnest(fps) AS f FROM fp),

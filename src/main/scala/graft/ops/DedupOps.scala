@@ -553,6 +553,42 @@ object DedupOps {
       path: String): Option[DataFrame] =
     Compaction.pendingTombstones(spark, path)
 
+  /** THE doc-keyed tombstone screen — the one anti-join every
+    * doc-indexed read path applies before serving rows, factored out so
+    * the probes and the [[PurgeAudit]] certify the SAME code. The
+    * broadcast is size-guarded: a mass purge's tombstone set falls back
+    * to planner strategy instead of a forced driver broadcast. */
+  private[graft] def screenDocTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, rows: DataFrame): DataFrame =
+    indexTombstones(spark, path) match {
+      case Some(t) =>
+        rows.join(Skew.maybeBroadcast(t), Seq("doc_id"), "left_anti")
+      case None => rows
+    }
+
+  /** Screened (tombstone-dropped) band rows of a stored hash index —
+    * the audit's view of exactly what [[queryHashIndex]] can match. */
+  private[graft] def liveHashBands(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): DataFrame =
+    screenDocTombstones(spark, path,
+      spark.read.parquet(Compaction.resolve(s"$path/bands")))
+
+  /** Screened postings of a stored fingerprint index — exactly what
+    * [[queryFingerprintIndex]] can match. */
+  private[graft] def liveFingerprintPostings(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    screenDocTombstones(spark, path,
+      spark.read.parquet(Compaction.resolve(s"$path/postings")))
+
+  /** Screened sizes table of a stored fingerprint index — the doc-level
+    * membership view (one row per indexed doc with ≥ 1 kept
+    * fingerprint; replayed merges may duplicate rows exactly). */
+  private[graft] def liveFingerprintSizes(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    screenDocTombstones(spark, path,
+      spark.read.parquet(Compaction.resolve(s"$path/sizes")))
+
   /** Screen a batch of signatures against the stored index: candidates
     * from the banded broadcast probe, verified by exact Hamming ≤
     * `maxDist`. Returns (doc_new, doc_old, hamming); candidate-level
@@ -564,19 +600,12 @@ object DedupOps {
     val (bands, bandBits) = hashIndexMeta(spark, path)
     require(maxDist < bands,
       s"$bands bands guarantee recall only for maxDist <= ${bands - 1}")
-    val stored0 = spark.read.parquet(Compaction.resolve(s"$path/bands"))
     // tombstone screen: deleted items stop matching IMMEDIATELY, before
-    // the compaction makes the deletion physical
-    // size-guarded broadcasts ([[graft.engine.Skew.maybeBroadcast]]):
-    // steady-state tombstone sets and probe batches are megabytes and
-    // ride the no-index-shuffle fast path, but a mass purge (delete a
-    // whole source) or an oversized replay batch must fall back to
-    // planner strategy instead of a forced driver-side broadcast OOM
-    val stored = indexTombstones(spark, path) match {
-      case Some(t) =>
-        stored0.join(Skew.maybeBroadcast(t), Seq("doc_id"), "left_anti")
-      case None => stored0
-    }
+    // the compaction makes the deletion physical; the probe broadcast
+    // below is size-guarded like the screen's — an oversized replay
+    // batch must fall back to planner strategy instead of a forced
+    // driver-side broadcast OOM
+    val stored = liveHashBands(spark, path)
     val probe = bandRows(batch, bands, bandBits)
       .withColumnRenamed("doc_id", "doc_new")
       .withColumnRenamed("sig", "_sn")
@@ -828,16 +857,10 @@ object DedupOps {
       winnowExploded(newDocs, k, w)
         .join(spark.read.parquet(s"$path/hot"), Seq("fp"), "left_anti"))
     val feedSizes = feed.groupBy("doc_id").agg(count(lit(1)).as("nn"))
-    val postings0 = spark.read.parquet(Compaction.resolve(s"$path/postings"))
-    // tombstone screen (scan-time broadcast anti-join, the index never
-    // shuffles): deleted docs stop matching before the physical rewrite
-    val postings = indexTombstones(spark, path) match {
-      // size-guarded: a mass purge's tombstone set must not force a
-      // driver broadcast — planner strategy handles the oversized case
-      case Some(t) =>
-        postings0.join(maybeBroadcast(t), Seq("doc_id"), "left_anti")
-      case None => postings0
-    }
+    // tombstone screen (scan-time size-guarded broadcast anti-join, the
+    // index never shuffles): deleted docs stop matching before the
+    // physical rewrite
+    val postings = liveFingerprintPostings(spark, path)
     val cand = postings.as("i")
       .join(maybeBroadcast(feed.as("f")), col("i.fp") === col("f.fp"))
       // candidate-level dedup: (doc, fp) is unique per doc by

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cross-index right-to-be-forgotten certification — the audit a
+  * privacy/compliance pass runs AFTER routing CDC DELETEs
+  * (reference: the delete-capture contract,
+  * /root/reference/src/cdc/log_extractor.py:290-334) through the
+  * stored-index deletion verbs: one table proving, per index family,
+  * that nothing deleted is still being served anywhere in that family,
+  * alongside data-derived live counts that pin the remaining
+  * population.
+  *
+  * Every row reads through the SAME screened read path the production
+  * probes use ([[DedupOps.screenDocTombstones]],
+  * [[SimilarityOps.screenAnnTombstones]],
+  * [[TextOps.screenBm25Tombstones]], [[TextOps.vocabNet]]) — the audit
+  * certifies the code that answers queries, not a parallel
+  * reimplementation. `deleted_residual` must come back 0 for every
+  * family; the live/mass metrics are corpus-derived (and for BM25 the
+  * `df_mass` row re-derives the postings-pair count from the LEXICON,
+  * so a drifted side table disagrees with its own postings loudly).
+  *
+  * Scale shape: each metric is one partial-aggregated pass over its
+  * index table (count / countDistinct — map-side combine, no joins
+  * beyond the size-guarded tombstone screens already in the read
+  * paths), and the result is a fixed ~14 rows regardless of corpus
+  * size. At 100 TB this is strictly cheaper than any single probe
+  * sweep, and embarrassingly parallel across families. */
+object PurgeAudit {
+
+  /** One audit row set per family: melt a 1-row wide aggregate into
+    * (family, metric, value) long format — schema-stable as families
+    * gain metrics. */
+  private def melt(family: String, agged: DataFrame): DataFrame = {
+    val ms = agged.columns
+    val pairs = ms.map(m => s"'$m', cast(`$m` as bigint)").mkString(", ")
+    agged.selectExpr(s"'$family' AS family",
+      s"stack(${ms.length}, $pairs) AS (metric, value)")
+  }
+
+  /** Audit the five stored-index families against their deletion
+    * predicates. Each `*Deleted` column is the membership test of the
+    * purged id set, evaluated against the family's own key column
+    * (`doc_id` for fingerprint/aHash/BM25, `vec_id` for ANN); the
+    * vocab view is content-keyed, so its certification is equality of
+    * the netted counts with the remaining corpus (the oracle pins
+    * those), not a per-id residual. */
+  def audit(spark: SparkSession,
+            fingerprintPath: String, fingerprintDeleted: Column,
+            ahashPath: String, ahashDeleted: Column,
+            ivfPath: String, ivfDeleted: Column,
+            bm25Path: String, bm25Deleted: Column,
+            vocabPath: String): DataFrame = {
+    val fp = melt("fingerprint",
+      DedupOps.liveFingerprintSizes(spark, fingerprintPath)
+        .agg(countDistinct(col("doc_id")).as("live_docs"),
+          count(when(fingerprintDeleted, 1)).as("_rs"))
+        .crossJoin(DedupOps.liveFingerprintPostings(spark, fingerprintPath)
+          .agg(countDistinct(col("fp"), col("doc_id")).as("postings_pairs"),
+            count(when(fingerprintDeleted, 1)).as("_rp")))
+        .select(col("live_docs"), col("postings_pairs"),
+          (col("_rs") + col("_rp")).as("deleted_residual")))
+    val ah = melt("image_ahash",
+      DedupOps.liveHashBands(spark, ahashPath)
+        .agg(countDistinct(col("doc_id")).as("live_docs"),
+          countDistinct(col("band"), col("doc_id")).as("band_rows"),
+          count(when(ahashDeleted, 1)).as("deleted_residual")))
+    val ivf = melt("ann_ivf",
+      SimilarityOps.liveAnnAssignments(spark, ivfPath)
+        .agg(countDistinct(col("vec_id")).as("live_vecs"),
+          count(when(ivfDeleted, 1)).as("deleted_residual")))
+    val bm = melt("bm25",
+      TextOps.liveBm25Postings(spark, bm25Path)
+        .agg(countDistinct(col("doc_id")).as("live_docs"),
+          countDistinct(col("term"), col("doc_id")).as("postings_pairs"),
+          count(when(bm25Deleted, 1)).as("deleted_residual"))
+        .crossJoin(TextOps.bm25Lexicon(spark, bm25Path)
+          .agg(sum(col("df")).as("df_mass")))
+        .crossJoin(TextOps.bm25StatsDf(spark, bm25Path)
+          .select(col("n_docs").as("n_docs"), col("sum_dl").as("sum_dl"))))
+    val voc = melt("vocab",
+      TextOps.vocabNet(spark, vocabPath)
+        .agg(count(lit(1)).as("live_words"),
+          sum(col("tf")).as("token_mass"),
+          sum(col("df")).as("df_mass")))
+    Seq(fp, ah, ivf, bm, voc).reduce(_ unionByName _)
+      .orderBy("family", "metric")
+  }
+}

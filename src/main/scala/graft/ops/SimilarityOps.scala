@@ -842,13 +842,22 @@ object SimilarityOps {
     * stop matching IMMEDIATELY, before the physical rewrite. The
     * broadcast is size-guarded: a mass purge's tombstone set falls back
     * to a shuffle anti-join instead of a forced driver broadcast. */
-  private def screenAnnTombstones(spark: org.apache.spark.sql.SparkSession,
-                                  path: String, scan: DataFrame): DataFrame =
+  private[graft] def screenAnnTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, scan: DataFrame): DataFrame =
     Compaction.pendingTombstones(spark, path, "vec_id") match {
       case Some(t) =>
         scan.join(Skew.maybeBroadcast(t), Seq("vec_id"), "left_anti")
       case None => scan
     }
+
+  /** Screened (tombstone-dropped) assignment rows of a stored IVF
+    * index, unrestricted by cell — the [[graft.ops.PurgeAudit]]'s view
+    * of exactly what any probe cell choice could ever match. */
+  private[graft] def liveAnnAssignments(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    screenAnnTombstones(spark, path,
+      spark.read.parquet(Compaction.resolve(s"$path/assignments")))
 
   /** Re-insert guard shared by the three ANN merges (mergeHashIndex's
     * twin): a tombstoned vec id must stay gone until the tick serves

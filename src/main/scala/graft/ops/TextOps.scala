@@ -831,6 +831,16 @@ object TextOps {
     * shuffle over |vocab × absorbed batches| rows, not the corpus). */
   def queryVocabTopK(spark: org.apache.spark.sql.SparkSession, path: String,
                      topK: Int): DataFrame =
+    vocabNet(spark, path)
+      .orderBy(col("tf").desc, col("word"))
+      .limit(topK)
+
+  /** The full netted (word, tf, df) view behind [[queryVocabTopK]] —
+    * re-summed partials with the retraction guards, no top-k cut; the
+    * read every view consumer (and the [[graft.ops.PurgeAudit]])
+    * shares. */
+  private[graft] def vocabNet(spark: org.apache.spark.sql.SparkSession,
+                              path: String): DataFrame =
     vocabView(spark, path)
       .groupBy("word")
       .agg(sum("tf").as("tf"), sum("df").as("df"))
@@ -846,8 +856,6 @@ object TextOps {
             lit("' netted negative counts — retraction without a " +
               "matching absorb")))))
       .filter(col("_ok") && col("tf") > 0L).drop("_ok")
-      .orderBy(col("tf").desc, col("word"))
-      .limit(topK)
 
   /** [[lmScore]] against the STORED vocabulary view — the production
     * shape of LM quality filtering: the corpus unigram LM is the
@@ -1612,14 +1620,14 @@ object TextOps {
 
   /** Live lexicon table — the versioned copy once any merge/retraction
     * has republished it, the flat build-time table before that. */
-  private def bm25Lexicon(spark: org.apache.spark.sql.SparkSession,
-                          path: String): DataFrame =
+  private[graft] def bm25Lexicon(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): DataFrame =
     spark.read.parquet(Compaction.resolve(s"$path/lexicon"))
 
   /** Live (n_docs, sum_dl) — the lexicon version's `_stats` sidecar
     * once published, the flat build-time table before that. */
-  private def bm25StatsDf(spark: org.apache.spark.sql.SparkSession,
-                          path: String): DataFrame = {
+  private[graft] def bm25StatsDf(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): DataFrame = {
     val sidecar = java.nio.file.Paths.get(
       Compaction.resolve(s"$path/lexicon"), "_stats")
     if (java.nio.file.Files.exists(sidecar))
@@ -1692,14 +1700,23 @@ object TextOps {
   /** Tombstone screen for the stored postings scan — deleted docs stop
     * scoring IMMEDIATELY, before the physical rewrite. Size-guarded
     * broadcast: a mass purge falls back to a shuffle anti-join. */
-  private def screenBm25Tombstones(spark: org.apache.spark.sql.SparkSession,
-                                   path: String,
-                                   postings: DataFrame): DataFrame =
+  private[graft] def screenBm25Tombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      postings: DataFrame): DataFrame =
     Compaction.pendingTombstones(spark, path) match {
       case Some(t) => postings.join(graft.engine.Skew.maybeBroadcast(t),
         Seq("doc_id"), "left_anti")
       case None => postings
     }
+
+  /** Screened (tombstone-dropped) postings of a stored BM25 index —
+    * the [[graft.ops.PurgeAudit]]'s view of exactly what
+    * [[queryBm25Index]] can score. */
+  private[graft] def liveBm25Postings(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    screenBm25Tombstones(spark, path,
+      spark.read.parquet(Compaction.resolve(s"$path/postings")))
 
   /** Query a stored BM25 index: probe the postings for the query's terms
     * (pushed-down term filter — the scan touches only matching row
