@@ -1550,7 +1550,7 @@ object SparkEntry {
     // setup breakdown — a setup regression is then attributable to a
     // stage, the same property the per-run query times give the medians.
     //
-    // Stages run as FIVE CONCURRENT CHAINS (sequential within a chain,
+    // Stages run as EIGHT CONCURRENT CHAINS (sequential within a chain,
     // chains submitted from separate threads — the standard Spark
     // multi-job pattern): text caches → dup groups; SCD2 dims; embedding
     // caches → stored ANN builds; merged ANN builds; text index builds.
@@ -1730,6 +1730,21 @@ object SparkEntry {
       // the retraction read-path's own root (build + retract) — setup
       // cost like its bm25_idx twin, so the query times the pure probe
       retractedBm25Path(s, dir)
+      ()
+    }
+      }),
+      // the purge audit's three remaining tombstoned roots (fingerprint,
+      // aHash, vocab — its IVF and BM25 roots already ride the ann and
+      // textidx chains): index construction is setup cost everywhere
+      // else, so it is here too — the timed purge_audit closure then
+      // measures the pure five-family screened read, not three builds.
+      // Own chain: the builds depend on no other chain's memos beyond
+      // the thread-safe adaptiveMaxDf, and textidx is already the
+      // longest chain
+      ("purge", () => {
+    stage("purge_roots") {
+      deletedFpPath(s, dir); deletedAhashPath(s, dir)
+      deletedVocabPath(s, dir)
       ()
     }
       }))

@@ -44,6 +44,18 @@ import org.apache.spark.sql.functions._
   */
 object Compaction {
 
+  /** Vocab partial rows with the `bsig` batch tag guaranteed present:
+    * tables written before the replay heal existed carry no tag column —
+    * they get per-row UNIQUE synthetic tags, making the readers'
+    * (bsig, word) dedup a no-op on them (pre-tag tables never had a
+    * heal; a CONSTANT tag would collapse distinct same-word partials
+    * and corrupt the sums). Upgrade path: the first `vocab` compaction
+    * rewrites the table into tagged layout. */
+  private[graft] def taggedVocabRows(df: DataFrame): DataFrame =
+    if (df.columns.contains("bsig")) df
+    else df.withColumn("bsig",
+      concat(lit("legacy-"), monotonically_increasing_id()))
+
   private def pointer(table: String): Path = Paths.get(table, "_CURRENT")
 
   private def currentVersion(table: String): Option[Long] = {
@@ -454,13 +466,18 @@ object Compaction {
       // netting NEGATIVE means a retraction that was never absorbed (or
       // absorbed with different text) — corrupt by contract, so fail
       // loudly instead of publishing it.
+      // a pre-tag (no `bsig` column) table FORCES the rewrite like a
+      // pending tombstone does: appending tagged rows into an untagged
+      // dir would give files with diverging schemas (old rows reading
+      // back null/dropped tags), so the upgrade must land before the
+      // first tagged append — TextOps' appenders call this on sight
       compactTable(spark, s"$path/counts",
         // replay-duplicate heal FIRST (the batch-tagged dedup every
         // view reader applies — TextOps.vocabPartials), then the
         // distributive re-sum; the compacted rows carry the reserved
         // "compacted" tag (at most one such row per word in any live
         // version, so later dedups never collapse legitimate rows)
-        df => df.dropDuplicates("bsig", "word")
+        df => taggedVocabRows(df).dropDuplicates("bsig", "word")
           .groupBy("word")
           .agg(sum("tf").as("tf"), sum("df").as("df"))
           .withColumn("_ok",
@@ -472,7 +489,37 @@ object Compaction {
           .filter(col("_ok") && col("tf") > 0L).drop("_ok")
           .withColumn("bsig", lit("compacted"))
           .repartition(col("word")).sortWithinPartitions("word"),
-        maxFilesPerPartition = maxFilesPerPartition)
+        maxFilesPerPartition = maxFilesPerPartition,
+        // the `_absorbed` sidecar accumulates every batch tag this
+        // rewrite folds into the `compacted` aggregate: a batch whose
+        // rows are gone can no longer heal its own replay through the
+        // view's (bsig, word) dedup — the crashed-ledger window the
+        // tags exist for — so the appenders (TextOps.mergeVocabIndex /
+        // retractVocabIndex) consult this list and SKIP a replayed
+        // append instead of double-adding. One string per batch ever
+        // absorbed, rewritten per compaction tick: control-plane tiny
+        // at any corpus scale (the batch rate, not the data rate).
+        beforePublish = { nextDir =>
+          val live = spark.read.parquet(resolve(s"$path/counts"))
+          val cur = // pre-tag tables have no tags to record
+            if (live.columns.contains("bsig"))
+              Some(live.select("bsig").where(col("bsig") =!= "compacted")
+                .distinct())
+            else None
+          val sideIn = Paths.get(resolve(s"$path/counts"), "_absorbed")
+          val prev =
+            if (Files.exists(sideIn))
+              Some(spark.read.parquet(sideIn.toString))
+            else None
+          val all = (prev, cur) match {
+            case (Some(p), Some(c)) => Some(p.union(c).distinct())
+            case (p, c) => p.orElse(c)
+          }
+          all.foreach(_.coalesce(1).write.mode("overwrite")
+            .parquet(s"$nextDir/_absorbed"))
+        },
+        force = !spark.read.parquet(resolve(s"$path/counts"))
+          .columns.contains("bsig"))
     case "bm25" =>
       // deletion-aware like the fingerprint kind: tombstoned docs'
       // postings drop physically here (the lexicon/stats adjustments

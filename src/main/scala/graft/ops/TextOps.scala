@@ -759,11 +759,48 @@ object TextOps {
 
   /** The stored view's partial rows with replay duplicates healed —
     * EVERY reader (and the `vocab` compaction) must re-sum over this,
-    * never over the raw table. */
+    * never over the raw table. Pre-tag tables (written before the
+    * replay heal existed) carry no `bsig` column; they get per-row
+    * unique tags so the dedup is a no-op — those tables never had a
+    * heal, and collapsing same-word partials under one constant tag
+    * would corrupt their sums. */
   private def vocabView(spark: org.apache.spark.sql.SparkSession,
                         path: String): DataFrame =
-    spark.read.parquet(graft.engine.Compaction.resolve(s"$path/counts"))
+    graft.engine.Compaction.taggedVocabRows(
+      spark.read.parquet(graft.engine.Compaction.resolve(s"$path/counts")))
       .dropDuplicates("bsig", "word")
+
+  /** Batch tags the `vocab` compaction has already folded into its
+    * `compacted` aggregate (the version-scoped `_absorbed` sidecar) —
+    * tags with NO rows left for [[vocabView]]'s dedup to collapse a
+    * replay against, so their appends must be skipped instead. */
+  private def vocabTagAbsorbed(spark: org.apache.spark.sql.SparkSession,
+                               path: String, tag: String): Boolean = {
+    val side = java.nio.file.Paths.get(
+      graft.engine.Compaction.resolve(s"$path/counts"), "_absorbed")
+    java.nio.file.Files.exists(side) &&
+      spark.read.parquet(side.toString)
+        .filter(col("bsig") === tag).limit(1).count() > 0L
+  }
+
+  /** How many content-cycle tags derived from `base` exist in the view's
+    * history (live partial rows ∪ compaction-absorbed tags): `base`
+    * itself plus `base~1`, `base~2`, … Bounded collect — only the tags
+    * of ONE batch's content, a handful of strings. */
+  private def vocabTagCount(spark: org.apache.spark.sql.SparkSession,
+                            path: String, base: String): Int = {
+    val livePath = graft.engine.Compaction.resolve(s"$path/counts")
+    val live = spark.read.parquet(livePath)
+    if (!live.columns.contains("bsig")) return 0 // pre-tag table
+    val side = java.nio.file.Paths.get(livePath, "_absorbed")
+    val all =
+      if (java.nio.file.Files.exists(side))
+        live.select("bsig").union(spark.read.parquet(side.toString))
+      else live.select("bsig")
+    all.filter(col("bsig") === base ||
+        col("bsig").startsWith(base + "~"))
+      .distinct().collect().length
+  }
 
   /** Stored word-count aggregate with incremental maintenance — the
     * MATERIALIZED-VIEW pattern for distributive aggregates, a different
@@ -788,14 +825,55 @@ object TextOps {
   /** Append one disjoint batch's per-word partials — O(|batch vocab|).
     * `batchTag` identifies the batch for replay healing (streams pass
     * their stable (stream, batch-id) tag); when omitted it derives from
-    * the batch's content — exact for every contract-respecting caller,
-    * since merging byte-identical doc sets twice already violates the
-    * view's disjointness contract. */
+    * the batch's content PLUS a retract-cycle index: a delete→re-insert
+    * of byte-identical content (a legitimate CDC cycle — after the
+    * retraction those docs are NOT in the view, so re-merging them
+    * violates no disjointness) gets a fresh `~{cycle}` suffix and
+    * applies, while a crash replay recomputes the SAME cycle index
+    * (retractions visible then are visible now) and lays down exact
+    * duplicates the view's dedup collapses. Merging identical content
+    * twice WITHOUT an intervening retraction still collapses to one
+    * application — that remains the disjointness contract. A tag the
+    * compaction has already absorbed is skipped outright: its rows are
+    * gone, so a replayed append would have nothing to dedup against and
+    * would double-add. */
   def mergeVocabIndex(newDocs: DataFrame, path: String,
                       batchTag: String = null): Unit = {
-    val tag = Option(batchTag).getOrElse(batchSignature(newDocs, "merge"))
+    requireVocabTag(batchTag)
+    val spark = newDocs.sparkSession
+    ensureTaggedVocab(spark, path)
+    val tag = Option(batchTag).getOrElse {
+      val cycles =
+        vocabTagCount(spark, path, batchSignature(newDocs, "retract"))
+      val base = batchSignature(newDocs, "merge")
+      if (cycles == 0) base else s"$base~$cycles"
+    }
+    if (vocabTagAbsorbed(spark, path, tag)) return
     graft.engine.Compaction.guardedAppend(s"$path/counts") { live =>
       vocabPartials(newDocs, tag).write.mode("append").parquet(live)
+    }
+  }
+
+  /** `compacted` marks the compaction's accumulated rows and `build` the
+    * build partials — a caller-supplied tag colliding with either would
+    * make the view's (bsig, word) dedup collapse legitimate rows
+    * nondeterministically. */
+  private def requireVocabTag(tag: String): Unit =
+    require(tag == null || (tag != "compacted" && tag != "build"),
+      s"batchTag '$tag' is reserved by the vocab view lifecycle")
+
+  /** Upgrade a pre-tag (no `bsig` column) counts table to tagged layout
+    * before the first tagged append: mixing tagged and untagged files in
+    * one dir would read back with null/dropped tags. The `vocab`
+    * compaction recipe treats the pre-tag layout as forced debt, so one
+    * tick rewrites it atomically; single-writer discipline makes the
+    * inline call safe (the appender IS the writer). */
+  private def ensureTaggedVocab(spark: org.apache.spark.sql.SparkSession,
+                                path: String): Unit = {
+    val live = graft.engine.Compaction.resolve(s"$path/counts")
+    if (!spark.read.parquet(live).columns.contains("bsig")) {
+      graft.engine.Compaction.compactIndex(spark, path, "vocab")
+      ()
     }
   }
 
@@ -818,7 +896,20 @@ object TextOps {
     * re-run cannot net the counts out twice. */
   def retractVocabIndex(docs: DataFrame, path: String,
                         batchTag: String = null): Unit = {
-    val tag = Option(batchTag).getOrElse(batchSignature(docs, "retract"))
+    requireVocabTag(batchTag)
+    val spark = docs.sparkSession
+    ensureTaggedVocab(spark, path)
+    // default tag pairs this retraction with the latest merge CYCLE of
+    // the same content (mirror of mergeVocabIndex's suffix scheme): the
+    // n-th retraction of content X is legitimate only after X's n-th
+    // merge, so the cycle index is merges-seen − 1 — deterministic on
+    // replay (a crashed retract re-counts the same visible merges)
+    val tag = Option(batchTag).getOrElse {
+      val merges = vocabTagCount(spark, path, batchSignature(docs, "merge"))
+      val base = batchSignature(docs, "retract")
+      if (merges <= 1) base else s"$base~${merges - 1}"
+    }
+    if (vocabTagAbsorbed(spark, path, tag)) return
     graft.engine.Compaction.guardedAppend(s"$path/counts") { live =>
       vocabPartials(docs, tag)
         .select(col("word"), (-col("tf")).as("tf"), (-col("df")).as("df"),
@@ -1645,20 +1736,35 @@ object TextOps {
     * one absorb batch commits at most two signatures (retract + merge,
     * with a possible inline-serve reset between) — so a short tail
     * suffices, and the log stays O(1) instead of growing one row per
-    * merge forever on an append-only feed. */
+    * merge forever on an append-only feed.
+    *
+    * Accepted exposure, deliberately: a DIRECT-API caller replaying a
+    * batch OLDER than this tail (its ledger lost, ≥ [[Bm25AppliedKeep]]
+    * publishes ago) is not detected and double-applies — out-of-window
+    * replay protection is the caller's ledger's job, the same contract
+    * every other index family states. The purge audit's lexicon-derived
+    * `df_mass` row catches the resulting postings/lexicon disagreement
+    * after the fact. */
   private val Bm25AppliedKeep = 8
 
   /** Applied-batch (seq, sig) rows riding the live lexicon version,
-    * seq-ascending (empty for a never-merged/never-retracted index). */
+    * seq-ascending (empty for a never-merged/never-retracted index).
+    * Pre-seq logs (written before the seq column existed: a sorted bag
+    * of sig strings) read back with synthesized ascending seqs, so the
+    * next publish numbers onward instead of crashing on the old
+    * schema. */
   private def bm25AppliedRows(spark: org.apache.spark.sql.SparkSession,
                               path: String): Seq[(Long, String)] = {
     val sidecar = java.nio.file.Paths.get(
       Compaction.resolve(s"$path/lexicon"), "_applied")
-    if (java.nio.file.Files.exists(sidecar))
-      spark.read.parquet(sidecar.toString)
-        .collect().map(r => (r.getLong(0), r.getString(1)))
+    if (!java.nio.file.Files.exists(sidecar)) return Nil
+    val df = spark.read.parquet(sidecar.toString)
+    if (df.columns.length == 1)
+      df.collect().map(_.getString(0)).sorted.zipWithIndex
+        .map { case (sg, i) => ((i + 1).toLong, sg) }.toSeq
+    else
+      df.collect().map(r => (r.getLong(0), r.getString(1)))
         .sortBy(_._1).toSeq
-    else Nil
   }
 
   /** Order-independent content signature of a change batch: one tiny

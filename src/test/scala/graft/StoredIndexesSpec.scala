@@ -1071,6 +1071,120 @@ class StoredIndexesSpec extends AnyFunSuite {
     assert(top() === afterDel)
   }
 
+  test("vocab view delete→re-insert: re-merging retracted byte-identical " +
+    "content applies as a fresh cycle instead of collapsing as a replay") {
+    import graft.ops.TextOps
+    val path = java.nio.file.Files.createTempDirectory("vv_cycle").toString
+    TextOps.buildVocabIndex(
+      Seq((1L, "spark rows")).toDF("doc_id", "text"), path)
+    val batch = Seq((2L, "table merge merge")).toDF("doc_id", "text")
+    def top() = TextOps.queryVocabTopK(spark, path, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val base = top()
+    TextOps.mergeVocabIndex(batch, path)
+    val withBatch = top()
+    assert(withBatch !== base)
+    // the CDC delete→re-insert cycle on byte-identical content: after
+    // the retraction those docs are NOT in the view, so the re-merge is
+    // contract-clean and must land — not vanish as a pseudo-replay
+    TextOps.retractVocabIndex(batch, path)
+    assert(top() === base, "retraction must net the batch out")
+    TextOps.mergeVocabIndex(batch, path)
+    assert(top() === withBatch,
+      "re-inserting retracted content must re-apply its counts")
+    // a crashed-ledger replay of the RE-INSERT recomputes the same
+    // cycle tag and still heals
+    TextOps.mergeVocabIndex(batch, path)
+    assert(top() === withBatch,
+      "a replayed re-insert must dedup against the cycle's own rows")
+    // the second retraction pairs with the second merge cycle
+    TextOps.retractVocabIndex(batch, path)
+    assert(top() === base, "the second retraction must net out again")
+    TextOps.retractVocabIndex(batch, path)
+    assert(top() === base,
+      "a replayed second retraction must not double-net")
+    // the compaction heals and re-sums the full cycle history
+    assert(Compaction.compactIndex(spark, path, "vocab",
+      maxFilesPerPartition = 0))
+    assert(top() === base)
+  }
+
+  test("vocab view replay after compaction: an absorbed batch tag is " +
+    "skipped instead of double-added (rows no longer exist to dedup " +
+    "against)") {
+    import graft.ops.TextOps
+    val path = java.nio.file.Files.createTempDirectory("vv_absorb").toString
+    TextOps.buildVocabIndex(
+      Seq((1L, "spark rows")).toDF("doc_id", "text"), path)
+    val batch = Seq((2L, "table merge")).toDF("doc_id", "text")
+    // explicit (stream-style) tag — the CdcStream shape
+    TextOps.mergeVocabIndex(batch, path, batchTag = "s1/b7")
+    def top() = TextOps.queryVocabTopK(spark, path, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val after = top()
+    // the compaction folds the batch's rows into the `compacted`
+    // aggregate and records its tag in the `_absorbed` sidecar
+    assert(Compaction.compactIndex(spark, path, "vocab",
+      maxFilesPerPartition = 0))
+    assert(top() === after)
+    // a crashed-ledger replay arriving AFTER the tick: the tagged rows
+    // are gone, so the dedup heal has nothing to collapse against — the
+    // absorbed-tag check must skip the append outright
+    TextOps.mergeVocabIndex(batch, path, batchTag = "s1/b7")
+    assert(top() === after,
+      "an absorbed batch's replay must be skipped, not double-added")
+    // same for default (content-derived) tags
+    val b2 = Seq((3L, "shuffle")).toDF("doc_id", "text")
+    TextOps.mergeVocabIndex(b2, path)
+    val after2 = top()
+    assert(Compaction.compactIndex(spark, path, "vocab",
+      maxFilesPerPartition = 0))
+    TextOps.mergeVocabIndex(b2, path)
+    assert(top() === after2,
+      "an absorbed content-tagged replay must be skipped too")
+    // retraction replay across the tick is skipped the same way
+    TextOps.retractVocabIndex(b2, path)
+    val netted = top()
+    assert(Compaction.compactIndex(spark, path, "vocab",
+      maxFilesPerPartition = 0))
+    TextOps.retractVocabIndex(b2, path)
+    assert(top() === netted,
+      "an absorbed retraction's replay must not net out twice")
+  }
+
+  test("vocab view guards: reserved batch tags raise; a pre-tag table " +
+    "upgrades to tagged layout before the first tagged append") {
+    import graft.ops.TextOps
+    val path = java.nio.file.Files.createTempDirectory("vv_legacy").toString
+    intercept[IllegalArgumentException] {
+      TextOps.mergeVocabIndex(
+        Seq((1L, "x")).toDF("doc_id", "text"), path, batchTag = "compacted")
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.retractVocabIndex(
+        Seq((1L, "x")).toDF("doc_id", "text"), path, batchTag = "build")
+    }
+    // legacy layout: per-word partials with NO bsig column, including
+    // two partials of the same word that must re-sum (never collapse)
+    Seq(("spark", 2L, 1L), ("spark", 1L, 1L), ("rows", 1L, 1L))
+      .toDF("word", "tf", "df")
+      .write.parquet(s"$path/counts")
+    Compaction.seedBase(s"$path/counts")
+    def top() = TextOps.queryVocabTopK(spark, path, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(top() === Seq(("spark", 3L, 2L), ("rows", 1L, 1L)),
+      "pre-tag partials must re-sum additively through the reader shim")
+    // the first merge forces the layout upgrade (one compaction tick),
+    // then appends tagged rows — and the upgraded table keeps serving
+    TextOps.mergeVocabIndex(
+      Seq((9L, "rows rows")).toDF("doc_id", "text"), path)
+    assert(top() === Seq(("rows", 3L, 2L), ("spark", 3L, 2L)),
+      "the upgraded table must absorb tagged merges correctly")
+    val live = Compaction.resolve(s"$path/counts")
+    assert(spark.read.parquet(live).columns.contains("bsig"),
+      "the upgrade must have rewritten the table into tagged layout")
+  }
+
   test("hash-index probe broadcast is size-guarded: with broadcasting " +
     "disabled the probe falls back to a shuffle join, same answers") {
     import graft.ops.{DedupOps, Multimodal}
