@@ -88,4 +88,31 @@ object PurgeAudit {
     Seq(fp, ah, ivf, bm, voc).reduce(_ unionByName _)
       .orderBy("family", "metric")
   }
+
+  /** Fail-loud form of [[audit]] — the verb a compliance schedule runs
+    * after routing a purge's CDC DELETEs: returns the audit table when
+    * every id-keyed family's `deleted_residual` is 0, RAISES naming the
+    * violating families (and their residual row counts) otherwise. A
+    * silent `deleted_residual > 0` in a report nobody reads is exactly
+    * how a right-to-be-forgotten regression ships; a raise on the
+    * maintenance tick is not ignorable. The collect is the fixed
+    * ~17-row audit — bounded by construction. */
+  def certify(spark: SparkSession,
+              fingerprintPath: String, fingerprintDeleted: Column,
+              ahashPath: String, ahashDeleted: Column,
+              ivfPath: String, ivfDeleted: Column,
+              bm25Path: String, bm25Deleted: Column,
+              vocabPath: String): DataFrame = {
+    val a = audit(spark, fingerprintPath, fingerprintDeleted,
+      ahashPath, ahashDeleted, ivfPath, ivfDeleted,
+      bm25Path, bm25Deleted, vocabPath)
+    val bad = a.filter(col("metric") === "deleted_residual" &&
+        col("value") > 0L)
+      .select("family", "value").collect()
+    require(bad.isEmpty,
+      "purge certification FAILED — deleted ids still served by: " +
+        bad.map(r => s"${r.getString(0)} (${r.getLong(1)} rows)")
+          .mkString(", "))
+    a
+  }
 }

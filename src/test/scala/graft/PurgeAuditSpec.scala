@@ -92,4 +92,22 @@ class PurgeAuditSpec extends AnyFunSuite {
     // and the content-keyed vocab view still carries the full corpus
     assert(m(("vocab", "token_mass")) === 12L * 40L)
   }
+
+  test("certify raises naming every violating family before deletion " +
+    "and returns the audit table after it") {
+    val dirty = buildAll(del = false)
+    val e = intercept[IllegalArgumentException] {
+      PurgeAudit.certify(spark,
+        dirty._1, delDocs, dirty._2, delDocs, dirty._3, delVecs,
+        dirty._4, delDocs, dirty._5)
+    }
+    for (f <- Seq("fingerprint", "image_ahash", "ann_ivf", "bm25"))
+      assert(e.getMessage.contains(f),
+        s"the raise must name family '$f': ${e.getMessage}")
+    val clean = buildAll(del = true)
+    val rows = PurgeAudit.certify(spark,
+      clean._1, delDocs, clean._2, delDocs, clean._3, delVecs,
+      clean._4, delDocs, clean._5).collect()
+    assert(rows.length === 17)
+  }
 }
