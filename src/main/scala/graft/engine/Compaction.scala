@@ -518,8 +518,9 @@ object Compaction {
           all.foreach(_.coalesce(1).write.mode("overwrite")
             .parquet(s"$nextDir/_absorbed"))
         },
-        force = !spark.read.parquet(resolve(s"$path/counts"))
-          .columns.contains("bsig"))
+        force = scala.util.Try(!spark.read
+          .parquet(resolve(s"$path/counts")).columns.contains("bsig"))
+          .getOrElse(false)) // empty table: no schema, nothing to upgrade
     case "bm25" =>
       // deletion-aware like the fingerprint kind: tombstoned docs'
       // postings drop physically here (the lexicon/stats adjustments

@@ -790,7 +790,9 @@ object TextOps {
   private def vocabTagCount(spark: org.apache.spark.sql.SparkSession,
                             path: String, base: String): Int = {
     val livePath = graft.engine.Compaction.resolve(s"$path/counts")
-    val live = spark.read.parquet(livePath)
+    // never-built/empty table: no history at all
+    val live = scala.util.Try(spark.read.parquet(livePath))
+      .getOrElse(return 0)
     if (!live.columns.contains("bsig")) return 0 // pre-tag table
     val side = java.nio.file.Paths.get(livePath, "_absorbed")
     val all =
@@ -871,7 +873,11 @@ object TextOps {
   private def ensureTaggedVocab(spark: org.apache.spark.sql.SparkSession,
                                 path: String): Unit = {
     val live = graft.engine.Compaction.resolve(s"$path/counts")
-    if (!spark.read.parquet(live).columns.contains("bsig")) {
+    // a never-built/empty table has no schema to probe — nothing to
+    // upgrade, the first append establishes the tagged layout
+    val preTag = scala.util.Try(
+      !spark.read.parquet(live).columns.contains("bsig")).getOrElse(false)
+    if (preTag) {
       graft.engine.Compaction.compactIndex(spark, path, "vocab")
       ()
     }

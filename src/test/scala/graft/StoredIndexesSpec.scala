@@ -1183,6 +1183,15 @@ class StoredIndexesSpec extends AnyFunSuite {
     val live = Compaction.resolve(s"$path/counts")
     assert(spark.read.parquet(live).columns.contains("bsig"),
       "the upgrade must have rewritten the table into tagged layout")
+    // merging into a never-built path still establishes the view (the
+    // first append creates the tagged table — no schema to probe, no
+    // history to count)
+    val fresh = java.nio.file.Files.createTempDirectory("vv_fresh").toString
+    TextOps.mergeVocabIndex(
+      Seq((1L, "spark spark rows")).toDF("doc_id", "text"), fresh)
+    assert(TextOps.queryVocabTopK(spark, fresh, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+      === Seq(("spark", 2L), ("rows", 1L)))
   }
 
   test("hash-index probe broadcast is size-guarded: with broadcasting " +
