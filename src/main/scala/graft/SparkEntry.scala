@@ -1553,7 +1553,9 @@ object SparkEntry {
     // Stages run as EIGHT CONCURRENT CHAINS (sequential within a chain,
     // chains submitted from separate threads — the standard Spark
     // multi-job pattern): text caches → dup groups; SCD2 dims; embedding
-    // caches → stored ANN builds; merged ANN builds; text index builds.
+    // caches → stored ANN builds; the PQ rebuild root; the IVFPQ
+    // rebuild root; merged ANN builds; text index builds; the purge
+    // audit's tombstoned roots.
     // The chains touch
     // disjoint caches/memos/artifacts, so the only shared state is the
     // thread-safe registries they already use (Caches' CacheManager

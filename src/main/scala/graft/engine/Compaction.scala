@@ -470,14 +470,26 @@ object Compaction {
       // pending tombstone does: appending tagged rows into an untagged
       // dir would give files with diverging schemas (old rows reading
       // back null/dropped tags), so the upgrade must land before the
-      // first tagged append — TextOps' appenders call this on sight
+      // first tagged append — TextOps' appenders call this on sight.
+      //
+      // The fold and the `_absorbed` tag list MUST derive from the SAME
+      // file listing ("snap", whose relation pins its files at read
+      // time): if a batch append races this tick (a single-writer
+      // violation guardedAppend backstops), files landing between two
+      // separate listings could be recorded as absorbed without being
+      // folded — the mandated replay would then be skipped and the
+      // batch lost. From one snapshot, a file is either folded AND
+      // recorded, or neither (the replay re-appends it and the dedup
+      // heals) — never the fatal half.
+      val snapTry = scala.util.Try(
+        spark.read.parquet(resolve(s"$path/counts")))
       compactTable(spark, s"$path/counts",
         // replay-duplicate heal FIRST (the batch-tagged dedup every
         // view reader applies — TextOps.vocabPartials), then the
         // distributive re-sum; the compacted rows carry the reserved
         // "compacted" tag (at most one such row per word in any live
         // version, so later dedups never collapse legitimate rows)
-        df => taggedVocabRows(df).dropDuplicates("bsig", "word")
+        _ => taggedVocabRows(snapTry.get).dropDuplicates("bsig", "word")
           .groupBy("word")
           .agg(sum("tf").as("tf"), sum("df").as("df"))
           .withColumn("_ok",
@@ -500,7 +512,7 @@ object Compaction {
         // absorbed, rewritten per compaction tick: control-plane tiny
         // at any corpus scale (the batch rate, not the data rate).
         beforePublish = { nextDir =>
-          val live = spark.read.parquet(resolve(s"$path/counts"))
+          val live = snapTry.get // the fold's own snapshot, never re-listed
           val cur = // pre-tag tables have no tags to record
             if (live.columns.contains("bsig"))
               Some(live.select("bsig").where(col("bsig") =!= "compacted")
@@ -518,9 +530,8 @@ object Compaction {
           all.foreach(_.coalesce(1).write.mode("overwrite")
             .parquet(s"$nextDir/_absorbed"))
         },
-        force = scala.util.Try(!spark.read
-          .parquet(resolve(s"$path/counts")).columns.contains("bsig"))
-          .getOrElse(false)) // empty table: no schema, nothing to upgrade
+        force = snapTry.toOption
+          .exists(!_.columns.contains("bsig"))) // empty table: no upgrade
     case "bm25" =>
       // deletion-aware like the fingerprint kind: tombstoned docs'
       // postings drop physically here (the lexicon/stats adjustments

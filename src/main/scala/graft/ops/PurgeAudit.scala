@@ -103,9 +103,12 @@ object PurgeAudit {
               ivfPath: String, ivfDeleted: Column,
               bm25Path: String, bm25Deleted: Column,
               vocabPath: String): DataFrame = {
+    // localCheckpoint: the five-family sweep runs ONCE — the residual
+    // check and whatever the caller does with the returned table both
+    // read the materialized 17 rows, not a re-execution of the audit
     val a = audit(spark, fingerprintPath, fingerprintDeleted,
       ahashPath, ahashDeleted, ivfPath, ivfDeleted,
-      bm25Path, bm25Deleted, vocabPath)
+      bm25Path, bm25Deleted, vocabPath).localCheckpoint()
     val bad = a.filter(col("metric") === "deleted_residual" &&
         col("value") > 0L)
       .select("family", "value").collect()

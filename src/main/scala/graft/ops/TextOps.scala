@@ -783,17 +783,17 @@ object TextOps {
         .filter(col("bsig") === tag).limit(1).count() > 0L
   }
 
-  /** How many content-cycle tags derived from `base` exist in the view's
-    * history (live partial rows ∪ compaction-absorbed tags): `base`
-    * itself plus `base~1`, `base~2`, … Bounded collect — only the tags
-    * of ONE batch's content, a handful of strings. */
-  private def vocabTagCount(spark: org.apache.spark.sql.SparkSession,
-                            path: String, base: String): Int = {
+  /** The content-cycle tags derived from `base` in the view's history
+    * (live partial rows ∪ compaction-absorbed tags): `base` itself plus
+    * `base~1`, `base~2`, … Bounded collect — only the tags of ONE
+    * batch's content, a handful of strings. */
+  private def vocabCycleTags(spark: org.apache.spark.sql.SparkSession,
+                             path: String, base: String): Seq[String] = {
     val livePath = graft.engine.Compaction.resolve(s"$path/counts")
     // never-built/empty table: no history at all
     val live = scala.util.Try(spark.read.parquet(livePath))
-      .getOrElse(return 0)
-    if (!live.columns.contains("bsig")) return 0 // pre-tag table
+      .getOrElse(return Nil)
+    if (!live.columns.contains("bsig")) return Nil // pre-tag table
     val side = java.nio.file.Paths.get(livePath, "_absorbed")
     val all =
       if (java.nio.file.Files.exists(side))
@@ -801,7 +801,27 @@ object TextOps {
       else live.select("bsig")
     all.filter(col("bsig") === base ||
         col("bsig").startsWith(base + "~"))
-      .distinct().collect().length
+      .distinct().collect().map(_.getString(0)).toSeq
+  }
+
+  /** Count of `base`-derived cycle tags present (retract tags are
+    * contiguous from index 0, so count = next free index). */
+  private def vocabTagCount(spark: org.apache.spark.sql.SparkSession,
+                            path: String, base: String): Int =
+    vocabCycleTags(spark, path, base).length
+
+  /** Highest cycle index among `base`-derived tags present (`base` = 0,
+    * `base~k` = k), or −1 when none. Merge tags are NOT contiguous from
+    * 0 for build-entered content (the build's rows carry the `build`
+    * tag, never a content signature), so pairing by MAX index is the
+    * only correct reading. */
+  private def vocabMaxCycleIdx(spark: org.apache.spark.sql.SparkSession,
+                               path: String, base: String): Int = {
+    val tags = vocabCycleTags(spark, path, base)
+    if (tags.isEmpty) -1
+    else tags.map { t =>
+      if (t == base) 0 else t.stripPrefix(base + "~").toInt
+    }.max
   }
 
   /** Stored word-count aggregate with incremental maintenance — the
@@ -905,15 +925,26 @@ object TextOps {
     requireVocabTag(batchTag)
     val spark = docs.sparkSession
     ensureTaggedVocab(spark, path)
-    // default tag pairs this retraction with the latest merge CYCLE of
-    // the same content (mirror of mergeVocabIndex's suffix scheme): the
-    // n-th retraction of content X is legitimate only after X's n-th
-    // merge, so the cycle index is merges-seen − 1 — deterministic on
-    // replay (a crashed retract re-counts the same visible merges)
+    // default tag pairs this retraction with the LATEST merge cycle of
+    // the same content (mirror of mergeVocabIndex's suffix scheme), by
+    // MAX merge-cycle index — not merge count: build-entered content
+    // has no content-signature merge tag at all (its rows carry the
+    // `build` tag), so after a build → retract → re-insert the merge
+    // tags start at ~1 and counting them would alias the second
+    // retraction onto the first's tag, silently un-deleting the
+    // content. No merge tag at all (retracting build-entered content
+    // the first time) pairs with cycle 0. Deterministic for in-order
+    // (single-writer-ledger) replays — a crashed retract re-reads the
+    // same visible history; an OUT-OF-ORDER replay interleaved with a
+    // later opposite verb on identical content derives a fresh cycle
+    // tag and double-applies, the same accepted out-of-window exposure
+    // the BM25 applied-log documents: replay ordering is the caller's
+    // ledger's contract.
     val tag = Option(batchTag).getOrElse {
-      val merges = vocabTagCount(spark, path, batchSignature(docs, "merge"))
+      val lastMerge =
+        vocabMaxCycleIdx(spark, path, batchSignature(docs, "merge"))
       val base = batchSignature(docs, "retract")
-      if (merges <= 1) base else s"$base~${merges - 1}"
+      if (lastMerge <= 0) base else s"$base~$lastMerge"
     }
     if (vocabTagAbsorbed(spark, path, tag)) return
     graft.engine.Compaction.guardedAppend(s"$path/counts") { live =>
@@ -1756,9 +1787,11 @@ object TextOps {
   /** Applied-batch (seq, sig) rows riding the live lexicon version,
     * seq-ascending (empty for a never-merged/never-retracted index).
     * Pre-seq logs (written before the seq column existed: a sorted bag
-    * of sig strings) read back with synthesized ascending seqs, so the
-    * next publish numbers onward instead of crashing on the old
-    * schema. */
+    * of sig strings whose ORIGINAL apply order is unrecoverable) read
+    * back with seq 0 — the "order unknown" marker
+    * [[publishBm25Side]]'s prune exempts, since ranking them by string
+    * sort could evict the MOST RECENT signature first and re-open the
+    * in-window replay double-apply the log exists to prevent. */
   private def bm25AppliedRows(spark: org.apache.spark.sql.SparkSession,
                               path: String): Seq[(Long, String)] = {
     val sidecar = java.nio.file.Paths.get(
@@ -1766,8 +1799,7 @@ object TextOps {
     if (!java.nio.file.Files.exists(sidecar)) return Nil
     val df = spark.read.parquet(sidecar.toString)
     if (df.columns.length == 1)
-      df.collect().map(_.getString(0)).sorted.zipWithIndex
-        .map { case (sg, i) => ((i + 1).toLong, sg) }.toSeq
+      df.collect().map(r => (0L, r.getString(0))).sortBy(_._2).toSeq
     else
       df.collect().map(r => (r.getLong(0), r.getString(1)))
         .sortBy(_._1).toSeq
@@ -1799,7 +1831,13 @@ object TextOps {
                               newSig: String): Unit = {
     import spark.implicits._
     val nextSeq = applied.lastOption.map(_._1).getOrElse(0L) + 1L
-    val kept = (applied :+ (nextSeq, newSig)).takeRight(Bm25AppliedKeep)
+    // seq-0 rows are migrated pre-seq entries with unrecoverable apply
+    // order: all were applied, none can be ranked for eviction, so they
+    // ride every publish verbatim (bounded by history-at-migration) and
+    // only the ordered modern tail prunes
+    val (legacy, modern) = applied.partition(_._1 == 0L)
+    val kept = legacy ++
+      (modern :+ (nextSeq, newSig)).takeRight(Bm25AppliedKeep)
     Compaction.publishVersion(s"$path/lexicon") { dir =>
       newLex.write.mode("overwrite").parquet(dir)
       Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")

@@ -1109,6 +1109,39 @@ class StoredIndexesSpec extends AnyFunSuite {
     assert(top() === base)
   }
 
+  test("vocab view delete→re-insert of BUILD-entered content: the " +
+    "retraction pairs with the latest merge cycle, not the merge count") {
+    import graft.ops.TextOps
+    val path = java.nio.file.Files.createTempDirectory("vv_bcycle").toString
+    // content X enters via the BUILD (tag 'build' — no content-signature
+    // merge tag exists), the deletedVocabPath shape
+    val x = Seq((5L, "xray xray yank")).toDF("doc_id", "text")
+    TextOps.buildVocabIndex(
+      Seq((1L, "spark rows"), (5L, "xray xray yank"))
+        .toDF("doc_id", "text"), path)
+    def top() = TextOps.queryVocabTopK(spark, path, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val full = top()
+    TextOps.retractVocabIndex(x, path) // first retraction: cycle 0
+    val without = top()
+    assert(without !== full)
+    TextOps.mergeVocabIndex(x, path)   // re-insert: merge cycle 1
+    assert(top() === full, "the re-insert must re-apply X's counts")
+    // the second retraction must pair with merge cycle 1 — pairing by
+    // merge COUNT (=1) would alias it onto the first retraction's tag
+    // and the dedup would silently discard it, un-deleting X
+    TextOps.retractVocabIndex(x, path)
+    assert(top() === without,
+      "the second retraction of build-entered content must net X out")
+    // and its replay still heals
+    TextOps.retractVocabIndex(x, path)
+    assert(top() === without)
+    // the compaction re-sums the whole build+cycle history cleanly
+    assert(Compaction.compactIndex(spark, path, "vocab",
+      maxFilesPerPartition = 0))
+    assert(top() === without)
+  }
+
   test("vocab view replay after compaction: an absorbed batch tag is " +
     "skipped instead of double-added (rows no longer exist to dedup " +
     "against)") {
