@@ -1105,7 +1105,9 @@ object SparkEntry {
         deletedAhashPath(s, dir), expr("doc_id % 8 = 1"),
         deletedIvfPath(s, dir), expr("vec_id % 7 = 3"),
         retractedBm25Path(s, dir), expr("doc_id % 13 = 5"),
-        deletedVocabPath(s, dir))),
+        deletedVocabPath(s, dir),
+        deletedPqPath(s, dir), expr("vec_id % 5 = 2"),
+        deletedIvfPqPath(s, dir), expr("vec_id % 9 = 4"))),
 
     "multimodal_phash_pairs" -> ((s, dir) =>
       DedupOps.hashPairs64(
@@ -1686,9 +1688,12 @@ object SparkEntry {
     stage("ann_indexes") {
       storedIvfPath(s, dir); storedPqPath(s, dir)
       storedIvfPqPath(s, dir)
-      // the deletion read-path's own root (build + tombstone) — setup
-      // cost like its ivf_idx twin, so the query times the pure probe
+      // the deletion read-paths' own roots (build + tombstone) — setup
+      // cost like their ivf_idx/pq_idx twins, so the query times the
+      // pure probe; the PQ/IVFPQ variants are full-corpus builds that
+      // reuse the subspace k-means memos warmed above (encode-only)
       deletedIvfPath(s, dir)
+      deletedPqPath(s, dir); deletedIvfPqPath(s, dir)
       // the retrain read-path's root (build + merge + retrain) — same
       // posture: the query times the pure probe of the retrained index
       retrainedIvfPath(s, dir)
@@ -1739,7 +1744,7 @@ object SparkEntry {
       // aHash, vocab — its IVF and BM25 roots already ride the ann and
       // textidx chains): index construction is setup cost everywhere
       // else, so it is here too — the timed purge_audit closure then
-      // measures the pure five-family screened read, not three builds.
+      // measures the pure multi-family screened read, not the builds.
       // Own chain: the builds depend on no other chain's memos beyond
       // the thread-safe adaptiveMaxDf, and textidx is already the
       // longest chain
@@ -1852,6 +1857,30 @@ object SparkEntry {
         P.KmK, P.KmIters)
       SimilarityOps.tombstoneAnnIndex(
         Tables.embeddings(s, dir).filter(expr("vec_id % 7 = 3"))
+          .select("vec_id"), p)
+    }
+
+  /** Stored PQ index with a tombstoned slice — the audit's lossy-code
+    * twin of `ivf_del`. Full-corpus build so it reuses the subspace
+    * k-means memos the `ann` warm chain trains; its own deletion
+    * predicate (≠ IVF's) so the audit families are independently
+    * pinned. */
+  private def deletedPqPath(s: SparkSession, dir: String): String =
+    engine.StoredIndexes.ensure("pq_del", dir) { p =>
+      SimilarityOps.buildPqIndex(Tables.embeddings(s, dir), p, P.PqM,
+        P.PqKsub, P.PqIters)
+      SimilarityOps.tombstoneAnnIndex(
+        Tables.embeddings(s, dir).filter(expr("vec_id % 5 = 2"))
+          .select("vec_id"), p)
+    }
+
+  /** Stored IVFPQ index with a tombstoned slice — same posture. */
+  private def deletedIvfPqPath(s: SparkSession, dir: String): String =
+    engine.StoredIndexes.ensure("ivfpq_del", dir) { p =>
+      SimilarityOps.buildIvfPqIndex(Tables.embeddings(s, dir), p,
+        P.KmK, P.KmIters, P.PqM, P.PqKsub, P.PqIters)
+      SimilarityOps.tombstoneAnnIndex(
+        Tables.embeddings(s, dir).filter(expr("vec_id % 9 = 4"))
           .select("vec_id"), p)
     }
 
@@ -2932,6 +2961,10 @@ object SparkEntry {
          |SELECT * FROM (
          |  SELECT 'ann_ivf' AS family, 'deleted_residual' AS metric, CAST(0 AS BIGINT) AS value
          |  UNION ALL SELECT 'ann_ivf', 'live_vecs', (SELECT count(*) FROM embeddings WHERE vec_id % 7 <> 3)
+         |  UNION ALL SELECT 'ann_ivfpq', 'deleted_residual', CAST(0 AS BIGINT)
+         |  UNION ALL SELECT 'ann_ivfpq', 'live_vecs', (SELECT count(*) FROM embeddings WHERE vec_id % 9 <> 4)
+         |  UNION ALL SELECT 'ann_pq', 'deleted_residual', CAST(0 AS BIGINT)
+         |  UNION ALL SELECT 'ann_pq', 'live_vecs', (SELECT count(*) FROM embeddings WHERE vec_id % 5 <> 2)
          |  UNION ALL SELECT 'bm25', 'deleted_residual', CAST(0 AS BIGINT)
          |  UNION ALL SELECT 'bm25', 'df_mass', (SELECT count(*) FROM (SELECT DISTINCT doc_id, word FROM rem_tok))
          |  UNION ALL SELECT 'bm25', 'live_docs', (SELECT count(DISTINCT doc_id) FROM rem_tok)

@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   * Scale shape: each metric is one partial-aggregated pass over its
   * index table (count / countDistinct — map-side combine, no joins
   * beyond the size-guarded tombstone screens already in the read
-  * paths), and the result is a fixed ~14 rows regardless of corpus
+  * paths), and the result is a fixed ~21 rows regardless of corpus
   * size. At 100 TB this is strictly cheaper than any single probe
   * sweep, and embarrassingly parallel across families. */
 object PurgeAudit {
@@ -40,7 +40,7 @@ object PurgeAudit {
       s"stack(${ms.length}, $pairs) AS (metric, value)")
   }
 
-  /** Audit the five stored-index families against their deletion
+  /** Audit the seven stored-index families against their deletion
     * predicates. Each `*Deleted` column is the membership test of the
     * purged id set, evaluated against the family's own key column
     * (`doc_id` for fingerprint/aHash/BM25, `vec_id` for ANN); the
@@ -52,7 +52,9 @@ object PurgeAudit {
             ahashPath: String, ahashDeleted: Column,
             ivfPath: String, ivfDeleted: Column,
             bm25Path: String, bm25Deleted: Column,
-            vocabPath: String): DataFrame = {
+            vocabPath: String,
+            pqPath: String = null, pqDeleted: Column = null,
+            ivfpqPath: String = null, ivfpqDeleted: Column = null): DataFrame = {
     val fp = melt("fingerprint",
       DedupOps.liveFingerprintSizes(spark, fingerprintPath)
         .agg(countDistinct(col("doc_id")).as("live_docs"),
@@ -85,7 +87,18 @@ object PurgeAudit {
         .agg(count(lit(1)).as("live_words"),
           sum(col("tf")).as("token_mass"),
           sum(col("df")).as("df_mass")))
-    Seq(fp, ah, ivf, bm, voc).reduce(_ unionByName _)
+    // the lossy-code ANN variants share the vec_id tombstone protocol
+    // and the `codes` scan-table layout, so one screened reader audits
+    // both; optional because older call sites audited IVF only
+    val pq = Option(pqPath).map(p => melt("ann_pq",
+      SimilarityOps.liveAnnCodes(spark, p)
+        .agg(countDistinct(col("vec_id")).as("live_vecs"),
+          count(when(pqDeleted, 1)).as("deleted_residual")))).toSeq
+    val ivfpq = Option(ivfpqPath).map(p => melt("ann_ivfpq",
+      SimilarityOps.liveAnnCodes(spark, p)
+        .agg(countDistinct(col("vec_id")).as("live_vecs"),
+          count(when(ivfpqDeleted, 1)).as("deleted_residual")))).toSeq
+    (Seq(fp, ah, ivf, bm, voc) ++ pq ++ ivfpq).reduce(_ unionByName _)
       .orderBy("family", "metric")
   }
 
@@ -96,19 +109,23 @@ object PurgeAudit {
     * silent `deleted_residual > 0` in a report nobody reads is exactly
     * how a right-to-be-forgotten regression ships; a raise on the
     * maintenance tick is not ignorable. The collect is the fixed
-    * ~17-row audit — bounded by construction. */
+    * ~21-row audit — bounded by construction. */
   def certify(spark: SparkSession,
               fingerprintPath: String, fingerprintDeleted: Column,
               ahashPath: String, ahashDeleted: Column,
               ivfPath: String, ivfDeleted: Column,
               bm25Path: String, bm25Deleted: Column,
-              vocabPath: String): DataFrame = {
-    // localCheckpoint: the five-family sweep runs ONCE — the residual
+              vocabPath: String,
+              pqPath: String = null, pqDeleted: Column = null,
+              ivfpqPath: String = null,
+              ivfpqDeleted: Column = null): DataFrame = {
+    // localCheckpoint: the multi-family sweep runs ONCE — the residual
     // check and whatever the caller does with the returned table both
-    // read the materialized 17 rows, not a re-execution of the audit
+    // read the materialized rows, not a re-execution of the audit
     val a = audit(spark, fingerprintPath, fingerprintDeleted,
       ahashPath, ahashDeleted, ivfPath, ivfDeleted,
-      bm25Path, bm25Deleted, vocabPath).localCheckpoint()
+      bm25Path, bm25Deleted, vocabPath,
+      pqPath, pqDeleted, ivfpqPath, ivfpqDeleted).localCheckpoint()
     val bad = a.filter(col("metric") === "deleted_residual" &&
         col("value") > 0L)
       .select("family", "value").collect()

@@ -859,6 +859,14 @@ object SimilarityOps {
     screenAnnTombstones(spark, path,
       spark.read.parquet(Compaction.resolve(s"$path/assignments")))
 
+  /** Screened code rows of a stored PQ or IVFPQ index (both keep their
+    * scan table at `codes`), unrestricted by cell — the audit's view of
+    * what any probe could ever score. */
+  private[graft] def liveAnnCodes(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    screenAnnTombstones(spark, path,
+      spark.read.parquet(Compaction.resolve(s"$path/codes")))
+
   /** Re-insert guard shared by the three ANN merges (mergeHashIndex's
     * twin): a tombstoned vec id must stay gone until the tick serves
     * the deletion physically, or the standing tombstone would silently

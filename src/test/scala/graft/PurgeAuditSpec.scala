@@ -30,39 +30,47 @@ class PurgeAuditSpec extends AnyFunSuite {
   private val delDocs = col("doc_id") % 3 === 1   // docs 1,4,7,10
   private val delVecs = col("vec_id") % 3 === 1   // vecs 1,4,7
 
-  private def buildAll(del: Boolean): (String, String, String, String, String) = {
-    val (fp, ah, ivf, bm, voc) =
-      (tmp("pa_fp"), tmp("pa_ah"), tmp("pa_ivf"), tmp("pa_bm"), tmp("pa_voc"))
-    DedupOps.buildFingerprintIndex(docs, fp)
+  private case class Roots(fp: String, ah: String, ivf: String,
+                           bm: String, voc: String, pq: String,
+                           ivfpq: String)
+
+  private def buildAll(del: Boolean): Roots = {
+    val r = Roots(tmp("pa_fp"), tmp("pa_ah"), tmp("pa_ivf"), tmp("pa_bm"),
+      tmp("pa_voc"), tmp("pa_pq"), tmp("pa_ivfpq"))
+    DedupOps.buildFingerprintIndex(docs, r.fp)
     DedupOps.buildHashIndex(
-      Multimodal.imageAHash(Multimodal.encodePng(docs)), ah)
-    SimilarityOps.buildIvfIndex(embs, ivf, k = 2, iters = 2)
-    TextOps.buildBm25Index(docs, bm)
-    TextOps.buildVocabIndex(docs, voc)
+      Multimodal.imageAHash(Multimodal.encodePng(docs)), r.ah)
+    SimilarityOps.buildIvfIndex(embs, r.ivf, k = 2, iters = 2)
+    TextOps.buildBm25Index(docs, r.bm)
+    TextOps.buildVocabIndex(docs, r.voc)
+    SimilarityOps.buildPqIndex(embs, r.pq, m = 2, ksub = 2, iters = 1)
+    SimilarityOps.buildIvfPqIndex(embs, r.ivfpq, k = 2, iters = 2,
+      m = 2, ksub = 2, pqIters = 1)
     if (del) {
       DedupOps.tombstoneFingerprintIndex(
-        docs.filter(delDocs).select("doc_id"), fp)
-      DedupOps.tombstoneHashIndex(docs.filter(delDocs).select("doc_id"), ah)
-      SimilarityOps.tombstoneAnnIndex(
-        embs.filter(delVecs).select("vec_id"), ivf)
-      TextOps.retractBm25Index(docs.filter(delDocs), bm)
-      TextOps.retractVocabIndex(docs.filter(delDocs), voc)
+        docs.filter(delDocs).select("doc_id"), r.fp)
+      DedupOps.tombstoneHashIndex(docs.filter(delDocs).select("doc_id"), r.ah)
+      for (annRoot <- Seq(r.ivf, r.pq, r.ivfpq))
+        SimilarityOps.tombstoneAnnIndex(
+          embs.filter(delVecs).select("vec_id"), annRoot)
+      TextOps.retractBm25Index(docs.filter(delDocs), r.bm)
+      TextOps.retractVocabIndex(docs.filter(delDocs), r.voc)
     }
-    (fp, ah, ivf, bm, voc)
+    r
   }
 
-  private def audit(roots: (String, String, String, String, String)) =
+  private def audit(r: Roots) =
     PurgeAudit.audit(spark,
-      roots._1, delDocs, roots._2, delDocs, roots._3, delVecs,
-      roots._4, delDocs, roots._5)
+      r.fp, delDocs, r.ah, delDocs, r.ivf, delVecs,
+      r.bm, delDocs, r.voc, r.pq, delVecs, r.ivfpq, delVecs)
       .collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
 
   test("after deletion every family's residual is 0 and the live counts " +
     "are the remaining population") {
     val m = audit(buildAll(del = true))
     val residuals = m.filter(_._1._2 == "deleted_residual")
-    assert(residuals.size === 4)
+    assert(residuals.size === 6)
     assert(residuals.values.forall(_ == 0L),
       s"no family may serve a purged id: $residuals")
     // 8 of 12 docs remain, 7 of 10 vectors
@@ -70,6 +78,8 @@ class PurgeAuditSpec extends AnyFunSuite {
     assert(m(("image_ahash", "live_docs")) === 8L)
     assert(m(("image_ahash", "band_rows")) === 32L) // 8 docs x 4 bands
     assert(m(("ann_ivf", "live_vecs")) === 7L)
+    assert(m(("ann_pq", "live_vecs")) === 7L)
+    assert(m(("ann_ivfpq", "live_vecs")) === 7L)
     assert(m(("bm25", "live_docs")) === 8L)
     assert(m(("bm25", "n_docs")) === 8L)
     assert(m(("bm25", "sum_dl")) === 8L * 40L)
@@ -88,6 +98,8 @@ class PurgeAuditSpec extends AnyFunSuite {
     assert(m(("fingerprint", "deleted_residual")) > 0L)
     assert(m(("image_ahash", "deleted_residual")) > 0L)
     assert(m(("ann_ivf", "deleted_residual")) > 0L)
+    assert(m(("ann_pq", "deleted_residual")) > 0L)
+    assert(m(("ann_ivfpq", "deleted_residual")) > 0L)
     assert(m(("bm25", "deleted_residual")) > 0L)
     // and the content-keyed vocab view still carries the full corpus
     assert(m(("vocab", "token_mass")) === 12L * 40L)
@@ -98,16 +110,19 @@ class PurgeAuditSpec extends AnyFunSuite {
     val dirty = buildAll(del = false)
     val e = intercept[IllegalArgumentException] {
       PurgeAudit.certify(spark,
-        dirty._1, delDocs, dirty._2, delDocs, dirty._3, delVecs,
-        dirty._4, delDocs, dirty._5)
+        dirty.fp, delDocs, dirty.ah, delDocs, dirty.ivf, delVecs,
+        dirty.bm, delDocs, dirty.voc,
+        dirty.pq, delVecs, dirty.ivfpq, delVecs)
     }
-    for (f <- Seq("fingerprint", "image_ahash", "ann_ivf", "bm25"))
+    for (f <- Seq("fingerprint", "image_ahash", "ann_ivf", "ann_pq",
+        "ann_ivfpq", "bm25"))
       assert(e.getMessage.contains(f),
         s"the raise must name family '$f': ${e.getMessage}")
     val clean = buildAll(del = true)
     val rows = PurgeAudit.certify(spark,
-      clean._1, delDocs, clean._2, delDocs, clean._3, delVecs,
-      clean._4, delDocs, clean._5).collect()
-    assert(rows.length === 17)
+      clean.fp, delDocs, clean.ah, delDocs, clean.ivf, delVecs,
+      clean.bm, delDocs, clean.voc,
+      clean.pq, delVecs, clean.ivfpq, delVecs).collect()
+    assert(rows.length === 21)
   }
 }
