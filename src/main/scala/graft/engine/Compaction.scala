@@ -347,25 +347,50 @@ object Compaction {
     if (Files.exists(live)) deleteRec(live)
   }
 
-  /** Republish the live BM25 lexicon version with an EMPTY `_applied`
-    * replay-signature log (data and `_stats` carried unchanged) — the
-    * deletion-serving tick's half of the replay contract documented at
-    * `TextOps.publishBm25Side`. No-op for a never-versioned lexicon or
-    * an already-empty log. The republish keeps the swap discipline
-    * (never mutate a published version in place). */
-  private def resetBm25AppliedLog(spark: SparkSession, path: String): Unit = {
+  /** Republish the live BM25 lexicon version with its `_applied`
+    * replay-signature log wiped down to `retainApplied` (data and
+    * `_stats` carried unchanged) — the deletion-serving tick's half of
+    * the replay contract documented at `TextOps.publishBm25Side`.
+    *
+    * `retainApplied` names the signatures of the IN-FLIGHT batch — the
+    * one whose inline clash-serve triggered this tick while its own
+    * ledger entry is still uncommitted ([[graft.streaming.CdcStream
+    * .bm25Absorb]]'s delete→re-insert path). Wiping those too would
+    * re-open exactly the double-apply the log exists to prevent: a
+    * crash between this tick and the batch's ledger append replays the
+    * batch, and its retraction — signature gone — would subtract
+    * lexicon df and stats a second time. Retention rides the SAME
+    * version swap as the wipe, so there is no crash window between
+    * "log reset" and "sig re-committed". Stale signatures (committed
+    * batches whose re-insert collision the reset guards against) still
+    * drop: their ledger entries are committed, so nothing ever replays
+    * them. No-op for a never-versioned lexicon or a log the wipe would
+    * not change. The republish keeps the swap discipline (never mutate
+    * a published version in place). */
+  private def resetBm25AppliedLog(spark: SparkSession, path: String,
+                                  retainApplied: Seq[String]): Unit = {
     val lex = s"$path/lexicon"
     val live = resolve(lex)
     val appliedDir = Paths.get(live, "_applied")
     if (!Files.exists(appliedDir)) return
-    if (spark.read.parquet(appliedDir.toString).isEmpty) return
+    val cur = spark.read.parquet(appliedDir.toString)
+    val keepSet = retainApplied.toSet
+    val rows = cur.collect()
+    // pre-seq logs read back as one sig column; modern logs (seq, sig)
+    val kept: Seq[org.apache.spark.sql.Row] =
+      if (cur.columns.length == 1)
+        rows.toSeq.filter(r => keepSet.contains(r.getString(0)))
+          .map(r => org.apache.spark.sql.Row(0L, r.getString(0)))
+      else rows.toSeq.filter(r => keepSet.contains(r.getString(1)))
+    if (kept.length == rows.length && cur.columns.length == 2) return
     val stats = Paths.get(live, "_stats")
     // materialize the carried data before writing under the same root
     val data = spark.read.parquet(live).localCheckpoint(true)
     publishVersion(lex) { dir =>
       data.write.mode("overwrite").parquet(dir)
       if (Files.exists(stats)) copyRec(stats, Paths.get(dir, "_stats"))
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(kept).asJava,
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("seq",
             org.apache.spark.sql.types.LongType),
@@ -426,8 +451,14 @@ object Compaction {
     rewrote
   }
 
+  /** `retainApplied`: BM25-only — signatures of the caller's in-flight
+    * (ledger-uncommitted) batch that the deletion-serving `_applied`
+    * reset must carry through its version swap instead of wiping; see
+    * [[resetBm25AppliedLog]]. Committed-batch callers (the scheduled
+    * between-batches tick, direct maintenance) leave it empty. */
   def compactIndex(spark: SparkSession, path: String, kind: String,
-                   maxFilesPerPartition: Int = 8): Boolean = kind match {
+                   maxFilesPerPartition: Int = 8,
+                   retainApplied: Seq[String] = Nil): Boolean = kind match {
     // The three ANN kinds share the fingerprint/ahash deletion
     // protocol, keyed by vec_id: pending tombstones FORCE the rewrite
     // (deletion has an SLA that file debt does not), the layout drops
@@ -481,6 +512,14 @@ object Compaction {
       // batch lost. From one snapshot, a file is either folded AND
       // recorded, or neither (the replay re-appends it and the dedup
       // heals) — never the fatal half.
+      //
+      // CALLER ORDERING: a crashed mid-append batch (only part of its
+      // files visible) must be REPLAYED before this tick runs, or its
+      // tag is recorded here from the partial rows and the replay is
+      // then skipped — the batch's missing rows are lost silently. The
+      // stream loop satisfies this structurally (replay happens at
+      // restart, before any tick); direct-API callers own the ordering
+      // — documented on TextOps.mergeVocabIndex/retractVocabIndex.
       val snapTry = scala.util.Try(
         spark.read.parquet(resolve(s"$path/counts")))
       compactTable(spark, s"$path/counts",
@@ -552,8 +591,9 @@ object Compaction {
       // must not be mistaken for the pre-deletion batch — reset the log
       // BEFORE the tombstones clear (a crash between the two leaves the
       // tombstones pending, so re-inserts stay blocked and the ordering
-      // is safe)
-      if (tomb.isDefined && served) resetBm25AppliedLog(spark, path)
+      // is safe); the in-flight batch's own signatures ride the swap
+      if (tomb.isDefined && served)
+        resetBm25AppliedLog(spark, path, retainApplied)
       clearServedTombstones(path, tomb, served)
       rewrote
     case "fingerprint" =>
@@ -699,7 +739,8 @@ object Compaction {
     * ledger to this verb) or with writers quiesced. Returns true if the
     * compact rewrote anything. */
   def maintainIndex(spark: SparkSession, path: String, kind: String,
-                    maxFilesPerPartition: Int = 8): Boolean = {
+                    maxFilesPerPartition: Int = 8,
+                    retainApplied: Seq[String] = Nil): Boolean = {
     vacuumIndex(path, kind)
     val logCollapsed = kind match {
       // IVF/PQ merges append one tiny drift row (file) per absorbed
@@ -719,7 +760,8 @@ object Compaction {
             .filter(col("n").isNotNull))
       case _ => false
     }
-    compactIndex(spark, path, kind, maxFilesPerPartition) || logCollapsed
+    compactIndex(spark, path, kind, maxFilesPerPartition,
+      retainApplied) || logCollapsed
   }
 
   /** Collapse a tiny append-per-merge sidecar (the IVF/PQ `merge_log`:

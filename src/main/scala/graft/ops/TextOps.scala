@@ -858,7 +858,18 @@ object TextOps {
     * application — that remains the disjointness contract. A tag the
     * compaction has already absorbed is skipped outright: its rows are
     * gone, so a replayed append would have nothing to dedup against and
-    * would double-add. */
+    * would double-add.
+    *
+    * ORDERING REQUIREMENT for direct-API callers (the stream loop
+    * satisfies it structurally): a crashed append MUST be replayed
+    * before the next `vocab` compaction tick runs. The tick records a
+    * batch's tag in `_absorbed` from whatever rows its snapshot sees —
+    * if a mid-append crash left only PART of the batch's files visible
+    * and the tick runs first, the tag is recorded from the partial rows
+    * and the mandated replay is then skipped ([[vocabTagAbsorbed]]),
+    * silently losing the batch's missing rows. Replay-then-compact
+    * heals the same crash completely (the re-appended rows dedup by
+    * tag). Applies equally to [[retractVocabIndex]]. */
   def mergeVocabIndex(newDocs: DataFrame, path: String,
                       batchTag: String = null): Unit = {
     requireVocabTag(batchTag)
@@ -1674,22 +1685,26 @@ object TextOps {
     * replayed batch whose signature is already live skips the whole
     * verb: a byte-identical re-retraction is an idempotent no-op, while
     * retracting never-absorbed content still fails loudly through the
-    * phantom/negative-net guards. */
-  def retractBm25Index(deletedDocs: DataFrame, path: String): Unit = {
+    * phantom/negative-net guards — and those guards run BEFORE the
+    * tombstone append, so a REJECTED retraction leaves the index
+    * untouched: no half-state where the screens stop serving the docs
+    * while the lexicon/stats still count them.
+    *
+    * Returns the batch's content signature, so the absorb loop can ask
+    * an inline deletion-serving tick to retain it through the
+    * `_applied` reset (the crash-replay contract —
+    * [[graft.streaming.CdcStream.bm25Absorb]]). */
+  def retractBm25Index(deletedDocs: DataFrame, path: String): String = {
     val spark = deletedDocs.sparkSession
     val sig = batchSignature(deletedDocs, "retract")
     val applied = bm25AppliedRows(spark, path)
-    if (applied.exists(_._2 == sig)) return
+    if (applied.exists(_._2 == sig)) return sig
     val words = deletedDocs.select(col("doc_id"), normWords(col("text")).as("w"))
     val del = words
       .agg(count(lit(1)).as("n_docs"),
         sum(size(col("w")).cast("long")).as("sum_dl"))
       .head()
-    if (del.getLong(0) == 0L) return
-    // tombstones first: the screen takes effect even if a crash stops
-    // the lexicon/stats adjustment (re-appending them on the replay is
-    // harmless — the screens read through distinct())
-    Compaction.appendTombstones(deletedDocs.select(col("doc_id")), path)
+    if (del.getLong(0) == 0L) return sig
     val delDf = Caches.ensureCached(words
       .select(col("doc_id"), explode(array_distinct(col("w"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("ddf")))
@@ -1715,7 +1730,9 @@ object TextOps {
             lit("' netted negative df — retraction without a matching " +
               "absorb (or with different text)")))))
       .filter(col("_ok") && col("df") > 0L).drop("_ok")
-      // materialize before republishing the root the plan reads under
+      // materialize before republishing the root the plan reads under —
+      // this is also where the negative-df raise_error fires, so from
+      // here on the retraction is KNOWN valid
       .localCheckpoint(true)
     val old = bm25StatsRow(spark, path)
     val (n2, dl2) = (old.getLong(0) - del.getLong(0),
@@ -1723,7 +1740,14 @@ object TextOps {
     require(n2 >= 0L && dl2 >= 0L,
       s"bm25 index: retraction nets negative corpus stats at $path — " +
         "more docs/tokens retracted than were ever absorbed")
+    // tombstones only after every guard has passed: the screen takes
+    // effect atomically-enough with the side-table publish (a crash
+    // between the two replays the batch, whose signature is not yet
+    // live, and the re-appended tombstones dedup through distinct()) —
+    // and a REJECTED retraction never tombstones at all
+    Compaction.appendTombstones(deletedDocs.select(col("doc_id")), path)
     publishBm25Side(spark, path, newLex, n2, dl2, applied, sig)
+    sig
   }
 
   // ---- BM25 side-table atomicity & replay idempotence ---------------
@@ -1744,7 +1768,13 @@ object TextOps {
   // maintenance tick resets `_applied` when it serves tombstones — a
   // legal re-insert of a deleted id always crosses that tick (the merge
   // clash guard forces it), so its fresh signature can never be
-  // mistaken for the pre-deletion batch's.
+  // mistaken for the pre-deletion batch's. The one exception rides the
+  // reset itself: when the tick runs INLINE under a still-uncommitted
+  // ledger entry (bm25Absorb's delete→re-insert batch), that batch's
+  // just-committed retract signature is RETAINED through the reset's
+  // version swap (Compaction.resetBm25AppliedLog retainApplied) — its
+  // batch is the only one a crash can still replay, and wiping it
+  // would re-open the double-subtract the log exists to prevent.
 
   /** Live lexicon table — the versioned copy once any merge/retraction
     * has republished it, the flat build-time table before that. */

@@ -213,9 +213,11 @@ object CdcStream {
     * single-writer requirement as the Compaction verbs. */
   def maintainStreamedIndex(spark: SparkSession, indexPath: String,
                             kind: String,
-                            maxFilesPerPartition: Int = 8): Unit = {
+                            maxFilesPerPartition: Int = 8,
+                            retainApplied: Seq[String] = Nil): Unit = {
     import graft.engine.{Compaction, Ledger}
-    Compaction.maintainIndex(spark, indexPath, kind, maxFilesPerPartition)
+    Compaction.maintainIndex(spark, indexPath, kind, maxFilesPerPartition,
+      retainApplied)
     Compaction.vacuum(s"$indexPath/_ledger")
     new Ledger(spark, s"$indexPath/_ledger").compact(maxFilesPerPartition)
     ()
@@ -302,14 +304,16 @@ object CdcStream {
   private def serveTombstonesIfClashing(spark: SparkSession,
                                         indexPath: String, kind: String,
                                         adds: DataFrame,
-                                        key: String = "doc_id"): Unit = {
+                                        key: String = "doc_id",
+                                        retainApplied: Seq[String] = Nil): Unit = {
     val clash = graft.engine.Compaction
       .pendingTombstones(spark, indexPath, key).exists { t =>
         adds.select(col(key))
           .join(graft.engine.Skew.maybeBroadcast(t), Seq(key), "left_semi")
           .limit(1).count() > 0L
       }
-    if (clash) maintainStreamedIndex(spark, indexPath, kind)
+    if (clash) maintainStreamedIndex(spark, indexPath, kind,
+      retainApplied = retainApplied)
   }
 
   /** Split an op-aware batch into (upserts-without-op, Some(delete-key
@@ -490,7 +494,12 @@ object CdcStream {
     * [[graft.ops.SimilarityOps.rebuildIvfPqIndex]] (atomic republish of
     * centroids + codebooks + codes under one version swap, tombstones
     * served, drift log reset). 0 (default) keeps drift a
-    * scheduled-rebuild decision outside the stream, the prior posture. */
+    * scheduled-rebuild decision outside the stream, the prior posture.
+    * `rebuildIters`/`rebuildPqIters` thread the coarse-quantizer and
+    * codebook training iteration counts into that rebuild (mirroring
+    * [[annScreenStream]]'s `retrainIters`) — pass the counts the index
+    * was originally built with, or the rebuilt index trains to a
+    * different state than the fresh-build parity the oracle assumes. */
   def ivfPqScreenStream(spark: SparkSession, inGlob: String,
                         checkpointDir: String, schema: StructType,
                         indexPath: String, topK: Int, maxAdc: Double,
@@ -500,7 +509,9 @@ object CdcStream {
                         maintainMaxFiles: Int = 8,
                         rebuildEvery: Int = 0,
                         rebuildThreshold: Double = 2.0,
-                        rebuildFrom: SparkSession => DataFrame = null): StreamingQuery = {
+                        rebuildFrom: SparkSession => DataFrame = null,
+                        rebuildIters: Int = 2,
+                        rebuildPqIters: Int = 1): StreamingQuery = {
     require(rebuildEvery <= 0 || rebuildFrom != null,
       "ivfPqScreenStream: rebuildEvery > 0 needs rebuildFrom — PQ codes " +
         "are lossy, the rebuild must read the caller's source corpus")
@@ -522,7 +533,7 @@ object CdcStream {
             graft.ops.SimilarityOps.shouldRetrainPq(spark, indexPath,
               rebuildThreshold))
           graft.ops.SimilarityOps.rebuildIvfPqIndex(rebuildFrom(spark),
-            indexPath)
+            indexPath, iters = rebuildIters, pqIters = rebuildPqIters)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -801,7 +812,13 @@ object CdcStream {
     * Retraction runs BEFORE the merge (tombstone first, then serve the
     * clash if this very batch re-inserts a deleted doc), both halves
     * under ONE ledger entry so a replayed mixed batch re-applies
-    * neither. */
+    * neither. The inline clash-serve's `_applied` reset RETAINS this
+    * batch's just-committed retract signature (it rides the reset's own
+    * version swap — Compaction.resetBm25AppliedLog): the ledger entry
+    * is still uncommitted at that point, so a crash between the tick
+    * and the ledger append replays the batch, and the retraction must
+    * still find its signature or it would subtract lexicon df and
+    * stats a second time. */
   def bm25Absorb(spark: SparkSession, batch: DataFrame, id: Long,
                  indexPath: String, streamId: String): Unit = {
     if (!batch.isEmpty) graft.engine.Caches.withCached {
@@ -812,10 +829,13 @@ object CdcStream {
           val adds = batch
             .filter(coalesce(col("op") =!= "DELETE", lit(true))).drop("op")
           val dels = batch.filter(col("op") === "DELETE").drop("op")
-          if (!dels.isEmpty)
-            graft.ops.TextOps.retractBm25Index(dels, indexPath)
+          val retractSig =
+            if (!dels.isEmpty)
+              Some(graft.ops.TextOps.retractBm25Index(dels, indexPath))
+            else None
           if (!adds.isEmpty) {
-            serveTombstonesIfClashing(spark, indexPath, "bm25", adds)
+            serveTombstonesIfClashing(spark, indexPath, "bm25", adds,
+              retainApplied = retractSig.toSeq)
             graft.ops.TextOps.mergeBm25Index(adds, indexPath)
           }
         } else graft.ops.TextOps.mergeBm25Index(batch, indexPath)

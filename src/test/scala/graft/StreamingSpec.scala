@@ -1225,6 +1225,121 @@ class StreamingSpec extends AnyFunSuite {
     assert(stored() === expected)
   }
 
+  test("BM25 stream CDC UPDATE (delete + re-insert the SAME doc in one " +
+    "batch): inline tick serves the clash, scores equal a rebuild") {
+    import graft.ops.TextOps
+    import graft.engine.Compaction
+    val idx = Files.createTempDirectory("bmu_idx").toString
+    val ckpt = Files.createTempDirectory("bmu_ckpt").toString
+    val mk = Map(
+      1L -> ("spark join window " + (1 to 30).map("w" + _).mkString(" ")),
+      2L -> ("spark spark join " + (1 to 20).map("x" + _).mkString(" ")),
+      3L -> ("window join " + (1 to 25).map("y" + _).mkString(" ")))
+    val newText2 = "spark window refresh " + (1 to 18).map("n" + _).mkString(" ")
+    TextOps.buildBm25Index(mk.toSeq.sortBy(_._1).toDF("doc_id", "text"), idx)
+    // ONE op-aware batch: DELETE doc 2 (full old row image) + INSERT the
+    // replacement row for the same doc_id — the CDC UPDATE shape. The
+    // merge clashes with the batch's OWN tombstone, so the inline tick
+    // runs mid-batch (serving the deletion physically) before the merge.
+    val b1 = Seq((2L, newText2, "I"), (2L, mk(2L), "DELETE"))
+      .toDF("doc_id", "text", "op")
+    CdcStream.bm25Absorb(spark, b1, 1L, idx, ckpt)
+    val terms = Seq("spark", "join", "window", "refresh")
+    def stored() = TextOps.queryBm25Index(spark, idx, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rebuilt = Files.createTempDirectory("bmu_rebuild").toString
+    TextOps.buildBm25Index(
+      Seq((1L, mk(1L)), (2L, newText2), (3L, mk(3L))).toDF("doc_id", "text"),
+      rebuilt)
+    val expected = TextOps.queryBm25Index(spark, rebuilt, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored() === expected,
+      "same-id delete+re-insert must equal a rebuild on the updated corpus")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$idx/tombstones")))
+    // a checkpoint-replayed batch id is a full no-op (ledger protocol)
+    CdcStream.bm25Absorb(spark, b1, 1L, idx, ckpt)
+    assert(stored() === expected)
+    assert(spark.read.parquet(Compaction.resolve(s"$idx/_ledger"))
+      .count() === 1L)
+  }
+
+  test("BM25 delete→re-insert crash replay: the inline tick retains the " +
+    "in-flight retract signature so a replayed batch cannot double-subtract") {
+    import graft.ops.TextOps
+    import graft.engine.Compaction
+    val idx = Files.createTempDirectory("bmc_idx").toString
+    val ckpt = Files.createTempDirectory("bmc_ckpt").toString
+    val mk = Map(
+      1L -> ("spark join window " + (1 to 30).map("w" + _).mkString(" ")),
+      2L -> ("spark spark join " + (1 to 20).map("x" + _).mkString(" ")),
+      3L -> ("window join " + (1 to 25).map("y" + _).mkString(" ")))
+    val newText2 = "spark window refresh " + (1 to 18).map("n" + _).mkString(" ")
+    TextOps.buildBm25Index(mk.toSeq.sortBy(_._1).toDF("doc_id", "text"), idx)
+    val b1 = Seq((2L, newText2, "I"), (2L, mk(2L), "DELETE"))
+      .toDF("doc_id", "text", "op")
+    // reproduce bm25Absorb's closure up to the crash point: the retract
+    // committed its signature, the inline clash-serve tick ran (reset
+    // the _applied log, RETAINING the in-flight retract sig), and then
+    // the process died — before the merge and before the ledger append
+    val sig = TextOps.retractBm25Index(
+      Seq((2L, mk(2L))).toDF("doc_id", "text"), idx)
+    CdcStream.maintainStreamedIndex(spark, idx, "bm25",
+      retainApplied = Seq(sig))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$idx/tombstones")),
+      "the tick served the deletion physically")
+    // restart: the stream re-delivers the SAME mixed batch. The retract
+    // half must SKIP (its signature survived the reset) — re-applying it
+    // would subtract doc 2's df/stats a second time (its unique terms
+    // are already gone, so the phantom guard would raise) — and the
+    // merge half lands
+    CdcStream.bm25Absorb(spark, b1, 1L, idx, ckpt)
+    val terms = Seq("spark", "join", "window", "refresh")
+    val stored = TextOps.queryBm25Index(spark, idx, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rebuilt = Files.createTempDirectory("bmc_rebuild").toString
+    TextOps.buildBm25Index(
+      Seq((1L, mk(1L)), (2L, newText2), (3L, mk(3L))).toDF("doc_id", "text"),
+      rebuilt)
+    val expected = TextOps.queryBm25Index(spark, rebuilt, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored === expected,
+      "the crash-replayed batch must re-apply neither half twice")
+    // and a committed-batch tick (no in-flight sig) still wipes the log:
+    // stale signatures never survive a later deletion-serving cycle
+    val b2 = Seq((3L, mk(3L), "DELETE")).toDF("doc_id", "text", "op")
+    CdcStream.bm25Absorb(spark, b2, 2L, idx, ckpt)
+    CdcStream.maintainStreamedIndex(spark, idx, "bm25")
+    val appliedDir = java.nio.file.Paths.get(
+      Compaction.resolve(s"$idx/lexicon"), "_applied")
+    assert(spark.read.parquet(appliedDir.toString).isEmpty,
+      "a between-batches tick (ledger committed) resets the log fully")
+  }
+
+  test("BM25 rejected retraction leaves the index untouched: no " +
+    "tombstones appended, the docs keep scoring") {
+    import graft.ops.TextOps
+    val idx = Files.createTempDirectory("bmr_idx").toString
+    val docs = Seq(
+      (1L, "spark join window alpha beta gamma"),
+      (2L, "spark filter delta epsilon zeta")).toDF("doc_id", "text")
+    TextOps.buildBm25Index(docs, idx)
+    // retraction whose row image was never absorbed (phantom terms) —
+    // the guards must fire BEFORE the tombstone append, or the screens
+    // stop serving doc 2 while the lexicon still counts it
+    intercept[IllegalArgumentException] {
+      TextOps.retractBm25Index(
+        Seq((2L, "neverabsorbed qqq www")).toDF("doc_id", "text"), idx)
+    }
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$idx/tombstones")),
+      "a rejected retraction must not tombstone")
+    assert(TextOps.queryBm25Index(spark, idx, Seq("filter"), 10)
+      .select("doc_id").collect().map(_.getLong(0)).contains(2L),
+      "doc 2 still scores after the rejected retraction")
+  }
+
   test("mass purge: deleting a whole corpus slice through the stream " +
     "completes without a forced driver broadcast") {
     import graft.ops.DedupOps
