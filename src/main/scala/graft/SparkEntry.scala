@@ -1069,8 +1069,15 @@ object SparkEntry {
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.binaryMeta(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // frame SAMPLING over the real animated container (every 2nd frame
+    // of each GIF decodes, the rest never materialize) — the "decode
+    // 1 fps" verb, distinct from multimodal_gif_frames' decode-ALL;
+    // the synthetic byte-window sampler this replaces is retired (no
+    // multimodal surface serves formula-grid results where a real
+    // codec path exists)
     "multimodal_frames" -> ((s, dir) =>
-      Multimodal.frameSample(Tables.documents(s, dir), 64, 128)
+      Multimodal.sampleGifFrames(
+        Multimodal.encodeGif(Tables.documents(s, dir)), 2)
         .orderBy("doc_id", "frame_no")),
 
     // nearest-neighbor resample of the 32x32 stub pixel grid to 8x8 —
@@ -3419,12 +3426,24 @@ object SparkEntry {
          |FROM groups g JOIN strength st USING (vec_id)
          |ORDER BY vec_id""".stripMargin,
 
+    // the sampler ran a REAL animated-GIF parse decoding every 2nd
+    // frame; the lossless indexed-gray palette means the sampled
+    // frames' dims + exact gray sums recompute from the
+    // (x, y, doc_id, frame) formula restricted to even frame indexes
     "multimodal_frames" ->
-      """SELECT doc_id, i AS frame_no,
-        |       md5(substr(text, CAST(i * 128 + 1 AS BIGINT), 64)) AS frame_hash
-        |FROM documents,
-        |     LATERAL unnest(range(0, CAST(floor((octet_length(encode(text)) - 64) / 128) AS BIGINT) + 1)) AS t(i)
-        |WHERE octet_length(encode(text)) >= 64
+      """WITH g AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+        |                  8 + (3 * doc_id) % 9 AS h,
+        |                  2 + doc_id % 4 AS n FROM documents),
+        |fr AS (SELECT doc_id, w, h, f
+        |       FROM g, LATERAL unnest(range(0, n)) AS t(f)
+        |       WHERE f % 2 = 0),
+        |px AS (SELECT doc_id, w, h, f, i % w AS x, i // w AS y
+        |       FROM fr, LATERAL unnest(range(0, w * h)) AS t(i))
+        |SELECT doc_id, CAST(f AS INT) AS frame_no, CAST(w AS INT) AS width,
+        |       CAST(h AS INT) AS height,
+        |       CAST(sum((7*x + 13*y + doc_id + 19*f) % 256) AS BIGINT)
+        |         AS sum_gray
+        |FROM px GROUP BY doc_id, f, w, h
         |ORDER BY doc_id, frame_no""".stripMargin,
 
     "multimodal_meta" ->

@@ -453,7 +453,23 @@ object Multimodal {
     * identical to a video frame-sampler's: a narrow per-partition
     * flatMap (decode fans OUT rows, never shuffles), decode cost
     * dominant, undecodable bytes failing loudly. */
-  def decodeGifFrames(withPayload: DataFrame): DataFrame = {
+  def decodeGifFrames(withPayload: DataFrame): DataFrame =
+    gifFrameDecode(withPayload, stride = 1)
+
+  /** Frame SAMPLING over the real animated container — the "decode 1 fps
+    * of a video" verb: only every `stride`-th frame of each GIF decodes
+    * (`frame_no % stride == 0`, frame_no keeping the ORIGINAL container
+    * index), the skipped frames' rasters are never materialized. Same
+    * per-partition flatMap shape as [[decodeGifFrames]] (the stride-1
+    * case); at scale the stride is the knob that divides decode cost —
+    * the dominant term — by the sampling rate, while the container walk
+    * (`getNumImages`) stays one directory scan per payload. */
+  def sampleGifFrames(withPayload: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, s"sampleGifFrames: stride $stride must be >= 1")
+    gifFrameDecode(withPayload, stride)
+  }
+
+  private def gifFrameDecode(withPayload: DataFrame, stride: Int): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("frame_no", IntegerType),
@@ -480,8 +496,9 @@ object Multimodal {
             rd.setInput(in)
             val n = rd.getNumImages(true)
             require(n > 0, s"decodeGifFrames: doc $id is not a decodable GIF")
-            // strict map: every frame decodes before the stream closes
-            (0 until n).map { f =>
+            // strict map: every selected frame decodes before the stream
+            // closes; the stride skips the others' rasters entirely
+            (0 until n by stride).map { f =>
               val img = rd.read(f)
               val (w, h) = (img.getWidth, img.getHeight)
               var sum = 0L
@@ -528,19 +545,4 @@ object Multimodal {
         md5(col("resized")).as("resized_hash"))
   }
 
-  /** Frame sampling over an opaque binary payload: fixed-`width` byte
-    * windows at every `stride` offset, one row per sampled frame with a
-    * content hash (payloads shorter than one frame drop out). A real
-    * video pipeline decodes each window; the Spark-side concerns — offset
-    * layout, per-frame fan-out via Generate, no shuffle, scan-speed —
-    * are exactly these, independent of the codec. */
-  def frameSample(docs: DataFrame, width: Int, stride: Int): DataFrame =
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .filter(expr(s"octet_length(payload) >= $width"))
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, cast(floor((octet_length(payload) - $width) / $stride) as int)), " +
-          s"i -> md5(substring(payload, i * $stride + 1, $width)))"))
-        .as(Seq("frame_no", "frame_hash")))
-      .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
-        col("frame_hash"))
 }

@@ -380,15 +380,24 @@ class OpsSpec extends AnyFunSuite {
     assert(s1.map(_.getString(0)).forall(_.length == 16))
   }
 
-  test("frame sampling: offset layout and short-payload dropout") {
-    val d = Seq(
-      (1L, "x" * 300), // frames at offsets 0, 128, 256? 256+64>300 → 2 frames
-      (2L, "y" * 63),  // shorter than one frame → dropped
-      (3L, "z" * 64))  // exactly one frame
-      .toDF("doc_id", "text")
-    val got = Multimodal.frameSample(d, 64, 128)
-      .select("doc_id", "frame_no").as[(Long, Long)].collect().toSet
-    assert(got === Set((1L, 0L), (1L, 1L), (3L, 0L)))
+  test("frame sampling decodes every stride-th REAL GIF frame, keeping " +
+    "original frame indexes") {
+    // 5 frames at stride 2 → container frames 0, 2, 4 decode; stride 3
+    // → 0, 3; the sampled rows must agree exactly with the full decode
+    val gif = Multimodal.syntheticGif(0L, 5, 5, 5)
+    val d = Seq((0L, gif)).toDF("doc_id", "payload")
+    val all = Multimodal.decodeGifFrames(d).orderBy("frame_no").collect()
+      .map(r => (r.getInt(1), r.getLong(4))).toSeq
+    val s2 = Multimodal.sampleGifFrames(d, 2).orderBy("frame_no").collect()
+      .map(r => (r.getInt(1), r.getLong(4))).toSeq
+    assert(s2 === all.filter(_._1 % 2 == 0))
+    assert(s2.map(_._1) === Seq(0, 2, 4))
+    val s3 = Multimodal.sampleGifFrames(d, 3).orderBy("frame_no").collect()
+      .map(r => (r.getInt(1), r.getLong(4))).toSeq
+    assert(s3 === all.filter(_._1 % 3 == 0))
+    // stride 1 IS the full decode; invalid strides refuse
+    assert(Multimodal.sampleGifFrames(d, 1).collect().length === all.length)
+    assertThrows[IllegalArgumentException](Multimodal.sampleGifFrames(d, 0))
   }
 
   test("nearest-neighbor resize picks the exact source indices") {
