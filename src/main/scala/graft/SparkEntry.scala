@@ -532,6 +532,25 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // the view's DELETION lifecycle end-to-end: all events of users
+    // with user_id % 10 = 7 retracted through the exact (grp, key, cnt)
+    // companion, sketches rebuilt from the netted pairs by the hll
+    // tick. `exact_users` comes FROM THE VIEW's exact read — the oracle
+    // recomputes it from the remaining corpus, so an inexact retraction
+    // hash-mismatches instead of hiding behind a tolerance; the HLL
+    // row pins the rebuilt sketch within the usual 5 %.
+    "distinct_view_retracted" -> ((s, dir) => {
+      val p = deletedDistinctPath(s, dir)
+      Stats.queryDistinctViewExact(s, p, "event_type")
+        .withColumnRenamed("exact_distinct", "exact_users")
+        .join(Stats.queryDistinctView(s, p, "event_type"), "event_type")
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_distinct") - col("exact_users").cast("double")) /
+            col("exact_users").cast("double") <= 0.05)
+            .as("view_within_tol"))
+        .orderBy("event_type")
+    }),
+
     // bounded-state quantiles: approx_percentile is the mergeable-sketch
     // path for percentiles over CONTINUOUS columns at 100 TB when
     // exactness isn't required (ExactPercentile's two-pass rank when it
@@ -819,6 +838,39 @@ object SparkEntry {
       SimilarityOps.ivfRecallReport(emb,
         emb.filter(expr(BatchQueryPred)), 10, P.KmK, P.KmIters)
         .orderBy("q_id")
+    }),
+
+    // recall@10 of the STORED flat-ADC PQ retrieval vs brute force —
+    // what the 8-byte compression cost in answer quality (meta
+    // distortion never shows the retrieval-level effect)
+    "ann_pq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.pqRecallReport(s, storedPqPath(s, dir), emb,
+        emb.filter(expr(BatchQueryPred)), 10).orderBy("q_id")
+    }),
+
+    // recall@10 of the STORED composite vs brute force — the COMPOUNDED
+    // (cell-pruning × ADC) loss, which neither signal alone measures
+    "ann_ivfpq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.ivfPqRecallReport(s, storedIvfPqPath(s, dir), emb,
+        emb.filter(expr(BatchQueryPred)), 10, 2).orderBy("q_id")
+    }),
+
+    // the same two reports against the REBUILT indexes: a rebuild that
+    // silently lost recall would pass every tombstone/parity gate —
+    // these rows are where it shows (fresh-build parity makes them
+    // oracle-exact, so drift IS a red row)
+    "ann_pq_rebuilt_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.pqRecallReport(s, rebuiltPqPath(s, dir), emb,
+        emb.filter(expr(BatchQueryPred)), 10).orderBy("q_id")
+    }),
+
+    "ann_ivfpq_rebuilt_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.ivfPqRecallReport(s, rebuiltIvfPqPath(s, dir), emb,
+        emb.filter(expr(BatchQueryPred)), 10, 2).orderBy("q_id")
     }),
 
     // SemDeDup (k-means-blocked semantic dedup): pairwise cosine only
@@ -1114,7 +1166,8 @@ object SparkEntry {
         retractedBm25Path(s, dir), expr("doc_id % 13 = 5"),
         deletedVocabPath(s, dir),
         deletedPqPath(s, dir), expr("vec_id % 5 = 2"),
-        deletedIvfPqPath(s, dir), expr("vec_id % 9 = 4"))),
+        deletedIvfPqPath(s, dir), expr("vec_id % 9 = 4"),
+        deletedDistinctPath(s, dir), expr("k % 10 = 7"))),
 
     "multimodal_phash_pairs" -> ((s, dir) =>
       DedupOps.hashPairs64(
@@ -1559,12 +1612,12 @@ object SparkEntry {
     // setup breakdown — a setup regression is then attributable to a
     // stage, the same property the per-run query times give the medians.
     //
-    // Stages run as EIGHT CONCURRENT CHAINS (sequential within a chain,
+    // Stages run as NINE CONCURRENT CHAINS (sequential within a chain,
     // chains submitted from separate threads — the standard Spark
     // multi-job pattern): text caches → dup groups; SCD2 dims; embedding
     // caches → stored ANN builds; the PQ rebuild root; the IVFPQ
     // rebuild root; merged ANN builds; text index builds; the purge
-    // audit's tombstoned roots.
+    // audit's tombstoned roots; the image-hash tables.
     // The chains touch
     // disjoint caches/memos/artifacts, so the only shared state is the
     // thread-safe registries they already use (Caches' CacheManager
@@ -1758,7 +1811,7 @@ object SparkEntry {
       ("purge", () => {
     stage("purge_roots") {
       deletedFpPath(s, dir); deletedAhashPath(s, dir)
-      deletedVocabPath(s, dir)
+      deletedVocabPath(s, dir); deletedDistinctPath(s, dir)
       ()
     }
       }),
@@ -1965,9 +2018,30 @@ object SparkEntry {
       Stats.buildDistinctView(e.filter(col("event_id") % 3 === 0),
         "event_type", "user_id", p)
       Stats.mergeDistinctView(e.filter(col("event_id") % 3 === 1),
-        "event_type", "user_id", p)
+        "event_type", "user_id", p, "seed1")
       Stats.mergeDistinctView(e.filter(col("event_id") % 3 === 2),
+        "event_type", "user_id", p, "seed2")
+    }
+
+  /** Distinct view with a retraction applied — its own root (the
+    * deletion must not leak into `distinct_view_users`): built in three
+    * absorbs like the live view, then ALL events of users with
+    * `user_id % 10 = 7` retract through the exact companion and the
+    * `hll` maintenance tick rebuilds the sketches from the netted
+    * pairs. Both read paths are then deletion-complete. */
+  private def deletedDistinctPath(s: SparkSession, dir: String): String =
+    engine.StoredIndexes.ensure("distinct_del", dir) { p =>
+      val e = ev(s, dir)
+      Stats.buildDistinctView(e.filter(col("event_id") % 3 === 0),
         "event_type", "user_id", p)
+      Stats.mergeDistinctView(e.filter(col("event_id") % 3 === 1),
+        "event_type", "user_id", p, "seed1")
+      Stats.mergeDistinctView(e.filter(col("event_id") % 3 === 2),
+        "event_type", "user_id", p, "seed2")
+      Stats.retractDistinctView(e.filter(col("user_id") % 10 === 7),
+        "event_type", "user_id", p, "purge7")
+      engine.Compaction.maintainIndex(s, p, "hll")
+      ()
     }
 
   private def ahashIdxPath(s: SparkSession, dir: String): String =
@@ -2518,6 +2592,11 @@ object SparkEntry {
     // each rebuilt probe shares its inline twin's training replay
     "ann_pq_rebuilt_topk" -> oracleSqlBase("ann_pq_topk"),
     "ann_ivfpq_rebuilt_topk" -> oracleSqlBase("ann_ivfpq_topk"),
+    // the rebuilt recall reports share the stored ones' replays for the
+    // same fresh-build-parity reason — recall drift across a rebuild
+    // therefore hash-mismatches instead of hiding
+    "ann_pq_rebuilt_recall" -> oracleSqlBase("ann_pq_recall"),
+    "ann_ivfpq_rebuilt_recall" -> oracleSqlBase("ann_ivfpq_recall"),
 
     // right-to-be-forgotten read paths: the stored index AFTER a
     // deletion — the ANN probe screens its tombstones (centroids stay
@@ -3002,6 +3081,9 @@ object SparkEntry {
          |  UNION ALL SELECT 'bm25', 'n_docs', (SELECT count(*) FROM documents WHERE doc_id % 13 <> 5)
          |  UNION ALL SELECT 'bm25', 'postings_pairs', (SELECT count(*) FROM (SELECT DISTINCT doc_id, word FROM rem_tok))
          |  UNION ALL SELECT 'bm25', 'sum_dl', (SELECT CAST(sum(len(w)) AS BIGINT) FROM words WHERE doc_id % 13 <> 5)
+         |  UNION ALL SELECT 'distinct', 'deleted_residual', CAST(0 AS BIGINT)
+         |  UNION ALL SELECT 'distinct', 'live_pairs', (SELECT count(*) FROM (SELECT DISTINCT event_type, user_id FROM events WHERE user_id % 10 <> 7))
+         |  UNION ALL SELECT 'distinct', 'pair_mass', (SELECT count(*) FROM events WHERE user_id % 10 <> 7)
          |  UNION ALL SELECT 'fingerprint', 'deleted_residual', CAST(0 AS BIGINT)
          |  UNION ALL SELECT 'fingerprint', 'live_docs', (SELECT count(DISTINCT doc_id) FROM ex WHERE doc_id % 13 <> 5)
          |  UNION ALL SELECT 'fingerprint', 'postings_pairs', (SELECT count(*) FROM ex WHERE doc_id % 13 <> 5)
@@ -3261,6 +3343,72 @@ object SparkEntry {
          |SELECT q.q_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
          |       CAST(coalesce(n_hits, 0) AS DOUBLE) / 10 AS recall
          |FROM q LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin
+    },
+
+    // recall of the stored flat-ADC PQ retrieval vs brute force: the
+    // same per-subspace training/code/table replay as the pq batch
+    // probe, intersected with the exact cosine top-10 per query
+    "ann_pq_recall" -> {
+      val (ctes, joins, adcSum, _) =
+        pqOracleFragments(None, batchPred = Some(BatchQueryPred))
+      s"""$ctes,
+         |qr AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $BatchQueryPred),
+         |brute AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT qr.q_id, e.vec_id,
+         |           row_number() OVER (PARTITION BY qr.q_id
+         |             ORDER BY round(${cosSql("e.v", "qr.qv")}, 6) DESC, e.vec_id) AS rn
+         |    FROM e, qr WHERE e.vec_id <> qr.q_id) WHERE rn <= 10),
+         |pqr AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT t0.q_id, t0.vec_id,
+         |           row_number() OVER (PARTITION BY t0.q_id
+         |             ORDER BY $adcSum, t0.vec_id) AS rn
+         |    FROM ctb_0 t0
+         |    $joins
+         |    WHERE t0.vec_id <> t0.q_id) WHERE rn <= 10),
+         |h AS (SELECT b.q_id, count(*) AS n_hits
+         |      FROM brute b JOIN pqr USING (q_id, vec_id) GROUP BY b.q_id)
+         |SELECT qr.q_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         |       CAST(coalesce(n_hits, 0) AS DOUBLE) / 10 AS recall
+         |FROM qr LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin
+    },
+
+    // recall of the stored composite vs brute force: the ivfpq batch
+    // splice (k-means cells + PQ replay, 2 probed cells) ∩ brute top-10
+    "ann_ivfpq_recall" -> {
+      val (_, joins, adcSum, subs) =
+        pqOracleFragments(None, batchPred = Some(BatchQueryPred))
+      s"""${ivfFinCtes(None, 2)},
+         |$subs,
+         |qb AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $BatchQueryPred),
+         |best AS (
+         |  SELECT q_id, cl FROM (
+         |    SELECT qb.q_id, c.cl,
+         |           row_number() OVER (PARTITION BY qb.q_id
+         |             ORDER BY ${dSql("c.cv", "qb.qv")}, c.cl) AS rn
+         |    FROM qb, c2 c) WHERE rn <= 2),
+         |brute AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT qb.q_id, e.vec_id,
+         |           row_number() OVER (PARTITION BY qb.q_id
+         |             ORDER BY round(${cosSql("e.v", "qb.qv")}, 6) DESC, e.vec_id) AS rn
+         |    FROM e, qb WHERE e.vec_id <> qb.q_id) WHERE rn <= 10),
+         |ipq AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT t0.q_id, t0.vec_id,
+         |           row_number() OVER (PARTITION BY t0.q_id
+         |             ORDER BY $adcSum, t0.vec_id) AS rn
+         |    FROM ctb_0 t0
+         |    $joins
+         |    JOIN fin f ON f.vec_id = t0.vec_id
+         |    JOIN best b ON b.q_id = t0.q_id AND b.cl = f.cl
+         |    WHERE t0.vec_id <> t0.q_id) WHERE rn <= 10),
+         |h AS (SELECT b.q_id, count(*) AS n_hits
+         |      FROM brute b JOIN ipq USING (q_id, vec_id) GROUP BY b.q_id)
+         |SELECT qb.q_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         |       CAST(coalesce(n_hits, 0) AS DOUBLE) / 10 AS recall
+         |FROM qb LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin
     },
 
     // same Lloyd's replay, but TRAINED on the build subset only — the
@@ -3799,6 +3947,19 @@ object SparkEntry {
         |             - count(DISTINCT user_id))
         |         / count(DISTINCT user_id) <= 0.05 AS view_within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // exact_users must equal count(DISTINCT) over the REMAINING corpus
+    // (the Spark side reads it from the retracted view's exact
+    // companion — a hash mismatch means the retraction netted wrong);
+    // the tolerance boolean attests each engine's own sketch path
+    "distinct_view_retracted" ->
+      """SELECT event_type,
+        |       count(DISTINCT user_id) AS exact_users,
+        |       abs(CAST(approx_count_distinct(user_id) AS DOUBLE)
+        |             - count(DISTINCT user_id))
+        |         / count(DISTINCT user_id) <= 0.05 AS view_within_tol
+        |FROM events WHERE user_id % 10 <> 7
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "approx_value_percentiles" ->
       """SELECT l_returnflag,

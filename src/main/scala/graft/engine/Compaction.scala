@@ -622,13 +622,81 @@ object Compaction {
     case "hll" => // sketch re-union: like `vocab`, the rewrite CHANGES
       // row counts — per-batch sketch partials collapse to one row per
       // group, sound because HLL union is associative and commutative
-      // (union of unions = union). No negative-netting guard: sketches
-      // cannot retract at all (the loud build-time contract).
-      compactTable(spark, s"$path/sketches",
-        df => df.groupBy("grp")
-          .agg(hll_union_agg(col("sketch")).as("sketch"))
-          .repartition(col("grp")).sortWithinPartitions("grp"),
-        maxFilesPerPartition = maxFilesPerPartition)
+      // (union of unions = union).
+      //
+      // RETRACTABLE views (r17) carry an `exact` companion — per-(grp,
+      // key) count partials under the vocab view's tag protocol — and
+      // this kind services its whole deletion lifecycle:
+      //  1. fold the exact partials (vocab-shape re-sum from ONE
+      //     snapshot, `_absorbed` tags recorded from the same listing,
+      //     fully-retracted pairs dropped, negative nets fail-loud); a
+      //     pending `_retracted` marker FORCES the fold (deletion SLA);
+      //  2. when the marker is pending, REBUILD the sketch table from
+      //     the netted pairs — HLL union cannot subtract, so the exact
+      //     table is the source of truth the sketches re-derive from —
+      //     and clear the marker only after the rebuild's pointer swap
+      //     (a crash between the two re-runs an idempotent rebuild).
+      // Sketch-only views (no companion) keep the plain debt-triggered
+      // collapse; their build-time contract stays "cannot retract".
+      val exactT = s"$path/exact"
+      val marker = Paths.get(s"$path/_retracted")
+      val hasExact = Files.exists(Paths.get(exactT))
+      val exactDone = if (hasExact) {
+        val snapTry = scala.util.Try(spark.read.parquet(resolve(exactT)))
+        compactTable(spark, exactT,
+          _ => snapTry.get.dropDuplicates("bsig", "grp", "k")
+            .groupBy("grp", "k").agg(sum("cnt").as("cnt"))
+            .withColumn("_ok",
+              when(col("cnt") >= 0L, lit(true))
+                .otherwise(raise_error(concat(
+                  lit("distinct view: pair ("), col("grp"), lit(", "),
+                  col("k").cast("string"),
+                  lit(") netted negative — retraction without a " +
+                    "matching absorb")))))
+            .filter(col("_ok") && col("cnt") > 0L).drop("_ok")
+            .withColumn("bsig", lit("compacted"))
+            .repartition(col("grp")).sortWithinPartitions("grp", "k"),
+          maxFilesPerPartition = maxFilesPerPartition,
+          // same snapshot discipline as `vocab`: fold and tag list from
+          // ONE listing, and the caller replays crashed appends BEFORE
+          // this tick (documented on Stats.mergeDistinctView)
+          beforePublish = { nextDir =>
+            val live = snapTry.get
+            val cur = Some(live.select("bsig")
+              .where(col("bsig") =!= "compacted").distinct())
+            val sideIn = Paths.get(resolve(exactT), "_absorbed")
+            val prev =
+              if (Files.exists(sideIn))
+                Some(spark.read.parquet(sideIn.toString))
+              else None
+            val all = (prev, cur) match {
+              case (Some(p), Some(c)) => Some(p.union(c).distinct())
+              case (p, c) => p.orElse(c)
+            }
+            all.foreach(_.coalesce(1).write.mode("overwrite")
+              .parquet(s"$nextDir/_absorbed"))
+          },
+          force = Files.exists(marker))
+      } else false
+      val sketchDone =
+        if (hasExact && Files.exists(marker)) {
+          val net = spark.read.parquet(resolve(exactT))
+            .dropDuplicates("bsig", "grp", "k")
+            .groupBy("grp", "k").agg(sum("cnt").as("cnt"))
+            .filter(col("cnt") > 0L)
+          val r = compactTable(spark, s"$path/sketches",
+            _ => net.groupBy("grp")
+              .agg(hll_sketch_agg(col("k")).as("sketch"))
+              .repartition(col("grp")).sortWithinPartitions("grp"),
+            maxFilesPerPartition = maxFilesPerPartition, force = true)
+          Files.deleteIfExists(marker)
+          r
+        } else compactTable(spark, s"$path/sketches",
+          df => df.groupBy("grp")
+            .agg(hll_union_agg(col("sketch")).as("sketch"))
+            .repartition(col("grp")).sortWithinPartitions("grp"),
+          maxFilesPerPartition = maxFilesPerPartition)
+      exactDone || sketchDone
     case "ahash" => // banded 64-bit-signature index: the rewrite drops
       // the exact-duplicate band rows replayed merges can leave (the
       // natural key IS the whole row), drops TOMBSTONED rows (making
@@ -888,7 +956,9 @@ object Compaction {
     // long-running stream accretes one superseded version dir per batch
     case "bm25"        => Seq(s"$path/postings", s"$path/lexicon")
     case "fingerprint" => Seq(s"$path/postings", s"$path/sizes")
-    case "hll"         => Seq(s"$path/sketches")
+    // the exact companion's superseded versions too (a never-built
+    // companion has no pointer — vacuum no-ops)
+    case "hll"         => Seq(s"$path/sketches", s"$path/exact")
     case "ahash"       => Seq(s"$path/bands")
     case other =>
       throw new IllegalArgumentException(

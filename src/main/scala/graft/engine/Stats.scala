@@ -168,32 +168,237 @@ object Stats {
     * kind `hll` collapses partials back toward one row per group (HLL
     * union is associative+commutative, so the rewrite is sound the same
     * way `vocab`'s re-sum is). The price of mergeability, stated
-    * loudly: sketches cannot retract (a CDC DELETE requires a rebuild —
-    * unlike the vocab view's negated partials) and the estimate is
+    * loudly: the SKETCHES cannot retract and the estimate is
     * approximate (±~2 % at the default lgK; query rows pin a tolerance
     * boolean against the exact count, the approx_distinct_users oracle
     * shape). Replay protection is the caller's (stream, batch-id)
-    * ledger, as for every absorb family. */
+    * ledger, as for every absorb family.
+    *
+    * DELETION (as of r17) is carried by the EXACT COMPANION table the
+    * build writes beside the sketches: `exact` holds per-(grp, key)
+    * COUNT partials — one row per pair per absorbed batch, the vocab
+    * view's tag/partial protocol verbatim — so a CDC DELETE appends the
+    * pair counts NEGATED ([[retractDistinctView]]) and the net view
+    * (Σcnt > 0) is deletion-exact IMMEDIATELY
+    * ([[queryDistinctViewExact]]). The HLL read stays the cheap
+    * approximate path but OVER-COUNTS retracted keys until the `hll`
+    * maintenance tick REBUILDS the sketch table from the netted exact
+    * pairs (Compaction.compactIndex "hll" — HLL union cannot subtract;
+    * the exact table is the source of truth), bounded staleness of one
+    * maintenance interval, stated here rather than hidden. Storage
+    * price, also stated: retractability costs O(distinct (grp, key))
+    * rows — exactly the set the sketches exist to avoid — but appends
+    * stay O(|batch pairs|) and the read re-sum is one partial-agg
+    * shuffle; a deployment that never deletes can drop the companion
+    * (a view without it refuses retractions loudly, the pre-r17
+    * behavior). */
   def buildDistinctView(df: DataFrame, group: String, key: String,
                         path: String): Unit = {
     distinctPartials(df, group, key)
       .write.mode("overwrite").parquet(s"$path/sketches")
     Compaction.seedBase(s"$path/sketches")
+    exactPairPartials(df, group, key, "build")
+      .write.mode("overwrite").parquet(s"$path/exact")
+    Compaction.seedBase(s"$path/exact")
   }
 
-  /** Append one batch's per-group sketch partials — O(|groups|). */
+  /** Append one batch's per-group sketch partials — O(|groups|) — and,
+    * on a retractable view (exact companion present), the batch's
+    * per-(grp, key) count partials under `batchTag` — O(|batch pairs|).
+    * Tag semantics are the vocab view's: streams pass their stable
+    * (stream, batch-id) tag; a null tag derives from the batch's
+    * content plus a retract-cycle index, so a crashed-ledger replay
+    * lays down exact duplicates the view's (bsig, grp, k) dedup heals,
+    * while a legitimate delete→re-insert of identical content gets a
+    * fresh cycle tag and applies. A tag the compaction has already
+    * folded is skipped outright (its rows are gone — a replayed append
+    * would double-add). Same ORDERING REQUIREMENT as the vocab view:
+    * replay a crashed append before the next `hll` compaction tick. */
   def mergeDistinctView(df: DataFrame, group: String, key: String,
-                        path: String): Unit =
+                        path: String, batchTag: String = null): Unit = {
+    requirePairTag(batchTag)
     Compaction.guardedAppend(s"$path/sketches") { live =>
       distinctPartials(df, group, key).write.mode("append").parquet(live)
     }
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/exact"))) {
+      val spark = df.sparkSession
+      val tag = Option(batchTag).getOrElse {
+        val cycles =
+          pairTagCount(spark, path, pairSignature(df, group, key, "retract"))
+        val base = pairSignature(df, group, key, "merge")
+        if (cycles == 0) base else s"$base~$cycles"
+      }
+      if (!pairTagAbsorbed(spark, path, tag))
+        Compaction.guardedAppend(s"$path/exact") { live =>
+          exactPairPartials(df, group, key, tag)
+            .write.mode("append").parquet(live)
+        }
+    }
+  }
+
+  /** Retract previously-absorbed rows from the view — the CDC DELETE
+    * path for distinct counting: appends the batch's per-(grp, key)
+    * count partials NEGATED to the exact companion, so the net view
+    * drops pairs whose count reaches zero (a user with remaining events
+    * in a group stays distinct there — exactly the semantics an exact
+    * COUNT(DISTINCT) over the remaining corpus gives). The delete
+    * record must carry the full row image (group + key columns), the
+    * CDC delete-capture contract. Refuses loudly on a view without the
+    * exact companion (built before the retractable lifecycle): its
+    * sketches alone cannot retract — rebuild the view.
+    *
+    * The sketch table is NOT touched here: it over-counts until the
+    * `hll` maintenance tick rebuilds it from the netted pairs. The
+    * `_retracted` marker (written BEFORE the append — a spurious marker
+    * costs one harmless rebuild, the reverse order could lose one)
+    * tells the tick a rebuild is owed.
+    *
+    * Fail-loud contract, enforced at read/fold time like the vocab
+    * view: a retraction that was never absorbed (or absorbed with
+    * different rows) nets some pair negative, and the net read and the
+    * compaction fold both raise instead of serving the corrupt view. */
+  def retractDistinctView(df: DataFrame, group: String, key: String,
+                          path: String, batchTag: String = null): Unit = {
+    requirePairTag(batchTag)
+    require(
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/exact")),
+      s"distinct view at $path has no exact companion (built before the " +
+        "retractable lifecycle) — HLL sketches cannot retract; rebuild " +
+        "the view to make it deletion-capable")
+    val spark = df.sparkSession
+    val tag = Option(batchTag).getOrElse {
+      val lastMerge =
+        pairMaxCycleIdx(spark, path, pairSignature(df, group, key, "merge"))
+      val base = pairSignature(df, group, key, "retract")
+      if (lastMerge <= 0) base else s"$base~$lastMerge"
+    }
+    if (pairTagAbsorbed(spark, path, tag)) return
+    // marker first: the tick owes a sketch rebuild from this point on
+    val marker = java.nio.file.Paths.get(s"$path/_retracted")
+    if (!java.nio.file.Files.exists(marker))
+      java.nio.file.Files.createFile(marker)
+    Compaction.guardedAppend(s"$path/exact") { live =>
+      exactPairPartials(df, group, key, tag)
+        .withColumn("cnt", -col("cnt"))
+        .write.mode("append").parquet(live)
+    }
+  }
 
   private def distinctPartials(df: DataFrame, group: String,
                                key: String): DataFrame =
     df.groupBy(col(group).as("grp"))
       .agg(hll_sketch_agg(col(key)).as("sketch"))
 
-  /** View read: union each group's stored sketches, estimate. */
+  /** One batch's (grp, k, cnt, bsig) rows — the key keeps its NATIVE
+    * type, so the tick's sketch rebuild (`hll_sketch_agg(k)`) hashes
+    * the same domain the build's sketches did. */
+  private def exactPairPartials(df: DataFrame, group: String, key: String,
+                                tag: String): DataFrame =
+    df.groupBy(col(group).as("grp"), col(key).as("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("bsig", lit(tag))
+
+  /** `compacted`/`build` are reserved by the view lifecycle (the vocab
+    * view's rule, same reason: a colliding caller tag would make the
+    * (bsig, grp, k) dedup collapse legitimate rows). */
+  private def requirePairTag(tag: String): Unit =
+    require(tag == null || (tag != "compacted" && tag != "build"),
+      s"batchTag '$tag' is reserved by the distinct view lifecycle")
+
+  /** Order-independent content signature of a batch's (grp, key) rows —
+    * the vocab view's scheme: count + decimal sum of per-row hashes,
+    * op-tagged so a delete and a re-insert never collide. */
+  private def pairSignature(df: DataFrame, group: String, key: String,
+                            op: String): String = {
+    val r = df
+      .select(xxhash64(col(group).cast("string"),
+        col(key).cast("string")).as("h"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("h").cast("decimal(38,0)")).as("hs")).head()
+    val hs = if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString
+    s"$op:${r.getLong(0)}:$hs"
+  }
+
+  /** The `base`-derived cycle tags present in the exact companion's
+    * history (live partial rows ∪ compaction-absorbed tags) — bounded
+    * collect, one batch's handful of tag strings. */
+  private def pairCycleTags(spark: SparkSession, path: String,
+                            base: String): Seq[String] = {
+    val livePath = Compaction.resolve(s"$path/exact")
+    val live = scala.util.Try(spark.read.parquet(livePath))
+      .getOrElse(return Nil)
+    val side = java.nio.file.Paths.get(livePath, "_absorbed")
+    val all =
+      if (java.nio.file.Files.exists(side))
+        live.select("bsig").union(spark.read.parquet(side.toString))
+      else live.select("bsig")
+    all.filter(col("bsig") === base ||
+        col("bsig").startsWith(base + "~"))
+      .distinct().collect().map(_.getString(0)).toSeq
+  }
+
+  private def pairTagCount(spark: SparkSession, path: String,
+                           base: String): Int =
+    pairCycleTags(spark, path, base).length
+
+  /** Highest cycle index among `base`-derived tags (`base` = 0,
+    * `base~k` = k), −1 when none — the vocab view's build-entered-
+    * content rule (see TextOps.retractVocabIndex's tag derivation). */
+  private def pairMaxCycleIdx(spark: SparkSession, path: String,
+                              base: String): Int = {
+    val tags = pairCycleTags(spark, path, base)
+    if (tags.isEmpty) -1
+    else tags.map { t =>
+      if (t == base) 0 else t.stripPrefix(base + "~").toInt
+    }.max
+  }
+
+  /** Batch tags the `hll` compaction has already folded (the exact
+    * companion's `_absorbed` sidecar) — their rows are gone, so a
+    * replayed append must be skipped, not deduped. */
+  private def pairTagAbsorbed(spark: SparkSession, path: String,
+                              tag: String): Boolean = {
+    val side = java.nio.file.Paths.get(
+      Compaction.resolve(s"$path/exact"), "_absorbed")
+    java.nio.file.Files.exists(side) &&
+      spark.read.parquet(side.toString)
+        .filter(col("bsig") === tag).limit(1).count() > 0L
+  }
+
+  /** The netted live (grp, k, cnt) pairs — replay duplicates healed by
+    * the (bsig, grp, k) dedup, per-pair counts re-summed, fully
+    * retracted pairs dropped, negative nets REFUSED (a retraction that
+    * was never absorbed must not serve silently). Every exact reader —
+    * and the purge audit — goes through here. */
+  private[graft] def liveDistinctPairs(spark: SparkSession,
+                                       path: String): DataFrame =
+    spark.read.parquet(Compaction.resolve(s"$path/exact"))
+      .dropDuplicates("bsig", "grp", "k")
+      .groupBy("grp", "k").agg(sum("cnt").as("cnt"))
+      .withColumn("_ok",
+        when(col("cnt") >= 0L, lit(true))
+          .otherwise(raise_error(concat(
+            lit("distinct view: pair ("), col("grp"), lit(", "),
+            col("k").cast("string"),
+            lit(") netted negative — retraction without a matching " +
+              "absorb")))))
+      .filter(col("_ok") && col("cnt") > 0L).drop("_ok")
+
+  /** Deletion-exact view read: distinct live keys per group from the
+    * exact companion — reflects retractions IMMEDIATELY (no tick
+    * required), at the cost of the one partial-agg shuffle the sketches
+    * avoid. */
+  def queryDistinctViewExact(spark: SparkSession, path: String,
+                             group: String): DataFrame =
+    liveDistinctPairs(spark, path)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("exact_distinct"))
+      .withColumnRenamed("grp", group)
+
+  /** View read: union each group's stored sketches, estimate.
+    * Approximate, and on a retractable view STALE (over-counting) for
+    * retractions newer than the last `hll` maintenance tick — the
+    * deletion-exact read is [[queryDistinctViewExact]]. */
   def queryDistinctView(spark: SparkSession, path: String,
                         group: String): DataFrame =
     spark.read.parquet(Compaction.resolve(s"$path/sketches"))

@@ -40,7 +40,7 @@ object PurgeAudit {
       s"stack(${ms.length}, $pairs) AS (metric, value)")
   }
 
-  /** Audit the seven stored-index families against their deletion
+  /** Audit the stored-index families against their deletion
     * predicates. Each `*Deleted` column is the membership test of the
     * purged id set, evaluated against the family's own key column
     * (`doc_id` for fingerprint/aHash/BM25, `vec_id` for ANN); the
@@ -54,7 +54,9 @@ object PurgeAudit {
             bm25Path: String, bm25Deleted: Column,
             vocabPath: String,
             pqPath: String = null, pqDeleted: Column = null,
-            ivfpqPath: String = null, ivfpqDeleted: Column = null): DataFrame = {
+            ivfpqPath: String = null, ivfpqDeleted: Column = null,
+            distinctPath: String = null,
+            distinctDeleted: Column = null): DataFrame = {
     val fp = melt("fingerprint",
       DedupOps.liveFingerprintSizes(spark, fingerprintPath)
         .agg(countDistinct(col("doc_id")).as("live_docs"),
@@ -98,7 +100,18 @@ object PurgeAudit {
       SimilarityOps.liveAnnCodes(spark, p)
         .agg(countDistinct(col("vec_id")).as("live_vecs"),
           count(when(ivfpqDeleted, 1)).as("deleted_residual")))).toSeq
-    (Seq(fp, ah, ivf, bm, voc) ++ pq ++ ivfpq).reduce(_ unionByName _)
+    // the retractable distinct view (r17): the residual is evaluated
+    // against the netted live pairs — the SAME exact read path
+    // queryDistinctViewExact serves — so a retraction that failed to
+    // net a purged key out is caught at the serving surface; pair_mass
+    // re-derives the net event count, pinning the count arithmetic
+    val dv = Option(distinctPath).map(p => melt("distinct",
+      graft.engine.Stats.liveDistinctPairs(spark, p)
+        .agg(count(lit(1)).as("live_pairs"),
+          sum(col("cnt")).as("pair_mass"),
+          count(when(distinctDeleted, 1)).as("deleted_residual")))).toSeq
+    (Seq(fp, ah, ivf, bm, voc) ++ pq ++ ivfpq ++ dv)
+      .reduce(_ unionByName _)
       .orderBy("family", "metric")
   }
 
@@ -118,14 +131,17 @@ object PurgeAudit {
               vocabPath: String,
               pqPath: String = null, pqDeleted: Column = null,
               ivfpqPath: String = null,
-              ivfpqDeleted: Column = null): DataFrame = {
+              ivfpqDeleted: Column = null,
+              distinctPath: String = null,
+              distinctDeleted: Column = null): DataFrame = {
     // localCheckpoint: the multi-family sweep runs ONCE — the residual
     // check and whatever the caller does with the returned table both
     // read the materialized rows, not a re-execution of the audit
     val a = audit(spark, fingerprintPath, fingerprintDeleted,
       ahashPath, ahashDeleted, ivfPath, ivfDeleted,
       bm25Path, bm25Deleted, vocabPath,
-      pqPath, pqDeleted, ivfpqPath, ivfpqDeleted).localCheckpoint()
+      pqPath, pqDeleted, ivfpqPath, ivfpqDeleted,
+      distinctPath, distinctDeleted).localCheckpoint()
     val bad = a.filter(col("metric") === "deleted_residual" &&
         col("value") > 0L)
       .select("family", "value").collect()

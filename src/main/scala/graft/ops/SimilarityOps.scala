@@ -411,6 +411,63 @@ object SimilarityOps {
         (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
   }
 
+  /** Recall@k of the STORED PQ retrieval (flat ADC scan over byte
+    * codes — [[queryPqIndexBatch]]) against the exact brute-force
+    * cosine top-k: the measured answer to "what did the 8-byte
+    * compression cost in answer quality?" — the ADC approximation is a
+    * LOSSY ranking, and a deployment that reads only `meta` distortion
+    * never sees the retrieval-level effect. Same deterministic ranking
+    * discipline as [[ivfRecallReport]] (6-dp cosine + vec_id tie-break
+    * on the brute side; exact ADC + vec_id on the stored side), and
+    * the same cost honesty: the brute baseline is the evaluation — at
+    * 100 TB the query set is a sample. Run against a rebuilt index's
+    * path, the report measures recall drift across the rebuild. */
+  def pqRecallReport(spark: org.apache.spark.sql.SparkSession,
+                     path: String, embeddings: DataFrame,
+                     queries: DataFrame, k: Int = 10): DataFrame =
+    adcRecall(embeddings, queries, k,
+      queryPqIndexBatch(spark, path, queries, k))
+
+  /** Recall@k of the STORED IVF-PQ retrieval ([[queryIvfPqIndexBatch]])
+    * against exact brute force — the COMPOUNDED loss report: the
+    * composite stacks cell pruning (a true neighbor outside the nprobe
+    * probed cells is unreachable) on ADC ranking error, and neither
+    * signal alone measures the product. */
+  def ivfPqRecallReport(spark: org.apache.spark.sql.SparkSession,
+                        path: String, embeddings: DataFrame,
+                        queries: DataFrame, k: Int = 10,
+                        nprobe: Int = 2): DataFrame =
+    adcRecall(embeddings, queries, k,
+      queryIvfPqIndexBatch(spark, path, queries, k, nprobe))
+
+  /** Shared recall evaluator: exact brute top-k per query (the
+    * reference set) ∩ the family's retrieved (q_id, vec_id) rows →
+    * per-query hit count and recall. */
+  private def adcRecall(embeddings: DataFrame, queries: DataFrame, k: Int,
+                        retrieved: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    VectorExpressions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val e = Caches.ensureCached(
+      embeddings.select(col("vec_id"), asDoubleVec(col("embedding")).as("v")))
+    val q = queries.select(col("vec_id").as("q_id"),
+      asDoubleVec(col("embedding")).as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("vec_id"))
+    val brute = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine("v", "qv"), 6).as("cosine"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    val hits = brute.select("q_id", "vec_id")
+      .join(retrieved.select("q_id", "vec_id"), Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    q.select("q_id")
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
+  }
+
   /** Product-quantization ANN (the memory-compression scale path: a
     * 64-dim float vector becomes `m` one-byte codes, so a 100 TB corpus's
     * index fits in RAM). The vector is split into `m` subspaces; each

@@ -851,10 +851,10 @@ object CdcStream {
     * replayed union would be VALUE-harmless (register-max is
     * idempotent), but the ledger still guards it so the view's row
     * count — and therefore its compaction debt and file lineage — stays
-    * deterministic under re-delivery. Op-aware only in refusal: HLL
-    * cannot retract, so a batch carrying op='DELETE' rows raises (route
-    * deletes to a rebuild) instead of silently absorbing a delete as an
-    * insert. */
+    * deterministic under re-delivery. Op-aware (r17): op='DELETE' rows
+    * retract through the view's exact companion (deletion-exact reads
+    * immediately; the HLL side rebuilds on the `hll` maintenance tick —
+    * see [[distinctAbsorb]]). */
   def distinctAbsorbStream(spark: SparkSession, inGlob: String,
                            checkpointDir: String, schema: StructType,
                            viewPath: String, group: String, key: String,
@@ -876,18 +876,39 @@ object CdcStream {
       .start()
   }
 
-  /** One distinct-view absorb micro-batch — public for replay testing. */
+  /** One distinct-view absorb micro-batch — public for replay testing.
+    * Op-aware (r17): op='DELETE' rows (full row image — the CDC
+    * delete-capture contract) route through
+    * [[graft.engine.Stats.retractDistinctView]] into the view's exact
+    * companion, the rest through the sketch+exact merge — both under
+    * ONE ledger entry with stable (stream, batch-id) tags, so a
+    * replayed mixed batch re-applies neither half (the vocab absorb's
+    * protocol verbatim). The exact read reflects the deletion
+    * IMMEDIATELY; the HLL read over-counts until the scheduled `hll`
+    * tick rebuilds the sketches from the netted pairs — bounded
+    * staleness of one maintenance interval on the APPROXIMATE path
+    * only, the documented trade (an inline per-delete rebuild would be
+    * O(live pairs) per batch). A view built before the retractable
+    * lifecycle (no exact companion) still refuses DELETE batches
+    * loudly inside retractDistinctView — route those to a rebuild. */
   def distinctAbsorb(spark: SparkSession, batch: DataFrame, id: Long,
                      viewPath: String, group: String, key: String,
                      streamId: String): Unit = {
-    if (!batch.isEmpty) {
-      if (batch.columns.contains("op") &&
-          !batch.filter(col("op") === "DELETE").isEmpty)
-        throw new IllegalArgumentException(
-          "distinct view: HLL sketches cannot retract — a CDC DELETE " +
-            "requires a view rebuild (the loud mergeability trade-off)")
+    if (!batch.isEmpty) graft.engine.Caches.withCached {
       absorbOnce(spark, viewPath, streamId, id) {
-        graft.engine.Stats.mergeDistinctView(batch, group, key, viewPath)
+        val tag = s"$streamId#$id"
+        if (batch.columns.contains("op")) {
+          val adds = batch
+            .filter(coalesce(col("op") =!= "DELETE", lit(true))).drop("op")
+          val dels = batch.filter(col("op") === "DELETE").drop("op")
+          if (!dels.isEmpty)
+            graft.engine.Stats.retractDistinctView(dels, group, key,
+              viewPath, s"$tag:retract")
+          if (!adds.isEmpty)
+            graft.engine.Stats.mergeDistinctView(adds, group, key,
+              viewPath, s"$tag:merge")
+        } else graft.engine.Stats.mergeDistinctView(batch, group, key,
+          viewPath, s"$tag:merge")
       }
     }
     ()

@@ -280,7 +280,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming distinct view: sketches absorb exactly once through " +
-    "maintenance ticks; DELETE batches are refused") {
+    "maintenance ticks; DELETE batches retract per-pair counts") {
     import graft.engine.{Compaction, Stats}
     import org.apache.spark.sql.types.StructType
     val in = Files.createTempDirectory("dv_in").toString
@@ -320,15 +320,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(Compaction.resolve(s"$view/sketches")).count()
       === rowsBefore, "replay must append nothing")
     assert(est() === Map("click" -> 4L, "view" -> 1L))
-    // a CDC DELETE cannot be absorbed into a sketch — refuse loudly
+    // a CDC DELETE retracts through the exact companion (r17). User 2
+    // was absorbed TWICE in 'click' (build + batch 0), so one delete
+    // nets its pair to 1 — still distinct:
+    def exact() = Stats.queryDistinctViewExact(spark, view, "event_type")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val del = Seq(("click", 2L, "DELETE"))
       .toDF("event_type", "user_id", "op")
-    val err = intercept[IllegalArgumentException] {
-      CdcStream.distinctAbsorb(spark, del, 99L, view, "event_type",
-        "user_id", ckpt)
-    }
-    assert(err.getMessage.contains("cannot retract"))
-    assert(est() === Map("click" -> 4L, "view" -> 1L))
+    CdcStream.distinctAbsorb(spark, del, 99L, view, "event_type",
+      "user_id", ckpt)
+    assert(exact() === Map("click" -> 4L, "view" -> 1L),
+      "a key with remaining events stays distinct")
+    // the second delete (identical content, NEW batch id → new stream
+    // tag) nets the pair to zero: the key leaves the exact view at
+    // once, and the HLL view after the rebuild tick
+    val del2 = Seq(("click", 2L, "DELETE"))
+      .toDF("event_type", "user_id", "op")
+    CdcStream.distinctAbsorb(spark, del2, 100L, view, "event_type",
+      "user_id", ckpt)
+    assert(exact() === Map("click" -> 3L, "view" -> 1L))
+    assert(est() === Map("click" -> 4L, "view" -> 1L),
+      "pre-tick HLL over-counts by design")
+    CdcStream.maintainStreamedIndex(spark, view, "hll")
+    assert(est() === Map("click" -> 3L, "view" -> 1L),
+      "the tick rebuilds the sketches from the netted pairs")
   }
 
   test("streaming image dedup: real decode, stored-index screen, " +
@@ -1338,6 +1353,97 @@ class StreamingSpec extends AnyFunSuite {
     assert(TextOps.queryBm25Index(spark, idx, Seq("filter"), 10)
       .select("doc_id").collect().map(_.getLong(0)).contains(2L),
       "doc 2 still scores after the rejected retraction")
+  }
+
+  test("distinct view stream CDC DELETE: retraction routes through the " +
+    "exact companion under the batch ledger, HLL rebuilds on the tick") {
+    import graft.engine.{Compaction, Stats}
+    val view = Files.createTempDirectory("dv_view").toString
+    val ckpt = Files.createTempDirectory("dv_ckpt").toString
+    // click: users {1, 2, 5} (5 twice); view: users {3, 5}
+    val base = Seq(("click", 1L), ("click", 2L), ("click", 5L),
+      ("click", 5L), ("view", 5L), ("view", 3L))
+      .toDF("event_type", "user_id")
+    Stats.buildDistinctView(base, "event_type", "user_id", view)
+    def exact() = Stats.queryDistinctViewExact(spark, view, "event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    def approx() = Stats.queryDistinctView(spark, view, "event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(exact() === Map("click" -> 3L, "view" -> 2L))
+    // batch 1 (op-aware, ONE ledger entry): DELETE user 5's two click
+    // events (full row images) + INSERT user 7's first click. User 5
+    // keeps a view event, so it stays distinct THERE — the exact
+    // per-pair counts carry that semantics.
+    val b1 = Seq(("click", 5L, "DELETE"), ("click", 5L, "DELETE"),
+      ("click", 7L, "I")).toDF("event_type", "user_id", "op")
+    CdcStream.distinctAbsorb(spark, b1, 1L, view, "event_type", "user_id",
+      ckpt)
+    // deletion-exact immediately on the exact read
+    assert(exact() === Map("click" -> 3L, "view" -> 2L)) // 1,2,7 / 3,5
+    assert(Stats.liveDistinctPairs(spark, view)
+      .filter($"grp" === "click" && $"k" === 5L).count() === 0L,
+      "user 5 must have left the click group exactly")
+    // the HLL read still over-counts (sketches cannot retract) until
+    // the tick rebuilds it from the netted pairs
+    assert(approx()("click") === 4L, "pre-tick HLL over-counts by design")
+    CdcStream.maintainStreamedIndex(spark, view, "hll")
+    assert(approx() === Map("click" -> 3L, "view" -> 2L),
+      "the tick rebuilds the sketches from the exact companion")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$view/_retracted")))
+    // a checkpoint-replayed batch id re-applies NEITHER half
+    CdcStream.distinctAbsorb(spark, b1, 1L, view, "event_type", "user_id",
+      ckpt)
+    assert(exact() === Map("click" -> 3L, "view" -> 2L))
+    // batch 2: user 5's last event goes — the pair nets to zero and the
+    // key leaves the view entirely
+    val b2 = Seq(("view", 5L, "DELETE")).toDF("event_type", "user_id", "op")
+    CdcStream.distinctAbsorb(spark, b2, 2L, view, "event_type", "user_id",
+      ckpt)
+    assert(exact() === Map("click" -> 3L, "view" -> 1L))
+    CdcStream.maintainStreamedIndex(spark, view, "hll")
+    assert(approx() === Map("click" -> 3L, "view" -> 1L))
+    // post-tick the folded exact table serves the same answers (the
+    // compaction's re-sum + _absorbed tag bookkeeping are sound)
+    assert(spark.read.parquet(Compaction.resolve(s"$view/exact"))
+      .filter($"bsig" =!= "compacted").count() === 0L,
+      "the tick folds the partials to the compacted aggregate")
+    // a retraction that was never absorbed corrupts by contract — the
+    // net read refuses to serve it
+    Stats.retractDistinctView(
+      Seq(("click", 99L)).toDF("event_type", "user_id"), "event_type",
+      "user_id", view, "bad-retract")
+    val e = intercept[Throwable] { exact() }
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+      .exists(t => String.valueOf(t.getMessage).contains("netted negative")))
+  }
+
+  test("distinct view without the exact companion still refuses CDC " +
+    "DELETE loudly (the pre-retractable contract)") {
+    import graft.engine.Stats
+    val view = Files.createTempDirectory("dvl_view").toString
+    val ckpt = Files.createTempDirectory("dvl_ckpt").toString
+    Stats.buildDistinctView(
+      Seq(("click", 1L)).toDF("event_type", "user_id"),
+      "event_type", "user_id", view)
+    // simulate a legacy sketch-only view
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rm(_))
+      java.nio.file.Files.delete(p)
+    }
+    rm(java.nio.file.Paths.get(s"$view/exact"))
+    val del = Seq(("click", 1L, "DELETE")).toDF("event_type", "user_id", "op")
+    val e = intercept[IllegalArgumentException] {
+      CdcStream.distinctAbsorb(spark, del, 1L, view, "event_type",
+        "user_id", ckpt)
+    }
+    assert(e.getMessage.contains("no exact companion"))
+    // and the refused batch left no ledger entry — a corrected feed can
+    // re-deliver the id
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$view/_ledger")) ||
+      spark.read.parquet(s"$view/_ledger").isEmpty)
   }
 
   test("mass purge: deleting a whole corpus slice through the stream " +
