@@ -820,12 +820,19 @@ object Compaction {
         // partial instead of only coalescing files: the log stays O(1)
         // rows on a long-running stream, and shouldRetrain recovers the
         // identical weighted mean from the single partial
-        collapseSidecar(spark, s"$path/merge_log", maxFilesPerPartition,
-          df => df.agg(
-            sum("n").cast("long").as("n"),
-            (sum(col("mean_d2") * col("n").cast("double")) /
-              sum(col("n").cast("double"))).as("mean_d2"))
-            .filter(col("n").isNotNull))
+        def collapseDriftLog(dir: String): Boolean =
+          collapseSidecar(spark, dir, maxFilesPerPartition,
+            df => df.agg(
+              sum("n").cast("long").as("n"),
+              (sum(col("mean_d2") * col("n").cast("double")) /
+                sum(col("n").cast("double"))).as("mean_d2"))
+              .filter(col("n").isNotNull))
+        val mergeLog = collapseDriftLog(s"$path/merge_log")
+        // the composite's coarse-cell drift ledger (same shape, own
+        // dir — shouldRetrainIvfPq's second signal); absent on ivf/pq
+        // and pre-r17 ivfpq indexes, where the collapse no-ops
+        val cellLog = kind == "ivfpq" && collapseDriftLog(s"$path/cell_log")
+        mergeLog || cellLog
       case _ => false
     }
     compactIndex(spark, path, kind, maxFilesPerPartition,

@@ -656,6 +656,15 @@ object SimilarityOps {
       avg(pqDistortion(subDim, codebooks)).as("mean_d2")).head()
     Seq((md.getLong(0), md.getDouble(1))).toDF("n", "mean_d2")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // the coarse quantizer's own baseline (mean d² to the assigned
+    // cell) — [[shouldRetrainIvfPq]]'s second signal: a feed whose
+    // CLUSTER STRUCTURE shifts without moving ADC distortion (subspace
+    // values stay codebook-covered, whole-vector positions don't stay
+    // cell-covered) degrades pruning recall invisibly to `meta`
+    val cd = e.agg(count(lit(1)).as("n"),
+      avg(assignedDist2(col("v"), cents)).as("mean_d2")).head()
+    Seq((cd.getLong(0), cd.getDouble(1))).toDF("n", "mean_d2")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/cell_meta")
   }
 
   /** Incremental stored-IVF-PQ maintenance — the CDC×ANN composition
@@ -663,10 +672,13 @@ object SimilarityOps {
     * build-time centroids and encoded against the FROZEN codebooks
     * (both via the process-wide control-plane memos), then appended to
     * their cells' code partitions. O(|new|) write cost, old cells
-    * untouched; drift bookkeeping mirrors [[mergePqIndex]] (quantization
-    * distortion is the signal — cell-assignment error is already folded
-    * into it since both quantize the same drifting feed), so
-    * [[shouldRetrainPq]] is the composite's rebuild decision too. */
+    * untouched; drift bookkeeping records BOTH lossy steps separately —
+    * ADC distortion to `merge_log` (the [[mergePqIndex]] signal) and
+    * the coarse assigned-cell d² to `cell_log` — because the two can
+    * move independently: a batch of subspace-pure recombinations keeps
+    * ADC distortion flat while landing far from every frozen cell,
+    * silently degrading the composite's pruning recall. The composite's
+    * rebuild decision is [[shouldRetrainIvfPq]] (either ratio trips). */
   def mergeIvfPqIndex(newVecs: DataFrame, path: String): Unit = {
     val spark = newVecs.sparkSession
     VectorExpressions.register(spark)
@@ -690,14 +702,23 @@ object SimilarityOps {
         .write.partitionBy("cluster").mode("append").parquet(live)
     }
     val md = e.agg(count(lit(1)).as("n"),
-      avg(pqDistortion(subDim, codebooks)).as("mean_d2")).head()
-    if (md.getLong(0) > 0L)
+      avg(pqDistortion(subDim, codebooks)).as("mean_d2"),
+      avg(assignedDist2(col("v"), cents)).as("cell_d2")).head()
+    if (md.getLong(0) > 0L) {
       // recovery-first append: closes the crash-window fresh-row loss
       // (Compaction.sidecarAppend doc)
       graft.engine.Compaction.sidecarAppend(s"$path/merge_log") { log =>
         Seq((md.getLong(0), md.getDouble(1))).toDF("n", "mean_d2")
           .coalesce(1).write.mode("append").parquet(log)
       }
+      // the coarse-cell drift row rides its OWN sidecar (same (n,
+      // mean_d2) shape → same collapse recipe), never the merge_log —
+      // mixing schemas in one dir would torn-read on old indexes
+      graft.engine.Compaction.sidecarAppend(s"$path/cell_log") { log =>
+        Seq((md.getLong(0), md.getDouble(2))).toDF("n", "mean_d2")
+          .coalesce(1).write.mode("append").parquet(log)
+      }
+    }
   }
 
   /** Scheduled REBUILD of a stored IVF-PQ index from the caller's source
@@ -777,14 +798,19 @@ object SimilarityOps {
     // ---- published; everything below is advisory and self-healing ----
     // tombstones were served physically by the republish
     Compaction.clearTombstones(path)
-    // drift restarts from zero: the log measured against dead control
+    // drift restarts from zero: both logs measured against dead control
     // planes
     Compaction.sidecarReset(s"$path/merge_log")
-    // the new regime's quality yardstick for the NEXT drift cycle
+    Compaction.sidecarReset(s"$path/cell_log")
+    // the new regime's quality yardsticks for the NEXT drift cycle —
+    // ADC distortion AND the coarse assigned-cell d² (shouldRetrainIvfPq)
     val md = e.agg(count(lit(1)).as("n"),
-      avg(pqDistortion(subDim, codebooks)).as("mean_d2")).head()
+      avg(pqDistortion(subDim, codebooks)).as("mean_d2"),
+      avg(assignedDist2(col("v"), cents)).as("cell_d2")).head()
     Seq((md.getLong(0), md.getDouble(1))).toDF("n", "mean_d2")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    Seq((md.getLong(0), md.getDouble(2))).toDF("n", "mean_d2")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/cell_meta")
     // compat copies for external readers of the plain layout; the
     // engine's own readers prefer the versioned sidecars
     cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
@@ -1059,18 +1085,25 @@ object SimilarityOps {
     * re-train (a fresh [[buildIvfIndex]]) is due. False when nothing has
     * been merged yet. */
   def shouldRetrain(spark: org.apache.spark.sql.SparkSession, path: String,
-                    threshold: Double = 2.0): Boolean = {
-    // advisory read, crash-window-aware but PURE: a marked-complete
-    // collapse tmp is authoritative, else the live dir. A reader must
-    // never run recovery itself — that would delete an in-flight tmp
-    // out from under the maintenance tick (readers are outside the
-    // single-writer protocol by design). The resolve→read pair is
-    // inherently racy against a concurrent tick (the resolved dir can
-    // move mid-scan), so the read re-resolves once on a path failure
-    // and otherwise answers "no signal" — an advisory reader returns an
-    // answer, it never crashes the caller over a maintenance race.
+                    threshold: Double = 2.0): Boolean =
+    driftExceeds(spark, s"$path/merge_log", s"$path/meta", threshold)
+
+  /** One drift-ratio evaluation: the sidecar log's n-weighted mean
+    * against the one-row baseline's, true past `threshold`. Advisory
+    * read, crash-window-aware but PURE: a marked-complete collapse tmp
+    * is authoritative, else the live dir. A reader must never run
+    * recovery itself — that would delete an in-flight tmp out from
+    * under the maintenance tick (readers are outside the single-writer
+    * protocol by design). The resolve→read pair is inherently racy
+    * against a concurrent tick (the resolved dir can move mid-scan), so
+    * the read re-resolves once on a path failure and otherwise answers
+    * "no signal" — an advisory reader returns an answer, it never
+    * crashes the caller over a maintenance race. */
+  private def driftExceeds(spark: org.apache.spark.sql.SparkSession,
+                           logDir: String, metaDir: String,
+                           threshold: Double): Boolean = {
     def readLog(): Option[org.apache.spark.sql.Row] =
-      graft.engine.Compaction.sidecarReadPath(s"$path/merge_log").map { d =>
+      graft.engine.Compaction.sidecarReadPath(logDir).map { d =>
         spark.read.parquet(d)
           .agg(sum("n").cast("long").as("n"),
             sum(col("mean_d2") * col("n").cast("double")).as("w")).head()
@@ -1089,7 +1122,7 @@ object SimilarityOps {
     }
     if (merged.isNullAt(0) || merged.getLong(0) == 0L) return false
     val mergeMean = merged.getDouble(1) / merged.getLong(0).toDouble
-    val buildMean = spark.read.parquet(s"$path/meta").head().getDouble(1)
+    val buildMean = spark.read.parquet(metaDir).head().getDouble(1)
     if (buildMean <= 0.0) mergeMean > 0.0 else mergeMean / buildMean > threshold
   }
 
@@ -1402,6 +1435,27 @@ object SimilarityOps {
   def shouldRetrainPq(spark: org.apache.spark.sql.SparkSession, path: String,
                       threshold: Double = 2.0): Boolean =
     shouldRetrain(spark, path, threshold)
+
+  /** The COMPOSITE's rebuild signal — the r16 gap closed: gating the
+    * IVF-PQ stream on ADC distortion alone ([[shouldRetrainPq]]) is
+    * blind to coarse-quantizer drift, because the two losses move
+    * independently — a feed of subspace-pure recombinations (every
+    * subspace value well-covered by the frozen codebooks, the
+    * whole-vector positions far from every frozen cell) keeps ADC
+    * distortion flat while cell pruning degrades silently: queries
+    * probe cells the true neighbors no longer concentrate in. This
+    * signal trips when EITHER ratio exceeds `threshold`: the ADC
+    * distortion drift (merge_log vs meta) OR the coarse assigned-cell
+    * d² drift (cell_log vs cell_meta — both written by
+    * [[mergeIvfPqIndex]]/[[buildIvfPqIndex]] as of r17). Indexes built
+    * before the cell ledger existed have no cell tables and degrade to
+    * the ADC-only gate — the prior behavior, never a crash. */
+  def shouldRetrainIvfPq(spark: org.apache.spark.sql.SparkSession,
+                         path: String,
+                         threshold: Double = 2.0): Boolean =
+    driftExceeds(spark, s"$path/merge_log", s"$path/meta", threshold) || (
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/cell_meta")) &&
+        driftExceeds(spark, s"$path/cell_log", s"$path/cell_meta", threshold))
 
   /** Scheduled REBUILD of a stored PQ index from the caller's source
     * corpus — the flat-index sibling of [[rebuildIvfPqIndex]] (one

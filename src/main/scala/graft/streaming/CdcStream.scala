@@ -489,8 +489,12 @@ object CdcStream {
     * with that honesty intact: the caller supplies `rebuildFrom`, a
     * reader of its source of truth (e.g. the snapshot store's current
     * view — which the absorbed batches also land in), and every N
-    * batches the tick checks [[graft.ops.SimilarityOps.shouldRetrainPq]]
-    * and, when it trips, rebuilds between batches via
+    * batches the tick checks
+    * [[graft.ops.SimilarityOps.shouldRetrainIvfPq]] — BOTH drift
+    * ratios, ADC distortion AND coarse assigned-cell d² (a
+    * cluster-structure shift with flat distortion degrades cell
+    * pruning silently — the r16 gap) — and, when one trips, rebuilds
+    * between batches via
     * [[graft.ops.SimilarityOps.rebuildIvfPqIndex]] (atomic republish of
     * centroids + codebooks + codes under one version swap, tombstones
     * served, drift log reset). 0 (default) keeps drift a
@@ -530,7 +534,7 @@ object CdcStream {
         if (maintainEvery > 0 && id > 0 && id % maintainEvery == 0)
           maintainStreamedIndex(spark, indexPath, "ivfpq", maintainMaxFiles)
         if (rebuildEvery > 0 && id > 0 && id % rebuildEvery == 0 &&
-            graft.ops.SimilarityOps.shouldRetrainPq(spark, indexPath,
+            graft.ops.SimilarityOps.shouldRetrainIvfPq(spark, indexPath,
               rebuildThreshold))
           graft.ops.SimilarityOps.rebuildIvfPqIndex(rebuildFrom(spark),
             indexPath, iters = rebuildIters, pqIters = rebuildPqIters)

@@ -947,6 +947,59 @@ class StoredIndexesSpec extends AnyFunSuite {
     assert(top(path) === beforeCompact)
   }
 
+  test("IVF-PQ coarse-cell drift: a cluster-structure shift with flat " +
+    "ADC distortion trips the composite gate, not the ADC-only one") {
+    import graft.engine.Compaction
+    // two clean clusters at 0 and 10, membership alternating by vec_id
+    // so the k-lowest-ids k-means init lands one seed in each; jitter
+    // keyed on (i % 16) gives build and merge the SAME jitter multiset,
+    // so per-subspace (ADC) distortion stays flat across the shift
+    def jit(i: Int, j: Int): Double = (((i % 16) * 7 + j * 3) % 5 - 2) * 0.1
+    def near(base: Double, i: Int): Seq[Double] =
+      Seq.tabulate(4)(j => base + jit(i, j))
+    val built = (0 until 16).map(i =>
+      (i.toLong, near(if (i % 2 == 0) 0.0 else 10.0, i)))
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_cell").toString
+    SimilarityOps.buildIvfPqIndex(built.toDF("vec_id", "embedding"), path,
+      k = 2, m = 2, ksub = 2)
+    // the drifted feed: subspace-pure RECOMBINATIONS — (0,0,10,10) and
+    // (10,10,0,0) shapes. Every subspace value sits on a frozen
+    // codebook centroid (ADC distortion unchanged), but the whole
+    // vectors are ~√200 from BOTH frozen cells: pruning recall decays
+    // while the ADC signal sleeps.
+    def mix(lo: Double, hi: Double, i: Int): Seq[Double] =
+      Seq.tabulate(4)(j => (if (j < 2) lo else hi) + jit(i, j))
+    val shifted = (100 until 108).map(i => (i.toLong, mix(0.0, 10.0, i))) ++
+      (108 until 116).map(i => (i.toLong, mix(10.0, 0.0, i)))
+    SimilarityOps.mergeIvfPqIndex(shifted.toDF("vec_id", "embedding"), path)
+    assert(!SimilarityOps.shouldRetrainPq(spark, path, 1.5),
+      "subspace-pure recombinations keep ADC distortion flat — the " +
+        "ADC-only gate must stay silent even at a tight threshold")
+    assert(SimilarityOps.shouldRetrainIvfPq(spark, path),
+      "the coarse-cell signal must catch the cluster-structure shift")
+    // the maintenance collapse preserves the n-weighted mean — the
+    // signal survives the cell_log's file-debt fold
+    Compaction.maintainIndex(spark, path, "ivfpq", maxFilesPerPartition = 1)
+    assert(SimilarityOps.shouldRetrainIvfPq(spark, path),
+      "the drift signal must survive the cell_log collapse")
+    // the rebuild the signal calls for re-baselines BOTH ledgers
+    SimilarityOps.rebuildIvfPqIndex(
+      (built ++ shifted).toDF("vec_id", "embedding"), path)
+    assert(!SimilarityOps.shouldRetrainIvfPq(spark, path),
+      "a rebuild resets both drift ledgers and re-baselines both metas")
+    // a pre-r17 index (no cell tables) degrades to the ADC-only gate
+    def rm(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.delete(p)
+      }
+    rm(java.nio.file.Paths.get(s"$path/cell_meta"))
+    rm(java.nio.file.Paths.get(s"$path/cell_log"))
+    assert(!SimilarityOps.shouldRetrainIvfPq(spark, path),
+      "missing cell tables must degrade to the ADC gate, never crash")
+  }
+
   test("BM25 retraction: scores equal a rebuild on the remaining corpus, " +
     "postings physical at the tick, replays idempotent, phantom raises") {
     def doc(id: Long, words: String) = (id, words)
