@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 10× scale point for the DELETION lifecycle — the r16 verdict's ask:
+  * the tombstone → compaction machinery had plan audits and small-scale
+  * specs but no committed slope. Same corpus construction and procedure
+  * as [[ScalePoint]] (replica-ciphered text, shifted doc_ids — the
+  * whole workload scales, indexes and deletion predicates included),
+  * measuring:
+  *
+  *  - `purge_audit` — the 24-row cross-family certification sweep
+  *    (cold includes building every tombstoned/retracted root for the
+  *    scaled dir, warm is the pure screened multi-family read);
+  *  - `text_bm25_retract_topk` — the retraction read path (cold builds
+  *    the index + applies the `% 13 = 5` retraction, warm probes the
+  *    screened postings against the adjusted side tables);
+  *  - a MASS-PURGE absorb + forced-compaction cycle on a fresh
+  *    fingerprint index: one op-aware batch deletes a third of the
+  *    corpus through [[graft.streaming.CdcStream.screenAndAbsorb]] with
+  *    `autoBroadcastJoinThreshold = -1`, so every size-guarded
+  *    tombstone screen MUST take the `Skew.maybeBroadcast` shuffle
+  *    fallback (asserted on the screened probe's executed plan — the
+  *    same check StoredIndexesSpec makes at small scale), then the
+  *    `fingerprint` tick makes the purge physical and the harness
+  *    fail-louds on any residual.
+  *
+  * The events-keyed distinct-view family inside `purge_audit` reads the
+  * UNSCALED events table (the replica construction scales documents and
+  * embeddings; events ride a symlink) — its rows are constant across
+  * scales and the audit's slope is carried by the seven
+  * document/vector families. Stated here rather than hidden.
+  */
+object ScaleDeletion {
+
+  private def time[T](body: => T): (Double, T) = {
+    val t0 = System.nanoTime()
+    val r = body
+    ((System.nanoTime() - t0) / 1e9, r)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale10x"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ScalePoint.buildScaled(spark, baseDir, outDir)
+    // JVM/codegen warmup outside measurement
+    spark.read.parquet(s"$baseDir/documents.parquet").count()
+
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Double, Double, Long)]
+    for ((label, dir) <- Seq("base_sf0.1" -> baseDir, "scaled_10x" -> outDir)) {
+      for (q <- Seq("purge_audit", "text_bm25_retract_topk")) {
+        val fn = SparkEntry.queries(q)
+        val (t1, rows) = time(fn(spark, dir).count())
+        val (t2, _) = time(fn(spark, dir).count())
+        println(f"$label%-11s $q%-22s cold=$t1%8.2fs warm=$t2%8.2fs rows=$rows")
+        results += ((label, q, t1, t2, rows))
+      }
+      // mass-purge cycle, broadcast disabled end-to-end: the absorb's
+      // tombstone append, the probe's screen, and the compaction's
+      // anti-join must all ride the maybeBroadcast shuffle fallback
+      val docs = graft.engine.Tables.documents(spark, dir)
+      val idx = Files.createTempDirectory("scale_purge_idx").toString
+      val ckpt = Files.createTempDirectory("scale_purge_ckpt").toString
+      val (tBuild, nDocs) = time {
+        graft.ops.DedupOps.buildFingerprintIndex(docs, idx)
+        docs.count()
+      }
+      val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val purge = docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"),
+            lit(null).cast("string").as("text"), lit("DELETE").as("op"))
+        val (tAbsorb, _) = time {
+          graft.streaming.CdcStream.screenAndAbsorb(spark, purge, 0L, idx,
+            ckpt, (_, _) => ())
+        }
+        val probe = docs.filter(col("doc_id") % 3 === 1)
+          .limit(50).select(col("doc_id") + 900000000L as "doc_id", col("text"))
+        val screened = graft.ops.DedupOps.queryFingerprintIndex(spark, idx, probe)
+        val plan = screened.queryExecution.executedPlan.toString
+        require(!plan.contains("BroadcastHashJoin"),
+          "mass purge: the tombstone screen must fall back to planner " +
+            "strategy, never a forced driver broadcast")
+        val (tProbe, nHits) = time(screened.count())
+        val (tCompact, rewrote) = time(
+          graft.engine.Compaction.maintainIndex(spark, idx, "fingerprint"))
+        require(rewrote, "the forced tick must rewrite the purged tables")
+        val residual = spark.read
+          .parquet(graft.engine.Compaction.resolve(s"$idx/postings"))
+          .filter(col("doc_id") % 3 === 0).count()
+        require(residual == 0L,
+          s"mass purge left $residual served postings rows — residual " +
+            "after the physical tick must be zero")
+        println(f"$label%-11s mass_purge ($nDocs docs, third deleted) " +
+          f"build=$tBuild%8.2fs absorb=$tAbsorb%8.2fs " +
+          f"screened_probe=$tProbe%8.2fs ($nHits hits) compact=$tCompact%8.2fs " +
+          "fallback=engaged residual=0")
+        results += ((label, "mass_purge_absorb", tAbsorb, tProbe, nDocs))
+        results += ((label, "mass_purge_compact", tCompact, tCompact, nDocs))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    }
+    println()
+    for (q <- results.map(_._2).distinct) {
+      val b = results.find(r => r._1 == "base_sf0.1" && r._2 == q).get
+      val s = results.find(r => r._1 == "scaled_10x" && r._2 == q).get
+      println(f"SLOPE $q%-22s cold=${s._3 / b._3}%5.2fx warm=${s._4 / b._4}%5.2fx " +
+        f"(rows ${b._5} -> ${s._5})")
+    }
+    spark.stop()
+  }
+}

@@ -70,8 +70,8 @@ object ScalePoint {
       "multimodal_decode", "multimodal_phash_incremental",
       "multimodal_audio_features")
 
-  private def buildScaled(spark: SparkSession, baseDir: String,
-                          outDir: String): Unit = {
+  private[graft] def buildScaled(spark: SparkSession, baseDir: String,
+                                 outDir: String): Unit = {
     buildScaledEmbeddings(spark, baseDir, outDir)
     if (Files.exists(Paths.get(s"$outDir/documents.parquet"))) return
     Files.createDirectories(Paths.get(outDir))
