@@ -72,9 +72,11 @@ object ScaleDeletion {
       val docs = graft.engine.Tables.documents(spark, dir)
       val idx = Files.createTempDirectory("scale_purge_idx").toString
       val ckpt = Files.createTempDirectory("scale_purge_ckpt").toString
-      val (tBuild, nDocs) = time {
+      // count OUTSIDE the timed block: the label needs it, the build
+      // figure must not carry an unrelated corpus scan
+      val nDocs = docs.count()
+      val (tBuild, _) = time {
         graft.ops.DedupOps.buildFingerprintIndex(docs, idx)
-        docs.count()
       }
       val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       try {
@@ -107,7 +109,11 @@ object ScaleDeletion {
           f"build=$tBuild%8.2fs absorb=$tAbsorb%8.2fs " +
           f"screened_probe=$tProbe%8.2fs ($nHits hits) compact=$tCompact%8.2fs " +
           "fallback=engaged residual=0")
-        results += ((label, "mass_purge_absorb", tAbsorb, tProbe, nDocs))
+        // single-run measurements: one labeled row each, never packed
+        // into a cold/warm pair they are not
+        results += ((label, "mass_purge_build", tBuild, tBuild, nDocs))
+        results += ((label, "mass_purge_absorb", tAbsorb, tAbsorb, nDocs))
+        results += ((label, "mass_purge_probe", tProbe, tProbe, nHits))
         results += ((label, "mass_purge_compact", tCompact, tCompact, nDocs))
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     }
@@ -115,8 +121,10 @@ object ScaleDeletion {
     for (q <- results.map(_._2).distinct) {
       val b = results.find(r => r._1 == "base_sf0.1" && r._2 == q).get
       val s = results.find(r => r._1 == "scaled_10x" && r._2 == q).get
-      println(f"SLOPE $q%-22s cold=${s._3 / b._3}%5.2fx warm=${s._4 / b._4}%5.2fx " +
-        f"(rows ${b._5} -> ${s._5})")
+      val slope =
+        if (q.startsWith("mass_purge_")) f"slope=${s._3 / b._3}%5.2fx"
+        else f"cold=${s._3 / b._3}%5.2fx warm=${s._4 / b._4}%5.2fx"
+      println(f"SLOPE $q%-22s $slope (rows ${b._5} -> ${s._5})")
     }
     spark.stop()
   }

@@ -217,9 +217,6 @@ object Stats {
   def mergeDistinctView(df: DataFrame, group: String, key: String,
                         path: String, batchTag: String = null): Unit = {
     requirePairTag(batchTag)
-    Compaction.guardedAppend(s"$path/sketches") { live =>
-      distinctPartials(df, group, key).write.mode("append").parquet(live)
-    }
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/exact"))) {
       val spark = df.sparkSession
       val tag = Option(batchTag).getOrElse {
@@ -228,11 +225,21 @@ object Stats {
         val base = pairSignature(df, group, key, "merge")
         if (cycles == 0) base else s"$base~$cycles"
       }
-      if (!pairTagAbsorbed(spark, path, tag))
-        Compaction.guardedAppend(s"$path/exact") { live =>
-          exactPairPartials(df, group, key, tag)
-            .write.mode("append").parquet(live)
-        }
+      // an already-folded tag skips the WHOLE verb — sketches included:
+      // a replayed merge must not re-append a sketch partial either
+      // (value-harmless under HLL union, but the view's row count and
+      // compaction-debt lineage must stay deterministic under
+      // re-delivery — the absorb contract; mergeVocabIndex's posture)
+      if (pairTagAbsorbed(spark, path, tag)) return
+      Compaction.guardedAppend(s"$path/sketches") { live =>
+        distinctPartials(df, group, key).write.mode("append").parquet(live)
+      }
+      Compaction.guardedAppend(s"$path/exact") { live =>
+        exactPairPartials(df, group, key, tag)
+          .write.mode("append").parquet(live)
+      }
+    } else Compaction.guardedAppend(s"$path/sketches") { live =>
+      distinctPartials(df, group, key).write.mode("append").parquet(live)
     }
   }
 
@@ -305,14 +312,25 @@ object Stats {
     require(tag == null || (tag != "compacted" && tag != "build"),
       s"batchTag '$tag' is reserved by the distinct view lifecycle")
 
-  /** Order-independent content signature of a batch's (grp, key) rows —
-    * the vocab view's scheme: count + decimal sum of per-row hashes,
-    * op-tagged so a delete and a re-insert never collide. */
+  /** Order-independent content signature of a batch — the vocab view's
+    * scheme (count + decimal sum of per-row hashes, op-tagged so a
+    * delete and a re-insert never collide), hashed over EVERY column of
+    * the batch, not just (group, key): distinct-view batches routinely
+    * carry duplicate (grp, key) CONTENT across batches (two identical
+    * events deleted in two batches are different row instances), and a
+    * (grp, key)-only signature would alias the second deletion onto the
+    * first's tag — an in-order under-retraction on a
+    * right-to-be-forgotten surface. With the full row image (the CDC
+    * delete-capture contract guarantees it) the instances carry their
+    * distinguishing columns (event ids, timestamps) into the hash,
+    * while a true replay of the same batch still hashes identically.
+    * Batches that are byte-identical in EVERY column remain subject to
+    * the cycle-suffix pairing, the vocab view's documented posture. */
   private def pairSignature(df: DataFrame, group: String, key: String,
                             op: String): String = {
     val r = df
-      .select(xxhash64(col(group).cast("string"),
-        col(key).cast("string")).as("h"))
+      .select(xxhash64(df.columns.toIndexedSeq.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0000"))): _*).as("h"))
       .agg(count(lit(1)).as("n"),
         sum(col("h").cast("decimal(38,0)")).as("hs")).head()
     val hs = if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString

@@ -1418,6 +1418,38 @@ class StreamingSpec extends AnyFunSuite {
       .exists(t => String.valueOf(t.getMessage).contains("netted negative")))
   }
 
+  test("distinct view derived retraction tags distinguish duplicate-" +
+    "(grp,key) delete batches by their full row image") {
+    import graft.engine.Stats
+    val view = Files.createTempDirectory("dvt_view").toString
+    // two identical events for (click, u1) — different event instances
+    val base = Seq(("click", 1L, 10L), ("click", 1L, 11L),
+      ("view", 2L, 12L)).toDF("event_type", "user_id", "event_id")
+    Stats.buildDistinctView(base, "event_type", "user_id", view)
+    def exact() = Stats.queryDistinctViewExact(spark, view, "event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // two DERIVED-TAG (null batchTag) deletions whose (grp, key)
+    // content is identical but whose row images differ — a (grp, key)-
+    // only signature would alias the second onto the first's tag and
+    // under-retract silently (the right-to-be-forgotten failure)
+    Stats.retractDistinctView(
+      Seq(("click", 1L, 10L)).toDF("event_type", "user_id", "event_id"),
+      "event_type", "user_id", view)
+    assert(exact() === Map("click" -> 1L, "view" -> 1L),
+      "one of two instances deleted — the key stays distinct")
+    Stats.retractDistinctView(
+      Seq(("click", 1L, 11L)).toDF("event_type", "user_id", "event_id"),
+      "event_type", "user_id", view)
+    assert(exact() === Map("view" -> 1L),
+      "both instances deleted — the key must leave the view")
+    // a true REPLAY of the second batch (byte-identical rows) heals by
+    // the (bsig, grp, k) dedup — no double-subtract, no negative net
+    Stats.retractDistinctView(
+      Seq(("click", 1L, 11L)).toDF("event_type", "user_id", "event_id"),
+      "event_type", "user_id", view)
+    assert(exact() === Map("view" -> 1L), "a replay must change nothing")
+  }
+
   test("distinct view without the exact companion still refuses CDC " +
     "DELETE loudly (the pre-retractable contract)") {
     import graft.engine.Stats
