@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.file.Files
-import org.apache.spark.sql.SparkSession
+
 import org.apache.spark.sql.functions._
 
 /** 10× scale point for the DELETION lifecycle — the r16 verdict's ask:
@@ -35,26 +35,12 @@ import org.apache.spark.sql.functions._
   */
 object ScaleDeletion {
 
-  private def time[T](body: => T): (Double, T) = {
-    val t0 = System.nanoTime()
-    val r = body
-    ((System.nanoTime() - t0) / 1e9, r)
-  }
+  import ScalePoint.time
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale10x"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    ScalePoint.buildScaled(spark, baseDir, outDir)
-    // JVM/codegen warmup outside measurement
-    spark.read.parquet(s"$baseDir/documents.parquet").count()
+    val spark = ScalePoint.bootstrap(baseDir, outDir)
 
     val results = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, Double, Double, Long)]

@@ -151,15 +151,18 @@ object ScalePoint {
       .parquet(tgt.toString)
   }
 
-  private def time(body: => Long): (Double, Long) = {
+  /** One measured invocation — shared with [[ScaleDeletion]] so the two
+    * scale harnesses cannot diverge on the measurement primitive. */
+  private[graft] def time[T](body: => T): (Double, T) = {
     val t0 = System.nanoTime()
-    val rows = body
-    ((System.nanoTime() - t0) / 1e9, rows)
+    val r = body
+    ((System.nanoTime() - t0) / 1e9, r)
   }
 
-  def main(args: Array[String]): Unit = {
-    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
-    val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale10x"
+  /** The harness session + scaled-corpus bootstrap (build replicas,
+    * JVM/codegen warmup) — shared with [[ScaleDeletion]]. */
+  private[graft] def bootstrap(baseDir: String,
+                               outDir: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -171,6 +174,13 @@ object ScalePoint {
     buildScaled(spark, baseDir, outDir)
     // JVM/codegen warmup outside measurement
     spark.read.parquet(s"$baseDir/documents.parquet").count()
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale10x"
+    val spark = bootstrap(baseDir, outDir)
 
     val results = for {
       (label, dir) <- Seq("base_sf0.1" -> baseDir, "scaled_10x" -> outDir)

@@ -325,7 +325,10 @@ object Stats {
     * distinguishing columns (event ids, timestamps) into the hash,
     * while a true replay of the same batch still hashes identically.
     * Batches that are byte-identical in EVERY column remain subject to
-    * the cycle-suffix pairing, the vocab view's documented posture. */
+    * the cycle-suffix pairing, the vocab view's documented posture.
+    * Scheme compatibility: this scheme and the exact companion shipped
+    * TOGETHER (r17), so no companion can hold derived tags from an
+    * earlier scheme — full-row hashing is v1, not a migration. */
   private def pairSignature(df: DataFrame, group: String, key: String,
                             op: String): String = {
     val r = df

@@ -650,20 +650,19 @@ object SimilarityOps {
     // freeze the fresh layout's file counts as the compaction trigger's
     // debt baseline: a large build is not debt (Compaction.seedBase)
     Compaction.seedBase(s"$path/codes")
-    // one-row quality meta (PQ distortion, the dominant lossy step) so
-    // [[shouldRetrainPq]] serves the composite unchanged
+    // one-row quality metas, BOTH lossy steps in one corpus pass: ADC
+    // distortion (the [[shouldRetrainPq]] baseline) and the coarse
+    // quantizer's assigned-cell d² — [[shouldRetrainIvfPq]]'s second
+    // signal: a feed whose CLUSTER STRUCTURE shifts without moving ADC
+    // distortion (subspace values stay codebook-covered, whole-vector
+    // positions don't stay cell-covered) degrades pruning recall
+    // invisibly to `meta`
     val md = e.agg(count(lit(1)).as("n"),
-      avg(pqDistortion(subDim, codebooks)).as("mean_d2")).head()
+      avg(pqDistortion(subDim, codebooks)).as("mean_d2"),
+      avg(assignedDist2(col("v"), cents)).as("cell_d2")).head()
     Seq((md.getLong(0), md.getDouble(1))).toDF("n", "mean_d2")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    // the coarse quantizer's own baseline (mean d² to the assigned
-    // cell) — [[shouldRetrainIvfPq]]'s second signal: a feed whose
-    // CLUSTER STRUCTURE shifts without moving ADC distortion (subspace
-    // values stay codebook-covered, whole-vector positions don't stay
-    // cell-covered) degrades pruning recall invisibly to `meta`
-    val cd = e.agg(count(lit(1)).as("n"),
-      avg(assignedDist2(col("v"), cents)).as("mean_d2")).head()
-    Seq((cd.getLong(0), cd.getDouble(1))).toDF("n", "mean_d2")
+    Seq((md.getLong(0), md.getDouble(2))).toDF("n", "mean_d2")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cell_meta")
   }
 
@@ -713,11 +712,16 @@ object SimilarityOps {
       }
       // the coarse-cell drift row rides its OWN sidecar (same (n,
       // mean_d2) shape → same collapse recipe), never the merge_log —
-      // mixing schemas in one dir would torn-read on old indexes
-      graft.engine.Compaction.sidecarAppend(s"$path/cell_log") { log =>
-        Seq((md.getLong(0), md.getDouble(2))).toDF("n", "mean_d2")
-          .coalesce(1).write.mode("append").parquet(log)
-      }
+      // mixing schemas in one dir would torn-read on old indexes.
+      // Gated on the baseline's existence: a pre-r17 index has no
+      // cell_meta, the gate would never read the rows, and the first
+      // rebuild resets the log anyway — appending there is dead I/O.
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$path/cell_meta")))
+        graft.engine.Compaction.sidecarAppend(s"$path/cell_log") { log =>
+          Seq((md.getLong(0), md.getDouble(2))).toDF("n", "mean_d2")
+            .coalesce(1).write.mode("append").parquet(log)
+        }
     }
   }
 
@@ -1122,7 +1126,17 @@ object SimilarityOps {
     }
     if (merged.isNullAt(0) || merged.getLong(0) == 0L) return false
     val mergeMean = merged.getDouble(1) / merged.getLong(0).toDouble
-    val buildMean = spark.read.parquet(metaDir).head().getDouble(1)
+    // the baseline read gets the same no-signal posture as the log: a
+    // rebuild tick overwrites meta/cell_meta in place, and an advisory
+    // reader racing that window must answer false, never crash
+    val buildMean = try {
+      val r = spark.read.parquet(metaDir).limit(1).collect()
+      if (r.isEmpty) return false
+      r.head.getDouble(1)
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException | _: java.io.IOException |
+          _: org.apache.spark.SparkException => return false
+    }
     if (buildMean <= 0.0) mergeMean > 0.0 else mergeMean / buildMean > threshold
   }
 

@@ -990,8 +990,10 @@ class StoredIndexesSpec extends AnyFunSuite {
     // a pre-r17 index (no cell tables) degrades to the ADC-only gate
     def rm(p: java.nio.file.Path): Unit =
       if (java.nio.file.Files.exists(p)) {
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.list(p).forEach(rm(_))
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.forEach(rm(_)) finally s.close()
+        }
         java.nio.file.Files.delete(p)
       }
     rm(java.nio.file.Paths.get(s"$path/cell_meta"))

@@ -1460,8 +1460,10 @@ class StreamingSpec extends AnyFunSuite {
       "event_type", "user_id", view)
     // simulate a legacy sketch-only view
     def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).forEach(rm(_))
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.forEach(rm(_)) finally s.close()
+      }
       java.nio.file.Files.delete(p)
     }
     rm(java.nio.file.Paths.get(s"$view/exact"))
