@@ -873,6 +873,24 @@ object SparkEntry {
         emb.filter(expr(BatchQueryPred)), 10, 2).orderBy("q_id")
     }),
 
+    // ...and against the MERGED (build-on-subset + absorb-the-rest)
+    // indexes: the measured recall cost of absorbing a quarter of the
+    // corpus against FROZEN control planes without retraining — the
+    // number that tells a deployment when the drift-gated rebuild is
+    // worth its O(corpus) cost (read beside ann_pq_recall's fresh-
+    // trained baseline and bench/RECALL_r17.md)
+    "ann_pq_merged_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.pqRecallReport(s, mergedPqPath(s, dir), emb,
+        emb.filter(expr(BatchQueryPred)), 10).orderBy("q_id")
+    }),
+
+    "ann_ivfpq_merged_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.ivfPqRecallReport(s, mergedIvfPqPath(s, dir), emb,
+        emb.filter(expr(BatchQueryPred)), 10, 2).orderBy("q_id")
+    }),
+
     // SemDeDup (k-means-blocked semantic dedup): pairwise cosine only
     // WITHIN a trained cluster, drop the higher-centroid-similarity
     // member of any pair above the threshold — the paper's
@@ -3380,6 +3398,72 @@ object SparkEntry {
       val (_, joins, adcSum, subs) =
         pqOracleFragments(None, batchPred = Some(BatchQueryPred))
       s"""${ivfFinCtes(None, 2)},
+         |$subs,
+         |qb AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $BatchQueryPred),
+         |best AS (
+         |  SELECT q_id, cl FROM (
+         |    SELECT qb.q_id, c.cl,
+         |           row_number() OVER (PARTITION BY qb.q_id
+         |             ORDER BY ${dSql("c.cv", "qb.qv")}, c.cl) AS rn
+         |    FROM qb, c2 c) WHERE rn <= 2),
+         |brute AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT qb.q_id, e.vec_id,
+         |           row_number() OVER (PARTITION BY qb.q_id
+         |             ORDER BY round(${cosSql("e.v", "qb.qv")}, 6) DESC, e.vec_id) AS rn
+         |    FROM e, qb WHERE e.vec_id <> qb.q_id) WHERE rn <= 10),
+         |ipq AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT t0.q_id, t0.vec_id,
+         |           row_number() OVER (PARTITION BY t0.q_id
+         |             ORDER BY $adcSum, t0.vec_id) AS rn
+         |    FROM ctb_0 t0
+         |    $joins
+         |    JOIN fin f ON f.vec_id = t0.vec_id
+         |    JOIN best b ON b.q_id = t0.q_id AND b.cl = f.cl
+         |    WHERE t0.vec_id <> t0.q_id) WHERE rn <= 10),
+         |h AS (SELECT b.q_id, count(*) AS n_hits
+         |      FROM brute b JOIN ipq USING (q_id, vec_id) GROUP BY b.q_id)
+         |SELECT qb.q_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         |       CAST(coalesce(n_hits, 0) AS DOUBLE) / 10 AS recall
+         |FROM qb LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin
+    },
+
+    // merged-index recall: the same intersect-with-brute shape as
+    // ann_pq_recall / ann_ivfpq_recall, with the training replays
+    // restricted to the build subset — codes/assignments still cover
+    // every vector, exactly as the stored index does after
+    // build(subset) + merge(remainder)
+    "ann_pq_merged_recall" -> {
+      val (ctes, joins, adcSum, _) = pqOracleFragments(
+        Some(IvfMergeBuildPred), batchPred = Some(BatchQueryPred))
+      s"""$ctes,
+         |qr AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $BatchQueryPred),
+         |brute AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT qr.q_id, e.vec_id,
+         |           row_number() OVER (PARTITION BY qr.q_id
+         |             ORDER BY round(${cosSql("e.v", "qr.qv")}, 6) DESC, e.vec_id) AS rn
+         |    FROM e, qr WHERE e.vec_id <> qr.q_id) WHERE rn <= 10),
+         |pqr AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT t0.q_id, t0.vec_id,
+         |           row_number() OVER (PARTITION BY t0.q_id
+         |             ORDER BY $adcSum, t0.vec_id) AS rn
+         |    FROM ctb_0 t0
+         |    $joins
+         |    WHERE t0.vec_id <> t0.q_id) WHERE rn <= 10),
+         |h AS (SELECT b.q_id, count(*) AS n_hits
+         |      FROM brute b JOIN pqr USING (q_id, vec_id) GROUP BY b.q_id)
+         |SELECT qr.q_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         |       CAST(coalesce(n_hits, 0) AS DOUBLE) / 10 AS recall
+         |FROM qr LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin
+    },
+
+    "ann_ivfpq_merged_recall" -> {
+      val (_, joins, adcSum, subs) = pqOracleFragments(
+        Some(IvfMergeBuildPred), batchPred = Some(BatchQueryPred))
+      s"""${ivfFinCtes(Some(IvfMergeBuildPred), 2)},
          |$subs,
          |qb AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $BatchQueryPred),
          |best AS (
