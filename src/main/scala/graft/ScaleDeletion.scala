@@ -27,11 +27,16 @@ import org.apache.spark.sql.functions._
   *    `fingerprint` tick makes the purge physical and the harness
   *    fail-louds on any residual.
   *
-  * The events-keyed distinct-view family inside `purge_audit` reads the
-  * UNSCALED events table (the replica construction scales documents and
-  * embeddings; events ride a symlink) — its rows are constant across
-  * scales and the audit's slope is carried by the seven
-  * document/vector families. Stated here rather than hidden.
+  *  - `distinct_view_retracted` — the retractable distinct view's
+  *    whole deletion lifecycle (cold: build + two tagged merges + the
+  *    `user_id % 10 = 7` retraction + the hll tick's sketch rebuild
+  *    from the netted pairs, all over the replica-shifted events table;
+  *    warm: the exact-companion read joined with the rebuilt HLL read).
+  *
+  * As of r17 the replica construction scales EVENTS too (user_id /
+  * event_id shifted by i·10⁷ — ScalePoint.buildScaledEvents), so the
+  * events-keyed distinct family scales with everything else: 10× rows,
+  * 10× (grp, key) pairs, 10× retraction slice, same group set.
   */
 object ScaleDeletion {
 
@@ -45,7 +50,8 @@ object ScaleDeletion {
     val results = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, Double, Double, Long)]
     for ((label, dir) <- Seq("base_sf0.1" -> baseDir, "scaled_10x" -> outDir)) {
-      for (q <- Seq("purge_audit", "text_bm25_retract_topk")) {
+      for (q <- Seq("purge_audit", "text_bm25_retract_topk",
+          "distinct_view_retracted")) {
         val fn = SparkEntry.queries(q)
         val (t1, rows) = time(fn(spark, dir).count())
         val (t2, _) = time(fn(spark, dir).count())

@@ -73,6 +73,7 @@ object ScalePoint {
   private[graft] def buildScaled(spark: SparkSession, baseDir: String,
                                  outDir: String): Unit = {
     buildScaledEmbeddings(spark, baseDir, outDir)
+    buildScaledEvents(spark, baseDir, outDir)
     if (Files.exists(Paths.get(s"$outDir/documents.parquet"))) return
     Files.createDirectories(Paths.get(outDir))
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
@@ -149,6 +150,35 @@ object ScalePoint {
         col("label"))
       .repartition(32).write.mode("overwrite")
       .parquet(tgt.toString)
+  }
+
+  /** Replica-shifted events table: replica i moves user_id and event_id
+    * by i·10⁷ (the text/vector replicas' shift), keeping event_type, ts,
+    * value, and props — 10× rows, 10× users per event type, the SAME
+    * group set. Both shifts preserve the events-derived workload
+    * predicates' residues: 10⁷ % 10 = 0 keeps the `user_id % 10 = 7`
+    * retraction slice at 1/10 of every replica's users, and the
+    * `event_id % 3` build/merge thirds keep partitioning each replica
+    * ~evenly (the residue rotates per replica; the split stays ⅓/⅓/⅓).
+    * So the distinct-view family scales honestly: 10× corpus ⇒ 10×
+    * exact (grp, key) pairs, 10× retraction, same |groups|. Replaces a
+    * possible pre-existing symlink (earlier harness versions linked
+    * events through unscaled). Read via [[graft.engine.Tables.events]]
+    * so the ns/µs timestamp-unit detection applies. */
+  private def buildScaledEvents(spark: SparkSession, baseDir: String,
+                                outDir: String): Unit = {
+    val tgt = Paths.get(s"$outDir/events.parquet")
+    if (Files.exists(tgt) && !Files.isSymbolicLink(tgt)) return
+    Files.createDirectories(Paths.get(outDir))
+    Files.deleteIfExists(tgt)
+    graft.engine.Tables.events(spark, baseDir)
+      .crossJoin(spark.range(Replicas).select(col("id").cast("long").as("_rep")))
+      .select(
+        (col("event_id") + col("_rep") * lit(10000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("_rep") * lit(10000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32).write.mode("overwrite").parquet(tgt.toString)
   }
 
   /** One measured invocation — shared with [[ScaleDeletion]] so the two

@@ -1418,6 +1418,50 @@ class StreamingSpec extends AnyFunSuite {
       .exists(t => String.valueOf(t.getMessage).contains("netted negative")))
   }
 
+  test("distinct view op-aware STREAM end-to-end: DELETE rows in the " +
+    "JSON feed retract through the exact companion, tick rebuilds HLL") {
+    import graft.engine.Stats
+    import org.apache.spark.sql.types.StructType
+    val in = Files.createTempDirectory("dvs_in").toString
+    val ckpt = Files.createTempDirectory("dvs_ckpt").toString
+    val view = Files.createTempDirectory("dvs_view").toString
+    Stats.buildDistinctView(
+      Seq(("click", 1L), ("click", 2L), ("view", 2L))
+        .toDF("event_type", "user_id"),
+      "event_type", "user_id", view)
+    // batch 0: inserts only; batch 1 (later mtime): the CDC UPDATE/
+    // DELETE mix — user 2 leaves 'click' (full row image) while a new
+    // user arrives, one op-aware batch through the real file stream
+    def j(t: String, u: Long, op: String) =
+      s"""{"event_type":"$t","user_id":$u,"op":"$op"}"""
+    val f0 = java.nio.file.Paths.get(in, "ev_000.json")
+    Files.writeString(f0, j("click", 3L, "I") + "\n")
+    Files.setLastModifiedTime(f0, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 120000))
+    Files.writeString(java.nio.file.Paths.get(in, "ev_001.json"),
+      j("click", 2L, "DELETE") + "\n" + j("view", 4L, "I") + "\n")
+    val schema = new StructType().add("event_type", "string")
+      .add("user_id", "long").add("op", "string")
+    val q = CdcStream.distinctAbsorbStream(spark, s"$in/ev_*.json", ckpt,
+      schema, view, "event_type", "user_id",
+      maintainEvery = 1, maintainMaxFiles = 1)
+    q.awaitTermination()
+    def exact() = Stats.queryDistinctViewExact(spark, view, "event_type")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact() === Map("click" -> 2L, "view" -> 2L), // 1,3 / 2,4
+      "the stream's DELETE row must net user 2 out of click exactly")
+    // the per-batch tick (maintainEvery=1) ran AFTER the delete batch:
+    // the HLL view was rebuilt from the netted pairs and agrees
+    assert(Stats.queryDistinctView(spark, view, "event_type")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === Map("click" -> 2L, "view" -> 2L))
+    // restart from the same checkpoint reprocesses nothing
+    val q2 = CdcStream.distinctAbsorbStream(spark, s"$in/ev_*.json", ckpt,
+      schema, view, "event_type", "user_id")
+    q2.awaitTermination()
+    assert(exact() === Map("click" -> 2L, "view" -> 2L))
+  }
+
   test("distinct view derived retraction tags distinguish duplicate-" +
     "(grp,key) delete batches by their full row image") {
     import graft.engine.Stats
