@@ -28,10 +28,12 @@ import org.apache.spark.sql.functions._
   *    fail-louds on any residual.
   *
   *  - `distinct_view_retracted` — the retractable distinct view's
-  *    whole deletion lifecycle (cold: build + two tagged merges + the
-  *    `user_id % 10 = 7` retraction + the hll tick's sketch rebuild
-  *    from the netted pairs, all over the replica-shifted events table;
-  *    warm: the exact-companion read joined with the rebuilt HLL read).
+  *    read paths (both runs are steady-state probes of the exact
+  *    companion joined with the rebuilt HLL: the root's build + two
+  *    tagged merges + the `user_id % 10 = 7` retraction + the hll
+  *    tick's sketch rebuild happen inside `purge_audit`'s COLD run,
+  *    which builds every audit root first — the lifecycle-build slope
+  *    is therefore carried by the audit's cold row, not this one).
   *
   * As of r17 the replica construction scales EVENTS too (user_id /
   * event_id shifted by i·10⁷ — ScalePoint.buildScaledEvents), so the

@@ -70,11 +70,30 @@ object ScalePoint {
       "multimodal_decode", "multimodal_phash_incremental",
       "multimodal_audio_features")
 
+
+  /** A scaled table counts as built only when Spark's `_SUCCESS` commit
+    * marker is present: the harness outDir persists across runs, and a
+    * run killed mid-write must be rebuilt, not silently measured
+    * against a truncated table. Symlinks (earlier harness versions
+    * linked unscaled tables through) never count. */
+  private def builtComplete(tgt: java.nio.file.Path): Boolean =
+    Files.exists(tgt) && !Files.isSymbolicLink(tgt) &&
+      Files.exists(tgt.resolve("_SUCCESS"))
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    val walk = Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(Files.delete(_))
+    finally walk.close()
+  }
+
   private[graft] def buildScaled(spark: SparkSession, baseDir: String,
                                  outDir: String): Unit = {
     buildScaledEmbeddings(spark, baseDir, outDir)
     buildScaledEvents(spark, baseDir, outDir)
-    if (Files.exists(Paths.get(s"$outDir/documents.parquet"))) return
+    val docsTgt = Paths.get(s"$outDir/documents.parquet")
+    if (builtComplete(docsTgt)) return
+    if (Files.exists(docsTgt)) deleteTree(docsTgt) // incomplete: rebuild
     Files.createDirectories(Paths.get(outDir))
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
     val alphabet = ('a' to 'z').mkString + ('0' to '9').mkString
@@ -125,9 +144,10 @@ object ScalePoint {
   private def buildScaledEmbeddings(spark: SparkSession, baseDir: String,
                                     outDir: String): Unit = {
     val tgt = Paths.get(s"$outDir/embeddings.parquet")
-    if (Files.exists(tgt) && !Files.isSymbolicLink(tgt)) return
+    if (builtComplete(tgt)) return
     Files.createDirectories(Paths.get(outDir))
-    Files.deleteIfExists(tgt)
+    if (Files.isSymbolicLink(tgt)) Files.delete(tgt)
+    else if (Files.exists(tgt)) deleteTree(tgt) // incomplete: rebuild
     val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
     val dim = 64
     def permSigns(rep: Int): (Seq[Int], Seq[Float]) = {
@@ -168,9 +188,10 @@ object ScalePoint {
   private def buildScaledEvents(spark: SparkSession, baseDir: String,
                                 outDir: String): Unit = {
     val tgt = Paths.get(s"$outDir/events.parquet")
-    if (Files.exists(tgt) && !Files.isSymbolicLink(tgt)) return
+    if (builtComplete(tgt)) return
     Files.createDirectories(Paths.get(outDir))
-    Files.deleteIfExists(tgt)
+    if (Files.isSymbolicLink(tgt)) Files.delete(tgt)
+    else if (Files.exists(tgt)) deleteTree(tgt) // incomplete: rebuild
     graft.engine.Tables.events(spark, baseDir)
       .crossJoin(spark.range(Replicas).select(col("id").cast("long").as("_rep")))
       .select(

@@ -2181,6 +2181,76 @@ object SparkEntry {
     * `trainPred` restricts the CODEBOOK training corpus (the incremental
     * build/merge scenario: codebooks come from the initially indexed
     * subset, codes cover every vector); None trains on everything. */
+  /** Recall-report oracle for the flat-ADC PQ families: the batch PQ
+    * training/code/table replay (trained on `trainPred`'s subset when
+    * given — the merged-index case) intersected with the exact
+    * brute-force cosine top-10 per query. One definition serves the
+    * stored and merged variants, so a shape fix (tie-break, rounding,
+    * k) lands once. */
+  private def pqRecallOracleSql(trainPred: Option[String]): String = {
+    val (ctes, joins, adcSum, _) =
+      pqOracleFragments(trainPred, batchPred = Some(BatchQueryPred))
+    s"""$ctes,
+       |qr AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $BatchQueryPred),
+       |brute AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT qr.q_id, e.vec_id,
+       |           row_number() OVER (PARTITION BY qr.q_id
+       |             ORDER BY round(${cosSql("e.v", "qr.qv")}, 6) DESC, e.vec_id) AS rn
+       |    FROM e, qr WHERE e.vec_id <> qr.q_id) WHERE rn <= 10),
+       |pqr AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT t0.q_id, t0.vec_id,
+       |           row_number() OVER (PARTITION BY t0.q_id
+       |             ORDER BY $adcSum, t0.vec_id) AS rn
+       |    FROM ctb_0 t0
+       |    $joins
+       |    WHERE t0.vec_id <> t0.q_id) WHERE rn <= 10),
+       |h AS (SELECT b.q_id, count(*) AS n_hits
+       |      FROM brute b JOIN pqr USING (q_id, vec_id) GROUP BY b.q_id)
+       |SELECT qr.q_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       |       CAST(coalesce(n_hits, 0) AS DOUBLE) / 10 AS recall
+       |FROM qr LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin
+  }
+
+  /** The composite's twin: the ivfpq batch splice (k-means cell replay
+    * + PQ replay, 2 probed cells) ∩ brute top-10 — `trainPred` as
+    * [[pqRecallOracleSql]]. */
+  private def ivfPqRecallOracleSql(trainPred: Option[String]): String = {
+    val (_, joins, adcSum, subs) =
+      pqOracleFragments(trainPred, batchPred = Some(BatchQueryPred))
+    s"""${ivfFinCtes(trainPred, 2)},
+       |$subs,
+       |qb AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $BatchQueryPred),
+       |best AS (
+       |  SELECT q_id, cl FROM (
+       |    SELECT qb.q_id, c.cl,
+       |           row_number() OVER (PARTITION BY qb.q_id
+       |             ORDER BY ${dSql("c.cv", "qb.qv")}, c.cl) AS rn
+       |    FROM qb, c2 c) WHERE rn <= 2),
+       |brute AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT qb.q_id, e.vec_id,
+       |           row_number() OVER (PARTITION BY qb.q_id
+       |             ORDER BY round(${cosSql("e.v", "qb.qv")}, 6) DESC, e.vec_id) AS rn
+       |    FROM e, qb WHERE e.vec_id <> qb.q_id) WHERE rn <= 10),
+       |ipq AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT t0.q_id, t0.vec_id,
+       |           row_number() OVER (PARTITION BY t0.q_id
+       |             ORDER BY $adcSum, t0.vec_id) AS rn
+       |    FROM ctb_0 t0
+       |    $joins
+       |    JOIN fin f ON f.vec_id = t0.vec_id
+       |    JOIN best b ON b.q_id = t0.q_id AND b.cl = f.cl
+       |    WHERE t0.vec_id <> t0.q_id) WHERE rn <= 10),
+       |h AS (SELECT b.q_id, count(*) AS n_hits
+       |      FROM brute b JOIN ipq USING (q_id, vec_id) GROUP BY b.q_id)
+       |SELECT qb.q_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       |       CAST(coalesce(n_hits, 0) AS DOUBLE) / 10 AS recall
+       |FROM qb LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin
+  }
+
   /** `batchPred` switches the query side from the single vec_id=0 vector
     * to a per-query distance table keyed by `q_id` (the batch-probe
     * oracle); the training/code CTEs are identical either way. */
@@ -3366,134 +3436,19 @@ object SparkEntry {
     // recall of the stored flat-ADC PQ retrieval vs brute force: the
     // same per-subspace training/code/table replay as the pq batch
     // probe, intersected with the exact cosine top-10 per query
-    "ann_pq_recall" -> {
-      val (ctes, joins, adcSum, _) =
-        pqOracleFragments(None, batchPred = Some(BatchQueryPred))
-      s"""$ctes,
-         |qr AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $BatchQueryPred),
-         |brute AS (
-         |  SELECT q_id, vec_id FROM (
-         |    SELECT qr.q_id, e.vec_id,
-         |           row_number() OVER (PARTITION BY qr.q_id
-         |             ORDER BY round(${cosSql("e.v", "qr.qv")}, 6) DESC, e.vec_id) AS rn
-         |    FROM e, qr WHERE e.vec_id <> qr.q_id) WHERE rn <= 10),
-         |pqr AS (
-         |  SELECT q_id, vec_id FROM (
-         |    SELECT t0.q_id, t0.vec_id,
-         |           row_number() OVER (PARTITION BY t0.q_id
-         |             ORDER BY $adcSum, t0.vec_id) AS rn
-         |    FROM ctb_0 t0
-         |    $joins
-         |    WHERE t0.vec_id <> t0.q_id) WHERE rn <= 10),
-         |h AS (SELECT b.q_id, count(*) AS n_hits
-         |      FROM brute b JOIN pqr USING (q_id, vec_id) GROUP BY b.q_id)
-         |SELECT qr.q_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
-         |       CAST(coalesce(n_hits, 0) AS DOUBLE) / 10 AS recall
-         |FROM qr LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin
-    },
+    "ann_pq_recall" -> pqRecallOracleSql(None),
 
     // recall of the stored composite vs brute force: the ivfpq batch
     // splice (k-means cells + PQ replay, 2 probed cells) ∩ brute top-10
-    "ann_ivfpq_recall" -> {
-      val (_, joins, adcSum, subs) =
-        pqOracleFragments(None, batchPred = Some(BatchQueryPred))
-      s"""${ivfFinCtes(None, 2)},
-         |$subs,
-         |qb AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $BatchQueryPred),
-         |best AS (
-         |  SELECT q_id, cl FROM (
-         |    SELECT qb.q_id, c.cl,
-         |           row_number() OVER (PARTITION BY qb.q_id
-         |             ORDER BY ${dSql("c.cv", "qb.qv")}, c.cl) AS rn
-         |    FROM qb, c2 c) WHERE rn <= 2),
-         |brute AS (
-         |  SELECT q_id, vec_id FROM (
-         |    SELECT qb.q_id, e.vec_id,
-         |           row_number() OVER (PARTITION BY qb.q_id
-         |             ORDER BY round(${cosSql("e.v", "qb.qv")}, 6) DESC, e.vec_id) AS rn
-         |    FROM e, qb WHERE e.vec_id <> qb.q_id) WHERE rn <= 10),
-         |ipq AS (
-         |  SELECT q_id, vec_id FROM (
-         |    SELECT t0.q_id, t0.vec_id,
-         |           row_number() OVER (PARTITION BY t0.q_id
-         |             ORDER BY $adcSum, t0.vec_id) AS rn
-         |    FROM ctb_0 t0
-         |    $joins
-         |    JOIN fin f ON f.vec_id = t0.vec_id
-         |    JOIN best b ON b.q_id = t0.q_id AND b.cl = f.cl
-         |    WHERE t0.vec_id <> t0.q_id) WHERE rn <= 10),
-         |h AS (SELECT b.q_id, count(*) AS n_hits
-         |      FROM brute b JOIN ipq USING (q_id, vec_id) GROUP BY b.q_id)
-         |SELECT qb.q_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
-         |       CAST(coalesce(n_hits, 0) AS DOUBLE) / 10 AS recall
-         |FROM qb LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin
-    },
+    "ann_ivfpq_recall" -> ivfPqRecallOracleSql(None),
 
     // merged-index recall: the same intersect-with-brute shape as
     // ann_pq_recall / ann_ivfpq_recall, with the training replays
     // restricted to the build subset — codes/assignments still cover
     // every vector, exactly as the stored index does after
     // build(subset) + merge(remainder)
-    "ann_pq_merged_recall" -> {
-      val (ctes, joins, adcSum, _) = pqOracleFragments(
-        Some(IvfMergeBuildPred), batchPred = Some(BatchQueryPred))
-      s"""$ctes,
-         |qr AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $BatchQueryPred),
-         |brute AS (
-         |  SELECT q_id, vec_id FROM (
-         |    SELECT qr.q_id, e.vec_id,
-         |           row_number() OVER (PARTITION BY qr.q_id
-         |             ORDER BY round(${cosSql("e.v", "qr.qv")}, 6) DESC, e.vec_id) AS rn
-         |    FROM e, qr WHERE e.vec_id <> qr.q_id) WHERE rn <= 10),
-         |pqr AS (
-         |  SELECT q_id, vec_id FROM (
-         |    SELECT t0.q_id, t0.vec_id,
-         |           row_number() OVER (PARTITION BY t0.q_id
-         |             ORDER BY $adcSum, t0.vec_id) AS rn
-         |    FROM ctb_0 t0
-         |    $joins
-         |    WHERE t0.vec_id <> t0.q_id) WHERE rn <= 10),
-         |h AS (SELECT b.q_id, count(*) AS n_hits
-         |      FROM brute b JOIN pqr USING (q_id, vec_id) GROUP BY b.q_id)
-         |SELECT qr.q_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
-         |       CAST(coalesce(n_hits, 0) AS DOUBLE) / 10 AS recall
-         |FROM qr LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin
-    },
-
-    "ann_ivfpq_merged_recall" -> {
-      val (_, joins, adcSum, subs) = pqOracleFragments(
-        Some(IvfMergeBuildPred), batchPred = Some(BatchQueryPred))
-      s"""${ivfFinCtes(Some(IvfMergeBuildPred), 2)},
-         |$subs,
-         |qb AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $BatchQueryPred),
-         |best AS (
-         |  SELECT q_id, cl FROM (
-         |    SELECT qb.q_id, c.cl,
-         |           row_number() OVER (PARTITION BY qb.q_id
-         |             ORDER BY ${dSql("c.cv", "qb.qv")}, c.cl) AS rn
-         |    FROM qb, c2 c) WHERE rn <= 2),
-         |brute AS (
-         |  SELECT q_id, vec_id FROM (
-         |    SELECT qb.q_id, e.vec_id,
-         |           row_number() OVER (PARTITION BY qb.q_id
-         |             ORDER BY round(${cosSql("e.v", "qb.qv")}, 6) DESC, e.vec_id) AS rn
-         |    FROM e, qb WHERE e.vec_id <> qb.q_id) WHERE rn <= 10),
-         |ipq AS (
-         |  SELECT q_id, vec_id FROM (
-         |    SELECT t0.q_id, t0.vec_id,
-         |           row_number() OVER (PARTITION BY t0.q_id
-         |             ORDER BY $adcSum, t0.vec_id) AS rn
-         |    FROM ctb_0 t0
-         |    $joins
-         |    JOIN fin f ON f.vec_id = t0.vec_id
-         |    JOIN best b ON b.q_id = t0.q_id AND b.cl = f.cl
-         |    WHERE t0.vec_id <> t0.q_id) WHERE rn <= 10),
-         |h AS (SELECT b.q_id, count(*) AS n_hits
-         |      FROM brute b JOIN ipq USING (q_id, vec_id) GROUP BY b.q_id)
-         |SELECT qb.q_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
-         |       CAST(coalesce(n_hits, 0) AS DOUBLE) / 10 AS recall
-         |FROM qb LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin
-    },
+    "ann_pq_merged_recall" -> pqRecallOracleSql(Some(IvfMergeBuildPred)),
+    "ann_ivfpq_merged_recall" -> ivfPqRecallOracleSql(Some(IvfMergeBuildPred)),
 
     // same Lloyd's replay, but TRAINED on the build subset only — the
     // assignment pass still covers every vector, exactly as the stored
