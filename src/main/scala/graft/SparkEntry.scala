@@ -1187,6 +1187,25 @@ object SparkEntry {
         deletedIvfPqPath(s, dir), expr("vec_id % 9 = 4"),
         deletedDistinctPath(s, dir), expr("k % 10 = 7"))),
 
+    // right-to-be-forgotten across TIME TRAVEL: the versioned SCD2
+    // snapshot store after SnapshotStore.purgeKeys removed every
+    // `user_id % 10 = 3` row from the CURRENT version (fresh atomic
+    // publish) AND every retained historical version (staged-replace
+    // rewrites) — vacuum alone cannot forget a key inside the retained
+    // window. One row per version pinning counts against the remaining
+    // corpus and the purged residual at 0.
+    "scd2_purge_versions" -> ((s, dir) => {
+      val store = new SnapshotStore(s, s"${purgedSnapshotPath(s, dir)}/dim")
+      store.versions().map { v =>
+        store.readVersion(v).agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col(KEY)).as("n_users"),
+          count(when(col(KEY) % 10 === 3, 1)).as("purged_residual"))
+          .select(lit(v).as("version"), col("n_rows"), col("n_users"),
+            col("purged_residual"))
+      }.reduce(_ unionByName _).orderBy("version")
+    }),
+
     "multimodal_phash_pairs" -> ((s, dir) =>
       DedupOps.hashPairs64(
         Multimodal.imageAHash(Multimodal.encodePng(Tables.documents(s, dir))),
@@ -1830,6 +1849,7 @@ object SparkEntry {
     stage("purge_roots") {
       deletedFpPath(s, dir); deletedAhashPath(s, dir)
       deletedVocabPath(s, dir); deletedDistinctPath(s, dir)
+      purgedSnapshotPath(s, dir)
       ()
     }
       }),
@@ -2059,6 +2079,22 @@ object SparkEntry {
       Stats.retractDistinctView(e.filter(col("user_id") % 10 === 7),
         "event_type", "user_id", p, "purge7")
       engine.Compaction.maintainIndex(s, p, "hll")
+      ()
+    }
+
+  /** Versioned SCD2 snapshot store with a time-travel purge applied —
+    * its own root: v0 = the WM-filtered historical dim, v1 = the full
+    * dim, then `purgeKeys` forgets every `user_id % 10 = 3` key from
+    * the current version (fresh publish → v2) and both retained
+    * historical dirs. */
+  private def purgedSnapshotPath(s: SparkSession, dir: String): String =
+    engine.StoredIndexes.ensure("scd2_purge", dir) { p =>
+      val store = new SnapshotStore(s, s"$p/dim")
+      val e0 = ev(s, dir)
+      store.publish(dimOf(e0.filter(col(TS) <= expr(s"TIMESTAMP '$WM'"))))
+      store.publish(dimOf(e0))
+      store.purgeKeys(
+        e0.select(col(KEY)).filter(col(KEY) % 10 === 3).distinct(), KEY)
       ()
     }
 
@@ -3147,6 +3183,23 @@ object SparkEntry {
     // every deleted_residual pinned to 0 — the Spark side measures the
     // ACTUAL residual through the production screens, so a broken
     // deletion path reds this row out
+    // each retained version after the time-travel purge equals the dim
+    // over the REMAINING corpus (one dim row per event, so counts
+    // replay directly); the residual pins to zero in every version
+    "scd2_purge_versions" ->
+      s"""WITH rem AS (SELECT * FROM events WHERE user_id % 10 <> 3)
+         |SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows,
+         |       count(DISTINCT user_id) AS n_users,
+         |       CAST(0 AS BIGINT) AS purged_residual
+         |FROM rem WHERE ts <= TIMESTAMP '$WM'
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), count(*), count(DISTINCT user_id),
+         |       CAST(0 AS BIGINT) FROM rem
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), count(*), count(DISTINCT user_id),
+         |       CAST(0 AS BIGINT) FROM rem
+         |ORDER BY version""".stripMargin,
+
     "purge_audit" ->
       s"""WITH $wordsSql,
          |$winnowFpSql,

@@ -87,6 +87,90 @@ class SnapshotStore(spark: SparkSession, root: String) {
     drop
   }
 
+  /** Right-to-be-forgotten across TIME TRAVEL — the retention verb
+    * [[vacuum]] cannot express: a purged key INSIDE the retained window
+    * survives every vacuum, so an SCD2 store that keeps history for
+    * time travel keeps serving the key's old versions to
+    * `readVersion`. This verb removes every row whose `keyCol` value is
+    * in `keys` from (1) the CURRENT version, as a fresh atomic
+    * [[publish]] — live readers move to the purged snapshot at the
+    * pointer swap — and (2) EVERY retained version dir, as a
+    * staged-replace rewrite per dir (temp `v{N}._purge` written fully,
+    * `_SUCCESS` verified, then swap — the sidecar-collapse protocol),
+    * so the whole retained window is deletion-complete.
+    *
+    * Contract: single-writer (no publish/vacuum in flight), the same
+    * schedule every maintenance verb runs under; TIME-TRAVEL readers
+    * racing a historical swap can see that one version dir mid-replace
+    * (current-version readers never can — the pointer moved first).
+    * Crash-safe and idempotent: an unmarked temp is a torn write and is
+    * discarded, a marked temp is the authoritative purged copy and is
+    * adopted, both at the next call's recovery pass — and re-running
+    * the purge anti-joins already-absent keys, changing nothing. The
+    * anti-join is size-guarded ([[Skew.maybeBroadcast]]): a mass purge
+    * falls back to planner strategy, never a forced driver broadcast.
+    * Returns the rewritten version ids (the fresh current publish
+    * first, when the store has one). */
+  def purgeKeys(keys: DataFrame, keyCol: String): Seq[Long] =
+    Caches.withCached {
+      recoverPurgeTemps()
+      val k = Caches.ensureCached(
+        keys.select(keys.col(keys.columns.head).as(keyCol)).distinct())
+      def purged(df: DataFrame): DataFrame =
+        df.join(Skew.maybeBroadcast(k), Seq(keyCol), "left_anti")
+      // current first: one atomic publish moves live readers over
+      val fresh = read().map(cur => publish(purged(cur)))
+      val hist = versions().filterNot(fresh.contains)
+      hist.foreach { v =>
+        val dir = rootPath.resolve(s"v$v")
+        val tmp = rootPath.resolve(s"v$v._purge")
+        purged(readVersion(v)).write.mode("overwrite").parquet(tmp.toString)
+        // the swap protocol keys off the commit marker: without it a
+        // crash between the deletes below would leave NO authoritative
+        // copy — refuse instead (collapseSidecar's posture)
+        require(Files.exists(tmp.resolve("_SUCCESS")),
+          s"purgeKeys: committer wrote no _SUCCESS marker under $tmp — " +
+            "refusing to replace the live version dir")
+        deleteTree(dir)
+        Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+      }
+      fresh.toSeq ++ hist
+    }
+
+  /** Adopt-or-discard any `v{N}._purge` temp a crashed [[purgeKeys]]
+    * left: marked temps are authoritative purged copies (replace the
+    * live dir — which may be pre-purge, or already gone), unmarked
+    * temps are torn writes (discard; the re-run rewrites them). */
+  private def recoverPurgeTemps(): Unit = {
+    if (!Files.exists(rootPath)) return
+    val stream = Files.list(rootPath)
+    val temps = try {
+      val it = stream.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith("._purge")) buf += p
+      }
+      buf.toSeq
+    } finally stream.close()
+    temps.foreach { tmp =>
+      val live = rootPath.resolve(
+        tmp.getFileName.toString.stripSuffix("._purge"))
+      if (Files.exists(tmp.resolve("_SUCCESS"))) {
+        if (Files.exists(live)) deleteTree(live)
+        Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+      } else deleteTree(tmp)
+    }
+  }
+
+  private def deleteTree(dir: java.nio.file.Path): Unit = {
+    val stream = Files.walk(dir)
+    try {
+      stream.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    } finally stream.close()
+  }
+
   /** Versions currently on disk (published or orphaned), ascending. */
   def versions(): Seq[Long] =
     if (!Files.exists(rootPath)) Seq.empty

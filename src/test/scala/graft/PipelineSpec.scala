@@ -55,6 +55,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(store.readVersion(3).count() === 1) // retained history still readable
   }
 
+  test("purgeKeys forgets a key across the WHOLE time-travel window: " +
+    "current republished, every retained version rewritten, idempotent") {
+    val root = tmp("purge_snap")
+    val store = new SnapshotStore(spark, root)
+    store.publish(Seq((1L, "a0"), (2L, "b0")).toDF("user_id", "v"))
+    store.publish(Seq((1L, "a1"), (2L, "b1"), (3L, "c1"))
+      .toDF("user_id", "v"))
+    store.publish(Seq((1L, "a2"), (3L, "c2")).toDF("user_id", "v"))
+    // vacuum alone CANNOT forget user 1: it lives in every retained
+    // version — the reason the verb exists
+    val rewritten = store.purgeKeys(Seq(1L).toDF("user_id"), "user_id")
+    // a fresh current was published (v3) and all three historical dirs
+    // rewrote in place
+    assert(store.currentVersion().contains(3L))
+    assert(rewritten.toSet === Set(3L, 0L, 1L, 2L))
+    store.versions().foreach { v =>
+      assert(store.readVersion(v).filter($"user_id" === 1L).count() === 0L,
+        s"user 1 must be gone from version $v")
+    }
+    // everything else survives, per version
+    assert(store.read().get.orderBy("user_id").as[(Long, String)]
+      .collect().toSeq === Seq((3L, "c2")))
+    assert(store.readVersion(1L).count() === 2L) // users 2, 3
+    // idempotent: a replayed purge changes nothing (one more publish)
+    store.purgeKeys(Seq(1L).toDF("user_id"), "user_id")
+    assert(store.read().get.collect().toSeq.length === 1)
+    // crash recovery: an unmarked temp (torn write) is discarded, a
+    // marked temp is adopted as the authoritative purged copy
+    val torn = java.nio.file.Paths.get(root, "v1._purge")
+    java.nio.file.Files.createDirectories(torn)
+    java.nio.file.Files.writeString(torn.resolve("part-junk"), "junk")
+    store.purgeKeys(Seq(99L).toDF("user_id"), "user_id") // no-op purge
+    assert(!java.nio.file.Files.exists(torn),
+      "a temp without _SUCCESS is a torn write and must be discarded")
+    assert(store.readVersion(1L).count() === 2L)
+  }
+
   test("batch-file vacuum drops only aged change files, never other artifacts") {
     val dir = tmp("gc")
     val changes = ChangeGen.changes(spark, 40, 10, seed = 7)
