@@ -1009,6 +1009,10 @@ object CdcStream {
       // Upserts and deletes land in ONE published version (and one
       // ledger entry), so a replayed mixed batch re-applies neither
       // half. Deleting an absent key is a no-op, as in SQL DELETE.
+      // Scope honesty: this deletes from the CURRENT version — the
+      // versions retained for time travel still carry the key until
+      // the compliance sweep (SnapshotStore.purgeKeys) rewrites the
+      // whole retained window.
       val (upserts, deleteKeys) =
         if (batch.columns.contains("op"))
           (batch.filter(coalesce(col("op") =!= "DELETE", lit(true)))
