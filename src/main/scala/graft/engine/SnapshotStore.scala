@@ -76,14 +76,7 @@ class SnapshotStore(spark: SparkSession, root: String) {
     val cur = currentVersion()
     val keep = all.takeRight(math.max(keepLast, 1)).toSet ++ cur.toSet
     val drop = all.filterNot(keep)
-    drop.foreach { v =>
-      val dir = rootPath.resolve(s"v$v")
-      val stream = Files.walk(dir)
-      try {
-        stream.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
-      } finally stream.close()
-    }
+    drop.foreach(v => deleteTree(rootPath.resolve(s"v$v")))
     drop
   }
 
@@ -103,39 +96,104 @@ class SnapshotStore(spark: SparkSession, root: String) {
     * schedule every maintenance verb runs under; TIME-TRAVEL readers
     * racing a historical swap can see that one version dir mid-replace
     * (current-version readers never can — the pointer moved first).
-    * Crash-safe and idempotent: an unmarked temp is a torn write and is
-    * discarded, a marked temp is the authoritative purged copy and is
-    * adopted, both at the next call's recovery pass — and re-running
-    * the purge anti-joins already-absent keys, changing nothing. The
-    * anti-join is size-guarded ([[Skew.maybeBroadcast]]): a mass purge
-    * falls back to planner strategy, never a forced driver broadcast.
-    * Returns the rewritten version ids (the fresh current publish
-    * first, when the store has one). */
+    * Crash-safe: an unmarked temp is a torn write and is discarded, a
+    * marked temp is the authoritative purged copy and is adopted, both
+    * at the next call's recovery pass — and re-running the purge
+    * anti-joins already-absent keys, reproducing the same contents
+    * (each nonempty run still republishes/rewrites, bounded by
+    * [[vacuum]]; an EMPTY key set short-circuits to a no-op, so a
+    * scheduled sweep with nothing queued costs nothing). `keys` must
+    * carry the key in a column named `keyCol`, or be a single-column
+    * table (then renamed). Hive-partitioned versions rewrite WITH
+    * their partition layout (detected from the dir); z-ordered
+    * versions keep their answers but lose the clustering until the
+    * next OPTIMIZE publish — stated, since the rewrite cannot know the
+    * original sort. The anti-join is size-guarded
+    * ([[Skew.maybeBroadcast]]): a mass purge falls back to planner
+    * strategy, never a forced driver broadcast. Returns the rewritten
+    * version ids (the fresh current publish first, when the store has
+    * one). */
   def purgeKeys(keys: DataFrame, keyCol: String): Seq[Long] =
     Caches.withCached {
       recoverPurgeTemps()
-      val k = Caches.ensureCached(
-        keys.select(keys.col(keys.columns.head).as(keyCol)).distinct())
-      def purged(df: DataFrame): DataFrame =
-        df.join(Skew.maybeBroadcast(k), Seq(keyCol), "left_anti")
-      // current first: one atomic publish moves live readers over
-      val fresh = read().map(cur => publish(purged(cur)))
-      val hist = versions().filterNot(fresh.contains)
-      hist.foreach { v =>
-        val dir = rootPath.resolve(s"v$v")
-        val tmp = rootPath.resolve(s"v$v._purge")
-        purged(readVersion(v)).write.mode("overwrite").parquet(tmp.toString)
-        // the swap protocol keys off the commit marker: without it a
-        // crash between the deletes below would leave NO authoritative
-        // copy — refuse instead (collapseSidecar's posture)
-        require(Files.exists(tmp.resolve("_SUCCESS")),
-          s"purgeKeys: committer wrote no _SUCCESS marker under $tmp — " +
-            "refusing to replace the live version dir")
-        deleteTree(dir)
-        Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
-      }
-      fresh.toSeq ++ hist
+      require(keys.columns.contains(keyCol) || keys.columns.length == 1,
+        s"purgeKeys: keys has no '$keyCol' column and is not " +
+          s"single-column (${keys.columns.mkString(", ")}) — ambiguous " +
+          "key source refused (a silent wrong-column purge is a " +
+          "compliance failure)")
+      val keyIn = if (keys.columns.contains(keyCol))
+        keys.col(keyCol) else keys.col(keys.columns.head)
+      // eager materialization with lineage truncated: the keys may
+      // derive from this store's own version dirs, which the loop
+      // below deletes — a lazily recomputed key set mid-purge would
+      // read files that no longer exist (or purged rewrites, yielding
+      // an empty set and silently kept keys)
+      val k = keys.select(keyIn.as(keyCol)).distinct().localCheckpoint(true)
+      try {
+        if (k.isEmpty) Seq.empty // scheduled sweep, nothing queued
+        else {
+          def purged(df: DataFrame): DataFrame =
+            df.join(Skew.maybeBroadcast(k), Seq(keyCol), "left_anti")
+          // current first: one atomic publish moves live readers over
+          val fresh = read().map(cur =>
+            publish(purged(cur), partitionColsOf(
+              rootPath.resolve(s"v${currentVersion().get}"))))
+          val hist = versions().filterNot(fresh.contains)
+          hist.foreach { v =>
+            val dir = rootPath.resolve(s"v$v")
+            val tmp = rootPath.resolve(s"v$v._purge")
+            val parts = partitionColsOf(dir)
+            val w = purged(readVersion(v)).write.mode("overwrite")
+            (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+              .parquet(tmp.toString)
+            // the swap protocol keys off the commit marker: without it
+            // a crash between the deletes below would leave NO
+            // authoritative copy — discard the temp and refuse
+            // (collapseSidecar's posture)
+            if (!Files.exists(tmp.resolve("_SUCCESS"))) {
+              deleteTree(tmp)
+              throw new IllegalStateException(
+                s"purgeKeys: committer wrote no _SUCCESS marker under " +
+                  s"$tmp — refusing to replace the live version dir")
+            }
+            deleteTree(dir)
+            Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+          }
+          fresh.toSeq ++ hist
+        }
+      } finally Caches.releaseCheckpoint(k)
     }
+
+  /** The hive partition columns a version dir was written with, in
+    * nesting order — detected from the `col=value` directory levels, so
+    * a purge rewrite can reproduce the layout it replaces. */
+  private def partitionColsOf(dir: java.nio.file.Path): Seq[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur = dir
+    var descend = true
+    while (descend) {
+      descend = false
+      if (Files.isDirectory(cur)) {
+        val stream = Files.list(cur)
+        val child = try {
+          val it = stream.iterator()
+          var found: Option[java.nio.file.Path] = None
+          while (it.hasNext && found.isEmpty) {
+            val p = it.next()
+            if (Files.isDirectory(p) &&
+                p.getFileName.toString.contains("=")) found = Some(p)
+          }
+          found
+        } finally stream.close()
+        child.foreach { c =>
+          buf += c.getFileName.toString.split("=", 2)(0)
+          cur = c
+          descend = true
+        }
+      }
+    }
+    buf.toSeq
+  }
 
   /** Adopt-or-discard any `v{N}._purge` temp a crashed [[purgeKeys]]
     * left: marked temps are authoritative purged copies (replace the
@@ -171,7 +229,11 @@ class SnapshotStore(spark: SparkSession, root: String) {
     } finally stream.close()
   }
 
-  /** Versions currently on disk (published or orphaned), ascending. */
+  /** Versions currently on disk (published or orphaned), ascending.
+    * Strictly `v{digits}` names: a purge's `v{N}._purge` staging temp
+    * (present during every historical rewrite, or left by a crash) is
+    * NOT a version and must not break enumeration — vacuum and the
+    * stream's maintenance tick both list through here. */
   def versions(): Seq[Long] =
     if (!Files.exists(rootPath)) Seq.empty
     else {
@@ -181,7 +243,8 @@ class SnapshotStore(spark: SparkSession, root: String) {
         val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
         while (it.hasNext) {
           val name = it.next().getFileName.toString
-          if (name.startsWith("v")) buf += name.drop(1).toLong
+          if (name.length > 1 && name.startsWith("v") &&
+              name.drop(1).forall(_.isDigit)) buf += name.drop(1).toLong
         }
         buf.sorted.toSeq
       } finally stream.close()

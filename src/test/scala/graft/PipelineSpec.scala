@@ -82,14 +82,57 @@ class PipelineSpec extends AnyFunSuite {
     store.purgeKeys(Seq(1L).toDF("user_id"), "user_id")
     assert(store.read().get.collect().toSeq.length === 1)
     // crash recovery: an unmarked temp (torn write) is discarded, a
-    // marked temp is adopted as the authoritative purged copy
+    // marked temp is adopted as the authoritative purged copy — and a
+    // lingering temp must not break version enumeration (vacuum and
+    // the stream tick list through versions())
     val torn = java.nio.file.Paths.get(root, "v1._purge")
     java.nio.file.Files.createDirectories(torn)
     java.nio.file.Files.writeString(torn.resolve("part-junk"), "junk")
-    store.purgeKeys(Seq(99L).toDF("user_id"), "user_id") // no-op purge
+    assert(store.versions() === Seq(0L, 1L, 2L, 3L, 4L),
+      "a staging temp is not a version")
+    store.purgeKeys(Seq(99L).toDF("user_id"), "user_id") // absent key
     assert(!java.nio.file.Files.exists(torn),
       "a temp without _SUCCESS is a torn write and must be discarded")
     assert(store.readVersion(1L).count() === 2L)
+    // an EMPTY key set short-circuits: no publish, no rewrites — the
+    // scheduled compliance sweep with nothing queued costs nothing
+    val before = store.currentVersion()
+    assert(store.purgeKeys(Seq.empty[Long].toDF("user_id"), "user_id")
+      .isEmpty)
+    assert(store.currentVersion() === before)
+    // ambiguous key input refuses loudly instead of purging the wrong
+    // column (a silent compliance failure)
+    assertThrows[IllegalArgumentException] {
+      store.purgeKeys(Seq((5L, 1L)).toDF("request_id", "other"), "user_id")
+    }
+    // a multi-column keys table WITH the key column purges the right one
+    store.purgeKeys(Seq((999L, 2L)).toDF("request_id", "user_id"),
+      "user_id")
+    store.versions().foreach { v =>
+      assert(store.readVersion(v).filter($"user_id" === 2L).count() === 0L)
+      assert(store.readVersion(v).filter($"user_id" === 999L).count() ===
+        store.readVersion(v).filter($"user_id" === 999L).count()) // no-op sanity
+    }
+  }
+
+  test("purgeKeys preserves a partitioned version's hive layout") {
+    val root = tmp("purge_part")
+    val store = new SnapshotStore(spark, root)
+    val df = (1 to 40).map(i => (i.toLong, s"2024-01-0${i % 4 + 1}", s"v$i"))
+      .toDF("user_id", "day", "v")
+    store.publish(df, partitionBy = Seq("day"))
+    store.purgeKeys(Seq(3L).toDF("user_id"), "user_id")
+    // both the rewritten historical dir and the fresh current keep the
+    // day= directory layout (PartitionFilters pruning intact)
+    store.versions().foreach { v =>
+      val pruned = store.readVersion(v).filter(col("day") === "2024-01-03")
+      val scan = pruned.queryExecution.executedPlan.collectLeaves().head
+        .toString
+      assert(scan.contains("PartitionFilters") && scan.contains("2024-01-03"),
+        s"version $v lost partition pruning after the purge:\n$scan")
+      assert(store.readVersion(v).filter(col("user_id") === 3L).count() === 0L)
+    }
+    assert(store.read().get.count() === 39L)
   }
 
   test("batch-file vacuum drops only aged change files, never other artifacts") {
