@@ -267,7 +267,12 @@ object SnapshotStore {
     * `path` makes the table external (data at the given location instead
     * of the session warehouse dir — e.g. a staging root with its own
     * lifecycle). Versioning composes by publishing `table_v{N}` names
-    * through the same pointer protocol as the path store. */
+    * through the same pointer protocol as the path store. Deletion
+    * lifecycle: a bucketed table is a DERIVED layout — after
+    * [[SnapshotStore!.purgeKeys purgeKeys]] sweeps the source store,
+    * re-publish the table from the purged snapshot (mode overwrite,
+    * same verb); the table has no in-place purge because its bucket
+    * files are rewritten wholesale on every publish anyway. */
   def publishBucketed(df: DataFrame, table: String, key: String,
                       buckets: Int, path: Option[String] = None): Unit = {
     val w = df.write.mode("overwrite").format("parquet")
