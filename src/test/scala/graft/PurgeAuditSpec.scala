@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
+import graft.engine.Stats
 import graft.ops.{DedupOps, Multimodal, PurgeAudit, SimilarityOps, TextOps}
 
 /** The cross-index purge audit: residual 0 through every family's
@@ -29,14 +30,20 @@ class PurgeAuditSpec extends AnyFunSuite {
 
   private val delDocs = col("doc_id") % 3 === 1   // docs 1,4,7,10
   private val delVecs = col("vec_id") % 3 === 1   // vecs 1,4,7
+  private val delKeys = col("k") % 3 === 1        // users 1,4,7,10
+
+  // 12 (event_type, user_id) rows, one per user — the distinct view's
+  // exact companion then holds one pair per user
+  private def evrows =
+    (0L to 11L).map(id => (s"t${id % 3}", id)).toDF("event_type", "user_id")
 
   private case class Roots(fp: String, ah: String, ivf: String,
                            bm: String, voc: String, pq: String,
-                           ivfpq: String)
+                           ivfpq: String, dv: String)
 
   private def buildAll(del: Boolean): Roots = {
     val r = Roots(tmp("pa_fp"), tmp("pa_ah"), tmp("pa_ivf"), tmp("pa_bm"),
-      tmp("pa_voc"), tmp("pa_pq"), tmp("pa_ivfpq"))
+      tmp("pa_voc"), tmp("pa_pq"), tmp("pa_ivfpq"), tmp("pa_dv"))
     DedupOps.buildFingerprintIndex(docs, r.fp)
     DedupOps.buildHashIndex(
       Multimodal.imageAHash(Multimodal.encodePng(docs)), r.ah)
@@ -46,6 +53,7 @@ class PurgeAuditSpec extends AnyFunSuite {
     SimilarityOps.buildPqIndex(embs, r.pq, m = 2, ksub = 2, iters = 1)
     SimilarityOps.buildIvfPqIndex(embs, r.ivfpq, k = 2, iters = 2,
       m = 2, ksub = 2, pqIters = 1)
+    Stats.buildDistinctView(evrows, "event_type", "user_id", r.dv)
     if (del) {
       DedupOps.tombstoneFingerprintIndex(
         docs.filter(delDocs).select("doc_id"), r.fp)
@@ -55,6 +63,8 @@ class PurgeAuditSpec extends AnyFunSuite {
           embs.filter(delVecs).select("vec_id"), annRoot)
       TextOps.retractBm25Index(docs.filter(delDocs), r.bm)
       TextOps.retractVocabIndex(docs.filter(delDocs), r.voc)
+      Stats.retractDistinctView(evrows.filter(col("user_id") % 3 === 1),
+        "event_type", "user_id", r.dv, "purge")
     }
     r
   }
@@ -62,7 +72,8 @@ class PurgeAuditSpec extends AnyFunSuite {
   private def audit(r: Roots) =
     PurgeAudit.audit(spark,
       r.fp, delDocs, r.ah, delDocs, r.ivf, delVecs,
-      r.bm, delDocs, r.voc, r.pq, delVecs, r.ivfpq, delVecs)
+      r.bm, delDocs, r.voc, r.pq, delVecs, r.ivfpq, delVecs,
+      r.dv, delKeys)
       .collect()
       .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
 
@@ -70,7 +81,7 @@ class PurgeAuditSpec extends AnyFunSuite {
     "are the remaining population") {
     val m = audit(buildAll(del = true))
     val residuals = m.filter(_._1._2 == "deleted_residual")
-    assert(residuals.size === 6)
+    assert(residuals.size === 7)
     assert(residuals.values.forall(_ == 0L),
       s"no family may serve a purged id: $residuals")
     // 8 of 12 docs remain, 7 of 10 vectors
@@ -90,6 +101,9 @@ class PurgeAuditSpec extends AnyFunSuite {
     assert(m(("vocab", "live_words")) === 8L * 40L)
     assert(m(("vocab", "token_mass")) === 8L * 40L)
     assert(m(("vocab", "df_mass")) === 8L * 40L)
+    // the retractable distinct view: 8 of 12 (type, user) pairs remain
+    assert(m(("distinct", "live_pairs")) === 8L)
+    assert(m(("distinct", "pair_mass")) === 8L)
   }
 
   test("non-vacuity: an index whose deletion never ran shows a positive " +
@@ -101,6 +115,7 @@ class PurgeAuditSpec extends AnyFunSuite {
     assert(m(("ann_pq", "deleted_residual")) > 0L)
     assert(m(("ann_ivfpq", "deleted_residual")) > 0L)
     assert(m(("bm25", "deleted_residual")) > 0L)
+    assert(m(("distinct", "deleted_residual")) > 0L)
     // and the content-keyed vocab view still carries the full corpus
     assert(m(("vocab", "token_mass")) === 12L * 40L)
   }
@@ -112,17 +127,18 @@ class PurgeAuditSpec extends AnyFunSuite {
       PurgeAudit.certify(spark,
         dirty.fp, delDocs, dirty.ah, delDocs, dirty.ivf, delVecs,
         dirty.bm, delDocs, dirty.voc,
-        dirty.pq, delVecs, dirty.ivfpq, delVecs)
+        dirty.pq, delVecs, dirty.ivfpq, delVecs, dirty.dv, delKeys)
     }
     for (f <- Seq("fingerprint", "image_ahash", "ann_ivf", "ann_pq",
-        "ann_ivfpq", "bm25"))
+        "ann_ivfpq", "bm25", "distinct"))
       assert(e.getMessage.contains(f),
         s"the raise must name family '$f': ${e.getMessage}")
     val clean = buildAll(del = true)
     val rows = PurgeAudit.certify(spark,
       clean.fp, delDocs, clean.ah, delDocs, clean.ivf, delVecs,
       clean.bm, delDocs, clean.voc,
-      clean.pq, delVecs, clean.ivfpq, delVecs).collect()
-    assert(rows.length === 21)
+      clean.pq, delVecs, clean.ivfpq, delVecs,
+      clean.dv, delKeys).collect()
+    assert(rows.length === 24)
   }
 }
