@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   * Scale shape: each metric is one partial-aggregated pass over its
   * index table (count / countDistinct — map-side combine, no joins
   * beyond the size-guarded tombstone screens already in the read
-  * paths), and the result is a fixed ~21 rows regardless of corpus
+  * paths), and the result is a fixed ~24 rows regardless of corpus
   * size. At 100 TB this is strictly cheaper than any single probe
   * sweep, and embarrassingly parallel across families. */
 object PurgeAudit {
@@ -122,7 +122,7 @@ object PurgeAudit {
     * silent `deleted_residual > 0` in a report nobody reads is exactly
     * how a right-to-be-forgotten regression ships; a raise on the
     * maintenance tick is not ignorable. The collect is the fixed
-    * ~21-row audit — bounded by construction. */
+    * ~24-row audit — bounded by construction. */
   def certify(spark: SparkSession,
               fingerprintPath: String, fingerprintDeleted: Column,
               ahashPath: String, ahashDeleted: Column,

@@ -33,9 +33,13 @@ class PurgeAuditSpec extends AnyFunSuite {
   private val delKeys = col("k") % 3 === 1        // users 1,4,7,10
 
   // 12 (event_type, user_id) rows, one per user — the distinct view's
-  // exact companion then holds one pair per user
+  // exact companion then holds one pair per user. Grouping by id % 2
+  // (while the purge slice is id % 3 == 1) spreads the retracted users
+  // ACROSS groups that keep survivors: a retraction bug that wiped a
+  // whole touched group instead of netting per-pair would change the
+  // live counts, which a purged-set ≡ group coincidence could not see.
   private def evrows =
-    (0L to 11L).map(id => (s"t${id % 3}", id)).toDF("event_type", "user_id")
+    (0L to 11L).map(id => (s"t${id % 2}", id)).toDF("event_type", "user_id")
 
   private case class Roots(fp: String, ah: String, ivf: String,
                            bm: String, voc: String, pq: String,
@@ -131,7 +135,9 @@ class PurgeAuditSpec extends AnyFunSuite {
     }
     for (f <- Seq("fingerprint", "image_ahash", "ann_ivf", "ann_pq",
         "ann_ivfpq", "bm25", "distinct"))
-      assert(e.getMessage.contains(f),
+      // delimited match: the message format is "family (N rows)", and a
+      // bare contains("ann_ivf") would be satisfied by "ann_ivfpq"
+      assert(e.getMessage.contains(s"$f ("),
         s"the raise must name family '$f': ${e.getMessage}")
     val clean = buildAll(del = true)
     val rows = PurgeAudit.certify(spark,
