@@ -87,6 +87,27 @@ object ScalePoint {
     finally walk.close()
   }
 
+  /** The replica shift is i·10⁷ — sound ONLY while every base id stays
+    * below 10⁷ (the sf0.1 generator tops out ~10⁵–10⁶). A larger base
+    * dir would silently ALIAS ids across replicas — two replicas of
+    * different rows colliding on one id — corrupting every id-keyed
+    * slope (the distinct view's (grp, key) pairs, the deletion
+    * predicates' selectivity), so the builders refuse loudly instead.
+    * One tiny agg per build (the `builtComplete` check already
+    * short-circuits rebuilt dirs before this runs). */
+  private def requireIdsBelowShift(df: DataFrame, table: String,
+                                   idCols: String*): Unit = {
+    val row = df.agg(max(col(idCols.head)),
+      idCols.tail.map(c => max(col(c))): _*).head()
+    idCols.zipWithIndex.foreach { case (c, i) =>
+      val mx = row.getLong(i)
+      require(mx < 10000000L,
+        s"buildScaled: $table.$c max id $mx >= 10^7 — the i*10^7 replica " +
+          "shift would alias ids across replicas and corrupt every " +
+          "id-keyed scale slope; raise the shift for this corpus")
+    }
+  }
+
   private[graft] def buildScaled(spark: SparkSession, baseDir: String,
                                  outDir: String): Unit = {
     buildScaledEmbeddings(spark, baseDir, outDir)
@@ -96,6 +117,7 @@ object ScalePoint {
     if (Files.exists(docsTgt)) deleteTree(docsTgt) // incomplete: rebuild
     Files.createDirectories(Paths.get(outDir))
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
+    requireIdsBelowShift(base, "documents", "doc_id")
     val alphabet = ('a' to 'z').mkString + ('0' to '9').mkString
     // deterministic per-replica permutation of the 36-char alphabet
     def cipher(rep: Int): String = {
@@ -149,6 +171,7 @@ object ScalePoint {
     if (Files.isSymbolicLink(tgt)) Files.delete(tgt)
     else if (Files.exists(tgt)) deleteTree(tgt) // incomplete: rebuild
     val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    requireIdsBelowShift(base, "embeddings", "vec_id")
     val dim = 64
     def permSigns(rep: Int): (Seq[Int], Seq[Float]) = {
       val rnd = new scala.util.Random(0xe3b0c4 + rep)
@@ -192,7 +215,9 @@ object ScalePoint {
     Files.createDirectories(Paths.get(outDir))
     if (Files.isSymbolicLink(tgt)) Files.delete(tgt)
     else if (Files.exists(tgt)) deleteTree(tgt) // incomplete: rebuild
-    graft.engine.Tables.events(spark, baseDir)
+    val baseEv = graft.engine.Tables.events(spark, baseDir)
+    requireIdsBelowShift(baseEv, "events", "event_id", "user_id")
+    baseEv
       .crossJoin(spark.range(Replicas).select(col("id").cast("long").as("_rep")))
       .select(
         (col("event_id") + col("_rep") * lit(10000000L)).as("event_id"),

@@ -547,7 +547,13 @@ object SparkEntry {
         .select(col("event_type"), col("exact_users"),
           (abs(col("approx_distinct") - col("exact_users").cast("double")) /
             col("exact_users").cast("double") <= 0.05)
-            .as("view_within_tol"))
+            .as("view_within_tol"),
+          // the approximate read's staleness signal: the hll tick ran
+          // in this root's build, so a pending `_retracted` marker here
+          // means the rebuild was silently skipped — a red row, not a
+          // documented window (StreamingSpec pins the true state
+          // between retraction and tick)
+          col("stale").as("hll_stale"))
         .orderBy("event_type")
     }),
 
@@ -4049,7 +4055,8 @@ object SparkEntry {
         |       count(DISTINCT user_id) AS exact_users,
         |       abs(CAST(approx_count_distinct(user_id) AS DOUBLE)
         |             - count(DISTINCT user_id))
-        |         / count(DISTINCT user_id) <= 0.05 AS view_within_tol
+        |         / count(DISTINCT user_id) <= 0.05 AS view_within_tol,
+        |       false AS hll_stale
         |FROM events WHERE user_id % 10 <> 7
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 

@@ -689,7 +689,16 @@ object Compaction {
               .agg(hll_sketch_agg(col("k")).as("sketch"))
               .repartition(col("grp")).sortWithinPartitions("grp"),
             maxFilesPerPartition = maxFilesPerPartition, force = true)
-          Files.deleteIfExists(marker)
+          // the marker is the rebuild's debt note — clear it only when
+          // the rebuild actually PUBLISHED (compactTable no-ops on a
+          // sketches dir with no data files even under force; clearing
+          // then would silently forget an owed rebuild and the HLL read
+          // would over-count until some later retraction re-marked it).
+          // The one no-rebuild case that owes nothing: the exact
+          // companion itself has no live files, so there is no netted
+          // state for any future rebuild to serve.
+          if (r || filesPerPartition(exactT).isEmpty)
+            Files.deleteIfExists(marker)
           r
         } else compactTable(spark, s"$path/sketches",
           df => df.groupBy("grp")

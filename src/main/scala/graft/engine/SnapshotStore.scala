@@ -70,13 +70,29 @@ class SnapshotStore(spark: SparkSession, root: String) {
     * recent (never the published one). Returns the versions removed.
     * Mirrors the reference's batch-file GC (log_extractor.py:212-227) at
     * the snapshot level — the time-travel window is bounded, the current
-    * pointer is untouched, so readers are never broken. */
+    * pointer is untouched, so readers are never broken.
+    *
+    * Purge-temp GC rides retention: a dropped version's `v{N}._purge`
+    * temp goes FIRST (a marked temp outliving its retention-dropped
+    * version would be adopted by the next purge's recovery pass —
+    * resurrecting a version vacuum already deleted; temp-then-dir order
+    * means a crash between the two deletes leaves the version retained
+    * one cycle longer, never resurrected), and UNMARKED temps of any
+    * version are discarded here too — they are torn writes recovery
+    * would discard anyway, but only if [[purgeKeys]] ever runs again;
+    * without this a store that stops purging leaks them forever. */
   def vacuum(keepLast: Int): Seq[Long] = {
     val all = versions()
     val cur = currentVersion()
     val keep = all.takeRight(math.max(keepLast, 1)).toSet ++ cur.toSet
     val drop = all.filterNot(keep)
-    drop.foreach(v => deleteTree(rootPath.resolve(s"v$v")))
+    drop.foreach { v =>
+      val tmp = rootPath.resolve(s"v$v._purge")
+      if (Files.exists(tmp)) deleteTree(tmp)
+      deleteTree(rootPath.resolve(s"v$v"))
+    }
+    purgeTemps().filterNot(t => Files.exists(t.resolve("_SUCCESS")))
+      .foreach(deleteTree)
     drop
   }
 
@@ -200,18 +216,7 @@ class SnapshotStore(spark: SparkSession, root: String) {
     * live dir — which may be pre-purge, or already gone), unmarked
     * temps are torn writes (discard; the re-run rewrites them). */
   private def recoverPurgeTemps(): Unit = {
-    if (!Files.exists(rootPath)) return
-    val stream = Files.list(rootPath)
-    val temps = try {
-      val it = stream.iterator()
-      val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-      while (it.hasNext) {
-        val p = it.next()
-        if (p.getFileName.toString.endsWith("._purge")) buf += p
-      }
-      buf.toSeq
-    } finally stream.close()
-    temps.foreach { tmp =>
+    purgeTemps().foreach { tmp =>
       val live = rootPath.resolve(
         tmp.getFileName.toString.stripSuffix("._purge"))
       if (Files.exists(tmp.resolve("_SUCCESS"))) {
@@ -220,6 +225,23 @@ class SnapshotStore(spark: SparkSession, root: String) {
       } else deleteTree(tmp)
     }
   }
+
+  /** The `v{N}._purge` staging temps currently on disk. */
+  private def purgeTemps(): Seq[java.nio.file.Path] =
+    if (!Files.exists(rootPath)) Seq.empty
+    else {
+      val stream = Files.list(rootPath)
+      try {
+        val it = stream.iterator()
+        val buf =
+          scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith("._purge")) buf += p
+        }
+        buf.toSeq
+      } finally stream.close()
+    }
 
   private def deleteTree(dir: java.nio.file.Path): Unit = {
     val stream = Files.walk(dir)

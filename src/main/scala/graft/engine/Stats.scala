@@ -419,14 +419,24 @@ object Stats {
   /** View read: union each group's stored sketches, estimate.
     * Approximate, and on a retractable view STALE (over-counting) for
     * retractions newer than the last `hll` maintenance tick — the
-    * deletion-exact read is [[queryDistinctViewExact]]. */
+    * deletion-exact read is [[queryDistinctViewExact]]. The staleness
+    * window is SIGNALED, not just documented: the `stale` column reads
+    * the pending `_retracted` marker (written by [[retractDistinctView]]
+    * before its append, cleared by the tick only after the sketch
+    * rebuild publishes), so a reader between retraction and tick KNOWS
+    * the estimate over-counts and can fall back to the exact read —
+    * the flag costs one file-existence probe, no extra scan. */
   def queryDistinctView(spark: SparkSession, path: String,
-                        group: String): DataFrame =
+                        group: String): DataFrame = {
+    val pending = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/_retracted"))
     spark.read.parquet(Compaction.resolve(s"$path/sketches"))
       .groupBy("grp")
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
         .as("approx_distinct"))
+      .withColumn("stale", lit(pending))
       .withColumnRenamed("grp", group)
+  }
 
   /** Join-key skew diagnosis — the table to read BEFORE shuffling 100 TB
     * on a key: per-key row counts for the `k` heaviest keys, each with

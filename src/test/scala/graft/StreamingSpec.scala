@@ -1386,11 +1386,19 @@ class StreamingSpec extends AnyFunSuite {
     // the HLL read still over-counts (sketches cannot retract) until
     // the tick rebuilds it from the netted pairs
     assert(approx()("click") === 4L, "pre-tick HLL over-counts by design")
+    def staleFlags() = Stats.queryDistinctView(spark, view, "event_type")
+      .select("stale").distinct().collect().map(_.getBoolean(0)).toSet
+    assert(staleFlags() === Set(true),
+      "between retraction and tick the approximate read must SIGNAL " +
+        "its over-count (pending _retracted marker), not just document it")
     CdcStream.maintainStreamedIndex(spark, view, "hll")
     assert(approx() === Map("click" -> 3L, "view" -> 2L),
       "the tick rebuilds the sketches from the exact companion")
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$view/_retracted")))
+    assert(staleFlags() === Set(false),
+      "the rebuilt sketch serves fresh — the stale flag clears with " +
+        "the marker")
     // a checkpoint-replayed batch id re-applies NEITHER half
     CdcStream.distinctAbsorb(spark, b1, 1L, view, "event_type", "user_id",
       ckpt)
