@@ -897,6 +897,25 @@ object SparkEntry {
         emb.filter(expr(BatchQueryPred)), 10, 2).orderBy("q_id")
     }),
 
+    // recall@10 of the PRODUCTION two-stage reads (ADC shortlist 4×k →
+    // exact float rerank) — the dial the raw-ADC recall rows point to
+    // as the deployment answer, now itself a gate: a shortlist too
+    // narrow to contain the true neighbors, or a rerank regression, is
+    // a red row here while every raw-ADC row stays green
+    "ann_pq_rerank_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.pqRerankRecallReport(s, storedPqPath(s, dir), emb,
+        emb.filter(expr(BatchQueryPred)), 10, P.RerankFactor)
+        .orderBy("q_id")
+    }),
+
+    "ann_ivfpq_rerank_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.ivfPqRerankRecallReport(s, storedIvfPqPath(s, dir),
+        emb, emb.filter(expr(BatchQueryPred)), 10, P.RerankFactor, 2)
+        .orderBy("q_id")
+    }),
+
     // SemDeDup (k-means-blocked semantic dedup): pairwise cosine only
     // WITHIN a trained cluster, drop the higher-centroid-similarity
     // member of any pair above the threshold — the paper's
@@ -1637,6 +1656,11 @@ object SparkEntry {
     val PqM = 8           // PQ subspaces
     val PqKsub = 16       // PQ centroids per subspace
     val PqIters = 1       // PQ k-means iterations
+    val RerankFactor = 4  // two-stage ANN shortlist width = k × this
+                          // (bench/RECALL_r18.md's committed sweep:
+                          // 2× already saturates this corpus's
+                          // rerank recall; 4× is the deployment
+                          // margin at one extra broadcast-row cost)
     val ChunkWords = 20   // words per chunk for paragraph-level dedup
   }
 
@@ -2229,9 +2253,28 @@ object SparkEntry {
     * brute-force cosine top-10 per query. One definition serves the
     * stored and merged variants, so a shape fix (tie-break, rounding,
     * k) lands once. */
-  private def pqRecallOracleSql(trainPred: Option[String]): String = {
+  /** `rerank = Some(f)` appends the production two-stage read's replay:
+    * the ADC CTE becomes a 10×f shortlist and an exact-cosine rerank
+    * (same 6-dp + vec_id discipline as `brute`) takes the top 10 before
+    * the intersect — the ann_pq_rerank_recall oracle. None measures the
+    * raw ADC retrieval, the pre-r18 shape. */
+  private def pqRecallOracleSql(trainPred: Option[String],
+                                rerank: Option[Int] = None): String = {
     val (ctes, joins, adcSum, _) =
       pqOracleFragments(trainPred, batchPred = Some(BatchQueryPred))
+    val shortK = rerank.map(_ * 10).getOrElse(10)
+    val (rrCte, retrieved) = rerank match {
+      case None => ("", "pqr")
+      case Some(_) => (s""",
+         |rr AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT p.q_id, p.vec_id,
+         |           row_number() OVER (PARTITION BY p.q_id
+         |             ORDER BY round(${cosSql("e.v", "qr.qv")}, 6) DESC, p.vec_id) AS rn
+         |    FROM pqr p JOIN e ON e.vec_id = p.vec_id
+         |    JOIN qr ON qr.q_id = p.q_id) WHERE rn <= 10)""".stripMargin,
+        "rr")
+    }
     s"""$ctes,
        |qr AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $BatchQueryPred),
        |brute AS (
@@ -2247,9 +2290,9 @@ object SparkEntry {
        |             ORDER BY $adcSum, t0.vec_id) AS rn
        |    FROM ctb_0 t0
        |    $joins
-       |    WHERE t0.vec_id <> t0.q_id) WHERE rn <= 10),
+       |    WHERE t0.vec_id <> t0.q_id) WHERE rn <= $shortK)$rrCte,
        |h AS (SELECT b.q_id, count(*) AS n_hits
-       |      FROM brute b JOIN pqr USING (q_id, vec_id) GROUP BY b.q_id)
+       |      FROM brute b JOIN $retrieved USING (q_id, vec_id) GROUP BY b.q_id)
        |SELECT qr.q_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
        |       CAST(coalesce(n_hits, 0) AS DOUBLE) / 10 AS recall
        |FROM qr LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin
@@ -2258,9 +2301,23 @@ object SparkEntry {
   /** The composite's twin: the ivfpq batch splice (k-means cell replay
     * + PQ replay, 2 probed cells) ∩ brute top-10 — `trainPred` as
     * [[pqRecallOracleSql]]. */
-  private def ivfPqRecallOracleSql(trainPred: Option[String]): String = {
+  private def ivfPqRecallOracleSql(trainPred: Option[String],
+                                   rerank: Option[Int] = None): String = {
     val (_, joins, adcSum, subs) =
       pqOracleFragments(trainPred, batchPred = Some(BatchQueryPred))
+    val shortK = rerank.map(_ * 10).getOrElse(10)
+    val (rrCte, retrieved) = rerank match {
+      case None => ("", "ipq")
+      case Some(_) => (s""",
+         |rr AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT p.q_id, p.vec_id,
+         |           row_number() OVER (PARTITION BY p.q_id
+         |             ORDER BY round(${cosSql("e.v", "qb.qv")}, 6) DESC, p.vec_id) AS rn
+         |    FROM ipq p JOIN e ON e.vec_id = p.vec_id
+         |    JOIN qb ON qb.q_id = p.q_id) WHERE rn <= 10)""".stripMargin,
+        "rr")
+    }
     s"""${ivfFinCtes(trainPred, 2)},
        |$subs,
        |qb AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $BatchQueryPred),
@@ -2285,9 +2342,9 @@ object SparkEntry {
        |    $joins
        |    JOIN fin f ON f.vec_id = t0.vec_id
        |    JOIN best b ON b.q_id = t0.q_id AND b.cl = f.cl
-       |    WHERE t0.vec_id <> t0.q_id) WHERE rn <= 10),
+       |    WHERE t0.vec_id <> t0.q_id) WHERE rn <= $shortK)$rrCte,
        |h AS (SELECT b.q_id, count(*) AS n_hits
-       |      FROM brute b JOIN ipq USING (q_id, vec_id) GROUP BY b.q_id)
+       |      FROM brute b JOIN $retrieved USING (q_id, vec_id) GROUP BY b.q_id)
        |SELECT qb.q_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
        |       CAST(coalesce(n_hits, 0) AS DOUBLE) / 10 AS recall
        |FROM qb LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin
@@ -3508,6 +3565,15 @@ object SparkEntry {
     // build(subset) + merge(remainder)
     "ann_pq_merged_recall" -> pqRecallOracleSql(Some(IvfMergeBuildPred)),
     "ann_ivfpq_merged_recall" -> ivfPqRecallOracleSql(Some(IvfMergeBuildPred)),
+
+    // recall of the production two-stage reads: the same training
+    // replays, the ADC CTE widened to the 4×k shortlist, then the
+    // exact-cosine rerank replayed before the intersect — a rerank
+    // regression or a too-narrow shortlist reds these rows while the
+    // raw-ADC rows above stay green
+    "ann_pq_rerank_recall" -> pqRecallOracleSql(None, Some(P.RerankFactor)),
+    "ann_ivfpq_rerank_recall" ->
+      ivfPqRecallOracleSql(None, Some(P.RerankFactor)),
 
     // same Lloyd's replay, but TRAINED on the build subset only — the
     // assignment pass still covers every vector, exactly as the stored

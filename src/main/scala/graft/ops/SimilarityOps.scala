@@ -440,6 +440,82 @@ object SimilarityOps {
     adcRecall(embeddings, queries, k,
       queryIvfPqIndexBatch(spark, path, queries, k, nprobe))
 
+  /** Recall@k of the PRODUCTION two-stage read — the ADC shortlist →
+    * exact-rerank path [[pqRerankBatch]] — against brute force: the r17
+    * recall rows proved the RAW ADC retrieval weak and named the rerank
+    * as the production dial; this row MEASURES that dial, so a
+    * too-narrow shortlist or a rerank regression is a red oracle row
+    * instead of invisible. `rerankFactor` is the dial itself (shortlist
+    * = k × factor); the committed width sweep lives in
+    * bench/RECALL_r18.md. */
+  def pqRerankRecallReport(spark: org.apache.spark.sql.SparkSession,
+                           path: String, embeddings: DataFrame,
+                           queries: DataFrame, k: Int = 10,
+                           rerankFactor: Int = 4): DataFrame =
+    adcRecall(embeddings, queries, k,
+      pqRerankBatch(spark, path, embeddings, queries, k, rerankFactor))
+
+  /** The composite's rerank twin: IVFPQ shortlist (cell pruning × ADC)
+    * → exact rerank, measured against brute force. */
+  def ivfPqRerankRecallReport(spark: org.apache.spark.sql.SparkSession,
+                              path: String, embeddings: DataFrame,
+                              queries: DataFrame, k: Int = 10,
+                              rerankFactor: Int = 4,
+                              nprobe: Int = 2): DataFrame =
+    adcRecall(embeddings, queries, k,
+      ivfPqRerankBatch(spark, path, embeddings, queries, k, rerankFactor,
+        nprobe))
+
+  /** Batch two-stage read over the stored PQ index — the deployment
+    * shape of [[pqRerankTopK]]: ONE screened code-table scan shortlists
+    * `topK × rerankFactor` candidates per query by ADC
+    * ([[queryPqIndexBatch]]), then ONLY the shortlisted candidates
+    * touch their float vectors for the exact cosine ordering — full-
+    * vector work stays O(|queries| × topK × factor), never O(corpus). */
+  def pqRerankBatch(spark: org.apache.spark.sql.SparkSession,
+                    path: String, embeddings: DataFrame,
+                    queries: DataFrame, topK: Int,
+                    rerankFactor: Int = 4): DataFrame =
+    rerankExact(embeddings, queries,
+      queryPqIndexBatch(spark, path, queries, topK * rerankFactor), topK)
+
+  /** [[pqRerankBatch]]'s composite twin over the stored IVF-PQ index:
+    * the shortlist additionally prunes to each query's `nprobe` cells
+    * ([[queryIvfPqIndexBatch]]) before the exact rerank. */
+  def ivfPqRerankBatch(spark: org.apache.spark.sql.SparkSession,
+                       path: String, embeddings: DataFrame,
+                       queries: DataFrame, topK: Int,
+                       rerankFactor: Int = 4, nprobe: Int = 2): DataFrame =
+    rerankExact(embeddings, queries,
+      queryIvfPqIndexBatch(spark, path, queries, topK * rerankFactor,
+        nprobe), topK)
+
+  /** Exact cosine re-rank of a per-query (q_id, vec_id) shortlist: the
+    * candidates fetch their float vectors through one broadcast join
+    * (the shortlist is query-batch-sized — |queries| × k × factor rows,
+    * control-plane small at any corpus scale), the query vectors ride a
+    * second broadcast, and a per-query top-k window orders by the same
+    * 6-dp cosine + vec_id tie-break every exact ranking in the engine
+    * uses. Self-matches were already excluded by the batch probes. */
+  private def rerankExact(embeddings: DataFrame, queries: DataFrame,
+                          shortlist: DataFrame, topK: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    VectorExpressions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings.select(col("vec_id"),
+      asDoubleVec(col("embedding")).as("v"))
+    val q = queries.select(col("vec_id").as("q_id"),
+      asDoubleVec(col("embedding")).as("qv"))
+    e.join(broadcast(shortlist.select("q_id", "vec_id")), "vec_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        round(cosine("v", "qv"), 6).as("cosine"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cosine"), col("vec_id"))))
+      .filter(col("_rn") <= topK)
+      .drop("_rn")
+  }
+
   /** Shared recall evaluator: exact brute top-k per query (the
     * reference set) ∩ the family's retrieved (q_id, vec_id) rows →
     * per-query hit count and recall. */
