@@ -180,6 +180,74 @@ class SnapshotStore(spark: SparkSession, root: String) {
       } finally Caches.releaseCheckpoint(k)
     }
 
+  /** Queue erasure keys for the next scheduled [[purgeSweep]] — the
+    * compliance-request INGESTION verb: appends O(|keys|) rows to the
+    * tiny `_purge_queue` sidecar dir and touches NO version dir, so N
+    * erasure requests arriving between sweeps cost N small appends plus
+    * ONE O(retained-window) rewrite when the sweep folds them — not the
+    * N whole-window rewrites a per-request [[purgeKeys]] deployment
+    * would pay (the r17-stated scale hazard: a daily erasure feed
+    * rewriting the whole window daily). At-least-once by design: a
+    * crashed append is re-queued by the caller's replay, and duplicate
+    * or already-absent keys are harmless (the sweep distincts; purging
+    * an absent key reproduces the same contents). Same key-column
+    * validation as [[purgeKeys]]; the key TYPE must stay stable across
+    * enqueues — one queue schema per store. */
+  def queuePurgeKeys(keys: DataFrame, keyCol: String): Unit = {
+    require(keys.columns.contains(keyCol) || keys.columns.length == 1,
+      s"queuePurgeKeys: keys has no '$keyCol' column and is not " +
+        s"single-column (${keys.columns.mkString(", ")}) — ambiguous " +
+        "key source refused (a silent wrong-column purge is a " +
+        "compliance failure)")
+    val keyIn = if (keys.columns.contains(keyCol))
+      keys.col(keyCol) else keys.col(keys.columns.head)
+    Files.createDirectories(rootPath)
+    keys.select(keyIn.as(keyCol)).distinct()
+      .write.mode("append").parquet(queueDir.toString)
+  }
+
+  /** Fold every queued erasure key into ONE [[purgeKeys]] call and
+    * clear exactly the queue files that call consumed. Returns the
+    * rewritten versions — empty when nothing is queued, so a scheduled
+    * sweep with an empty queue costs one directory listing and zero
+    * rewrites. Crash-safe: the queue clears only AFTER the purge
+    * completes, so a crash mid-sweep leaves the keys queued and the
+    * next sweep re-purges them (idempotent by [[purgeKeys]]' contract);
+    * keys enqueued WHILE the sweep runs are outside its file-listing
+    * snapshot and fold into the next sweep, never lost. Single-writer
+    * like every maintenance verb ([[queuePurgeKeys]] appends are the
+    * one exception the snapshot listing makes safe). */
+  def purgeSweep(keyCol: String): Seq[Long] = {
+    val files = queueFiles()
+    if (files.isEmpty) return Seq.empty
+    val rewritten = purgeKeys(
+      spark.read.parquet(files.map(_.toString): _*), keyCol)
+    files.foreach(Files.deleteIfExists)
+    rewritten
+  }
+
+  private val queueDir = rootPath.resolve("_purge_queue")
+
+  /** The queue's parquet data files (committer sidecars like `_SUCCESS`
+    * excluded) — the sweep's consumption snapshot. */
+  private def queueFiles(): Seq[java.nio.file.Path] =
+    if (!Files.exists(queueDir)) Seq.empty
+    else {
+      val stream = Files.list(queueDir)
+      try {
+        val it = stream.iterator()
+        val buf =
+          scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (n.endsWith(".parquet") && !n.startsWith("_") &&
+              !n.startsWith(".") && Files.isRegularFile(p)) buf += p
+        }
+        buf.toSeq
+      } finally stream.close()
+    }
+
   /** The hive partition columns a version dir was written with, in
     * nesting order — detected from the `col=value` directory levels, so
     * a purge rewrite can reproduce the layout it replaces. */

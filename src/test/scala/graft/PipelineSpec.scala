@@ -115,6 +115,51 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("queued purge requests fold into ONE window rewrite per sweep") {
+    val root = tmp("purge_queue")
+    val store = new SnapshotStore(spark, root)
+    store.publish(Seq((1L, "a0"), (2L, "b0"), (3L, "c0"), (4L, "d0"))
+      .toDF("user_id", "v"))
+    store.publish(Seq((1L, "a1"), (2L, "b1"), (3L, "c1"), (4L, "d1"))
+      .toDF("user_id", "v"))
+    // three erasure requests arrive between sweeps — each append is
+    // O(|keys|), no version dir is touched yet
+    store.queuePurgeKeys(Seq(1L).toDF("user_id"), "user_id")
+    store.queuePurgeKeys(Seq(2L).toDF("user_id"), "user_id")
+    store.queuePurgeKeys(Seq(1L).toDF("user_id"), "user_id") // replayed
+    assert(store.currentVersion().contains(1L),
+      "enqueue must not rewrite anything")
+    // ONE scheduled sweep folds all three: exactly one fresh publish
+    // (v2) and one rewrite of each retained historical dir
+    val rewritten = store.purgeSweep("user_id")
+    assert(rewritten.toSet === Set(2L, 0L, 1L))
+    assert(store.currentVersion().contains(2L),
+      "N queued requests must cost ONE window rewrite, not N")
+    store.versions().foreach { v =>
+      assert(store.readVersion(v)
+        .filter($"user_id" === 1L || $"user_id" === 2L).count() === 0L,
+        s"queued keys must be gone from version $v")
+    }
+    assert(store.read().get.orderBy("user_id").as[(Long, String)]
+      .collect().toSeq === Seq((3L, "c1"), (4L, "d1")))
+    // the consumed queue is cleared: the next sweep is the documented
+    // nothing-queued no-op (no publish, no rewrites)
+    assert(store.purgeSweep("user_id").isEmpty)
+    assert(store.currentVersion().contains(2L))
+    // requests arriving after a sweep fold into the next one
+    store.queuePurgeKeys(Seq((77L, 3L)).toDF("request_id", "user_id"),
+      "user_id")
+    assert(store.purgeSweep("user_id").nonEmpty)
+    store.versions().foreach { v =>
+      assert(store.readVersion(v).filter($"user_id" === 3L).count() === 0L)
+    }
+    // ambiguous enqueue input refuses loudly, like purgeKeys itself
+    assertThrows[IllegalArgumentException] {
+      store.queuePurgeKeys(Seq((5L, 1L)).toDF("request_id", "other"),
+        "user_id")
+    }
+  }
+
   test("purgeKeys preserves a partitioned version's hive layout") {
     val root = tmp("purge_part")
     val store = new SnapshotStore(spark, root)
