@@ -38,12 +38,22 @@ class SnapshotStore(spark: SparkSession, root: String) {
     * predicate then prunes at the directory level (PartitionFilters)
     * instead of scanning every file. The publish protocol is unchanged:
     * the version dir is written fully before the pointer moves. */
-  def publish(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
+  def publish(df: DataFrame, partitionBy: Seq[String] = Nil): Long =
+    publishVersionDir { dir =>
+      val w = df.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(dir)
+    }
+
+  /** Write the next version via `write` (handed the version dir path)
+    * and atomically publish it — the shared pointer protocol behind
+    * [[publish]] and [[publishZOrdered]]. `write` may drop `_`-prefixed
+    * sidecars (layout metadata) into the dir; they ride the same
+    * all-or-nothing publication as the data. */
+  private def publishVersionDir(write: String => Unit): Long = {
     Files.createDirectories(rootPath)
     val next = currentVersion().getOrElse(-1L) + 1L
-    val w = df.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(s"$root/v$next")
+    write(s"$root/v$next")
     val tmp = rootPath.resolve(s"_CURRENT.tmp$next")
     Files.writeString(tmp, next.toString)
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
@@ -60,11 +70,52 @@ class SnapshotStore(spark: SparkSession, root: String) {
     * pruning for 2-D box predicates on versions published this way —
     * the lakehouse OPTIMIZE ZORDER verb expressed as a snapshot
     * version transition, so a periodic re-cluster is just another
-    * publish and time travel across layout changes keeps working. */
+    * publish and time travel across layout changes keeps working.
+    *
+    * The layout spec is PERSISTED as a `_LAYOUT` sidecar inside the
+    * version dir (invisible to readers — `_`-prefixed), so maintenance
+    * rewrites of the version — [[purgeKeys]]' historical staged-replace
+    * — can REPRODUCE the clustering instead of silently degrading every
+    * range probe against the purged version until the next OPTIMIZE. */
   def publishZOrdered(df: DataFrame, a: String, b: String, tie: String,
-                      numFiles: Int): Long = {
-    publish(ZOrder.clustered(df, df(a), df(b), df(tie), numFiles))
+                      numFiles: Int): Long =
+    publishVersionDir { dir =>
+      ZOrder.clustered(df, df(a), df(b), df(tie), numFiles)
+        .write.mode("overwrite").parquet(dir)
+      writeLayout(Paths.get(dir), ZLayout(a, b, tie, numFiles))
+    }
+
+  /** A version's persisted clustering spec — written by
+    * [[publishZOrdered]], re-applied by [[purgeKeys]]' rewrites. */
+  private case class ZLayout(a: String, b: String, tie: String,
+                             numFiles: Int)
+
+  private def writeLayout(dir: java.nio.file.Path, z: ZLayout): Unit =
+    Files.writeString(dir.resolve("_LAYOUT"),
+      s"zorder\t${z.a}\t${z.b}\t${z.tie}\t${z.numFiles}")
+
+  private def layoutOf(dir: java.nio.file.Path): Option[ZLayout] = {
+    val p = dir.resolve("_LAYOUT")
+    if (!Files.exists(p)) None
+    else Files.readString(p).trim.split("\t", -1) match {
+      case Array("zorder", a, b, tie, n) => Some(ZLayout(a, b, tie, n.toInt))
+      case other => throw new IllegalStateException(
+        s"unrecognized _LAYOUT sidecar under $dir: " +
+          s"'${other.mkString("\\t")}' — refusing to rewrite a version " +
+          "whose layout this build cannot reproduce")
+    }
   }
+
+  /** `df` in `dir`'s persisted layout (when it has one): the purge
+    * rewrites route through here so a clustered version stays
+    * clustered. */
+  private def applyLayout(df: DataFrame,
+                          dir: java.nio.file.Path): DataFrame =
+    layoutOf(dir) match {
+      case Some(z) =>
+        ZOrder.clustered(df, df(z.a), df(z.b), df(z.tie), z.numFiles)
+      case None => df
+    }
 
   /** T7 retention: delete version dirs older than the `keepLast` most
     * recent (never the published one). Returns the versions removed.
@@ -120,11 +171,12 @@ class SnapshotStore(spark: SparkSession, root: String) {
     * [[vacuum]]; an EMPTY key set short-circuits to a no-op, so a
     * scheduled sweep with nothing queued costs nothing). `keys` must
     * carry the key in a column named `keyCol`, or be a single-column
-    * table (then renamed). Hive-partitioned versions rewrite WITH
-    * their partition layout (detected from the dir); z-ordered
-    * versions keep their answers but lose the clustering until the
-    * next OPTIMIZE publish — stated, since the rewrite cannot know the
-    * original sort. The anti-join is size-guarded
+    * table (then renamed). PHYSICAL LAYOUT survives the rewrite:
+    * hive-partitioned versions reproduce their partition dirs (detected
+    * from the dir), and z-ordered versions re-cluster from the
+    * `_LAYOUT` spec [[publishZOrdered]] persisted — at 100 TB a
+    * purged-then-unclustered version would regress every range probe
+    * against it until the next OPTIMIZE. The anti-join is size-guarded
     * ([[Skew.maybeBroadcast]]): a mass purge falls back to planner
     * strategy, never a forced driver broadcast. Returns the rewritten
     * version ids (the fresh current publish first, when the store has
@@ -150,18 +202,30 @@ class SnapshotStore(spark: SparkSession, root: String) {
         else {
           def purged(df: DataFrame): DataFrame =
             df.join(Skew.maybeBroadcast(k), Seq(keyCol), "left_anti")
-          // current first: one atomic publish moves live readers over
-          val fresh = read().map(cur =>
-            publish(purged(cur), partitionColsOf(
-              rootPath.resolve(s"v${currentVersion().get}"))))
+          // current first: one atomic publish moves live readers over —
+          // reproducing the purged version's PHYSICAL layout (hive
+          // partition dirs, or a persisted z-order spec), so the purge
+          // never silently declusters what an OPTIMIZE paid for
+          val fresh = read().map { cur =>
+            val curDir = rootPath.resolve(s"v${currentVersion().get}")
+            layoutOf(curDir) match {
+              case Some(z) =>
+                publishZOrdered(purged(cur), z.a, z.b, z.tie, z.numFiles)
+              case None => publish(purged(cur), partitionColsOf(curDir))
+            }
+          }
           val hist = versions().filterNot(fresh.contains)
           hist.foreach { v =>
             val dir = rootPath.resolve(s"v$v")
             val tmp = rootPath.resolve(s"v$v._purge")
             val parts = partitionColsOf(dir)
-            val w = purged(readVersion(v)).write.mode("overwrite")
+            val w = applyLayout(purged(readVersion(v)), dir)
+              .write.mode("overwrite")
             (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
               .parquet(tmp.toString)
+            // the layout spec rides the staged replace: the rewritten
+            // dir must advertise the clustering it reproduces
+            layoutOf(dir).foreach(writeLayout(tmp, _))
             // the swap protocol keys off the commit marker: without it
             // a crash between the deletes below would leave NO
             // authoritative copy — discard the temp and refuse

@@ -81,6 +81,26 @@ class ZOrderSpec extends AnyFunSuite {
     // time travel across the layout change keeps working
     assert(store.readVersion(0).count() === 65536L)
     assert(store.readVersion(1).columns.sorted === grid.columns.sorted)
+
+    // ── layout survives the compliance rewrite ───────────────────────
+    // purgeKeys rewrites BOTH the current (fresh publish) and the
+    // historical z-ordered dir; each must re-cluster from the persisted
+    // _LAYOUT spec, not silently degrade to the anti-join's shuffle
+    // layout (a purged-then-unclustered version regresses every range
+    // probe against it until the next OPTIMIZE)
+    store.purgeKeys(Seq(5L, 4097L).toDF("id"), "id")
+    assert(store.currentVersion().contains(2L))
+    assert(store.read().get.count() === 65534L)
+    // the fresh current AND the rewritten v1 both still prune a thin-y
+    // box to the same z-rectangle bound the pre-purge layout met
+    assert(candThinY(store.read().get) <= 24,
+      "the purged current must re-cluster from the persisted z spec")
+    assert(candThinY(store.readVersion(1)) <= 24,
+      "the rewritten historical version must keep its clustering")
+    assert(store.readVersion(1).filter(col("id") === 5L).count() === 0L)
+    // v0 was never clustered — the rewrite reproduces plain layout and
+    // the purged key is gone there too
+    assert(store.readVersion(0).filter(col("id") === 5L).count() === 0L)
   }
 
   test("z layout prunes thin boxes in both dims; linear only in its sort dim") {
