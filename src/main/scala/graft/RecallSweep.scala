@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Recall-vs-cost frontier sweeps for the lossy ANN read paths — the
+  * r17 verdict's asks #1 and #6 measured together, with the SAME
+  * brute-force evaluator the oracle rows pin
+  * ([[graft.ops.SimilarityOps.recallOf]]):
+  *
+  *  - shortlist-width sweep (rerank factor ∈ {2, 4, 8}) for the
+  *    two-stage PQ / IVFPQ reads — justifying the committed 4×k
+  *    default with numbers instead of a convention;
+  *  - nprobe sweep ({1, 2, 4, 8}) for the stored IVF and IVFPQ batch
+  *    probes — the production dial between probe cost (cells scanned)
+  *    and pruning recall.
+  *
+  * Each configuration reports recall@10 avg/min over the `% 97` query
+  * sample plus the WARM wall time of the retrieval alone (the probe
+  * the dial actually scales; the brute evaluator is evaluation cost,
+  * not production cost — at 100 TB the query set is a sample). Results
+  * are committed to `bench/RECALL_r18.md`. Indexes build once into a
+  * temp root with the bench's own parameters (k=8, iters=2, m=8,
+  * ksub=16, pqIters=1 — SparkEntry.P), full-corpus trained like the
+  * stored read paths. */
+object RecallSweep {
+
+  import ScalePoint.time
+  import graft.ops.SimilarityOps
+
+  private def recallAvgMin(rep: DataFrame): (Double, Double) = {
+    val r = rep.agg(avg("recall"), min("recall")).head()
+    (r.getDouble(0), r.getDouble(1))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = graft.engine.Tables.embeddings(spark, dir)
+    val queries = emb.filter(expr("vec_id % 97 = 0"))
+    val nQ = queries.count()
+    println(s"corpus=${emb.count()} queries=$nQ dir=$dir")
+
+    val root = Files.createTempDirectory("recall_sweep").toString
+    val (tPq, _) = time(SimilarityOps.buildPqIndex(emb, s"$root/pq",
+      m = 8, ksub = 16, iters = 1))
+    val (tIvf, _) = time(SimilarityOps.buildIvfIndex(emb, s"$root/ivf",
+      k = 8, iters = 2))
+    val (tIvfPq, _) = time(SimilarityOps.buildIvfPqIndex(emb,
+      s"$root/ivfpq", k = 8, iters = 2, m = 8, ksub = 16, pqIters = 1))
+    println(f"index builds: pq=$tPq%.2fs ivf=$tIvf%.2fs ivfpq=$tIvfPq%.2fs")
+
+    println("\n== shortlist-width sweep (two-stage rerank, k=10) ==")
+    println("family factor recall_avg recall_min warm_probe_s")
+    for (f <- Seq(1, 2, 4, 8)) {
+      // factor 1 = "rerank the raw top-10" — the degenerate lower bound
+      // that shows what widening buys
+      def probe() = SimilarityOps.pqRerankBatch(spark, s"$root/pq", emb,
+        queries, 10, f)
+      probe().count() // warm (codebook memos, shuffle files)
+      val (t, _) = time(probe().count())
+      val (a, m) = recallAvgMin(SimilarityOps.pqRerankRecallReport(spark,
+        s"$root/pq", emb, queries, 10, f))
+      println(f"pq_rerank    $f%6d $a%10.3f $m%10.3f $t%12.3f")
+    }
+    for (f <- Seq(1, 2, 4, 8)) {
+      def probe() = SimilarityOps.ivfPqRerankBatch(spark, s"$root/ivfpq",
+        emb, queries, 10, f, nprobe = 2)
+      probe().count()
+      val (t, _) = time(probe().count())
+      val (a, m) = recallAvgMin(SimilarityOps.ivfPqRerankRecallReport(
+        spark, s"$root/ivfpq", emb, queries, 10, f, nprobe = 2))
+      println(f"ivfpq_rerank $f%6d $a%10.3f $m%10.3f $t%12.3f")
+    }
+
+    println("\n== nprobe sweep (stored batch probes, k=10) ==")
+    println("family nprobe recall_avg recall_min warm_probe_s")
+    for (np <- Seq(1, 2, 4, 8)) {
+      def probe() = SimilarityOps.queryIvfIndexBatch(spark, s"$root/ivf",
+        queries, 10, np)
+      probe().count()
+      val (t, _) = time(probe().count())
+      val (a, m) = recallAvgMin(SimilarityOps.recallOf(emb, queries, 10,
+        probe()))
+      println(f"ivf          $np%6d $a%10.3f $m%10.3f $t%12.3f")
+    }
+    for (np <- Seq(1, 2, 4, 8)) {
+      def probe() = SimilarityOps.queryIvfPqIndexBatch(spark,
+        s"$root/ivfpq", queries, 10, np)
+      probe().count()
+      val (t, _) = time(probe().count())
+      val (a, m) = recallAvgMin(SimilarityOps.ivfPqRecallReport(spark,
+        s"$root/ivfpq", emb, queries, 10, np))
+      println(f"ivfpq        $np%6d $a%10.3f $m%10.3f $t%12.3f")
+      // the composite's rerank twin at the same nprobe — the frontier a
+      // deployment actually walks (probe wider AND rerank)
+      val (a2, m2) = recallAvgMin(SimilarityOps.ivfPqRerankRecallReport(
+        spark, s"$root/ivfpq", emb, queries, 10, 4, np))
+      println(f"ivfpq+rr4    $np%6d $a2%10.3f $m2%10.3f ${"-"}%12s")
+    }
+    spark.stop()
+  }
+}

@@ -1656,11 +1656,13 @@ object SparkEntry {
     val PqM = 8           // PQ subspaces
     val PqKsub = 16       // PQ centroids per subspace
     val PqIters = 1       // PQ k-means iterations
-    val RerankFactor = 4  // two-stage ANN shortlist width = k × this
-                          // (bench/RECALL_r18.md's committed sweep:
-                          // 2× already saturates this corpus's
-                          // rerank recall; 4× is the deployment
-                          // margin at one extra broadcast-row cost)
+    val RerankFactor = 4  // two-stage ANN shortlist width = k × this.
+                          // bench/RECALL_r18.md's committed sweep: 4×
+                          // MORE THAN DOUBLES raw-ADC recall (PQ 0.148
+                          // → 0.381 at sf0.1) at FLAT warm probe cost
+                          // (the shortlist is broadcast-tiny); recall
+                          // keeps climbing at 8× — the dial is cheap,
+                          // size it by recall target in deployment
     val ChunkWords = 20   // words per chunk for paragraph-level dedup
   }
 

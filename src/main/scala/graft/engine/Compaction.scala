@@ -122,6 +122,62 @@ object Compaction {
     out
   }
 
+  /** Mark a tag-protocol batch COMMITTED — the appender's LAST step
+    * (after its parquet append returns), so a mid-append crash leaves
+    * the tag uncommitted and the fold then treats its rows as a TORN
+    * append: passed through verbatim, never folded into the `compacted`
+    * aggregate, never recorded `_absorbed`. The mandated replay is then
+    * still healed by the view's (bsig, …) dedup instead of being
+    * skipped against rows the fold already consumed — closing the
+    * replay-before-compaction ordering hazard for direct-API callers
+    * (the stream loop replays at restart, before any tick, and is safe
+    * either way). Markers live at the TABLE ROOT
+    * (`table/_committed/t{md5(tag)}`), outside the version dirs:
+    * invisible to Spark's listing, surviving compaction swaps without
+    * carry, one empty file per batch ever appended — the batch rate,
+    * not the data rate. Back-compat: a table with no marker dir treats
+    * every tag as committed (the pre-marker posture). */
+  def commitTag(table: String, tag: String): Unit = {
+    val dir = Paths.get(table, "_committed")
+    Files.createDirectories(dir)
+    try Files.createFile(dir.resolve(tagMarkerName(tag)))
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+  }
+
+  /** Establish the commit-marker protocol for `table` — builds and
+    * appenders call this BEFORE any rows land, so a torn FIRST append
+    * is already distinguishable from a pre-marker legacy append (the
+    * no-dir back-compat case stays confined to tables last written by
+    * older builds). */
+  def ensureTagProtocol(table: String): Unit = {
+    Files.createDirectories(Paths.get(table, "_committed"))
+    ()
+  }
+
+  /** Filesystem-safe marker name for an arbitrary tag string (stream
+    * tags may carry separators; derived tags carry 38-digit decimals). */
+  private def tagMarkerName(tag: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    "t" + md.digest(tag.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+  }
+
+  /** The live batch tags in `snap` whose appends never committed — the
+    * torn appends a fold must pass through rather than consume.
+    * Reserved fold tags (`compacted`, `build`) and the read-time
+    * synthetic `legacy-` tags are always committed; a table without a
+    * marker dir (pre-marker appends) reports none. Bounded collect:
+    * distinct batch tags, the batch rate. */
+  private[graft] def tornTags(table: String, snap: DataFrame): Seq[String] = {
+    val dir = Paths.get(table, "_committed")
+    if (!Files.exists(dir) || !snap.columns.contains("bsig")) return Nil
+    snap.select("bsig").distinct().collect().map(_.getString(0))
+      .filterNot(t => t == "compacted" || t == "build" ||
+        t.startsWith("legacy-") ||
+        Files.exists(dir.resolve(tagMarkerName(t))))
+      .toSeq
+  }
+
   /** Parquet data files per leaf directory under `root`, mirroring
     * Spark's listing rule: any path with a `_`/`.`-prefixed component
     * BELOW the root is skipped (crash-orphaned `_v{N}` dirs and sidecar
@@ -290,8 +346,11 @@ object Compaction {
           while (it.hasNext) {
             val p = it.next()
             val n = p.getFileName.toString
-            // `v$cur` kept too: legacy-layout live dir (see resolve)
-            if (n != s"_v$cur" && n != s"v$cur" && n != "_CURRENT") buf += p
+            // `v$cur` kept too: legacy-layout live dir (see resolve);
+            // `_committed` is the table-lifetime batch-commit marker
+            // store ([[commitTag]]) — version-independent by design
+            if (n != s"_v$cur" && n != s"v$cur" && n != "_CURRENT" &&
+                n != "_committed") buf += p
           }
           buf.toSeq
         } finally stream.close()
@@ -522,24 +581,39 @@ object Compaction {
       // — documented on TextOps.mergeVocabIndex/retractVocabIndex.
       val snapTry = scala.util.Try(
         spark.read.parquet(resolve(s"$path/counts")))
+      // UNCOMMITTED (torn-append) tags are excluded from the fold and
+      // passed through VERBATIM — their replay must still find live
+      // rows to dedup against ([[commitTag]]); they fold on the first
+      // tick after the replay commits them
+      val vocabTorn = snapTry.toOption.toSeq
+        .flatMap(s => tornTags(s"$path/counts", s))
       compactTable(spark, s"$path/counts",
         // replay-duplicate heal FIRST (the batch-tagged dedup every
         // view reader applies — TextOps.vocabPartials), then the
         // distributive re-sum; the compacted rows carry the reserved
         // "compacted" tag (at most one such row per word in any live
         // version, so later dedups never collapse legitimate rows)
-        _ => taggedVocabRows(snapTry.get).dropDuplicates("bsig", "word")
-          .groupBy("word")
-          .agg(sum("tf").as("tf"), sum("df").as("df"))
-          .withColumn("_ok",
-            when(col("tf") >= 0L && col("df") >= 0L, lit(true))
-              .otherwise(raise_error(concat(
-                lit("vocab view: word '"), col("word"),
-                lit("' netted negative counts — retraction without a " +
-                  "matching absorb")))))
-          .filter(col("_ok") && col("tf") > 0L).drop("_ok")
-          .withColumn("bsig", lit("compacted"))
-          .repartition(col("word")).sortWithinPartitions("word"),
+        _ => {
+          val tagged = taggedVocabRows(snapTry.get)
+            .dropDuplicates("bsig", "word")
+          val folded = (if (vocabTorn.isEmpty) tagged
+            else tagged.filter(!col("bsig").isin(vocabTorn: _*)))
+            .groupBy("word")
+            .agg(sum("tf").as("tf"), sum("df").as("df"))
+            .withColumn("_ok",
+              when(col("tf") >= 0L && col("df") >= 0L, lit(true))
+                .otherwise(raise_error(concat(
+                  lit("vocab view: word '"), col("word"),
+                  lit("' netted negative counts — retraction without a " +
+                    "matching absorb")))))
+            .filter(col("_ok") && col("tf") > 0L).drop("_ok")
+            .withColumn("bsig", lit("compacted"))
+          (if (vocabTorn.isEmpty) folded
+           else folded.unionByName(
+             tagged.filter(col("bsig").isin(vocabTorn: _*))
+               .select("word", "tf", "df", "bsig")))
+            .repartition(col("word")).sortWithinPartitions("word")
+        },
         maxFilesPerPartition = maxFilesPerPartition,
         // the `_absorbed` sidecar accumulates every batch tag this
         // rewrite folds into the `compacted` aggregate: a batch whose
@@ -552,9 +626,12 @@ object Compaction {
         // at any corpus scale (the batch rate, not the data rate).
         beforePublish = { nextDir =>
           val live = snapTry.get // the fold's own snapshot, never re-listed
-          val cur = // pre-tag tables have no tags to record
+          val cur = // pre-tag tables have no tags to record; torn tags
+            // were NOT folded, so recording them would skip their replay
             if (live.columns.contains("bsig"))
-              Some(live.select("bsig").where(col("bsig") =!= "compacted")
+              Some(live.select("bsig").where(col("bsig") =!= "compacted" &&
+                  (if (vocabTorn.isEmpty) lit(true)
+                   else !col("bsig").isin(vocabTorn: _*)))
                 .distinct())
             else None
           val sideIn = Paths.get(resolve(s"$path/counts"), "_absorbed")
@@ -641,29 +718,44 @@ object Compaction {
       val exactT = s"$path/exact"
       val marker = Paths.get(s"$path/_retracted")
       val hasExact = Files.exists(Paths.get(exactT))
+      val snapTryH = scala.util.Try(spark.read.parquet(resolve(exactT)))
+      // torn (uncommitted) tags pass through the fold verbatim, exactly
+      // as in `vocab` — see [[commitTag]]
+      val hllTorn =
+        if (!hasExact) Nil
+        else snapTryH.toOption.toSeq.flatMap(s => tornTags(exactT, s))
       val exactDone = if (hasExact) {
-        val snapTry = scala.util.Try(spark.read.parquet(resolve(exactT)))
         compactTable(spark, exactT,
-          _ => snapTry.get.dropDuplicates("bsig", "grp", "k")
-            .groupBy("grp", "k").agg(sum("cnt").as("cnt"))
-            .withColumn("_ok",
-              when(col("cnt") >= 0L, lit(true))
-                .otherwise(raise_error(concat(
-                  lit("distinct view: pair ("), col("grp"), lit(", "),
-                  col("k").cast("string"),
-                  lit(") netted negative — retraction without a " +
-                    "matching absorb")))))
-            .filter(col("_ok") && col("cnt") > 0L).drop("_ok")
-            .withColumn("bsig", lit("compacted"))
-            .repartition(col("grp")).sortWithinPartitions("grp", "k"),
+          _ => {
+            val snap = snapTryH.get.dropDuplicates("bsig", "grp", "k")
+            val folded = (if (hllTorn.isEmpty) snap
+              else snap.filter(!col("bsig").isin(hllTorn: _*)))
+              .groupBy("grp", "k").agg(sum("cnt").as("cnt"))
+              .withColumn("_ok",
+                when(col("cnt") >= 0L, lit(true))
+                  .otherwise(raise_error(concat(
+                    lit("distinct view: pair ("), col("grp"), lit(", "),
+                    col("k").cast("string"),
+                    lit(") netted negative — retraction without a " +
+                      "matching absorb")))))
+              .filter(col("_ok") && col("cnt") > 0L).drop("_ok")
+              .withColumn("bsig", lit("compacted"))
+            (if (hllTorn.isEmpty) folded
+             else folded.unionByName(
+               snap.filter(col("bsig").isin(hllTorn: _*))
+                 .select("grp", "k", "cnt", "bsig")))
+              .repartition(col("grp")).sortWithinPartitions("grp", "k")
+          },
           maxFilesPerPartition = maxFilesPerPartition,
           // same snapshot discipline as `vocab`: fold and tag list from
-          // ONE listing, and the caller replays crashed appends BEFORE
-          // this tick (documented on Stats.mergeDistinctView)
+          // ONE listing, and torn tags are neither folded nor recorded
           beforePublish = { nextDir =>
-            val live = snapTry.get
+            val live = snapTryH.get
             val cur = Some(live.select("bsig")
-              .where(col("bsig") =!= "compacted").distinct())
+              .where(col("bsig") =!= "compacted" &&
+                (if (hllTorn.isEmpty) lit(true)
+                 else !col("bsig").isin(hllTorn: _*)))
+              .distinct())
             val sideIn = Paths.get(resolve(exactT), "_absorbed")
             val prev =
               if (Files.exists(sideIn))
@@ -680,7 +772,13 @@ object Compaction {
       } else false
       val sketchDone =
         if (hasExact && Files.exists(marker)) {
-          val net = spark.read.parquet(resolve(exactT))
+          // the rebuild nets COMMITTED pairs only, mirroring the exact
+          // fold: a torn retraction's partials must not bake into the
+          // sketch — its replay re-writes the marker and the tick after
+          // the replay commits rebuilds with it
+          val netSrc = spark.read.parquet(resolve(exactT))
+          val net = (if (hllTorn.isEmpty) netSrc
+            else netSrc.filter(!col("bsig").isin(hllTorn: _*)))
             .dropDuplicates("bsig", "grp", "k")
             .groupBy("grp", "k").agg(sum("cnt").as("cnt"))
             .filter(col("cnt") > 0L)

@@ -200,6 +200,7 @@ object Stats {
     exactPairPartials(df, group, key, "build")
       .write.mode("overwrite").parquet(s"$path/exact")
     Compaction.seedBase(s"$path/exact")
+    Compaction.ensureTagProtocol(s"$path/exact")
   }
 
   /** Append one batch's per-group sketch partials — O(|groups|) — and,
@@ -212,8 +213,11 @@ object Stats {
     * while a legitimate delete→re-insert of identical content gets a
     * fresh cycle tag and applies. A tag the compaction has already
     * folded is skipped outright (its rows are gone — a replayed append
-    * would double-add). Same ORDERING REQUIREMENT as the vocab view:
-    * replay a crashed append before the next `hll` compaction tick. */
+    * would double-add). The replay-before-compaction ordering is
+    * ENFORCED as in the vocab view: the tag commits only after the
+    * appends return ([[Compaction.commitTag]]), and the `hll` tick
+    * folds + records only committed tags, passing a crashed append's
+    * partial rows through for its replay to heal. */
   def mergeDistinctView(df: DataFrame, group: String, key: String,
                         path: String, batchTag: String = null): Unit = {
     requirePairTag(batchTag)
@@ -231,6 +235,7 @@ object Stats {
       // compaction-debt lineage must stay deterministic under
       // re-delivery — the absorb contract; mergeVocabIndex's posture)
       if (pairTagAbsorbed(spark, path, tag)) return
+      Compaction.ensureTagProtocol(s"$path/exact")
       Compaction.guardedAppend(s"$path/sketches") { live =>
         distinctPartials(df, group, key).write.mode("append").parquet(live)
       }
@@ -238,6 +243,10 @@ object Stats {
         exactPairPartials(df, group, key, tag)
           .write.mode("append").parquet(live)
       }
+      // LAST: an uncommitted tag's rows pass through the next tick
+      // unfolded (Compaction.commitTag), so a crash anywhere above
+      // leaves the replay able to heal instead of being skipped
+      Compaction.commitTag(s"$path/exact", tag)
     } else Compaction.guardedAppend(s"$path/sketches") { live =>
       distinctPartials(df, group, key).write.mode("append").parquet(live)
     }
@@ -280,6 +289,7 @@ object Stats {
       if (lastMerge <= 0) base else s"$base~$lastMerge"
     }
     if (pairTagAbsorbed(spark, path, tag)) return
+    Compaction.ensureTagProtocol(s"$path/exact")
     // marker first: the tick owes a sketch rebuild from this point on
     val marker = java.nio.file.Paths.get(s"$path/_retracted")
     if (!java.nio.file.Files.exists(marker))
@@ -289,6 +299,7 @@ object Stats {
         .withColumn("cnt", -col("cnt"))
         .write.mode("append").parquet(live)
     }
+    Compaction.commitTag(s"$path/exact", tag)
   }
 
   private def distinctPartials(df: DataFrame, group: String,

@@ -516,6 +516,15 @@ object SimilarityOps {
       .drop("_rn")
   }
 
+  /** [[adcRecall]] over a caller-supplied retrieved set — the sweep
+    * harness's hook ([[graft.RecallSweep]]): recall@k of ANY
+    * (q_id, vec_id) retrieval against exact brute force, so frontier
+    * sweeps (nprobe, shortlist width) measure arbitrary configurations
+    * with the same evaluator the oracle rows pin. */
+  def recallOf(embeddings: DataFrame, queries: DataFrame, k: Int,
+               retrieved: DataFrame): DataFrame =
+    adcRecall(embeddings, queries, k, retrieved)
+
   /** Shared recall evaluator: exact brute top-k per query (the
     * reference set) ∩ the family's retrieved (q_id, vec_id) rows →
     * per-query hit count and recall. */

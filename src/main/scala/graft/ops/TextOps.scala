@@ -842,6 +842,7 @@ object TextOps {
     vocabPartials(docs, "build").write.mode("overwrite")
       .parquet(s"$path/counts")
     graft.engine.Compaction.seedBase(s"$path/counts")
+    graft.engine.Compaction.ensureTagProtocol(s"$path/counts")
   }
 
   /** Append one disjoint batch's per-word partials — O(|batch vocab|).
@@ -860,21 +861,23 @@ object TextOps {
     * gone, so a replayed append would have nothing to dedup against and
     * would double-add.
     *
-    * ORDERING REQUIREMENT for direct-API callers (the stream loop
-    * satisfies it structurally): a crashed append MUST be replayed
-    * before the next `vocab` compaction tick runs. The tick records a
-    * batch's tag in `_absorbed` from whatever rows its snapshot sees —
-    * if a mid-append crash left only PART of the batch's files visible
-    * and the tick runs first, the tag is recorded from the partial rows
-    * and the mandated replay is then skipped ([[vocabTagAbsorbed]]),
-    * silently losing the batch's missing rows. Replay-then-compact
-    * heals the same crash completely (the re-appended rows dedup by
-    * tag). Applies equally to [[retractVocabIndex]]. */
+    * The replay-before-compaction ordering is ENFORCED, not merely
+    * documented (r18, ADVICE r16 #3's stronger arm): the verb marks its
+    * tag committed only AFTER the append returns
+    * ([[graft.engine.Compaction.commitTag]]), and the `vocab` tick
+    * folds + records `_absorbed` only COMMITTED tags — a mid-append
+    * crash leaves the tag uncommitted, so the tick passes its partial
+    * rows through verbatim and the mandated replay still heals through
+    * the (bsig, word) dedup instead of being skipped against consumed
+    * rows. A direct-API caller that ticks between crash and replay can
+    * therefore no longer lose the batch's missing rows. Applies equally
+    * to [[retractVocabIndex]]. */
   def mergeVocabIndex(newDocs: DataFrame, path: String,
                       batchTag: String = null): Unit = {
     requireVocabTag(batchTag)
     val spark = newDocs.sparkSession
     ensureTaggedVocab(spark, path)
+    graft.engine.Compaction.ensureTagProtocol(s"$path/counts")
     val tag = Option(batchTag).getOrElse {
       val cycles =
         vocabTagCount(spark, path, batchSignature(newDocs, "retract"))
@@ -885,6 +888,10 @@ object TextOps {
     graft.engine.Compaction.guardedAppend(s"$path/counts") { live =>
       vocabPartials(newDocs, tag).write.mode("append").parquet(live)
     }
+    // LAST: a crash before this leaves the tag uncommitted and the next
+    // tick passes its rows through unfolded (Compaction.commitTag), so
+    // the mandated replay can never be skipped against consumed rows
+    graft.engine.Compaction.commitTag(s"$path/counts", tag)
   }
 
   /** `compacted` marks the compaction's accumulated rows and `build` the
@@ -936,6 +943,7 @@ object TextOps {
     requireVocabTag(batchTag)
     val spark = docs.sparkSession
     ensureTaggedVocab(spark, path)
+    graft.engine.Compaction.ensureTagProtocol(s"$path/counts")
     // default tag pairs this retraction with the LATEST merge cycle of
     // the same content (mirror of mergeVocabIndex's suffix scheme), by
     // MAX merge-cycle index — not merge count: build-entered content
@@ -964,6 +972,7 @@ object TextOps {
           col("bsig"))
         .write.mode("append").parquet(live)
     }
+    graft.engine.Compaction.commitTag(s"$path/counts", tag)
   }
 
   /** Top-K view read: re-sum the stored partials (a partial-aggregated

@@ -1332,6 +1332,103 @@ class StreamingSpec extends AnyFunSuite {
       "a between-batches tick (ledger committed) resets the log fully")
   }
 
+  test("vocab tick between a crashed partial append and its replay: the " +
+    "uncommitted tag passes through unfolded, the replay heals the batch") {
+    import graft.ops.TextOps
+    import graft.engine.Compaction
+    val idx = Files.createTempDirectory("vct_idx").toString
+    TextOps.buildVocabIndex(
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), idx)
+    // the batch is docs 2 ("beta gamma") + 3 ("gamma delta"), but the
+    // job commit tore mid-append: only SOME of the aggregated word rows
+    // reached the counts dir, and the verb never reached commitTag
+    val tag = "s1:7"
+    Seq(("beta", 1L, 1L, tag), ("gamma", 2L, 2L, tag))
+      .toDF("word", "tf", "df", "bsig")
+      .write.mode("append").parquet(Compaction.resolve(s"$idx/counts"))
+    // a direct-API maintenance tick runs BEFORE the replay — the exact
+    // ordering the pre-r18 contract could only document: it used to
+    // record the tag absorbed from the partial rows, making the replay
+    // a silent no-op that lost doc 3's words forever
+    assert(Compaction.compactIndex(spark, idx, "vocab",
+      maxFilesPerPartition = 0))
+    // re-resolve per read: each tick swaps the live version dir
+    def absorbed = java.nio.file.Paths.get(
+      Compaction.resolve(s"$idx/counts"), "_absorbed")
+    assert(spark.read.parquet(absorbed.toString)
+      .filter($"bsig" === tag).isEmpty,
+      "an uncommitted (torn) tag must NOT be recorded absorbed")
+    assert(spark.read.parquet(Compaction.resolve(s"$idx/counts"))
+      .filter($"bsig" === tag).count() === 2L,
+      "the torn rows must pass through the fold verbatim")
+    // the replay is therefore NOT skipped: the full batch lands, the
+    // (bsig, word) dedup heals the torn duplicates
+    TextOps.mergeVocabIndex(
+      Seq((2L, "beta gamma"), (3L, "gamma delta")).toDF("doc_id", "text"),
+      idx, tag)
+    def view() = TextOps.queryVocabTopK(spark, idx, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val full = Set(("alpha", 1L, 1L), ("beta", 2L, 2L),
+      ("gamma", 2L, 2L), ("delta", 1L, 1L))
+    assert(view() === full, "the replayed batch must serve completely")
+    // the NEXT tick folds the now-committed tag and records it — after
+    // which a second replay is the absorbed-skip no-op
+    assert(Compaction.compactIndex(spark, idx, "vocab",
+      maxFilesPerPartition = 0))
+    assert(!spark.read.parquet(absorbed.toString)
+      .filter($"bsig" === tag).isEmpty,
+      "a committed tag folds and records normally")
+    TextOps.mergeVocabIndex(
+      Seq((2L, "beta gamma"), (3L, "gamma delta")).toDF("doc_id", "text"),
+      idx, tag)
+    assert(view() === full, "a post-absorb replay must skip, not double-add")
+  }
+
+  test("distinct-view hll tick between a crashed partial append and its " +
+    "replay: the uncommitted tag passes through, the replay heals") {
+    import graft.engine.{Compaction, Stats}
+    val view = Files.createTempDirectory("dct_view").toString
+    Stats.buildDistinctView(
+      Seq(("click", 1L)).toDF("event_type", "user_id"),
+      "event_type", "user_id", view)
+    // full batch: (click,2),(click,3),(view,2); the exact append tore
+    // after one pair row (the sketch append preceding it is simulated
+    // as lost too — the replayed merge re-appends it, HLL-union-safe)
+    val tag = "s2:9"
+    Seq(("click", 2L, 1L, tag)).toDF("grp", "k", "cnt", "bsig")
+      .write.mode("append").parquet(Compaction.resolve(s"$view/exact"))
+    assert(Compaction.compactIndex(spark, view, "hll",
+      maxFilesPerPartition = 0))
+    // re-resolve per read: each tick swaps the live version dir
+    def absorbed = java.nio.file.Paths.get(
+      Compaction.resolve(s"$view/exact"), "_absorbed")
+    assert(spark.read.parquet(absorbed.toString)
+      .filter($"bsig" === tag).isEmpty,
+      "an uncommitted (torn) pair tag must NOT be recorded absorbed")
+    assert(Stats.liveDistinctPairs(spark, view)
+      .filter($"grp" === "click" && $"k" === 2L).count() === 1L,
+      "the torn pair row stays live for the replay to heal against")
+    // replay: the full batch — not skipped, pair dedup heals the torn row
+    Stats.mergeDistinctView(
+      Seq(("click", 2L), ("click", 3L), ("view", 2L))
+        .toDF("event_type", "user_id"),
+      "event_type", "user_id", view, tag)
+    def exact() = Stats.queryDistinctViewExact(spark, view, "event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(exact() === Map("click" -> 3L, "view" -> 1L),
+      "the replayed batch's missing pairs must land exactly once")
+    assert(Compaction.compactIndex(spark, view, "hll",
+      maxFilesPerPartition = 0))
+    assert(!spark.read.parquet(absorbed.toString)
+      .filter($"bsig" === tag).isEmpty)
+    assert(exact() === Map("click" -> 3L, "view" -> 1L))
+    // the sketch read agrees at these sparse-exact cardinalities
+    assert(Stats.queryDistinctView(spark, view, "event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      === Map("click" -> 3L, "view" -> 1L))
+  }
+
   test("BM25 rejected retraction leaves the index untouched: no " +
     "tombstones appended, the docs keep scoring") {
     import graft.ops.TextOps
