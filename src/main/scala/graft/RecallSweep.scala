@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * brute-force evaluator the oracle rows pin
   * ([[graft.ops.SimilarityOps.recallOf]]):
   *
-  *  - shortlist-width sweep (rerank factor ∈ {2, 4, 8}) for the
+  *  - shortlist-width sweep (rerank factor ∈ {1, 2, 4, 8} — 1 is
+  *    the degenerate raw-top-k anchor) for the
   *    two-stage PQ / IVFPQ reads — justifying the committed 4×k
   *    default with numbers instead of a convention;
   *  - nprobe sweep ({1, 2, 4, 8}) for the stored IVF and IVFPQ batch

@@ -146,13 +146,43 @@ object Compaction {
 
   /** Establish the commit-marker protocol for `table` — builds and
     * appenders call this BEFORE any rows land, so a torn FIRST append
-    * is already distinguishable from a pre-marker legacy append (the
-    * no-dir back-compat case stays confined to tables last written by
-    * older builds). */
-  def ensureTagProtocol(table: String): Unit = {
-    Files.createDirectories(Paths.get(table, "_committed"))
-    ()
+    * is already distinguishable from a pre-marker legacy append. A
+    * pre-marker table's existing live tags are COMPLETED appends (the
+    * old posture treated every tag as committed), so the one-time
+    * upgrade marks them all committed — staged into a temp dir and
+    * atomically moved, so a crash mid-upgrade can never leave some
+    * legacy tags classified torn (they would never fold, never record
+    * `_absorbed`, and a retraction's sketch rebuild would drop their
+    * counts FOREVER — a permanent silent under-count with no replay
+    * owed to heal it). */
+  def ensureTagProtocol(spark: SparkSession, table: String): Unit = {
+    val dir = Paths.get(table, "_committed")
+    if (Files.exists(dir)) return
+    val legacy = scala.util.Try(spark.read.parquet(resolve(table)))
+      .toOption.filter(_.columns.contains("bsig"))
+      .map(_.select("bsig").distinct().collect().map(_.getString(0))
+        .filterNot(t => t == "compacted" || t == "build").toSeq)
+      .getOrElse(Nil)
+    val tmp = Paths.get(table, "_committed.tmp")
+    if (Files.exists(tmp)) deleteRec(tmp)
+    Files.createDirectories(tmp)
+    legacy.foreach(t => Files.createFile(tmp.resolve(tagMarkerName(t))))
+    try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+    catch { // lost a benign race with commitTag's createDirectories
+      case _: java.nio.file.FileAlreadyExistsException => deleteRec(tmp)
+      case _: java.nio.file.DirectoryNotEmptyException => deleteRec(tmp)
+    }
   }
+
+  /** `df` restricted to committed batches (drop the torn tags) — the
+    * fold/record side of the torn-append split. */
+  private def committedOnly(df: DataFrame, torn: Seq[String]): DataFrame =
+    if (torn.isEmpty) df else df.filter(!col("bsig").isin(torn: _*))
+
+  /** The torn rows themselves — the pass-through side (callers guard
+    * `torn.nonEmpty`). */
+  private def tornOnly(df: DataFrame, torn: Seq[String]): DataFrame =
+    df.filter(col("bsig").isin(torn: _*))
 
   /** Filesystem-safe marker name for an arbitrary tag string (stream
     * tags may carry separators; derived tags carry 38-digit decimals). */
@@ -584,8 +614,10 @@ object Compaction {
       // UNCOMMITTED (torn-append) tags are excluded from the fold and
       // passed through VERBATIM — their replay must still find live
       // rows to dedup against ([[commitTag]]); they fold on the first
-      // tick after the replay commits them
-      val vocabTorn = snapTry.toOption.toSeq
+      // tick after the replay commits them. Lazy: the distinct-bsig
+      // scan runs only when the debt/force check lets the fold fire,
+      // never on a no-op scheduled tick.
+      lazy val vocabTorn = snapTry.toOption.toSeq
         .flatMap(s => tornTags(s"$path/counts", s))
       compactTable(spark, s"$path/counts",
         // replay-duplicate heal FIRST (the batch-tagged dedup every
@@ -596,8 +628,7 @@ object Compaction {
         _ => {
           val tagged = taggedVocabRows(snapTry.get)
             .dropDuplicates("bsig", "word")
-          val folded = (if (vocabTorn.isEmpty) tagged
-            else tagged.filter(!col("bsig").isin(vocabTorn: _*)))
+          val folded = committedOnly(tagged, vocabTorn)
             .groupBy("word")
             .agg(sum("tf").as("tf"), sum("df").as("df"))
             .withColumn("_ok",
@@ -609,9 +640,8 @@ object Compaction {
             .filter(col("_ok") && col("tf") > 0L).drop("_ok")
             .withColumn("bsig", lit("compacted"))
           (if (vocabTorn.isEmpty) folded
-           else folded.unionByName(
-             tagged.filter(col("bsig").isin(vocabTorn: _*))
-               .select("word", "tf", "df", "bsig")))
+           else folded.unionByName(tornOnly(tagged, vocabTorn)
+             .select("word", "tf", "df", "bsig")))
             .repartition(col("word")).sortWithinPartitions("word")
         },
         maxFilesPerPartition = maxFilesPerPartition,
@@ -629,9 +659,8 @@ object Compaction {
           val cur = // pre-tag tables have no tags to record; torn tags
             // were NOT folded, so recording them would skip their replay
             if (live.columns.contains("bsig"))
-              Some(live.select("bsig").where(col("bsig") =!= "compacted" &&
-                  (if (vocabTorn.isEmpty) lit(true)
-                   else !col("bsig").isin(vocabTorn: _*)))
+              Some(committedOnly(live.select("bsig")
+                  .where(col("bsig") =!= "compacted"), vocabTorn)
                 .distinct())
             else None
           val sideIn = Paths.get(resolve(s"$path/counts"), "_absorbed")
@@ -720,16 +749,16 @@ object Compaction {
       val hasExact = Files.exists(Paths.get(exactT))
       val snapTryH = scala.util.Try(spark.read.parquet(resolve(exactT)))
       // torn (uncommitted) tags pass through the fold verbatim, exactly
-      // as in `vocab` — see [[commitTag]]
-      val hllTorn =
+      // as in `vocab` — see [[commitTag]]. Lazy for the same no-op-tick
+      // reason; both the fold and the marker decision below share it.
+      lazy val hllTorn =
         if (!hasExact) Nil
         else snapTryH.toOption.toSeq.flatMap(s => tornTags(exactT, s))
       val exactDone = if (hasExact) {
         compactTable(spark, exactT,
           _ => {
             val snap = snapTryH.get.dropDuplicates("bsig", "grp", "k")
-            val folded = (if (hllTorn.isEmpty) snap
-              else snap.filter(!col("bsig").isin(hllTorn: _*)))
+            val folded = committedOnly(snap, hllTorn)
               .groupBy("grp", "k").agg(sum("cnt").as("cnt"))
               .withColumn("_ok",
                 when(col("cnt") >= 0L, lit(true))
@@ -741,9 +770,8 @@ object Compaction {
               .filter(col("_ok") && col("cnt") > 0L).drop("_ok")
               .withColumn("bsig", lit("compacted"))
             (if (hllTorn.isEmpty) folded
-             else folded.unionByName(
-               snap.filter(col("bsig").isin(hllTorn: _*))
-                 .select("grp", "k", "cnt", "bsig")))
+             else folded.unionByName(tornOnly(snap, hllTorn)
+               .select("grp", "k", "cnt", "bsig")))
               .repartition(col("grp")).sortWithinPartitions("grp", "k")
           },
           maxFilesPerPartition = maxFilesPerPartition,
@@ -751,10 +779,8 @@ object Compaction {
           // ONE listing, and torn tags are neither folded nor recorded
           beforePublish = { nextDir =>
             val live = snapTryH.get
-            val cur = Some(live.select("bsig")
-              .where(col("bsig") =!= "compacted" &&
-                (if (hllTorn.isEmpty) lit(true)
-                 else !col("bsig").isin(hllTorn: _*)))
+            val cur = Some(committedOnly(live.select("bsig")
+                .where(col("bsig") =!= "compacted"), hllTorn)
               .distinct())
             val sideIn = Paths.get(resolve(exactT), "_absorbed")
             val prev =
@@ -776,9 +802,8 @@ object Compaction {
           // fold: a torn retraction's partials must not bake into the
           // sketch — its replay re-writes the marker and the tick after
           // the replay commits rebuilds with it
-          val netSrc = spark.read.parquet(resolve(exactT))
-          val net = (if (hllTorn.isEmpty) netSrc
-            else netSrc.filter(!col("bsig").isin(hllTorn: _*)))
+          val net = committedOnly(spark.read.parquet(resolve(exactT)),
+              hllTorn)
             .dropDuplicates("bsig", "grp", "k")
             .groupBy("grp", "k").agg(sum("cnt").as("cnt"))
             .filter(col("cnt") > 0L)
@@ -791,11 +816,17 @@ object Compaction {
           // the rebuild actually PUBLISHED (compactTable no-ops on a
           // sketches dir with no data files even under force; clearing
           // then would silently forget an owed rebuild and the HLL read
-          // would over-count until some later retraction re-marked it).
+          // would over-count until some later retraction re-marked it)
+          // AND no torn tag is live: a torn retraction's rows were
+          // excluded from this rebuild, so its rebuild is still owed —
+          // keeping the marker keeps `queryDistinctView`'s stale flag
+          // TRUE through the crash-to-replay window (a conservative
+          // false-stale for a torn merge costs one extra rebuild; a
+          // false-fresh over-count is the failure the flag exists for).
           // The one no-rebuild case that owes nothing: the exact
           // companion itself has no live files, so there is no netted
           // state for any future rebuild to serve.
-          if (r || filesPerPartition(exactT).isEmpty)
+          if ((r || filesPerPartition(exactT).isEmpty) && hllTorn.isEmpty)
             Files.deleteIfExists(marker)
           r
         } else compactTable(spark, s"$path/sketches",

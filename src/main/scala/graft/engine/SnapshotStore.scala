@@ -142,9 +142,17 @@ class SnapshotStore(spark: SparkSession, root: String) {
       if (Files.exists(tmp)) deleteTree(tmp)
       deleteTree(rootPath.resolve(s"v$v"))
     }
-    purgeTemps().filterNot(t => Files.exists(t.resolve("_SUCCESS")))
-      .foreach(deleteTree)
+    purgeTemps().filterNot(adoptablePurgeTemp).foreach(deleteTree)
     drop
+  }
+
+  /** Would [[recoverPurgeTemps]] adopt this temp? (Shared with vacuum's
+    * torn-temp GC so the two can never disagree on what is garbage.) */
+  private def adoptablePurgeTemp(tmp: java.nio.file.Path): Boolean = {
+    val live = rootPath.resolve(
+      tmp.getFileName.toString.stripSuffix("._purge"))
+    Files.exists(tmp.resolve("_PURGED")) ||
+      (!Files.exists(live) && Files.exists(tmp.resolve("_SUCCESS")))
   }
 
   /** Right-to-be-forgotten across TIME TRAVEL — the retention verb
@@ -155,9 +163,10 @@ class SnapshotStore(spark: SparkSession, root: String) {
     * in `keys` from (1) the CURRENT version, as a fresh atomic
     * [[publish]] — live readers move to the purged snapshot at the
     * pointer swap — and (2) EVERY retained version dir, as a
-    * staged-replace rewrite per dir (temp `v{N}._purge` written fully,
-    * `_SUCCESS` verified, then swap — the sidecar-collapse protocol),
-    * so the whole retained window is deletion-complete.
+    * staged-replace rewrite per dir (temp `v{N}._purge` written fully —
+    * data, `_SUCCESS`, layout sidecars — then OUR `_PURGED` adoption
+    * marker last, then swap), so the whole retained window is
+    * deletion-complete.
     *
     * Contract: single-writer (no publish/vacuum in flight), the same
     * schedule every maintenance verb runs under; TIME-TRAVEL readers
@@ -223,19 +232,22 @@ class SnapshotStore(spark: SparkSession, root: String) {
               .write.mode("overwrite")
             (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
               .parquet(tmp.toString)
-            // the layout spec rides the staged replace: the rewritten
-            // dir must advertise the clustering it reproduces
-            layoutOf(dir).foreach(writeLayout(tmp, _))
-            // the swap protocol keys off the commit marker: without it
-            // a crash between the deletes below would leave NO
-            // authoritative copy — discard the temp and refuse
-            // (collapseSidecar's posture)
             if (!Files.exists(tmp.resolve("_SUCCESS"))) {
               deleteTree(tmp)
               throw new IllegalStateException(
                 s"purgeKeys: committer wrote no _SUCCESS marker under " +
                   s"$tmp — refusing to replace the live version dir")
             }
+            // the layout spec rides the staged replace: the rewritten
+            // dir must advertise the clustering it reproduces
+            layoutOf(dir).foreach(writeLayout(tmp, _))
+            // OUR adoption marker goes LAST — after the committer's
+            // _SUCCESS and after every sidecar — so recovery can never
+            // adopt a temp missing its layout spec (the committer
+            // writes _SUCCESS before this code regains control, so
+            // _SUCCESS alone cannot gate the sidecars). A crash before
+            // the marker discards the temp and the re-run rewrites it.
+            Files.createFile(tmp.resolve("_PURGED"))
             deleteTree(dir)
             Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
           }
@@ -344,14 +356,24 @@ class SnapshotStore(spark: SparkSession, root: String) {
   }
 
   /** Adopt-or-discard any `v{N}._purge` temp a crashed [[purgeKeys]]
-    * left: marked temps are authoritative purged copies (replace the
-    * live dir — which may be pre-purge, or already gone), unmarked
-    * temps are torn writes (discard; the re-run rewrites them). */
+    * left: temps carrying the `_PURGED` adoption marker (written LAST,
+    * after the committer's `_SUCCESS` and every sidecar) are
+    * authoritative purged copies (replace the live dir — which may be
+    * pre-purge, or already gone); anything less is a torn write and is
+    * discarded — the re-run rewrites it. Gating on `_PURGED` rather
+    * than `_SUCCESS` means a crash between the data commit and the
+    * `_LAYOUT` sidecar can never adopt a clustered version without its
+    * spec (which would silently decluster the NEXT rewrite). */
   private def recoverPurgeTemps(): Unit = {
     purgeTemps().foreach { tmp =>
       val live = rootPath.resolve(
         tmp.getFileName.toString.stripSuffix("._purge"))
-      if (Files.exists(tmp.resolve("_SUCCESS"))) {
+      // adoptablePurgeTemp's fallback arm (no _PURGED, data-complete,
+      // live dir GONE) covers a pre-_PURGED-protocol crash between the
+      // live delete and the swap: the temp is the ONLY remaining copy
+      // of the version, so adopting (possibly without a layout sidecar)
+      // beats losing the version outright
+      if (adoptablePurgeTemp(tmp)) {
         if (Files.exists(live)) deleteTree(live)
         Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
       } else deleteTree(tmp)

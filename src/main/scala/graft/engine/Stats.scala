@@ -200,7 +200,7 @@ object Stats {
     exactPairPartials(df, group, key, "build")
       .write.mode("overwrite").parquet(s"$path/exact")
     Compaction.seedBase(s"$path/exact")
-    Compaction.ensureTagProtocol(s"$path/exact")
+    Compaction.ensureTagProtocol(df.sparkSession, s"$path/exact")
   }
 
   /** Append one batch's per-group sketch partials — O(|groups|) — and,
@@ -235,7 +235,7 @@ object Stats {
       // compaction-debt lineage must stay deterministic under
       // re-delivery — the absorb contract; mergeVocabIndex's posture)
       if (pairTagAbsorbed(spark, path, tag)) return
-      Compaction.ensureTagProtocol(s"$path/exact")
+      Compaction.ensureTagProtocol(spark, s"$path/exact")
       Compaction.guardedAppend(s"$path/sketches") { live =>
         distinctPartials(df, group, key).write.mode("append").parquet(live)
       }
@@ -289,7 +289,7 @@ object Stats {
       if (lastMerge <= 0) base else s"$base~$lastMerge"
     }
     if (pairTagAbsorbed(spark, path, tag)) return
-    Compaction.ensureTagProtocol(s"$path/exact")
+    Compaction.ensureTagProtocol(spark, s"$path/exact")
     // marker first: the tick owes a sketch rebuild from this point on
     val marker = java.nio.file.Paths.get(s"$path/_retracted")
     if (!java.nio.file.Files.exists(marker))

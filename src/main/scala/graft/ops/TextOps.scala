@@ -842,7 +842,8 @@ object TextOps {
     vocabPartials(docs, "build").write.mode("overwrite")
       .parquet(s"$path/counts")
     graft.engine.Compaction.seedBase(s"$path/counts")
-    graft.engine.Compaction.ensureTagProtocol(s"$path/counts")
+    graft.engine.Compaction.ensureTagProtocol(docs.sparkSession,
+      s"$path/counts")
   }
 
   /** Append one disjoint batch's per-word partials — O(|batch vocab|).
@@ -877,7 +878,7 @@ object TextOps {
     requireVocabTag(batchTag)
     val spark = newDocs.sparkSession
     ensureTaggedVocab(spark, path)
-    graft.engine.Compaction.ensureTagProtocol(s"$path/counts")
+    graft.engine.Compaction.ensureTagProtocol(spark, s"$path/counts")
     val tag = Option(batchTag).getOrElse {
       val cycles =
         vocabTagCount(spark, path, batchSignature(newDocs, "retract"))
@@ -943,7 +944,7 @@ object TextOps {
     requireVocabTag(batchTag)
     val spark = docs.sparkSession
     ensureTaggedVocab(spark, path)
-    graft.engine.Compaction.ensureTagProtocol(s"$path/counts")
+    graft.engine.Compaction.ensureTagProtocol(spark, s"$path/counts")
     // default tag pairs this retraction with the LATEST merge cycle of
     // the same content (mirror of mergeVocabIndex's suffix scheme), by
     // MAX merge-cycle index — not merge count: build-entered content

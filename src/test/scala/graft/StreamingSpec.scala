@@ -1427,6 +1427,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(Stats.queryDistinctView(spark, view, "event_type")
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
       === Map("click" -> 3L, "view" -> 1L))
+    // a torn RETRACTION (marker written, negated rows partially landed,
+    // never committed) must keep the marker — and therefore the stale
+    // flag — through the tick: the excluded retraction's rebuild is
+    // still owed, and clearing would report a fresh sketch while the
+    // exact read already nets the deletion
+    val marker = java.nio.file.Paths.get(s"$view/_retracted")
+    java.nio.file.Files.createFile(marker)
+    Seq(("click", 3L, -1L, "s2:torn-retract"))
+      .toDF("grp", "k", "cnt", "bsig")
+      .write.mode("append").parquet(Compaction.resolve(s"$view/exact"))
+    assert(Compaction.compactIndex(spark, view, "hll",
+      maxFilesPerPartition = 0))
+    assert(java.nio.file.Files.exists(marker),
+      "the marker must survive a tick that excluded a torn retraction")
+    assert(Stats.queryDistinctView(spark, view, "event_type")
+      .select("stale").head().getBoolean(0),
+      "readers must keep seeing stale=true until the replayed " +
+        "retraction commits and rebuilds")
   }
 
   test("BM25 rejected retraction leaves the index untouched: no " +
