@@ -1231,6 +1231,23 @@ object SparkEntry {
       }.reduce(_ unionByName _).orderBy("version")
     }),
 
+    // the QUEUED compliance path end-to-end: three enqueued erasure
+    // requests, one sweep, every retained version deletion-complete —
+    // shares scd2_purge_versions' oracle shape (the same % 10 = 3
+    // slice arrives via % 30 residues), in its OWN store root so the
+    // two verbs cannot mask each other
+    "purge_queue_sweep" -> ((s, dir) => {
+      val store = new SnapshotStore(s, s"${queuedPurgePath(s, dir)}/dim")
+      store.versions().map { v =>
+        store.readVersion(v).agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col(KEY)).as("n_users"),
+          count(when(col(KEY) % 10 === 3, 1)).as("purged_residual"))
+          .select(lit(v).as("version"), col("n_rows"), col("n_users"),
+            col("purged_residual"))
+      }.reduce(_ unionByName _).orderBy("version")
+    }),
+
     "multimodal_phash_pairs" -> ((s, dir) =>
       DedupOps.hashPairs64(
         Multimodal.imageAHash(Multimodal.encodePng(Tables.documents(s, dir))),
@@ -1881,7 +1898,7 @@ object SparkEntry {
     stage("purge_roots") {
       deletedFpPath(s, dir); deletedAhashPath(s, dir)
       deletedVocabPath(s, dir); deletedDistinctPath(s, dir)
-      purgedSnapshotPath(s, dir)
+      purgedSnapshotPath(s, dir); queuedPurgePath(s, dir)
       ()
     }
       }),
@@ -2127,6 +2144,32 @@ object SparkEntry {
       store.publish(dimOf(e0))
       store.purgeKeys(
         e0.select(col(KEY)).filter(col(KEY) % 10 === 3).distinct(), KEY)
+      ()
+    }
+
+  /** The same store purged through the QUEUED compliance path — its own
+    * root: the erasure keys arrive as THREE queued requests
+    * (`user_id % 30 ∈ {3, 13, 23}` ⇔ the `% 10 = 3` slice), ONE
+    * [[SnapshotStore.purgeSweep]] folds them into a single
+    * retained-window rewrite, and the drained queue's second sweep must
+    * be the documented no-op — so the queue verbs sit on the oracle
+    * gate, not only on specs. */
+  private def queuedPurgePath(s: SparkSession, dir: String): String =
+    engine.StoredIndexes.ensure("queue_purge", dir) { p =>
+      val store = new SnapshotStore(s, s"$p/dim")
+      val e0 = ev(s, dir)
+      store.publish(dimOf(e0.filter(col(TS) <= expr(s"TIMESTAMP '$WM'"))))
+      store.publish(dimOf(e0))
+      Seq(3L, 13L, 23L).foreach { r =>
+        store.queuePurgeKeys(
+          e0.select(col(KEY)).filter(col(KEY) % 30 === r).distinct(), KEY)
+      }
+      val rewritten = store.purgeSweep(KEY)
+      require(rewritten.toSet == Set(2L, 0L, 1L),
+        s"queued sweep must rewrite the whole window exactly once, " +
+          s"got $rewritten")
+      require(store.purgeSweep(KEY).isEmpty,
+        "a drained queue must sweep to a no-op")
       ()
     }
 
@@ -2771,6 +2814,10 @@ object SparkEntry {
   }
 
   private def oracleSqlOverlay: Map[String, String] = oracleSqlBase ++ Map(
+    // the queued sweep lands the identical end state (the %30 residues
+    // union to the same %10=3 slice), so it shares the replay
+    "purge_queue_sweep" -> oracleSqlBase("scd2_purge_versions"),
+
     // the stored-index read paths replay their inline twins bit-for-bit
     // (same training, same scoring folds), so they share oracles
     "ann_ivf_stored_topk" -> oracleSqlBase("ann_ivf_kmeans_topk"),
