@@ -277,9 +277,22 @@ class SnapshotStore(spark: SparkSession, root: String) {
         "compliance failure)")
     val keyIn = if (keys.columns.contains(keyCol))
       keys.col(keyCol) else keys.col(keys.columns.head)
+    val out = keys.select(keyIn.as(keyCol)).distinct()
+    // one-queue-schema-per-store, ENFORCED: a type-drifted enqueue
+    // would poison the whole queue (the sweep's multi-file read fails,
+    // or worse coerces) — refuse the single bad request instead. One
+    // footer read against the first queued file; empty queue sets the
+    // schema.
+    queueFiles().headOption.foreach { f =>
+      val prior = spark.read.parquet(f.toString).schema.head.dataType
+      val now = out.schema.head.dataType
+      require(prior == now,
+        s"queuePurgeKeys: key type $now does not match the queued " +
+          s"schema $prior — one queue schema per store (a drifted " +
+          "enqueue would poison every queued request at sweep time)")
+    }
     Files.createDirectories(rootPath)
-    keys.select(keyIn.as(keyCol)).distinct()
-      .write.mode("append").parquet(queueDir.toString)
+    out.write.mode("append").parquet(queueDir.toString)
   }
 
   /** Fold every queued erasure key into ONE [[purgeKeys]] call and

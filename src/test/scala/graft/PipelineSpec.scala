@@ -158,6 +158,12 @@ class PipelineSpec extends AnyFunSuite {
       store.queuePurgeKeys(Seq((5L, 1L)).toDF("request_id", "other"),
         "user_id")
     }
+    // a type-drifted enqueue is refused before it poisons the queue
+    store.queuePurgeKeys(Seq(4L).toDF("user_id"), "user_id")
+    assertThrows[IllegalArgumentException] {
+      store.queuePurgeKeys(Seq("4").toDF("user_id"), "user_id")
+    }
+    assert(store.purgeSweep("user_id").nonEmpty) // drain for hygiene
   }
 
   test("purgeKeys preserves a partitioned version's hive layout") {
