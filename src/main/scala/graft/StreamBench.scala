@@ -46,19 +46,23 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    for ((label, n, nKeys, files, perFile) <- Seq(
-        ("bulk_100k", 100000L, 5000, 10, 10000L),
-        ("micro_20k", 20000L, 2000, 40, 500L))) {
+    for ((label, n, nKeys, files, perFile, mfpt) <- Seq(
+        ("bulk_100k", 100000L, 5000, 10, 10000L, 1),
+        ("micro_20k", 20000L, 2000, 40, 500L, 1),
+        // the production dial: the SAME 40 arriving files coalesced
+        // 8-per-trigger — what trigger tuning buys over micro_20k
+        ("micro_20k_mfpt8", 20000L, 2000, 40, 500L, 8))) {
       val work = Files.createTempDirectory(s"stream_bench_$label").toString
       val changes = ChangeGen.changes(spark, n, nKeys, seed = 7)
-      val idx = ChangeGen.writeBatchFiles(changes, TIE, files, perFile, work)
+      val nFiles = ChangeGen.writeBatchFiles(changes, TIE, files, perFile, work)
+      val idx = math.ceil(nFiles.toDouble / mfpt).toInt // micro-batches
       val nRecs = changes.count() // NOOPs filtered: the real record count
       val schema = changes.schema
       val store = new SnapshotStore(spark, s"$work/dim")
       val (wall, _) = time {
         val q = CdcStream.start(spark, s"$work/changes_*.json",
           s"$work/ckpt", store, schema, K, TS, TIE,
-          opCol = Some("operation_type"))
+          opCol = Some("operation_type"), maxFilesPerTrigger = mfpt)
         q.awaitTermination()
       }
       // correctness gate: the streamed dim must agree with the batch

@@ -38,10 +38,18 @@ object CdcStream {
             store: SnapshotStore, schema: StructType,
             key: String, ts: String, tie: String,
             opCol: Option[String] = None,
-            availableNow: Boolean = true): StreamingQuery = {
+            availableNow: Boolean = true,
+            maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    // maxFilesPerTrigger is the throughput/latency dial: 1 keeps the
+    // one-file-≙-one-batch replay granularity the tests pin; raising it
+    // coalesces arriving files into fewer micro-batches, amortizing the
+    // per-batch fixed cost (merge planning + snapshot publish) — the
+    // production tuning bench/STREAM_r18.md measures. The merge is
+    // multi-change-per-key correct either way (interval construction
+    // within the batch), so coalescing changes cost, never answers.
     val changes = spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .json(inDir)
       .withWatermark(ts, "1 minute")
 
