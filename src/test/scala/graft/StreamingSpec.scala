@@ -908,6 +908,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("coalesced micro-batches (maxFilesPerTrigger > 1) land the same " +
+    "dimension as one-file-per-trigger") {
+    val in = Files.createTempDirectory("cdc_co_in").toString
+    val changes = ChangeGen.changes(spark, 600, 60, seed = 13)
+      .select("change_id", "cdc_timestamp", "order_key", "operation_type",
+        "order_status", "quantity", "unit_price", "total_amount")
+    assert(ChangeGen.writeBatchFiles(changes, "change_id", 6, 100, in) === 6)
+    val schema = changes.schema
+    def drain(mfpt: Int): Seq[(Long, Long)] = {
+      val store = new SnapshotStore(spark,
+        Files.createTempDirectory(s"cdc_co_snap$mfpt").toString)
+      CdcStream.start(spark, s"$in/changes_*.json",
+        Files.createTempDirectory(s"cdc_co_ckpt$mfpt").toString, store,
+        schema, "order_key", "cdc_timestamp", "change_id",
+        opCol = Some("operation_type"), maxFilesPerTrigger = mfpt)
+        .awaitTermination()
+      Scd2.current(store.read().get).select("order_key", "change_id")
+        .orderBy("order_key").as[(Long, Long)].collect().toSeq
+    }
+    // 3-per-trigger coalesces multi-change-per-key files into one merge
+    // call — the throughput dial must change cost, never answers
+    assert(drain(3) === drain(1))
+  }
+
   test("stream merges batches into a valid dimension, checkpoint is exactly-once") {
     val in = Files.createTempDirectory("cdc_in").toString
     val ckpt = Files.createTempDirectory("cdc_ckpt").toString
