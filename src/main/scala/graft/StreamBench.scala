@@ -55,32 +55,56 @@ object StreamBench {
       val work = Files.createTempDirectory(s"stream_bench_$label").toString
       val changes = ChangeGen.changes(spark, n, nKeys, seed = 7)
       val nFiles = ChangeGen.writeBatchFiles(changes, TIE, files, perFile, work)
-      val idx = math.ceil(nFiles.toDouble / mfpt).toInt // micro-batches
       val nRecs = changes.count() // NOOPs filtered: the real record count
       val schema = changes.schema
       val store = new SnapshotStore(spark, s"$work/dim")
-      val (wall, _) = time {
+      val (wall, batches) = time {
         val q = CdcStream.start(spark, s"$work/changes_*.json",
           s"$work/ckpt", store, schema, K, TS, TIE,
           opCol = Some("operation_type"), maxFilesPerTrigger = mfpt)
         q.awaitTermination()
+        // the ACTUAL micro-batch count, from the query's own progress —
+        // never a ceil(files/mfpt) prediction the engine may not match
+        q.recentProgress.count(_.numInputRows > 0)
       }
-      // correctness gate: the streamed dim must agree with the batch
-      // path over the same records before any number is reported
+      // correctness gate, FULL current-row payload: every source column
+      // plus valid_from/valid_to/is_current must agree with the batch
+      // merge — a stream that picks the right change per key but
+      // corrupts a payload column must not publish a throughput.
+      // version_no and cdc_operation are EXCLUDED by design: both
+      // depend on how many micro-batches the history arrived in (the
+      // one-shot reference merge applies last-per-key upsert semantics
+      // → one version; the stream builds per-batch history → N), so
+      // they are batch-granularity bookkeeping, not answers — the
+      // Scd2Spec parity suite pins them against rebuild at fixed
+      // granularity instead.
+      val cols = Scd2.current(store.read().get).columns.sorted.toSeq
+        .filterNot(c => c == "version_no" || c == "cdc_operation")
       val batchDim = Scd2.merge(
         Scd2.rebuild(changes.limit(0), K, TS, TIE),
         changes, K, TS, TIE, Some("operation_type"))
-      val a = Scd2.current(store.read().get).select(K, TIE)
+      val a = Scd2.current(store.read().get).select(cols.head, cols.tail: _*)
         .orderBy(K).collect().toSeq
-      val b = Scd2.current(batchDim).select(K, TIE)
+      val b = Scd2.current(batchDim).select(cols.head, cols.tail: _*)
         .orderBy(K).collect().toSeq
-      require(a == b,
-        s"$label: streamed current rows disagree with the batch merge — " +
-          "refusing to report throughput for a wrong answer")
+      if (a != b) {
+        val firstDiff = a.zip(b).zipWithIndex
+          .collectFirst { case ((x, y), i) if x != y =>
+            val c = cols.zipWithIndex.collectFirst {
+              case (name, j) if x.get(j) != y.get(j) =>
+                s"$name: stream=${x.get(j)} batch=${y.get(j)}"
+            }.getOrElse("?")
+            s"row $i ($c)\n  stream: $x\n  batch:  $y"
+          }.getOrElse(s"row-count ${a.size} vs ${b.size}")
+        sys.error(s"$label: streamed current rows disagree with the " +
+          s"batch merge — refusing to report throughput for a wrong " +
+          s"answer; first diff at $firstDiff")
+      }
       val recsPerSec = nRecs / wall
-      val perBatchMs = wall * 1000.0 / idx
-      println(f"$label%-10s records=$nRecs%7d files=$idx%3d " +
-        f"wall=$wall%7.2fs throughput=$recsPerSec%9.0f rec/s " +
+      val perBatchMs = wall * 1000.0 / math.max(batches, 1)
+      println(f"$label%-15s records=$nRecs%7d files=$nFiles%3d " +
+        f"batches=$batches%3d wall=$wall%7.2fs " +
+        f"throughput=$recsPerSec%9.0f rec/s " +
         f"per_microbatch=$perBatchMs%7.1f ms current_agrees=true")
     }
     spark.stop()

@@ -158,19 +158,45 @@ object Compaction {
   def ensureTagProtocol(spark: SparkSession, table: String): Unit = {
     val dir = Paths.get(table, "_committed")
     if (Files.exists(dir)) return
-    val legacy = scala.util.Try(spark.read.parquet(resolve(table)))
-      .toOption.filter(_.columns.contains("bsig"))
-      .map(_.select("bsig").distinct().collect().map(_.getString(0))
-        .filterNot(t => t == "compacted" || t == "build").toSeq)
-      .getOrElse(Nil)
+    // NEW/EMPTY tables have no schema to infer — nothing to backfill
+    // (AnalysisException). Any OTHER read failure (corrupt footer, IO)
+    // must ABORT the upgrade: swallowing it would install an empty
+    // marker dir, and the exists-guard above makes that unrepeatable —
+    // every legacy tag permanently classified torn, the exact silent
+    // under-count this staged upgrade exists to prevent.
+    val legacy =
+      try {
+        val df = spark.read.parquet(resolve(table))
+        if (!df.columns.contains("bsig")) Nil
+        else df.select("bsig").distinct().collect().map(_.getString(0))
+          .filterNot(t => t == "compacted" || t == "build").toSeq
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => Nil
+      }
     val tmp = Paths.get(table, "_committed.tmp")
     if (Files.exists(tmp)) deleteRec(tmp)
     Files.createDirectories(tmp)
     legacy.foreach(t => Files.createFile(tmp.resolve(tagMarkerName(t))))
     try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
-    catch { // lost a benign race with commitTag's createDirectories
-      case _: java.nio.file.FileAlreadyExistsException => deleteRec(tmp)
-      case _: java.nio.file.DirectoryNotEmptyException => deleteRec(tmp)
+    catch {
+      // lost the (single-writer-backstop) race to commitTag's
+      // createDirectories — MERGE the staged legacy markers into the
+      // winner instead of dropping them (idempotent creates), or the
+      // lost upgrade would classify every legacy tag torn forever
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.DirectoryNotEmptyException =>
+        val stream = Files.list(tmp)
+        try {
+          val it = stream.iterator()
+          while (it.hasNext) {
+            val m = it.next()
+            try Files.createFile(dir.resolve(m.getFileName.toString))
+            catch {
+              case _: java.nio.file.FileAlreadyExistsException => ()
+            }
+          }
+        } finally stream.close()
+        deleteRec(tmp)
     }
   }
 

@@ -282,15 +282,22 @@ class SnapshotStore(spark: SparkSession, root: String) {
     // would poison the whole queue (the sweep's multi-file read fails,
     // or worse coerces) — refuse the single bad request instead. One
     // footer read against the first queued file; empty queue sets the
-    // schema.
-    queueFiles().headOption.foreach { f =>
-      val prior = spark.read.parquet(f.toString).schema.head.dataType
-      val now = out.schema.head.dataType
-      require(prior == now,
-        s"queuePurgeKeys: key type $now does not match the queued " +
-          s"schema $prior — one queue schema per store (a drifted " +
-          "enqueue would poison every queued request at sweep time)")
-    }
+    // schema. The probe itself is BEST-EFFORT against the one allowed
+    // concurrency (a sweep draining the queue mid-probe deletes the
+    // listed file): a failed read means the queue was just emptied, so
+    // there is no prior schema to conflict with — fall through and
+    // append rather than refusing a valid erasure request on a race.
+    queueFiles().headOption
+      .flatMap(f =>
+        scala.util.Try(spark.read.parquet(f.toString).schema).toOption)
+      .foreach { priorSchema =>
+        val prior = priorSchema.head.dataType
+        val now = out.schema.head.dataType
+        require(prior == now,
+          s"queuePurgeKeys: key type $now does not match the queued " +
+            s"schema $prior — one queue schema per store (a drifted " +
+            "enqueue would poison every queued request at sweep time)")
+      }
     Files.createDirectories(rootPath)
     out.write.mode("append").parquet(queueDir.toString)
   }
