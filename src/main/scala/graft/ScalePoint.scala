@@ -100,7 +100,10 @@ object ScalePoint {
     val row = df.agg(max(col(idCols.head)),
       idCols.tail.map(c => max(col(c))): _*).head()
     idCols.zipWithIndex.foreach { case (c, i) =>
-      val mx = row.getLong(i)
+      // max() over an EMPTY base table is null; getLong would NPE with
+      // no hint of why — an empty base has no ids to alias, so it
+      // passes trivially (the replica build just yields empty dirs)
+      val mx = if (row.isNullAt(i)) -1L else row.getLong(i)
       require(mx < 10000000L,
         s"buildScaled: $table.$c max id $mx >= 10^7 — the i*10^7 replica " +
           "shift would alias ids across replicas and corrupt every " +

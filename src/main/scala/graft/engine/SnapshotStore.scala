@@ -131,8 +131,18 @@ class SnapshotStore(spark: SparkSession, root: String) {
     * one cycle longer, never resurrected), and UNMARKED temps of any
     * version are discarded here too — they are torn writes recovery
     * would discard anyway, but only if [[purgeKeys]] ever runs again;
-    * without this a store that stops purging leaks them forever. */
+    * without this a store that stops purging leaks them forever.
+    *
+    * Adoptable temps are ADOPTED first, not merely kept: a crash
+    * between [[purgeKeys]]' live-dir delete and its swap leaves the
+    * `_PURGED` temp as the version's only (purged) copy, and until
+    * some verb adopts it readers of that version keep failing — or,
+    * pre-delete-crash, keep serving the UNPURGED copy. Recovery riding
+    * every maintenance verb (not only the next purge) bounds that
+    * compliance window by the maintenance cadence even if purging
+    * stops entirely. */
   def vacuum(keepLast: Int): Seq[Long] = {
+    recoverPurgeTemps()
     val all = versions()
     val cur = currentVersion()
     val keep = all.takeRight(math.max(keepLast, 1)).toSet ++ cur.toSet
@@ -278,29 +288,60 @@ class SnapshotStore(spark: SparkSession, root: String) {
     val keyIn = if (keys.columns.contains(keyCol))
       keys.col(keyCol) else keys.col(keys.columns.head)
     val out = keys.select(keyIn.as(keyCol)).distinct()
-    // one-queue-schema-per-store, ENFORCED: a type-drifted enqueue
+    // one-queue-schema-per-store, ENFORCED against a PERSISTED source
+    // of truth: the `_SCHEMA` sidecar (name + type of the queue's one
+    // column), written once when the queue's schema is first
+    // established and never consumed by the sweep (queueFiles lists
+    // only `*.parquet`, purgeSweep deletes only what it lists) — so
+    // unlike the earlier best-effort probe of a data file, the check
+    // cannot race a concurrent sweep deleting its probe target: the
+    // sidecar outlives every drain. A type- OR name-drifted enqueue
     // would poison the whole queue (the sweep's multi-file read fails,
-    // or worse coerces) — refuse the single bad request instead. One
-    // footer read against the first queued file; empty queue sets the
-    // schema. The probe itself is BEST-EFFORT against the one allowed
-    // concurrency (a sweep draining the queue mid-probe deletes the
-    // listed file): a failed read means the queue was just emptied, so
-    // there is no prior schema to conflict with — fall through and
-    // append rather than refusing a valid erasure request on a race.
-    queueFiles().headOption
-      .flatMap(f =>
-        scala.util.Try(spark.read.parquet(f.toString).schema).toOption)
-      .foreach { priorSchema =>
-        val prior = priorSchema.head.dataType
-        val now = out.schema.head.dataType
-        require(prior == now,
-          s"queuePurgeKeys: key type $now does not match the queued " +
-            s"schema $prior — one queue schema per store (a drifted " +
-            "enqueue would poison every queued request at sweep time)")
-      }
-    Files.createDirectories(rootPath)
+    // or worse coerces/mis-aligns columns) — refuse the single bad
+    // request instead. Legacy queues (files enqueued before the
+    // sidecar protocol) are migrated here: their schema is read from a
+    // queued file once and persisted, after which the sidecar governs.
+    val now = out.schema.head
+    Files.createDirectories(queueDir)
+    readQueueSchema().orElse {
+      val legacy = queueFiles().headOption.flatMap(f =>
+        scala.util.Try(spark.read.parquet(f.toString).schema.head).toOption)
+      // establish: legacy schema if one exists, else this enqueue's.
+      // Atomic tmp+move so a torn write can never half-establish.
+      val establish = legacy.getOrElse(now)
+      val tmp = queueDir.resolve("_SCHEMA.tmp")
+      Files.writeString(tmp, s"${establish.name}\t${establish.dataType.json}")
+      Files.move(tmp, queueSchemaFile, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      Some((establish.name, establish.dataType))
+    }.foreach { case (priorName, priorType) =>
+      require(priorName == now.name && priorType == now.dataType,
+        s"queuePurgeKeys: enqueue of ($keyCol: ${now.dataType}) does " +
+          s"not match the queue's established schema ($priorName: " +
+          s"$priorType) — one queue schema per store (a drifted " +
+          "enqueue would poison every queued request at sweep time)")
+    }
     out.write.mode("append").parquet(queueDir.toString)
   }
+
+  private val queueSchemaFile = {
+    // resolved lazily-by-name only; the dir may not exist yet
+    rootPath.resolve("_purge_queue").resolve("_SCHEMA")
+  }
+
+  /** The queue's established (column name, type), if the sidecar
+    * exists. Unparseable content fails loudly — a corrupt schema
+    * record must not silently admit drifted enqueues. */
+  private def readQueueSchema(): Option[(String, org.apache.spark.sql.types.DataType)] =
+    if (!Files.exists(queueSchemaFile)) None
+    else Files.readString(queueSchemaFile).split("\t", 2) match {
+      case Array(n, j) =>
+        Some((n, org.apache.spark.sql.types.DataType.fromJson(j)))
+      case other => throw new IllegalStateException(
+        s"unparseable _SCHEMA sidecar under $queueDir: " +
+          s"'${other.mkString}' — refusing to validate enqueues " +
+          "against a corrupt schema record")
+    }
 
   /** Fold every queued erasure key into ONE [[purgeKeys]] call and
     * clear exactly the queue files that call consumed. Returns the

@@ -436,7 +436,14 @@ object Stats {
     * before its append, cleared by the tick only after the sketch
     * rebuild publishes), so a reader between retraction and tick KNOWS
     * the estimate over-counts and can fall back to the exact read —
-    * the flag costs one file-existence probe, no extra scan. */
+    * the flag costs one file-existence probe, no extra scan.
+    *
+    * The flag is sampled AT CALL TIME (a driver-side probe folded into
+    * the plan as a literal), not at action time: a DataFrame held
+    * across a retraction or a maintenance tick reports the staleness
+    * that was true when THIS method ran, exactly like the sketch rows
+    * its scan captured. Callers that hold results across ticks must
+    * re-call for a fresh read — same contract as any snapshot read. */
   def queryDistinctView(spark: SparkSession, path: String,
                         group: String): DataFrame = {
     val pending = java.nio.file.Files.exists(

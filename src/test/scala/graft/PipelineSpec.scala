@@ -163,7 +163,51 @@ class PipelineSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       store.queuePurgeKeys(Seq("4").toDF("user_id"), "user_id")
     }
-    assert(store.purgeSweep("user_id").nonEmpty) // drain for hygiene
+    // a NAME-drifted single-column enqueue is refused too: mixed column
+    // names across queue files would mis-align the sweep's multi-file read
+    assertThrows[IllegalArgumentException] {
+      store.queuePurgeKeys(Seq(4L).toDF("uid"), "uid")
+    }
+    assert(store.purgeSweep("user_id").nonEmpty) // drain
+    // the schema is a PERSISTED _SCHEMA sidecar, not a probe of a data
+    // file: it survives the drain, so a drifted enqueue against the
+    // now-EMPTY queue (where the old probe found nothing to conflict
+    // with) is still refused — the r18-advice race is closed
+    assertThrows[IllegalArgumentException] {
+      store.queuePurgeKeys(Seq("5").toDF("user_id"), "user_id")
+    }
+    // legacy migration: a queue whose files predate the sidecar gets
+    // its schema established FROM a queued file on the next enqueue
+    store.queuePurgeKeys(Seq(6L).toDF("user_id"), "user_id")
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "_purge_queue", "_SCHEMA"))
+    assertThrows[IllegalArgumentException] {
+      store.queuePurgeKeys(Seq("7").toDF("user_id"), "user_id")
+    }
+    store.queuePurgeKeys(Seq(7L).toDF("user_id"), "user_id")
+    assert(store.purgeSweep("user_id").nonEmpty)
+  }
+
+  test("vacuum adopts a crash-left purge temp — any maintenance verb " +
+    "closes the compliance window, not only the next purge") {
+    val root = tmp("vacuum_adopt")
+    val store = new SnapshotStore(spark, root)
+    store.publish(Seq((1L, "a0"), (2L, "b0")).toDF("user_id", "v"))
+    store.publish(Seq((1L, "a1"), (2L, "b1")).toDF("user_id", "v"))
+    // fabricate the crash: a completed purged rewrite of v0 (data +
+    // _SUCCESS + the _PURGED adoption marker) whose swap never ran —
+    // the live v0 still serves the UNPURGED copy
+    val tmpDir = java.nio.file.Paths.get(root, "v0._purge")
+    store.readVersion(0L).filter($"user_id" =!= 1L)
+      .write.parquet(tmpDir.toString)
+    java.nio.file.Files.createFile(tmpDir.resolve("_PURGED"))
+    assert(store.readVersion(0L).filter($"user_id" === 1L).count() === 1L)
+    // vacuum (dropping nothing) must adopt the purged copy
+    assert(store.vacuum(keepLast = 10).isEmpty)
+    assert(!java.nio.file.Files.exists(tmpDir), "temp must be consumed")
+    assert(store.readVersion(0L).filter($"user_id" === 1L).count() === 0L,
+      "vacuum must adopt the authoritative purged copy of v0")
+    assert(store.readVersion(0L).count() === 1L)
   }
 
   test("purgeKeys preserves a partitioned version's hive layout") {
