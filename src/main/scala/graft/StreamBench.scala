@@ -107,6 +107,71 @@ object StreamBench {
         f"throughput=$recsPerSec%9.0f rec/s " +
         f"per_microbatch=$perBatchMs%7.1f ms current_agrees=true")
     }
+
+    // ── dim-size slope: whole-dim publish vs partition-scoped
+    // incremental publish (dimBuckets), per-batch cost vs dim size ──
+    // The r18 verdict's named scale-killer was the O(dim) per-batch
+    // term of the whole-dim republish. This shape measures it and its
+    // fix: the SAME hot-key trickle (10 files × 500 records over 32
+    // keys — a handful of the 256 buckets per batch) merged into a
+    // pre-seeded dim at 1× and 10×. Whole mode's per-batch cost must
+    // grow with dim size; incremental's must track the CHANGED buckets.
+    // Gate: at each dim size the two modes' final dims must agree
+    // row-for-row (order-independent row-hash sum + count) — a fast
+    // wrong merge reports nothing.
+    val hot = ChangeGen.changes(spark, 5000, 32, seed = 7)
+    val hotRecs = hot.count()
+    val perScale = Seq(1, 10).map { dimScale =>
+      val seedChanges = ChangeGen.changes(spark, 60000L * dimScale,
+        30000 * dimScale, seed = 3, startTs = "2024-01-01 00:00:00")
+      val dim0 = Scd2.rebuild(seedChanges, K, TS, TIE)
+      val dimRows = dim0.count()
+      // bucket COUNT scales with the dim (fixed bucket SIZE) — the
+      // sizing discipline a 100-TB deployment applies, and the reason
+      // incremental per-batch cost stays flat as the dim grows: the
+      // batch's ~32 hot keys touch ~the same number of same-sized
+      // buckets at every scale
+      val results = Seq(("whole", 0), ("incremental", 256 * dimScale)).map {
+        case (mode, buckets) =>
+          val work = Files
+            .createTempDirectory(s"stream_slope_${mode}_$dimScale").toString
+          ChangeGen.writeBatchFiles(hot, TIE, 10, 500, work)
+          val store = new SnapshotStore(spark, s"$work/dim")
+          if (buckets > 0) {
+            val b = CdcStream.bucketed(dim0, K, buckets)
+            store.publish(b.repartition(b(CdcStream.BucketCol)),
+              Seq(CdcStream.BucketCol))
+          } else store.publish(dim0)
+          val (wall, batches) = time {
+            val q = CdcStream.start(spark, s"$work/changes_*.json",
+              s"$work/ckpt", store, hot.schema, K, TS, TIE,
+              opCol = Some("operation_type"), dimBuckets = buckets)
+            q.awaitTermination()
+            q.recentProgress.count(_.numInputRows > 0)
+          }
+          val d = store.read().get.drop(CdcStream.BucketCol)
+          val cols = d.columns.sorted.toIndexedSeq
+          // order-independent signature: count + bit-XOR of row hashes
+          // (a sum overflows ANSI long arithmetic on 64-bit hashes)
+          val sig = d.selectExpr("count(1)",
+            s"bit_xor(xxhash64(${cols.map(c => s"`$c`").mkString(", ")}))")
+            .head()
+          val perBatchMs = wall * 1000.0 / math.max(batches, 1)
+          println(f"slope_${mode}%-12s dim_rows=$dimRows%7d " +
+            f"records=$hotRecs%5d batches=$batches%3d wall=$wall%7.2fs " +
+            f"per_microbatch=$perBatchMs%7.1f ms")
+          (mode, (sig.getLong(0), sig.getLong(1)), perBatchMs)
+      }
+      if (results(0)._2 != results(1)._2)
+        sys.error(s"dim-size slope at ${dimScale}x: whole and " +
+          s"incremental publish disagree (${results(0)._2} vs " +
+          s"${results(1)._2}) — refusing to report a wrong merge's cost")
+      (dimScale, dimRows, results(0)._3, results(1)._3)
+    }
+    perScale.foreach { case (s, rows, whole, inc) =>
+      println(f"slope_summary   scale=${s}%2dx dim_rows=$rows%7d " +
+        f"whole_per_batch=$whole%7.1f ms incremental_per_batch=$inc%7.1f ms")
+    }
     spark.stop()
   }
 }

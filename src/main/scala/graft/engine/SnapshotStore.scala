@@ -45,6 +45,145 @@ class SnapshotStore(spark: SparkSession, root: String) {
         .parquet(dir)
     }
 
+  /** Copy-on-write publish: the next version carries `changed`'s
+    * partitions REWRITTEN and every other `partitionCol=` dir of the
+    * current version REUSED at file level — write work is
+    * O(changed partitions), not O(snapshot). This is the scale form of
+    * a hot-key merge against a 100-TB dimension: a micro-batch touching
+    * 12 of 4,096 key-bucket partitions rewrites 12 dirs, while a
+    * whole-snapshot [[publish]] would rewrite all of them every batch
+    * (the r18-measured O(dim) per-batch term, bench/STREAM_r18.md).
+    *
+    * Contract: `changed` must contain the FULL post-merge contents of
+    * every partition it includes (its distinct `partitionCol` values)
+    * and nothing else; the current version must already be partitioned
+    * by exactly `partitionCol` (enforced — carrying partitions over
+    * from an unpartitioned or differently-partitioned version would
+    * silently drop data; bootstrap/migrate with a full [[publish]]).
+    * An empty store publishes `changed` whole.
+    *
+    * File reuse is hard-link first (metadata-only on POSIX — the local
+    * realization of manifest-style file reuse; an unchanged partition's
+    * files in v{N+1} ARE v{N}'s inodes, so "byte-identical" is
+    * structural), per-file copy as the fallback where links are
+    * unsupported. On HDFS/object storage the same contract is kept by
+    * a manifest (a snapshot referencing prior data files, the
+    * Iceberg/Delta shape) — the store's pointer protocol doesn't care
+    * which realization writes the dir, and readers are untouched
+    * either way: v{N+1} is a plain hive-partitioned parquet dir behind
+    * the same atomic `_CURRENT` flip, so time travel, [[vacuum]]
+    * (deleting an old version unlinks, never destroys a newer
+    * version's reused files) and [[purgeKeys]] (which already
+    * reproduces hive layouts) all compose unchanged. Crash mid-link
+    * leaves an orphan dir the pointer never named — the standard
+    * torn-publish posture. */
+  def publishIncremental(changed: DataFrame, partitionCol: String): Long =
+    currentVersion() match {
+      case None => publish(changed, Seq(partitionCol))
+      case Some(cur) =>
+        val curDir = rootPath.resolve(s"v$cur")
+        val curParts = partitionColsOf(curDir)
+        require(curParts == Seq(partitionCol),
+          s"publishIncremental: current version v$cur is partitioned by " +
+            s"[${curParts.mkString(", ")}], not [$partitionCol] — " +
+            "carrying partitions across layouts would drop data; " +
+            "bootstrap/migrate with a full publish first")
+        publishVersionDir { dir =>
+          // cluster the write: one task per partition value → ONE file
+          // per changed dir, so carry-over cost is one link per
+          // UNCHANGED dir (not files × tasks) and later pruned reads
+          // open one file per bucket — without this, every writer task
+          // drops a sliver into every dir and the version dir explodes
+          // into tasks × partitions small files
+          changed.repartition(changed(partitionCol))
+            .write.mode("overwrite")
+            .partitionBy(partitionCol).parquet(dir)
+          val newDir = Paths.get(dir)
+          val stream = Files.list(curDir)
+          try {
+            val it = stream.iterator()
+            while (it.hasNext) {
+              val p = it.next()
+              val name = p.getFileName.toString
+              if (Files.isDirectory(p) &&
+                  name.startsWith(s"$partitionCol=") &&
+                  !Files.exists(newDir.resolve(name)))
+                linkTree(p, newDir.resolve(name))
+            }
+          } finally stream.close()
+        }
+    }
+
+  /** The hive partition columns of the CURRENT version dir (empty when
+    * unpartitioned or no version) — a filesystem probe, NOT a schema
+    * read: callers deciding between the incremental and full publish
+    * paths must not pay a full partition discovery (O(partitions)
+    * listing) just to ask how the snapshot is laid out. */
+  def currentPartitionCols(): Seq[String] =
+    currentVersion().map(v => partitionColsOf(rootPath.resolve(s"v$v")))
+      .getOrElse(Seq.empty)
+
+  /** Read ONLY the named partition dirs of the current version — the
+    * manifest-style read the incremental merge wants: a micro-batch
+    * touching 28 of 4,096 buckets must list 28 dirs, not run a full
+    * partition discovery over all 4,096 (O(partitions) driver listing
+    * per batch — measured as the dominant incremental cost before this
+    * existed). `basePath` keeps the partition column in the schema.
+    * Values whose dir doesn't exist (first change in a fresh bucket)
+    * are skipped; if none exist, an empty frame with the snapshot's
+    * schema is returned (derived from one existing partition dir). */
+  def readCurrentPartitions(partitionCol: String,
+                            values: Seq[Any]): DataFrame = {
+    val v = currentVersion().getOrElse(throw new IllegalStateException(
+      s"readCurrentPartitions: no published version under $root"))
+    val base = s"$root/v$v"
+    val dirs = values.map(x => s"$base/$partitionCol=$x")
+      .filter(d => Files.exists(Paths.get(d)))
+    if (dirs.nonEmpty)
+      spark.read.option("basePath", base).parquet(dirs: _*)
+    else {
+      val one = {
+        val stream = Files.list(Paths.get(base))
+        try {
+          val it = stream.iterator()
+          var found: Option[String] = None
+          while (it.hasNext && found.isEmpty) {
+            val p = it.next()
+            if (Files.isDirectory(p) &&
+                p.getFileName.toString.startsWith(s"$partitionCol="))
+              found = Some(p.toString)
+          }
+          found.getOrElse(throw new IllegalStateException(
+            s"readCurrentPartitions: v$v has no $partitionCol= dirs"))
+        } finally stream.close()
+      }
+      spark.read.option("basePath", base).parquet(one).limit(0)
+    }
+  }
+
+  /** Mirror `src` under `dst` with per-file hard links (copy where the
+    * filesystem refuses links) — the unchanged-partition carry-over of
+    * [[publishIncremental]]. */
+  private def linkTree(src: java.nio.file.Path,
+                       dst: java.nio.file.Path): Unit = {
+    Files.createDirectories(dst)
+    val stream = Files.list(src)
+    try {
+      val it = stream.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val d = dst.resolve(p.getFileName.toString)
+        if (Files.isDirectory(p)) linkTree(p, d)
+        else
+          try Files.createLink(d, p)
+          catch {
+            case _: UnsupportedOperationException =>
+              Files.copy(p, d, StandardCopyOption.COPY_ATTRIBUTES); ()
+          }
+      }
+    } finally stream.close()
+  }
+
   /** Write the next version via `write` (handed the version dir path)
     * and atomically publish it — the shared pointer protocol behind
     * [[publish]] and [[publishZOrdered]]. `write` may drop `_`-prefixed
@@ -361,6 +500,27 @@ class SnapshotStore(spark: SparkSession, root: String) {
       spark.read.parquet(files.map(_.toString): _*), keyCol)
     files.foreach(Files.deleteIfExists)
     rewritten
+  }
+
+  /** Erasure-queue observability — the numbers a deployment's erasure
+    * SLA is scheduled against: `files` = queued request appends not yet
+    * swept, `keys` = queued key rows across them (pre-distinct — the
+    * sweep dedups), `oldestEnqueueMs` = the oldest queued file's mtime.
+    * Nothing in the engine bounds queue age by itself ([[purgeSweep]]
+    * runs when scheduled); the staleness CONTRACT is the scheduler's:
+    * run the sweep at least every `SLA − ε`, and alert when
+    * now − oldestEnqueueMs approaches the SLA — this stat is that
+    * alert's input. Cost: one directory listing plus (when nonempty)
+    * one footer-count job over the tiny queue files. */
+  final case class PurgeQueueStats(files: Long, keys: Long,
+                                   oldestEnqueueMs: Option[Long])
+
+  def purgeQueueStats(): PurgeQueueStats = {
+    val fs = queueFiles()
+    if (fs.isEmpty) PurgeQueueStats(0L, 0L, None)
+    else PurgeQueueStats(fs.size.toLong,
+      spark.read.parquet(fs.map(_.toString): _*).count(),
+      Some(fs.map(f => Files.getLastModifiedTime(f).toMillis).min))
   }
 
   private val queueDir = rootPath.resolve("_purge_queue")

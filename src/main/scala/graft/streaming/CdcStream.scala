@@ -39,7 +39,8 @@ object CdcStream {
             key: String, ts: String, tie: String,
             opCol: Option[String] = None,
             availableNow: Boolean = true,
-            maxFilesPerTrigger: Int = 1): StreamingQuery = {
+            maxFilesPerTrigger: Int = 1,
+            dimBuckets: Int = 0): StreamingQuery = {
     // maxFilesPerTrigger is the throughput/latency dial: 1 keeps the
     // one-file-≙-one-batch replay granularity the tests pin; raising it
     // coalesces arriving files into fewer micro-batches, amortizing the
@@ -56,23 +57,125 @@ object CdcStream {
     val writer = changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val dim = store.read().getOrElse(Scd2.rebuild(batch.limit(0), key, ts, tie))
-          // schema evolution before the merge: a stream restarted with a
-          // WIDER batch schema (the live ALTER TABLE case) meets a
-          // snapshot that has never seen the new columns — evolveSchema
-          // appends them (null for pre-existing versions) instead of
-          // failing the merge's unionByName
-          val merged = Scd2.mergeBatch(Scd2.evolveSchema(dim, batch),
-            batch, key, ts, tie, opCol)
-          store.publish(merged.dim)
-          merged.cleanup()
-        }
-        ()
+        applyChangeBatch(store, batch, key, ts, tie, opCol, dimBuckets)
       }
 
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
+
+  /** The dim snapshot's key-bucket partition column —
+    * `pmod(xxhash64(key), dimBuckets)`, hive-materialized so a
+    * micro-batch's read AND write touch only the buckets its keys hash
+    * into. Named distinctively (payload collision is refused loudly);
+    * readers that compare against an unbucketed merge drop it. */
+  val BucketCol = "graft_kb"
+
+  /** `df` with its [[BucketCol]] key-bucket column appended — the ONE
+    * definition of the snapshot's bucket function, shared by the
+    * micro-batch merge and by callers pre-seeding a bucketed snapshot
+    * (a seed published with a different hash would route every later
+    * batch to the wrong partitions). */
+  def bucketed(df: DataFrame, key: String, dimBuckets: Int): DataFrame =
+    df.withColumn(BucketCol,
+      pmod(xxhash64(df(key)), lit(dimBuckets.toLong)).cast("int"))
+
+  /** One micro-batch of the streaming SCD2 merge — the foreachBatch
+    * body of [[start]], public so both publish modes are directly
+    * testable.
+    *
+    * `dimBuckets <= 0` is the original whole-dim formulation: merge
+    * against the full snapshot, republish the full snapshot — simple,
+    * but per-batch cost is O(dim) (measured in bench/STREAM_r18.md),
+    * the wrong shape for a 100-TB dimension fed by hot-key trickle.
+    *
+    * `dimBuckets > 0` is the copy-on-write formulation: the snapshot
+    * is hive-partitioned by [[BucketCol]] and a micro-batch touches
+    * ONLY the buckets its keys hash into — the dim-side READ is
+    * partition-pruned to those dirs (the batch's distinct bucket set is
+    * O(min(batch keys, dimBuckets)) — collected, bounded, never data-
+    * sized), the merge runs against just those buckets' rows (merge
+    * semantics are per-key, and a key's whole version chain lives in
+    * its bucket, so the bucket-local merge IS the global merge), and
+    * [[SnapshotStore.publishIncremental]] rewrites just those dirs,
+    * carrying every untouched partition over by file-level reuse. Per-
+    * batch cost therefore tracks CHANGED-BUCKET data size, not dim size
+    * — the r18 verdict's named scale-killer, closed.
+    *
+    * Bootstrap and migration (empty store, or a snapshot published
+    * before bucketing was turned on) take one full partitioned publish
+    * to establish the layout; a batch that WIDENS the schema (the live
+    * ALTER TABLE case — evolveSchema appends batch-only columns, null
+    * for history) also republishes whole, because untouched partition
+    * files can't gain the new column by reuse and a mixed-schema dir
+    * would make the read schema depend on which file Spark samples.
+    * Both are rare, loud-in-the-log events; steady state is
+    * incremental. */
+  def applyChangeBatch(store: SnapshotStore, batch: DataFrame,
+                       key: String, ts: String, tie: String,
+                       opCol: Option[String], dimBuckets: Int = 0): Unit = {
+    if (batch.isEmpty) return
+    if (dimBuckets <= 0) {
+      val dim = store.read()
+        .getOrElse(Scd2.rebuild(batch.limit(0), key, ts, tie))
+      val merged = Scd2.mergeBatch(Scd2.evolveSchema(dim, batch),
+        batch, key, ts, tie, opCol)
+      store.publish(merged.dim)
+      merged.cleanup()
+      return
+    }
+    require(!batch.columns.contains(BucketCol),
+      s"applyChangeBatch: batch carries a '$BucketCol' column — the " +
+        "name is reserved for the snapshot's key-bucket partition")
+    def bucketOf(df: DataFrame) =
+      pmod(xxhash64(df(key)), lit(dimBuckets.toLong)).cast("int")
+    def withBucket(df: DataFrame) = bucketed(df, key, dimBuckets)
+
+    // layout decision from a FILESYSTEM probe, never a schema read: a
+    // full partition discovery just to ask "is this snapshot bucketed?"
+    // would cost O(partitions) driver listing per micro-batch
+    if (store.currentVersion().nonEmpty &&
+        store.currentPartitionCols() == Seq(BucketCol)) {
+      // the batch's bucket set: bounded by dimBuckets, driver-safe
+      val affected = batch.select(bucketOf(batch).as(BucketCol))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      // manifest-style dim read: ONLY the affected bucket dirs are
+      // listed and scanned — per-batch read cost is O(changed buckets)
+      // in files AND in listing, independent of how many buckets the
+      // snapshot holds
+      val dimAff = store.readCurrentPartitions(BucketCol, affected)
+        .drop(BucketCol)
+      val evolved = Scd2.evolveSchema(dimAff, batch)
+      if (evolved.columns.length != dimAff.columns.length) {
+        // schema widened — full republish so every partition's files
+        // carry the new columns (see doc above)
+        val full = Scd2.evolveSchema(
+          store.read().get.drop(BucketCol), batch)
+        val merged = Scd2.mergeBatch(full, batch, key, ts, tie, opCol)
+        store.publish(clustered(withBucket(merged.dim)), Seq(BucketCol))
+        merged.cleanup()
+      } else {
+        val merged = Scd2.mergeBatch(evolved, batch, key, ts, tie, opCol)
+        store.publishIncremental(withBucket(merged.dim), BucketCol)
+        merged.cleanup()
+      }
+    } else {
+      // bootstrap (empty store) or migration (pre-bucketing snapshot):
+      // one full publish establishes the bucketed layout
+      val dim = store.read().map(_.drop(BucketCol))
+        .getOrElse(Scd2.rebuild(batch.limit(0), key, ts, tie))
+      val merged = Scd2.mergeBatch(Scd2.evolveSchema(dim, batch),
+        batch, key, ts, tie, opCol)
+      store.publish(clustered(withBucket(merged.dim)), Seq(BucketCol))
+      merged.cleanup()
+    }
+  }
+
+  /** One writer task per bucket → one file per bucket dir — the write
+    * clustering every bucketed publish wants (matches
+    * [[SnapshotStore.publishIncremental]]'s internal clustering, which
+    * covers the steady-state path). */
+  private def clustered(df: DataFrame): DataFrame =
+    df.repartition(df(BucketCol))
 
   /** Stream-stream interval join: each left event pairs with the right
     * events of the same key whose event time lies within

@@ -1021,6 +1021,162 @@ class StreamingSpec extends AnyFunSuite {
     assert(Scd2.duplicateCurrentKeys(dim, "order_key").count() === 0)
   }
 
+  test("bucketed incremental publish: untouched bucket dirs carry over " +
+    "by file identity, only changed buckets rewrite") {
+    val snap = Files.createTempDirectory("kb_snap").toString
+    val store = new SnapshotStore(spark, snap)
+    val B = 16
+    def batch(rows: (Long, Long, String, String)*) =
+      rows.toDF("change_id", "order_key", "cdc_timestamp", "status")
+        .withColumn("cdc_timestamp", $"cdc_timestamp".cast("timestamp"))
+        .withColumn("operation_type", lit("UPDATE"))
+    // bootstrap: 64 keys spread over the 16 buckets
+    val seed = batch((1L to 64L).map(k =>
+      (k, k, "2024-01-01 00:00:00", s"s$k")): _*)
+    CdcStream.applyChangeBatch(store, seed, "order_key", "cdc_timestamp",
+      "change_id", Some("operation_type"), dimBuckets = B)
+    val v0 = store.currentVersion().get
+    val v0Dir = java.nio.file.Paths.get(snap, s"v$v0")
+    // micro-batch touching ONE key
+    val touched = 7L
+    CdcStream.applyChangeBatch(store,
+      batch((100L, touched, "2024-02-01 00:00:00", "hot")),
+      "order_key", "cdc_timestamp", "change_id", Some("operation_type"),
+      dimBuckets = B)
+    val v1 = store.currentVersion().get
+    assert(v1 === v0 + 1)
+    val v1Dir = java.nio.file.Paths.get(snap, s"v$v1")
+    val hotKb = seed.sparkSession.range(1)
+      .select(pmod(xxhash64(lit(touched)), lit(B.toLong)).cast("int"))
+      .head().getInt(0)
+    def dataFiles(d: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val s = Files.list(d)
+      try {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+        s.iterator().forEachRemaining { p =>
+          if (p.getFileName.toString.endsWith(".parquet")) buf += p }
+        buf.sortBy(_.getFileName.toString).toSeq
+      } finally s.close()
+    }
+    var carried = 0
+    val ls = Files.list(v0Dir)
+    try ls.iterator().forEachRemaining { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith(s"${CdcStream.BucketCol}=")) {
+        val kb = name.split("=")(1).toInt
+        val old = dataFiles(p); val neu = dataFiles(v1Dir.resolve(name))
+        if (kb == hotKb)
+          assert(!old.zip(neu).exists { case (a, b) =>
+            Files.isSameFile(a, b) },
+            s"the touched bucket $name must be REWRITTEN")
+        else {
+          assert(old.map(_.getFileName) === neu.map(_.getFileName) &&
+            old.zip(neu).forall { case (a, b) => Files.isSameFile(a, b) },
+            s"untouched bucket $name must carry over by file identity")
+          carried += 1
+        }
+      }
+    } finally ls.close()
+    assert(carried >= B - 2, "nearly all buckets must be carried, not rewritten")
+    // the dim-side read is partition-pruned to the affected buckets
+    val pruned = store.read().get.filter(col(CdcStream.BucketCol) === hotKb)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains(s"$hotKb"),
+      s"bucket filter must prune at the partition level:\n$scan")
+    // agreement with the whole-dim publish path at the SAME batch
+    // granularity (per-key history intact: key 7 keeps two versions)
+    val wholeStore = new SnapshotStore(spark,
+      Files.createTempDirectory("kb_whole").toString)
+    CdcStream.applyChangeBatch(wholeStore, seed, "order_key",
+      "cdc_timestamp", "change_id", Some("operation_type"))
+    CdcStream.applyChangeBatch(wholeStore,
+      batch((100L, touched, "2024-02-01 00:00:00", "hot")),
+      "order_key", "cdc_timestamp", "change_id", Some("operation_type"))
+    val expect = wholeStore.read().get
+    val got = store.read().get.drop(CdcStream.BucketCol)
+    assert(got.orderBy("order_key", "version_no")
+      .select(expect.columns.sorted.map(col).toIndexedSeq: _*).collect().toSeq ===
+      expect.orderBy("order_key", "version_no")
+        .select(expect.columns.sorted.map(col).toIndexedSeq: _*).collect().toSeq)
+    // vacuum composes: dropping v0 unlinks, never destroys v1's reused files
+    store.publish(store.read().get.drop(CdcStream.BucketCol)) // v2, unbucketed
+    assert(store.vacuum(keepLast = 2) === Seq(v0), "v0 must drop")
+    assert(store.readVersion(v1).count() === 65L,
+      "v1 must stay fully readable after the carried-from version is vacuumed")
+  }
+
+  test("bucketed stream lands the same dimension as whole-dim publish; " +
+    "widened schema falls back to a full republish") {
+    val in = Files.createTempDirectory("kb_in").toString
+    val changes = ChangeGen.changes(spark, 600, 60, seed = 17)
+      .select("change_id", "cdc_timestamp", "order_key", "operation_type",
+        "order_status", "quantity", "unit_price", "total_amount")
+    assert(ChangeGen.writeBatchFiles(changes, "change_id", 6, 100, in) === 6)
+    val schema = changes.schema
+    def drain(buckets: Int): Seq[org.apache.spark.sql.Row] = {
+      val store = new SnapshotStore(spark,
+        Files.createTempDirectory(s"kb_snap$buckets").toString)
+      CdcStream.start(spark, s"$in/changes_*.json",
+        Files.createTempDirectory(s"kb_ckpt$buckets").toString, store,
+        schema, "order_key", "cdc_timestamp", "change_id",
+        opCol = Some("operation_type"), dimBuckets = buckets)
+        .awaitTermination()
+      val d = store.read().get.drop(CdcStream.BucketCol)
+      d.orderBy("order_key", "version_no")
+        .select(d.columns.sorted.map(col).toIndexedSeq: _*).collect().toSeq
+    }
+    assert(drain(8) === drain(0),
+      "the publish mode is a layout dial — it must never change answers")
+
+    // widened schema on a BUCKETED store: full republish, no mixed-schema
+    // dirs — every version-dir file carries the new column
+    val snap = Files.createTempDirectory("kb_ev_snap").toString
+    val store = new SnapshotStore(spark, snap)
+    def b1(rows: (Long, Long, String)*) =
+      rows.toDF("change_id", "order_key", "cdc_timestamp")
+        .withColumn("cdc_timestamp", $"cdc_timestamp".cast("timestamp"))
+    CdcStream.applyChangeBatch(store,
+      b1((1L, 1L, "2024-01-01 00:00:00"), (2L, 2L, "2024-01-01 00:00:00")),
+      "order_key", "cdc_timestamp", "change_id", None, dimBuckets = 4)
+    CdcStream.applyChangeBatch(store,
+      b1((3L, 1L, "2024-02-01 00:00:00"))
+        .withColumn("region", lit("eu")),
+      "order_key", "cdc_timestamp", "change_id", None, dimBuckets = 4)
+    val dim = store.read().get
+    assert(dim.columns.contains("region"))
+    assert(dim.filter($"order_key" === 2L).select($"region").head()
+      .isNullAt(0), "pre-evolution rows read null for the new column")
+    val vDir = java.nio.file.Paths.get(snap, s"v${store.currentVersion().get}")
+    val walk = Files.walk(vDir)
+    try walk.iterator().forEachRemaining { p =>
+      if (p.getFileName.toString.endsWith(".parquet"))
+        assert(spark.read.parquet(p.toString).columns.contains("region"),
+          s"widened republish left a pre-evolution file behind: $p")
+    } finally walk.close()
+
+    // migration: a pre-bucketing (unpartitioned) snapshot takes one full
+    // bucketed publish, then goes incremental
+    val snap2 = Files.createTempDirectory("kb_mig_snap").toString
+    val store2 = new SnapshotStore(spark, snap2)
+    store2.publish(Scd2.rebuild(
+      b1((1L, 1L, "2024-01-01 00:00:00"), (2L, 2L, "2024-01-01 00:00:00")),
+      "order_key", "cdc_timestamp", "change_id"))
+    CdcStream.applyChangeBatch(store2, b1((3L, 3L, "2024-02-01 00:00:00")),
+      "order_key", "cdc_timestamp", "change_id", None, dimBuckets = 4)
+    assert(store2.read().get.columns.contains(CdcStream.BucketCol),
+      "migration batch must establish the bucketed layout")
+    assert(store2.read().get.count() === 3L)
+    // and publishIncremental itself refuses a layout it cannot carry from
+    assertThrows[IllegalArgumentException] {
+      val s3 = new SnapshotStore(spark,
+        Files.createTempDirectory("kb_refuse").toString)
+      s3.publish(b1((1L, 1L, "2024-01-01 00:00:00")))
+      s3.publishIncremental(
+        b1((2L, 2L, "2024-02-01 00:00:00"))
+          .withColumn(CdcStream.BucketCol, lit(0)), CdcStream.BucketCol)
+    }
+  }
+
   test("flatMapGroupsWithState running counts converge to the batch aggregate") {
     import graft.engine.Tables
     val ev = Tables.events(spark, sfDir)
