@@ -155,6 +155,106 @@ class JdbcSpec extends AnyFunSuite {
       .select("payload").as[String].collect().toSeq === Seq("reborn"))
   }
 
+  test("recorded-statement contract: the Pg forms are pinned byte-exact, " +
+    "share the ANSI guards verbatim, and the expire binding is " +
+    "row-equivalent across dialects") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // ---- 1. the exact statements shipped to PostgreSQL 15 (the
+    // reference's target, docker-compose.yml:1-37). Derby cannot parse
+    // them (UPDATE..FROM, PARTITION BY windows), so this golden pin is
+    // the deployment contract: any edit to the emitted text is a
+    // reviewed diff here, never a silent drift.
+    val expire = JdbcCdc.expireSql("dim_t", "stg_t", "k", "ts")
+    val upsert = JdbcCdc.upsertSql("dim_t", "stg_t", "k", "ts", "seq",
+      Seq("payload"))
+    assert(expire ===
+      """UPDATE dim_t d
+        |SET valid_to = s.ts, is_current = FALSE
+        |FROM (SELECT k, max(ts) AS ts FROM stg_t GROUP BY k) s
+        |WHERE d.k = s.k AND d.is_current = TRUE AND d.valid_from < s.ts"""
+        .stripMargin)
+    assert(upsert ===
+      """INSERT INTO dim_t (k, payload, valid_from, is_current)
+        |SELECT s.k, s.payload, s.ts, TRUE
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY k ORDER BY ts DESC, seq DESC) AS graft_rn
+        |      FROM stg_t) s
+        |WHERE s.graft_rn = 1
+        |  AND s.operation_type <> 'DELETE'
+        |  AND NOT EXISTS (SELECT 1 FROM dim_t d
+        |                  WHERE d.k = s.k
+        |                    AND COALESCE(d.valid_to, d.valid_from) >= s.ts)"""
+        .stripMargin)
+    // ---- 2. statement-by-statement map to the ANSI forms proven live
+    // on Derby: the semantic payloads are SHARED TEXT, not parallels —
+    // the timeline-end guard is byte-identical in both upserts, and
+    // both expires carry the same strict stale guard and current-row
+    // predicate; the dialects differ only in HOW the per-key staged
+    // max / latest-change row is bound (FROM-subquery + window vs
+    // correlated subqueries), which (3) proves equivalent by running
+    // both bindings.
+    val guard = """NOT EXISTS (SELECT 1 FROM dim_t d
+                  |                  WHERE d.k = s.k
+                  |                    AND COALESCE(d.valid_to, d.valid_from) >= s.ts)"""
+      .stripMargin
+    val upsertAnsi = JdbcCdc.upsertSqlAnsi("dim_t", "stg_t", "k", "ts",
+      "seq", Seq("payload"))
+    assert(upsert.contains(guard) && upsertAnsi.contains(guard),
+      "the timeline-end guard must be the SAME text in both dialects")
+    val expireAnsi = JdbcCdc.expireSqlAnsi("dim_t", "stg_t", "k", "ts")
+    for (frag <- Seq("d.is_current = TRUE", "d.valid_from <"))
+      assert(expire.contains(frag) && expireAnsi.contains(frag))
+    // ---- 3. expire binding equivalence, executed: the AFFECTED SET
+    // (key, stamped valid_to) of both renderings, built from the
+    // emitted statements' own subquery/predicate text and run as
+    // Spark-SQL SELECTs over temp views. (The upsert bindings' twin
+    // equivalence is the randomized test below; the Ansi expire's
+    // end-to-end effect is the live Derby merge test.)
+    dimView(Seq(
+      ("k1", "2024-01-01 00:00:00", None, "old", true), // expires
+      ("k2", "2024-03-09 00:00:00", None, "newer", true), // stale guard
+      ("k3", "2024-01-01 00:00:00", Some("2024-03-03 00:00:00"),
+        "dead", false), // no current row
+      ("k4", "2024-01-01 00:00:00", None, "unstaged", true), // not in batch
+      ("k5", "2024-01-02 00:00:00", None, "deleted", true))) // DELETE expiry
+    Seq(
+      ("k1", "2024-03-01 00:00:00", 1L, "a", "UPDATE"),
+      ("k1", "2024-03-02 00:00:00", 2L, "b", "UPDATE"),
+      ("k2", "2024-03-01 00:00:00", 3L, "late", "UPDATE"),
+      ("k3", "2024-03-01 00:00:00", 4L, "ghost", "UPDATE"),
+      ("k5", "2024-03-05 00:00:00", 5L, "del", "DELETE"))
+      .toDF("k", "ts_s", "seq", "payload", "operation_type")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+      .select("k", "ts", "seq", "payload", "operation_type")
+      .createOrReplaceTempView("stg_t")
+    // Pg: SELECT over the statement's own FROM (...) s + WHERE lines
+    // the UPDATE target (dim_t d) moves into the FROM list; subquery
+    // and WHERE are the statement's own text
+    val pgLines = expire.linesIterator.toSeq
+    val pgAffected = spark.sql(
+      ("SELECT d.k, s.ts AS new_valid_to\n" +
+        "FROM dim_t d, " + pgLines(2).stripPrefix("FROM ") + "\n" +
+        pgLines(3)))
+      .as[(String, java.sql.Timestamp)].collect().toSet
+    // Ansi: the SET clause's correlated scalar + the statement's WHERE
+    val setSub = expireAnsi.substring(
+      expireAnsi.indexOf("SET valid_to = ") + "SET valid_to = ".length,
+      expireAnsi.indexOf("),") + 1)
+    val whereTail = expireAnsi.substring(
+      expireAnsi.indexOf("WHERE d.is_current"))
+    val ansiAffected = spark.sql(
+      s"SELECT d.k, $setSub AS new_valid_to\nFROM dim_t d\n$whereTail")
+      .as[(String, java.sql.Timestamp)].collect().toSet
+    assert(pgAffected === ansiAffected,
+      "the two expire bindings must stamp the same rows the same way")
+    assert(pgAffected.map(_._1) === Set("k1", "k5"),
+      "k1 (superseded) and k5 (DELETE) close; stale/dead/unstaged don't")
+    assert(pgAffected.find(_._1 == "k1").get._2 ===
+      java.sql.Timestamp.valueOf("2024-03-02 00:00:00"),
+      "valid_to must be the key's MAX staged ts")
+  }
+
   test("ANSI upsert variant is row-equivalent to the windowed form") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -124,11 +124,20 @@ class PipelineSpec extends AnyFunSuite {
       .toDF("user_id", "v"))
     // three erasure requests arrive between sweeps — each append is
     // O(|keys|), no version dir is touched yet
+    assert(store.purgeQueueStats() ===
+      store.PurgeQueueStats(0L, 0L, None), "fresh queue reads empty")
+    val tEnq = System.currentTimeMillis()
     store.queuePurgeKeys(Seq(1L).toDF("user_id"), "user_id")
     store.queuePurgeKeys(Seq(2L).toDF("user_id"), "user_id")
     store.queuePurgeKeys(Seq(1L).toDF("user_id"), "user_id") // replayed
     assert(store.currentVersion().contains(1L),
       "enqueue must not rewrite anything")
+    // SLA observability: depth + age of the oldest pending request —
+    // the sweep scheduler's alert input (nothing else bounds queue age)
+    val stats = store.purgeQueueStats()
+    assert(stats.files === 3L && stats.keys === 3L)
+    assert(stats.oldestEnqueueMs.exists(t =>
+      t >= tEnq - 60000 && t <= System.currentTimeMillis()))
     // ONE scheduled sweep folds all three: exactly one fresh publish
     // (v2) and one rewrite of each retained historical dir
     val rewritten = store.purgeSweep("user_id")
@@ -143,7 +152,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(store.read().get.orderBy("user_id").as[(Long, String)]
       .collect().toSeq === Seq((3L, "c1"), (4L, "d1")))
     // the consumed queue is cleared: the next sweep is the documented
-    // nothing-queued no-op (no publish, no rewrites)
+    // nothing-queued no-op (no publish, no rewrites) — and the stats
+    // read empty again (the SLA clock resets)
+    assert(store.purgeQueueStats() === store.PurgeQueueStats(0L, 0L, None))
     assert(store.purgeSweep("user_id").isEmpty)
     assert(store.currentVersion().contains(2L))
     // requests arriving after a sweep fold into the next one

@@ -147,4 +147,62 @@ class PurgeAuditSpec extends AnyFunSuite {
       clean.dv, delKeys).collect()
     assert(rows.length === 24)
   }
+
+  test("one Erasure.sweep fans a request across dim + every stored " +
+    "family, folds queued requests, and certifies residual 0 everywhere") {
+    import graft.engine.SnapshotStore
+    import graft.ops.Erasure
+    val r = buildAll(del = false) // nothing deleted yet
+    // SCD2 dim store with two retained versions over the same user ids
+    val store = new SnapshotStore(spark, tmp("pa_dim"))
+    store.publish((0L to 11L).map(u => (u, s"a$u")).toDF("user_id", "v"))
+    store.publish((0L to 11L).map(u => (u, s"b$u")).toDF("user_id", "v"))
+    // an erasure request already queued BEFORE this sweep must fold
+    // into the same single window rewrite
+    store.queuePurgeKeys(Seq(10L).toDF("user_id"), "user_id")
+    val vBefore = store.currentVersion().get
+
+    val auditRows = Erasure.sweep(spark,
+      docs.filter(delDocs),                       // docs 1,4,7,10
+      embs.filter(delVecs).select("vec_id"),      // vecs 1,4,7
+      Erasure.Targets(r.fp, r.ah, r.ivf, r.bm, r.voc, r.pq, r.ivfpq,
+        r.dv, "event_type", "user_id", store, "user_id"),
+      dimKeys = Seq(1L, 4L, 7L).toDF("user_id"),
+      distinctPairs = evrows.filter(col("user_id") % 3 === 1))
+      .collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+
+    // all 24 audit rows present, every residual 0 — certify would have
+    // raised otherwise, but pin it explicitly
+    assert(auditRows.size === 24)
+    val residuals = auditRows.filter(_._1._2 == "deleted_residual")
+    assert(residuals.size === 7 && residuals.values.forall(_ == 0L),
+      s"one sweep must leave residual 0 in every family: $residuals")
+    assert(auditRows(("fingerprint", "live_docs")) === 8L)
+    assert(auditRows(("ann_ivf", "live_vecs")) === 7L)
+    assert(auditRows(("distinct", "live_pairs")) === 8L)
+    // the dim is deletion-complete across TIME TRAVEL, including the
+    // PRE-QUEUED key 10 — and the fold cost ONE fresh publish (N
+    // requests ≠ N window rewrites)
+    assert(store.currentVersion().get === vBefore + 1)
+    store.versions().foreach { v =>
+      assert(store.readVersion(v)
+        .filter(col("user_id").isin(1L, 4L, 7L, 10L)).count() === 0L,
+        s"dim version $v must not serve any erased key")
+    }
+    // non-vacuity: an UNDER-SCOPED sweep (erased only docs 1,4 of the
+    // slice) cannot certify against the full claim — the compliance
+    // schedule's certify step catches a request that missed ids
+    val r2 = buildAll(del = false)
+    Erasure.sweep(spark, docs.filter(col("doc_id").isin(1L, 4L)),
+      embs.filter(delVecs).select("vec_id"),
+      Erasure.Targets(r2.fp, r2.ah, r2.ivf, r2.bm, r2.voc))
+    val e = intercept[IllegalArgumentException] {
+      PurgeAudit.certify(spark, r2.fp, delDocs, r2.ah, delDocs,
+        r2.ivf, delVecs, r2.bm, delDocs, r2.voc)
+    }
+    assert(e.getMessage.contains("purge certification FAILED") &&
+      e.getMessage.contains("fingerprint"),
+      s"under-deletion must be named: ${e.getMessage}")
+  }
 }
