@@ -109,6 +109,26 @@ object RecallSweep {
         spark, s"$root/ivfpq", emb, queries, 10, 4, np))
       println(f"ivfpq+rr4    $np%6d $a2%10.3f $m2%10.3f ${"-"}%12s")
     }
+
+    // adaptive multi-probe: the ratio rule spends probes on boundary
+    // queries only — the dial that lifts the recall FLOOR (the r18
+    // verdict's open item: min 0.00 at fixed nprobe=2) without paying
+    // boundary-level probe cost on every query. ratio=0 row = fixed
+    // nprobe=2 baseline.
+    println("\n== adaptive multi-probe (ivfpq + rerank 4x, nprobe floor 2) ==")
+    println("ratio recall_avg recall_min avg_cells max_cells warm_probe_s")
+    for (r <- Seq(0.0, 1.25, 1.5, 2.0, 3.0)) {
+      def probe() = SimilarityOps.ivfPqRerankBatch(spark, s"$root/ivfpq",
+        emb, queries, 10, 4, 2, r)
+      probe().count()
+      val (t, _) = time(probe().count())
+      val (a, m) = recallAvgMin(SimilarityOps.ivfPqRerankRecallReport(
+        spark, s"$root/ivfpq", emb, queries, 10, 4, 2, r))
+      val cells = SimilarityOps.probedCellCounts(spark, s"$root/ivfpq",
+        queries, 2, r).agg(avg("n_cells"), max("n_cells")).head()
+      println(f"$r%5.2f $a%10.3f $m%10.3f ${cells.getDouble(0)}%9.2f " +
+        f"${cells.getLong(1)}%9d $t%12.3f")
+    }
     spark.stop()
   }
 }

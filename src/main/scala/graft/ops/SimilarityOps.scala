@@ -461,10 +461,11 @@ object SimilarityOps {
                               path: String, embeddings: DataFrame,
                               queries: DataFrame, k: Int = 10,
                               rerankFactor: Int = 4,
-                              nprobe: Int = 2): DataFrame =
+                              nprobe: Int = 2,
+                              probeRatio: Double = 0.0): DataFrame =
     adcRecall(embeddings, queries, k,
       ivfPqRerankBatch(spark, path, embeddings, queries, k, rerankFactor,
-        nprobe))
+        nprobe, probeRatio))
 
   /** Batch two-stage read over the stored PQ index — the deployment
     * shape of [[pqRerankTopK]]: ONE screened code-table scan shortlists
@@ -485,10 +486,11 @@ object SimilarityOps {
   def ivfPqRerankBatch(spark: org.apache.spark.sql.SparkSession,
                        path: String, embeddings: DataFrame,
                        queries: DataFrame, topK: Int,
-                       rerankFactor: Int = 4, nprobe: Int = 2): DataFrame =
+                       rerankFactor: Int = 4, nprobe: Int = 2,
+                       probeRatio: Double = 0.0): DataFrame =
     rerankExact(embeddings, queries,
       queryIvfPqIndexBatch(spark, path, queries, topK * rerankFactor,
-        nprobe), topK)
+        nprobe, probeRatio), topK)
 
   /** Exact cosine re-rank of a per-query (q_id, vec_id) shortlist: the
     * candidates fetch their float vectors through one broadcast join
@@ -1728,10 +1730,25 @@ object SimilarityOps {
     * batch — the cluster join key is the partition column, so only
     * cells some query probes are read, and each (query, candidate)
     * costs m array lookups. Per-query top-k window. Returns
-    * (q_id, vec_id, cluster, adc_dist). */
+    * (q_id, vec_id, cluster, adc_dist).
+    *
+    * `probeRatio` (> 0 to enable) turns the fixed `nprobe` into a
+    * per-query ADAPTIVE multi-probe: a cell is probed if its centroid
+    * distance is within `probeRatio ×` the query's nearest-centroid
+    * distance, with `nprobe` as the floor. The r18 frontier
+    * (bench/RECALL_r18.md) showed fixed nprobe=2 leaves some queries
+    * at recall 0 — their true neighbors live in a cell ranked 3rd+,
+    * which happens exactly when the query sits near a cell BOUNDARY
+    * (several near-tied centroids). The ratio rule spends probes on
+    * precisely those queries and stays at the floor for queries deep
+    * inside one cell, so the recall FLOOR lifts without paying
+    * boundary-level probe cost on every query. The rule is one extra
+    * window min over the same broadcast centroid table — O(|queries|×k)
+    * driver-free arithmetic at any corpus scale. */
   def queryIvfPqIndexBatch(spark: org.apache.spark.sql.SparkSession,
                            path: String, queries: DataFrame, topK: Int,
-                           nprobe: Int = 2): DataFrame = {
+                           nprobe: Int = 2,
+                           probeRatio: Double = 0.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     VectorExpressions.register(spark)
     val spk = spark
@@ -1743,8 +1760,6 @@ object SimilarityOps {
     val subDim = centroid((0, 0)).length
     val q = queries.select(col("vec_id").as("q_id"),
       asDoubleVec(col("embedding")).as("qv"))
-    val cents = storedCentroids(spark, path)
-      .map { case (cl, c) => (cl, c: Seq[Double]) }.toDF("cluster", "c")
     // per-query ADC tables, computed ONCE per query (not per probed cell)
     val dtCols = (0 until m).map { s =>
       array((0 until ksub).map(j =>
@@ -1753,12 +1768,7 @@ object SimilarityOps {
           typedlit(centroid((s, j)): Seq[Double]))): _*).as(s"dt_$s")
     }
     val qt = q.select(col("q_id") +: dtCols: _*)
-    val probed = q.crossJoin(broadcast(cents))
-      .withColumn("_d", call_function("graft_l2sq", col("qv"), col("c")))
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("_d"), col("cluster"))))
-      .filter(col("_rn") <= nprobe)
-      .select(col("q_id"), col("cluster"))
+    val probed = probedCells(spark, path, q, nprobe, probeRatio)
       .join(qt, "q_id")
     val codes = screenAnnTombstones(spark, path,
       spark.read.parquet(Compaction.resolve(s"$path/codes")))
@@ -1774,6 +1784,48 @@ object SimilarityOps {
       .filter(col("_rn") <= topK)
       .drop("_rn")
   }
+
+  /** The per-query probed cell set of the stored-index batch reads —
+    * fixed-floor `nprobe` plus the `probeRatio` adaptive rule
+    * ([[queryIvfPqIndexBatch]]'s doc). One broadcast of the k-row
+    * centroid table, two windows over |queries|×k rows. Returns
+    * (q_id, cluster). `q` must carry (q_id, qv). */
+  private def probedCells(spark: org.apache.spark.sql.SparkSession,
+                          path: String, q: DataFrame, nprobe: Int,
+                          probeRatio: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spk = spark
+    import spk.implicits._
+    val cents = storedCentroids(spark, path)
+      .map { case (cl, c) => (cl, c: Seq[Double]) }.toDF("cluster", "c")
+    val ranked = q.crossJoin(broadcast(cents))
+      .withColumn("_d", call_function("graft_l2sq", col("qv"), col("c")))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("_d"), col("cluster"))))
+    // window results materialize as columns BEFORE the filter (window
+    // expressions are not allowed inside WHERE)
+    val keep =
+      if (probeRatio > 0.0)
+        ranked.withColumn("_dmin",
+          min(col("_d")).over(Window.partitionBy("q_id")))
+          .filter(col("_rn") <= nprobe ||
+            col("_d") <= lit(probeRatio) * col("_dmin"))
+      else ranked.filter(col("_rn") <= nprobe)
+    keep.select(col("q_id"), col("cluster"))
+  }
+
+  /** Per-query probed-cell counts for a (nprobe, probeRatio) dial —
+    * the adaptive multi-probe's COST column: recall frontiers read
+    * beside this tell a deployment what the ratio rule spends
+    * (avg cells ≈ floor means the boundary queries, not every query,
+    * pay for the lifted floor). */
+  def probedCellCounts(spark: org.apache.spark.sql.SparkSession,
+                       path: String, queries: DataFrame, nprobe: Int,
+                       probeRatio: Double): DataFrame =
+    probedCells(spark, path,
+      queries.select(col("vec_id").as("q_id"),
+        asDoubleVec(col("embedding")).as("qv")), nprobe, probeRatio)
+      .groupBy("q_id").agg(count(lit(1)).as("n_cells"))
 
   /** LSH bucket statistics: signature → vector count + min id. */
   def lshBuckets(embeddings: DataFrame, planes: Int): DataFrame = {
