@@ -1697,8 +1697,9 @@ object SparkEntry {
                           // size it by recall target in deployment
     val ChunkWords = 20   // words per chunk for paragraph-level dedup
     val ProbeRatio = 1.25 // adaptive multi-probe: also probe any cell
-                          // whose centroid distance ≤ ratio × the
-                          // query's nearest — spends probes on the
+                          // whose SQUARED-L2 centroid distance ≤ ratio
+                          // × the query's nearest (d² ratio — ≈1.12×
+                          // in plain distance) — spends probes on the
                           // cell-BOUNDARY queries whose true neighbors
                           // live in a 3rd+ cell (the fixed-nprobe=2
                           // recall-floor-0 failure, RECALL_r18.md).

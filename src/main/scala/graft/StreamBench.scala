@@ -138,9 +138,13 @@ object StreamBench {
           ChangeGen.writeBatchFiles(hot, TIE, 10, 500, work)
           val store = new SnapshotStore(spark, s"$work/dim")
           if (buckets > 0) {
-            val b = CdcStream.bucketed(dim0, K, buckets)
-            store.publish(b.repartition(b(CdcStream.BucketCol)),
+            store.publish(
+              CdcStream.clustered(CdcStream.bucketed(dim0, K, buckets)),
               Seq(CdcStream.BucketCol))
+            // the layout contract the stream validates before taking
+            // the incremental path — a seed without it would make the
+            // first batch a full migration republish
+            store.writeMeta(CdcStream.DimBucketsMeta, buckets.toString)
           } else store.publish(dim0)
           val (wall, batches) = time {
             val q = CdcStream.start(spark, s"$work/changes_*.json",

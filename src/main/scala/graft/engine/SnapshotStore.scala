@@ -114,6 +114,25 @@ class SnapshotStore(spark: SparkSession, root: String) {
         }
     }
 
+  /** Write a small root-level `_`-prefixed meta sidecar (atomic
+    * tmp+move; invisible to Spark reads and to [[versions]]) — layout
+    * contracts that outlive any one version, e.g. the stream's bucket
+    * count. Single-writer like every publish verb. */
+  def writeMeta(name: String, content: String): Unit = {
+    require(name.startsWith("_"), s"meta sidecar '$name' must be _-prefixed")
+    Files.createDirectories(rootPath)
+    val tmp = rootPath.resolve(s"$name.tmp${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, content)
+    Files.move(tmp, rootPath.resolve(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The meta sidecar's content, if present. */
+  def readMeta(name: String): Option[String] = {
+    val p = rootPath.resolve(name)
+    if (Files.exists(p)) Some(Files.readString(p).trim) else None
+  }
+
   /** The hive partition columns of the CURRENT version dir (empty when
     * unpartitioned or no version) — a filesystem probe, NOT a schema
     * read: callers deciding between the incremental and full publish
@@ -446,9 +465,15 @@ class SnapshotStore(spark: SparkSession, root: String) {
       val legacy = queueFiles().headOption.flatMap(f =>
         scala.util.Try(spark.read.parquet(f.toString).schema.head).toOption)
       // establish: legacy schema if one exists, else this enqueue's.
-      // Atomic tmp+move so a torn write can never half-establish.
+      // Atomic tmp+move so a torn write can never half-establish; the
+      // tmp name is per-attempt unique, so two racing first-ever
+      // enqueues (enqueue-during-enqueue is inside the allowed append
+      // concurrency) both complete — one establishment wins the move
+      // and both validate against a fully-written sidecar, instead of
+      // the loser crashing on a shared tmp moved out from under it.
       val establish = legacy.getOrElse(now)
-      val tmp = queueDir.resolve("_SCHEMA.tmp")
+      val tmp = queueDir.resolve(
+        s"_SCHEMA.tmp${java.util.UUID.randomUUID()}")
       Files.writeString(tmp, s"${establish.name}\t${establish.dataType.json}")
       Files.move(tmp, queueSchemaFile, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)

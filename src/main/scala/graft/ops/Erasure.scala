@@ -67,77 +67,93 @@ object Erasure {
 
   def sweep(spark: SparkSession, docs: DataFrame, vecIds: DataFrame,
             t: Targets, dimKeys: DataFrame = null,
-            distinctPairs: DataFrame = null): DataFrame = {
-    val haveDocs = docs != null && !docs.isEmpty
-    val haveVecs = vecIds != null && !vecIds.isEmpty
+            distinctPairs: DataFrame = null): DataFrame =
+    graft.engine.Caches.withCached {
+      // each request frame is consumed by several family verbs plus the
+      // certification's id collect — cache once instead of re-running
+      // the caller's (typically corpus-filtering) plan per consumer
+      val docsC = Option(docs).map(graft.engine.Caches.ensureCached(_))
+        .filter(!_.isEmpty)
+      val vecsC = Option(vecIds).map(graft.engine.Caches.ensureCached(_))
+        .filter(!_.isEmpty)
+      val pairsC = Option(distinctPairs)
+        .map(graft.engine.Caches.ensureCached(_)).filter(!_.isEmpty)
+      val dimC = Option(dimKeys).map(graft.engine.Caches.ensureCached(_))
+        .filter(!_.isEmpty)
+        // same single-or-named key-column contract as queuePurgeKeys —
+        // resolved ONCE here so the residual scan below can never
+        // diverge from what the queue purged
+        .map { k =>
+          val keyIn = if (k.columns.contains(t.dimKeyCol))
+            k.col(t.dimKeyCol) else k.col(k.columns.head)
+          k.select(keyIn.as(t.dimKeyCol))
+        }
 
-    // 1. the dimension store, through the QUEUE so pending requests
-    // fold into the same single window rewrite
-    if (t.dimStore != null && dimKeys != null && !dimKeys.isEmpty) {
-      t.dimStore.queuePurgeKeys(dimKeys, t.dimKeyCol)
-      t.dimStore.purgeSweep(t.dimKeyCol)
-    }
-
-    // 2. doc-keyed tombstones
-    if (haveDocs) {
-      val ids = docs.select("doc_id")
-      DedupOps.tombstoneFingerprintIndex(ids, t.fingerprintPath)
-      DedupOps.tombstoneHashIndex(ids, t.ahashPath)
-      // 3. content-keyed retractions (validated, idempotent by batch tag)
-      TextOps.retractBm25Index(docs, t.bm25Path)
-      TextOps.retractVocabIndex(docs, t.vocabPath)
-    }
-
-    // 4. vector-keyed tombstones, every lossy/exact ANN family at once
-    if (haveVecs) {
-      val ids = vecIds.select("vec_id")
-      (Seq(t.ivfPath) ++ Option(t.pqPath) ++ Option(t.ivfpqPath))
-        .foreach(SimilarityOps.tombstoneAnnIndex(ids, _))
-    }
-
-    // 5. the retractable distinct view
-    if (t.distinctPath != null && distinctPairs != null &&
-        !distinctPairs.isEmpty)
-      Stats.retractDistinctView(distinctPairs, t.distinctGroup,
-        t.distinctKey, t.distinctPath)
-
-    // 6. certify — through the SAME screened read paths the probes use.
-    // Membership predicates over the request's collected ids; `false`
-    // (nothing claimed deleted by THIS request) where a family was
-    // skipped, so prior state cannot fail an unrelated request.
-    def memberOf(ids: DataFrame, c: String): Column = {
-      val vs = ids.select(col(c)).distinct().collect().map(_.get(0))
-      if (vs.isEmpty) lit(false) else col(c).isInCollection(vs)
-    }
-    val docDel = if (haveDocs) memberOf(docs, "doc_id") else lit(false)
-    val vecDel = if (haveVecs) memberOf(vecIds, "vec_id") else lit(false)
-    val pairDel =
-      if (t.distinctPath != null && distinctPairs != null &&
-          !distinctPairs.isEmpty)
-        memberOf(distinctPairs.select(col(t.distinctKey).as("k")), "k")
-      else lit(false)
-
-    // the dim store's residual is certified per retained version (the
-    // audit table covers index families; time travel is the dim's own
-    // exposure surface)
-    if (t.dimStore != null && dimKeys != null) {
-      val keys = dimKeys.select(col(t.dimKeyCol)).distinct()
-        .collect().map(_.get(0))
-      if (keys.nonEmpty) t.dimStore.versions().foreach { v =>
-        val residual = t.dimStore.readVersion(v)
-          .filter(col(t.dimKeyCol).isInCollection(keys)).count()
-        require(residual == 0L,
-          s"erasure sweep FAILED: dim version $v still serves " +
-            s"$residual rows for the erased keys")
+      // 1. the dimension store, through the QUEUE so pending requests
+      // fold into the same single window rewrite
+      if (t.dimStore != null) dimC.foreach { k =>
+        t.dimStore.queuePurgeKeys(k, t.dimKeyCol)
+        t.dimStore.purgeSweep(t.dimKeyCol)
       }
-    }
 
-    PurgeAudit.certify(spark,
-      t.fingerprintPath, docDel, t.ahashPath, docDel,
-      t.ivfPath, vecDel, t.bm25Path, docDel, t.vocabPath,
-      t.pqPath, if (t.pqPath != null) vecDel else null,
-      t.ivfpqPath, if (t.ivfpqPath != null) vecDel else null,
-      t.distinctPath,
-      if (t.distinctPath != null) pairDel else null)
-  }
+      // 2. doc-keyed tombstones
+      docsC.foreach { d =>
+        val ids = d.select("doc_id")
+        DedupOps.tombstoneFingerprintIndex(ids, t.fingerprintPath)
+        DedupOps.tombstoneHashIndex(ids, t.ahashPath)
+        // 3. content-keyed retractions (validated, idempotent by tag)
+        TextOps.retractBm25Index(d, t.bm25Path)
+        TextOps.retractVocabIndex(d, t.vocabPath)
+      }
+
+      // 4. vector-keyed tombstones, every lossy/exact ANN family at once
+      vecsC.foreach { vs =>
+        val ids = vs.select("vec_id")
+        (Seq(t.ivfPath) ++ Option(t.pqPath) ++ Option(t.ivfpqPath))
+          .foreach(SimilarityOps.tombstoneAnnIndex(ids, _))
+      }
+
+      // 5. the retractable distinct view
+      if (t.distinctPath != null) pairsC.foreach(
+        Stats.retractDistinctView(_, t.distinctGroup, t.distinctKey,
+          t.distinctPath))
+
+      // 6. certify — through the SAME screened read paths the probes
+      // use. Membership predicates over the request's collected ids;
+      // `false` (nothing claimed deleted by THIS request) where a
+      // family was skipped, so prior state cannot fail an unrelated
+      // request.
+      def memberOf(ids: Option[DataFrame], src: String, c: String): Column =
+        ids.map { d =>
+          val vs = d.select(col(src)).distinct().collect().map(_.get(0))
+          if (vs.isEmpty) lit(false) else col(c).isInCollection(vs)
+        }.getOrElse(lit(false))
+      val docDel = memberOf(docsC, "doc_id", "doc_id")
+      val vecDel = memberOf(vecsC, "vec_id", "vec_id")
+      val pairDel =
+        if (t.distinctPath != null) memberOf(pairsC, t.distinctKey, "k")
+        else lit(false)
+
+      // the dim store's residual is certified per retained version (the
+      // audit table covers index families; time travel is the dim's own
+      // exposure surface)
+      if (t.dimStore != null) dimC.foreach { k =>
+        val keys = k.distinct().collect().map(_.get(0))
+        if (keys.nonEmpty) t.dimStore.versions().foreach { v =>
+          val residual = t.dimStore.readVersion(v)
+            .filter(col(t.dimKeyCol).isInCollection(keys)).count()
+          require(residual == 0L,
+            s"erasure sweep FAILED: dim version $v still serves " +
+              s"$residual rows for the erased keys")
+        }
+      }
+
+      PurgeAudit.certify(spark,
+        t.fingerprintPath, docDel, t.ahashPath, docDel,
+        t.ivfPath, vecDel, t.bm25Path, docDel, t.vocabPath,
+        t.pqPath, if (t.pqPath != null) vecDel else null,
+        t.ivfpqPath, if (t.ivfpqPath != null) vecDel else null,
+        t.distinctPath,
+        if (t.distinctPath != null) pairDel else null)
+    }
 }

@@ -1733,9 +1733,12 @@ object SimilarityOps {
     * (q_id, vec_id, cluster, adc_dist).
     *
     * `probeRatio` (> 0 to enable) turns the fixed `nprobe` into a
-    * per-query ADAPTIVE multi-probe: a cell is probed if its centroid
-    * distance is within `probeRatio ×` the query's nearest-centroid
-    * distance, with `nprobe` as the floor. The r18 frontier
+    * per-query ADAPTIVE multi-probe: a cell is probed if its SQUARED-L2
+    * centroid distance is within `probeRatio ×` the query's nearest
+    * squared-L2 centroid distance, with `nprobe` as the floor. (The
+    * ratio applies to d², the quantity every probe already ranks by —
+    * a ratio r in plain-distance terms is r² here; the committed 1.25
+    * ≈ 1.12× in distance.) The r18 frontier
     * (bench/RECALL_r18.md) showed fixed nprobe=2 leaves some queries
     * at recall 0 — their true neighbors live in a cell ranked 3rd+,
     * which happens exactly when the query sits near a cell BOUNDARY

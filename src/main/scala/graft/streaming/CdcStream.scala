@@ -115,7 +115,10 @@ object CdcStream {
                        opCol: Option[String], dimBuckets: Int = 0): Unit = {
     if (batch.isEmpty) return
     if (dimBuckets <= 0) {
-      val dim = store.read()
+      // explicit whole-dim dial: a snapshot previously run bucketed is
+      // MIGRATED BACK (bucket column dropped, next version unbucketed)
+      // rather than crashing the merge on the unexpected column
+      val dim = store.read().map(_.drop(BucketCol))
         .getOrElse(Scd2.rebuild(batch.limit(0), key, ts, tie))
       val merged = Scd2.mergeBatch(Scd2.evolveSchema(dim, batch),
         batch, key, ts, tie, opCol)
@@ -126,17 +129,22 @@ object CdcStream {
     require(!batch.columns.contains(BucketCol),
       s"applyChangeBatch: batch carries a '$BucketCol' column — the " +
         "name is reserved for the snapshot's key-bucket partition")
-    def bucketOf(df: DataFrame) =
-      pmod(xxhash64(df(key)), lit(dimBuckets.toLong)).cast("int")
     def withBucket(df: DataFrame) = bucketed(df, key, dimBuckets)
 
     // layout decision from a FILESYSTEM probe, never a schema read: a
     // full partition discovery just to ask "is this snapshot bucketed?"
-    // would cost O(partitions) driver listing per micro-batch
+    // would cost O(partitions) driver listing per micro-batch. The
+    // bucket COUNT must also match the persisted meta — dirs are
+    // modulo-dimBuckets, so a stream restarted with a different
+    // dimBuckets against the incremental path would look keys up in
+    // the WRONG dirs (split version chains, duplicate current rows,
+    // silently); a count change instead takes the migration arm's full
+    // re-bucketing publish, which re-establishes the meta.
     if (store.currentVersion().nonEmpty &&
-        store.currentPartitionCols() == Seq(BucketCol)) {
+        store.currentPartitionCols() == Seq(BucketCol) &&
+        store.readMeta(DimBucketsMeta).contains(dimBuckets.toString)) {
       // the batch's bucket set: bounded by dimBuckets, driver-safe
-      val affected = batch.select(bucketOf(batch).as(BucketCol))
+      val affected = withBucket(batch).select(col(BucketCol))
         .distinct().collect().map(_.getInt(0)).toSeq
       // manifest-style dim read: ONLY the affected bucket dirs are
       // listed and scanned — per-batch read cost is O(changed buckets)
@@ -159,22 +167,30 @@ object CdcStream {
         merged.cleanup()
       }
     } else {
-      // bootstrap (empty store) or migration (pre-bucketing snapshot):
-      // one full publish establishes the bucketed layout
+      // bootstrap (empty store), migration (pre-bucketing snapshot),
+      // or a CHANGED bucket count: one full publish (re-)establishes
+      // the bucketed layout and its persisted count
       val dim = store.read().map(_.drop(BucketCol))
         .getOrElse(Scd2.rebuild(batch.limit(0), key, ts, tie))
       val merged = Scd2.mergeBatch(Scd2.evolveSchema(dim, batch),
         batch, key, ts, tie, opCol)
       store.publish(clustered(withBucket(merged.dim)), Seq(BucketCol))
+      store.writeMeta(DimBucketsMeta, dimBuckets.toString)
       merged.cleanup()
     }
   }
 
+  /** The persisted bucket-count meta — the layout's equivalent of the
+    * purge queue's `_SCHEMA` sidecar: the guard that keeps a restarted
+    * stream from merging modulo-N keys into modulo-M dirs. */
+  private[graft] val DimBucketsMeta = "_DIM_BUCKETS"
+
   /** One writer task per bucket → one file per bucket dir — the write
     * clustering every bucketed publish wants (matches
     * [[SnapshotStore.publishIncremental]]'s internal clustering, which
-    * covers the steady-state path). */
-  private def clustered(df: DataFrame): DataFrame =
+    * covers the steady-state path). Public so harnesses pre-seeding a
+    * bucketed snapshot cluster their seed the same way. */
+  def clustered(df: DataFrame): DataFrame =
     df.repartition(df(BucketCol))
 
   /** Stream-stream interval join: each left event pairs with the right

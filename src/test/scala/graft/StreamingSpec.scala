@@ -1166,6 +1166,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(store2.read().get.columns.contains(CdcStream.BucketCol),
       "migration batch must establish the bucketed layout")
     assert(store2.read().get.count() === 3L)
+    // a restart with a DIFFERENT bucket count must take the full
+    // re-bucketing publish, never the incremental path — modulo-8 keys
+    // looked up in modulo-4 dirs would split version chains silently
+    CdcStream.applyChangeBatch(store2, b1((4L, 1L, "2024-03-01 00:00:00")),
+      "order_key", "cdc_timestamp", "change_id", None, dimBuckets = 8)
+    val reb = store2.read().get
+    assert(reb.count() === 4L, "key 1 must gain exactly one version")
+    assert(Scd2.duplicateCurrentKeys(reb, "order_key").count() === 0L,
+      "a bucket-count change must never produce duplicate current rows")
+    // ...and an explicit dimBuckets=0 restart migrates BACK to the
+    // whole-dim layout instead of crashing on the bucket column
+    CdcStream.applyChangeBatch(store2, b1((5L, 5L, "2024-04-01 00:00:00")),
+      "order_key", "cdc_timestamp", "change_id", None)
+    assert(!store2.read().get.columns.contains(CdcStream.BucketCol))
+    assert(store2.read().get.count() === 5L)
     // and publishIncremental itself refuses a layout it cannot carry from
     assertThrows[IllegalArgumentException] {
       val s3 = new SnapshotStore(spark,
