@@ -138,13 +138,13 @@ object StreamBench {
           ChangeGen.writeBatchFiles(hot, TIE, 10, 500, work)
           val store = new SnapshotStore(spark, s"$work/dim")
           if (buckets > 0) {
+            // the _BUCKETS sidecar is the layout contract the stream
+            // validates before taking the incremental path — a seed
+            // without it would make batch 1 a full migration republish
             store.publish(
               CdcStream.clustered(CdcStream.bucketed(dim0, K, buckets)),
-              Seq(CdcStream.BucketCol))
-            // the layout contract the stream validates before taking
-            // the incremental path — a seed without it would make the
-            // first batch a full migration republish
-            store.writeMeta(CdcStream.DimBucketsMeta, buckets.toString)
+              Seq(CdcStream.BucketCol),
+              Map(CdcStream.DimBucketsMeta -> buckets.toString))
           } else store.publish(dim0)
           val (wall, batches) = time {
             val q = CdcStream.start(spark, s"$work/changes_*.json",

@@ -38,11 +38,36 @@ class SnapshotStore(spark: SparkSession, root: String) {
     * predicate then prunes at the directory level (PartitionFilters)
     * instead of scanning every file. The publish protocol is unchanged:
     * the version dir is written fully before the pointer moves. */
-  def publish(df: DataFrame, partitionBy: Seq[String] = Nil): Long =
+  def publish(df: DataFrame, partitionBy: Seq[String] = Nil,
+              sidecars: Map[String, String] = Map.empty): Long =
     publishVersionDir { dir =>
       val w = df.write.mode("overwrite")
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .parquet(dir)
+      writeSidecars(dir, sidecars)
+    }
+
+  /** Drop `_`-prefixed metadata files into a version dir BEFORE its
+    * pointer flip — layout contracts (bucket count, …) that must be
+    * atomic with the data they describe: a sidecar stored anywhere
+    * else can survive a crash the version publish didn't, and a
+    * layout/meta disagreement is silent corruption for readers that
+    * trust the meta. */
+  private def writeSidecars(dir: String,
+                            sidecars: Map[String, String]): Unit =
+    sidecars.foreach { case (n, c) =>
+      require(n.startsWith("_"), s"version sidecar '$n' must be _-prefixed")
+      Files.writeString(Paths.get(dir).resolve(n), c)
+      ()
+    }
+
+  /** A named sidecar of the CURRENT version, if present — the read
+    * side of the `sidecars` publish parameter. One existence probe +
+    * tiny read, never a Spark job. */
+  def currentVersionSidecar(name: String): Option[String] =
+    currentVersion().flatMap { v =>
+      val p = rootPath.resolve(s"v$v").resolve(name)
+      if (Files.exists(p)) Some(Files.readString(p).trim) else None
     }
 
   /** Copy-on-write publish: the next version carries `changed`'s
@@ -77,9 +102,10 @@ class SnapshotStore(spark: SparkSession, root: String) {
     * reproduces hive layouts) all compose unchanged. Crash mid-link
     * leaves an orphan dir the pointer never named — the standard
     * torn-publish posture. */
-  def publishIncremental(changed: DataFrame, partitionCol: String): Long =
+  def publishIncremental(changed: DataFrame, partitionCol: String,
+                         sidecars: Map[String, String] = Map.empty): Long =
     currentVersion() match {
-      case None => publish(changed, Seq(partitionCol))
+      case None => publish(changed, Seq(partitionCol), sidecars)
       case Some(cur) =>
         val curDir = rootPath.resolve(s"v$cur")
         val curParts = partitionColsOf(curDir)
@@ -111,27 +137,9 @@ class SnapshotStore(spark: SparkSession, root: String) {
                 linkTree(p, newDir.resolve(name))
             }
           } finally stream.close()
+          writeSidecars(dir, sidecars)
         }
     }
-
-  /** Write a small root-level `_`-prefixed meta sidecar (atomic
-    * tmp+move; invisible to Spark reads and to [[versions]]) — layout
-    * contracts that outlive any one version, e.g. the stream's bucket
-    * count. Single-writer like every publish verb. */
-  def writeMeta(name: String, content: String): Unit = {
-    require(name.startsWith("_"), s"meta sidecar '$name' must be _-prefixed")
-    Files.createDirectories(rootPath)
-    val tmp = rootPath.resolve(s"$name.tmp${java.util.UUID.randomUUID()}")
-    Files.writeString(tmp, content)
-    Files.move(tmp, rootPath.resolve(name), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  /** The meta sidecar's content, if present. */
-  def readMeta(name: String): Option[String] = {
-    val p = rootPath.resolve(name)
-    if (Files.exists(p)) Some(Files.readString(p).trim) else None
-  }
 
   /** The hive partition columns of the CURRENT version dir (empty when
     * unpartitioned or no version) — a filesystem probe, NOT a schema
@@ -388,7 +396,8 @@ class SnapshotStore(spark: SparkSession, root: String) {
             layoutOf(curDir) match {
               case Some(z) =>
                 publishZOrdered(purged(cur), z.a, z.b, z.tie, z.numFiles)
-              case None => publish(purged(cur), partitionColsOf(curDir))
+              case None => publish(purged(cur), partitionColsOf(curDir),
+                versionSidecars(curDir))
             }
           }
           val hist = versions().filterNot(fresh.contains)
@@ -407,8 +416,14 @@ class SnapshotStore(spark: SparkSession, root: String) {
                   s"$tmp — refusing to replace the live version dir")
             }
             // the layout spec rides the staged replace: the rewritten
-            // dir must advertise the clustering it reproduces
+            // dir must advertise the clustering it reproduces — and so
+            // do any caller-published sidecars (bucket count, …): a
+            // maintenance rewrite must never strip a layout contract
+            // from the version it rewrites
             layoutOf(dir).foreach(writeLayout(tmp, _))
+            versionSidecars(dir).foreach { case (n, c) =>
+              Files.writeString(tmp.resolve(n), c); ()
+            }
             // OUR adoption marker goes LAST — after the committer's
             // _SUCCESS and after every sidecar — so recovery can never
             // adopt a temp missing its layout spec (the committer
@@ -461,30 +476,37 @@ class SnapshotStore(spark: SparkSession, root: String) {
     // queued file once and persisted, after which the sidecar governs.
     val now = out.schema.head
     Files.createDirectories(queueDir)
-    readQueueSchema().orElse {
+    if (readQueueSchema().isEmpty) {
       val legacy = queueFiles().headOption.flatMap(f =>
         scala.util.Try(spark.read.parquet(f.toString).schema.head).toOption)
       // establish: legacy schema if one exists, else this enqueue's.
       // Atomic tmp+move so a torn write can never half-establish; the
       // tmp name is per-attempt unique, so two racing first-ever
       // enqueues (enqueue-during-enqueue is inside the allowed append
-      // concurrency) both complete — one establishment wins the move
-      // and both validate against a fully-written sidecar, instead of
-      // the loser crashing on a shared tmp moved out from under it.
+      // concurrency) both complete instead of the loser crashing on a
+      // shared tmp moved out from under it.
       val establish = legacy.getOrElse(now)
       val tmp = queueDir.resolve(
         s"_SCHEMA.tmp${java.util.UUID.randomUUID()}")
       Files.writeString(tmp, s"${establish.name}\t${establish.dataType.json}")
       Files.move(tmp, queueSchemaFile, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
-      Some((establish.name, establish.dataType))
-    }.foreach { case (priorName, priorType) =>
-      require(priorName == now.name && priorType == now.dataType,
-        s"queuePurgeKeys: enqueue of ($keyCol: ${now.dataType}) does " +
-          s"not match the queue's established schema ($priorName: " +
-          s"$priorType) — one queue schema per store (a drifted " +
-          "enqueue would poison every queued request at sweep time)")
     }
+    // validate against the sidecar as ESTABLISHED on disk — never the
+    // locally computed value: when two first-ever enqueues race, one
+    // establishment wins the move, and the loser must be checked
+    // against the WINNER's schema or a drifted loser would append a
+    // mixed-schema file the sidecar doesn't name (the poisoning this
+    // guard exists to refuse)
+    val (priorName, priorType) = readQueueSchema().getOrElse(
+      throw new IllegalStateException(
+        s"queuePurgeKeys: _SCHEMA sidecar vanished after establishment " +
+          s"under $queueDir — refusing to append unvalidated"))
+    require(priorName == now.name && priorType == now.dataType,
+      s"queuePurgeKeys: enqueue of ($keyCol: ${now.dataType}) does " +
+        s"not match the queue's established schema ($priorName: " +
+        s"$priorType) — one queue schema per store (a drifted " +
+        "enqueue would poison every queued request at sweep time)")
     out.write.mode("append").parquet(queueDir.toString)
   }
 
@@ -600,6 +622,29 @@ class SnapshotStore(spark: SparkSession, root: String) {
     }
     buf.toSeq
   }
+
+  /** The caller-published `_`-sidecars of a version dir (committer and
+    * protocol artifacts excluded) — carried by [[purgeKeys]]' rewrites
+    * so maintenance never strips a layout contract from the version it
+    * rewrites. */
+  private def versionSidecars(dir: java.nio.file.Path): Map[String, String] =
+    if (!Files.isDirectory(dir)) Map.empty
+    else {
+      val stream = Files.list(dir)
+      try {
+        val it = stream.iterator()
+        var m = Map.empty[String, String]
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (Files.isRegularFile(p) && n.startsWith("_") &&
+              n != "_SUCCESS" && n != "_PURGED" && n != "_LAYOUT" &&
+              !n.endsWith(".crc"))
+            m += (n -> Files.readString(p))
+        }
+        m
+      } finally stream.close()
+    }
 
   /** Adopt-or-discard any `v{N}._purge` temp a crashed [[purgeKeys]]
     * left: temps carrying the `_PURGED` adoption marker (written LAST,

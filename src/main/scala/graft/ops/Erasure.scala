@@ -78,16 +78,20 @@ object Erasure {
         .filter(!_.isEmpty)
       val pairsC = Option(distinctPairs)
         .map(graft.engine.Caches.ensureCached(_)).filter(!_.isEmpty)
-      val dimC = Option(dimKeys).map(graft.engine.Caches.ensureCached(_))
-        .filter(!_.isEmpty)
-        // same single-or-named key-column contract as queuePurgeKeys —
-        // resolved ONCE here so the residual scan below can never
-        // diverge from what the queue purged
-        .map { k =>
-          val keyIn = if (k.columns.contains(t.dimKeyCol))
-            k.col(t.dimKeyCol) else k.col(k.columns.head)
-          k.select(keyIn.as(t.dimKeyCol))
-        }
+      // dimKeys without a dim target is ignored (matching its only
+      // consumers below — and t.dimKeyCol may legitimately be null then)
+      val dimC =
+        if (t.dimStore == null) None
+        else Option(dimKeys).map(graft.engine.Caches.ensureCached(_))
+          .filter(!_.isEmpty)
+          // same single-or-named key-column contract as queuePurgeKeys —
+          // resolved ONCE here so the residual scan below can never
+          // diverge from what the queue purged
+          .map { k =>
+            val keyIn = if (k.columns.contains(t.dimKeyCol))
+              k.col(t.dimKeyCol) else k.col(k.columns.head)
+            k.select(keyIn.as(t.dimKeyCol))
+          }
 
       // 1. the dimension store, through the QUEUE so pending requests
       // fold into the same single window rewrite

@@ -134,15 +134,19 @@ object CdcStream {
     // layout decision from a FILESYSTEM probe, never a schema read: a
     // full partition discovery just to ask "is this snapshot bucketed?"
     // would cost O(partitions) driver listing per micro-batch. The
-    // bucket COUNT must also match the persisted meta — dirs are
-    // modulo-dimBuckets, so a stream restarted with a different
-    // dimBuckets against the incremental path would look keys up in
-    // the WRONG dirs (split version chains, duplicate current rows,
-    // silently); a count change instead takes the migration arm's full
-    // re-bucketing publish, which re-establishes the meta.
+    // bucket COUNT must also match the CURRENT VERSION's `_BUCKETS`
+    // sidecar — dirs are modulo-dimBuckets, so a stream restarted with
+    // a different dimBuckets against the incremental path would look
+    // keys up in the WRONG dirs (split version chains, duplicate
+    // current rows, silently); a count change instead takes the
+    // migration arm's full re-bucketing publish. The sidecar lives
+    // INSIDE the version dir and rides every publish's all-or-nothing
+    // pointer flip, so data and meta can never disagree across a crash
+    // (a root-level meta written after the publish could).
     if (store.currentVersion().nonEmpty &&
         store.currentPartitionCols() == Seq(BucketCol) &&
-        store.readMeta(DimBucketsMeta).contains(dimBuckets.toString)) {
+        store.currentVersionSidecar(DimBucketsMeta)
+          .contains(dimBuckets.toString)) {
       // the batch's bucket set: bounded by dimBuckets, driver-safe
       val affected = withBucket(batch).select(col(BucketCol))
         .distinct().collect().map(_.getInt(0)).toSeq
@@ -174,16 +178,18 @@ object CdcStream {
         .getOrElse(Scd2.rebuild(batch.limit(0), key, ts, tie))
       val merged = Scd2.mergeBatch(Scd2.evolveSchema(dim, batch),
         batch, key, ts, tie, opCol)
-      store.publish(clustered(withBucket(merged.dim)), Seq(BucketCol))
-      store.writeMeta(DimBucketsMeta, dimBuckets.toString)
+      store.publish(clustered(withBucket(merged.dim)), Seq(BucketCol),
+        Map(DimBucketsMeta -> dimBuckets.toString))
       merged.cleanup()
     }
   }
 
-  /** The persisted bucket-count meta — the layout's equivalent of the
-    * purge queue's `_SCHEMA` sidecar: the guard that keeps a restarted
-    * stream from merging modulo-N keys into modulo-M dirs. */
-  private[graft] val DimBucketsMeta = "_DIM_BUCKETS"
+  /** The per-version bucket-count sidecar — the layout's equivalent of
+    * the purge queue's `_SCHEMA`: the guard that keeps a restarted
+    * stream from merging modulo-N keys into modulo-M dirs. Rides every
+    * publish's atomic pointer flip (and purgeKeys' rewrites carry it),
+    * so the count can never disagree with the dirs it describes. */
+  private[graft] val DimBucketsMeta = "_BUCKETS"
 
   /** One writer task per bucket → one file per bucket dir — the write
     * clustering every bucketed publish wants (matches

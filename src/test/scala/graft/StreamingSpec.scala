@@ -1169,12 +1169,29 @@ class StreamingSpec extends AnyFunSuite {
     // a restart with a DIFFERENT bucket count must take the full
     // re-bucketing publish, never the incremental path — modulo-8 keys
     // looked up in modulo-4 dirs would split version chains silently
+    assert(store2.currentVersionSidecar(CdcStream.DimBucketsMeta)
+      .contains("4"))
     CdcStream.applyChangeBatch(store2, b1((4L, 1L, "2024-03-01 00:00:00")),
       "order_key", "cdc_timestamp", "change_id", None, dimBuckets = 8)
     val reb = store2.read().get
     assert(reb.count() === 4L, "key 1 must gain exactly one version")
     assert(Scd2.duplicateCurrentKeys(reb, "order_key").count() === 0L,
       "a bucket-count change must never produce duplicate current rows")
+    // pin the ARM taken, not just the (possibly coincidentally right)
+    // answer: a full re-bucketing publish rehomes EVERY key into its
+    // modulo-8 dir, while the (forbidden) incremental arm would carry
+    // untouched keys' modulo-4 dirs forward. Non-vacuity first: at
+    // least one untouched key must have differing mod-4/mod-8 buckets.
+    assert(Seq(2L, 3L).exists { k =>
+      spark.range(1).select((pmod(xxhash64(lit(k)), lit(4L)) =!=
+        pmod(xxhash64(lit(k)), lit(8L))).as("d")).head().getBoolean(0)
+    }, "test setup needs a carried key whose mod-4 and mod-8 buckets differ")
+    assert(store2.read().get.filter(col(CdcStream.BucketCol).cast("long")
+      =!= pmod(xxhash64(col("order_key")), lit(8L))).count() === 0L,
+      "a bucket-count change must take the full re-bucketing publish " +
+        "(every key rehomed to its modulo-8 dir)")
+    assert(store2.currentVersionSidecar(CdcStream.DimBucketsMeta)
+      .contains("8"))
     // ...and an explicit dimBuckets=0 restart migrates BACK to the
     // whole-dim layout instead of crashing on the bucket column
     CdcStream.applyChangeBatch(store2, b1((5L, 5L, "2024-04-01 00:00:00")),
