@@ -121,7 +121,12 @@ object StreamBench {
     // wrong merge reports nothing.
     val hot = ChangeGen.changes(spark, 5000, 32, seed = 7)
     val hotRecs = hot.count()
-    val perScale = Seq(1, 10).map { dimScale =>
+    // default 1×/10×; SPARK_GRAFT_SLOPE_SCALES=1,10,100 adds the
+    // crossover point (100× seeds a ~5.4M-row dim — minutes of setup,
+    // so it is opt-in rather than the per-round default)
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SLOPE_SCALES", "1,10")
+      .split(",").toSeq.map(_.trim.toInt)
+    val perScale = scales.map { dimScale =>
       val seedChanges = ChangeGen.changes(spark, 60000L * dimScale,
         30000 * dimScale, seed = 3, startTs = "2024-01-01 00:00:00")
       val dim0 = Scd2.rebuild(seedChanges, K, TS, TIE)

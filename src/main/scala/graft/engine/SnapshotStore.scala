@@ -125,11 +125,15 @@ class SnapshotStore(spark: SparkSession, root: String) {
             .write.mode("overwrite")
             .partitionBy(partitionCol).parquet(dir)
           val newDir = Paths.get(dir)
+          // carry-over is PARALLEL: each unchanged dir's links are
+          // independent, and at high bucket counts the serial syscall
+          // walk is the dominant per-batch fixed cost (measured ~3 s
+          // at 25K dirs single-threaded) — a manifest realization
+          // makes this O(changed) exactly; the parallel link walk is
+          // the local-FS approximation
           val stream = Files.list(curDir)
           try {
-            val it = stream.iterator()
-            while (it.hasNext) {
-              val p = it.next()
+            stream.parallel().forEach { p =>
               val name = p.getFileName.toString
               if (Files.isDirectory(p) &&
                   name.startsWith(s"$partitionCol=") &&

@@ -163,11 +163,13 @@ object CdcStream {
         val full = Scd2.evolveSchema(
           store.read().get.drop(BucketCol), batch)
         val merged = Scd2.mergeBatch(full, batch, key, ts, tie, opCol)
-        store.publish(clustered(withBucket(merged.dim)), Seq(BucketCol))
+        store.publish(clustered(withBucket(merged.dim)), Seq(BucketCol),
+          Map(DimBucketsMeta -> dimBuckets.toString))
         merged.cleanup()
       } else {
         val merged = Scd2.mergeBatch(evolved, batch, key, ts, tie, opCol)
-        store.publishIncremental(withBucket(merged.dim), BucketCol)
+        store.publishIncremental(withBucket(merged.dim), BucketCol,
+          Map(DimBucketsMeta -> dimBuckets.toString))
         merged.cleanup()
       }
     } else {

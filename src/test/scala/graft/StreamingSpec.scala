@@ -1078,6 +1078,14 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally ls.close()
     assert(carried >= B - 2, "nearly all buckets must be carried, not rewritten")
+    // the INCREMENTAL publish must re-advertise the bucket count: the
+    // next batch's layout guard reads the CURRENT version's sidecar,
+    // so an incremental version without it silently degrades every
+    // following batch to a full migration republish (caught live in
+    // bench r19: alternating incremental/full versions, 5× per-batch)
+    assert(store.currentVersionSidecar(CdcStream.DimBucketsMeta)
+      .contains(B.toString),
+      "incremental version must carry the _BUCKETS sidecar")
     // the dim-side read is partition-pruned to the affected buckets
     val pruned = store.read().get.filter(col(CdcStream.BucketCol) === hotKb)
     val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
