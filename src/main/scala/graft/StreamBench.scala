@@ -125,7 +125,18 @@ object StreamBench {
     // crossover point (100× seeds a ~5.4M-row dim — minutes of setup,
     // so it is opt-in rather than the per-round default)
     val scales = sys.env.getOrElse("SPARK_GRAFT_SLOPE_SCALES", "1,10")
-      .split(",").toSeq.map(_.trim.toInt)
+      .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { t =>
+        val v = try t.toInt catch {
+          case _: NumberFormatException => sys.error(
+            s"SPARK_GRAFT_SLOPE_SCALES: '$t' is not an integer scale")
+        }
+        // 0 would silently route the 'incremental' arm to the
+        // whole-dim path (dimBuckets=0), mislabeling the comparison;
+        // huge scales overflow the Int key-count multiply
+        require(v >= 1 && v <= 1000,
+          s"SPARK_GRAFT_SLOPE_SCALES: scale $v outside [1, 1000]")
+        v
+      }
     val perScale = scales.map { dimScale =>
       val seedChanges = ChangeGen.changes(spark, 60000L * dimScale,
         30000 * dimScale, seed = 3, startTs = "2024-01-01 00:00:00")

@@ -1161,6 +1161,12 @@ class StreamingSpec extends AnyFunSuite {
         assert(spark.read.parquet(p.toString).columns.contains("region"),
           s"widened republish left a pre-evolution file behind: $p")
     } finally walk.close()
+    // the widened republish must re-advertise the bucket count too, or
+    // the batch AFTER every schema widening silently degrades to a
+    // full migration republish (same failure class the incremental
+    // sidecar assertion pins)
+    assert(store.currentVersionSidecar(CdcStream.DimBucketsMeta)
+      .contains("4"))
 
     // migration: a pre-bucketing (unpartitioned) snapshot takes one full
     // bucketed publish, then goes incremental
