@@ -931,6 +931,16 @@ object SparkEntry {
         .orderBy("q_id")
     }),
 
+    // the adaptive rule's COST surface, oracle-gated on its own: the
+    // per-query probed-cell counts under (nprobe floor 2, ratio 1.25)
+    // against the DuckDB replay of the same rule — a drifted probe-set
+    // computation shows here even when end recall happens to survive it
+    "ann_probe_cost" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.probedCellCounts(s, storedIvfPqPath(s, dir),
+        emb.filter(expr(BatchQueryPred)), 2, P.ProbeRatio).orderBy("q_id")
+    }),
+
     // SemDeDup (k-means-blocked semantic dedup): pairwise cosine only
     // WITHIN a trained cluster, drop the higher-centroid-similarity
     // member of any pair above the threshold — the paper's
@@ -2376,6 +2386,22 @@ object SparkEntry {
   /** The composite's twin: the ivfpq batch splice (k-means cell replay
     * + PQ replay, 2 probed cells) ∩ brute top-10 — `trainPred` as
     * [[pqRecallOracleSql]]. */
+  /** The per-query probed-cell CTE — ONE text shared by the composite
+    * recall replay and the `ann_probe_cost` row, so the two oracles can
+    * never diverge on the adaptive rule (`rn <= nprobe OR d² ≤ ratio ×
+    * min d²`, the same filter `SimilarityOps.probedCells` applies). */
+  private def probedBestCte(probeRatio: Option[Double]): String =
+    s"""best AS (
+       |  SELECT q_id, cl FROM (
+       |    SELECT qb.q_id, c.cl,
+       |           row_number() OVER (PARTITION BY qb.q_id
+       |             ORDER BY ${dSql("c.cv", "qb.qv")}, c.cl) AS rn,
+       |           ${dSql("c.cv", "qb.qv")} AS d,
+       |           min(${dSql("c.cv", "qb.qv")}) OVER (PARTITION BY qb.q_id) AS dmin
+       |    FROM qb, c2 c)
+       |  WHERE rn <= 2${probeRatio.map(r => s" OR d <= $r * dmin").getOrElse("")})"""
+      .stripMargin
+
   private def ivfPqRecallOracleSql(trainPred: Option[String],
                                    rerank: Option[Int] = None,
                                    probeRatio: Option[Double] = None): String = {
@@ -2397,15 +2423,7 @@ object SparkEntry {
     s"""${ivfFinCtes(trainPred, 2)},
        |$subs,
        |qb AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $BatchQueryPred),
-       |best AS (
-       |  SELECT q_id, cl FROM (
-       |    SELECT qb.q_id, c.cl,
-       |           row_number() OVER (PARTITION BY qb.q_id
-       |             ORDER BY ${dSql("c.cv", "qb.qv")}, c.cl) AS rn,
-       |           ${dSql("c.cv", "qb.qv")} AS d,
-       |           min(${dSql("c.cv", "qb.qv")}) OVER (PARTITION BY qb.q_id) AS dmin
-       |    FROM qb, c2 c)
-       |  WHERE rn <= 2${probeRatio.map(r => s" OR d <= $r * dmin").getOrElse("")}),
+       |${probedBestCte(probeRatio)},
        |brute AS (
        |  SELECT q_id, vec_id FROM (
        |    SELECT qb.q_id, e.vec_id,
@@ -3657,6 +3675,15 @@ object SparkEntry {
     "ann_pq_rerank_recall" -> pqRecallOracleSql(None, Some(P.RerankFactor)),
     "ann_ivfpq_rerank_recall" ->
       ivfPqRecallOracleSql(None, Some(P.RerankFactor), Some(P.ProbeRatio)),
+
+    // the adaptive probe's per-query cell counts, replayed via the SAME
+    // shared best CTE the rerank-recall oracle uses
+    "ann_probe_cost" ->
+      s"""${ivfFinCtes(None, 2)},
+         |qb AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $BatchQueryPred),
+         |${probedBestCte(Some(P.ProbeRatio))}
+         |SELECT q_id, CAST(count(*) AS BIGINT) AS n_cells
+         |FROM best GROUP BY q_id ORDER BY q_id""".stripMargin,
 
     // same Lloyd's replay, but TRAINED on the build subset only — the
     // assignment pass still covers every vector, exactly as the stored
