@@ -26,10 +26,78 @@ class SnapshotStore(spark: SparkSession, root: String) {
   def currentVersion(): Option[Long] =
     if (Files.exists(pointer)) Some(Files.readString(pointer).trim.toLong) else None
 
-  def read(): Option[DataFrame] =
-    currentVersion().map(v => spark.read.parquet(s"$root/v$v"))
+  def read(): Option[DataFrame] = currentVersion().map(readVersion)
 
-  def readVersion(v: Long): DataFrame = spark.read.parquet(s"$root/v$v")
+  /** Read a version — resolving its `_MANIFEST`, when it has one,
+    * through [[effectiveDirs]]: carried partition dirs are read from
+    * their OWNER version dirs (one grouped read per owner so hive
+    * partition inference stays correct under each owner's basePath,
+    * then a union-by-name across the ≤ #versions owner groups — plan
+    * size is bounded by the version chain, never the bucket count). */
+  def readVersion(v: Long): DataFrame = {
+    val dir = rootPath.resolve(s"v$v")
+    if (!Files.exists(dir.resolve(ManifestName)))
+      spark.read.parquet(s"$root/v$v")
+    else
+      effectiveDirs(v).values.toSeq.groupBy(_.getParent).toSeq
+        .sortBy(_._1.toString)
+        .map { case (base, dirs) =>
+          spark.read.option("basePath", base.toString)
+            .parquet(dirs.map(_.toString).sorted: _*)
+        }
+        .reduce(_ unionByName _)
+  }
+
+  /** The manifest sidecar: `name<TAB>ownerVersion` per CARRIED
+    * partition dir — the version's locally absent dirs, resolved to
+    * the version that physically holds them. Written by
+    * [[publishIncremental]]'s manifest mode; locally present dirs
+    * always own themselves and never appear in it. */
+  private val ManifestName = "_MANIFEST"
+
+  /** A version's effective `col=value` partition-dir map
+    * (name → absolute dir): local dirs plus manifest-carried ones,
+    * local winning (a rewritten bucket owns itself). O(local dirs) +
+    * one small-file manifest parse — never a recursive walk. */
+  private def effectiveDirs(v: Long): Map[String, java.nio.file.Path] = {
+    val dir = rootPath.resolve(s"v$v")
+    var m = Map.empty[String, java.nio.file.Path]
+    val mf = dir.resolve(ManifestName)
+    if (Files.exists(mf))
+      Files.readString(mf).linesIterator.filter(_.nonEmpty).foreach {
+        line =>
+          line.split("\t", 2) match {
+            case Array(name, owner) =>
+              m += (name -> rootPath.resolve(s"v${owner.trim.toLong}")
+                .resolve(name))
+            case _ => throw new IllegalStateException(
+              s"unparseable $ManifestName line under $dir: '$line' — " +
+                "refusing to serve a version whose carried dirs this " +
+                "build cannot resolve")
+          }
+      }
+    val stream = Files.list(dir)
+    try {
+      val it = stream.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (Files.isDirectory(p) && n.contains("=")) m += (n -> p)
+      }
+    } finally stream.close()
+    m
+  }
+
+  /** The DIRECT owner versions a version's manifest references — the
+    * vacuum keep-closure's one hop (manifest entries always name the
+    * version that physically holds the dir, so the closure never
+    * chains). */
+  private def manifestOwners(v: Long): Set[Long] = {
+    val mf = rootPath.resolve(s"v$v").resolve(ManifestName)
+    if (!Files.exists(mf)) Set.empty
+    else Files.readString(mf).linesIterator.filter(_.nonEmpty)
+      .map(_.split("\t", 2)(1).trim.toLong).toSet
+  }
 
   /** Write `df` as the next version and atomically publish it.
     * `partitionBy` columns become hive-style partition directories inside
@@ -103,7 +171,8 @@ class SnapshotStore(spark: SparkSession, root: String) {
     * leaves an orphan dir the pointer never named — the standard
     * torn-publish posture. */
   def publishIncremental(changed: DataFrame, partitionCol: String,
-                         sidecars: Map[String, String] = Map.empty): Long =
+                         sidecars: Map[String, String] = Map.empty,
+                         manifest: Boolean = false): Long =
     currentVersion() match {
       case None => publish(changed, Seq(partitionCol), sidecars)
       case Some(cur) =>
@@ -116,8 +185,8 @@ class SnapshotStore(spark: SparkSession, root: String) {
             "bootstrap/migrate with a full publish first")
         publishVersionDir { dir =>
           // cluster the write: one task per partition value → ONE file
-          // per changed dir, so carry-over cost is one link per
-          // UNCHANGED dir (not files × tasks) and later pruned reads
+          // per changed dir, so carry-over cost is one link (or one
+          // manifest line) per UNCHANGED dir and later pruned reads
           // open one file per bucket — without this, every writer task
           // drops a sliver into every dir and the version dir explodes
           // into tasks × partitions small files
@@ -125,22 +194,38 @@ class SnapshotStore(spark: SparkSession, root: String) {
             .write.mode("overwrite")
             .partitionBy(partitionCol).parquet(dir)
           val newDir = Paths.get(dir)
-          // carry-over is PARALLEL: each unchanged dir's links are
-          // independent, and at high bucket counts the serial syscall
-          // walk is the dominant per-batch fixed cost (measured ~3 s
-          // at 25K dirs single-threaded) — a manifest realization
-          // makes this O(changed) exactly; the parallel link walk is
-          // the local-FS approximation
-          val stream = Files.list(curDir)
-          try {
-            stream.parallel().forEach { p =>
-              val name = p.getFileName.toString
-              if (Files.isDirectory(p) &&
-                  name.startsWith(s"$partitionCol=") &&
-                  !Files.exists(newDir.resolve(name)))
-                linkTree(p, newDir.resolve(name))
+          // carry-over resolves through the PREVIOUS version's
+          // effective map, so either mode composes after the other
+          // (a link publish after a manifest one materializes the
+          // carried dirs; a manifest one after links references them)
+          val carried = effectiveDirs(cur).filter { case (n, _) =>
+            !Files.exists(newDir.resolve(n))
+          }
+          if (manifest) {
+            // manifest mode: carried dirs are REFERENCED by owner, not
+            // materialized — carry-over cost is ONE small sequential
+            // file write regardless of bucket count (the shape a
+            // 100-TB object-store deployment needs; links don't exist
+            // there and even parallel local links are O(#buckets)
+            // syscalls per batch). The cost moves to the lifecycle:
+            // vacuum must keep referenced owner versions ([[vacuum]]'s
+            // manifest closure), and a periodic full publish
+            // (materialize/OPTIMIZE) resets the chain.
+            val lines = carried.toSeq.sortBy(_._1).map { case (n, p) =>
+              s"$n\t${p.getParent.getFileName.toString.drop(1)}"
             }
-          } finally stream.close()
+            Files.writeString(newDir.resolve(ManifestName),
+              lines.mkString("\n"))
+          } else {
+            // link mode: PARALLEL hard-link walk — each unchanged
+            // dir's links are independent, and at high bucket counts
+            // the serial syscall walk is the dominant per-batch fixed
+            // cost (measured ~3 s at 25K dirs single-threaded)
+            import scala.jdk.CollectionConverters._
+            carried.toSeq.asJava.parallelStream().forEach { e =>
+              linkTree(e._2, newDir.resolve(e._1))
+            }
+          }
           writeSidecars(dir, sidecars)
         }
     }
@@ -167,28 +252,26 @@ class SnapshotStore(spark: SparkSession, root: String) {
                             values: Seq[Any]): DataFrame = {
     val v = currentVersion().getOrElse(throw new IllegalStateException(
       s"readCurrentPartitions: no published version under $root"))
-    val base = s"$root/v$v"
-    val dirs = values.map(x => s"$base/$partitionCol=$x")
-      .filter(d => Files.exists(Paths.get(d)))
-    if (dirs.nonEmpty)
-      spark.read.option("basePath", base).parquet(dirs: _*)
+    // resolution goes through the effective map, so manifest-carried
+    // dirs read from their owner versions exactly like local ones;
+    // grouped per owner so hive inference stays correct under each
+    // basePath (group count ≤ min(affected dirs, version chain))
+    val eff = effectiveDirs(v)
+    val wanted = values
+      .flatMap(x => eff.get(s"$partitionCol=$x"))
+    if (wanted.nonEmpty)
+      wanted.groupBy(_.getParent).toSeq.sortBy(_._1.toString)
+        .map { case (base, dirs) =>
+          spark.read.option("basePath", base.toString)
+            .parquet(dirs.map(_.toString).sorted: _*)
+        }
+        .reduce(_ unionByName _)
     else {
-      val one = {
-        val stream = Files.list(Paths.get(base))
-        try {
-          val it = stream.iterator()
-          var found: Option[String] = None
-          while (it.hasNext && found.isEmpty) {
-            val p = it.next()
-            if (Files.isDirectory(p) &&
-                p.getFileName.toString.startsWith(s"$partitionCol="))
-              found = Some(p.toString)
-          }
-          found.getOrElse(throw new IllegalStateException(
-            s"readCurrentPartitions: v$v has no $partitionCol= dirs"))
-        } finally stream.close()
-      }
-      spark.read.option("basePath", base).parquet(one).limit(0)
+      val one = eff.headOption.map(_._2).getOrElse(
+        throw new IllegalStateException(
+          s"readCurrentPartitions: v$v has no $partitionCol= dirs"))
+      spark.read.option("basePath", one.getParent.toString)
+        .parquet(one.toString).limit(0)
     }
   }
 
@@ -315,7 +398,16 @@ class SnapshotStore(spark: SparkSession, root: String) {
     recoverPurgeTemps()
     val all = versions()
     val cur = currentVersion()
-    val keep = all.takeRight(math.max(keepLast, 1)).toSet ++ cur.toSet
+    val retained = all.takeRight(math.max(keepLast, 1)).toSet ++ cur.toSet
+    // manifest closure (one hop — manifest entries always name the
+    // version that PHYSICALLY holds the dir): a retained version's
+    // carried dirs live in owner versions, which therefore must
+    // survive this vacuum even when they fall outside the retention
+    // window — dropping them would tear every reader of the retained
+    // version. The space bound degrades gracefully under long manifest
+    // chains; a periodic full publish (materialize/OPTIMIZE) resets
+    // the chain and lets the owners age out at the next vacuum.
+    val keep = retained ++ retained.flatMap(manifestOwners)
     val drop = all.filterNot(keep)
     drop.foreach { v =>
       val tmp = rootPath.resolve(s"v$v._purge")
@@ -396,12 +488,15 @@ class SnapshotStore(spark: SparkSession, root: String) {
           // partition dirs, or a persisted z-order spec), so the purge
           // never silently declusters what an OPTIMIZE paid for
           val fresh = read().map { cur =>
-            val curDir = rootPath.resolve(s"v${currentVersion().get}")
+            val curV = currentVersion().get
+            val curDir = rootPath.resolve(s"v$curV")
             layoutOf(curDir) match {
               case Some(z) =>
                 publishZOrdered(purged(cur), z.a, z.b, z.tie, z.numFiles)
-              case None => publish(purged(cur), partitionColsOf(curDir),
-                versionSidecars(curDir))
+              case None =>
+                val parts = partitionColsOf(curDir)
+                publish(clusterManyPartitions(purged(cur), parts, curV),
+                  parts, versionSidecars(curDir))
             }
           }
           val hist = versions().filterNot(fresh.contains)
@@ -409,8 +504,9 @@ class SnapshotStore(spark: SparkSession, root: String) {
             val dir = rootPath.resolve(s"v$v")
             val tmp = rootPath.resolve(s"v$v._purge")
             val parts = partitionColsOf(dir)
-            val w = applyLayout(purged(readVersion(v)), dir)
-              .write.mode("overwrite")
+            val body = clusterManyPartitions(
+              applyLayout(purged(readVersion(v)), dir), parts, v)
+            val w = body.write.mode("overwrite")
             (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
               .parquet(tmp.toString)
             if (!Files.exists(tmp.resolve("_SUCCESS"))) {
@@ -627,6 +723,21 @@ class SnapshotStore(spark: SparkSession, root: String) {
     buf.toSeq
   }
 
+  /** Cluster a purge rewrite's output by its partition columns when the
+    * version has MORE partition values than shuffle partitions (the
+    * many-small-buckets layout — a kb-bucketed dim): unclustered, every
+    * writer task drops a sliver into every dir and a 25K-bucket rewrite
+    * explodes into tasks × buckets files. Few-big-partitions layouts
+    * (a 3-day hive table) are left unclustered — one task per day would
+    * serialize the rewrite. */
+  private def clusterManyPartitions(df: DataFrame, parts: Seq[String],
+                                    v: Long): DataFrame =
+    if (parts.nonEmpty &&
+        effectiveDirs(v).size >
+          spark.sessionState.conf.numShufflePartitions)
+      df.repartition(parts.map(df(_)): _*)
+    else df
+
   /** The caller-published `_`-sidecars of a version dir (committer and
     * protocol artifacts excluded) — carried by [[purgeKeys]]' rewrites
     * so maintenance never strips a layout contract from the version it
@@ -641,9 +752,13 @@ class SnapshotStore(spark: SparkSession, root: String) {
         while (it.hasNext) {
           val p = it.next()
           val n = p.getFileName.toString
+          // _MANIFEST is a protocol artifact, not a caller sidecar: a
+          // purge rewrite MATERIALIZES the version (readVersion resolved
+          // the manifest into the rewritten data), so carrying the
+          // stale manifest would double-serve carried dirs
           if (Files.isRegularFile(p) && n.startsWith("_") &&
               n != "_SUCCESS" && n != "_PURGED" && n != "_LAYOUT" &&
-              !n.endsWith(".crc"))
+              n != ManifestName && !n.endsWith(".crc"))
             m += (n -> Files.readString(p))
         }
         m

@@ -40,7 +40,9 @@ object CdcStream {
             opCol: Option[String] = None,
             availableNow: Boolean = true,
             maxFilesPerTrigger: Int = 1,
-            dimBuckets: Int = 0): StreamingQuery = {
+            dimBuckets: Int = 0,
+            manifestCarry: Boolean = false,
+            materializeEvery: Int = 0): StreamingQuery = {
     // maxFilesPerTrigger is the throughput/latency dial: 1 keeps the
     // one-file-≙-one-batch replay granularity the tests pin; raising it
     // coalesces arriving files into fewer micro-batches, amortizing the
@@ -56,12 +58,36 @@ object CdcStream {
 
     val writer = changes.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyChangeBatch(store, batch, key, ts, tie, opCol, dimBuckets)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyChangeBatch(store, batch, key, ts, tie, opCol, dimBuckets,
+          manifestCarry)
+        // manifest chains grow one referenced-owner hop per batch and
+        // vacuum must keep every referenced owner — without a
+        // scheduled materialization the store could never reclaim.
+        // Every N batches, rewrite the snapshot fully local (the
+        // OPTIMIZE tick — same amortization posture as the index
+        // compaction ticks: periodic, between batches, never
+        // concurrent with a merge), so the chain length is bounded by
+        // N and the pre-materialize owners age out at the next vacuum.
+        if (manifestCarry && materializeEvery > 0 && id > 0 &&
+            id % materializeEvery == 0)
+          materializeSnapshot(store, dimBuckets)
       }
 
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
+
+  /** Publish a fully-LOCAL copy of the current bucketed snapshot (one
+    * clustered file per bucket, no manifest) — the OPTIMIZE verb that
+    * resets a manifest chain so [[SnapshotStore.vacuum]]'s owner
+    * closure stops pinning old versions. O(dim), scheduled (see
+    * `materializeEvery`), a no-op on an empty or unbucketed store. */
+  def materializeSnapshot(store: SnapshotStore, dimBuckets: Int): Unit =
+    store.read().foreach { d =>
+      if (d.columns.contains(BucketCol))
+        store.publish(d.repartition(d(BucketCol)), Seq(BucketCol),
+          Map(DimBucketsMeta -> dimBuckets.toString))
+    }
 
   /** The dim snapshot's key-bucket partition column —
     * `pmod(xxhash64(key), dimBuckets)`, hive-materialized so a
@@ -112,7 +138,8 @@ object CdcStream {
     * incremental. */
   def applyChangeBatch(store: SnapshotStore, batch: DataFrame,
                        key: String, ts: String, tie: String,
-                       opCol: Option[String], dimBuckets: Int = 0): Unit = {
+                       opCol: Option[String], dimBuckets: Int = 0,
+                       manifestCarry: Boolean = false): Unit = {
     if (batch.isEmpty) return
     if (dimBuckets <= 0) {
       // explicit whole-dim dial: a snapshot previously run bucketed is
@@ -169,7 +196,7 @@ object CdcStream {
       } else {
         val merged = Scd2.mergeBatch(evolved, batch, key, ts, tie, opCol)
         store.publishIncremental(withBucket(merged.dim), BucketCol,
-          Map(DimBucketsMeta -> dimBuckets.toString))
+          Map(DimBucketsMeta -> dimBuckets.toString), manifestCarry)
         merged.cleanup()
       }
     } else {

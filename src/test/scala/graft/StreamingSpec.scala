@@ -1121,20 +1121,25 @@ class StreamingSpec extends AnyFunSuite {
         "order_status", "quantity", "unit_price", "total_amount")
     assert(ChangeGen.writeBatchFiles(changes, "change_id", 6, 100, in) === 6)
     val schema = changes.schema
-    def drain(buckets: Int): Seq[org.apache.spark.sql.Row] = {
+    def drain(buckets: Int,
+              manifest: Boolean = false): Seq[org.apache.spark.sql.Row] = {
       val store = new SnapshotStore(spark,
-        Files.createTempDirectory(s"kb_snap$buckets").toString)
+        Files.createTempDirectory(s"kb_snap${buckets}_$manifest").toString)
       CdcStream.start(spark, s"$in/changes_*.json",
-        Files.createTempDirectory(s"kb_ckpt$buckets").toString, store,
-        schema, "order_key", "cdc_timestamp", "change_id",
-        opCol = Some("operation_type"), dimBuckets = buckets)
+        Files.createTempDirectory(s"kb_ckpt${buckets}_$manifest").toString,
+        store, schema, "order_key", "cdc_timestamp", "change_id",
+        opCol = Some("operation_type"), dimBuckets = buckets,
+        manifestCarry = manifest)
         .awaitTermination()
       val d = store.read().get.drop(CdcStream.BucketCol)
       d.orderBy("order_key", "version_no")
         .select(d.columns.sorted.map(col).toIndexedSeq: _*).collect().toSeq
     }
-    assert(drain(8) === drain(0),
+    val whole = drain(0)
+    assert(drain(8) === whole,
       "the publish mode is a layout dial — it must never change answers")
+    assert(drain(8, manifest = true) === whole,
+      "the manifest carry is a layout dial — it must never change answers")
 
     // widened schema on a BUCKETED store: full republish, no mixed-schema
     // dirs — every version-dir file carries the new column
@@ -1221,6 +1226,104 @@ class StreamingSpec extends AnyFunSuite {
         b1((2L, 2L, "2024-02-01 00:00:00"))
           .withColumn(CdcStream.BucketCol, lit(0)), CdcStream.BucketCol)
     }
+  }
+
+  test("manifest carry: untouched buckets are referenced, not " +
+    "materialized; vacuum keeps owners; purge materializes the chain") {
+    val snap = Files.createTempDirectory("mf_snap").toString
+    val store = new SnapshotStore(spark, snap)
+    val B = 16
+    def batch(rows: (Long, Long, String, String)*) =
+      rows.toDF("change_id", "order_key", "cdc_timestamp", "status")
+        .withColumn("cdc_timestamp", $"cdc_timestamp".cast("timestamp"))
+        .withColumn("operation_type", lit("UPDATE"))
+    def apply(b: org.apache.spark.sql.DataFrame): Unit =
+      CdcStream.applyChangeBatch(store, b, "order_key", "cdc_timestamp",
+        "change_id", Some("operation_type"), dimBuckets = B,
+        manifestCarry = true)
+    apply(batch((1L to 64L).map(k =>
+      (k, k, "2024-01-01 00:00:00", s"s$k")): _*)) // bootstrap → v0, local
+    apply(batch((100L, 7L, "2024-02-01 00:00:00", "hot7"))) // → v1
+    apply(batch((101L, 9L, "2024-03-01 00:00:00", "hot9"))) // → v2
+    val v2Dir = java.nio.file.Paths.get(snap, "v2")
+    def kbDirs(d: java.nio.file.Path): Seq[String] = {
+      val s = Files.list(d)
+      try {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        s.iterator().forEachRemaining { p =>
+          if (p.getFileName.toString.startsWith(s"${CdcStream.BucketCol}="))
+            buf += p.getFileName.toString
+        }
+        buf.toSeq
+      } finally s.close()
+    }
+    // v2 holds ONLY key 9's bucket locally — everything else is a
+    // manifest REFERENCE (no links, no copies: O(changed) file ops)
+    assert(kbDirs(v2Dir).size === 1,
+      s"v2 must hold only the touched bucket: ${kbDirs(v2Dir)}")
+    val mf = Files.readString(v2Dir.resolve("_MANIFEST"))
+    assert(mf.linesIterator.size >= B - 2,
+      "every untouched bucket must be carried by reference")
+    assert(mf.linesIterator.forall(l => l.split("\t")(1).toLong < 2L),
+      "manifest entries must name the PHYSICAL holder (v0 or v1)")
+    // reads resolve through the chain: full, pruned, and versioned
+    assert(store.read().get.count() === 66L)
+    assert(Scd2.current(store.read().get).count() === 64L)
+    assert(Scd2.duplicateCurrentKeys(store.read().get, "order_key")
+      .count() === 0L)
+    assert(store.read().get.filter($"order_key" === 7L).count() === 2L)
+    val kb13 = spark.range(1)
+      .select(pmod(xxhash64(lit(13L)), lit(B.toLong)).cast("int"))
+      .head().getInt(0)
+    assert(store.readCurrentPartitions(CdcStream.BucketCol, Seq(kb13))
+      .filter($"order_key" === 13L).count() === 1L,
+      "a carried bucket must resolve through the manifest")
+    assert(store.readVersion(1L).count() === 65L)
+    // vacuum closure: v2's manifest references v0 (and possibly v1), and
+    // v1's references v0 — nothing outside the retained window may drop
+    // while a retained manifest points at it
+    assert(store.vacuum(keepLast = 1).isEmpty,
+      "owners referenced by the retained manifest must survive vacuum")
+    assert(store.read().get.count() === 66L)
+    // purge materializes the whole chain: key 13 gone from EVERY
+    // version, no _MANIFEST left behind (a stale manifest after a
+    // materializing rewrite would double-serve carried dirs)
+    store.purgeKeys(Seq(13L).toDF("order_key"), "order_key")
+    store.versions().foreach { v =>
+      assert(store.readVersion(v).filter($"order_key" === 13L)
+        .count() === 0L, s"key 13 must be gone from v$v")
+      assert(!Files.exists(
+        java.nio.file.Paths.get(snap, s"v$v", "_MANIFEST")),
+        s"v$v must be materialized (manifest dropped) after the purge")
+    }
+    assert(store.read().get.count() === 65L)
+    // with the chain materialized, retention proceeds normally again
+    val dropped = store.vacuum(keepLast = 1)
+    assert(dropped.nonEmpty, "materialized versions age out normally")
+    assert(store.read().get.count() === 65L)
+
+    // the scheduled OPTIMIZE tick is the chain's other exit: a fresh
+    // manifest chain, one materializeSnapshot, and the pre-materialize
+    // owners age out at the next vacuum
+    val snap2 = Files.createTempDirectory("mf_mat").toString
+    val store2 = new SnapshotStore(spark, snap2)
+    def apply2(b: org.apache.spark.sql.DataFrame): Unit =
+      CdcStream.applyChangeBatch(store2, b, "order_key", "cdc_timestamp",
+        "change_id", Some("operation_type"), dimBuckets = B,
+        manifestCarry = true)
+    apply2(batch((1L to 32L).map(k =>
+      (k, k, "2024-01-01 00:00:00", s"s$k")): _*))
+    apply2(batch((200L, 3L, "2024-02-01 00:00:00", "hot3")))
+    assert(store2.vacuum(keepLast = 1).isEmpty, "chain pins owners")
+    CdcStream.materializeSnapshot(store2, B)
+    assert(!Files.exists(java.nio.file.Paths.get(snap2,
+      s"v${store2.currentVersion().get}", "_MANIFEST")),
+      "the OPTIMIZE tick publishes a fully-local version")
+    assert(store2.read().get.count() === 33L)
+    assert(store2.vacuum(keepLast = 1).toSet === Set(0L, 1L),
+      "the pre-materialize chain must age out after the OPTIMIZE tick")
+    assert(store2.read().get.count() === 33L)
+    assert(store2.read().get.filter($"order_key" === 3L).count() === 2L)
   }
 
   test("flatMapGroupsWithState running counts converge to the batch aggregate") {
