@@ -38,15 +38,25 @@ class SnapshotStore(spark: SparkSession, root: String) {
     val dir = rootPath.resolve(s"v$v")
     if (!Files.exists(dir.resolve(ManifestName)))
       spark.read.parquet(s"$root/v$v")
-    else
-      effectiveDirs(v).values.toSeq.groupBy(_.getParent).toSeq
-        .sortBy(_._1.toString)
-        .map { case (base, dirs) =>
-          spark.read.option("basePath", base.toString)
-            .parquet(dirs.map(_.toString).sorted: _*)
-        }
-        .reduce(_ unionByName _)
+    else readGrouped(effectiveDirs(v).values.toSeq)
   }
+
+  /** Read `col=value` partition dirs that may span several VERSION
+    * dirs (manifest-carried buckets live in their owner versions):
+    * grouped per owner so hive partition inference stays correct
+    * under each owner's basePath, deterministically ordered, then a
+    * union-by-name across the ≤ version-chain owner groups — plan
+    * size is bounded by the version chain, never the bucket count.
+    * The ONE grouped-read used by [[readVersion]] and
+    * [[readCurrentPartitions]], so the two resolution paths can
+    * never diverge. */
+  private def readGrouped(dirs: Seq[java.nio.file.Path]): DataFrame =
+    dirs.groupBy(_.getParent).toSeq.sortBy(_._1.toString)
+      .map { case (base, ds) =>
+        spark.read.option("basePath", base.toString)
+          .parquet(ds.map(_.toString).sorted: _*)
+      }
+      .reduce(_ unionByName _)
 
   /** The manifest sidecar: `name<TAB>ownerVersion` per CARRIED
     * partition dir — the version's locally absent dirs, resolved to
@@ -62,20 +72,9 @@ class SnapshotStore(spark: SparkSession, root: String) {
   private def effectiveDirs(v: Long): Map[String, java.nio.file.Path] = {
     val dir = rootPath.resolve(s"v$v")
     var m = Map.empty[String, java.nio.file.Path]
-    val mf = dir.resolve(ManifestName)
-    if (Files.exists(mf))
-      Files.readString(mf).linesIterator.filter(_.nonEmpty).foreach {
-        line =>
-          line.split("\t", 2) match {
-            case Array(name, owner) =>
-              m += (name -> rootPath.resolve(s"v${owner.trim.toLong}")
-                .resolve(name))
-            case _ => throw new IllegalStateException(
-              s"unparseable $ManifestName line under $dir: '$line' — " +
-                "refusing to serve a version whose carried dirs this " +
-                "build cannot resolve")
-          }
-      }
+    manifestEntries(v).foreach { case (name, owner) =>
+      m += (name -> rootPath.resolve(s"v$owner").resolve(name))
+    }
     val stream = Files.list(dir)
     try {
       val it = stream.iterator()
@@ -88,16 +87,38 @@ class SnapshotStore(spark: SparkSession, root: String) {
     m
   }
 
-  /** The DIRECT owner versions a version's manifest references — the
-    * vacuum keep-closure's one hop (manifest entries always name the
-    * version that physically holds the dir, so the closure never
-    * chains). */
-  private def manifestOwners(v: Long): Set[Long] = {
-    val mf = rootPath.resolve(s"v$v").resolve(ManifestName)
-    if (!Files.exists(mf)) Set.empty
-    else Files.readString(mf).linesIterator.filter(_.nonEmpty)
-      .map(_.split("\t", 2)(1).trim.toLong).toSet
+  /** A version's parsed `_MANIFEST` entries (carried-dir name → owner
+    * version), empty when it has none. The ONE parser for the
+    * sidecar's `name<TAB>ownerVersion` format — every reader
+    * ([[effectiveDirs]], [[manifestOwners]]) fails the same loud way
+    * on a corrupt line instead of disagreeing on corruption
+    * handling. */
+  private def manifestEntries(v: Long): Seq[(String, Long)] = {
+    val dir = rootPath.resolve(s"v$v")
+    val mf = dir.resolve(ManifestName)
+    if (!Files.exists(mf)) Seq.empty
+    else Files.readString(mf).linesIterator.filter(_.nonEmpty).map {
+      line =>
+        line.split("\t", 2) match {
+          case Array(name, owner) if owner.trim.nonEmpty &&
+              owner.trim.forall(_.isDigit) =>
+            (name, owner.trim.toLong)
+          case _ => throw new IllegalStateException(
+            s"unparseable $ManifestName line under $dir: '$line' — " +
+              "refusing to serve a version whose carried dirs this " +
+              "build cannot resolve")
+        }
+    }.toSeq
   }
+
+  /** The DIRECT owner versions a version's manifest references —
+    * always strictly OLDER versions, and always the version that
+    * physically holds each dir (carry resolves through
+    * [[effectiveDirs]] at publish time, so references never chain
+    * per-dir; READABILITY of a kept owner still chains — see
+    * [[vacuum]]'s fixpoint). */
+  private def manifestOwners(v: Long): Set[Long] =
+    manifestEntries(v).map(_._2).toSet
 
   /** Write `df` as the next version and atomically publish it.
     * `partitionBy` columns become hive-style partition directories inside
@@ -253,19 +274,11 @@ class SnapshotStore(spark: SparkSession, root: String) {
     val v = currentVersion().getOrElse(throw new IllegalStateException(
       s"readCurrentPartitions: no published version under $root"))
     // resolution goes through the effective map, so manifest-carried
-    // dirs read from their owner versions exactly like local ones;
-    // grouped per owner so hive inference stays correct under each
-    // basePath (group count ≤ min(affected dirs, version chain))
+    // dirs read from their owner versions exactly like local ones
     val eff = effectiveDirs(v)
     val wanted = values
       .flatMap(x => eff.get(s"$partitionCol=$x"))
-    if (wanted.nonEmpty)
-      wanted.groupBy(_.getParent).toSeq.sortBy(_._1.toString)
-        .map { case (base, dirs) =>
-          spark.read.option("basePath", base.toString)
-            .parquet(dirs.map(_.toString).sorted: _*)
-        }
-        .reduce(_ unionByName _)
+    if (wanted.nonEmpty) readGrouped(wanted)
     else {
       val one = eff.headOption.map(_._2).getOrElse(
         throw new IllegalStateException(
@@ -399,15 +412,28 @@ class SnapshotStore(spark: SparkSession, root: String) {
     val all = versions()
     val cur = currentVersion()
     val retained = all.takeRight(math.max(keepLast, 1)).toSet ++ cur.toSet
-    // manifest closure (one hop — manifest entries always name the
-    // version that PHYSICALLY holds the dir): a retained version's
-    // carried dirs live in owner versions, which therefore must
-    // survive this vacuum even when they fall outside the retention
-    // window — dropping them would tear every reader of the retained
-    // version. The space bound degrades gracefully under long manifest
-    // chains; a periodic full publish (materialize/OPTIMIZE) resets
-    // the chain and lets the owners age out at the next vacuum.
-    val keep = retained ++ retained.flatMap(manifestOwners)
+    // manifest closure, to a FIXPOINT: a retained version's carried
+    // dirs live in owner versions, which must survive this vacuum even
+    // when they fall outside the retention window — dropping them
+    // would tear every reader of the retained version. And a
+    // kept-as-owner version must itself stay READABLE, not merely
+    // hold its dirs: purgeKeys rewrites every on-disk version through
+    // readVersion, so a kept owner whose OWN manifest references a
+    // dropped version would wedge the compliance verb forever (the
+    // hot-key chain v1 local → v2 carries from v1 → v3 re-owns the
+    // bucket: one hop keeps v2 for v3 but drops v1, and v2 is then
+    // unreadable while permanently pinned). Entries name the version
+    // that physically holds each DIR, so per-dir resolution is one
+    // hop — readability of the kept owners is what chains. The space
+    // bound degrades gracefully under long manifest chains; a periodic
+    // full publish (materialize/OPTIMIZE) resets the chain and lets
+    // the owners age out at the next vacuum.
+    var keep = retained
+    var frontier = retained.flatMap(manifestOwners) -- keep
+    while (frontier.nonEmpty) {
+      keep = keep ++ frontier
+      frontier = frontier.flatMap(manifestOwners) -- keep
+    }
     val drop = all.filterNot(keep)
     drop.foreach { v =>
       val tmp = rootPath.resolve(s"v$v._purge")
@@ -499,7 +525,17 @@ class SnapshotStore(spark: SparkSession, root: String) {
                   parts, versionSidecars(curDir))
             }
           }
+          // NEWEST-FIRST: a version's manifest references strictly
+          // OLDER owners, so rewriting in descending order guarantees
+          // every readVersion(v) below resolves its carried dirs from
+          // still-unrewritten owner dirs. Ascending order breaks on a
+          // bucket the purge EMPTIES: the older owner's rewrite drops
+          // the now-empty partition dir, a younger version's manifest
+          // still names it, and the younger version's materializing
+          // read crashes — on every re-run, so the compliance verb
+          // could never complete.
           val hist = versions().filterNot(fresh.contains)
+            .sorted(Ordering[Long].reverse)
           hist.foreach { v =>
             val dir = rootPath.resolve(s"v$v")
             val tmp = rootPath.resolve(s"v$v._purge")

@@ -81,12 +81,30 @@ object CdcStream {
     * clustered file per bucket, no manifest) — the OPTIMIZE verb that
     * resets a manifest chain so [[SnapshotStore.vacuum]]'s owner
     * closure stops pinning old versions. O(dim), scheduled (see
-    * `materializeEvery`), a no-op on an empty or unbucketed store. */
+    * `materializeEvery`), a no-op on an empty or unbucketed store —
+    * and REFUSED when `dimBuckets` disagrees with the current
+    * version's `_BUCKETS` sidecar (re-stamping a count the dirs do
+    * not have would disarm the stream's layout guard). */
   def materializeSnapshot(store: SnapshotStore, dimBuckets: Int): Unit =
     store.read().foreach { d =>
-      if (d.columns.contains(BucketCol))
+      if (d.columns.contains(BucketCol)) {
+        // the stamped count must describe the EXISTING BucketCol
+        // values (this verb re-clusters, it never re-hashes), so it is
+        // validated against the current version's own sidecar: a
+        // caller-passed mismatch — or an unstamped snapshot whose
+        // modulo nobody recorded — is refused loudly, because stamping
+        // N over modulo-M dirs would let a restarted stream pass the
+        // layout guard and merge keys into the wrong buckets (split
+        // version chains, duplicate current rows, silently)
+        val stamped = store.currentVersionSidecar(DimBucketsMeta)
+        require(stamped.contains(dimBuckets.toString),
+          s"materializeSnapshot: bucket count $dimBuckets does not " +
+            s"match the current version's $DimBucketsMeta sidecar " +
+            s"(${stamped.getOrElse("absent")}) — refusing to stamp a " +
+            "layout the dirs do not have")
         store.publish(d.repartition(d(BucketCol)), Seq(BucketCol),
           Map(DimBucketsMeta -> dimBuckets.toString))
+      }
     }
 
   /** The dim snapshot's key-bucket partition column —

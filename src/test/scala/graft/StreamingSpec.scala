@@ -1326,6 +1326,120 @@ class StreamingSpec extends AnyFunSuite {
     assert(store2.read().get.filter($"order_key" === 3L).count() === 2L)
   }
 
+  test("manifest carry: vacuum's owner closure is transitive, so a " +
+    "kept-as-owner version stays readable and purge never wedges") {
+    // the hot-key chain: v0 full; v1 re-owns key 7's bucket (manifest
+    // → v0); v2 re-owns key 9's bucket (manifest: kb(7) → v1, rest →
+    // v0); v3 re-owns key 7's bucket AGAIN (manifest: kb(9) → v2, rest
+    // → v0 — kb(7) is local, so v1 is referenced by NO retained
+    // manifest directly). A one-hop closure keeps v2 for v3 but drops
+    // v1 — and v2's own manifest still names v1 for kb(7), so
+    // readVersion(2) (and with it every purgeKeys, which rewrites all
+    // on-disk versions) would crash forever while v2 stays pinned.
+    val snap = Files.createTempDirectory("mf_fixpoint").toString
+    val store = new SnapshotStore(spark, snap)
+    val B = 16
+    def batch(rows: (Long, Long, String, String)*) =
+      rows.toDF("change_id", "order_key", "cdc_timestamp", "status")
+        .withColumn("cdc_timestamp", $"cdc_timestamp".cast("timestamp"))
+        .withColumn("operation_type", lit("UPDATE"))
+    def apply(b: org.apache.spark.sql.DataFrame): Unit =
+      CdcStream.applyChangeBatch(store, b, "order_key", "cdc_timestamp",
+        "change_id", Some("operation_type"), dimBuckets = B,
+        manifestCarry = true)
+    apply(batch((1L to 64L).map(k =>
+      (k, k, "2024-01-01 00:00:00", s"s$k")): _*)) // v0
+    apply(batch((100L, 7L, "2024-02-01 00:00:00", "hot7a"))) // v1
+    apply(batch((101L, 9L, "2024-03-01 00:00:00", "hot9"))) // v2
+    apply(batch((102L, 7L, "2024-04-01 00:00:00", "hot7b"))) // v3
+    assert(store.vacuum(keepLast = 1).isEmpty,
+      "the transitive owner closure must pin the whole readable chain")
+    store.versions().foreach { v =>
+      assert(store.readVersion(v).count() >= 64L,
+        s"v$v must stay readable after the vacuum")
+    }
+    // the compliance verb completes over the kept chain
+    store.purgeKeys(Seq(13L).toDF("order_key"), "order_key")
+    store.versions().foreach { v =>
+      assert(store.readVersion(v).filter($"order_key" === 13L)
+        .count() === 0L, s"key 13 must be gone from v$v")
+    }
+    assert(Scd2.current(store.read().get).count() === 63L)
+    assert(store.read().get.filter($"order_key" === 7L).count() === 3L,
+      "key 7's full version chain must survive the vacuum + purge")
+  }
+
+  test("manifest carry: purging every key of one bucket never strands " +
+    "a younger version's reference to the emptied dir") {
+    val snap = Files.createTempDirectory("mf_emptied").toString
+    val store = new SnapshotStore(spark, snap)
+    val B = 16
+    def batch(rows: (Long, Long, String, String)*) =
+      rows.toDF("change_id", "order_key", "cdc_timestamp", "status")
+        .withColumn("cdc_timestamp", $"cdc_timestamp".cast("timestamp"))
+        .withColumn("operation_type", lit("UPDATE"))
+    def apply(b: org.apache.spark.sql.DataFrame): Unit =
+      CdcStream.applyChangeBatch(store, b, "order_key", "cdc_timestamp",
+        "change_id", Some("operation_type"), dimBuckets = B,
+        manifestCarry = true)
+    apply(batch((1L to 64L).map(k =>
+      (k, k, "2024-01-01 00:00:00", s"s$k")): _*)) // v0
+    apply(batch((100L, 7L, "2024-02-01 00:00:00", "hot7"))) // v1
+    apply(batch((101L, 9L, "2024-03-01 00:00:00", "hot9"))) // v2
+    // one bucket's FULL key set, chosen away from the touched keys so
+    // it is a CARRIED dir in v1/v2's manifests: purging all its keys
+    // makes v0's rewrite drop the dir entirely (an empty hive
+    // partition writes nothing) — the oldest-first rewrite order would
+    // then crash materializing v1/v2, on every re-run
+    val byBucket = spark.range(1L, 65L)
+      .select($"id", pmod(xxhash64($"id"), lit(B.toLong)).cast("int")
+        .as("kb")).collect()
+      .groupBy(_.getInt(1)).map { case (kb, rs) =>
+        kb -> rs.map(_.getLong(0)).toSeq
+      }
+    val skip = Set(byBucket.collect { case (kb, ks)
+      if ks.contains(7L) || ks.contains(9L) => kb }.toSeq: _*)
+    val (victimKb, victims) = byBucket.filterNot { case (kb, _) =>
+      skip.contains(kb)
+    }.head
+    assert(Files.exists(java.nio.file.Paths.get(snap, "v0",
+      s"${CdcStream.BucketCol}=$victimKb")))
+    store.purgeKeys(victims.toDF("order_key"), "order_key")
+    store.versions().foreach { v =>
+      val d = store.readVersion(v)
+      assert(d.filter($"order_key".isin(victims: _*)).count() === 0L,
+        s"every victim key must be gone from v$v")
+      assert(!Files.exists(
+        java.nio.file.Paths.get(snap, s"v$v", "_MANIFEST")),
+        s"v$v must be materialized after the purge")
+    }
+    assert(Scd2.current(store.read().get).count() ===
+      64L - victims.size)
+    assert(store.read().get.filter($"order_key" === 7L).count() === 2L)
+  }
+
+  test("materializeSnapshot refuses a bucket count the dirs do not have") {
+    val snap = Files.createTempDirectory("mf_matguard").toString
+    val store = new SnapshotStore(spark, snap)
+    def batch(rows: (Long, Long, String)*) =
+      rows.toDF("change_id", "order_key", "cdc_timestamp")
+        .withColumn("cdc_timestamp", $"cdc_timestamp".cast("timestamp"))
+    CdcStream.applyChangeBatch(store,
+      batch((1L, 1L, "2024-01-01 00:00:00"), (2L, 2L, "2024-01-01 00:00:00")),
+      "order_key", "cdc_timestamp", "change_id", None, dimBuckets = 8)
+    // a mismatched OPTIMIZE must be refused: stamping 16 over modulo-8
+    // dirs would let a stream restarted with dimBuckets=16 pass the
+    // layout guard and look keys up in the wrong buckets
+    val e = intercept[IllegalArgumentException] {
+      CdcStream.materializeSnapshot(store, 16)
+    }
+    assert(e.getMessage.contains("_BUCKETS"))
+    val before = store.currentVersion().get
+    CdcStream.materializeSnapshot(store, 8) // the matching call publishes
+    assert(store.currentVersion().get === before + 1)
+    assert(store.read().get.count() === 2L)
+  }
+
   test("flatMapGroupsWithState running counts converge to the batch aggregate") {
     import graft.engine.Tables
     val ev = Tables.events(spark, sfDir)
