@@ -1174,6 +1174,51 @@ object SparkEntry {
         .orderBy(col("q_id"), desc("bm25"), col("doc_id"))
     }),
 
+    // Hybrid retrieval — reciprocal-rank fusion of the two STORED-index
+    // probes over the same query set (docs sampled by BmBatchPred that
+    // also carry an embedding; doc_id and vec_id share the id space):
+    // the lexical ranking is the BM25 batch probe (top-3 distinctive
+    // terms per query, self excluded post-probe), the vector ranking is
+    // the IVF batch probe (nprobe=1, self excluded by the probe), and
+    // the fused score is Σ 1/(60+rank). Neither ranker rescans the
+    // corpus — both are index reads — and the fuse itself is top-k-frame
+    // sized, so the whole query keeps the stored-index scale shape.
+    "hybrid_rrf_topk" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(desc("cnt"), col("term"))
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val qids = docs.filter(expr(BmBatchPred)).select("doc_id")
+        .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+          "left_semi")
+      val qterms = docs.join(qids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id").as("q_id"),
+          explode(TextOps.normWords(col("text"))).as("term"))
+        .filter(length(col("term")) >= 5)
+        .groupBy("q_id", "term").agg(count(lit(1)).as("cnt"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= 3).select("q_id", "term")
+      // top-11 then self-filter then re-rank ≡ top-10 of the ranking
+      // with self removed (removing one row preserves relative order,
+      // and the 11th candidate backfills when self sat in the top 10)
+      val lexW = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(desc("bm25"), col("doc_id"))
+      val lex = TextOps.queryBm25IndexBatch(s, storedBm25Path(s, dir),
+          qterms, 11)
+        .filter(col("doc_id") =!= col("q_id"))
+        .withColumn("rank", row_number().over(lexW))
+        .filter(col("rank") <= 10).select("q_id", "doc_id", "rank")
+      val vecW = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(desc("cosine"), col("vec_id"))
+      val vec = SimilarityOps.queryIvfIndexBatch(s, storedIvfPath(s, dir),
+          emb.join(qids.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+            "left_semi"), topK = 10, nprobe = 1)
+        .withColumn("rank", row_number().over(vecW))
+        .select(col("q_id"), col("vec_id").as("doc_id"), col("rank"))
+      SimilarityOps.rrfFuse(Seq(lex, vec), topK = 10)
+        .orderBy(col("q_id"), desc("rrf"), col("doc_id"))
+    }),
+
     // Incremental dedup — the CDC×dedup composition: the change feed is
     // screened for near-duplication against the stored corpus
     // fingerprint index (built once on the initial subset; postings
@@ -2383,9 +2428,6 @@ object SparkEntry {
        |FROM qr LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin
   }
 
-  /** The composite's twin: the ivfpq batch splice (k-means cell replay
-    * + PQ replay, 2 probed cells) ∩ brute top-10 — `trainPred` as
-    * [[pqRecallOracleSql]]. */
   /** The per-query probed-cell CTE — ONE text shared by the composite
     * recall replay and the `ann_probe_cost` row, so the two oracles can
     * never diverge on the adaptive rule (`rn <= nprobe OR d² ≤ ratio ×
@@ -2402,6 +2444,9 @@ object SparkEntry {
        |  WHERE rn <= 2${probeRatio.map(r => s" OR d <= $r * dmin").getOrElse("")})"""
       .stripMargin
 
+  /** The composite's twin: the ivfpq batch splice (k-means cell replay
+    * + PQ replay, 2 probed cells) ∩ brute top-10 — `trainPred` as
+    * [[pqRecallOracleSql]]. */
   private def ivfPqRecallOracleSql(trainPred: Option[String],
                                    rerank: Option[Int] = None,
                                    probeRatio: Option[Double] = None): String = {
@@ -2669,6 +2714,89 @@ object SparkEntry {
        |       (d.vec_id IS NULL) AS kept
        |FROM asg g LEFT JOIN drops d ON g.vec_id = d.vec_id
        |ORDER BY g.vec_id""".stripMargin
+  }
+
+  /** Hybrid-RRF oracle: the BM25 batch replay and the IVF batch replay
+    * (the same CTE chains as their standalone rows, restricted to the
+    * docs-with-embeddings query sample), each ranked top-10 with self
+    * excluded, then fused by Σ 1/(60+rank) — 6-dp round + doc_id
+    * tie-break, mirror of [[SimilarityOps.rrfFuse]]. */
+  private def hybridRrfOracleSql: String = {
+    val iters = 2
+    s"""${ivfFinCtes(None, iters)},
+       |$wordsSql,
+       |qsel AS (
+       |  SELECT doc_id AS q_id FROM documents
+       |  WHERE $BmBatchPred AND doc_id IN (SELECT vec_id FROM embeddings)),
+       |tok AS (SELECT doc_id, unnest(w) AS term FROM words),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, len(w) AS dl FROM words),
+       |stats AS (SELECT count(*) AS n_docs,
+       |                 CAST(sum(len(w)) AS BIGINT) AS sum_dl FROM words),
+       |lex AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |qcnt AS (
+       |  SELECT doc_id AS q_id, term, count(*) AS cnt
+       |  FROM tok WHERE doc_id IN (SELECT q_id FROM qsel) AND len(term) >= 5
+       |  GROUP BY 1, 2),
+       |lq AS (
+       |  SELECT q_id, term FROM (
+       |    SELECT q_id, term,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY cnt DESC, term) AS rn
+       |    FROM qcnt)
+       |  WHERE rn <= 3),
+       |lscored AS (
+       |  SELECT lq.q_id, p.doc_id,
+       |         round(list_sum(list(
+       |           (CAST(s.n_docs AS DOUBLE) - CAST(l.df AS DOUBLE) + 0.5) / (CAST(l.df AS DOUBLE) + 0.5)
+       |             * ((CAST(p.tf AS DOUBLE) * 2.2) / (CAST(p.tf AS DOUBLE)
+       |                  + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))
+       |           ORDER BY lq.term)), 6) AS bm25
+       |  FROM lq
+       |  JOIN tf p ON p.term = lq.term
+       |  JOIN dl ON dl.doc_id = p.doc_id
+       |  JOIN lex l ON l.term = lq.term
+       |  CROSS JOIN stats s
+       |  GROUP BY lq.q_id, p.doc_id),
+       |lexr AS (
+       |  SELECT q_id, doc_id, rn AS rk FROM (
+       |    SELECT q_id, doc_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY bm25 DESC, doc_id) AS rn
+       |    FROM lscored WHERE doc_id <> q_id)
+       |  WHERE rn <= 10),
+       |vq AS (SELECT vec_id AS q_id, v AS qv FROM e
+       |       WHERE vec_id IN (SELECT q_id FROM qsel)),
+       |vbest AS (
+       |  SELECT q_id, qv, cl FROM (
+       |    SELECT vq.q_id, vq.qv, c.cl,
+       |           row_number() OVER (PARTITION BY vq.q_id
+       |             ORDER BY ${dSql("c.cv", "vq.qv")}, c.cl) AS rn
+       |    FROM vq, c$iters c) WHERE rn = 1),
+       |vscored AS (
+       |  SELECT b.q_id, f.vec_id AS doc_id,
+       |         round(${cosSql("f.v", "b.qv")}, 6) AS cosine
+       |  FROM fin f JOIN vbest b USING (cl)
+       |  WHERE f.vec_id <> b.q_id),
+       |vecr AS (
+       |  SELECT q_id, doc_id, rn AS rk FROM (
+       |    SELECT q_id, doc_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY cosine DESC, doc_id) AS rn
+       |    FROM vscored)
+       |  WHERE rn <= 10),
+       |fused AS (
+       |  SELECT q_id, doc_id,
+       |         round(sum(1.0 / (60.0 + CAST(rk AS DOUBLE))), 6) AS rrf
+       |  FROM (SELECT * FROM lexr UNION ALL SELECT * FROM vecr)
+       |  GROUP BY 1, 2)
+       |SELECT q_id, doc_id, rrf FROM (
+       |  SELECT q_id, doc_id, rrf,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY rrf DESC, doc_id) AS rn
+       |  FROM fused)
+       |WHERE rn <= 10
+       |ORDER BY q_id, rrf DESC, doc_id""".stripMargin
   }
 
   /** Oracle for the batch probe: each query (`vec_id % 97 = 0`) ranks
@@ -3076,6 +3204,8 @@ object SparkEntry {
          |  FROM scored)
          |WHERE rn <= 5
          |ORDER BY q_id, bm25 DESC, doc_id""".stripMargin,
+    "hybrid_rrf_topk" -> hybridRrfOracleSql,
+
     // merged PQ: codebooks trained on the build subset, codes over all
     "ann_pq_merged_topk" -> {
       val (ctes, joins, adcSum, _) = pqOracleFragments(Some(IvfMergeBuildPred))

@@ -1411,6 +1411,41 @@ object SimilarityOps {
       .drop("_rn")
   }
 
+  /** Reciprocal-rank fusion of independent per-query retrieval
+    * rankings (Cormack/Clarke/Büttcher, SIGIR 2009): each input frame
+    * carries `(q_id, doc_id, rank)` — rank 1 = best — and a candidate's
+    * fused score is Σ 1/(rrfK + rank) over the rankings that retrieved
+    * it (a doc found by only one ranker contributes one term). The
+    * training-data-curation use is hybrid retrieval: fuse a LEXICAL
+    * ranking (stored BM25 probe) with a VECTOR ranking (stored IVF
+    * probe) so contamination/quality lookups catch both paraphrases
+    * (lexical misses, vector hits) and rare-token matches (vector
+    * misses, lexical hits).
+    *
+    * Scale shape: the inputs are per-query TOP-K frames — |queries|×k
+    * rows each, produced by the already-index-backed rankers — so the
+    * fuse is one union + one groupBy on (q_id, doc_id) over
+    * ranker-count × |queries| × k rows, never anything corpus-sized.
+    * Scores are rounded to 6 dp and ranked with a doc_id tie-break:
+    * rank sums of ≤ a few 1/(60+r) terms are separated far above 1e-6,
+    * so the rounded ordering is engine-independent (the same
+    * determinism discipline as the cosine rankers). */
+  def rrfFuse(rankings: Seq[DataFrame], topK: Int,
+              rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    import org.apache.spark.sql.expressions.Window
+    val normed = rankings.map(_.select(col("q_id"), col("doc_id"),
+      col("rank").cast("double").as("rank")))
+    normed.reduce(_ unionByName _)
+      .groupBy("q_id", "doc_id")
+      .agg(round(sum(lit(1.0) / (lit(rrfK.toDouble) + col("rank"))), 6)
+        .as("rrf"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("rrf"), col("doc_id"))))
+      .filter(col("_rn") <= topK)
+      .drop("_rn")
+  }
+
   /** Build the PQ index as a stored artifact — the missing half of
     * [[pqTopK]]'s 100 TB story: the codebooks (m × ksub subspace
     * centroids) are trained ONCE and persisted with every vector's m

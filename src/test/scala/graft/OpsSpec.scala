@@ -2216,4 +2216,31 @@ class OpsSpec extends AnyFunSuite {
     val all = SimilarityOps.semDedup(emb, 8, 2, -2.0).collect()
     assert(all.count(_.getBoolean(3)) === all.map(_.getLong(1)).distinct.length)
   }
+
+  test("rrfFuse: single-ranker docs contribute one term, ties break on doc_id") {
+    // q=1: doc 10 is rank 1 in BOTH rankings (1/61+1/61); doc 20 is
+    // rank 2 lexically only (1/62); doc 30 rank 2 vector-only (1/62) —
+    // equal fused scores, so doc_id breaks the tie; doc 40 rank 3
+    // lexically only falls below.
+    val lex = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 40L, 3))
+      .toDF("q_id", "doc_id", "rank")
+    val vec = Seq((1L, 10L, 1), (1L, 30L, 2))
+      .toDF("q_id", "doc_id", "rank")
+    val fused = SimilarityOps.rrfFuse(Seq(lex, vec), topK = 3)
+      .orderBy(desc("rrf"), $"doc_id").collect()
+    assert(fused.map(_.getLong(1)).toSeq === Seq(10L, 20L, 30L))
+    val exp10 = BigDecimal(1.0 / 61 + 1.0 / 61)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp20 = BigDecimal(1.0 / 62)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(fused(0).getDouble(2) === exp10)
+    assert(fused(1).getDouble(2) === exp20)
+    assert(fused(2).getDouble(2) === exp20) // same score, doc_id ordered
+    // topK cuts per query, not globally
+    val multi = SimilarityOps.rrfFuse(
+      Seq(Seq((1L, 10L, 1), (2L, 11L, 1), (2L, 12L, 2))
+        .toDF("q_id", "doc_id", "rank")), topK = 1).collect()
+    assert(multi.map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      Seq((1L, 10L), (2L, 11L)))
+  }
 }
