@@ -1160,19 +1160,10 @@ object SparkEntry {
     // join, vs |batch| term-pruned scans of the per-query path. Scores
     // fold term-ascending and round to 6 dp (the batch-ANN determinism
     // treatment); top-5 per query by window.
-    "text_bm25_batch_topk" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("q_id").orderBy(desc("cnt"), col("term"))
-      val qterms = Tables.documents(s, dir).filter(expr(BmBatchPred))
-        .select(col("doc_id").as("q_id"),
-          explode(TextOps.normWords(col("text"))).as("term"))
-        .filter(length(col("term")) >= 5)
-        .groupBy("q_id", "term").agg(count(lit(1)).as("cnt"))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") <= 3).select("q_id", "term")
-      TextOps.queryBm25IndexBatch(s, storedBm25Path(s, dir), qterms, 5)
-        .orderBy(col("q_id"), desc("bm25"), col("doc_id"))
-    }),
+    "text_bm25_batch_topk" -> ((s, dir) =>
+      TextOps.queryBm25IndexBatch(s, storedBm25Path(s, dir),
+          bm25QueryTerms(s, dir), 5)
+        .orderBy(col("q_id"), desc("bm25"), col("doc_id"))),
 
     // Hybrid retrieval — reciprocal-rank fusion of the two STORED-index
     // probes over the same query set (docs sampled by BmBatchPred that
@@ -1184,20 +1175,12 @@ object SparkEntry {
     // corpus — both are index reads — and the fuse itself is top-k-frame
     // sized, so the whole query keeps the stored-index scale shape.
     "hybrid_rrf_topk" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("q_id").orderBy(desc("cnt"), col("term"))
-      val docs = Tables.documents(s, dir)
       val emb = Tables.embeddings(s, dir)
-      val qids = docs.filter(expr(BmBatchPred)).select("doc_id")
+      val qids = Tables.documents(s, dir).filter(expr(BmBatchPred))
+        .select("doc_id")
         .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"),
           "left_semi")
-      val qterms = docs.join(qids, Seq("doc_id"), "left_semi")
-        .select(col("doc_id").as("q_id"),
-          explode(TextOps.normWords(col("text"))).as("term"))
-        .filter(length(col("term")) >= 5)
-        .groupBy("q_id", "term").agg(count(lit(1)).as("cnt"))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") <= 3).select("q_id", "term")
+      val qterms = bm25QueryTerms(s, dir, Some(qids))
       // top-11 then self-filter then re-rank ≡ top-10 of the ranking
       // with self removed (removing one row preserves relative order,
       // and the 11th candidate backfills when self sat in the top 10)
@@ -2095,6 +2078,27 @@ object SparkEntry {
     engine.StoredIndexes.ensure("bm25_idx", dir)(p =>
       TextOps.buildBm25Index(Tables.documents(s, dir), p))
 
+  /** The data-derived BM25 batch workload — each `BmBatchPred` query
+    * doc's top-3 distinctive (len ≥ 5) tokens. ONE derivation shared by
+    * the standalone batch probe and the hybrid fusion, so the two rows
+    * always probe the same lexical workload (its oracle twin is
+    * [[bm25BatchScoredCtes]]' `qcnt`/`lq` chain). `qids` further
+    * restricts the query docs (the hybrid's docs-with-embeddings
+    * sample); None keeps the full sample. */
+  private def bm25QueryTerms(s: SparkSession, dir: String,
+                             qids: Option[DataFrame] = None): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("cnt"), col("term"))
+    val base = Tables.documents(s, dir).filter(expr(BmBatchPred))
+    val docs = qids.fold(base)(q => base.join(q, Seq("doc_id"), "left_semi"))
+    docs.select(col("doc_id").as("q_id"),
+        explode(TextOps.normWords(col("text"))).as("term"))
+      .filter(length(col("term")) >= 5)
+      .groupBy("q_id", "term").agg(count(lit(1)).as("cnt"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 3).select("q_id", "term")
+  }
+
   /** Stored BM25 index with a retraction applied — its own root (the
     * deletion must not leak into the other stored-BM25 queries). */
   private def retractedBm25Path(s: SparkSession, dir: String): String =
@@ -2716,19 +2720,15 @@ object SparkEntry {
        |ORDER BY g.vec_id""".stripMargin
   }
 
-  /** Hybrid-RRF oracle: the BM25 batch replay and the IVF batch replay
-    * (the same CTE chains as their standalone rows, restricted to the
-    * docs-with-embeddings query sample), each ranked top-10 with self
-    * excluded, then fused by Σ 1/(60+rank) — 6-dp round + doc_id
-    * tie-break, mirror of [[SimilarityOps.rrfFuse]]. */
-  private def hybridRrfOracleSql: String = {
-    val iters = 2
-    s"""${ivfFinCtes(None, iters)},
-       |$wordsSql,
-       |qsel AS (
-       |  SELECT doc_id AS q_id FROM documents
-       |  WHERE $BmBatchPred AND doc_id IN (SELECT vec_id FROM embeddings)),
-       |tok AS (SELECT doc_id, unnest(w) AS term FROM words),
+  /** The BM25 batch-replay CTE chain (`tok` … `lscored`, scored over
+    * every candidate doc) — ONE text shared by the standalone
+    * `text_bm25_batch_topk` oracle and the hybrid fusion oracle, so
+    * the twin replays can never drift on the scoring math
+    * ([[bm25QueryTerms]] is the Spark-side twin of the `qcnt`/`lq`
+    * workload derivation). Expects `words` to be defined; `qPred`
+    * selects the query docs inside `qcnt`. */
+  private def bm25BatchScoredCtes(qPred: String): String =
+    s"""tok AS (SELECT doc_id, unnest(w) AS term FROM words),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
        |dl AS (SELECT doc_id, len(w) AS dl FROM words),
        |stats AS (SELECT count(*) AS n_docs,
@@ -2736,7 +2736,7 @@ object SparkEntry {
        |lex AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
        |qcnt AS (
        |  SELECT doc_id AS q_id, term, count(*) AS cnt
-       |  FROM tok WHERE doc_id IN (SELECT q_id FROM qsel) AND len(term) >= 5
+       |  FROM tok WHERE ($qPred) AND len(term) >= 5
        |  GROUP BY 1, 2),
        |lq AS (
        |  SELECT q_id, term FROM (
@@ -2757,7 +2757,21 @@ object SparkEntry {
        |  JOIN dl ON dl.doc_id = p.doc_id
        |  JOIN lex l ON l.term = lq.term
        |  CROSS JOIN stats s
-       |  GROUP BY lq.q_id, p.doc_id),
+       |  GROUP BY lq.q_id, p.doc_id)""".stripMargin
+
+  /** Hybrid-RRF oracle: the BM25 batch replay and the IVF batch replay
+    * (the same CTE chains as their standalone rows, restricted to the
+    * docs-with-embeddings query sample), each ranked top-10 with self
+    * excluded, then fused by Σ 1/(60+rank) — 6-dp round + doc_id
+    * tie-break, mirror of [[SimilarityOps.rrfFuse]]. */
+  private def hybridRrfOracleSql: String = {
+    val iters = 2
+    s"""${ivfFinCtes(None, iters)},
+       |$wordsSql,
+       |qsel AS (
+       |  SELECT doc_id AS q_id FROM documents
+       |  WHERE $BmBatchPred AND doc_id IN (SELECT vec_id FROM embeddings)),
+       |${bm25BatchScoredCtes("doc_id IN (SELECT q_id FROM qsel)")},
        |lexr AS (
        |  SELECT q_id, doc_id, rn AS rk FROM (
        |    SELECT q_id, doc_id,
@@ -3168,40 +3182,11 @@ object SparkEntry {
     // summed in term order, round to 6 dp, window top-5 per query
     "text_bm25_batch_topk" ->
       s"""WITH $wordsSql,
-         |tok AS (SELECT doc_id, unnest(w) AS term FROM words),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, len(w) AS dl FROM words),
-         |stats AS (SELECT count(*) AS n_docs,
-         |                 CAST(sum(len(w)) AS BIGINT) AS sum_dl FROM words),
-         |lex AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         |qcnt AS (
-         |  SELECT doc_id AS q_id, term, count(*) AS cnt
-         |  FROM tok WHERE $BmBatchPred AND len(term) >= 5
-         |  GROUP BY 1, 2),
-         |q AS (
-         |  SELECT q_id, term FROM (
-         |    SELECT q_id, term,
-         |           row_number() OVER (PARTITION BY q_id
-         |             ORDER BY cnt DESC, term) AS rn
-         |    FROM qcnt)
-         |  WHERE rn <= 3),
-         |scored AS (
-         |  SELECT q.q_id, p.doc_id,
-         |         round(list_sum(list(
-         |           (CAST(s.n_docs AS DOUBLE) - CAST(l.df AS DOUBLE) + 0.5) / (CAST(l.df AS DOUBLE) + 0.5)
-         |             * ((CAST(p.tf AS DOUBLE) * 2.2) / (CAST(p.tf AS DOUBLE)
-         |                  + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))
-         |           ORDER BY q.term)), 6) AS bm25
-         |  FROM q
-         |  JOIN tf p ON p.term = q.term
-         |  JOIN dl ON dl.doc_id = p.doc_id
-         |  JOIN lex l ON l.term = q.term
-         |  CROSS JOIN stats s
-         |  GROUP BY q.q_id, p.doc_id)
+         |${bm25BatchScoredCtes(BmBatchPred)}
          |SELECT q_id, doc_id, bm25 FROM (
-         |  SELECT scored.*, row_number() OVER (PARTITION BY q_id
+         |  SELECT lscored.*, row_number() OVER (PARTITION BY q_id
          |           ORDER BY bm25 DESC, doc_id) AS rn
-         |  FROM scored)
+         |  FROM lscored)
          |WHERE rn <= 5
          |ORDER BY q_id, bm25 DESC, doc_id""".stripMargin,
     "hybrid_rrf_topk" -> hybridRrfOracleSql,

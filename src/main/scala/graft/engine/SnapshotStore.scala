@@ -520,7 +520,7 @@ class SnapshotStore(spark: SparkSession, root: String) {
               case Some(z) =>
                 publishZOrdered(purged(cur), z.a, z.b, z.tie, z.numFiles)
               case None =>
-                val parts = partitionColsOf(curDir)
+                val parts = effectivePartitionCols(curV)
                 publish(clusterManyPartitions(purged(cur), parts, curV),
                   parts, versionSidecars(curDir))
             }
@@ -539,7 +539,7 @@ class SnapshotStore(spark: SparkSession, root: String) {
           hist.foreach { v =>
             val dir = rootPath.resolve(s"v$v")
             val tmp = rootPath.resolve(s"v$v._purge")
-            val parts = partitionColsOf(dir)
+            val parts = effectivePartitionCols(v)
             val body = clusterManyPartitions(
               applyLayout(purged(readVersion(v)), dir), parts, v)
             val w = body.write.mode("overwrite")
@@ -731,6 +731,23 @@ class SnapshotStore(spark: SparkSession, root: String) {
   /** The hive partition columns a version dir was written with, in
     * nesting order — detected from the `col=value` directory levels, so
     * a purge rewrite can reproduce the layout it replaces. */
+  /** A version's partition columns as [[purgeKeys]]' rewrites must see
+    * them: local hive dirs when the version holds any, else the carried
+    * dirs named by its manifest — a version whose buckets are ALL
+    * carried (an empty incremental publish) has no local `col=` child,
+    * and detecting layout from the local dir alone would rewrite it
+    * unpartitioned while still carrying the `_BUCKETS` sidecar: exactly
+    * the layout/meta disagreement the sidecar protocol refuses. Manifest
+    * versions are single-level by construction ([[publishIncremental]]
+    * takes one partition column), so the carried-dir name prefix is the
+    * whole answer there. */
+  private def effectivePartitionCols(v: Long): Seq[String] = {
+    val local = partitionColsOf(rootPath.resolve(s"v$v"))
+    if (local.nonEmpty) local
+    else manifestEntries(v).headOption.toSeq
+      .map(_._1.split("=", 2)(0))
+  }
+
   private def partitionColsOf(dir: java.nio.file.Path): Seq[String] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
     var cur = dir

@@ -1418,6 +1418,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.read().get.filter($"order_key" === 7L).count() === 2L)
   }
 
+  test("manifest carry: purge keeps the hive layout of a version whose " +
+    "buckets are ALL carried (empty incremental publish)") {
+    val snap = Files.createTempDirectory("mf_allcarried").toString
+    val store = new SnapshotStore(spark, snap)
+    val B = 8
+    def batch(rows: (Long, Long, String)*) =
+      rows.toDF("change_id", "order_key", "cdc_timestamp")
+        .withColumn("cdc_timestamp", $"cdc_timestamp".cast("timestamp"))
+    CdcStream.applyChangeBatch(store,
+      batch((1L to 16L).map(k => (k, k, "2024-01-01 00:00:00")): _*),
+      "order_key", "cdc_timestamp", "change_id", None, dimBuckets = B,
+      manifestCarry = true) // v0, fully local
+    // a no-op version: zero changed rows, every bucket a manifest
+    // reference — the version dir holds no local col= child at all
+    store.publishIncremental(store.read().get.limit(0),
+      CdcStream.BucketCol,
+      Map(CdcStream.DimBucketsMeta -> B.toString), manifest = true) // v1
+    def kbDirs(v: Long): Long = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(java.nio.file.Paths.get(snap, s"v$v"))
+      try s.iterator().asScala.count(p =>
+        p.getFileName.toString.startsWith(s"${CdcStream.BucketCol}="))
+      finally s.close()
+    }
+    assert(kbDirs(1L) === 0L, "v1 must carry everything by reference")
+    // the purge materializes v1 — and must re-establish its hive bucket
+    // dirs (layout detection through the MANIFEST, not the empty local
+    // dir), or the rewritten version would advertise _BUCKETS over an
+    // unpartitioned body
+    store.purgeKeys(Seq(3L).toDF("order_key"), "order_key")
+    store.versions().foreach { v =>
+      assert(kbDirs(v) > 0L,
+        s"v$v must keep its hive bucket layout after the purge")
+      assert(Files.exists(java.nio.file.Paths.get(snap, s"v$v",
+        CdcStream.DimBucketsMeta)),
+        s"v$v must keep its _BUCKETS sidecar")
+      assert(store.readVersion(v).filter($"order_key" === 3L)
+        .count() === 0L, s"key 3 must be gone from v$v")
+    }
+    assert(store.read().get.count() === 15L)
+  }
+
   test("materializeSnapshot refuses a bucket count the dirs do not have") {
     val snap = Files.createTempDirectory("mf_matguard").toString
     val store = new SnapshotStore(spark, snap)
