@@ -1176,10 +1176,14 @@ object SparkEntry {
     // sized, so the whole query keeps the stored-index scale shape.
     "hybrid_rrf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val qids = Tables.documents(s, dir).filter(expr(BmBatchPred))
-        .select("doc_id")
-        .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"),
-          "left_semi")
+      // the tiny query-id sample feeds three subtrees (term workload,
+      // vector queries, and its own derivation) — cached so the
+      // documents×embeddings derivation scans run once, not per branch
+      val qids = engine.Caches.ensureCached(
+        Tables.documents(s, dir).filter(expr(BmBatchPred))
+          .select("doc_id")
+          .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+            "left_semi"))
       val qterms = bm25QueryTerms(s, dir, Some(qids))
       // top-11 then self-filter then re-rank ≡ top-10 of the ranking
       // with self removed (removing one row preserves relative order,
