@@ -129,6 +129,32 @@ object RecallSweep {
       println(f"$r%5.2f $a%10.3f $m%10.3f ${cells.getDouble(0)}%9.2f " +
         f"${cells.getLong(1)}%9d $t%12.3f")
     }
+
+    // the same rule on a CLUSTERED corpus: the base synthetic vectors
+    // are near-uniform, so every centroid sits at about the same
+    // distance from every query and the boundary rule admits most
+    // cells — the honest worst case. A real trained/curated corpus
+    // clusters; this section shows the rule's cost on that geometry
+    // with a deterministic clustered variant (each label's vectors
+    // shifted +8.0 along the label's own axis — 8 well-separated
+    // modes, same cardinality/dim/ids).
+    println("\n== adaptive multi-probe on a CLUSTERED corpus (same rule) ==")
+    println("ratio recall_avg recall_min avg_cells max_cells")
+    val clustered = emb.select(col("vec_id"), col("label"),
+      expr("transform(embedding, (x, i) -> x + IF(i = label % 64, " +
+        "CAST(8.0 AS FLOAT), CAST(0.0 AS FLOAT)))").as("embedding"))
+    val cQueries = clustered.filter(expr("vec_id % 97 = 0"))
+    SimilarityOps.buildIvfPqIndex(clustered, s"$root/ivfpq_cl",
+      k = 8, iters = 2, m = 8, ksub = 16, pqIters = 1)
+    for (r <- Seq(0.0, 1.25, 1.5, 2.0)) {
+      val (a, m) = recallAvgMin(SimilarityOps.ivfPqRerankRecallReport(
+        spark, s"$root/ivfpq_cl", clustered, cQueries, 10, 4, 2, r))
+      val cells = SimilarityOps.probedCellCounts(spark,
+        s"$root/ivfpq_cl", cQueries, 2, r)
+        .agg(avg("n_cells"), max("n_cells")).head()
+      println(f"$r%5.2f $a%10.3f $m%10.3f ${cells.getDouble(0)}%9.2f " +
+        f"${cells.getLong(1)}%9d")
+    }
     spark.stop()
   }
 }
