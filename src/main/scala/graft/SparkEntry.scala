@@ -1763,7 +1763,7 @@ object SparkEntry {
     * the embedding vector table, and the k-means training memos (IVF +
     * the 8 PQ subspaces). Every plan is constructed by the same code path
     * the queries use, so `Caches.ensureCached`'s canonicalized-plan
-    * lookup (and the k-means `semanticHash` memo) resolve to the same
+    * lookup (and the k-means plan-key memo) resolve to the same
     * entries the queries hit. */
   def warmSharedCaches(s: SparkSession, dir: String): Seq[(String, String, Double)] = {
     // each warm stage is timed and returned so the bench can emit a
@@ -3227,7 +3227,11 @@ object SparkEntry {
 
     "text_tokens" ->
       """SELECT doc_id,
-        |       len(string_split(text, ' ')) AS n_ws_tokens,
+        |       CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+        |            THEN CAST(0 AS BIGINT)
+        |            ELSE len(string_split_regex(
+        |                   regexp_replace(text, '^\s+|\s+$', '', 'g'),
+        |                   '\s+')) END AS n_ws_tokens,
         |       len(regexp_extract_all(lower(text), '[a-z]+')) AS n_alpha_tokens,
         |       len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS n_bpeish_tokens,
         |       length(text) AS n_chars_calc

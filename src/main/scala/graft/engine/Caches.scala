@@ -59,6 +59,24 @@ object Caches {
   def sessionId(s: org.apache.spark.sql.SparkSession): String =
     sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
 
+  /** A plan-identity memo key substantially stronger than the bare
+    * 32-bit `semanticHash`: the full-tree semantic hash COMBINED with an
+    * md5 of the canonicalized plan text. Serving a stale memo entry for
+    * a different input plan (silently wrong centroids / salt factors /
+    * percentile cuts — the hazard class the view-signature keys already
+    * guard against in string form) now needs a simultaneous 32-bit hash
+    * collision AND an identical canonical plan rendering, instead of the
+    * one-in-4-billion birthday a lone Int key gives a long-lived
+    * service session. Semantically equal plans keep equal keys (both
+    * components derive from the canonicalized tree), so memo hit rates
+    * are unchanged. */
+  def planKey(df: org.apache.spark.sql.DataFrame): String = {
+    val canon = df.queryExecution.analyzed.canonicalized.toString
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${df.semanticHash()}:$md5"
+  }
+
   /** Release the block-manager storage behind an eager
     * `localCheckpoint()` result. Iterative driver loops checkpoint every
     * round to truncate lineage; without an explicit release the round-k

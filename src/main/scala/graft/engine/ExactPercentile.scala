@@ -63,7 +63,7 @@ object ExactPercentile {
     val vals = df.filter(value.isNotNull)
       .select(value.cast("double").as("_v"), tieBreak.as("_tb"))
     val sid = Caches.sessionId(df.sparkSession)
-    val hash = vals.semanticHash()
+    val hash = Caches.planKey(vals)
     // snapshot the cached entries FIRST and answer from snapshot ∪
     // computed — never a trailing memo read, which could throw if the
     // LRU evicted between the probe and the read under concurrent
@@ -79,7 +79,7 @@ object ExactPercentile {
   }
 
   private val cutMemo =
-    Caches.sessionMemo[(String, Int, Double), Option[Double]]()
+    Caches.sessionMemo[(String, String, Double), Option[Double]]()
 
   /** WEIGHTED p-quantile (lower / inverted-CDF rule): the smallest value
     * whose cumulative WEIGHT under the total order (value, tieBreak)
@@ -120,7 +120,7 @@ object ExactPercentile {
       .select(value.cast("double").as("_v"), weight.cast("long").as("_w"),
         tieBreak.as("_tb"))
     val sid = Caches.sessionId(df.sparkSession)
-    val hash = vals.semanticHash()
+    val hash = Caches.planKey(vals)
     // snapshot-then-compute, as in [[cuts]]: eviction-safe under the LRU
     val cached = ps.distinct
       .flatMap(p => weightedMemo.get((sid, hash, p._1, p._2)).map(p -> _))
@@ -136,7 +136,7 @@ object ExactPercentile {
   }
 
   private val weightedMemo =
-    Caches.sessionMemo[(String, Int, Long, Long), Option[(Double, Long)]]()
+    Caches.sessionMemo[(String, String, Long, Long), Option[(Double, Long)]]()
 
   private def computeWeightedCuts(vals: DataFrame, ps: Seq[(Long, Long)])
       : Map[(Long, Long), Option[(Double, Long)]] = {
@@ -188,12 +188,12 @@ object ExactPercentile {
       .select(group.cast("string").as("_g"), value.cast("double").as("_v"),
         weight.cast("long").as("_w"), tieBreak.as("_tb"))
     groupedWeightedMemo.getOrElseUpdate(
-      (Caches.sessionId(df.sparkSession), vals.semanticHash(), num, den),
+      (Caches.sessionId(df.sparkSession), Caches.planKey(vals), num, den),
       computeGroupedWeightedCuts(vals, num, den))
   }
 
   private val groupedWeightedMemo =
-    Caches.sessionMemo[(String, Int, Long, Long), Seq[(String, Double, Long)]]()
+    Caches.sessionMemo[(String, String, Long, Long), Seq[(String, Double, Long)]]()
 
   private def computeGroupedWeightedCuts(
       vals: DataFrame, num: Long, den: Long): Seq[(String, Double, Long)] = {
@@ -267,12 +267,12 @@ object ExactPercentile {
       .select(group.cast("string").as("_g"), value.cast("double").as("_v"),
         tieBreak.as("_tb"))
     groupedMemo.getOrElseUpdate(
-      (Caches.sessionId(df.sparkSession), vals.semanticHash(), p),
+      (Caches.sessionId(df.sparkSession), Caches.planKey(vals), p),
       computeGroupedCuts(vals, p))
   }
 
   private val groupedMemo =
-    Caches.sessionMemo[(String, Int, Double), Seq[(String, Double, Long)]]()
+    Caches.sessionMemo[(String, String, Double), Seq[(String, Double, Long)]]()
 
   private def computeGroupedCuts(vals: DataFrame,
                                  p: Double): Seq[(String, Double, Long)] = {

@@ -93,7 +93,7 @@ object DedupOps {
     // Keyed on a weak session id, not the session object: holding the
     // session in a global map would pin every closed session's state in
     // a long-lived JVM (a service spawning per-job sessions leaks them all).
-    val key = (Caches.sessionId(docs.sparkSession), docs.semanticHash(), n,
+    val key = (Caches.sessionId(docs.sparkSession), Caches.planKey(docs), n,
       targetBucket, cap)
     saltMemo.getOrElseUpdate(key, {
       val shl = Caches.ensureCached(shingleArrays(docs, n))
@@ -107,7 +107,7 @@ object DedupOps {
   }
 
   private val saltMemo = graft.engine.Caches
-    .sessionMemo[(String, Int, Int, Long, Int), Int]()
+    .sessionMemo[(String, String, Int, Long, Int), Int]()
 
   /** [[jaccardPairs]] with the salt factor derived from the corpus's own
     * shingle-df histogram instead of a hand-picked constant. */
@@ -214,7 +214,7 @@ object DedupOps {
     * Spark's own relation cache). */
   def dupGroups(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val labels = groupsMemo(docs.sparkSession)
-      .getOrElseUpdate((docs.semanticHash(), pairs.semanticHash()), {
+      .getOrElseUpdate((Caches.planKey(docs), Caches.planKey(pairs)), {
         labelRuns += 1
         propagateLabels(pairs)
       })
@@ -235,15 +235,15 @@ object DedupOps {
   private val groupsMemos = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       java.lang.ref.SoftReference[
-        scala.collection.concurrent.TrieMap[(Int, Int), DataFrame]]]())
+        scala.collection.concurrent.TrieMap[(String, String), DataFrame]]]())
 
   private def groupsMemo(s: org.apache.spark.sql.SparkSession)
-      : scala.collection.concurrent.TrieMap[(Int, Int), DataFrame] =
+      : scala.collection.concurrent.TrieMap[(String, String), DataFrame] =
     groupsMemos.synchronized {
       Option(groupsMemos.get(s)).flatMap(r => Option(r.get())) match {
         case Some(m) => m
         case None =>
-          val m = scala.collection.concurrent.TrieMap.empty[(Int, Int), DataFrame]
+          val m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
           groupsMemos.put(s, new java.lang.ref.SoftReference(m))
           m
       }

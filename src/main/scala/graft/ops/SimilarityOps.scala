@@ -97,10 +97,15 @@ object SimilarityOps {
     * independent signature tables for multi-table OR-ing). Shuffle-free
     * per-row computation; bucketing on the signature replaces all-pairs
     * search. */
-  def lshSignature(planes: Int, offset: Int = 0): Column = {
-    val bits = planeSigns(offset + planes, 64).drop(offset).map { signs =>
-      val lit64 = signs.map(s => s"${s}D").mkString("array(", ", ", ")")
-      when(expr(s"graft_dot(v, $lit64)") >= 0, "1").otherwise("0")
+  def lshSignature(planes: Int, offset: Int = 0,
+                   dims: Int = 64): Column = {
+    // dims must match the corpus: graft_dot folds to the SHORTER of its
+    // two arrays, so a 64-plane literal against 128-dim vectors would
+    // silently sign only the first half of every vector — callers that
+    // read the corpus derive dims from it (embeddingDims)
+    val bits = planeSigns(offset + planes, dims).drop(offset).map { signs =>
+      val litArr = signs.map(s => s"${s}D").mkString("array(", ", ", ")")
+      when(expr(s"graft_dot(v, $litArr)") >= 0, "1").otherwise("0")
     }
     concat(bits: _*)
   }
@@ -124,11 +129,18 @@ object SimilarityOps {
     * array; decimal sums are order-independent, so values match the
     * per-dimension formulation). Cached: it is a corpus-wide aggregate
     * that every probe reuses unchanged — 8 rows of state, one build. */
-  def givenCellCentroids(embeddings: DataFrame): DataFrame =
-    Caches.ensureCached(labeledVecs(embeddings).groupBy("label")
-      .agg(array((0 until 64).map(p =>
+  def givenCellCentroids(embeddings: DataFrame): DataFrame = {
+    val vecs = labeledVecs(embeddings)
+    // dims derived from the corpus, not assumed: a hardcoded width
+    // would silently sum a truncated prefix of wider vectors and rank
+    // probe cells against wrong centroids (the same hazard class the
+    // PQ paths guard with embeddingDims)
+    val dims = embeddingDims(vecs)
+    Caches.ensureCached(vecs.groupBy("label")
+      .agg(array((0 until dims).map(p =>
         sum(element_at(col("v"), p + 1).cast("decimal(18,9)")).cast("double")): _*)
         .as("c")))
+  }
 
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
     VectorExpressions.register(embeddings.sparkSession)
@@ -189,12 +201,12 @@ object SimilarityOps {
     // relation cache makes).
     // weak session id: the memo must not pin closed sessions (values
     // are plain doubles, so the id is the only session reference)
-    val key = (Caches.sessionId(vecs.sparkSession), vecs.semanticHash(), k, iters)
+    val key = (Caches.sessionId(vecs.sparkSession), Caches.planKey(vecs), k, iters)
     kmeansMemo.getOrElseUpdate(key, kmeansCentroidsUncached(vecs, k, iters))
   }
 
   private val kmeansMemo = graft.engine.Caches
-    .sessionMemo[(String, Int, Int, Int), Seq[Seq[Double]]]()
+    .sessionMemo[(String, String, Int, Int), Seq[Seq[Double]]]()
 
   private def kmeansCentroidsUncached(vecs: DataFrame, k: Int,
                                       iters: Int): Seq[Seq[Double]] = {
@@ -393,22 +405,14 @@ object SimilarityOps {
         asDoubleVec(col("embedding")).as("qv"))
       .withColumn("qcl", assignCluster(col("qv"), cents).cast("long"))
     val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("vec_id"))
-    val brute = e.crossJoin(broadcast(q.select("q_id", "qv")))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), round(cosine("v", "qv"), 6).as("cosine"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    // build only the IVF retrieval here; the brute baseline, hit join,
+    // and recall projection are [[adcRecall]] — ONE evaluator for every
+    // recall report, so a tie-break or rounding fix can never diverge
     val ivf = assigned.join(broadcast(q), col("cluster") === col("qcl"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), round(cosine("v", "qv"), 6).as("cosine"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-    val hits = brute.select("q_id", "vec_id")
-      .join(ivf.select("q_id", "vec_id"), Seq("q_id", "vec_id"))
-      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
-    q.select("q_id")
-      .join(hits, Seq("q_id"), "left")
-      .select(col("q_id"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
+    adcRecall(embeddings, queries, k, ivf)
   }
 
   /** Recall@k of the STORED PQ retrieval (flat ADC scan over byte
@@ -612,7 +616,11 @@ object SimilarityOps {
         call_function("graft_l2sq", qSub, typedlit(c)).as(s"d_${s}_$j")
       }
     }
-    val row = q.select(tableCols: _*).head()
+    val rows = q.select(tableCols: _*).limit(1).collect()
+    require(rows.nonEmpty,
+      s"pq query: vec_id $queryId is not in the corpus — the distance " +
+        "tables cannot be built for an absent query vector")
+    val row = rows(0)
     (0 until m).map(s => (0 until ksub).map(j => row.getDouble(s * ksub + j)))
   }
 
@@ -765,7 +773,7 @@ object SimilarityOps {
     * ADC distortion flat while landing far from every frozen cell,
     * silently degrading the composite's pruning recall. The composite's
     * rebuild decision is [[shouldRetrainIvfPq]] (either ratio trips). */
-  def mergeIvfPqIndex(newVecs: DataFrame, path: String): Unit = {
+  def mergeIvfPqIndex(newVecs: DataFrame, path: String): Unit = Caches.withCached {
     val spark = newVecs.sparkSession
     VectorExpressions.register(spark)
     import spark.implicits._
@@ -778,7 +786,10 @@ object SimilarityOps {
     val subDim = centroid((0, 0)).length
     val codebooks: Seq[Seq[Seq[Double]]] =
       (0 until m).map(s => (0 until ksub).map(j => centroid((s, j))))
-    val e = newVecs.select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+    // cached for the merge's scope: the append and BOTH drift aggregates
+    // consume the batch — uncached, each pass re-reads the batch source
+    val e = Caches.ensureCached(
+      newVecs.select(col("vec_id"), asDoubleVec(col("embedding")).as("v")))
     // guardedAppend: loud failure (so the caller replays the batch) if
     // a compactor swapped the pointer mid-append — see Compaction
     Compaction.guardedAppend(s"$path/codes") { live =>
@@ -1060,7 +1071,7 @@ object SimilarityOps {
     * index size. This is how production IVF indexes absorb a change feed
     * between periodic retrains (centroid drift is a retrain decision, not
     * a merge-time one). */
-  def mergeIvfIndex(newVecs: DataFrame, path: String): Unit = {
+  def mergeIvfIndex(newVecs: DataFrame, path: String): Unit = Caches.withCached {
     val spark = newVecs.sparkSession
     import spark.implicits._
     VectorExpressions.register(spark)
@@ -1068,7 +1079,11 @@ object SimilarityOps {
     // frozen build-time centroids via the same memo the query path uses
     // (one collect per process, not one per merged batch)
     val cents: Seq[Seq[Double]] = storedCentroids(spark, path).map(_._2)
-    val nv = newVecs.select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+    // cached for the merge's scope: the append AND the drift aggregate
+    // both consume the batch — uncached, each re-reads and re-decodes
+    // the batch source
+    val nv = Caches.ensureCached(
+      newVecs.select(col("vec_id"), asDoubleVec(col("embedding")).as("v")))
     // guardedAppend: loud failure (so the caller replays the batch) if
     // a compactor swapped the pointer mid-append — see Compaction
     Compaction.guardedAppend(s"$path/assignments") { live =>
@@ -1247,7 +1262,7 @@ object SimilarityOps {
   // load can be served at most until the next call, never pinned.
   // Same-JVM rebuilds also invalidate explicitly, immediately after
   // the overwrite.
-  private def dirSignature(dir: String): String = {
+  private[graft] def dirSignature(dir: String): String = {
     val p = java.nio.file.Paths.get(dir)
     try {
       val s = java.nio.file.Files.list(p)
@@ -1467,12 +1482,7 @@ object SimilarityOps {
     require(dims % m == 0,
       s"buildPqIndex: embedding dims ($dims) must be divisible by m ($m)")
     val subDim = dims / m
-    val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
-      kmeansCentroids(
-        e.select(col("vec_id"),
-          expr(s"slice(v, ${s * subDim + 1}, $subDim)").as("v")),
-        ksub, iters)
-    }
+    val codebooks = pqCodebooks(e, m, subDim, ksub, iters)
     codebooks.zipWithIndex
       .flatMap { case (cb, s) => cb.zipWithIndex.map { case (c, j) => (s, j, c) } }
       .toDF("subspace", "cl", "cv")
@@ -1481,11 +1491,7 @@ object SimilarityOps {
     // build that fails later must not leave this JVM's memo pointing at
     // the pre-rebuild codebooks while the new table sits on disk
     storedCodebookMemo.remove(s"$path/codebooks")
-    val codeCols = (0 until m).map { s =>
-      assignCluster(expr(s"slice(v, ${s * subDim + 1}, $subDim)"), codebooks(s))
-        .as(s"code_$s")
-    }
-    e.select(col("vec_id") +: codeCols: _*)
+    e.select(col("vec_id") +: pqCodeCols(codebooks, subDim): _*)
       .write.mode("overwrite").parquet(s"$path/codes")
     // freeze the fresh layout's file counts as the compaction trigger's
     // debt baseline: a large build is not debt (Compaction.seedBase)
@@ -1519,7 +1525,7 @@ object SimilarityOps {
     * rebuild decision (the same posture as IVF's [[shouldRetrain]] —
     * compose with it via the IVF index over the same corpus, or rebuild
     * on schedule). */
-  def mergePqIndex(newVecs: DataFrame, path: String): Unit = {
+  def mergePqIndex(newVecs: DataFrame, path: String): Unit = Caches.withCached {
     val spark = newVecs.sparkSession
     VectorExpressions.register(spark)
     requireNoAnnTombClash(newVecs, path, "mergePqIndex")
@@ -1532,15 +1538,14 @@ object SimilarityOps {
     val subDim = centroid((0, 0)).length
     val codebooks: Seq[Seq[Seq[Double]]] =
       (0 until m).map(s => (0 until ksub).map(j => centroid((s, j))))
-    val e = newVecs.select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
-    val codeCols = (0 until m).map { s =>
-      assignCluster(expr(s"slice(v, ${s * subDim + 1}, $subDim)"), codebooks(s))
-        .as(s"code_$s")
-    }
+    // cached for the merge's scope: the append and the drift aggregate
+    // both consume the batch
+    val e = Caches.ensureCached(
+      newVecs.select(col("vec_id"), asDoubleVec(col("embedding")).as("v")))
     // guardedAppend: loud failure (so the caller replays the batch) if
     // a compactor swapped the pointer mid-append — see Compaction
     Compaction.guardedAppend(s"$path/codes") { live =>
-      e.select(col("vec_id") +: codeCols: _*)
+      e.select(col("vec_id") +: pqCodeCols(codebooks, subDim): _*)
         .write.mode("append").parquet(live)
     }
     // drift bookkeeping, mirroring mergeIvfIndex: one appended row per
@@ -1868,8 +1873,10 @@ object SimilarityOps {
   /** LSH bucket statistics: signature → vector count + min id. */
   def lshBuckets(embeddings: DataFrame, planes: Int): DataFrame = {
     VectorExpressions.register(embeddings.sparkSession)
-    embeddings.select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
-      .select(col("vec_id"), lshSignature(planes).as("signature"))
+    val e = embeddings.select(col("vec_id"),
+      asDoubleVec(col("embedding")).as("v"))
+    e.select(col("vec_id"),
+        lshSignature(planes, dims = embeddingDims(e)).as("signature"))
       .groupBy("signature")
       .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
   }
@@ -1906,10 +1913,11 @@ object SimilarityOps {
     * build it outside any one query's timing. */
   def lshSigTable(embeddings: DataFrame, planes: Int, tables: Int): DataFrame = {
     VectorExpressions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"),
+      asDoubleVec(col("embedding")).as("v"))
+    val dims = embeddingDims(e)
     val sigCols = (0 until tables).map(t =>
-      lshSignature(planes, offset = t * planes).as(s"sig_$t"))
-    Caches.ensureCached(
-      embeddings.select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
-        .select(col("vec_id") +: col("v") +: sigCols: _*))
+      lshSignature(planes, offset = t * planes, dims = dims).as(s"sig_$t"))
+    Caches.ensureCached(e.select(col("vec_id") +: col("v") +: sigCols: _*))
   }
 }

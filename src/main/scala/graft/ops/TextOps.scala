@@ -46,15 +46,24 @@ object TextOps {
     * without a vocabulary. */
   val bpeishPattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
 
-  def tokenStats(docs: DataFrame): DataFrame =
+  def tokenStats(docs: DataFrame): DataFrame = {
+    // true whitespace tokens: runs of any whitespace separate, edges
+    // trimmed, empty text counts 0 — split(text, " ") would count a
+    // phantom token per extra space and treat tabs/newlines as token
+    // characters, systematically inflating the published stat on any
+    // irregularly-spaced text
+    val wsTrimmed = regexp_replace(col("text"), "^\\s+|\\s+$", "")
     docs.select(
       col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+      when(wsTrimmed === "", lit(0L))
+        .otherwise(size(split(wsTrimmed, "\\s+")).cast("long"))
+        .as("n_ws_tokens"),
       size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
         .cast("long").as("n_alpha_tokens"),
       size(regexp_extract_all(lower(col("text")), lit(bpeishPattern), lit(0)))
         .cast("long").as("n_bpeish_tokens"),
       length(col("text")).cast("long").as("n_chars_calc"))
+  }
 
   /** Overlapping sliding-window chunking (RAG / training-example prep):
     * each document becomes `ceil(max(0, n−size)/stride) + 1` chunks of up
@@ -305,7 +314,7 @@ object TextOps {
     // steered loop of k argmax collects, and three queries (train,
     // encode-stats, encode-ids) share the same rule table — the
     // kmeansCentroids memo shape
-    val key = (Caches.sessionId(spark), docs.semanticHash(), rules)
+    val key = (Caches.sessionId(spark), Caches.planKey(docs), rules)
     bpeTrainMemo.getOrElseUpdate(key, bpeTrainUncached(docs, rules))
       .toDF("rule_no", "p1", "p2", "cnt")
   }
@@ -327,10 +336,10 @@ object TextOps {
     // the FULL signature string rides in the key's string component (a
     // 32-bit hashCode of it could collide across two view states and
     // silently serve a stale rule table); the `|view:` namespace keeps
-    // it disjoint from inline-corpus semanticHash keys in the shared
+    // it disjoint from inline-corpus plan keys in the shared
     // memo, and the key stays control-plane tiny (one file listing)
     val key = (Caches.sessionId(spark) +
-      s"|view:$viewPath|sig:${countsSignature(viewPath)}", 0, rules)
+      s"|view:$viewPath|sig:${countsSignature(viewPath)}", "view", rules)
     bpeTrainMemo.getOrElseUpdate(key,
       bpeTrainLoop(storedVocab(spark, viewPath), rules))
       .toDF("rule_no", "p1", "p2", "cnt")
@@ -354,27 +363,16 @@ object TextOps {
   /** Content signature of the view's resolved counts dir (file name,
     * size, mtime — the [[SimilarityOps]] control-plane-memo rule):
     * changes whenever an absorb/retract/compaction lands. */
-  private def countsSignature(viewPath: String): String = {
-    val dir = java.nio.file.Paths
-      .get(graft.engine.Compaction.resolve(s"$viewPath/counts"))
-    if (!java.nio.file.Files.exists(dir)) return "<missing>"
-    val s = java.nio.file.Files.list(dir)
-    try {
-      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-      s.forEach { f =>
-        val sz = try java.nio.file.Files.size(f)
-          catch { case _: java.io.IOException => -1L }
-        val mt = try java.nio.file.Files
-            .getLastModifiedTime(f).toMillis
-          catch { case _: java.io.IOException => -1L }
-        buf += s"${f.getFileName}:$sz:$mt"
-      }
-      buf.sorted.mkString("|")
-    } finally s.close()
-  }
+  private def countsSignature(viewPath: String): String =
+    // delegate to the ONE listing-signature implementation — the copy
+    // this replaces had dropped its IOException containment, so a
+    // compaction tick racing the Files.exists probe threw out of
+    // bpeTrainFromVocab instead of yielding the "<missing>" sentinel
+    SimilarityOps.dirSignature(
+      graft.engine.Compaction.resolve(s"$viewPath/counts"))
 
   private val bpeTrainMemo = graft.engine.Caches
-    .sessionMemo[(String, Int, Int), Seq[(Long, String, String, Long)]]()
+    .sessionMemo[(String, String, Int), Seq[(Long, String, String, Long)]]()
 
   private def bpeTrainUncached(docs: DataFrame,
                                rules: Int): Seq[(Long, String, String, Long)] =
@@ -880,9 +878,10 @@ object TextOps {
     ensureTaggedVocab(spark, path)
     graft.engine.Compaction.ensureTagProtocol(spark, s"$path/counts")
     val tag = Option(batchTag).getOrElse {
+      val parts = batchSignatureParts(newDocs) // ONE batch aggregate
       val cycles =
-        vocabTagCount(spark, path, batchSignature(newDocs, "retract"))
-      val base = batchSignature(newDocs, "merge")
+        vocabTagCount(spark, path, tagSignature(parts, "retract"))
+      val base = tagSignature(parts, "merge")
       if (cycles == 0) base else s"$base~$cycles"
     }
     if (vocabTagAbsorbed(spark, path, tag)) return
@@ -961,9 +960,10 @@ object TextOps {
     // the BM25 applied-log documents: replay ordering is the caller's
     // ledger's contract.
     val tag = Option(batchTag).getOrElse {
+      val parts = batchSignatureParts(docs) // ONE batch aggregate
       val lastMerge =
-        vocabMaxCycleIdx(spark, path, batchSignature(docs, "merge"))
-      val base = batchSignature(docs, "retract")
+        vocabMaxCycleIdx(spark, path, tagSignature(parts, "merge"))
+      val base = tagSignature(parts, "retract")
       if (lastMerge <= 0) base else s"$base~$lastMerge"
     }
     if (vocabTagAbsorbed(spark, path, tag)) return
@@ -1349,7 +1349,7 @@ object TextOps {
     // derived cap is a per-corpus constant. Keyed on a weak session id,
     // not the session object, so closed sessions aren't pinned by the map.
     val key = (graft.engine.Caches.sessionId(docs.sparkSession),
-      docs.semanticHash(), k, w, quantile, minCap, maxCap)
+      graft.engine.Caches.planKey(docs), k, w, quantile, minCap, maxCap)
     maxDfMemo.getOrElseUpdate(key, {
       // register/reuse the shared winnow cache (same canonical plan as
       // the containment path's entry): the adaptive_caps warm stage runs
@@ -1365,7 +1365,7 @@ object TextOps {
   }
 
   private val maxDfMemo = graft.engine.Caches
-    .sessionMemo[(String, Int, Int, Int, Double, Int, Int), Int]()
+    .sessionMemo[(String, String, Int, Int, Double, Int, Int), Int]()
 
   /** The df-capped exploded (doc_id, fp) fingerprint table behind
     * [[containmentPairs]] — cached, because it feeds both the candidate
@@ -1540,7 +1540,10 @@ object TextOps {
     val tf = graft.engine.Caches.ensureCached(words.select(
       (Seq(col("doc_id"), size(col("w")).as("dl")) ++
         terms.indices.map { i =>
-          expr(s"size(filter(w, x -> x = '${terms(i)}'))").as(s"tf_$i")
+          // the term rides as a Column LITERAL, never SQL text — an
+          // apostrophe-bearing term must not break the lambda (and a
+          // crafted one must not rewrite the predicate)
+          size(filter(col("w"), x => x === lit(terms(i)))).as(s"tf_$i")
         }): _*))
     val statAggs =
       Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
@@ -1850,7 +1853,15 @@ object TextOps {
     * text's md5), tagged with the verb so a delete and a re-insert of
     * the same rows never collide. Deterministic on the batch's content,
     * which is exactly what a ledger replay re-presents. */
-  private def batchSignature(docs: DataFrame, op: String): String = {
+  private def batchSignature(docs: DataFrame, op: String): String =
+    tagSignature(batchSignatureParts(docs), op)
+
+  /** The (count, hash-sum) content pair behind [[batchSignature]] —
+    * computed ONCE per verb even when two op-prefixed tags are needed
+    * (the vocab merge/retract cycle pairing probes both forms; they
+    * differ only in the prefix, so a second full batch aggregate per
+    * call was pure waste). */
+  private def batchSignatureParts(docs: DataFrame): (Long, String) = {
     // DECIMAL sum: per-row hashes span the full long range, so a plain
     // long sum overflows (ANSI raise) on batches bigger than a handful
     val r = docs
@@ -1858,8 +1869,11 @@ object TextOps {
       .agg(count(lit(1)).as("n"),
         sum(col("h").cast("decimal(38,0)")).as("hs")).head()
     val hs = if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString
-    s"$op:${r.getLong(0)}:$hs"
+    (r.getLong(0), hs)
   }
+
+  private def tagSignature(parts: (Long, String), op: String): String =
+    s"$op:${parts._1}:${parts._2}"
 
   /** Publish lexicon + stats + applied-log as one atomic version swap,
     * appending `newSig` to the log and pruning it to the
@@ -1931,8 +1945,12 @@ object TextOps {
       .groupBy("doc_id", "dl").pivot("term", terms).agg(first(col("tf")))
       .na.fill(0, terms)
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    // pivot names columns by raw term value; quote with backtick
+    // ESCAPING (`` doubles) so a backtick-bearing term still resolves
+    // instead of breaking the parsed reference
+    def termCol(t: String): Column = col("`" + t.replace("`", "``") + "`")
     def contrib(i: Int): Column = {
-      val tfD = col(s"`${terms(i)}`").cast("double")
+      val tfD = termCol(terms(i)).cast("double")
       val dfD = lit(dfByTerm.getOrElse(terms(i), 0L).toDouble)
       val idf = (col("n_docs").cast("double") - dfD + lit(0.5)) / (dfD + lit(0.5))
       idf * ((tfD * lit(2.2)) /

@@ -1021,6 +1021,16 @@ class OpsSpec extends AnyFunSuite {
     assert(t.getAs[Long]("n_alpha_tokens") === 9L)
     assert(t.getAs[Long]("n_bpeish_tokens") === 9L) // pure words: 1 segment each
 
+    // whitespace tokens are TRUE tokens: runs of any whitespace
+    // separate, edges trimmed, empty counts zero — no phantom tokens
+    // from double spaces, no tab glued into a token
+    val ws = Seq((1L, "a  b"), (2L, "a\tb"), (3L, " a b "), (4L, ""),
+      (5L, "   "), (6L, "a\n b")).toDF("doc_id", "text")
+    val wsGot = TextOps.tokenStats(ws).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_ws_tokens")).toMap
+    assert(wsGot === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 0L,
+      5L -> 0L, 6L -> 2L))
+
     // BPE-ish segmentation: leading space glues to the next run, and
     // letter/digit/punct runs split — "don't stop v2!" → [don]['][t][ stop][ v][2][!]
     val seg = TextOps.tokenStats(Seq((1L, "don't stop v2!")).toDF("doc_id", "text"))
