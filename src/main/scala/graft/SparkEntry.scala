@@ -3362,10 +3362,10 @@ object SparkEntry {
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts, value,
         |         CASE WHEN prev_epoch IS NULL
-        |                OR CAST(floor(epoch(ts)) AS BIGINT) - prev_epoch > 7200
+        |                OR epoch_us(ts) - prev_epoch > 7200000000
         |              THEN 1 ELSE 0 END AS new_session
         |  FROM (SELECT e.*,
-        |               lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS prev_epoch
+        |               lag(epoch_us(ts)) OVER w AS prev_epoch
         |        FROM events e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))),
         |sess AS (
         |  SELECT user_id, ts, value,
@@ -3383,10 +3383,10 @@ object SparkEntry {
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts,
         |         CASE WHEN prev_epoch IS NULL
-        |                OR CAST(floor(epoch(ts)) AS BIGINT) - prev_epoch > 7200
+        |                OR epoch_us(ts) - prev_epoch > 7200000000
         |              THEN 1 ELSE 0 END AS new_session
         |  FROM (SELECT e.*,
-        |               lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS prev_epoch
+        |               lag(epoch_us(ts)) OVER w AS prev_epoch
         |        FROM events e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))),
         |sess AS (
         |  SELECT user_id, event_id, ts,
@@ -3995,7 +3995,7 @@ object SparkEntry {
       """SELECT doc_id,
         |       octet_length(encode(text)) AS n_bytes,
         |       md5(text) AS content_hash,
-        |       hex(encode(substr(text, 1, 8))) AS head_hex
+        |       substr(hex(encode(text)), 1, 16) AS head_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // same ⌊y·h/th⌋·w + ⌊x·w/tw⌋ integer index math as

@@ -571,6 +571,27 @@ object Compaction {
     * reset must carry through its version swap instead of wiping; see
     * [[resetBm25AppliedLog]]. Committed-batch callers (the scheduled
     * between-batches tick, direct maintenance) leave it empty. */
+  /** Record a fold's absorbed batch tags into `nextDir/_absorbed`:
+    * the currently-live dir's previous sidecar ∪ `cur` (the snapshot's
+    * committed, non-"compacted" tags — None for pre-tag tables, which
+    * have nothing to record; torn tags were NOT folded, so recording
+    * them would skip their replay). ONE implementation for the vocab
+    * and hll folds, so the absorbed-tag contract cannot drift. */
+  private def recordAbsorbed(spark: SparkSession, liveDir: String,
+                             nextDir: String,
+                             cur: Option[DataFrame]): Unit = {
+    val sideIn = Paths.get(liveDir, "_absorbed")
+    val prev =
+      if (Files.exists(sideIn)) Some(spark.read.parquet(sideIn.toString))
+      else None
+    val all = (prev, cur) match {
+      case (Some(p), Some(c)) => Some(p.union(c).distinct())
+      case (p, c) => p.orElse(c)
+    }
+    all.foreach(_.coalesce(1).write.mode("overwrite")
+      .parquet(s"$nextDir/_absorbed"))
+  }
+
   def compactIndex(spark: SparkSession, path: String, kind: String,
                    maxFilesPerPartition: Int = 8,
                    retainApplied: Seq[String] = Nil): Boolean = kind match {
@@ -682,24 +703,13 @@ object Compaction {
         // at any corpus scale (the batch rate, not the data rate).
         beforePublish = { nextDir =>
           val live = snapTry.get // the fold's own snapshot, never re-listed
-          val cur = // pre-tag tables have no tags to record; torn tags
-            // were NOT folded, so recording them would skip their replay
+          val cur =
             if (live.columns.contains("bsig"))
               Some(committedOnly(live.select("bsig")
                   .where(col("bsig") =!= "compacted"), vocabTorn)
                 .distinct())
             else None
-          val sideIn = Paths.get(resolve(s"$path/counts"), "_absorbed")
-          val prev =
-            if (Files.exists(sideIn))
-              Some(spark.read.parquet(sideIn.toString))
-            else None
-          val all = (prev, cur) match {
-            case (Some(p), Some(c)) => Some(p.union(c).distinct())
-            case (p, c) => p.orElse(c)
-          }
-          all.foreach(_.coalesce(1).write.mode("overwrite")
-            .parquet(s"$nextDir/_absorbed"))
+          recordAbsorbed(spark, resolve(s"$path/counts"), nextDir, cur)
         },
         force = snapTry.toOption
           .exists(!_.columns.contains("bsig"))) // empty table: no upgrade
@@ -784,16 +794,9 @@ object Compaction {
         compactTable(spark, exactT,
           _ => {
             val snap = snapTryH.get.dropDuplicates("bsig", "grp", "k")
-            val folded = committedOnly(snap, hllTorn)
-              .groupBy("grp", "k").agg(sum("cnt").as("cnt"))
-              .withColumn("_ok",
-                when(col("cnt") >= 0L, lit(true))
-                  .otherwise(raise_error(concat(
-                    lit("distinct view: pair ("), col("grp"), lit(", "),
-                    col("k").cast("string"),
-                    lit(") netted negative — retraction without a " +
-                      "matching absorb")))))
-              .filter(col("_ok") && col("cnt") > 0L).drop("_ok")
+            // the fold IS the read path's netted view ([[Stats
+            // .nettedPairs]] — one definition for both files)
+            val folded = Stats.nettedPairs(committedOnly(snap, hllTorn))
               .withColumn("bsig", lit("compacted"))
             (if (hllTorn.isEmpty) folded
              else folded.unionByName(tornOnly(snap, hllTorn)
@@ -808,17 +811,7 @@ object Compaction {
             val cur = Some(committedOnly(live.select("bsig")
                 .where(col("bsig") =!= "compacted"), hllTorn)
               .distinct())
-            val sideIn = Paths.get(resolve(exactT), "_absorbed")
-            val prev =
-              if (Files.exists(sideIn))
-                Some(spark.read.parquet(sideIn.toString))
-              else None
-            val all = (prev, cur) match {
-              case (Some(p), Some(c)) => Some(p.union(c).distinct())
-              case (p, c) => p.orElse(c)
-            }
-            all.foreach(_.coalesce(1).write.mode("overwrite")
-              .parquet(s"$nextDir/_absorbed"))
+            recordAbsorbed(spark, resolve(exactT), nextDir, cur)
           },
           force = Files.exists(marker))
       } else false
@@ -828,11 +821,8 @@ object Compaction {
           // fold: a torn retraction's partials must not bake into the
           // sketch — its replay re-writes the marker and the tick after
           // the replay commits rebuilds with it
-          val net = committedOnly(spark.read.parquet(resolve(exactT)),
-              hllTorn)
-            .dropDuplicates("bsig", "grp", "k")
-            .groupBy("grp", "k").agg(sum("cnt").as("cnt"))
-            .filter(col("cnt") > 0L)
+          val net = Stats.nettedPairs(
+            committedOnly(spark.read.parquet(resolve(exactT)), hllTorn))
           val r = compactTable(spark, s"$path/sketches",
             _ => net.groupBy("grp")
               .agg(hll_sketch_agg(col("k")).as("sketch"))

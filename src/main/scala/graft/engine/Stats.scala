@@ -54,11 +54,21 @@ object Stats {
                  gapSeconds: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key)).orderBy(col(ts), col(tie))
+    // microsecond-exact gap arithmetic: unix_timestamp truncates to
+    // seconds, so sub-second boundaries misclassify (a 7200.4 s gap
+    // read as exactly 7200) and this batch formulation could disagree
+    // with session_window on the same data — the truncation
+    // freshnessReport already avoids. The boundary operator stays
+    // STRICT (>): session_window MERGES an event arriving exactly
+    // `gap` after its predecessor (measured in StreamingSpec's
+    // boundary fixture — the gap interval is closed), so only a gap
+    // strictly past it opens a new session.
+    val tsUs = unix_micros(col(ts))
     val flagged = events.withColumn("_prev_epoch",
-      lag(unix_timestamp(col(ts)), 1).over(w))
+      lag(tsUs, 1).over(w))
       .withColumn("_new_session",
         when(col("_prev_epoch").isNull ||
-          unix_timestamp(col(ts)) - col("_prev_epoch") > gapSeconds, 1L)
+          tsUs - col("_prev_epoch") > gapSeconds * 1000000L, 1L)
           .otherwise(0L))
       .withColumn("session_no",
         sum(col("_new_session")).over(
@@ -124,7 +134,13 @@ object Stats {
       .agg(count(lit(1)).as("n_events"))
     val stats = daily.groupBy("event_type")
       .agg(count(lit(1)).as("_nd"), sum(col("n_events")).as("_s"),
-        sum(col("n_events") * col("n_events")).as("_s2"))
+        // DECIMAL before the multiply: a day count past ~3e9 overflows
+        // the long square per-row, and the squared SUM overflows long
+        // far earlier — ANSI raises, non-ANSI silently drives _var
+        // negative and the alarm goes dark for exactly the
+        // highest-volume types it watches
+        sum((col("n_events").cast("decimal(19,0)") * col("n_events"))
+          .cast("decimal(38,0)")).as("_s2"))
       .withColumn("_mean", col("_s").cast("double") / col("_nd"))
       .withColumn("_var",
         (col("_s2").cast("double") - col("_s").cast("double") * col("_mean")) /
@@ -201,6 +217,12 @@ object Stats {
       .write.mode("overwrite").parquet(s"$path/exact")
     Compaction.seedBase(s"$path/exact")
     Compaction.ensureTagProtocol(df.sparkSession, s"$path/exact")
+    // a rebuild-from-scratch IS consistent: a pre-rebuild retraction's
+    // pending marker must not survive it, or the fresh view reports
+    // stale=true and the next tick force-folds a just-built table
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$path/_retracted"))
+    ()
   }
 
   /** Append one batch's per-group sketch partials — O(|groups|) — and,
@@ -224,9 +246,10 @@ object Stats {
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/exact"))) {
       val spark = df.sparkSession
       val tag = Option(batchTag).getOrElse {
+        val parts = pairSignatureParts(df) // ONE batch aggregate
         val cycles =
-          pairTagCount(spark, path, pairSignature(df, group, key, "retract"))
-        val base = pairSignature(df, group, key, "merge")
+          pairTagCount(spark, path, pairTag(parts, "retract"))
+        val base = pairTag(parts, "merge")
         if (cycles == 0) base else s"$base~$cycles"
       }
       // an already-folded tag skips the WHOLE verb — sketches included:
@@ -283,9 +306,10 @@ object Stats {
         "the view to make it deletion-capable")
     val spark = df.sparkSession
     val tag = Option(batchTag).getOrElse {
+      val parts = pairSignatureParts(df) // ONE batch aggregate
       val lastMerge =
-        pairMaxCycleIdx(spark, path, pairSignature(df, group, key, "merge"))
-      val base = pairSignature(df, group, key, "retract")
+        pairMaxCycleIdx(spark, path, pairTag(parts, "merge"))
+      val base = pairTag(parts, "retract")
       if (lastMerge <= 0) base else s"$base~$lastMerge"
     }
     if (pairTagAbsorbed(spark, path, tag)) return
@@ -341,15 +365,25 @@ object Stats {
     * TOGETHER (r17), so no companion can hold derived tags from an
     * earlier scheme — full-row hashing is v1, not a migration. */
   private def pairSignature(df: DataFrame, group: String, key: String,
-                            op: String): String = {
+                            op: String): String =
+    pairTag(pairSignatureParts(df), op)
+
+  /** The (count, hash-sum) pair behind [[pairSignature]] — computed
+    * ONCE per verb even when both op-prefixed tags are needed (the
+    * merge/retract cycle pairing probes both forms; they differ only
+    * in the prefix — the TextOps.batchSignatureParts shape). */
+  private def pairSignatureParts(df: DataFrame): (Long, String) = {
     val r = df
       .select(xxhash64(df.columns.toIndexedSeq.map(c =>
         coalesce(col(c).cast("string"), lit("\u0000"))): _*).as("h"))
       .agg(count(lit(1)).as("n"),
         sum(col("h").cast("decimal(38,0)")).as("hs")).head()
     val hs = if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString
-    s"$op:${r.getLong(0)}:$hs"
+    (r.getLong(0), hs)
   }
+
+  private def pairTag(parts: (Long, String), op: String): String =
+    s"$op:${parts._1}:${parts._2}"
 
   /** The `base`-derived cycle tags present in the exact companion's
     * history (live partial rows ∪ compaction-absorbed tags) — bounded
@@ -404,7 +438,15 @@ object Stats {
     * and the purge audit — goes through here. */
   private[graft] def liveDistinctPairs(spark: SparkSession,
                                        path: String): DataFrame =
-    spark.read.parquet(Compaction.resolve(s"$path/exact"))
+    nettedPairs(spark.read.parquet(Compaction.resolve(s"$path/exact")))
+
+  /** The netted (grp, k, cnt) fold shared by EVERY exact-pairs consumer
+    * — the read path above, the `hll` compaction fold, and the sketch
+    * rebuild ([[Compaction.compactIndex]]) all define the view through
+    * THIS one fold, so the dedup key, the negative-net refusal, and
+    * the net rule can never diverge across files. */
+  private[graft] def nettedPairs(pairs: DataFrame): DataFrame =
+    pairs
       .dropDuplicates("bsig", "grp", "k")
       .groupBy("grp", "k").agg(sum("cnt").as("cnt"))
       .withColumn("_ok",

@@ -29,7 +29,10 @@ object Multimodal {
       col("doc_id"),
       length(col("text").cast("binary")).cast("long").as("n_bytes"),
       md5(col("text").cast("binary")).as("content_hash"),
-      hex(substring(col("text"), 1, 8).cast("binary")).as("head_hex"))
+      // slice BYTES, not characters: substring on the string keeps 8
+      // CHARS (up to 32 UTF-8 bytes on multibyte text) — inconsistent
+      // with n_bytes/content_hash computed over bytes on the same row
+      hex(substring(col("text").cast("binary"), 1, 8)).as("head_hex"))
 
   /** Output schema of the decode stage: fixed metadata struct per blob. */
   val decodedSchema: StructType = StructType(Seq(
@@ -100,22 +103,37 @@ object Multimodal {
   private def dims(id: Long): (Int, Int) =
     (8 + (id % 9L).toInt, 8 + ((3L * id) % 9L).toInt)
 
-  /** docs → (doc_id, payload) with REAL PNG bytes ([[syntheticPng]]),
-    * generated per partition on the executors — the corpus-sized encode
-    * never funnels through the driver. */
-  def encodePng(docs: DataFrame): DataFrame = {
+  /** The shared (doc_id → payload bytes) executor-side encode scaffold
+    * behind [[encodePng]]/[[encodeWav]]/[[encodeGif]] — one schema /
+    * encoder / mapPartitions definition, so a payload-contract change
+    * (column naming, id casting, batch shape) lands once. The
+    * corpus-sized encode runs per partition on the executors, never
+    * funneling through the driver.
+    *
+    * `fn` must be a STABLE reference (the per-modality vals below, not
+    * an inline lambda): `MapPartitions` plan equality compares the
+    * function by identity, so a fresh closure per call would make two
+    * encodes of the same corpus unequal plans — warmed caches would
+    * never match the query closures' plans and every measurement would
+    * silently re-run the codec. */
+  private def encodeWith(docs: DataFrame,
+                         fn: Iterator[Row] => Iterator[Row]): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType)))
     val enc = RowEncoder.encoderFor(schema)
-    docs.select(col("doc_id").cast("long"))
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val id = r.getLong(0)
-          val (w, h) = dims(id)
-          Row(id, syntheticPng(id, w, h))
-        }
-      }(enc)
+    docs.select(col("doc_id").cast("long")).mapPartitions(fn)(enc)
   }
+
+  private val pngEncodeFn: Iterator[Row] => Iterator[Row] =
+    rows => rows.map { r =>
+      val id = r.getLong(0)
+      val (w, h) = dims(id)
+      Row(id, syntheticPng(id, w, h))
+    }
+
+  /** docs → (doc_id, payload) with REAL PNG bytes ([[syntheticPng]]). */
+  def encodePng(docs: DataFrame): DataFrame =
+    encodeWith(docs, pngEncodeFn)
 
   /** Output schema of the REAL decode: dimensions plus exact per-channel
     * integer pixel sums (sums, not means — integer-exact on any engine,
@@ -279,18 +297,14 @@ object Multimodal {
 
   /** docs → (doc_id, payload) with real WAV bytes; sample count
     * `800 + (id % 5)·160` — closed-form so the oracle derives it. */
-  def encodeWav(docs: DataFrame): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("payload", BinaryType)))
-    val enc = RowEncoder.encoderFor(schema)
-    docs.select(col("doc_id").cast("long"))
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val id = r.getLong(0)
-          Row(id, syntheticWav(id, 800 + (id % 5L).toInt * 160))
-        }
-      }(enc)
-  }
+  def encodeWav(docs: DataFrame): DataFrame =
+    encodeWith(docs, wavEncodeFn)
+
+  private val wavEncodeFn: Iterator[Row] => Iterator[Row] =
+    rows => rows.map { r =>
+      val id = r.getLong(0)
+      Row(id, syntheticWav(id, 800 + (id % 5L).toInt * 160))
+    }
 
   /** REAL audio decode — `javax.sound.sampled.AudioSystem` (in the JDK,
     * zero new jars) parses the WAV container/PCM stream back to frames;
@@ -430,19 +444,15 @@ object Multimodal {
     * [[dims]] raster size and `2 + id % 4` frames (2–5, closed-form so
     * the oracle derives the frame count from doc_id alone). Executor-side
     * encode, like [[encodePng]]. */
-  def encodeGif(docs: DataFrame): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("payload", BinaryType)))
-    val enc = RowEncoder.encoderFor(schema)
-    docs.select(col("doc_id").cast("long"))
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val id = r.getLong(0)
-          val (w, h) = dims(id)
-          Row(id, syntheticGif(id, w, h, 2 + (id % 4L).toInt))
-        }
-      }(enc)
-  }
+  def encodeGif(docs: DataFrame): DataFrame =
+    encodeWith(docs, gifEncodeFn)
+
+  private val gifEncodeFn: Iterator[Row] => Iterator[Row] =
+    rows => rows.map { r =>
+      val id = r.getLong(0)
+      val (w, h) = dims(id)
+      Row(id, syntheticGif(id, w, h, 2 + (id % 4L).toInt))
+    }
 
   /** REAL multi-frame container decode — the frame-sampling verb over an
     * actual animated-media codec, retiring the last synthetic-grid

@@ -34,6 +34,10 @@ object SamplingOps {
     * splits lose the moment the input order changes). */
   def hashSplit(df: DataFrame, key: String,
                 trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    require(trainPct >= 0 && validPct >= 0 && trainPct + validPct <= 100,
+      s"hashSplit: train/valid percentages must be non-negative and sum " +
+        s"to at most 100, got train=$trainPct valid=$validPct — an " +
+        "over-allocated split silently empties the test arm")
     val h = pmod(keyHash(key), lit(100))
     df.withColumn("split",
       when(h < trainPct, "train")

@@ -611,6 +611,12 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("hash split and stratified sample are pure functions of the key") {
+    // over-allocated split percentages are refused, not silently
+    // emptied into the test arm
+    val eSplit = intercept[IllegalArgumentException] {
+      SamplingOps.hashSplit(docs, "doc_id", trainPct = 80, validPct = 30)
+    }
+    assert(eSplit.getMessage.contains("hashSplit"))
     val s1 = SamplingOps.hashSplit(docs, "doc_id").select("doc_id", "split")
       .as[(Long, String)].collect().toMap
     // repartitioned/reordered input → identical membership

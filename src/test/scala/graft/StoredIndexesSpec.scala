@@ -437,6 +437,20 @@ class StoredIndexesSpec extends AnyFunSuite {
     graft.engine.Stats.mergeDistinctView(extra, "event_type", "user_id", path)
     val e2 = est(path).toMap
     assert(e2("purchase") > e1.toMap.apply("purchase"))
+    // a rebuild-from-scratch clears a pending _retracted marker: the
+    // fresh view IS consistent, so it must not report stale (and must
+    // not force-fold a just-built table at the next tick)
+    graft.engine.Stats.retractDistinctView(
+      ev.filter($"event_id" % 7 === 0), "event_type", "user_id", path)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/_retracted")))
+    graft.engine.Stats.buildDistinctView(ev, "event_type", "user_id", path)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/_retracted")),
+      "a from-scratch rebuild must clear the pending staleness marker")
+    assert(!graft.engine.Stats.queryDistinctView(spark, path, "event_type")
+      .select("stale").head().getBoolean(0),
+      "the rebuilt view must not report stale")
     // untouched groups keep their exact pre-merge estimates
     e1.toMap.removed("purchase").foreach { case (t, a) => assert(e2(t) === a) }
   }

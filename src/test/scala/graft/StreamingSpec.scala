@@ -906,6 +906,34 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("user_id", "session_start").collect().toSeq
     assert(got === expected)
     assert(got.nonEmpty)
+
+    // boundary discipline on a HAND-BUILT frame the random corpus may
+    // never produce: (a) a pair exactly gap apart — session_window's
+    // gap interval is CLOSED (measured here), so both events MERGE and
+    // sessionize's strict > must agree; (b) a sub-second straddle —
+    // 7200.4s apart is a NEW session even though second-truncated
+    // arithmetic reads exactly 7200 and would merge it
+    def evAt(id: Long, user: Long, us: Long) =
+      (id, us, user, "click", 1.0, "{}")
+    val edge = Seq(
+      evAt(1L, 1L, 1000000000000000L),
+      evAt(2L, 1L, 1000000000000000L + 7200L * 1000000L), // exactly gap
+      evAt(3L, 2L, 1000000000000000L),
+      evAt(4L, 2L, 1000000000000000L + 7200400000L)) // 7200.4s straddle
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_micros(ts)"))
+    val edgeBatch = Stats.sessionize(edge, "user_id", "ts", "event_id", 7200)
+      .select(cols.map(col): _*).orderBy("user_id", "session_start")
+      .collect().toSeq
+    val edgeNative = Stats.sessionWindowAgg(edge, "user_id", "ts", "2 hours")
+      .select(cols.map(col): _*).orderBy("user_id", "session_start")
+      .collect().toSeq
+    assert(edgeBatch === edgeNative,
+      "gaps-and-islands must agree with session_window on exact-gap " +
+        "and sub-second-straddle boundaries")
+    assert(edgeBatch.size === 3L,
+      "exact-gap pair merges (closed interval); the 7200.4s straddle " +
+        "splits")
   }
 
   test("coalesced micro-batches (maxFilesPerTrigger > 1) land the same " +
