@@ -374,6 +374,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ── Interval-END-respecting as-of join: the dim keeps only CLOSED
+    //    versions (every key's timeline ends — the delete-capture
+    //    shape), probes span the whole event range, and a probe past a
+    //    key's closure gets NULL payloads instead of the deleted
+    //    entity's last content carried forward (plain asof_join's
+    //    documented start-bound-only contract) ──────────────────────────
+    "asof_join_valid" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val dim = dimOf(e.filter(col(TS) <= expr(s"TIMESTAMP '$WM'")))
+        .filter(!col("is_current"))
+        .select(col(KEY), col("valid_from"), col("valid_to"),
+          col("version_no"), col("event_id").as("version_event_id"))
+      val probes = e.select("event_id", "user_id", "ts")
+      graft.engine.AsOf.asOfJoinValid(probes, dim, KEY, TS,
+        Seq("version_no", "version_event_id"))
+        .orderBy("event_id")
+    }),
+
     // ── Event-time tumbling window aggregation (streaming-shaped) ─────
     "events_hourly" -> ((s, dir) =>
       ev(s, dir)
@@ -2912,7 +2930,7 @@ object SparkEntry {
        |  JOIN canon ON d.doc_id = canon.doc_id
        |  JOIN scored ON d.doc_id = scored.doc_id
        |  LEFT JOIN contam ON d.doc_id = contam.doc_id
-       |  JOIN tr8 ON d.lang = tr8.lang
+       |  JOIN tr8 ON d.lang IS NOT DISTINCT FROM tr8.lang
        |  CROSS JOIN qcut)""".stripMargin
 
   private def embPairsSql: String =
@@ -3216,6 +3234,22 @@ object SparkEntry {
          |SELECT p.event_id, p.user_id, p.ts, d.version_no, d.version_event_id
          |FROM probes p ASOF LEFT JOIN d
          |  ON p.user_id = d.user_id AND p.ts >= d.valid_from
+         |ORDER BY p.event_id""".stripMargin,
+
+    // interval MEMBERSHIP replay: SCD2 intervals are disjoint per key,
+    // so the valid-variant's answer is the plain join on
+    // [valid_from, valid_to) — at most one match per probe
+    "asof_join_valid" ->
+      s"""WITH hist AS (SELECT * FROM events WHERE ts <= TIMESTAMP '$WM'),
+         |${dimSql("hist")},
+         |d AS (SELECT user_id, valid_from, valid_to, version_no,
+         |             event_id AS version_event_id
+         |      FROM dim WHERE NOT is_current),
+         |probes AS (SELECT event_id, user_id, ts FROM events)
+         |SELECT p.event_id, p.user_id, p.ts, d.version_no, d.version_event_id
+         |FROM probes p LEFT JOIN d
+         |  ON p.user_id = d.user_id AND p.ts >= d.valid_from
+         | AND p.ts < d.valid_to
          |ORDER BY p.event_id""".stripMargin,
 
     "events_hourly" ->

@@ -27,7 +27,13 @@ object AsOf {
     * Requirements: `dim` has `valid_from` + `version_no` + the payload
     * columns; payload columns are non-null in every version (null is the
     * "no match yet" marker); payload names must not collide with probe
-    * columns (alias in `dim` first). */
+    * columns (alias in `dim` first).
+    *
+    * Interval END is deliberately ignored (start-bound-only — the exact
+    * DuckDB `ASOF JOIN ... ON p.ts >= d.valid_from` contract): on a
+    * dimension with DELETE capture, a probe AFTER a key's closed final
+    * interval still receives the last version's payload. When deleted
+    * entities must stop enriching, use [[asOfJoinValid]]. */
   def asOfJoin(probes: DataFrame, dim: DataFrame, key: String, pTs: String,
                payload: Seq[String]): DataFrame = {
     val probeCols = probes.columns.toSeq
@@ -56,5 +62,33 @@ object AsOf {
     }
     carried.filter(col("_is_probe") === 1)
       .select((probeCols.map(col) ++ payload.map(col)): _*)
+  }
+
+  /** [[asOfJoin]] additionally respecting interval END — the
+    * delete-capture composition: a probe at or past a key's CLOSED
+    * final interval (valid_to ≤ probe ts, no successor version) gets
+    * NULL payloads instead of the deleted entity's last content
+    * carried forward forever, matching [[Scd2.asOf]]'s
+    * `valid_from <= t AND (valid_to > t OR valid_to IS NULL)`
+    * membership per probe row. Same union+window shape and scale
+    * contract as [[asOfJoin]] — the interval end rides as one
+    * sentinel-coalesced payload column (the carry skips nulls, and a
+    * current row's valid_to IS null, so the raw column cannot ride
+    * directly) plus one post-filter projection. Requires `dim` to also
+    * carry `valid_to`. */
+  def asOfJoinValid(probes: DataFrame, dim: DataFrame, key: String,
+                    pTs: String, payload: Seq[String]): DataFrame = {
+    val far = to_timestamp(lit("9999-12-31 00:00:00"))
+    val dimS = dim.withColumn("_vt_sentinel",
+      coalesce(col("valid_to"), far))
+    val joined = asOfJoin(probes, dimS, key, pTs,
+      payload :+ "_vt_sentinel")
+    val expired = col("_vt_sentinel").isNotNull &&
+      col("_vt_sentinel") <= col(pTs)
+    payload.foldLeft(joined) { (df, c) =>
+      df.withColumn(c,
+        when(expired, lit(null).cast(dimS.schema(c).dataType))
+          .otherwise(col(c)))
+    }.drop("_vt_sentinel")
   }
 }

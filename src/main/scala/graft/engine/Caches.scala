@@ -48,6 +48,17 @@ object Caches {
   /** Currently persisted entries registered through [[ensureCached]]. */
   def liveCount: Int = liveSet.size
 
+  /** Release one [[ensureCached]] entry eagerly (unpersist + registry
+    * removal) — the cleanup verb for per-batch callers with an explicit
+    * lifecycle (a MergeResult.cleanup), where waiting for a withCached
+    * scope or session teardown would accumulate one cached plan per
+    * micro-batch. */
+  def release(df: DataFrame): Unit = {
+    df.unpersist()
+    liveSet.remove(df)
+    ()
+  }
+
   private val sessionIds = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]())
 

@@ -217,32 +217,37 @@ object ExactPercentile {
     // aggregation pass over the ranked table.
     val metas = ranked.groupBy("_g")
       .agg(min(col("_cum")).as("_base"), sum(col("_w")).as("_gw")).persist()
-    val nGroups = metas.limit(Caches.MaxDriverGroups + 1).count()
-    require(nGroups <= Caches.MaxDriverGroups,
-      s"groupedWeightedCuts: over ${Caches.MaxDriverGroups} groups — " +
-        "the group column is not bounded control-plane data")
-    val spark = vals.sparkSession
-    import spark.implicits._
-    // winner per group: the minimal (value, tie) among rows whose
-    // in-group inclusive mass clears num/den of the group mass — a
-    // broadcast threshold join + one min-struct aggregate
-    val winners = ranked
-      .join(broadcast(metas), "_g")
-      .filter(col("_w") > 0L && col("_gw") > 0L &&
-        (col("_cum") - col("_base") + col("_w")) * lit(den) >=
-          lit(num) * col("_gw"))
-      .groupBy("_g")
-      .agg(min(struct(col("_v"), col("_tb"))).as("_win"),
-        first(col("_gw")).as("_gw"))
-      .select(col("_g"), col("_win._v").as("_v"), col("_gw"))
-      .limit(Caches.MaxDriverGroups + 1)
-      .collect()
-      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
-    metas.unpersist(false)
-    // backstop only: the metas guard above already bounds the group
-    // count, so this limit can't truncate real data — it just caps the
-    // collect's driver memory if that invariant ever breaks
-    winners.sortBy(_._1).toSeq
+    // try/finally: a thrown cardinality require must not leave the
+    // persisted metas resident — a service-mode session that catches
+    // the error and continues would accumulate one orphaned cached
+    // aggregate per failed call
+    try {
+      val nGroups = metas.limit(Caches.MaxDriverGroups + 1).count()
+      require(nGroups <= Caches.MaxDriverGroups,
+        s"groupedWeightedCuts: over ${Caches.MaxDriverGroups} groups — " +
+          "the group column is not bounded control-plane data")
+      val spark = vals.sparkSession
+      import spark.implicits._
+      // winner per group: the minimal (value, tie) among rows whose
+      // in-group inclusive mass clears num/den of the group mass — a
+      // broadcast threshold join + one min-struct aggregate
+      val winners = ranked
+        .join(broadcast(metas), "_g")
+        .filter(col("_w") > 0L && col("_gw") > 0L &&
+          (col("_cum") - col("_base") + col("_w")) * lit(den) >=
+            lit(num) * col("_gw"))
+        .groupBy("_g")
+        .agg(min(struct(col("_v"), col("_tb"))).as("_win"),
+          first(col("_gw")).as("_gw"))
+        .select(col("_g"), col("_win._v").as("_v"), col("_gw"))
+        .limit(Caches.MaxDriverGroups + 1)
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      // backstop only: the metas guard above already bounds the group
+      // count, so this limit can't truncate real data — it just caps the
+      // collect's driver memory if that invariant ever breaks
+      winners.sortBy(_._1).toSeq
+    } finally { metas.unpersist(false); () }
   }
 
   /** PER-GROUP exact interpolated percentile over a continuous column —

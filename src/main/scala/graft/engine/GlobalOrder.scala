@@ -41,6 +41,19 @@ object GlobalOrder {
     * missing when the raw id is used as a key on its own. */
   def attach(df: DataFrame, order: Seq[Column], sumCol: Column,
              needCum: Boolean = true): (DataFrame, Long, Long) = {
+    val (out, n, sTot, _) = attachReleasable(df, order, sumCol, needCum)
+    (out, n, sTot)
+  }
+
+  /** [[attach]] additionally handing back the internally CACHED
+    * range-partitioned table, so a per-batch caller with an explicit
+    * cleanup contract ([[graft.engine.Scd2.extendSurrogateKeyBatch]])
+    * can release it ([[Caches.release]]) instead of leaking one cache
+    * entry per micro-batch; plain [[attach]] callers keep relying on
+    * scope/session cleanup. */
+  def attachReleasable(df: DataFrame, order: Seq[Column], sumCol: Column,
+                       needCum: Boolean = true)
+      : (DataFrame, Long, Long, DataFrame) = {
     val ranged = Caches.ensureCached(
       df.repartitionByRange(order: _*)
         .sortWithinPartitions(order: _*)
@@ -52,7 +65,8 @@ object GlobalOrder {
       // match the non-empty path's schema for the requested mode: _cum
       // only exists when the caller asked for it
       val out0 = ranged.withColumn("_rn", lit(0L))
-      return (if (needCum) out0.withColumn("_cum", lit(0L)) else out0, 0L, 0L)
+      return (if (needCum) out0.withColumn("_cum", lit(0L)) else out0,
+        0L, 0L, ranged)
     }
     val size = parts.map(_._1).max + 1
     val nArr = Array.fill(size)(0L); val sArr = Array.fill(size)(0L)
@@ -75,7 +89,7 @@ object GlobalOrder {
             "(local index "), localIdx.cast("string"),
           lit(" outside [0, "), partN.cast("string"), lit(")"))))
       return (ranged.withColumn("_rn", baseRn + guarded + lit(1L)),
-        nArr.sum, sArr.sum)
+        nArr.sum, sArr.sum, ranged)
     }
     val sOff = sArr.scanLeft(0L)(_ + _).dropRight(1).toSeq
     val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
@@ -85,6 +99,6 @@ object GlobalOrder {
       .withColumn("_cum",
         element_at(typedlit(sOff), col("_pid") + 1) +
           coalesce(sum(sumCol).over(wPrev), lit(0L)))
-    (out, nArr.sum, sArr.sum)
+    (out, nArr.sum, sArr.sum, ranged)
   }
 }

@@ -22,6 +22,10 @@ object RangeJoin {
   def binned(probes: DataFrame, ts: String,
              intervals: DataFrame, startCol: String, endCol: String,
              equiKeys: Seq[String], binSeconds: Long): DataFrame = {
+    require(binSeconds > 0L,
+      s"RangeJoin.binned: binSeconds must be positive, got $binSeconds " +
+        "— integral div by a non-positive width yields null bins and a " +
+        "silently empty join")
     val p = probes.withColumn("_bin",
       expr(s"unix_timestamp($ts) div $binSeconds"))
     val iv = intervals.withColumn("_bin", explode(sequence(

@@ -89,12 +89,18 @@ object Scd2 {
     val joined = Caches.ensureCached(merged.join(existing, identity, "left"))
     val offset = keyed.agg(coalesce(max(col(name)), lit(0L))).first().getLong(0)
     val fresh = joined.filter(col(name).isNull).drop(name)
-    val (numbered, _, _) = GlobalOrder.attach(fresh, order, lit(0L),
-      needCum = false)
+    val (numbered, _, _, rangedCache) = GlobalOrder.attachReleasable(
+      fresh, order, lit(0L), needCum = false)
     val out = joined.filter(col(name).isNotNull)
       .unionByName(numbered.withColumn(name, col("_rn") + offset)
         .drop("_rn", "_cum", "_pid"))
-    MergeResult(out, () => { joined.unpersist(); () })
+    // cleanup releases BOTH caches this verb registered — the routed
+    // join and GlobalOrder's range-partitioned table — or a per-micro-
+    // batch caller leaks one cached plan per batch despite honoring
+    // the documented cleanup contract
+    MergeResult(out, () => {
+      Caches.release(joined); Caches.release(rangedCache)
+    })
   }
 
   /** Current-rows filter (scd2_loader.py:193-200; the FOR UPDATE row lock is
@@ -223,7 +229,7 @@ object Scd2 {
       .unionByName(curUnchanged)
       .unionByName(expired.select(cols: _*))
       .unionByName(newVersions.select(cols: _*))
-    MergeResult(result, () => { routed.unpersist(); () })
+    MergeResult(result, () => Caches.release(routed))
   }
 
   /** Schema evolution for the merge path — the ALTER TABLE case a live

@@ -33,7 +33,9 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   def curationReport(docs: DataFrame): DataFrame = {
-    val fp = TextOps.fingerprint(docs)
+    // cached: the fingerprint plan (a full tokenize+hash pass) feeds
+    // BOTH sides of the canonical self-join — uncached it runs twice
+    val fp = graft.engine.Caches.ensureCached(TextOps.fingerprint(docs))
     val canon = fp
       .join(fp.groupBy("fingerprint").agg(min("doc_id").as("_c")), "fingerprint")
       .select(col("doc_id"), (col("doc_id") === col("_c")).as("is_canonical"))
@@ -51,12 +53,18 @@ object Curation {
     val cont = TextOps.decontaminate(docs,
       maxDf = TextOps.adaptiveMaxDf(docs))
       .select(col("doc_id"), lit(true).as("_cont"))
+    // NULL-SAFE language join: temperatureRates produces a row for a
+    // null-lang group, but a plain equi-join never matches it — those
+    // docs would silently vanish from the audit table (neither kept nor
+    // visibly rejected), defeating the per-document-decision contract
     val rates = SamplingOps.temperatureRates(docs, "lang")
+      .withColumnRenamed("lang", "_rlang")
     SamplingOps.hashSplit(docs.select("doc_id", "lang"), "doc_id")
       .join(canon, "doc_id")
       .join(qual, "doc_id")
       .join(cont, Seq("doc_id"), "left")
-      .join(broadcast(rates), "lang")
+      .join(broadcast(rates), col("lang") <=> col("_rlang"))
+      .drop("_rlang")
       .select(col("doc_id"), col("lang"), col("split"),
         col("is_canonical"), col("quality_ok"),
         coalesce(col("_cont"), lit(false)).as("contaminated"),
@@ -80,7 +88,7 @@ object Curation {
   def dataCard(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), col("lang"),
       size(TextOps.normWords(col("text"))).cast("long").as("n_tokens"))
-    val fp = TextOps.fingerprint(docs)
+    val fp = graft.engine.Caches.ensureCached(TextOps.fingerprint(docs))
     val dup = fp
       .join(fp.groupBy("fingerprint").agg(min("doc_id").as("_k")), "fingerprint")
       .select(col("doc_id"), (col("doc_id") =!= col("_k")).as("is_dup"))
@@ -166,7 +174,7 @@ object Curation {
     val decile = cutVals
       .map(c => when(col("quality_score") >= lit(c), 1).otherwise(0))
       .reduce(_ + _).cast("long")
-    val fp = TextOps.fingerprint(docs)
+    val fp = graft.engine.Caches.ensureCached(TextOps.fingerprint(docs))
     val dup = fp
       .join(fp.groupBy("fingerprint").agg(min("doc_id").as("_k")), "fingerprint")
       .select(col("doc_id"), (col("doc_id") =!= col("_k")).as("is_dup"))

@@ -159,16 +159,26 @@ object CdcStream {
                        opCol: Option[String], dimBuckets: Int = 0,
                        manifestCarry: Boolean = false): Unit = {
     if (batch.isEmpty) return
+    // the CDC op column is TRANSPORT, not payload: keep it out of the
+    // dimension-schema derivations (an empty-batch bootstrap would bake
+    // a junk op column into every published version, and a snapshot
+    // pre-seeded WITHOUT it would spuriously trip the widened-schema
+    // full republish on the first batch). mergeBatch still reads the op
+    // from the batch itself.
+    val payload = opCol.fold(batch)(c => batch.drop(c))
     if (dimBuckets <= 0) {
       // explicit whole-dim dial: a snapshot previously run bucketed is
       // MIGRATED BACK (bucket column dropped, next version unbucketed)
       // rather than crashing the merge on the unexpected column
       val dim = store.read().map(_.drop(BucketCol))
-        .getOrElse(Scd2.rebuild(batch.limit(0), key, ts, tie))
-      val merged = Scd2.mergeBatch(Scd2.evolveSchema(dim, batch),
+        .getOrElse(Scd2.rebuild(payload.limit(0), key, ts, tie))
+      val merged = Scd2.mergeBatch(Scd2.evolveSchema(dim, payload),
         batch, key, ts, tie, opCol)
-      store.publish(merged.dim)
-      merged.cleanup()
+      // cleanup in finally: a throwing publish replays the batch, and
+      // each failed attempt must not leave the routed-batch cache
+      // resident (a crash-looping stream accumulates one per attempt)
+      try store.publish(merged.dim)
+      finally merged.cleanup()
       return
     }
     require(!batch.columns.contains(BucketCol),
@@ -201,33 +211,33 @@ object CdcStream {
       // snapshot holds
       val dimAff = store.readCurrentPartitions(BucketCol, affected)
         .drop(BucketCol)
-      val evolved = Scd2.evolveSchema(dimAff, batch)
+      val evolved = Scd2.evolveSchema(dimAff, payload)
       if (evolved.columns.length != dimAff.columns.length) {
         // schema widened — full republish so every partition's files
         // carry the new columns (see doc above)
         val full = Scd2.evolveSchema(
-          store.read().get.drop(BucketCol), batch)
+          store.read().get.drop(BucketCol), payload)
         val merged = Scd2.mergeBatch(full, batch, key, ts, tie, opCol)
-        store.publish(clustered(withBucket(merged.dim)), Seq(BucketCol),
-          Map(DimBucketsMeta -> dimBuckets.toString))
-        merged.cleanup()
+        try store.publish(clustered(withBucket(merged.dim)),
+          Seq(BucketCol), Map(DimBucketsMeta -> dimBuckets.toString))
+        finally merged.cleanup()
       } else {
         val merged = Scd2.mergeBatch(evolved, batch, key, ts, tie, opCol)
-        store.publishIncremental(withBucket(merged.dim), BucketCol,
+        try store.publishIncremental(withBucket(merged.dim), BucketCol,
           Map(DimBucketsMeta -> dimBuckets.toString), manifestCarry)
-        merged.cleanup()
+        finally merged.cleanup()
       }
     } else {
       // bootstrap (empty store), migration (pre-bucketing snapshot),
       // or a CHANGED bucket count: one full publish (re-)establishes
       // the bucketed layout and its persisted count
       val dim = store.read().map(_.drop(BucketCol))
-        .getOrElse(Scd2.rebuild(batch.limit(0), key, ts, tie))
-      val merged = Scd2.mergeBatch(Scd2.evolveSchema(dim, batch),
+        .getOrElse(Scd2.rebuild(payload.limit(0), key, ts, tie))
+      val merged = Scd2.mergeBatch(Scd2.evolveSchema(dim, payload),
         batch, key, ts, tie, opCol)
-      store.publish(clustered(withBucket(merged.dim)), Seq(BucketCol),
-        Map(DimBucketsMeta -> dimBuckets.toString))
-      merged.cleanup()
+      try store.publish(clustered(withBucket(merged.dim)),
+        Seq(BucketCol), Map(DimBucketsMeta -> dimBuckets.toString))
+      finally merged.cleanup()
     }
   }
 
@@ -1193,12 +1203,26 @@ object CdcStream {
       // versions retained for time travel still carry the key until
       // the compliance sweep (SnapshotStore.purgeKeys) rewrites the
       // whole retained window.
-      val (upserts, deleteKeys) =
+      val (rawUpserts, deleteKeys) =
         if (batch.columns.contains("op"))
           (batch.filter(coalesce(col("op") =!= "DELETE", lit(true)))
              .drop("op"),
            Some(batch.filter(col("op") === "DELETE").select(key)))
         else (batch, None)
+      // intra-batch key discipline: exact duplicate ROWS fold (a file
+      // re-delivering the same record twice), but two DIFFERENT rows
+      // for one key in one batch are refused loudly — this verb's
+      // records carry no sequence column, so "last-write-wins" between
+      // them is undefined and keeping both would bake duplicate keys
+      // into every published version and export (the anti-join removes
+      // cur's row, then the union adds BOTH)
+      val upserts = rawUpserts.dropDuplicates()
+      require(upserts.groupBy(col(key)).count()
+          .filter(col("count") > 1L).isEmpty,
+        s"snapshotAbsorb: batch $id carries conflicting rows for the " +
+          s"same '$key' — no order column exists to arbitrate " +
+          "last-write-wins within a batch; split the batch or dedup " +
+          "upstream")
       val next = store.read() match {
         case Some(cur) =>
           val victims = deleteKeys match {

@@ -981,6 +981,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Map(
       9001L -> Some(101L), 9002L -> Some(102L),
       9003L -> None, 9004L -> Some(201L)))
+
+    // the interval-END-respecting variant: a CLOSED dimension (only
+    // non-current versions — the delete-capture shape) stops enriching
+    // probes past each key's closure, where plain asOfJoin carries the
+    // last payload forever by documented contract
+    val dClosed = Scd2.rebuild(dim, "user_id", "ts", "event_id")
+      .filter(!$"is_current")
+      .select($"user_id", $"valid_from", $"valid_to", $"version_no",
+        $"event_id".as("version_event_id"))
+    // user 1 keeps only v1, valid [01-01, 01-10); user 2 has no closed
+    // version at all
+    val gotValid = AsOf.asOfJoinValid(probes, dClosed, "user_id", "ts",
+      Seq("version_no", "version_event_id"))
+      .select("event_id", "version_event_id")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(gotValid === Map(
+      9001L -> Some(101L), // inside [01-01, 01-10)
+      9002L -> None, // exactly at valid_to → interval closed, no match
+      9003L -> None, 9004L -> None))
   }
 
   test("typed latestPerUser matches the untyped window dedup") {

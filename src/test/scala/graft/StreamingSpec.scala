@@ -556,11 +556,30 @@ class StreamingSpec extends AnyFunSuite {
         .toDF("doc_id", "text", "n_chars", "op"),
       3L, root, "update-sim")
     assert(ids() === Seq(1L, 3L, 4L, 5L, 6L, 8L))
+    // intra-batch key discipline: exact duplicate ROWS fold silently
+    // (a file re-delivering the same record), but two DIFFERENT rows
+    // for one key are refused — no order column exists to arbitrate
+    // last-write-wins, and keeping both would bake duplicate keys into
+    // every later version
+    CdcStream.snapshotAbsorb(spark,
+      Seq((9L, "same", 4), (9L, "same", 4)).toDF("doc_id", "text", "n_chars"),
+      4L, root, "update-sim")
+    assert(ids() === Seq(1L, 3L, 4L, 5L, 6L, 8L, 9L),
+      "exact duplicate rows fold to one")
+    val dupErr = intercept[IllegalArgumentException] {
+      CdcStream.snapshotAbsorb(spark,
+        Seq((10L, "first", 5), (10L, "second", 6))
+          .toDF("doc_id", "text", "n_chars"),
+        5L, root, "update-sim")
+    }
+    assert(dupErr.getMessage.contains("conflicting rows"))
+    assert(ids() === Seq(1L, 3L, 4L, 5L, 6L, 8L, 9L),
+      "a refused batch publishes nothing")
     // crash INSIDE the maintenance tick: the re-run (restart path) is
     // answer-idempotent — same rows, export still verifies
     CdcStream.optimizeSnapshotTick(spark, root, "n_chars", "doc_id",
       "doc_id", 2, 2, Some(exp), 6L)
-    assert(ids() === Seq(1L, 3L, 4L, 5L, 6L, 8L),
+    assert(ids() === Seq(1L, 3L, 4L, 5L, 6L, 8L, 9L),
       "a replayed tick must not change answers")
     // the tick's OPTIMIZE publish is the current version now: z-ordered
     // into the numFiles range partitions
@@ -585,7 +604,7 @@ class StreamingSpec extends AnyFunSuite {
       numFiles = 2, optimizeEvery = 2, keepVersions = 2,
       exportPath = Some(exp), tokensPerShard = 6L)
     q2.awaitTermination()
-    assert(ids() === Seq(1L, 3L, 4L, 5L, 6L, 7L, 8L),
+    assert(ids() === Seq(1L, 3L, 4L, 5L, 6L, 7L, 8L, 9L),
       "the restarted stream must absorb exactly the new batch")
   }
 
