@@ -1116,7 +1116,10 @@ object Compaction {
     // side tables as a new lexicon version (publishBm25Side), so a
     // long-running stream accretes one superseded version dir per batch
     case "bm25"        => Seq(s"$path/postings", s"$path/lexicon")
-    case "fingerprint" => Seq(s"$path/postings", s"$path/sizes")
+    case "fingerprint" =>
+      // dfs rides the versioned pointer swap as of the atomic merge
+      // rewrite — reap its superseded versions with the data tables
+      Seq(s"$path/postings", s"$path/sizes", s"$path/dfs")
     // the exact companion's superseded versions too (a never-built
     // companion has no pointer — vacuum no-ops)
     case "hll"         => Seq(s"$path/sketches", s"$path/exact")

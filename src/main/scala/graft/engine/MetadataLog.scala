@@ -54,6 +54,10 @@ class MetadataLog(spark: SparkSession, path: String) {
     * per event). */
   def flush(): Unit = synchronized {
     if (pending.nonEmpty) {
+      // adopt a torn compaction first: appending into a freshly
+      // re-created dir while the compacted events sit in _compacting
+      // would strand them
+      recoverCompaction()
       pending.toSeq.toDF(cols: _*)
         .coalesce(1).write.mode("append").parquet(path)
       pending.clear()
@@ -64,9 +68,18 @@ class MetadataLog(spark: SparkSession, path: String) {
     * compaction any small-event parquet log needs to stay listable.
     * Local-FS swap (write aside, then replace); a production deployment
     * would keep the log in a versioned/table format where compaction is
-    * native. Returns (files before, files after). */
-  def compact(targetFiles: Int = 1): (Int, Int) = {
+    * native. Returns (files before, files after).
+    *
+    * Holds the same monitor as [[flush]]: an unsynchronized compaction
+    * racing a concurrent flush could append a part file between the
+    * rewrite's listing and the delete walk — that status event would be
+    * deleted unrecorded. The swap window itself is covered by
+    * [[recoverCompaction]]: a crash after the delete but before the
+    * move leaves the data only in the `_compacting` dir, which every
+    * read/flush entry point adopts before touching the log. */
+  def compact(targetFiles: Int = 1): (Int, Int) = synchronized {
     import java.nio.file.{Files, Paths}
+    recoverCompaction()
     def partFiles() = {
       val s = Files.list(Paths.get(path))
       try s.filter(p => p.getFileName.toString.startsWith("part-")).count().toInt
@@ -84,7 +97,34 @@ class MetadataLog(spark: SparkSession, path: String) {
     (before, partFiles())
   }
 
-  def read(): DataFrame = spark.read.parquet(path)
+  /** Adopt a torn compaction swap: the rewrite fully materialized into
+    * `_compacting` (with _SUCCESS) but the crash hit between the live
+    * dir's delete and the move — the log's one unreadable window. Safe
+    * unconditionally: the marker dir only exists mid-swap, and adopting
+    * it restores exactly the rewritten events. */
+  private def recoverCompaction(): Unit = {
+    import java.nio.file.{Files, Paths}
+    val tmp = Paths.get(path + "_compacting")
+    if (Files.exists(tmp)) {
+      if (!Files.exists(Paths.get(path)) &&
+          Files.exists(tmp.resolve("_SUCCESS"))) {
+        Files.move(tmp, Paths.get(path))
+        ()
+      } else {
+        // live dir survived (crash before its delete, or a torn write
+        // with no _SUCCESS): the temp is stale — discard it
+        val del = Files.walk(tmp)
+        try del.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+        finally del.close()
+      }
+    }
+  }
+
+  def read(): DataFrame = synchronized {
+    recoverCompaction()
+    spark.read.parquet(path)
+  }
 
   /** Latest state per run (pipeline_metadata.py:267-275 generalized from
     * LIMIT 1 to a per-run window). */

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -46,10 +46,15 @@ object TextKernels {
 }
 
 /** `graft_norm_words(text)` — see [[TextKernels.normWords]]. */
-case class NormWords(child: Expression) extends UnaryExpression {
+case class NormWords(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_norm_words"
+  // declared input type: a SQL-text call with a non-string argument
+  // gets an analysis-time cast/error instead of a runtime
+  // ClassCastException deep in the kernel
+  override def inputTypes = Seq(StringType)
 
   override def nullSafeEval(input: Any): Any =
     TextKernels.normWords(input.asInstanceOf[UTF8String])
@@ -114,7 +119,10 @@ object WinnowKernel {
 
 /** `graft_winnow_fps(s, k, w)` — see [[WinnowKernel.fps]]; k and w must
   * be literals. */
-case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression {
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
 
   override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
     containsNull = false)

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression for the embedding dot product — the hot
   * inner loop of every similarity operator (SURVEY §7.3: the one genuine
@@ -19,10 +19,16 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * zipped array per row.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  // declared input types make SQL-text calls SAFE: without them a
+  // non-double array (ints, floats) binds with no implicit cast and
+  // getDouble reads 8 bytes per element from a narrower unsafe array —
+  // out-of-bounds garbage, silently wrong scores. With ExpectsInputTypes
+  // the analyzer inserts the cast or fails analysis loudly.
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
@@ -60,10 +66,12 @@ case class DotProduct(left: Expression, right: Expression)
   * execution shape changes (primitive loop in whole-stage codegen vs one
   * zipped array allocation + lambda frames per row). */
 case class SquaredL2(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_l2sq"
+  // same declared-type safety as DotProduct (see there)
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]

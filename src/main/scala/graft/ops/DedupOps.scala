@@ -168,6 +168,11 @@ object DedupOps {
     * (including LSH misses) are bit-reproducible. */
   def minhashLshPairs(docs: DataFrame, n: Int, k: Int, bands: Int,
                       threshold: Double): DataFrame = {
+    require(bands >= 1 && k % bands == 0,
+      s"minhashLshPairs: bands ($bands) must divide k ($k) — a remainder " +
+        "silently truncates the signature (the caller pays for k but " +
+        "gets the recall curve of bands*(k/bands)), and bands > k " +
+        "generates an empty band expression")
     val rows = k / bands
     val shl = Caches.ensureCached(shingleArrays(docs, n))
     // persist the (tiny) signature table: posexplode's Generate gets no
@@ -213,7 +218,14 @@ object DedupOps {
     * pattern (same static-input assumption as the k-means memo and
     * Spark's own relation cache). */
   def dupGroups(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val labels = groupsMemo(docs.sparkSession)
+    val memo = groupsMemo(docs.sparkSession)
+    // entry-count bound: each value pins a localCheckpoint-backed label
+    // table in the block manager, and the SoftReference only reacts to
+    // DRIVER heap pressure — unbounded entries would accumulate
+    // executor storage across many corpora in one service session.
+    // A pure cache, so the cheap bound is clear-and-recompute.
+    if (memo.size >= MaxGroupMemoEntries) memo.clear()
+    val labels = memo
       .getOrElseUpdate((Caches.planKey(docs), Caches.planKey(pairs)), {
         labelRuns += 1
         propagateLabels(pairs)
@@ -232,6 +244,8 @@ object DedupOps {
   // strongly reaches the key: under memory pressure the GC clears the
   // reference, the session becomes collectable, and the memo — a pure
   // cache over `propagateLabels` — is simply recomputed on next use.
+  private val MaxGroupMemoEntries = 64
+
   private val groupsMemos = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       java.lang.ref.SoftReference[
@@ -660,11 +674,13 @@ object DedupOps {
     // words materialized before the chunk transform (same Generate /
     // lambda recompute trap as shingleArrays)
     val words = docs.select(col("doc_id"), TextOps.normWords(col("text")).as("w"))
-    val chunks = words.select(col("doc_id"),
+    // cached: the tokenize+per-chunk-md5 plan feeds BOTH the df
+    // aggregate and the join side — uncached, the full scan runs twice
+    val chunks = Caches.ensureCached(words.select(col("doc_id"),
       explode(expr(
         s"""transform(sequence(1, cast(ceil(size(w) / ${cw}.0) as int)),
            |  i -> md5(concat_ws(' ', slice(w, (i - 1) * $cw + 1, $cw))))""".stripMargin))
-        .as("chunk_hash"))
+        .as("chunk_hash")))
     val df = chunks.groupBy(col("chunk_hash"))
       .agg(countDistinct(col("doc_id")).as("_docs"))
     chunks.join(df, "chunk_hash")
@@ -730,7 +746,8 @@ object DedupOps {
     val ex = winnowExploded(docs, k, w)
     ex.groupBy("fp").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$path/dfs")
-    spark.read.parquet(s"$path/dfs").filter(col("df") > maxDf).select("fp")
+    spark.read.parquet(Compaction.resolve(s"$path/dfs"))
+      .filter(col("df") > maxDf).select("fp")
       .write.mode("overwrite").parquet(s"$path/hot")
     val kept = ex.join(spark.read.parquet(s"$path/hot"), Seq("fp"), "left_anti")
     kept.repartition(col("fp")).sortWithinPartitions("fp", "doc_id")
@@ -752,14 +769,14 @@ object DedupOps {
     * contract: updates arrive as delete + insert).
     *
     * NOT batch-atomic: this is THREE writes (postings append, sizes
-    * append, dfs overwrite), so a crash anywhere inside leaves a
+    * append, dfs version flip), so a crash anywhere inside leaves a
     * partially applied batch with no ledger row, and the ledger
     * protocol ([[graft.streaming.CdcStream.screenAndAbsorb]]) replays
     * the WHOLE merge on restart. The replay's effects are contained:
     * duplicated postings/sizes rows are exact duplicates that
     * [[queryFingerprintIndex]] drops at candidate level, so screening
     * results are unaffected; dfs can double-count the batch's
-    * fingerprints IF the crash hit after the dfs overwrite, which can
+    * fingerprints IF the crash hit after the dfs pointer flip, which can
     * only overstate [[hotListDrift]]'s advisory rebuild signal, never a
     * screening answer. True multi-table atomicity would need a
     * manifest/commit-log layer (Delta-style) this engine deliberately
@@ -800,11 +817,23 @@ object DedupOps {
       kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
         .write.mode("append").parquet(live)
     }
-    val mergedDfs = spark.read.parquet(s"$path/dfs")
+    val mergedDfs = spark.read.parquet(Compaction.resolve(s"$path/dfs"))
       .unionByName(ex.groupBy("fp").agg(count(lit(1)).as("df")))
       .groupBy("fp").agg(sum("df").as("df"))
-      .localCheckpoint(true) // materialize before overwriting the read path
-    mergedDfs.write.mode("overwrite").parquet(s"$path/dfs")
+    // ATOMIC pointer-swap rewrite (Compaction's versioned layout — the
+    // plain-dir fallback keeps pre-versioning indexes readable): an
+    // in-place overwrite deletes the live dfs before the new files
+    // commit, so a crash inside it destroyed dfs and permanently
+    // wedged the replay path (every retry read a missing table). With
+    // the version flip, a crash before the pointer move leaves the OLD
+    // dfs live and the replay recomputes from it; a crash after the
+    // move leaves the NEW one — the worst case is back to the
+    // documented advisory df double-count, never a wedge. Writing a
+    // fresh version dir also reads-while-writing safely, so the
+    // localCheckpoint materialization this replaces is unnecessary.
+    Compaction.publishVersion(s"$path/dfs") { dir =>
+      mergedDfs.write.parquet(dir)
+    }
   }
 
   /** The rebuild signal for the frozen hot list — the dedup analogue of
@@ -831,7 +860,7 @@ object DedupOps {
         case e: org.apache.spark.sql.AnalysisException
           if e.getCondition == "PATH_NOT_FOUND" => 10
       })
-    spark.read.parquet(s"$path/dfs").filter(col("df") > cap)
+    spark.read.parquet(Compaction.resolve(s"$path/dfs")).filter(col("df") > cap)
       .join(spark.read.parquet(s"$path/hot"), Seq("fp"), "left_anti")
       .count()
   }

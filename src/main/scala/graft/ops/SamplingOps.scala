@@ -132,6 +132,11 @@ object SamplingOps {
     // keys would silently sort the stratum to the end of the epoch, so
     // a config typo re-orders training data with no signal (the same
     // fail-loud posture as the events timestamp-unit guard)
+    require(weights.nonEmpty && weights.values.forall(_ > 0.0),
+      s"weightedInterleave: every stratum weight must be strictly " +
+        s"positive, got $weights — a zero weight yields Infinity/NaN " +
+        "position keys with engine-dependent ordering, and a negative " +
+        "one silently sorts its whole stratum to the FRONT")
     val w = weights.toSeq.sortBy(_._1)
       .foldLeft(unmappedStratum("weightedInterleave", stratum)) {
         case (acc, (k, v)) =>
@@ -226,6 +231,10 @@ object SamplingOps {
     * seed → bit-identical epoch order across runs and restarts; a new
     * seed reshuffles without touching the data. */
   def shuffleOrder(df: DataFrame, key: String, seed: String): DataFrame = {
+    require(!df.columns.contains("skey"),
+      "shuffleOrder: input already has a 'skey' column — the name is " +
+        "reserved for the seed-derived shuffle key this operator emits " +
+        "(part of its declared output), and would be silently clobbered")
     val keyed = df.withColumn("skey",
       md5(concat_ws(":", lit(seed), col(key).cast("string"))))
     val (out, _, _) =
@@ -432,10 +441,15 @@ object SamplingOps {
     // bounded-cardinality guard: the quota table is driver-side, so a
     // caller passing a row-key as `stratum` must fail loudly, not OOM
     // the driver — limit(cap+1) bounds the collect itself
-    val counts = df.groupBy(col(stratum))
+    // stratum values travel as STRINGS driver-side (any column type
+    // works — an int stratum would otherwise ClassCastException in the
+    // collect and a null would NPE the sort); the selection pass
+    // compares against the same cast
+    val counts = df.groupBy(col(stratum).cast("string").as("_sv"))
       .agg(count(lit(1)).as("_n"))
       .limit(Caches.MaxDriverGroups + 1)
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)))
+      .sortBy(_._1)
     require(counts.length <= Caches.MaxDriverGroups,
       s"proportionalSample: over ${Caches.MaxDriverGroups} distinct " +
         s"'$stratum' values — not a stratum column (driver-side quota " +
@@ -460,7 +474,8 @@ object SamplingOps {
     // between the count pass and the selection pass
     val qCol = quota.foldLeft(
       unmappedStratum("proportionalSample", stratum, "bigint")) {
-      case (acc, (k, v)) => when(col(stratum) === lit(k), lit(v)).otherwise(acc)
+      case (acc, (k, v)) =>
+        when(col(stratum).cast("string") <=> k.orNull, lit(v)).otherwise(acc)
     }
     val keyed = df.withColumn("_q", qCol)
     val w1 = Window.partitionBy(col(stratum), pmod(keyHash(key), lit(salts)))
