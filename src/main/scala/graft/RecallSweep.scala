@@ -52,14 +52,28 @@ object RecallSweep {
     val nQ = queries.count()
     println(s"corpus=${emb.count()} queries=$nQ dir=$dir")
 
+    // committed geometry (SparkEntry.P) — the sweep measures the dial
+    // the oracle rows actually gate
+    val P = SparkEntry.P
     val root = Files.createTempDirectory("recall_sweep").toString
     val (tPq, _) = time(SimilarityOps.buildPqIndex(emb, s"$root/pq",
-      m = 8, ksub = 16, iters = 1))
+      m = P.PqM, ksub = P.PqKsub, iters = P.PqIters))
     val (tIvf, _) = time(SimilarityOps.buildIvfIndex(emb, s"$root/ivf",
-      k = 8, iters = 2))
+      k = P.KmK, iters = P.KmIters))
     val (tIvfPq, _) = time(SimilarityOps.buildIvfPqIndex(emb,
-      s"$root/ivfpq", k = 8, iters = 2, m = 8, ksub = 16, pqIters = 1))
+      s"$root/ivfpq", k = P.KmK, iters = P.KmIters, m = P.PqM,
+      ksub = P.PqKsub, pqIters = P.PqIters))
     println(f"index builds: pq=$tPq%.2fs ivf=$tIvf%.2fs ivfpq=$tIvfPq%.2fs")
+
+    // the plain-IVF adaptive probe (nprobe floor 1 — the hybrid vector
+    // arm's dial) — the r20 gated row's level at each ratio
+    println("\n== adaptive multi-probe on plain IVF (nprobe floor 1) ==")
+    println("ratio recall_avg recall_min")
+    for (r <- Seq(0.0, 1.25, 1.5)) {
+      val (a, m) = recallAvgMin(SimilarityOps.ivfStoredRecallReport(
+        spark, s"$root/ivf", emb, queries, 10, 1, r))
+      println(f"$r%5.2f $a%10.3f $m%10.3f")
+    }
 
     println("\n== shortlist-width sweep (two-stage rerank, k=10) ==")
     println("family factor recall_avg recall_min warm_probe_s")

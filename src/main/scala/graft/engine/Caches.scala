@@ -52,10 +52,13 @@ object Caches {
     * removal) — the cleanup verb for per-batch callers with an explicit
     * lifecycle (a MergeResult.cleanup), where waiting for a withCached
     * scope or session teardown would accumulate one cached plan per
-    * micro-batch. */
+    * micro-batch. Ownership-guarded, mirroring [[withCached]]'s
+    * first-builder rule: if THIS DataFrame was not the registrant (the
+    * plan was already cached when [[ensureCached]] saw it — built by a
+    * warm pass or an enclosing scope), the release is a no-op instead
+    * of evicting a shared entry mid-session. */
   def release(df: DataFrame): Unit = {
-    df.unpersist()
-    liveSet.remove(df)
+    if (liveSet.remove(df)) df.unpersist()
     ()
   }
 

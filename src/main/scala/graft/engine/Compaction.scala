@@ -323,7 +323,8 @@ object Compaction {
                    partitionBy: Seq[String] = Nil,
                    maxFilesPerPartition: Int = 8,
                    force: Boolean = false,
-                   beforePublish: String => Unit = _ => ()): Boolean = {
+                   beforePublish: String => Unit = _ => ()): Boolean =
+    Lease.withLease(table, "compactTable") {
     val counts = filesPerPartition(table)
     // debt is PER PARTITION against that partition's published count
     // (new partitions debit from 0): a single large partition must not
@@ -339,8 +340,8 @@ object Compaction {
     // `force` bypasses the debt trigger — for rewrites with their own
     // SLA (pending tombstones), where "not enough small files yet" is
     // not a reason to defer a deletion
-    if (!force && !inDebt) return false
-    if (counts.isEmpty) return false // nothing to rewrite, even forced
+    if ((!force && !inDebt) || counts.isEmpty) false
+    else {
     val live = resolve(table)
     val next = currentVersion(table).getOrElse(-1L) + 1L
     val nextDir = s"$table/_v$next"
@@ -360,6 +361,7 @@ object Compaction {
     Files.move(tmp, pointer(table), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     true
+    }
   }
 
   /** Publish a WHOLLY NEW version of `table` under the same versioned
@@ -374,7 +376,8 @@ object Compaction {
     * crash before the swap leaves the old version fully live; the
     * orphan dir is reclaimed by the next [[vacuum]]. Single-writer,
     * like every Compaction verb. */
-  def publishVersion(table: String)(write: String => Unit): Unit = {
+  def publishVersion(table: String)(write: String => Unit): Unit =
+    Lease.withLease(table, "publishVersion") {
     val next = currentVersion(table).getOrElse(-1L) + 1L
     val nextDir = s"$table/_v$next"
     write(nextDir)
@@ -383,6 +386,7 @@ object Compaction {
     Files.writeString(tmp, next.toString)
     Files.move(tmp, pointer(table), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    ()
   }
 
   /** Remove superseded data: version dirs older than the published one
@@ -390,7 +394,8 @@ object Compaction {
     * at the table root). Call on the maintenance schedule, one reader
     * window after [[compactTable]] — never inline with it. Returns the
     * paths removed. No-op on a never-compacted (plain) table. */
-  def vacuum(table: String): Seq[String] = currentVersion(table) match {
+  def vacuum(table: String): Seq[String] =
+    Lease.withLease(table, "vacuum") { currentVersion(table) match {
     case None => Seq.empty
     case Some(cur) =>
       val root = Paths.get(table)
@@ -404,16 +409,17 @@ object Compaction {
             val n = p.getFileName.toString
             // `v$cur` kept too: legacy-layout live dir (see resolve);
             // `_committed` is the table-lifetime batch-commit marker
-            // store ([[commitTag]]) — version-independent by design
+            // store ([[commitTag]]) — version-independent by design;
+            // `_LEASE` is THIS verb's own held writer lease
             if (n != s"_v$cur" && n != s"v$cur" && n != "_CURRENT" &&
-                n != "_committed") buf += p
+                n != "_committed" && n != "_LEASE") buf += p
           }
           buf.toSeq
         } finally stream.close()
       }
       victims.foreach(deleteRec)
       victims.map(_.toString)
-  }
+  } }
 
   private def deleteRec(p: Path): Unit = {
     val stream = Files.walk(p)
@@ -594,7 +600,8 @@ object Compaction {
 
   def compactIndex(spark: SparkSession, path: String, kind: String,
                    maxFilesPerPartition: Int = 8,
-                   retainApplied: Seq[String] = Nil): Boolean = kind match {
+                   retainApplied: Seq[String] = Nil): Boolean =
+    Lease.withLease(path, "compactIndex") { kind match {
     // The three ANN kinds share the fingerprint/ahash deletion
     // protocol, keyed by vec_id: pending tombstones FORCE the rewrite
     // (deletion has an SLA that file debt does not), the layout drops
@@ -876,7 +883,7 @@ object Compaction {
       throw new IllegalArgumentException(
         s"compactIndex: unknown index kind '$other' " +
           "(expected ivf | pq | ivfpq | vocab | bm25 | fingerprint | hll | ahash)")
-  }
+  } }
 
   /** The one tombstone WRITE verb every stored-index family shares —
     * deletion as an LSM-style APPEND of key rows (O(|ids|), previously

@@ -97,33 +97,46 @@ class MetadataLog(spark: SparkSession, path: String) {
     (before, partFiles())
   }
 
-  /** Adopt a torn compaction swap: the rewrite fully materialized into
-    * `_compacting` (with _SUCCESS) but the crash hit between the live
-    * dir's delete and the move — the log's one unreadable window. Safe
-    * unconditionally: the marker dir only exists mid-swap, and adopting
-    * it restores exactly the rewritten events. */
+  /** Adopt a torn compaction swap. The monitor is held from the tmp
+    * write through the move, so a `_compacting` dir carrying _SUCCESS
+    * is ALWAYS the authoritative full rewrite — no append can have
+    * landed in the live dir after the tmp materialized. It is adopted
+    * unconditionally: any live remnant (including a live dir left
+    * PARTIALLY deleted by a crash mid-delete-walk — the walk is not
+    * atomic) is discarded and the tmp moved into place. A tmp without
+    * _SUCCESS is a torn write and is discarded instead. */
   private def recoverCompaction(): Unit = {
     import java.nio.file.{Files, Paths}
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val del = Files.walk(p)
+      try del.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally del.close()
+    }
     val tmp = Paths.get(path + "_compacting")
     if (Files.exists(tmp)) {
-      if (!Files.exists(Paths.get(path)) &&
-          Files.exists(tmp.resolve("_SUCCESS"))) {
-        Files.move(tmp, Paths.get(path))
+      if (Files.exists(tmp.resolve("_SUCCESS"))) {
+        val live = Paths.get(path)
+        if (Files.exists(live)) rmTree(live)
+        Files.move(tmp, live)
         ()
       } else {
-        // live dir survived (crash before its delete, or a torn write
-        // with no _SUCCESS): the temp is stale — discard it
-        val del = Files.walk(tmp)
-        try del.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-        finally del.close()
+        // no _SUCCESS: the rewrite itself tore — the live dir (which a
+        // not-yet-started delete walk left intact) remains authoritative
+        rmTree(tmp)
       }
     }
   }
 
+  /** The returned frame is MATERIALIZED inside the monitor
+    * (`localCheckpoint`): the scan cannot race a concurrent [[compact]]
+    * deleting part files under it — the same listing/delete window the
+    * monitor closes for [[flush]]. The log is a control-plane table
+    * (status events), so eager materialization is a few KB of blocks;
+    * the checkpoint is a pure cache and is dropped with its RDD. */
   def read(): DataFrame = synchronized {
     recoverCompaction()
-    spark.read.parquet(path)
+    spark.read.parquet(path).localCheckpoint(true)
   }
 
   /** Latest state per run (pipeline_metadata.py:267-275 generalized from

@@ -129,12 +129,12 @@ class SnapshotStore(spark: SparkSession, root: String) {
     * the version dir is written fully before the pointer moves. */
   def publish(df: DataFrame, partitionBy: Seq[String] = Nil,
               sidecars: Map[String, String] = Map.empty): Long =
-    publishVersionDir { dir =>
+    Lease.withLease(root, "publish") { publishVersionDir { dir =>
       val w = df.write.mode("overwrite")
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .parquet(dir)
       writeSidecars(dir, sidecars)
-    }
+    } }
 
   /** Drop `_`-prefixed metadata files into a version dir BEFORE its
     * pointer flip — layout contracts (bucket count, …) that must be
@@ -194,7 +194,7 @@ class SnapshotStore(spark: SparkSession, root: String) {
   def publishIncremental(changed: DataFrame, partitionCol: String,
                          sidecars: Map[String, String] = Map.empty,
                          manifest: Boolean = false): Long =
-    currentVersion() match {
+    Lease.withLease(root, "publishIncremental") { currentVersion() match {
       case None => publish(changed, Seq(partitionCol), sidecars)
       case Some(cur) =>
         val curDir = rootPath.resolve(s"v$cur")
@@ -249,7 +249,7 @@ class SnapshotStore(spark: SparkSession, root: String) {
           }
           writeSidecars(dir, sidecars)
         }
-    }
+    } }
 
   /** The hive partition columns of the CURRENT version dir (empty when
     * unpartitioned or no version) — a filesystem probe, NOT a schema
@@ -345,11 +345,11 @@ class SnapshotStore(spark: SparkSession, root: String) {
     * range probe against the purged version until the next OPTIMIZE. */
   def publishZOrdered(df: DataFrame, a: String, b: String, tie: String,
                       numFiles: Int): Long =
-    publishVersionDir { dir =>
+    Lease.withLease(root, "publishZOrdered") { publishVersionDir { dir =>
       ZOrder.clustered(df, df(a), df(b), df(tie), numFiles)
         .write.mode("overwrite").parquet(dir)
       writeLayout(Paths.get(dir), ZLayout(a, b, tie, numFiles))
-    }
+    } }
 
   /** A version's persisted clustering spec — written by
     * [[publishZOrdered]], re-applied by [[purgeKeys]]' rewrites. */
@@ -407,7 +407,7 @@ class SnapshotStore(spark: SparkSession, root: String) {
     * every maintenance verb (not only the next purge) bounds that
     * compliance window by the maintenance cadence even if purging
     * stops entirely. */
-  def vacuum(keepLast: Int): Seq[Long] = {
+  def vacuum(keepLast: Int): Seq[Long] = Lease.withLease(root, "vacuum") {
     recoverPurgeTemps()
     val all = versions()
     val cur = currentVersion()
@@ -489,7 +489,7 @@ class SnapshotStore(spark: SparkSession, root: String) {
     * version ids (the fresh current publish first, when the store has
     * one). */
   def purgeKeys(keys: DataFrame, keyCol: String): Seq[Long] =
-    Caches.withCached {
+    Lease.withLease(root, "purgeKeys") { Caches.withCached {
       recoverPurgeTemps()
       require(keys.columns.contains(keyCol) || keys.columns.length == 1,
         s"purgeKeys: keys has no '$keyCol' column and is not " +
@@ -573,7 +573,7 @@ class SnapshotStore(spark: SparkSession, root: String) {
           fresh.toSeq ++ hist
         }
       } finally Caches.releaseCheckpoint(k)
-    }
+    } }
 
   /** Queue erasure keys for the next scheduled [[purgeSweep]] — the
     * compliance-request INGESTION verb: appends O(|keys|) rows to the
@@ -676,14 +676,17 @@ class SnapshotStore(spark: SparkSession, root: String) {
     * snapshot and fold into the next sweep, never lost. Single-writer
     * like every maintenance verb ([[queuePurgeKeys]] appends are the
     * one exception the snapshot listing makes safe). */
-  def purgeSweep(keyCol: String): Seq[Long] = {
-    val files = queueFiles()
-    if (files.isEmpty) return Seq.empty
-    val rewritten = purgeKeys(
-      spark.read.parquet(files.map(_.toString): _*), keyCol)
-    files.foreach(Files.deleteIfExists)
-    rewritten
-  }
+  def purgeSweep(keyCol: String): Seq[Long] =
+    Lease.withLease(root, "purgeSweep") {
+      val files = queueFiles()
+      if (files.isEmpty) Seq.empty
+      else {
+        val rewritten = purgeKeys(
+          spark.read.parquet(files.map(_.toString): _*), keyCol)
+        files.foreach(Files.deleteIfExists)
+        rewritten
+      }
+    }
 
   /** Erasure-queue observability — the numbers a deployment's erasure
     * SLA is scheduled against: `files` = queued request appends not yet

@@ -223,8 +223,15 @@ object DedupOps {
     // table in the block manager, and the SoftReference only reacts to
     // DRIVER heap pressure — unbounded entries would accumulate
     // executor storage across many corpora in one service session.
-    // A pure cache, so the cheap bound is clear-and-recompute.
-    if (memo.size >= MaxGroupMemoEntries) memo.clear()
+    // A pure cache, so the cheap bound is clear-and-recompute; the
+    // evicted values' checkpoint BLOCKS are released explicitly first
+    // (unpersist, not GC) — waiting for driver GC + ContextCleaner
+    // would leave the dropped tables' executor storage resident
+    // indefinitely under driver-heap headroom.
+    if (memo.size >= MaxGroupMemoEntries) {
+      memo.values.foreach(Caches.releaseCheckpoint)
+      memo.clear()
+    }
     val labels = memo
       .getOrElseUpdate((Caches.planKey(docs), Caches.planKey(pairs)), {
         labelRuns += 1

@@ -415,6 +415,21 @@ object SimilarityOps {
     adcRecall(embeddings, queries, k, ivf)
   }
 
+  /** Recall@k of the STORED IVF retrieval ([[queryIvfIndexBatch]])
+    * against exact brute force — the plain-IVF twin of
+    * [[ivfPqRecallReport]], measuring pure cell-pruning loss (scoring
+    * inside probed cells is exact cosine, so every miss is a neighbor
+    * living in an unprobed cell). With `probeRatio` this measures the
+    * adaptive rule on the path the hybrid retrieval's vector arm
+    * reads. */
+  def ivfStoredRecallReport(spark: org.apache.spark.sql.SparkSession,
+                            path: String, embeddings: DataFrame,
+                            queries: DataFrame, k: Int = 10,
+                            nprobe: Int = 1,
+                            probeRatio: Double = 0.0): DataFrame =
+    adcRecall(embeddings, queries, k,
+      queryIvfIndexBatch(spark, path, queries, k, nprobe, probeRatio))
+
   /** Recall@k of the STORED PQ retrieval (flat ADC scan over byte
     * codes — [[queryPqIndexBatch]]) against the exact brute-force
     * cosine top-k: the measured answer to "what did the 8-byte
@@ -1388,28 +1403,32 @@ object SimilarityOps {
     * `queries` needs (vec_id, embedding); self-matches (same vec_id on
     * both sides) are excluded, matching the single-query paths'
     * `excludeIds = Seq(id)` convention. Returns
-    * (q_id, vec_id, cluster, cosine), top-k rows per q_id. */
+    * (q_id, vec_id, cluster, cosine), top-k rows per q_id.
+    *
+    * `probeRatio` (> 0 to enable) is the SAME adaptive multi-probe rule
+    * as [[queryIvfPqIndexBatch]], through the SAME [[probedCells]]
+    * helper so the two families can never diverge: fixed `nprobe` left
+    * some boundary queries (several near-tied centroids) at recall 0
+    * because their true neighbors live in a 3rd+ cell — the exposure
+    * the r19 verdict flagged on this path after IVFPQ was fixed. The
+    * rule probes every cell within `probeRatio ×` the nearest squared-
+    * L2 centroid distance (floor `nprobe`), spending probes on exactly
+    * the boundary queries. This path feeds the hybrid RRF retrieval's
+    * vector arm, so the lifted floor carries into fused rankings. */
   def queryIvfIndexBatch(spark: org.apache.spark.sql.SparkSession,
                          path: String, queries: DataFrame, topK: Int,
-                         nprobe: Int = 1): DataFrame = {
+                         nprobe: Int = 1,
+                         probeRatio: Double = 0.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     VectorExpressions.register(spark)
-    val spk = spark
-    import spk.implicits._
     val q = queries.select(col("vec_id").as("q_id"),
       asDoubleVec(col("embedding")).as("qv"))
-    val cents = storedCentroids(spark, path)
-      .map { case (cl, c) => (cl, c: Seq[Double]) }.toDF("cluster", "c")
-    val probed = q.crossJoin(broadcast(cents))
-      .withColumn("_d", call_function("graft_l2sq", col("qv"), col("c")))
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("_d"), col("cluster"))))
-      .filter(col("_rn") <= nprobe)
-      // the query's norm is a per-query constant — compute it once here
-      // (nprobe rows per query) instead of per candidate row
-      .select(col("q_id"), col("qv"),
-        sqrt(call_function("graft_dot", col("qv"), col("qv"))).as("qn"),
-        col("cluster"))
+    // the query's norm is a per-query constant — compute it once per
+    // probed (query, cell) row instead of per candidate row
+    val qn = q.select(col("q_id"), col("qv"),
+      sqrt(call_function("graft_dot", col("qv"), col("qv"))).as("qn"))
+    val probed = probedCells(spark, path, q, nprobe, probeRatio)
+      .join(qn, "q_id")
     val scan = screenAnnTombstones(spark, path,
       spark.read.parquet(Compaction.resolve(s"$path/assignments")))
     scan.join(broadcast(probed), "cluster") // partition-column join → DPP

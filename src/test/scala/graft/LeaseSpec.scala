@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{Compaction, Lease, SnapshotStore}
+
+/** Single-writer lease enforcement (r19 verdict #4): every maintenance
+  * verb REFUSES a concurrent writer on the same root instead of merely
+  * documenting the schedule; a crashed writer's expired lease is taken
+  * over. */
+class LeaseSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("a second concurrent maintenance verb on the same root fails loudly") {
+    val root = tmp("lease")
+    val ex = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    Lease.withLease(root, "publish") {
+      // a DIFFERENT thread attempting any verb on the same root while
+      // the lease is held must be refused — same JVM or not
+      val t = new Thread(() =>
+        try Lease.withLease(root, "vacuum") { fail("acquired under holder") }
+        catch { case e: Throwable => ex.set(e) })
+      t.start(); t.join()
+    }
+    assert(ex.get() != null)
+    assert(ex.get().isInstanceOf[IllegalStateException])
+    assert(ex.get().getMessage.contains("Lease conflict"))
+    // released on exit: the file is gone and the root is acquirable again
+    assert(!Files.exists(Paths.get(root, "_LEASE")))
+    Lease.withLease(root, "vacuum") { () }
+  }
+
+  test("verbs NEST on the owning thread (publishIncremental → publish)") {
+    val root = tmp("leasenest")
+    val store = new SnapshotStore(spark, root)
+    // first incremental on an empty store delegates to publish — two
+    // leased verbs on one root, same thread: must not self-deadlock
+    store.publishIncremental(
+      Seq((1L, "a", "x")).toDF("k", "b", "v"), "b")
+    store.publishIncremental(
+      Seq((2L, "c", "y")).toDF("k", "b", "v"), "b")
+    assert(store.read().get.count() === 2)
+    assert(!Files.exists(Paths.get(root, "_LEASE")))
+  }
+
+  test("a crashed writer's EXPIRED lease is taken over; unexpired is not") {
+    val root = tmp("leasetake")
+    Files.createDirectories(Paths.get(root))
+    // simulate a crashed writer: a foreign lease whose expiry has passed
+    Files.writeString(Paths.get(root, "_LEASE"),
+      s"999@dead-process publish ${System.currentTimeMillis() - 1000}\n")
+    var ran = false
+    Lease.withLease(root, "vacuum") { ran = true } // takeover succeeds
+    assert(ran)
+    // an UNEXPIRED foreign lease refuses
+    Files.writeString(Paths.get(root, "_LEASE"),
+      s"999@alive-process publish ${System.currentTimeMillis() + 60000}\n")
+    val e = intercept[IllegalStateException] {
+      Lease.withLease(root, "vacuum") { fail("acquired under live lease") }
+    }
+    assert(e.getMessage.contains("Lease conflict"))
+    Files.deleteIfExists(Paths.get(root, "_LEASE"))
+  }
+
+  test("a torn (unparseable) lease file is treated as dead and taken over") {
+    val root = tmp("leasetorn")
+    Files.createDirectories(Paths.get(root))
+    Files.writeString(Paths.get(root, "_LEASE"), "garbage with no expiry")
+    var ran = false
+    Lease.withLease(root, "publish") { ran = true }
+    assert(ran)
+  }
+
+  test("store verbs under lease: concurrent publish vs vacuum conflict") {
+    val root = tmp("leasestore")
+    val store = new SnapshotStore(spark, root)
+    store.publish(Seq((1L, "a")).toDF("k", "v"))
+    store.publish(Seq((2L, "b")).toDF("k", "v"))
+    val ex = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    Lease.withLease(root, "publish") { // stand-in for an in-flight publish
+      val t = new Thread(() =>
+        try { store.vacuum(1); () }
+        catch { case e: Throwable => ex.set(e) })
+      t.start(); t.join()
+    }
+    assert(ex.get() != null &&
+      ex.get().getMessage.contains("Lease conflict"))
+    // after release the vacuum proceeds normally
+    assert(store.vacuum(1) === Seq(0L))
+  }
+
+  test("Compaction verbs hold the lease and vacuum spares the _LEASE file") {
+    val table = tmp("leasecomp") + "/t"
+    Seq((1L, "a")).toDF("k", "v").write.mode("append").parquet(table)
+    Seq((2L, "b")).toDF("k", "v").write.mode("append").parquet(table)
+    assert(Compaction.compactTable(spark, table, identity _,
+      maxFilesPerPartition = 0))
+    // vacuum (leased itself) must reclaim old layout but never its own
+    // held lease file
+    val removed = Compaction.vacuum(table)
+    assert(removed.nonEmpty)
+    assert(!Files.exists(Paths.get(table, "_LEASE")))
+    assert(spark.read.parquet(Compaction.resolve(table)).count() === 2)
+  }
+
+  test("holder() reports owner/verb/expiry while held, None after") {
+    val root = tmp("leasehold")
+    Lease.withLease(root, "compactIndex") {
+      val h = Lease.holder(root)
+      assert(h.isDefined && h.get.contains("compactIndex"))
+    }
+    assert(Lease.holder(root).isEmpty)
+  }
+}
