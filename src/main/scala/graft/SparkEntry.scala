@@ -1957,12 +1957,17 @@ object SparkEntry {
         .headOption.map(_.getInt(0)).getOrElse(0)
       if (dims > 0 && dims % P.PqM == 0) {
         val subDim = dims / P.PqM
-        (0 until P.PqM).foreach { sub =>
-          SimilarityOps.kmeansCentroids(
+        // concurrent like pqCodebooks itself: 16 independent subspace
+        // trainings as parallel Spark jobs, not 96 sequential tiny ones
+        import scala.concurrent.{Await, Future, ExecutionContext}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        (0 until P.PqM).map { sub =>
+          Future(SimilarityOps.kmeansCentroids(
             ev64.select(col("vec_id"),
               expr(s"slice(v, ${sub * subDim + 1}, $subDim)").as("v")),
-            P.PqKsub, P.PqIters)
-        }
+            P.PqKsub, P.PqIters))
+        }.foreach(Await.result(_, Duration.Inf))
       }
     }
     // stored-index builds (one per process, under the auto-removed

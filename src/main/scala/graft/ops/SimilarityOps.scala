@@ -607,15 +607,29 @@ object SimilarityOps {
   }
 
   /** Per-subspace codebooks (driver-looped Lloyd's, tiny collect each —
-    * memoized per (plan, k, iters) by [[kmeansCentroids]]). */
+    * memoized per (plan, k, iters) by [[kmeansCentroids]]).
+    *
+    * The `m` trainings are INDEPENDENT (each slices its own subspace),
+    * so they run as concurrent Spark jobs — the standard multi-job
+    * pattern the warm chains already use. At m=16 × iters=3 the
+    * sequential loop was 96 driver round-trips of tiny jobs (the r20
+    * geometry's dominant setup cost); concurrency collapses the wall
+    * to ~the slowest subspace. Results are deterministic regardless of
+    * completion order (each training is a pure derivation memoized
+    * under its own plan key). */
   private def pqCodebooks(e: DataFrame, m: Int, subDim: Int, ksub: Int,
-                          iters: Int): Seq[Seq[Seq[Double]]] =
-    (0 until m).map { s =>
-      kmeansCentroids(
+                          iters: Int): Seq[Seq[Seq[Double]]] = {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fs = (0 until m).map { s =>
+      Future(kmeansCentroids(
         e.select(col("vec_id"),
           expr(s"slice(v, ${s * subDim + 1}, $subDim)").as("v")),
-        ksub, iters)
+        ksub, iters))
     }
+    fs.map(Await.result(_, Duration.Inf))
+  }
 
   /** Query subvectors → per-subspace distance tables (driver arithmetic
     * is only transport: the distances are computed by the same codegen'd
