@@ -45,11 +45,12 @@ object Lease {
   private final case class Held(thread: Long, var depth: Int)
   private val held = new java.util.concurrent.ConcurrentHashMap[String, Held]()
 
-  private def leaseFile(root: String): Path = {
-    val r = Paths.get(root)
-    Files.createDirectories(r)
-    r.resolve("_LEASE")
-  }
+  // NEVER creates the root: materializing an empty dir as a lease
+  // side effect would flip the `Files.exists` probes no-op verbs make
+  // (a compaction on a never-written table must keep finding nothing,
+  // not an empty dir that breaks schema inference downstream)
+  private def leaseFile(root: String): Path =
+    Paths.get(root).resolve("_LEASE")
 
   private def canonical(root: String): String =
     Paths.get(root).toAbsolutePath.normalize.toString
@@ -90,6 +91,13 @@ object Lease {
 
   private def acquireFile(key: String, verb: String, ttlMs: Long): Unit = {
     val f = leaseFile(key)
+    // a root that does not exist yet has no shared state to protect —
+    // the in-memory `held` map still guards same-JVM concurrency, and
+    // the verb's own first write allocates through tmp+atomic-move.
+    // (Creating the dir here instead would be a side effect the no-op
+    // verbs observe.) The first verb that materializes the root brings
+    // the file lease with it on its next acquisition.
+    if (!Files.exists(f.getParent)) return
     val payload =
       s"$ownerId $verb ${System.currentTimeMillis() + ttlMs}\n".getBytes("UTF-8")
     var attempts = 0
