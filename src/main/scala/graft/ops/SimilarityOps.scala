@@ -175,6 +175,49 @@ object SimilarityOps {
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
+  /** Per-projection budget of INLINED kernel calls. A projection whose
+    * expressions inline more `graft_l2sq` calls than this risks
+    * janino's 64 KB generated-method limit — the whole stage then
+    * attempts a doomed compile and falls back to interpreted execution
+    * with a stack-trace warning per task (observed at PQ geometry
+    * m=16 × ksub=64 = 1024 calls; the committed 16×16 = 256 stays
+    * comfortably codegen'd). Past the budget, [[distArray]] switches
+    * to ONE `transform` over a literal centroid matrix per subspace —
+    * CodegenFallback by construction, but a deliberate, quiet one
+    * (and for the per-QUERY distance tables the evaluated rows number
+    * |queries|, so the representation is performance-neutral there).
+    * 384, not 512: the m×ksub PQ calls share their projection with a
+    * few more expressions (the coarse k-cell assignment, the ADC
+    * chain), and 512-call configs were measured to still blow the
+    * limit — the committed 16×16 = 256 keeps comfortable headroom. */
+  private val MaxInlinedKernelCalls = 384
+
+  /** Distances from a vector column to each centroid, as an array
+    * column — inlined per-centroid kernel calls (codegen'd) under the
+    * [[MaxInlinedKernelCalls]] budget, a literal-matrix `transform`
+    * above it. Element order = centroid order in both forms, and both
+    * apply the same `graft_l2sq` fold, so downstream `array_position`
+    * tie-breaks and ADC lookups are bit-identical either way.
+    * `projectionCalls` is the TOTAL inlined calls the enclosing
+    * projection would carry (m × ksub for the PQ paths — the budget is
+    * per generated method, not per expression). */
+  private def distArray(v: Column, cents: Seq[Seq[Double]],
+                        projectionCalls: Int): Column =
+    if (projectionCalls <= MaxInlinedKernelCalls)
+      array(cents.map(c => dist2(v, c)): _*)
+    else
+      transform(typedlit(cents.map(c => c: Seq[Double])),
+        c => call_function("graft_l2sq", v, c))
+
+  /** [[assignCluster]] through [[distArray]] — the PQ encode form,
+    * where m per-subspace assignments share one projection and the
+    * call budget is m × ksub. */
+  private def assignClusterBudgeted(v: Column, cents: Seq[Seq[Double]],
+                                    projectionCalls: Int): Column = {
+    val dists = distArray(v, cents, projectionCalls)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
   /** Squared-L2 distance to the NEAREST centroid — the per-vector
     * quantization error whose corpus mean is the index-quality metric
     * behind [[shouldRetrain]]. */
@@ -639,28 +682,33 @@ object SimilarityOps {
                             subDim: Int): Seq[Seq[Double]] = {
     val m = codebooks.length; val ksub = codebooks.head.length
     val q = e.filter(col("vec_id") === queryId)
-    val tableCols = (0 until m).flatMap { s =>
-      val qSub = expr(s"slice(v, ${s * subDim + 1}, $subDim)")
-      codebooks(s).zipWithIndex.map { case (c, j) =>
-        call_function("graft_l2sq", qSub, typedlit(c)).as(s"d_${s}_$j")
-      }
+    // one ARRAY column per subspace (budgeted representation — the
+    // flat m×ksub scalar-column form hit the same janino ceiling the
+    // batch tables did at fine geometry), collected as one row
+    val tableCols = (0 until m).map { s =>
+      distArray(expr(s"slice(v, ${s * subDim + 1}, $subDim)"),
+        codebooks(s), m * ksub).as(s"t_$s")
     }
     val rows = q.select(tableCols: _*).limit(1).collect()
     require(rows.nonEmpty,
       s"pq query: vec_id $queryId is not in the corpus — the distance " +
         "tables cannot be built for an absent query vector")
     val row = rows(0)
-    (0 until m).map(s => (0 until ksub).map(j => row.getDouble(s * ksub + j)))
+    (0 until m).map(s => row.getSeq[Double](s).toIndexedSeq)
   }
 
   /** `code_s` columns: each subvector's nearest codebook entry. Must be
-    * selected while the `v` column is still in scope. */
+    * selected while the `v` column is still in scope. Budgeted: the m
+    * assignments share one projection, so the inlined-call budget is
+    * m × ksub ([[distArray]]). */
   private def pqCodeCols(codebooks: Seq[Seq[Seq[Double]]],
-                         subDim: Int): Seq[Column] =
+                         subDim: Int): Seq[Column] = {
+    val calls = codebooks.length * codebooks.headOption.map(_.length).getOrElse(0)
     codebooks.indices.map { s =>
-      assignCluster(expr(s"slice(v, ${s * subDim + 1}, $subDim)"), codebooks(s))
-        .as(s"code_$s")
+      assignClusterBudgeted(expr(s"slice(v, ${s * subDim + 1}, $subDim)"),
+        codebooks(s), calls).as(s"code_$s")
     }
+  }
 
   /** ADC over previously selected `code_s` columns: Σ_s table_s[code_s]
     * with the fixed left-associated fold order the oracle replays. */
@@ -1544,10 +1592,15 @@ object SimilarityOps {
     * the standard PQ quality metric (each subspace quantizes
     * independently, so the per-subspace minima sum to the full residual). */
   private def pqDistortion(subDim: Int,
-                           codebooks: Seq[Seq[Seq[Double]]]): Column =
+                           codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    // budgeted like pqCodeCols: the m min-distance terms share one
+    // aggregate projection, so the inlined-call budget is m × ksub
+    val calls = codebooks.length * codebooks.headOption.map(_.length).getOrElse(0)
     codebooks.zipWithIndex.map { case (cb, s) =>
-      assignedDist2(expr(s"slice(v, ${s * subDim + 1}, $subDim)"), cb)
+      array_min(distArray(expr(s"slice(v, ${s * subDim + 1}, $subDim)"),
+        cb, calls))
     }.reduce(_ + _)
+  }
 
   /** Incremental stored-PQ maintenance — completing the lifecycle
     * symmetry with [[mergeIvfIndex]]/[[graft.ops.TextOps.mergeBm25Index]]:
@@ -1774,11 +1827,11 @@ object SimilarityOps {
       asDoubleVec(col("embedding")).as("qv"))
     // per-query ADC tables: dt_s[j] = l2sq(query subvector s, centroid
     // (s, j)) — ksub entries per subspace, computed once per query
+    // (budgeted representation: see distArray — per-query rows, so the
+    // transform fallback past the call budget is performance-neutral)
     val dtCols = (0 until m).map { s =>
-      array((0 until ksub).map(j =>
-        call_function("graft_l2sq",
-          expr(s"slice(qv, ${s * subDim + 1}, $subDim)"),
-          typedlit(centroid((s, j)): Seq[Double]))): _*).as(s"dt_$s")
+      distArray(expr(s"slice(qv, ${s * subDim + 1}, $subDim)"),
+        (0 until ksub).map(j => centroid((s, j))), m * ksub).as(s"dt_$s")
     }
     val qt = q.select(col("q_id") +: dtCols: _*)
     val codes = screenAnnTombstones(spark, path,
@@ -1836,12 +1889,11 @@ object SimilarityOps {
     val subDim = centroid((0, 0)).length
     val q = queries.select(col("vec_id").as("q_id"),
       asDoubleVec(col("embedding")).as("qv"))
-    // per-query ADC tables, computed ONCE per query (not per probed cell)
+    // per-query ADC tables, computed ONCE per query (not per probed
+    // cell); budgeted representation as in queryPqIndexBatch
     val dtCols = (0 until m).map { s =>
-      array((0 until ksub).map(j =>
-        call_function("graft_l2sq",
-          expr(s"slice(qv, ${s * subDim + 1}, $subDim)"),
-          typedlit(centroid((s, j)): Seq[Double]))): _*).as(s"dt_$s")
+      distArray(expr(s"slice(qv, ${s * subDim + 1}, $subDim)"),
+        (0 until ksub).map(j => centroid((s, j))), m * ksub).as(s"dt_$s")
     }
     val qt = q.select(col("q_id") +: dtCols: _*)
     val probed = probedCells(spark, path, q, nprobe, probeRatio)

@@ -639,6 +639,47 @@ class StoredIndexesSpec extends AnyFunSuite {
     }
   }
 
+  test("over-budget PQ geometry (transform representation) matches a " +
+      "driver-side exact ADC replay") {
+    // m=16 × ksub=32 = 512 inlined calls > MaxInlinedKernelCalls(384):
+    // the build's encode and the probe's distance tables take the
+    // literal-matrix `transform` form. The probe's top-k must equal an
+    // independent driver-side replay of the stored control planes —
+    // codebooks and codes read back from parquet, ADC summed in plain
+    // Scala with the same left-to-right fold.
+    val e = Tables.embeddings(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("budget_pq").toString
+    SimilarityOps.buildPqIndex(e, path, m = 16, ksub = 32, iters = 1)
+    val got = SimilarityOps.queryPqIndexBatch(spark, path,
+        e.filter($"vec_id" === 0L), topK = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      .sortBy(r => (r._2, r._1))
+    // driver replay from the stored artifacts
+    val cb = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val qv = e.filter($"vec_id" === 0L)
+      .select(SimilarityOps.asDoubleVec($"embedding")).head().getSeq[Double](0)
+    val subDim = qv.length / 16
+    val tables = (0 until 16).map { s =>
+      val qs = qv.slice(s * subDim, (s + 1) * subDim)
+      (0 until 32).map { j =>
+        qs.zip(cb((s, j))).foldLeft(0.0) {
+          case (acc, (x, y)) => acc + (x - y) * (x - y) }
+      }
+    }
+    val codes = spark.read.parquet(s"$path/codes").collect()
+    val adc = codes.filter(_.getLong(0) != 0L).map { r =>
+      val vid = r.getLong(0)
+      val d = (0 until 16).map { s =>
+        tables(s)(r.getInt(r.fieldIndex(s"code_$s")))
+      }.reduceLeft(_ + _) // same left fold as pqAdc
+      (vid, d)
+    }.sortBy(r => (r._2, r._1)).take(5).toSeq
+    assert(got === adc,
+      "the transform-form probe must be bit-identical to the stored-" +
+        "artifact replay")
+  }
+
   test("batch IVF-PQ probe equals the per-query probe for every query") {
     val e = Tables.embeddings(spark, sfDir)
     val path = java.nio.file.Files.createTempDirectory("cmp_ivfpqb").toString
