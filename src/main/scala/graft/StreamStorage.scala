@@ -46,6 +46,8 @@ object StreamStorage {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val batches = args.headOption.map(_.toInt).getOrElse(64)
+    // args(1): "hot" | "rot" | "all" — run one workload shape or both
+    val shape = args.lift(1).getOrElse("all")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -66,7 +68,7 @@ object StreamStorage {
       startTs = "2024-01-01 00:00:00")
     val dim0 = Scd2.rebuild(seedChanges, K, TS, TIE).localCheckpoint(true)
 
-    for (every <- Seq(8, 16, 32)) {
+    for (every <- Seq(8, 16, 32) if shape != "rot") {
       val work = Files.createTempDirectory(s"stream_storage_$every").toString
       val store = new SnapshotStore(spark, s"$work/dim")
       store.publish(
@@ -114,6 +116,60 @@ object StreamStorage {
         s"materializeEvery=$every: final dim disagrees with batch merge " +
           s"($a vs $b) — the storage numbers above describe a WRONG store")
       println(s"final_agrees=true versions=${store.versions().mkString(",")}")
+    }
+
+    // ── the ADVERSARIAL shape: ROTATING buckets ──────────────────────
+    // Hot-key trickle re-touches the same buckets, so any version's
+    // owner closure stays shallow and the materialize dial barely
+    // matters (the section above measures exactly that). The shape the
+    // dial EXISTS for is a feed whose batches touch DIFFERENT buckets
+    // each time: every carried dir then references a distinct older
+    // owner, the closure chains one hop per batch since the last
+    // materialize, and vacuum must pin the whole chain. Here batch i
+    // updates only keys hashing into bucket group (8i mod 256 .. +8) —
+    // 8 fresh buckets per batch, no overlap within a 32-batch cycle —
+    // so between ticks the chain grows linearly and the per-period
+    // high-water directly exposes what `materializeEvery` buys.
+    val rotPool = ChangeGen.changes(spark, 120000L, 30000, seed = 11)
+      .withColumn("_bkt", pmod(xxhash64(col(K)), lit(256L)).cast("int"))
+      .localCheckpoint(true)
+    for (every <- Seq(8, 32) if shape != "hot") {
+      val work = Files.createTempDirectory(s"stream_storage_rot_$every").toString
+      val store = new SnapshotStore(spark, s"$work/dim")
+      store.publish(
+        CdcStream.clustered(CdcStream.bucketed(dim0, K, buckets)),
+        Seq(CdcStream.BucketCol),
+        Map(CdcStream.DimBucketsMeta -> buckets.toString))
+      val seedBytes = diskBytes(s"$work/dim")
+      println(f"\n== ROTATING buckets, materializeEvery=$every " +
+        f"(seed ${seedBytes / 1024}%d KiB, $batches batches x 8 fresh " +
+        "buckets, vacuum(2) every batch) ==")
+      println("period  high_water_KiB  reclaimed_KiB  end_KiB  max_versions")
+      var periodHigh = 0L; var periodStart = 1; var maxVers = 0
+      for (i <- 1 to batches) {
+        val lo = (8 * (i - 1)) % 256
+        val batch = rotPool
+          .filter(col("_bkt") >= lo && col("_bkt") < lo + 8)
+          .drop("_bkt")
+        CdcStream.applyChangeBatch(store, batch, K, TS, TIE,
+          opCol = Some("operation_type"), dimBuckets = buckets,
+          manifestCarry = true)
+        store.vacuum(2)
+        periodHigh = math.max(periodHigh, diskBytes(s"$work/dim"))
+        maxVers = math.max(maxVers, store.versions().size)
+        if (i % every == 0) {
+          CdcStream.materializeSnapshot(store, buckets)
+          val beforeVac = diskBytes(s"$work/dim")
+          periodHigh = math.max(periodHigh, beforeVac)
+          store.vacuum(2)
+          val end = diskBytes(s"$work/dim")
+          println(f"${periodStart}%3d-${i}%-3d ${periodHigh / 1024}%14d " +
+            f"${(beforeVac - end) / 1024}%13d ${end / 1024}%8d " +
+            f"${maxVers}%12d")
+          periodHigh = 0L; periodStart = i + 1; maxVers = 0
+        }
+      }
+      println(s"final versions=${store.versions().mkString(",")}")
     }
     spark.stop()
   }
