@@ -56,10 +56,14 @@ object GeomSweep {
       (16, 16, 3),
       (16, 32, 2),
       (16, 64, 2))  // finest measured
+    // coarse geometry from the committed dial (SparkEntry.P) — the
+    // frontier must measure the index production builds, not a
+    // coincidentally-equal hardcode that drifts on the next move
+    val P = SparkEntry.P
     for (((m, ksub, it), gi) <- geoms.zipWithIndex) {
       val path = s"$root/g$gi"
       val (tB, _) = time(SimilarityOps.buildIvfPqIndex(emb, path,
-        k = 8, iters = 2, m = m, ksub = ksub, pqIters = it))
+        k = P.KmK, iters = P.KmIters, m = m, ksub = ksub, pqIters = it))
       for (f <- Seq(4, 8)) {
         val (a, mn) = recallAvgMin(SimilarityOps.ivfPqRerankRecallReport(
           spark, path, emb, queries, 10, f, 2, 1.25))

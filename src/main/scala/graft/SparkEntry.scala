@@ -1958,15 +1958,18 @@ object SparkEntry {
       if (dims > 0 && dims % P.PqM == 0) {
         val subDim = dims / P.PqM
         // concurrent like pqCodebooks itself: 16 independent subspace
-        // trainings as parallel Spark jobs, not 96 sequential tiny ones
+        // trainings as parallel Spark jobs, not 96 sequential tiny
+        // ones. Slices are ensureCached on THIS thread first (scope
+        // registration is thread-local — same discipline as
+        // pqCodebooks), the futures' own ensureCached then no-op.
         import scala.concurrent.{Await, Future, ExecutionContext}
         import scala.concurrent.duration.Duration
         implicit val ec: ExecutionContext = ExecutionContext.global
         (0 until P.PqM).map { sub =>
-          Future(SimilarityOps.kmeansCentroids(
-            ev64.select(col("vec_id"),
-              expr(s"slice(v, ${sub * subDim + 1}, $subDim)").as("v")),
-            P.PqKsub, P.PqIters))
+          engine.Caches.ensureCached(ev64.select(col("vec_id"),
+            expr(s"slice(v, ${sub * subDim + 1}, $subDim)").as("v")))
+        }.map { sliced =>
+          Future(SimilarityOps.kmeansCentroids(sliced, P.PqKsub, P.PqIters))
         }.foreach(Await.result(_, Duration.Inf))
       }
     }

@@ -1,6 +1,6 @@
 package graft.engine
 
-import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 
 /** Single-writer ENFORCEMENT for the maintenance verbs. Every mutation
   * verb over a versioned root (publish / purge / sweep / compaction /
@@ -14,17 +14,35 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
   * Mechanics — `<root>/_LEASE`, atomic `CREATE_NEW` (the same
   * local-FS/HDFS atomic-create primitive the ledger's claim files use;
   * on S3 the equivalent is a conditional PUT):
-  *  - acquisition writes `owner verb expiryMillis`; conflict with an
-  *    UNEXPIRED foreign lease raises loudly (fail-fast, no queueing —
+  *  - acquisition writes `owner:token verb expiryMillis`; conflict with
+  *    an UNEXPIRED foreign lease raises loudly (fail-fast, no queueing —
   *    maintenance schedules are coordinated, overlap is a deployment
   *    bug);
   *  - a lease past its expiry is taken over (the crashed-writer path:
   *    leases are released in `finally`, so an expired file means its
-  *    owner died mid-verb; recovery-on-entry makes the takeover safe);
+  *    owner died mid-verb). The takeover CLAIMS the stale file by
+  *    atomic rename first — of N racing takers exactly one wins the
+  *    move, the losers see the file gone and retry into the winner's
+  *    fresh lease — and then re-verifies the CLAIMED content is the
+  *    expired lease it read (a racing release+reacquire between read
+  *    and claim would otherwise be stolen; a claimed-but-live lease is
+  *    restored and the taker conflicts loudly);
+  *  - release deletes the file only when its token matches THIS
+  *    acquisition — a verb that outlived its TTL and lost the lease to
+  *    a takeover must not delete the new holder's lease on exit;
   *  - reentrant WITHIN the owning thread (verbs nest: publishIncremental
   *    → publishVersionDir, vacuum → recoverPurgeTemps, purgeSweep →
-  *    purgeKeys) via a depth counter; a SECOND thread — same JVM or
-  *    not — conflicts like any foreign writer.
+  *    purgeKeys); a SECOND thread — same JVM or not — conflicts like
+  *    any foreign writer.
+  *
+  * Residual windows, documented honestly: the rename-claim closes the
+  * two-taker race, but a THIRD writer creating a fresh lease in the
+  * microseconds between a claim and its live-content restore can leave
+  * two holders — that interleaving needs three concurrent writers
+  * racing one expiry boundary, far outside any coordinated maintenance
+  * schedule, and the verbs' own atomic-publish protocols bound the
+  * damage to the documented crash posture. A deployment on an object
+  * store replaces this file protocol with a true conditional PUT.
   *
   * Readers are not leased: reads resolve a published _CURRENT version
   * whose files are immutable until vacuum, and vacuum itself takes the
@@ -34,15 +52,20 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 object Lease {
 
   /** Default time-to-live. Generous relative to any measured verb
-    * (the whole 168-query gate runs in ~90 s); a deployment running
-    * hour-long compactions passes its own `ttlMs`. */
-  val DefaultTtlMs: Long = 15 * 60 * 1000L
+    * (the whole 170-query gate runs in ~90 s). A deployment running
+    * longer verbs (an hour-long 100-TB compaction) raises it per call
+    * (`ttlMs`) or process-wide via `-Dgraft.lease.ttlMs=...` — a verb
+    * that outlives its TTL loses mutual exclusion to the takeover
+    * path, so size it ABOVE the slowest scheduled verb. */
+  def defaultTtlMs: Long =
+    sys.props.get("graft.lease.ttlMs").flatMap(_.toLongOption)
+      .getOrElse(15 * 60 * 1000L)
 
   private val ownerId =
     s"${java.lang.ProcessHandle.current().pid()}@" +
       java.util.UUID.randomUUID().toString
 
-  private final case class Held(thread: Long, var depth: Int)
+  private final case class Held(thread: Long, token: String)
   private val held = new java.util.concurrent.ConcurrentHashMap[String, Held]()
 
   // NEVER creates the root: materializing an empty dir as a lease
@@ -58,27 +81,27 @@ object Lease {
   /** Run `body` holding the root's writer lease. Loud `IllegalStateException`
     * if another writer (thread or process) holds an unexpired lease. */
   def withLease[T](root: String, verb: String,
-                   ttlMs: Long = DefaultTtlMs)(body: => T): T = {
+                   ttlMs: Long = defaultTtlMs)(body: => T): T = {
     val key = canonical(root)
     val tid = Thread.currentThread().getId
     val cur = held.get(key)
     if (cur != null && cur.thread == tid) {
       // nested verb on the owning thread — reentrant, no file touch
-      cur.depth += 1
-      try body finally cur.depth -= 1
+      body
     } else {
-      acquireFile(key, verb, ttlMs)
-      val h = Held(tid, 1)
-      if (held.putIfAbsent(key, h) != null) {
+      val token = java.util.UUID.randomUUID().toString
+      acquireFile(key, verb, ttlMs, token)
+      if (held.putIfAbsent(key, Held(tid, token)) != null) {
         // lost an in-JVM race between the file create and the map put —
-        // surrender the file claim and fail like any conflict
-        Files.deleteIfExists(leaseFile(key))
+        // surrender OUR file claim (token-checked: never someone
+        // else's) and fail like any conflict
+        releaseFile(key, token)
         failHeld(key, verb)
       }
       try body
       finally {
         held.remove(key)
-        Files.deleteIfExists(leaseFile(key))
+        releaseFile(key, token)
       }
     }
   }
@@ -89,7 +112,30 @@ object Lease {
         "writer holds the lease (single-writer discipline; coordinate the " +
         "maintenance schedule or wait for the holder to finish)")
 
-  private def acquireFile(key: String, verb: String, ttlMs: Long): Unit = {
+  /** Delete the lease file ONLY if it carries `token` — a release after
+    * an expiry takeover must leave the new holder's lease intact. (The
+    * read-then-delete pair is not atomic; the residual window needs a
+    * takeover to land in the microseconds between them, which itself
+    * requires this verb to have already outlived its TTL.) */
+  private def releaseFile(key: String, token: String): Unit = {
+    val f = leaseFile(key)
+    try {
+      val first = new String(Files.readAllBytes(f), "UTF-8").trim
+        .split(' ').headOption
+      if (first.exists(_.endsWith(":" + token))) {
+        Files.deleteIfExists(f)
+        ()
+      }
+    } catch { case _: java.io.IOException => () } // gone: nothing ours
+  }
+
+  private def parseExpiry(content: String): Option[Long] = {
+    val parts = content.trim.split(' ')
+    if (parts.length < 3) None else parts(2).toLongOption
+  }
+
+  private def acquireFile(key: String, verb: String, ttlMs: Long,
+                          token: String): Unit = {
     val f = leaseFile(key)
     // a root that does not exist yet has no shared state to protect —
     // the in-memory `held` map still guards same-JVM concurrency, and
@@ -98,38 +144,63 @@ object Lease {
     // verbs observe.) The first verb that materializes the root brings
     // the file lease with it on its next acquisition.
     if (!Files.exists(f.getParent)) return
-    val payload =
-      s"$ownerId $verb ${System.currentTimeMillis() + ttlMs}\n".getBytes("UTF-8")
+    def payload() =
+      s"$ownerId:$token $verb ${System.currentTimeMillis() + ttlMs}\n"
+        .getBytes("UTF-8")
     var attempts = 0
     while ({
       attempts += 1
+      if (attempts > 64) throw new IllegalStateException(
+        s"Lease takeover on $key livelocked after $attempts attempts")
       try {
-        Files.write(f, payload, StandardOpenOption.CREATE_NEW)
+        Files.write(f, payload(), StandardOpenOption.CREATE_NEW)
         false // acquired
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          val expired = try {
-            val parts = new String(Files.readAllBytes(f), "UTF-8").trim
-              .split(' ')
-            parts.length < 3 || parts(2).toLong < System.currentTimeMillis()
+          val content = try {
+            new String(Files.readAllBytes(f), "UTF-8")
           } catch {
             // racing holder released between our create and read — retry
-            case _: java.nio.file.NoSuchFileException => true
-            case _: NumberFormatException => true // torn write: treat as dead
+            case _: java.io.IOException => ""
           }
+          // unreadable/torn (no expiry field) counts as dead
+          val expired = parseExpiry(content)
+            .forall(_ < System.currentTimeMillis())
           if (!expired) failHeld(key, verb)
-          // crashed-writer takeover: delete the expired file and retry
-          // the atomic create (a racing taker simply loses the create)
-          Files.deleteIfExists(f)
-          if (attempts > 64) throw new IllegalStateException(
-            s"Lease takeover on $key livelocked after $attempts attempts")
-          true // retry
+          // crashed-writer takeover, claim-by-rename: exactly one of N
+          // racing takers wins the atomic move; the losers' moves find
+          // no file and the loop retries into the winner's fresh lease
+          val stale = f.resolveSibling(
+            s"_LEASE.stale.${java.util.UUID.randomUUID()}")
+          try {
+            Files.move(f, stale, StandardCopyOption.ATOMIC_MOVE)
+            // we OWN the claimed file — re-verify it is the dead lease
+            // we read, not a fresh one written by a release+reacquire
+            // that raced our read
+            val claimed = new String(Files.readAllBytes(stale), "UTF-8")
+            val claimedDead = parseExpiry(claimed)
+              .forall(_ < System.currentTimeMillis())
+            if (claimedDead) { Files.deleteIfExists(stale); () }
+            else {
+              // stole a LIVE lease: restore it and conflict loudly;
+              // if a racer re-created meanwhile, surrender our claim
+              // (their fresh lease stands) and still conflict
+              try Files.move(stale, f, StandardCopyOption.ATOMIC_MOVE)
+              catch { case _: java.io.IOException =>
+                Files.deleteIfExists(stale); ()
+              }
+              failHeld(key, verb)
+            }
+          } catch {
+            case _: java.nio.file.NoSuchFileException => // lost the claim
+          }
+          true // retry the create
       }
     }) ()
   }
 
   /** The current lease holder line, if any — observability for
-    * schedulers (`owner verb expiry`). */
+    * schedulers (`owner:token verb expiry`). */
   def holder(root: String): Option[String] = {
     val f = Paths.get(canonical(root)).resolve("_LEASE")
     if (Files.exists(f))

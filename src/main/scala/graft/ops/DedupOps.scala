@@ -216,7 +216,15 @@ object DedupOps {
     * and a pipeline materializes components once — re-running the
     * iterative loop per consumer was the engine's one repeated-iterative
     * pattern (same static-input assumption as the k-means memo and
-    * Spark's own relation cache). */
+    * Spark's own relation cache).
+    *
+    * Consumption contract: the returned frame is served from a BOUNDED
+    * cache whose eviction releases the checkpoint blocks behind it
+    * (lineage is truncated, so evicted labels cannot recompute) — act
+    * on a dupGroups result promptly; a lazy handle held across
+    * [[MaxGroupMemoEntries]] further distinct-corpus dupGroups calls in
+    * one session fails LOUDLY on next use (checkpoint block not found)
+    * rather than silently growing executor storage without bound. */
   def dupGroups(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val memo = groupsMemo(docs.sparkSession)
     // entry-count bound: each value pins a localCheckpoint-backed label

@@ -665,12 +665,20 @@ object SimilarityOps {
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val fs = (0 until m).map { s =>
-      Future(kmeansCentroids(
+    // register the per-subspace cached slices on the CALLER thread
+    // FIRST: Caches.withCached scopes are thread-local, so an
+    // ensureCached issued inside a Future would register to no scope
+    // and a service-mode request would leak one cached slice per
+    // subspace per corpus. Pre-registered here, the trainings' own
+    // ensureCached calls (same canonicalized plan) see the existing
+    // entry and skip registration — ownership stays with this thread's
+    // scope, exactly as in the sequential formulation.
+    val slices = (0 until m).map { s =>
+      Caches.ensureCached(
         e.select(col("vec_id"),
-          expr(s"slice(v, ${s * subDim + 1}, $subDim)").as("v")),
-        ksub, iters))
+          expr(s"slice(v, ${s * subDim + 1}, $subDim)").as("v")))
     }
+    val fs = slices.map(sub => Future(kmeansCentroids(sub, ksub, iters)))
     fs.map(Await.result(_, Duration.Inf))
   }
 
