@@ -1956,19 +1956,15 @@ object SparkEntry {
       val dims = ev64.select(size(col("v"))).limit(1).collect()
         .headOption.map(_.getInt(0)).getOrElse(0)
       if (dims > 0 && dims % P.PqM == 0) {
-        val subDim = dims / P.PqM
         // concurrent like pqCodebooks itself: 16 independent subspace
         // trainings as parallel Spark jobs, not 96 sequential tiny
-        // ones. Slices are ensureCached on THIS thread first (scope
-        // registration is thread-local — same discipline as
-        // pqCodebooks), the futures' own ensureCached then no-op.
+        // ones. The slice plans come from the SAME pqSlices helper the
+        // production training uses, so they canonicalize to identical
+        // memo keys / cache entries by construction.
         import scala.concurrent.{Await, Future, ExecutionContext}
         import scala.concurrent.duration.Duration
         implicit val ec: ExecutionContext = ExecutionContext.global
-        (0 until P.PqM).map { sub =>
-          engine.Caches.ensureCached(ev64.select(col("vec_id"),
-            expr(s"slice(v, ${sub * subDim + 1}, $subDim)").as("v")))
-        }.map { sliced =>
+        SimilarityOps.pqSlices(ev64, P.PqM, dims / P.PqM).map { sliced =>
           Future(SimilarityOps.kmeansCentroids(sliced, P.PqKsub, P.PqIters))
         }.foreach(Await.result(_, Duration.Inf))
       }

@@ -59,6 +59,9 @@ object Lease {
     * path, so size it ABOVE the slowest scheduled verb. */
   def defaultTtlMs: Long =
     sys.props.get("graft.lease.ttlMs").flatMap(_.toLongOption)
+      .filter(_ > 0) // a zero/negative override would write every
+                     // lease pre-expired — mutual exclusion silently
+                     // voided; fall back to the safe default instead
       .getOrElse(15 * 60 * 1000L)
 
   private val ownerId =
@@ -116,7 +119,13 @@ object Lease {
     * an expiry takeover must leave the new holder's lease intact. (The
     * read-then-delete pair is not atomic; the residual window needs a
     * takeover to land in the microseconds between them, which itself
-    * requires this verb to have already outlived its TTL.) */
+    * requires this verb to have already outlived its TTL.)
+    *
+    * Only a MISSING file is swallowed (nothing of ours to release — the
+    * root-absent acquisition path, or a takeover that consumed it). Any
+    * other I/O failure propagates loudly: silently leaving our own
+    * unexpired lease on disk would lock every maintenance verb out of
+    * this root for the rest of the TTL with no error anywhere. */
   private def releaseFile(key: String, token: String): Unit = {
     val f = leaseFile(key)
     try {
@@ -126,7 +135,7 @@ object Lease {
         Files.deleteIfExists(f)
         ()
       }
-    } catch { case _: java.io.IOException => () } // gone: nothing ours
+    } catch { case _: java.nio.file.NoSuchFileException => () }
   }
 
   private def parseExpiry(content: String): Option[Long] = {
@@ -144,6 +153,7 @@ object Lease {
     // verbs observe.) The first verb that materializes the root brings
     // the file lease with it on its next acquisition.
     if (!Files.exists(f.getParent)) return
+    sweepOrphanStales(f)
     def payload() =
       s"$ownerId:$token $verb ${System.currentTimeMillis() + ttlMs}\n"
         .getBytes("UTF-8")
@@ -167,36 +177,71 @@ object Lease {
           val expired = parseExpiry(content)
             .forall(_ < System.currentTimeMillis())
           if (!expired) failHeld(key, verb)
-          // crashed-writer takeover, claim-by-rename: exactly one of N
-          // racing takers wins the atomic move; the losers' moves find
-          // no file and the loop retries into the winner's fresh lease
-          val stale = f.resolveSibling(
-            s"_LEASE.stale.${java.util.UUID.randomUUID()}")
-          try {
-            Files.move(f, stale, StandardCopyOption.ATOMIC_MOVE)
-            // we OWN the claimed file — re-verify it is the dead lease
-            // we read, not a fresh one written by a release+reacquire
-            // that raced our read
-            val claimed = new String(Files.readAllBytes(stale), "UTF-8")
-            val claimedDead = parseExpiry(claimed)
-              .forall(_ < System.currentTimeMillis())
-            if (claimedDead) { Files.deleteIfExists(stale); () }
-            else {
-              // stole a LIVE lease: restore it and conflict loudly;
-              // if a racer re-created meanwhile, surrender our claim
-              // (their fresh lease stands) and still conflict
-              try Files.move(stale, f, StandardCopyOption.ATOMIC_MOVE)
-              catch { case _: java.io.IOException =>
-                Files.deleteIfExists(stale); ()
-              }
-              failHeld(key, verb)
-            }
-          } catch {
-            case _: java.nio.file.NoSuchFileException => // lost the claim
-          }
+          claimIfDead(f, key, verb)
           true // retry the create
       }
     }) ()
+  }
+
+  /** Crashed-writer takeover, claim-by-rename: exactly one of N racing
+    * takers wins the atomic move of the lease file to a unique stale
+    * name; the losers' moves find no file and the acquisition loop
+    * retries into the winner's fresh lease. The CLAIMED content is then
+    * re-verified dead — a release+reacquire racing the caller's expiry
+    * read would otherwise be stolen. A claimed-but-LIVE lease is
+    * restored via a NON-replacing move (plain `Files.move`, which the
+    * spec guarantees fails on an existing target — an ATOMIC_MOVE here
+    * would silently clobber a lease a third racer just created) and the
+    * taker conflicts loudly; if the restore finds a fresh lease already
+    * in place, the claim is surrendered (the fresh lease stands) and
+    * the taker still conflicts. Package-visible so the restore branch —
+    * unreachable deterministically through the public API — is pinned
+    * by LeaseSpec directly. */
+  private[graft] def claimIfDead(f: Path, key: String, verb: String): Unit = {
+    val stale = f.resolveSibling(
+      s"_LEASE.stale.${java.util.UUID.randomUUID()}")
+    try {
+      Files.move(f, stale, StandardCopyOption.ATOMIC_MOVE)
+      val claimed = new String(Files.readAllBytes(stale), "UTF-8")
+      val claimedDead = parseExpiry(claimed)
+        .forall(_ < System.currentTimeMillis())
+      if (claimedDead) { Files.deleteIfExists(stale); () }
+      else {
+        try { Files.move(stale, f); () } // non-replacing by spec
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            Files.deleteIfExists(stale); ()
+        }
+        failHeld(key, verb)
+      }
+    } catch {
+      case _: java.nio.file.NoSuchFileException => // lost the claim race
+    }
+  }
+
+  /** GC for `_LEASE.stale.*` orphans — a taker that crashed between its
+    * claim-rename and the stale delete leaks one uniquely-named file.
+    * Swept at the next acquisition, age-gated (60 s by mtime) so an
+    * IN-FLIGHT claim's stale file — alive for microseconds, and
+    * possibly about to be RESTORED as the live lease — is never
+    * deleted from under its racer. */
+  private def sweepOrphanStales(f: Path): Unit = {
+    val cutoff = System.currentTimeMillis() - 60000L
+    val s = try Files.list(f.getParent) catch {
+      case _: java.io.IOException => return
+    }
+    try {
+      val it = s.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.startsWith("_LEASE.stale.") &&
+            (try Files.getLastModifiedTime(p).toMillis < cutoff
+             catch { case _: java.io.IOException => false })) {
+          Files.deleteIfExists(p)
+          ()
+        }
+      }
+    } finally s.close()
   }
 
   /** The current lease holder line, if any — observability for

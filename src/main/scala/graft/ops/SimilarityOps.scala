@@ -665,22 +665,30 @@ object SimilarityOps {
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    // register the per-subspace cached slices on the CALLER thread
-    // FIRST: Caches.withCached scopes are thread-local, so an
-    // ensureCached issued inside a Future would register to no scope
-    // and a service-mode request would leak one cached slice per
-    // subspace per corpus. Pre-registered here, the trainings' own
-    // ensureCached calls (same canonicalized plan) see the existing
-    // entry and skip registration — ownership stays with this thread's
-    // scope, exactly as in the sequential formulation.
-    val slices = (0 until m).map { s =>
+    val fs = pqSlices(e, m, subDim)
+      .map(sub => Future(kmeansCentroids(sub, ksub, iters)))
+    fs.map(Await.result(_, Duration.Inf))
+  }
+
+  /** The m per-subspace slice frames of a (vec_id, v) table, each
+    * `ensureCached` on the CALLING thread — the ONE definition shared
+    * by [[pqCodebooks]] and the bench warm chain, so both sides' plans
+    * canonicalize to the same k-means memo keys and cache entries (a
+    * hand-duplicated slice expression drifting would silently retrain
+    * every subspace inside the timed path). Caller-thread registration
+    * is load-bearing: `Caches.withCached` scopes are thread-local, so
+    * an ensureCached issued inside the training Futures would register
+    * to no scope and a service-mode request would leak one cached
+    * slice per subspace per corpus; pre-registered here, the
+    * trainings' own ensureCached calls (same canonicalized plan) see
+    * the existing entry and skip registration. */
+  private[graft] def pqSlices(e: DataFrame, m: Int,
+                              subDim: Int): Seq[DataFrame] =
+    (0 until m).map { s =>
       Caches.ensureCached(
         e.select(col("vec_id"),
           expr(s"slice(v, ${s * subDim + 1}, $subDim)").as("v")))
     }
-    val fs = slices.map(sub => Future(kmeansCentroids(sub, ksub, iters)))
-    fs.map(Await.result(_, Duration.Inf))
-  }
 
   /** Query subvectors → per-subspace distance tables (driver arithmetic
     * is only transport: the distances are computed by the same codegen'd

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.engine.{Compaction, Lease, SnapshotStore}
 
@@ -125,21 +126,43 @@ class LeaseSpec extends AnyFunSuite {
     Files.deleteIfExists(Paths.get(root, "_LEASE"))
   }
 
-  test("a live lease claimed mid-takeover is restored, not stolen") {
+  test("a live lease claimed mid-takeover is RESTORED, not stolen") {
+    // the interleave (content turns live between the taker's expiry
+    // read and its claim-rename) cannot be staged deterministically
+    // through withLease, so the claim branch is pinned directly: a
+    // claim that captures LIVE content must restore the file intact
+    // and conflict loudly
     val root = tmp("leaserestore")
     Files.createDirectories(Paths.get(root))
-    // a lease that LOOKS expired on first read but is refreshed to
-    // live content cannot be faked deterministically; instead pin the
-    // restore path's contract directly: an unexpired foreign lease
-    // always conflicts and survives the attempt
-    Files.writeString(Paths.get(root, "_LEASE"),
-      s"999@alive:tok publish ${System.currentTimeMillis() + 60000}\n")
-    intercept[IllegalStateException] {
-      Lease.withLease(root, "vacuum") { fail("acquired under live lease") }
+    val f = Paths.get(root, "_LEASE")
+    val live = s"999@alive:tok publish ${System.currentTimeMillis() + 60000}\n"
+    Files.writeString(f, live)
+    val e = intercept[IllegalStateException] {
+      Lease.claimIfDead(f, root, "vacuum")
     }
-    assert(Files.readString(Paths.get(root, "_LEASE"))
-      .contains("999@alive"))
-    Files.deleteIfExists(Paths.get(root, "_LEASE"))
+    assert(e.getMessage.contains("Lease conflict"))
+    assert(Files.readString(f) === live,
+      "the live lease must survive the claim attempt byte-for-byte")
+    // and no stale orphan may remain from the restore
+    val leftovers = Files.list(Paths.get(root))
+    try assert(!leftovers.iterator().asScala
+      .exists(_.getFileName.toString.startsWith("_LEASE.stale.")))
+    finally leftovers.close()
+    Files.deleteIfExists(f)
+  }
+
+  test("a DEAD lease claimed by claimIfDead is consumed (file and stale gone)") {
+    val root = tmp("leaseclaimdead")
+    Files.createDirectories(Paths.get(root))
+    val f = Paths.get(root, "_LEASE")
+    Files.writeString(f,
+      s"999@dead:tok publish ${System.currentTimeMillis() - 1000}\n")
+    Lease.claimIfDead(f, root, "vacuum") // no throw: dead lease consumed
+    assert(!Files.exists(f))
+    val leftovers = Files.list(Paths.get(root))
+    try assert(!leftovers.iterator().asScala
+      .exists(_.getFileName.toString.startsWith("_LEASE.stale.")))
+    finally leftovers.close()
   }
 
   test("holder() reports owner/verb/expiry while held, None after") {
