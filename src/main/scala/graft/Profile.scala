@@ -66,6 +66,36 @@ object Profile {
     }
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (args.length > 2 && args(2) == "explain") df.explain("formatted")
+    if (args.length > 2 && args(2) == "stages") {
+      // per-stage breakdown: stage wall duration, task count, summed
+      // executor run time — tells single-task serial stages apart from
+      // scheduling/planning overhead
+      val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val wall = for {
+            s <- si.submissionTime; c <- si.completionTime
+          } yield (c - s) / 1e3
+          events.add(f"stage ${si.stageId}%4d tasks=${si.numTasks}%3d " +
+            f"wall=${wall.getOrElse(-1.0)}%7.3f s " +
+            f"exec=${si.taskMetrics.executorRunTime / 1e3}%7.3f s " +
+            f"${si.name.takeWhile(_ != '(').trim}")
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      for (i <- 1 to 3) {
+        events.clear()
+        val t0 = System.nanoTime()
+        val n = df.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // let listener events drain
+        println(f"run $i: $dt%.2f s  rows=$n")
+        if (i == 3) events.forEach(e => println("  " + e))
+      }
+      spark.stop(); return
+    }
     // warm + timed runs
     for (i <- 1 to 3) {
       val t0 = System.nanoTime()

@@ -12,6 +12,35 @@ import org.apache.spark.sql.types._
   * read path (columnar parquet + pushdown) is identical.
   */
 object Tables {
+  /** Scale-adaptive rebalance for CPU-BOUND kernel stages (optimization
+    * guide §2.5, "input skew"): the bench corpora ship as ONE small
+    * parquet file per table, so a scan plans a single partition and all
+    * per-row CPU ahead of the first Exchange — codec round-trips,
+    * winnowing/shingle/quality kernels, BPE/LM scoring — runs on one of
+    * the session's cores. A deterministic hash repartition on the
+    * table's unique id spreads that work across the executors for the
+    * price of shuffling the (tiny) source bytes once. The probe is the
+    * PHYSICAL plan parallelism, so on a real deployment (thousands of
+    * input splits ≥ defaultParallelism) this is a no-op and the scan
+    * shape is unchanged — the dial adapts to input size rather than
+    * hard-coding either local mode or the cluster.
+    *
+    * Deliberately applied at the HEAVY-KERNEL entry points, not at the
+    * table loader: a loader-level rebalance was measured to tax every
+    * cheap aggregate/sampling query ~0.1–0.3 s of extra
+    * exchange+task-scheduling overhead and to inflate the tiny
+    * iterative k-means jobs (32-task rounds over KB-sized slices),
+    * costing more across the suite than the kernel parallelism won
+    * back. Hash-by-unique-id (not round-robin) keeps the row→partition
+    * map deterministic under task retry with no sort-before-repartition
+    * pass (SPARK-38388). Filters and column pruning still reach the
+    * parquet scan below the added Exchange (verified in plans/r21). */
+  def kernelSpread(df: DataFrame, key: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, df.col(key))
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     try spark.read.parquet(s"$dir/$name.parquet")
     catch {

@@ -32,7 +32,10 @@ object DedupOps {
     * measured 10× slower). CollapseProject keeps the split because the
     * array is referenced multiple times by a non-cheap expression. */
   def shingleArrays(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), TextOps.normWords(col("text")).as("w"))
+    // CPU-dense tokenize+shingle kernel: spread the corpus before it
+    // (scale-adaptive no-op on multi-split inputs; guide §2.5)
+    graft.engine.Tables.kernelSpread(docs, "doc_id")
+      .select(col("doc_id"), TextOps.normWords(col("text")).as("w"))
       // guard on the cheap input (|w| ≥ n ⟺ |shs| > 0): a size(shs) filter
       // would be pushed below the projection and re-run the shingle
       // transform inside the filter condition
@@ -458,7 +461,9 @@ object DedupOps {
                    else s"${1L << (64 - d)}L"
       s"(CASE WHEN c[${d - 1}] >= 0 THEN $weight ELSE 0L END)"
     }
-    docs.select(col("doc_id"), TextOps.normWords(col("text")).as("w"))
+    // CPU-dense kernel (per-token md5 + 64-dim fold): spread the corpus
+    graft.engine.Tables.kernelSpread(docs, "doc_id")
+      .select(col("doc_id"), TextOps.normWords(col("text")).as("w"))
       .select(col("doc_id"), expr("transform(w, x -> md5(x))").as("h"))
       .select(col("doc_id"), expr(countsExpr).as("c"))
       .select(col("doc_id"), expr(packTerms.mkString(" + ")).as("sh"))

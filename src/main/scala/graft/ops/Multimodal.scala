@@ -52,6 +52,7 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(decodedSchema)
     withPayload.select(col("doc_id").cast("long"), col("payload"))
       .mapPartitions { rows =>
+        memCachedImageIO
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
@@ -103,6 +104,19 @@ object Multimodal {
   private def dims(id: Long): (Int, Int) =
     (8 + (id % 9L).toInt, 8 + ((3L * id) % 9L).toInt)
 
+  /** ImageIO defaults to a DISK-backed stream cache: every
+    * `ImageIO.read`/`write` call creates and deletes a temp file. For
+    * the KB-sized payloads this engine codecs that is pure overhead,
+    * and under a 32-way parallel codec stage the temp-file metadata
+    * ops contend so badly that per-image CPU inflates ~20× (measured
+    * with the stage profiler: 31.5 CPU-seconds for a corpus the
+    * single-threaded path decoded in 1.3 s). Memory-cached streams
+    * remove both costs. JVM-global, set once per executor — every
+    * codec closure references this lazy val so the flag is applied on
+    * whatever JVM the partition runs in, not just the driver. */
+  private[ops] lazy val memCachedImageIO: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** The shared (doc_id → payload bytes) executor-side encode scaffold
     * behind [[encodePng]]/[[encodeWav]]/[[encodeGif]] — one schema /
     * encoder / mapPartitions definition, so a payload-contract change
@@ -121,15 +135,20 @@ object Multimodal {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType)))
     val enc = RowEncoder.encoderFor(schema)
-    docs.select(col("doc_id").cast("long")).mapPartitions(fn)(enc)
+    // the codec chain (encode → decode) is the engine's most CPU-dense
+    // per-row path — spread the id list across the executors before it
+    // (scale-adaptive no-op on real multi-split inputs; guide §2.5)
+    graft.engine.Tables.kernelSpread(
+        docs.select(col("doc_id").cast("long")), "doc_id")
+      .mapPartitions(fn)(enc)
   }
 
   private val pngEncodeFn: Iterator[Row] => Iterator[Row] =
-    rows => rows.map { r =>
+    rows => { memCachedImageIO; rows.map { r =>
       val id = r.getLong(0)
       val (w, h) = dims(id)
       Row(id, syntheticPng(id, w, h))
-    }
+    } }
 
   /** docs → (doc_id, payload) with REAL PNG bytes ([[syntheticPng]]). */
   def encodePng(docs: DataFrame): DataFrame =
@@ -161,6 +180,7 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(decodedPngSchema)
     withPayload.select(col("doc_id").cast("long"), col("payload"))
       .mapPartitions { rows =>
+        memCachedImageIO
         rows.map { r =>
           val id = r.getLong(0)
           val img = javax.imageio.ImageIO.read(
@@ -203,6 +223,7 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(schema)
     withPayload.select(col("doc_id").cast("long"), col("payload"))
       .mapPartitions { rows =>
+        memCachedImageIO
         rows.map { r =>
           val id = r.getLong(0)
           val img = javax.imageio.ImageIO.read(
@@ -243,6 +264,7 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(schema)
     withPayload.select(col("doc_id").cast("long"), col("payload"))
       .mapPartitions { rows =>
+        memCachedImageIO
         rows.map { r =>
           val id = r.getLong(0)
           val img = javax.imageio.ImageIO.read(
@@ -301,10 +323,10 @@ object Multimodal {
     encodeWith(docs, wavEncodeFn)
 
   private val wavEncodeFn: Iterator[Row] => Iterator[Row] =
-    rows => rows.map { r =>
+    rows => { memCachedImageIO; rows.map { r =>
       val id = r.getLong(0)
       Row(id, syntheticWav(id, 800 + (id % 5L).toInt * 160))
-    }
+    } }
 
   /** REAL audio decode — `javax.sound.sampled.AudioSystem` (in the JDK,
     * zero new jars) parses the WAV container/PCM stream back to frames;
@@ -326,6 +348,7 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(schema)
     withPayload.select(col("doc_id").cast("long"), col("payload"))
       .mapPartitions { rows =>
+        memCachedImageIO
         // provider lookup hoisted to ONCE per partition:
         // AudioSystem.getAudioInputStream re-scans every registered
         // AudioFileReader SPI per call (with mark/reset probing), which
@@ -340,17 +363,36 @@ object Multimodal {
           while (it.hasNext) buf += it.next()
           buf.toList
         }
+        // remember which provider actually decodes this corpus and try
+        // it FIRST on subsequent rows: the registry's other providers
+        // (AU/AIFF/MIDI readers ahead of the WAV reader in SPI order)
+        // each pay a failed parse probe per row otherwise — measured as
+        // the dominant cost of the 32-way decode stage (the MIDI
+        // reader's probe is far dearer than the WAV parse itself). A
+        // mixed-format corpus still works: rows the preferred reader
+        // rejects fall back to the full probe loop unchanged.
+        var preferred: javax.sound.sampled.spi.AudioFileReader = null
         def open(id: Long,
-                 bytes: Array[Byte]): javax.sound.sampled.AudioInputStream =
-          readers.iterator.flatMap { rd =>
-            try Some(rd.getAudioInputStream(
-              new java.io.ByteArrayInputStream(bytes)))
+                 bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+          if (preferred != null)
+            try return preferred.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
             catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException =>
+            }
+          readers.iterator.flatMap { rd =>
+            try {
+              val in = rd.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              preferred = rd
+              Some(in)
+            } catch {
               case _: javax.sound.sampled.UnsupportedAudioFileException =>
                 None
             }
           }.nextOption().getOrElse(throw new IllegalArgumentException(
             s"decodeWavFeatures: doc $id is not decodable audio"))
+        }
         rows.flatMap { r =>
           val id = r.getLong(0)
           val in = open(id, r.getAs[Array[Byte]](1))
@@ -448,11 +490,11 @@ object Multimodal {
     encodeWith(docs, gifEncodeFn)
 
   private val gifEncodeFn: Iterator[Row] => Iterator[Row] =
-    rows => rows.map { r =>
+    rows => { memCachedImageIO; rows.map { r =>
       val id = r.getLong(0)
       val (w, h) = dims(id)
       Row(id, syntheticGif(id, w, h, 2 + (id % 4L).toInt))
-    }
+    } }
 
   /** REAL multi-frame container decode — the frame-sampling verb over an
     * actual animated-media codec, retiring the last synthetic-grid
@@ -489,6 +531,7 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(schema)
     withPayload.select(col("doc_id").cast("long"), col("payload"))
       .mapPartitions { rows =>
+        memCachedImageIO
         // reader hoisted ONCE per partition (the decodeWavFeatures SPI
         // lesson: per-row provider scans measured 17x super-linear under
         // 32 threads); setInput resets the reader per payload

@@ -110,7 +110,24 @@ object PurgeAudit {
         .agg(count(lit(1)).as("live_pairs"),
           sum(col("cnt")).as("pair_mass"),
           count(when(distinctDeleted, 1)).as("deleted_residual")))).toSeq
-    (Seq(fp, ah, ivf, bm, voc) ++ pq ++ ivfpq ++ dv)
+    // The family audits are INDEPENDENT (each reads only its own index
+    // root) but a single unioned lazy plan runs them as one long
+    // critical path of small sequential stages. Materialize each
+    // family's ~3-row aggregate as its own CONCURRENT Spark job (the
+    // same multi-job pattern pqCodebooks and the bench warm chains
+    // use), then union the materialized frames — wall time becomes
+    // ~max(family) instead of Σ(family), and at 100 TB the families
+    // back-fill each other's stage tails (guide §2.6). localCheckpoint
+    // (not cache) truncates each family's lineage so the final
+    // union/orderBy reads 24 materialized rows; everything is
+    // recomputed from the index roots on every invocation — no
+    // cross-run memo.
+    val fams = Seq(fp, ah, ivf, bm, voc) ++ pq ++ ivfpq ++ dv
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    fams.map(f => Future(f.localCheckpoint()))
+      .map(Await.result(_, Duration.Inf))
       .reduce(_ unionByName _)
       .orderBy("family", "metric")
   }

@@ -254,7 +254,16 @@ object SimilarityOps {
   private def kmeansCentroidsUncached(vecs: DataFrame, k: Int,
                                       iters: Int): Seq[Seq[Double]] = {
     VectorExpressions.register(vecs.sparkSession)
-    val e = Caches.ensureCached(vecs.select(col("vec_id"), col("v")))
+    // When the caller already passes exactly (vec_id, v) — every
+    // pqSlices/ev64 path does — reuse its frame VERBATIM: the extra
+    // `.select` used to wrap a no-op Project over the slice plan, which
+    // the CacheManager's normalized-plan lookup does not collapse, so a
+    // cold training persisted a SECOND copy of every slice (m duplicate
+    // cache entries per corpus, doubling executor storage for the
+    // training inputs — the r20 advisor finding).
+    val e = Caches.ensureCached(
+      if (vecs.columns.toSeq == Seq("vec_id", "v")) vecs
+      else vecs.select(col("vec_id"), col("v")))
     val init: Seq[Seq[Double]] = e.orderBy("vec_id").limit(k)
       .select("v").collect().toSeq.map(_.getSeq[Double](0).toIndexedSeq)
     val dims = init.headOption.map(_.length).getOrElse(0)
@@ -607,6 +616,11 @@ object SimilarityOps {
       .select(col("q_id"), col("vec_id"),
         round(cosine("v", "qv"), 6).as("cosine"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    // (Measured and rejected: materializing the brute and retrieved
+    // arms as concurrent localCheckpoint jobs — the fixed
+    // materialization cost exceeded the concurrency win at every
+    // bench SF, regressing all 11 recall rows ~0.3–0.6 s each. The
+    // lazy join keeps the evaluator's plan fused.)
     val hits = brute.select("q_id", "vec_id")
       .join(retrieved.select("q_id", "vec_id"), Seq("q_id", "vec_id"))
       .groupBy("q_id").agg(count(lit(1)).as("n_hits"))

@@ -154,7 +154,8 @@ object TextOps {
     * passes share one cached per-doc count table. */
   def lmScore(docs: DataFrame): DataFrame = {
     val perDoc = Caches.ensureCached(
-      docs.select(col("doc_id"), explode(normWords(col("text"))).as("word"))
+      graft.engine.Tables.kernelSpread(docs, "doc_id")
+        .select(col("doc_id"), explode(normWords(col("text"))).as("word"))
         .filter(col("word") =!= "")
         .groupBy("doc_id", "word").agg(count(lit(1)).as("tf")))
     val vocab = perDoc.groupBy("word").agg(sum("tf").as("ctf"))
@@ -1065,7 +1066,8 @@ object TextOps {
     * to per-instance summation. */
   def lmBigramScore(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
     val t = Caches.ensureCached(
-      docs.select(col("doc_id"), normWords(col("text")).as("w"))
+      graft.engine.Tables.kernelSpread(docs, "doc_id")
+        .select(col("doc_id"), normWords(col("text")).as("w"))
         .filter(element_at(col("w"), 1) =!= ""))
     val dbg = t.filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -1113,8 +1115,10 @@ object TextOps {
                        maxDf: Long = 1L): DataFrame = {
     val cw = chunkWords
     // words materialized before the chunk transform (the shingleArrays
-    // CollapseProject discipline)
-    val words = docs.select(col("doc_id"), normWords(col("text")).as("w"))
+    // CollapseProject discipline); corpus spread before the CPU-dense
+    // tokenize+chunk+md5 kernel
+    val words = graft.engine.Tables.kernelSpread(docs, "doc_id")
+      .select(col("doc_id"), normWords(col("text")).as("w"))
     val chunks = words.select(col("doc_id"), posexplode(expr(
       s"""transform(sequence(1, cast(ceil(size(w) / ${cw}.0) as int)),
          |  i -> concat_ws(' ', slice(w, (i - 1) * $cw + 1, $cw)))"""
@@ -1263,7 +1267,10 @@ object TextOps {
     * doc; bit-identical to [[winnowFpsHof]], asserted in OpsSpec). */
   def winnowFps(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
     graft.functions.VectorExpressions.register(docs.sparkSession)
-    docs.select(col("doc_id"),
+    // CPU-dense rolling-hash kernel: spread the corpus before it
+    // (scale-adaptive no-op on multi-split inputs; guide §2.5)
+    graft.engine.Tables.kernelSpread(docs, "doc_id")
+      .select(col("doc_id"),
       regexp_replace(lower(col("text")), "[^a-z0-9]", "").as("s"))
       // length guard on the cheap normalized string (|s| ≥ k+w−1 ⟺ the
       // kernel emits ≥1 fingerprint); a size(fps) filter would be pushed
@@ -1469,7 +1476,9 @@ object TextOps {
     * and a bounded linear score — the heuristics CCNet-style pipelines
     * gate training data on. */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), normWords(col("text")).as("w"))
+    // CPU-dense tokenize + per-token folds: spread the corpus
+    val base = graft.engine.Tables.kernelSpread(docs, "doc_id")
+      .select(col("doc_id"), normWords(col("text")).as("w"))
       .select(
         col("doc_id"),
         size(col("w")).cast("long").as("n_tokens"),

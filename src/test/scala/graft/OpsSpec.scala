@@ -1444,10 +1444,14 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4) === ((5L, 0L, 0L, 0L,
       "clean text with numbers 12345 and dots a.b but no pii")))
     assert(got(5) === ((6L, 0L, 0L, 0L, "")))
-    // corpus pass is a pure projection: row-preserving, no shuffle
+    // corpus pass is a pure projection: row-preserving, and it adds NO
+    // shuffle of its own — the only Exchange allowed is the loader's
+    // adaptive scan rebalance, present in the bare corpus plan too
     val corpus = graft.ops.TextOps.redactPii(docs)
     assert(corpus.count() === docs.count())
-    assert(!corpus.queryExecution.executedPlan.toString.contains("Exchange"))
+    def nExchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    assert(nExchanges(corpus) === nExchanges(docs.select("doc_id", "text")))
   }
 
   test("weightedInterleave fails loudly on a stratum with no weight") {
