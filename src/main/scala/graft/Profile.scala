@@ -81,14 +81,19 @@ object Profile {
           events.add(f"stage ${si.stageId}%4d tasks=${si.numTasks}%3d " +
             f"wall=${wall.getOrElse(-1.0)}%7.3f s " +
             f"exec=${si.taskMetrics.executorRunTime / 1e3}%7.3f s " +
+            f"gc=${si.taskMetrics.jvmGCTime / 1e3}%6.3f s " +
+            f"cpu=${si.taskMetrics.executorCpuTime / 1e9}%7.3f s " +
             f"${si.name.takeWhile(_ != '(').trim}")
         }
       }
       spark.sparkContext.addSparkListener(listener)
       for (i <- 1 to 3) {
         events.clear()
+        // reconstruct per run, like the bench does: queries with eager
+        // construction-time work (concurrent-job materialization) are
+        // otherwise invisible to the timing
         val t0 = System.nanoTime()
-        val n = df.count()
+        val n = SparkEntry.queries(name)(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         Thread.sleep(300) // let listener events drain
         println(f"run $i: $dt%.2f s  rows=$n")

@@ -1982,17 +1982,15 @@ object SparkEntry {
       val dims = ev64.select(size(col("v"))).limit(1).collect()
         .headOption.map(_.getInt(0)).getOrElse(0)
       if (dims > 0 && dims % P.PqM == 0) {
-        // concurrent like pqCodebooks itself: 16 independent subspace
-        // trainings as parallel Spark jobs, not 96 sequential tiny
-        // ones. The slice plans come from the SAME pqSlices helper the
+        // batched like pqCodebooks itself: ONE Spark job per Lloyd
+        // round across all 16 subspaces (kmeansCentroidsBatch). The
+        // slice plans come from the SAME pqSlices helper the
         // production training uses, so they canonicalize to identical
         // memo keys / cache entries by construction.
-        import scala.concurrent.{Await, Future, ExecutionContext}
-        import scala.concurrent.duration.Duration
-        implicit val ec: ExecutionContext = ExecutionContext.global
-        SimilarityOps.pqSlices(ev64, P.PqM, dims / P.PqM).map { sliced =>
-          Future(SimilarityOps.kmeansCentroids(sliced, P.PqKsub, P.PqIters))
-        }.foreach(Await.result(_, Duration.Inf))
+        SimilarityOps.kmeansCentroidsBatch(
+          SimilarityOps.pqSlices(ev64, P.PqM, dims / P.PqM),
+          P.PqKsub, P.PqIters)
+        ()
       }
     }
     // stored-index builds (one per process, under the auto-removed

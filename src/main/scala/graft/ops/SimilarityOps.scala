@@ -675,13 +675,67 @@ object SimilarityOps {
     * completion order (each training is a pure derivation memoized
     * under its own plan key). */
   private def pqCodebooks(e: DataFrame, m: Int, subDim: Int, ksub: Int,
-                          iters: Int): Seq[Seq[Seq[Double]]] = {
-    import scala.concurrent.{Await, Future, ExecutionContext}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val fs = pqSlices(e, m, subDim)
-      .map(sub => Future(kmeansCentroids(sub, ksub, iters)))
-    fs.map(Await.result(_, Duration.Inf))
+                          iters: Int): Seq[Seq[Seq[Double]]] =
+    kmeansCentroidsBatch(pqSlices(e, m, subDim), ksub, iters)
+
+  /** The m per-subspace trainings with ONE Spark job per Lloyd round,
+    * instead of m independent trainings of `iters` tiny jobs each
+    * (m=16 × iters=3 = 48 collect round-trips per training; the
+    * stored/merged/rebuilt index builds each pay 1–3 trainings, so the
+    * per-job latency — scheduler + shuffle-file round trip — dominated
+    * the whole setup phase). Each subspace's per-round aggregate
+    * subtree here is EXACTLY the plan [[kmeansCentroidsUncached]]
+    * builds for that slice — same init (k lowest vec_ids), same
+    * in-order assignment fold, same DECIMAL mean sums — just unioned
+    * with a subspace tag and collected once, so the centroids are
+    * BIT-IDENTICAL to the per-slice trainings and are memoized under
+    * the same per-slice keys (later per-slice lookups hit the memo).
+    * Falls back to nothing special on a single slice. */
+  private[graft] def kmeansCentroidsBatch(slices: Seq[DataFrame], k: Int,
+      iters: Int): Seq[Seq[Seq[Double]]] = {
+    if (slices.isEmpty) return Seq.empty
+    val spark = slices.head.sparkSession
+    VectorExpressions.register(spark)
+    val keys = slices.map(s =>
+      (Caches.sessionId(spark), Caches.planKey(s), k, iters))
+    if (keys.forall(kmeansMemo.contains)) return keys.map(kmeansMemo(_))
+    val es = slices.map(Caches.ensureCached)
+    // init = the k lowest vec_ids per slice, exactly as the per-slice
+    // training seeds; tiny one-time collects, run concurrently
+    val inits: Seq[Seq[Seq[Double]]] = {
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      es.map(e => Future[Seq[Seq[Double]]](
+        e.orderBy("vec_id").limit(k).select("v").collect().toSeq
+          .map(_.getSeq[Double](0).toIndexedSeq)))
+        .map(Await.result(_, Duration.Inf))
+    }
+    val dims = inits.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)
+    val meanCols = (0 until dims).map { p =>
+      (sum(element_at(col("v"), p + 1).cast("decimal(30,9)")).cast("double") /
+        count(lit(1))).as(s"m_$p")
+    }
+    val fin = (1 to iters).foldLeft(inits) { (states, _) =>
+      val unioned = es.zip(states).zipWithIndex.map { case ((e, cents), si) =>
+        e.withColumn("cl", assignCluster(col("v"), cents))
+          .groupBy("cl").agg(meanCols.head, meanCols.tail: _*)
+          .select(lit(si).as("s") +: (col("cl") +:
+            (0 until dims).map(p => col(s"m_$p"))): _*)
+      }.reduce(_ unionByName _)
+      val bySub = unioned.collect().groupBy(_.getInt(0))
+      states.zipWithIndex.map { case (cents, si) =>
+        val means = bySub.getOrElse(si, Array.empty[org.apache.spark.sql.Row])
+          .map(r => r.getInt(1) -> (0 until dims).map(p => r.getDouble(2 + p)))
+          .toMap
+        // an emptied cluster keeps its previous centroid
+        cents.zipWithIndex.map { case (c, ci) =>
+          means.getOrElse(ci, c.toIndexedSeq) }
+      }
+    }
+    keys.zip(fin).foreach { case (key, cents) =>
+      kmeansMemo.getOrElseUpdate(key, cents) }
+    fin
   }
 
   /** The m per-subspace slice frames of a (vec_id, v) table, each
@@ -1563,6 +1617,10 @@ object SimilarityOps {
     val normed = rankings.map(_.select(col("q_id"), col("doc_id"),
       col("rank").cast("double").as("rank")))
     normed.reduce(_ unionByName _)
+      // one exchange serves the (q_id, doc_id) fuse aggregate AND the
+      // per-query top-k window below (guide §2.4); inputs are
+      // |queries|×k top-k frames, so q_id clustering cannot hot-spot
+      .repartition(col("q_id"))
       .groupBy("q_id", "doc_id")
       .agg(round(sum(lit(1.0) / (lit(rrfK.toDouble) + col("rank"))), 6)
         .as("rrf"))

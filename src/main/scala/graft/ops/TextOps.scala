@@ -2019,6 +2019,13 @@ object TextOps {
       .crossJoin(broadcast(stats))
       .select(col("q_id"), col("doc_id"),
         struct(col("term"), contrib.as("c")).as("tc"))
+      // ONE exchange serves both keyed steps (guide §2.4): clustering
+      // by q_id alone satisfies the (q_id, doc_id) aggregate AND the
+      // per-query top-k window below, so the explicit repartition
+      // replaces what would otherwise be two back-to-back exchanges
+      // (hash(q_id, doc_id) then hash(q_id)). Per-query candidate sets
+      // are df-cap bounded, so q_id clustering cannot hot-spot.
+      .repartition(col("q_id"))
       // collect_SET: a crash-replayed merge can leave a posting row
       // duplicated verbatim ([[mergeBm25Index]]'s replay containment);
       // the single-query probe collapses those via its pivot's first(tf),
