@@ -1210,9 +1210,13 @@ object SparkEntry {
         .partitionBy(lit(1))
       val fusedIds = hybridFusedRanking(s, dir)
         .select(col("q_id"), col("doc_id").as("vec_id"))
+      // the query set = the fuse's own cached qids sample (emb ∩ the
+      // BmBatchPred doc sample ≡ emb semi-join qids — identical rows),
+      // so the recall row reuses the cached derivation instead of
+      // re-scanning documents×embeddings per run
       val queries = emb.join(
-        Tables.documents(s, dir).filter(expr(BmBatchPred))
-          .select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        hybridQids(s, dir).select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
       SimilarityOps.recallOf(emb, queries, 10, fusedIds)
         .withColumn("_min", min(col("recall")).over(w))
         .withColumn("_ok", when(col("_min") >= HybridRecallFloor, lit(true))
@@ -1878,9 +1882,11 @@ object SparkEntry {
     // TrieMap memos, CacheManager plan lookup).
     def concurrently(thunks: (() => Any)*): Unit = {
       import scala.concurrent.{Await, Future, ExecutionContext}
-      import scala.concurrent.duration.Duration
+      import scala.concurrent.duration._
       implicit val ec: ExecutionContext = ExecutionContext.global
-      thunks.map(t => Future(t())).foreach(Await.result(_, Duration.Inf))
+      // bounded await: a hung build fails the warm phase with the stage
+      // named in the stack, instead of wedging its chain forever
+      thunks.map(t => Future(t())).foreach(Await.result(_, 30.minutes))
     }
     val docs = Tables.documents(s, dir)
     val chains = Seq[(String, () => Unit)](
@@ -1902,6 +1908,10 @@ object SparkEntry {
       val shl = Caches.ensureCached(DedupOps.shingleArrays(docs, P.ShingleN))
       val sim = Caches.ensureCached(DedupOps.simhashLong(docs))
       val win = Caches.ensureCached(TextOps.winnowFps(docs))
+      // the shared per-(doc, word) count table (lm_score + vocab_topk
+      // + the sketch row's exact arm) — built here so its one-time
+      // tokenize doesn't bill to whichever consumer runs first
+      val dwc = TextOps.docWordCounts(docs)
       // the quality-score table feeds 4 consumers (text_quality, the
       // gate's percentile + filter sides, curation_report,
       // dedup_keep_best) — the only multiply-consumed text subplan that
@@ -1915,6 +1925,7 @@ object SparkEntry {
             .count()
         },
         () => sim.count(),
+        () => dwc.count(),
         () => {
           win.count()
           // containment's df-capped exploded fingerprint table (feeds
@@ -2212,16 +2223,23 @@ object SparkEntry {
     * the stored-index scale shape. ONE derivation shared by the
     * `hybrid_rrf_topk` correctness row and the `hybrid_rrf_recall`
     * quality gate, so the gated ranking is exactly the served one. */
+  /** The hybrid rows' tiny query-id sample (docs sampled by BmBatchPred
+    * that also carry an embedding) — cached; feeds the term workload,
+    * the vector queries, the fuse, AND the recall row's query set, so
+    * all four consumers resolve to one scan of the derivation. */
+  private def hybridQids(s: SparkSession, dir: String): DataFrame =
+    engine.Caches.ensureCached(
+      Tables.documents(s, dir).filter(expr(BmBatchPred))
+        .select("doc_id")
+        .join(Tables.embeddings(s, dir).select(col("vec_id").as("doc_id")),
+          Seq("doc_id"), "left_semi"))
+
   private def hybridFusedRanking(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     // the tiny query-id sample feeds three subtrees (term workload,
     // vector queries, and its own derivation) — cached so the
     // documents×embeddings derivation scans run once, not per branch
-    val qids = engine.Caches.ensureCached(
-      Tables.documents(s, dir).filter(expr(BmBatchPred))
-        .select("doc_id")
-        .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"),
-          "left_semi"))
+    val qids = hybridQids(s, dir)
     val qterms = bm25QueryTerms(s, dir, Some(qids))
     // top-11 then self-filter then re-rank ≡ top-10 of the ranking
     // with self removed (removing one row preserves relative order,

