@@ -1994,12 +1994,11 @@ object SparkEntry {
         .headOption.map(_.getInt(0)).getOrElse(0)
       if (dims > 0 && dims % P.PqM == 0) {
         // batched like pqCodebooks itself: ONE Spark job per Lloyd
-        // round across all 16 subspaces (kmeansCentroidsBatch). The
-        // slice plans come from the SAME pqSlices helper the
-        // production training uses, so they canonicalize to identical
-        // memo keys / cache entries by construction.
-        SimilarityOps.kmeansCentroidsBatch(
-          SimilarityOps.pqSlices(ev64, P.PqM, dims / P.PqM),
+        // round across all 16 subspaces (kmeansCentroidsBatch derives
+        // the slice plans via the SAME pqSlices helper the production
+        // training uses, so the memo keys canonicalize identically by
+        // construction).
+        SimilarityOps.kmeansCentroidsBatch(ev64, P.PqM, dims / P.PqM,
           P.PqKsub, P.PqIters)
         ()
       }

@@ -692,26 +692,40 @@ object SimilarityOps {
     * under its own plan key). */
   private def pqCodebooks(e: DataFrame, m: Int, subDim: Int, ksub: Int,
                           iters: Int): Seq[Seq[Seq[Double]]] =
-    kmeansCentroidsBatch(pqSlices(e, m, subDim), ksub, iters)
+    kmeansCentroidsBatch(e, m, subDim, ksub, iters)
 
-  /** The m per-subspace trainings with ONE Spark job per Lloyd round,
-    * instead of m independent trainings of `iters` tiny jobs each
-    * (m=16 × iters=3 = 48 collect round-trips per training; the
-    * stored/merged/rebuilt index builds each pay 1–3 trainings, so the
-    * per-job latency — scheduler + shuffle-file round trip — dominated
-    * the whole setup phase). Each subspace's per-round aggregate
-    * subtree here is EXACTLY the plan [[kmeansCentroidsUncached]]
-    * builds for that slice — same init (k lowest vec_ids), same
-    * in-order assignment fold, same DECIMAL mean sums — just unioned
-    * with a subspace tag and collected once, so the centroids are
-    * BIT-IDENTICAL to the per-slice trainings and are memoized under
-    * the same per-slice keys (later per-slice lookups hit the memo).
-    * Falls back to nothing special on a single slice. */
-  private[graft] def kmeansCentroidsBatch(slices: Seq[DataFrame], k: Int,
-      iters: Int): Seq[Seq[Seq[Double]]] = {
-    if (slices.isEmpty) return Seq.empty
-    val spark = slices.head.sparkSession
+  /** The m per-subspace trainings with ONE Spark job per Lloyd round
+    * and ONE SMALL plan, instead of m independent trainings of `iters`
+    * tiny jobs each (m=16 × iters=3 = 48 collect round-trips per
+    * training) or the r22-interim 16-branch tagged UNION (whose
+    * per-round plan was large enough that driver-side analysis +
+    * codegen, not data, still dominated the rebuild chains: the stage
+    * walls inside buildPqIndex summed to ~6.5 s of its 13.5 s — the
+    * rest was planning gaps between jobs, and the init's windowed
+    * union planned 16 sequential 1-task map stages).
+    *
+    * Shape: the init is ONE k-row collect (the k lowest vec_ids — the
+    * per-slice seeds are slices of the same k rows, cut driver-side
+    * with no arithmetic); each Lloyd round is ONE job over the
+    * posexploded (s, subvector) rows, with the full centroid state as
+    * a LITERAL matrix — a codegen reference object, so the round plans
+    * are shape-identical and the generated code is compiled once. Per
+    * (s, subvector) row the distance array `transform(matrix[s],
+    * c -> graft_l2sq(sv, c))` evaluates the same left-to-right l2sq
+    * fold in the same centroid order as the per-slice
+    * [[assignCluster]], and the (s, cl) DECIMAL mean sums aggregate
+    * the same value multisets — so the centroids stay BIT-IDENTICAL
+    * to the per-slice trainings the oracle replays, and are memoized
+    * under the same per-slice keys (later per-slice lookups hit the
+    * memo). The per-slice cache frames ([[pqSlices]]) are still
+    * registered for key derivation but no longer materialized — the
+    * training reads the caller's (vec_id, v) cache directly. */
+  private[graft] def kmeansCentroidsBatch(e0: DataFrame, m: Int,
+      subDim: Int, k: Int, iters: Int): Seq[Seq[Seq[Double]]] = {
+    if (m <= 0) return Seq.empty
+    val spark = e0.sparkSession
     VectorExpressions.register(spark)
+    val slices = pqSlices(e0, m, subDim)
     val keys = slices.map(s =>
       (Caches.sessionId(spark), Caches.planKey(s), k, iters))
     if (keys.forall(kmeansMemo.contains)) return keys.map(kmeansMemo(_))
@@ -724,50 +738,35 @@ object SimilarityOps {
     // (value equality), so unrelated trainings never contend.
     trainingLock(keys) {
       if (keys.forall(kmeansMemo.contains)) return keys.map(kmeansMemo(_))
-      val es = slices.map(Caches.ensureCached)
-      // init = the k lowest vec_ids per slice, exactly as the per-slice
-      // training seeds. ONE tagged-union job instead of m concurrent
-      // per-slice collects: a per-subspace window over the unioned
-      // slices selects the same rows (k lowest vec_ids per tag), and the
-      // driver re-sorts by vec_id per tag, so the seed ORDER matches the
-      // per-slice orderBy-limit collect exactly.
-      val initRows = es.zipWithIndex.map { case (e, si) =>
-        e.select(lit(si).as("s"), col("vec_id"), col("v"))
-      }.reduce(_ unionByName _)
-        .withColumn("_rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("s").orderBy("vec_id")))
-        .filter(col("_rn") <= k)
-        .select("s", "vec_id", "v")
-        .collect()
-      val bySubInit = initRows.groupBy(_.getInt(0))
-      val inits: Seq[Seq[Seq[Double]]] = es.indices.map { si =>
-        bySubInit.getOrElse(si, Array.empty[org.apache.spark.sql.Row])
-          .sortBy(_.getLong(1))
-          .map(_.getSeq[Double](2).toIndexedSeq).toSeq
+      // verbatim-frame guard, same as kmeansCentroidsUncached (the r20
+      // double-cache finding): every caller passes exactly (vec_id, v)
+      val e = Caches.ensureCached(
+        if (e0.columns.toSeq == Seq("vec_id", "v")) e0
+        else e0.select(col("vec_id"), col("v")))
+      val seed = e.orderBy("vec_id").limit(k).select("v").collect()
+        .map(_.getSeq[Double](0).toIndexedSeq)
+      val inits: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+        seed.map(v => v.slice(s * subDim, (s + 1) * subDim): Seq[Double]).toSeq
       }
-      val dims = inits.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)
-      // per-(subspace, cluster) means in ONE aggregate over the tagged
-      // union — the per-slice groupBy("cl") subtrees each planned their
-      // own Exchange, which AQE materialized as m separate map-stage
-      // jobs per round (m=16 → ~17 tiny jobs/round; job latency, not
-      // data, dominated the rebuild chains). Decimal sums are exact and
-      // order-independent, so grouping by (s, cl) in one pass is
-      // BIT-IDENTICAL to the per-slice aggregation the oracle replays.
-      val meanCols = (0 until dims).map { p =>
-        (sum(element_at(col("v"), p + 1).cast("decimal(30,9)")).cast("double") /
+      val sub = e.select(posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $subDim + 1, $subDim))"
+        )).as(Seq("s", "sv")))
+      val meanCols = (0 until subDim).map { p =>
+        (sum(element_at(col("sv"), p + 1).cast("decimal(30,9)")).cast("double") /
           count(lit(1))).as(s"m_$p")
       }
       val fin = (1 to iters).foldLeft(inits) { (states, _) =>
-        val unioned = es.zip(states).zipWithIndex.map { case ((e, cents), si) =>
-          e.select(lit(si).as("s"),
-            assignCluster(col("v"), cents).as("cl"), col("v"))
-        }.reduce(_ unionByName _)
+        val matrix = typedlit(states.map(_.map(_.toIndexedSeq).toIndexedSeq)
+          .toIndexedSeq)
+        val dists = transform(element_at(matrix, col("s") + 1),
+          c => call_function("graft_l2sq", col("sv"), c))
+        val cl = (array_position(dists, array_min(dists)) - 1).cast("int")
+        val bySub = sub.select(col("s"), cl.as("cl"), col("sv"))
           .groupBy("s", "cl").agg(meanCols.head, meanCols.tail: _*)
-        val bySub = unioned.collect().groupBy(_.getInt(0))
+          .collect().groupBy(_.getInt(0))
         states.zipWithIndex.map { case (cents, si) =>
           val means = bySub.getOrElse(si, Array.empty[org.apache.spark.sql.Row])
-            .map(r => r.getInt(1) -> (0 until dims).map(p => r.getDouble(2 + p)))
+            .map(r => r.getInt(1) -> (0 until subDim).map(p => r.getDouble(2 + p)))
             .toMap
           // an emptied cluster keeps its previous centroid
           cents.zipWithIndex.map { case (c, ci) =>
