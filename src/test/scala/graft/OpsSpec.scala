@@ -2282,4 +2282,27 @@ class OpsSpec extends AnyFunSuite {
     assert(multi.map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
       Seq((1L, 10L), (2L, 11L)))
   }
+  test("batched PQ training is bit-identical to the per-slice trainings") {
+    // The batch path (one posexploded small-plan job per Lloyd round,
+    // centroid state as a literal matrix) must reproduce the per-slice
+    // kmeansCentroids EXACTLY — same seeds, same assignment tie-breaks,
+    // same DECIMAL means. Compare against per-slice trainings over a
+    // VALUE-identical but PLAN-distinct frame (two unioned halves), so
+    // the per-slice calls cannot memo-hit the batch's keys and both
+    // sides genuinely compute.
+    val n = 48; val dims = 8; val m = 4; val subDim = dims / m
+    val rows = Seq.tabulate(n) { i =>
+      (i.toLong, Seq.tabulate(dims)(d =>
+        math.sin(i * 1.7 + d * 0.9) * 10.0 + (if (i % 7 == 0) 5.0 else 0.0)))
+    }
+    val e = rows.toDF("vec_id", "v")
+    val e2 = rows.filter(_._1 % 2 == 0).toDF("vec_id", "v")
+      .unionByName(rows.filter(_._1 % 2 == 1).toDF("vec_id", "v"))
+    val batch = SimilarityOps.kmeansCentroidsBatch(e, m, subDim, 4, 3)
+    val perSlice = SimilarityOps.pqSlices(e2, m, subDim)
+      .map(sl => SimilarityOps.kmeansCentroids(sl, 4, 3))
+    assert(batch.size === m)
+    assert(batch === perSlice) // exact — doubles compared bit-for-bit
+  }
+
 }
